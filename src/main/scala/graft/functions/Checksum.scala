@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+
+/** A KV pair — the reference's entire data model
+  * (`scan/scan.go:45`, `diff/diff.go:36,40`: parallel byte-slice arrays). */
+case class KVPair(key: Array[Byte], value: Array[Byte])
+
+/** The reference's checksum triple (`rawkv.RawChecksum`), merged with
+  * XOR / sum / sum — a commutative monoid with identity (0,0,0)
+  * (`checksum/checksum.go:25-29`), hence exactly partial+final
+  * aggregatable by Catalyst with no ordering constraints. */
+case class RawChecksum(crc64_xor: Long, total_kvs: Long, total_bytes: Long) {
+  def merge(o: RawChecksum): RawChecksum =
+    RawChecksum(crc64_xor ^ o.crc64_xor, total_kvs + o.total_kvs, total_bytes + o.total_bytes)
+}
+
+object RawChecksum {
+  val zero: RawChecksum = RawChecksum(0L, 0L, 0L)
+  def of(key: Array[Byte], value: Array[Byte]): RawChecksum =
+    RawChecksum(Crc64.crc64(key, value), 1L, key.length.toLong + value.length.toLong)
+}
+
+/** Typed Aggregator form — `ds.select(ChecksumAggregator.toColumn)`.
+  * The `merge` is the reference's `UpdateChecksum`
+  * (`checksum/checksum.go:25-29`); Catalyst applies it across partitions
+  * exactly like the reference's worker pool + mutex
+  * (`checksum/checksum.go:78-95`) but without the lock. */
+object ChecksumAggregator extends Aggregator[KVPair, RawChecksum, RawChecksum] {
+  override def zero: RawChecksum = RawChecksum.zero
+  override def reduce(b: RawChecksum, a: KVPair): RawChecksum =
+    b.merge(RawChecksum.of(a.key, a.value))
+  override def merge(b1: RawChecksum, b2: RawChecksum): RawChecksum = b1.merge(b2)
+  override def finish(r: RawChecksum): RawChecksum = r
+  override def bufferEncoder: Encoder[RawChecksum] = Encoders.product[RawChecksum]
+  override def outputEncoder: Encoder[RawChecksum] = Encoders.product[RawChecksum]
+}
+
+/** DataFrame-level checksum formulations. The expression form keeps the
+  * whole aggregate inside whole-stage codegen (crc64 is a codegen'd
+  * Expression; xor/count/sum are built-in declarative aggregates) — this
+  * is the 100 TB path: map-side partial agg reduces each partition to a
+  * 3-long buffer before any shuffle. */
+object Checksum {
+  import Crc64Expr._
+
+  /** One-row DataFrame `(crc64_xor, total_kvs, total_bytes)` over a KV frame.
+    * Null-safe: empty input yields the monoid identity (0, 0, 0). */
+  def of(kv: DataFrame): DataFrame = {
+    kv.select(
+        crc64Pair(col("key"), col("value")).as("__crc"),
+        (length(col("key")).cast("long") + length(col("value")).cast("long")).as("__len"))
+      .agg(
+        coalesce(expr("bit_xor(__crc)"), lit(0L)).as("crc64_xor"),
+        count(lit(1)).as("total_kvs"),
+        coalesce(sum(col("__len")), lit(0L)).as("total_bytes"))
+  }
+
+  /** Grouped (per-bucket) checksum — the reference's per-region report
+    * (`checksum/checksum.go:89-90` prints one checksum per sub-range). */
+  def byBucket(kv: DataFrame, bucket: Column): DataFrame = {
+    kv.select(
+        bucket.as("bucket"),
+        crc64Pair(col("key"), col("value")).as("__crc"),
+        (length(col("key")).cast("long") + length(col("value")).cast("long")).as("__len"))
+      .groupBy(col("bucket"))
+      .agg(
+        expr("bit_xor(__crc)").as("crc64_xor"),
+        count(lit(1)).as("total_kvs"),
+        sum(col("__len")).as("total_bytes"))
+  }
+
+  /** The reference's flagship verdict (`checksum/checksum.go:173-178`):
+    * compare src and dst checksum triples, one row with both + match flag. */
+  def verdict(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = of(src).select(
+      col("crc64_xor").as("src_crc64_xor"),
+      col("total_kvs").as("src_total_kvs"),
+      col("total_bytes").as("src_total_bytes"))
+    val d = of(dst).select(
+      col("crc64_xor").as("dst_crc64_xor"),
+      col("total_kvs").as("dst_total_kvs"),
+      col("total_bytes").as("dst_total_bytes"))
+    s.crossJoin(d).withColumn("matches",
+      col("src_crc64_xor") === col("dst_crc64_xor") &&
+      col("src_total_kvs") === col("dst_total_kvs") &&
+      col("src_total_bytes") === col("dst_total_bytes"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deterministic KV-snapshot sources emulating the reference's two TiKV
+  * clusters (SURVEY.md §1: schema is always `(key: bytes, value: bytes)`,
+  * unsigned-lexicographic key order).
+  *
+  * Derived purely from the driver's `lineitem` parquet so the DuckDB
+  * oracle can rebuild the identical snapshots in SQL (see
+  * `SparkEntry.oracleSql` — `KVSnapshot.duckdbCte` is the SQL twin of
+  * this file; keep the two in lock-step).
+  *
+  *   key   = "li_" ‖ lpad(l_orderkey,10,'0') ‖ "_" ‖ lpad(l_linenumber,3,'0')
+  *   value = returnflag|linestatus|quantity|extendedprice|shipdate
+  *
+  * dst = src with seeded divergence (mod-97 arithmetic on l_orderkey):
+  *   m ==  7 → row deleted in dst            (diff class: src_only)
+  *   m == 13 → value suffixed with "#MUT"    (diff class: mismatch)
+  *   m == 19 ∧ l_linenumber == 1 → extra key "…_ins"="INSERTED" (dst_only)
+  */
+object KVSnapshot {
+
+  /** String-typed (k, v, m, ln) base frame; m/ln drive the divergence.
+    * `(l_orderkey, l_linenumber)` is NOT unique in the synthetic data, so
+    * the frame is grouped on k taking min(v) — a KV store has unique
+    * keys; the dedup rule is deterministic and mirrored in `duckdbCte`. */
+  private def base(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.select(
+        concat(
+          lit("li_"),
+          lpad(col("l_orderkey").cast("string"), 10, "0"),
+          lit("_"),
+          lpad(col("l_linenumber").cast("string"), 3, "0")).as("k"),
+        concat_ws("|",
+          col("l_returnflag"),
+          col("l_linestatus"),
+          col("l_quantity").cast("decimal(12,2)").cast("string"),
+          col("l_extendedprice").cast("decimal(14,2)").cast("string"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd")).as("v"),
+        (col("l_orderkey") % 97).as("m"),
+        col("l_linenumber").as("ln"))
+      .groupBy(col("k"))
+      .agg(min(col("v")).as("v"), min(col("m")).as("m"), min(col("ln")).as("ln"))
+  }
+
+  private def toKV(df: DataFrame): DataFrame =
+    df.select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+
+  /** String-typed src snapshot (columns k, v) — for oracle-facing queries. */
+  def srcStr(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(col("k"), col("v"))
+
+  /** String-typed dst snapshot with injected divergence (columns k, v). */
+  def dstStr(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val kept = b.filter(col("m") =!= 7)
+      .select(col("k"),
+        when(col("m") === 13, concat(col("v"), lit("#MUT"))).otherwise(col("v")).as("v"))
+    val inserted = b.filter(col("m") === 19 && col("ln") === 1)
+      .select(concat(col("k"), lit("_ins")).as("k"), lit("INSERTED").as("v"))
+    kept.unionAll(inserted)
+  }
+
+  /** Binary (key, value) src snapshot — the parity operators' input. */
+  def src(spark: SparkSession, dir: String): DataFrame = toKV(base(spark, dir))
+
+  /** Binary (key, value) dst snapshot. */
+  def dst(spark: SparkSession, dir: String): DataFrame = {
+    val b = dstStr(spark, dir)
+    b.select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+  }
+
+  /** Range-filter a KV frame to `[startKey, endKey)` — BinaryType
+    * comparison in Spark is unsigned-lexicographic, matching TiKV byte
+    * order (reference `config/config.go:23-24`; applied at every scan
+    * call site). Pushes down to the source when key is a stored column. */
+  def rangeFilter(kv: DataFrame, startKey: Array[Byte], endKey: Array[Byte]): DataFrame = {
+    val lower = if (startKey.isEmpty) lit(true) else col("key") >= lit(startKey)
+    val upper = if (endKey.isEmpty) lit(true) else col("key") < lit(endKey)
+    kv.filter(lower && upper)
+  }
+
+  /** DuckDB CTE prefix that rebuilds the same snapshots in SQL; append a
+    * `SELECT … FROM src/dst` to form a full oracle query. */
+  val duckdbCte: String =
+    """WITH base0 AS (
+      |  SELECT 'li_' || lpad(CAST(l_orderkey AS VARCHAR),10,'0') || '_'
+      |           || lpad(CAST(l_linenumber AS VARCHAR),3,'0') AS k,
+      |         l_returnflag || '|' || l_linestatus
+      |           || '|' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
+      |           || '|' || CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR)
+      |           || '|' || strftime(l_shipdate, '%Y-%m-%d') AS v,
+      |         l_orderkey % 97 AS m, l_linenumber AS ln
+      |  FROM lineitem),
+      |base AS (
+      |  SELECT k, min(v) AS v, min(m) AS m, min(ln) AS ln FROM base0 GROUP BY k),
+      |src AS (SELECT k, v FROM base),
+      |dst AS (
+      |  SELECT k, CASE WHEN m = 13 THEN v || '#MUT' ELSE v END AS v
+      |  FROM base WHERE m <> 7
+      |  UNION ALL
+      |  SELECT k || '_ins' AS k, 'INSERTED' AS v FROM base WHERE m = 19 AND ln = 1)
+      |""".stripMargin
+}
