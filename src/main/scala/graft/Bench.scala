@@ -1,24 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract: one JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Measurement fidelity (round-1 verdict fixes):
+  *  - every query is FULLY evaluated via a `noop`-format write (a bare
+  *    `count()` lets Catalyst prune projections and drop top-level
+  *    sorts, under-measuring hex dumps / ordered scans);
+  *  - one warmup pass at sf0.001 absorbs session + JIT + codegen init
+  *    so the first timed query isn't inflated;
+  *  - failures are NOT swallowed into a near-zero time: a failed query
+  *    records `-1` in `queries`, is listed in `errors`, and the process
+  *    exits nonzero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    // Warmup: full pass at the smallest SF (JIT, codegen caches, parquet
+    // footer reads). Not timed.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        run(fn, sfDir)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors ::= (name -> e.toString.take(200))
+          name -> -1.0
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -54,7 +54,10 @@ object Checksum {
         (length(col("key")).cast("long") + length(col("value")).cast("long")).as("__len"))
       .agg(
         coalesce(expr("bit_xor(__crc)"), lit(0L)).as("crc64_xor"),
-        count(lit(1)).as("total_kvs"),
+        // count(__crc), not count(*): rows with a NULL key or value are
+        // excluded from ALL THREE components, preserving the monoid /
+        // partition-invariance contract on inputs containing nulls.
+        count(col("__crc")).as("total_kvs"),
         coalesce(sum(col("__len")), lit(0L)).as("total_bytes"))
   }
 
@@ -68,7 +71,7 @@ object Checksum {
       .groupBy(col("bucket"))
       .agg(
         expr("bit_xor(__crc)").as("crc64_xor"),
-        count(lit(1)).as("total_kvs"),
+        count(col("__crc")).as("total_kvs"),
         sum(col("__len")).as("total_bytes"))
   }
 

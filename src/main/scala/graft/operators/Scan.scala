@@ -32,7 +32,11 @@ object Scan {
     val indexed = dump.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    spark.createDataFrame(indexed, outSchema)
+    // sortWithinPartitions makes the ORDER-BY-cnt contract structural
+    // (zipWithIndex already yields ascending cnt across the range-sorted
+    // partitions; this pins it against future plan/AQE changes without
+    // adding a global shuffle).
+    spark.createDataFrame(indexed, outSchema).sortWithinPartitions(col("cnt"))
   }
 
   /** Ordered limit — first n pairs from startKey (the reference's

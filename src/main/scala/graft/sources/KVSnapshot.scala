@@ -49,12 +49,52 @@ object KVSnapshot {
   private def toKV(df: DataFrame): DataFrame =
     df.select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
 
-  /** String-typed src snapshot (columns k, v) — for oracle-facing queries. */
+  // --- snapshot materialization ---------------------------------------
+  // The derivation above (read lineitem → project → groupBy) is a
+  // *fixture generator*, not a source: a filter above it cannot reach any
+  // parquet scan, and two-sided queries would re-derive it per side
+  // (round-1 verdict #4). So each (dir, side) snapshot is materialized
+  // ONCE per JVM as range-partitioned parquet — the analog of a TiKV
+  // cluster already holding region-sorted data (`checksum/checksum.go:52-65`
+  // builds sub-ranges from region metadata; here each parquet file is a
+  // "region" with min/max key stats). Downstream range filters then prune
+  // at the parquet scan (PushedFilters + file skipping), which is the
+  // 100 TB story: a scan of `[start,end)` touches only overlapping files.
+  // Per-JVM temp dir (no cross-run reuse) so a derivation change can
+  // never serve stale snapshots.
+  private val matRangePartitions = 16
+  private lazy val matRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-kvsnap-")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+  private val matCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def materialize(spark: SparkSession, dir: String, side: String,
+                          build: => DataFrame): DataFrame = {
+    val path = matCache.synchronized {
+      matCache.getOrElseUpdate(s"$dir/$side", {
+        val p = s"$matRoot/${side}_${Integer.toHexString(dir.hashCode)}"
+        build.repartitionByRange(matRangePartitions, col("key"))
+          .sortWithinPartitions(col("key"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    spark.read.parquet(path)
+  }
+
+  /** String-typed src snapshot (columns k, v) — for oracle-facing queries.
+    * Derived from the materialized binary snapshot (keys/values are
+    * ASCII) so both forms share one scan + one derivation. */
   def srcStr(spark: SparkSession, dir: String): DataFrame =
-    base(spark, dir).select(col("k"), col("v"))
+    src(spark, dir).select(col("key").cast("string").as("k"), col("value").cast("string").as("v"))
 
   /** String-typed dst snapshot with injected divergence (columns k, v). */
-  def dstStr(spark: SparkSession, dir: String): DataFrame = {
+  def dstStr(spark: SparkSession, dir: String): DataFrame =
+    dst(spark, dir).select(col("key").cast("string").as("k"), col("value").cast("string").as("v"))
+
+  private def deriveDst(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
     val kept = b.filter(col("m") =!= 7)
       .select(col("k"),
@@ -64,14 +104,15 @@ object KVSnapshot {
     kept.unionAll(inserted)
   }
 
-  /** Binary (key, value) src snapshot — the parity operators' input. */
-  def src(spark: SparkSession, dir: String): DataFrame = toKV(base(spark, dir))
+  /** Binary (key, value) src snapshot — the parity operators' input.
+    * Materialized range-partitioned parquet; filters on `key` push down. */
+  def src(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "src", toKV(base(spark, dir)))
 
   /** Binary (key, value) dst snapshot. */
-  def dst(spark: SparkSession, dir: String): DataFrame = {
-    val b = dstStr(spark, dir)
-    b.select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
-  }
+  def dst(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "dst", deriveDst(spark, dir)
+      .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value")))
 
   /** Range-filter a KV frame to `[startKey, endKey)` — BinaryType
     * comparison in Spark is unsigned-lexicographic, matching TiKV byte

@@ -1,0 +1,12 @@
+package graft
+/** Local smoke runner for the driver's flagship-entry check. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("ENTRY_ROWS=" + SparkEntry.entry(spark).count())
+    spark.stop()
+  }
+}

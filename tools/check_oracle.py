@@ -22,7 +22,7 @@ for t in ("region nation customer supplier part orders lineitem events "
 
 fails = 0
 for name, sql in sorted(oracle.items()):
-    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    spark_files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not spark_files:
         print(f"[MISS] {name}: no spark output"); fails += 1; continue
     try:
