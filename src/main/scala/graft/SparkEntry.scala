@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Checksum
-import graft.operators.{Diff, Scan}
+import graft.operators.{Dedup, Diff, Events, Gate, Scan, Similarity, TextAnalysis}
 import graft.sources.KVSnapshot
+import graft.streaming.WindowedChecksum
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,8 +27,147 @@ object SparkEntry {
     Checksum.verdict(KVSnapshot.src(spark, dir), KVSnapshot.dst(spark, dir))
   }
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+  /** BPE-ish pre-tokenizer pattern, shared by Spark + oracle SQL. */
+  private val bpePat = TextAnalysis.bpeTokenPattern
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++
+    dedupQueries ++ similarityQueries ++ textQueries ++ eventQueries ++ relationalQueries
+
+  // §2b LLM-pipeline: deduplication family over `documents`.
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup, grouped on a 128-bit content hash (not the body)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "text", "doc_id").orderBy(col("fp"))),
+    // token-set (bag-of-words) dedup: equal up to order+multiplicity
+    "q_dedup_bag" -> ((s, dir) =>
+      Dedup.bagGroups(docs(s, dir), "text", "doc_id").orderBy(col("fp"))),
+    // exact 3-gram-shingle Jaccard similarity join (inverted index)
+    "q_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // MinHash-LSH near-dup, exactly verified: candidates from banded
+    // signature equi-joins, each emitted pair checked by true Jaccard
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDup(docs(s, dir), "text", "doc_id", 0.4, 3, 64, 16)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // 64-bit SimHash signatures (xxhash64-based → property-tested, no oracle)
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
+    // SimHash near-dup pairs: 4×16-bit chunk pigeonhole join, Hamming ≤ 3
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", 3)
+        .orderBy(col("doc_a"), col("doc_b"))))
+
+  // §2b LLM-pipeline: similarity search over `embeddings`.
+  private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force cosine top-k (query side broadcast)
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < 10), e, 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // IVF-style ANN: probe the 2 nearest of 10 centroid clusters
+    // (centroids from grouped avg → not bit-reproducible in SQL; recall
+    // vs brute force is scalatest-checked instead)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // embedding-cosine near-dup pairs, blocked by cluster (no cross join)
+    "q_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDup(emb(s, dir), 0.4)
+        .orderBy(col("id_a"), col("id_b"))))
+
+  // §2b LLM-pipeline: text analysis over `documents`.
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus stats per (lang, source): docs, chars, ws + BPE-ish tokens
+    "q_text_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe_tokens"))
+        .orderBy(col("lang"), col("source"))),
+    // per-doc quality metrics + composite score
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
+    // stopword-profile language ID vs the labeled lang (confusion counts)
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted_lang"))),
+    // polynomial rolling-hash content fingerprint per doc
+    "q_rollhash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))))
+
+  // §2b: JSON extraction, event-time windows, as-of join, streaming-shaped
+  // windowed checksum over `events`.
+  private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_stats" -> ((s, dir) =>
+      Events.jsonStats(Events.read(s, dir)).orderBy(col("event_type"))),
+    "q_event_daily" -> ((s, dir) =>
+      Events.dailyAgg(Events.read(s, dir)).orderBy(col("day"), col("event_type"))),
+    "q_asof_join" -> ((s, dir) =>
+      Events.asofJoin(Events.read(s, dir), "click", "purchase").orderBy(col("event_id"))),
+    // per-day checksum triple of the event stream viewed as KV change
+    // records — the continuous-compare transform (same code path drives
+    // the Structured Streaming variant; crc64 → no SQL oracle)
+    "q_stream_window_checksum" -> ((s, dir) => {
+      val ev = Events.read(s, dir)
+      val kv = ev.select(col("ts"),
+        col("event_id").cast("string").cast("binary").as("key"),
+        col("props").cast("binary").as("value"))
+      WindowedChecksum(kv, "ts", "1 day")
+        .select(date_format(col("w_start"), "yyyy-MM-dd").as("day"),
+          col("crc64_xor"), col("total_kvs"), col("total_bytes"))
+        .orderBy(col("day"))
+    }))
+
+  // §2b: multi-table broadcast join + remaining parity surface.
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // revenue per nation: two broadcast dims + one shuffle join
+    "q_join_revenue" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    // ordered limit (the reference's batch pagination viewed as a query)
+    "q_scan_limit" -> ((s, dir) =>
+      Scan.scanLimit(KVSnapshot.src(s, dir), 50)
+        .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
+        .orderBy(col("key_hex"))),
+    // API-version probe + equality gate (utils/utils.go:13-26 analog)
+    "q_meta_gate" -> ((s, dir) =>
+      Gate.check(KVSnapshot.src(s, dir), KVSnapshot.dst(s, dir))))
+
+  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a rows 4-7: checksum aggregate (crc64-xor monoid; partial+final agg)
     "q_checksum" -> ((s, dir) => Checksum.of(KVSnapshot.src(s, dir))),
     // §2a row 6: per-range (region-style) grouped checksum
@@ -97,7 +237,140 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (crc64 checksum family) → driver records a rows-only check; those
     * are covered by scalatest/scalacheck property suites instead. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = parityOracle ++ extensionOracle
+
+  // Shared DuckDB fragments for the extension oracles.
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(w)-2, 1)),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+      |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b,
+      |          round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+      |        FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+      |""".stripMargin
+  private val jaccardSelect =
+    "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"
+  private val langHits = TextAnalysis.langProfiles.map { case (code, ws) =>
+    s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS $code"
+  }.mkString(",\n  ")
+
+  private def extensionOracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "q_dedup_bag" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+        |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_jaccard_join" -> (shingleCte + jaccardSelect),
+    // the LSH path must recover every pair the exact join finds at this
+    // threshold — same oracle; LSH only prunes candidates
+    "q_dedup_minhash" -> (shingleCte + jaccardSelect),
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+        |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.vec_id <> c.vec_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '$bpePat'))) AS BIGINT) AS sum_bpe_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_quality" ->
+      s"""WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '$bpePat')) AS n_bpe_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_bpe_tokens,
+        |  round(CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+        |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
+        |  round(((CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4)
+        |    + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END)
+        |    + (least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 3.0, 1.0) * 0.3), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH h AS (SELECT lang,
+        |  $langHits
+        |FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
+        |       WHEN en >= greatest(es, fr, zh) THEN 'en'
+        |       WHEN es >= greatest(fr, zh) THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang FROM h)
+        |SELECT lang, predicted_lang, count(*) AS n FROM p
+        |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q_rollhash" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_json_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS min_k,
+        |  max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS asof_event_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER win AS asof_ts_us
+        |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_scan_limit" -> (cte +
+      """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex
+        |FROM (SELECT k, v FROM src ORDER BY k LIMIT 50) ORDER BY key_hex""".stripMargin),
+    "q_meta_gate" -> (cte +
+      """SELECT s.src_api_version, s.src_n_keys, d.dst_api_version, d.dst_n_keys,
+        |  s.src_api_version = d.dst_api_version AS compatible
+        |FROM (SELECT CASE WHEN count(*) > 0 AND min(substr(k,1,1)) = 'r' AND max(substr(k,1,1)) = 'r'
+        |             THEN 'V2' ELSE 'V1' END AS src_api_version, count(*) AS src_n_keys FROM src) s,
+        |     (SELECT CASE WHEN count(*) > 0 AND min(substr(k,1,1)) = 'r' AND max(substr(k,1,1)) = 'r'
+        |             THEN 'V2' ELSE 'V1' END AS dst_api_version, count(*) AS dst_n_keys FROM dst) d""".stripMargin))
+
+  private def parityOracle: Map[String, String] = Map(
     "q_diff" -> (cte +
       """SELECT COALESCE(s.k, d.k) AS key, s.v AS src_value, d.v AS dst_value,
         |  CASE WHEN s.k IS NULL THEN 'dst_only'

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-stream operators: JSON property extraction, time-window
+  * aggregation, and as-of joins over the `events` fixture.
+  *
+  * The fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
+  * Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — so
+  * the source reads the physical INT64 via an explicit schema and keeps
+  * nanoseconds as a long (`ts_ns`), deriving a micros TimestampType
+  * column (`ts`) for window/watermark operators. All oracle-facing
+  * bucketing uses integer nanosecond arithmetic, which both engines
+  * compute exactly.
+  */
+object Events {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events source: ts_ns (long, exact), ts_us (long, integer-truncated
+    * micros — what a µs-resolution engine sees), ts (TimestampType).
+    * All derivations use integer DIV: `col / 1000` would round-trip the
+    * int64 nanos through a double and lose the low bits. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** Typed JSON extraction of the `props` column (`from_json` with an
+    * explicit schema — codegen'd Jackson parse, no UDF). */
+  def withProps(events: DataFrame): DataFrame =
+    events.withColumn("k",
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k"))
+
+  /** Per-event-type stats over the JSON `k` property. Decimal-exact sums
+    * cast to double at the end (cross-engine bit stability). */
+  def jsonStats(events: DataFrame): DataFrame =
+    withProps(events)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count_distinct(col("user_id")).as("n_users"))
+
+  /** Tumbling-window aggregate per (UTC day, event_type). The day bucket
+    * is exact integer arithmetic on nanos; `value` sums in
+    * decimal(20,6). Output day as a date string. */
+  def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("day_us", expr("ts_ns DIV 86400000000000") * lit(86400000000L))
+      .groupBy(
+        date_format(timestamp_micros(col("day_us")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+
+  /** Tumbling-window aggregate via the Structured-Streaming `window()`
+    * operator — identical semantics batch or streaming (see
+    * `graft.streaming.WindowedChecksum` for the streaming use). */
+  def windowAgg(events: DataFrame, duration: String): DataFrame =
+    events.groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** As-of join: for each event of type `rightType`, attach the most
+    * recent STRICTLY EARLIER event of type `leftType` by the same user
+    * (classic trade/quote as-of). Expressed as a union + last-value
+    * window — one shuffle on (user_id), no range join explosion; ties on
+    * ts_ns resolved by event_id order. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("asof_event_id",
+        last(when(col("event_type") === leftType, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_ts_us",
+        last(when(col("event_type") === leftType, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === rightType)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_event_id"), col("asof_ts_us"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * north-star mandate. Two paths:
+  *
+  *  - `bruteForceTopK`: exact cosine top-k, query-side broadcast. The
+  *    correctness baseline; at scale the small query set broadcasts and
+  *    each executor scans its candidate partition once (embarrassingly
+  *    parallel), then a per-query window takes the top k. Cost is
+  *    O(|queries| · |corpus|) — right answer, only viable for small
+  *    query batches.
+  *  - `ivfTopK`: IVF-style two-stage ANN. Stage 1 builds a coarse
+  *    codebook (centroids) and assigns every corpus vector to its
+  *    nearest centroid; stage 2 probes only the `nprobe` nearest
+  *    clusters per query. At 100 TB the corpus is hash-partitioned (or
+  *    bucketed) by `cluster_id`, so a probe touches nprobe/C of the
+  *    data — the classic inverted-file pruning, expressed as two
+  *    broadcast joins + a window.
+  *
+  * All dot products accumulate in DOUBLE, left-to-right over the array
+  * (`aggregate` is a sequential fold), which the DuckDB oracle
+  * reproduces bit-for-bit via list_dot_product over double-cast lists.
+  */
+object Similarity {
+
+  /** Sequential-fold double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm (double). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns, in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k. `queries` and `corpus` both carry
+    * (id, vec) columns; self-matches (same id) are excluded. Output:
+    * (query_id, vec_id, sim, rank), rank 1..k per query, ties broken by
+    * vec_id. `sim` is rounded to 9 dp for stable cross-engine compares;
+    * ranking uses the rounded value so rank and sim can never disagree. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("vec_id"), col("vec").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN top-k. Coarse codebook = per-`labelCol` mean vectors
+    * (deterministic; a k-means codebook drops in identically). Probing
+    * `nprobe` clusters bounds recall loss; `nprobe = C` degrades to
+    * exact search. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+              labelCol: String = "label"): DataFrame = {
+    // centroid[j] = avg(vec[j]) per label — posexplode + grouped avg, a
+    // partial-aggregated shuffle of (label, j, sum, cnt) triples only.
+    val cent = corpus
+      .select(col(labelCol).as("cluster_id"), posexplode(col("vec")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
+    // stage 1: assign every corpus vector to its nearest centroid
+    val assigned = corpus.select(col("id").as("vec_id"), col("vec").as("cv"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cv"), col("cluster_id"),
+        round(cosine(col("cv"), col("cvec")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster_id"), col("cv"))
+    // stage 2: per query, probe the nprobe nearest clusters only
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cluster_id"),
+        round(cosine(col("qv"), col("cvec")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    * threshold, found via the IVF partitioning (pairs are only compared
+    * within a cluster — at scale this is the blocked/bucketed near-dup
+    * join, not an all-pairs cross join). Exact within-cluster. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double,
+                    labelCol: String = "label"): DataFrame = {
+    val v = corpus.select(col("id"), col("vec"), col(labelCol).as("cluster_id"))
+    val a = v.select(col("cluster_id"), col("id").as("id_a"), col("vec").as("va"))
+    val b = v.select(col("cluster_id"), col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

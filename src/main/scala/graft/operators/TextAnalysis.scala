@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators over a document corpus (north-star mandate:
+  * language ID, quality scoring, token counting, fingerprinting). All
+  * pure codegen'd column expressions — no UDFs, no collects — so every
+  * one of them whole-stage-compiles and scales linearly with the corpus.
+  *
+  * Determinism contract: every score is integer-count arithmetic
+  * followed by a single double division (IEEE-deterministic on both
+  * Spark and the DuckDB oracle), never an order-dependent double sum.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or any single
+    * non-space-non-alnum char — the classic pre-tokenizer regex. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
+  /** Distinct-token (vocabulary) count. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(split(text, " ")))
+
+  /** Tiny public-knowledge stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Scoring = number of token occurrences that
+    * hit the language's profile; argmax with alphabetical tie-break. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人"))
+
+  /** Stopword-hit count for one profile (token occurrences, with
+    * multiplicity). */
+  def profileHits(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Heuristic language ID: argmax profile hits, ties broken by
+    * alphabetical language code (profiles are pre-sorted). */
+  def langId(text: Column): Column = {
+    val scored = langProfiles.map { case (code, words) => (code, profileHits(text, words)) }
+    // strictly-greater fold keeps the FIRST (alphabetically smallest)
+    // language on ties.
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestCode, bestScore), (code, score)) =>
+        (when(score > bestScore, lit(code)).otherwise(bestCode),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Quality metrics per document: lengths, token counts, type-token
+    * ratio, stopword ratio, mean token length — the length/punct/
+    * stopword family of heuristics used to filter training corpora. */
+  def qualityMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nDis = distinctTokenCount(t)
+    val nStop = profileHits(t, langProfiles.toMap.apply("en"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      nDis.as("n_distinct_tokens"),
+      bpeTokenCount(t).as("n_bpe_tokens"),
+      round(nDis.cast("double") / nTok.cast("double"), 6).as("type_token_ratio"),
+      round(nStop.cast("double") / nTok.cast("double"), 6).as("stopword_ratio"),
+      round((length(t) - (nTok - lit(1))).cast("double") / nTok.cast("double"), 6)
+        .as("mean_token_len"))
+  }
+
+  /** Quality metrics plus a composite score in [0,1]: blend of
+    * type-token ratio, an in-range length band, and stopword presence.
+    * The score is computed from the RAW integer counts in one double
+    * expression with a single final round — feeding it the
+    * already-rounded 6-dp ratio columns would park many inputs exactly
+    * on a .5 rounding boundary at the 7th decimal, where Spark's
+    * HALF_UP and the oracle's float rounding disagree. */
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTokI = tokenCount(t)
+    val nTok = nTokI.cast("double")
+    val nDisI = distinctTokenCount(t)
+    val nStopI = profileHits(t, langProfiles.toMap.apply("en"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).as("n_chars"),
+      nTokI.as("n_tokens"),
+      nDisI.as("n_distinct_tokens"),
+      bpeTokenCount(t).as("n_bpe_tokens"),
+      round(nDisI.cast("double") / nTok, 6).as("type_token_ratio"),
+      round(nStopI.cast("double") / nTok, 6).as("stopword_ratio"),
+      round((length(t) - (nTokI - lit(1))).cast("double") / nTok, 6).as("mean_token_len"),
+      round(
+        ((nDisI.cast("double") / nTok) * 0.4d)
+          + (when(nTokI.between(10, 1000), 0.3d).otherwise(0.0d))
+          + (least((nStopI.cast("double") / nTok) * lit(3.0d), lit(1.0d)) * 0.3d),
+        6).as("quality_score"))
+  }
+
+  /** Polynomial rolling-hash content fingerprint over the text's
+    * characters: h = fold(31·h + ascii(c)) mod 1e9+7, seeded with 7.
+    * Stays in Long range (h < 1e9, 31·h + 127 < 2^35), so the identical
+    * fold is expressible in the DuckDB oracle via list_reduce. A cheap
+    * order-sensitive fingerprint (unlike the bag-of-words md5) — the
+    * rolling-hash family used for content-defined chunking. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => length(c) > 0),
+      lit(7L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search semantics + IVF recall vs the exact baseline. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+    val c = df.select(Similarity.cosine(col("vec"), col("vec"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, descending sim, no self-match") {
+    val res = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 3)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.length === 5 * 3)
+    assert(res.forall { case (q, v, _, _) => q != v })
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+
+  test("IVF ANN achieves high recall@3 on clustered data") {
+    // 10 well-separated clusters (scaled one-hot centroids) + small
+    // deterministic offsets — the data shape IVF is designed for. (The
+    // fixture embeddings are near-uniform, where ANY partition-pruning
+    // ANN must lose recall; nprobe=C exactness on the fixture is covered
+    // by the next test.)
+    val vecs = (0 until 200).map { i =>
+      val label = i % 10
+      val v = Array.fill(16)(0.0f)
+      v(label) = 10.0f
+      (0 until 16).foreach(j => v(j) += (((i * 31 + j * 7) % 11) - 5) * 0.05f)
+      (i.toLong, v.toSeq, label)
+    }
+    val df = vecs.toDF("id", "vec", "label")
+    val queries = df.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, df, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.ivfTopK(df, queries, 3, 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@3 = $recall")
+  }
+
+  test("IVF with all clusters probed degrades to exact search") {
+    val queries = emb.filter(col("id") < 5)
+    val nClusters = emb.select(col("label")).distinct().count().toInt
+    val exact = Similarity.bruteForceTopK(queries, emb, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(emb, queries, 3, nClusters)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("cosine near-dup is symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosineNearDup(emb, 0.3)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 0.3 })
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.WindowedChecksum
+
+/** Structured-Streaming windowed checksum: stream/batch equivalence and
+  * watermark late-data semantics (SURVEY §7-M5). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+  private def kv(min: Int, k: String, v: String) =
+    (ts(min), k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+
+  test("stream result equals batch result; late row beyond watermark is dropped") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Array[Byte], Array[Byte])]
+    val stream = WindowedChecksum(
+      mem.toDF.toDF("ts", "key", "value"), "ts", "10 minutes", Some("5 minutes"))
+    val q = stream.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      // window [00:00,00:10): two rows
+      mem.addData(kv(1, "k1", "v1"), kv(2, "k2", "v2"))
+      q.processAllAvailable()
+      // advance event time to 00:20 → watermark 00:15 → first window closes
+      mem.addData(kv(20, "k3", "v3"))
+      q.processAllAvailable()
+      // late row at 00:03, behind the 00:15 watermark → MUST be dropped
+      mem.addData(kv(3, "late", "late"))
+      q.processAllAvailable()
+      // advance to 00:40 → second window closes
+      mem.addData(kv(40, "k4", "v4"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("wc")
+        .select(col("w_start"), col("crc64_xor"), col("total_kvs"), col("total_bytes"))
+        .collect().map(_.toSeq).toSet
+      // batch twin over the NON-late rows only
+      val batch = WindowedChecksum(
+        Seq(kv(1, "k1", "v1"), kv(2, "k2", "v2"), kv(20, "k3", "v3"))
+          .toDF("ts", "key", "value"), "ts", "10 minutes")
+        .select(col("w_start"), col("crc64_xor"), col("total_kvs"), col("total_bytes"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+      // the late row changed nothing: the [00:00,00:10) window holds 2 kvs
+      val w0 = streamed.find(_.head == ts(0).toLocalDateTime
+        .atZone(java.time.ZoneOffset.UTC)).orElse(
+        streamed.find(r => r(2) == 2L))
+      assert(w0.isDefined && w0.get(2) === 2L)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, TextAnalysis}
+
+/** Text-analysis known answers + as-of join semantics on hand-built
+  * frames (the cases the fixture can't isolate). */
+class TextEventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rolling hash known-answer: 'abc' folds to 304891") {
+    // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
+    val h = Seq("abc").toDF("text")
+      .select(TextAnalysis.rollingHash(col("text"))).as[Long].head()
+    assert(h === 304891L)
+  }
+
+  test("rolling hash is order-sensitive; md5-bag is not") {
+    val df = Seq(("ab c", "c ab")).toDF("x", "y")
+    val Array(hx, hy) = df.select(
+      TextAnalysis.rollingHash(col("x")), TextAnalysis.rollingHash(col("y")))
+      .as[(Long, Long)].collect().flatMap(t => Array(t._1, t._2))
+    assert(hx !== hy)
+  }
+
+  test("langId picks the profile with most stopword hits; alphabetical tie-break") {
+    val df = Seq(
+      "the cat sat on the mat in a hat",   // en hits
+      "el que la de y",                    // es hits
+      "xyzzy plugh").toDF("text")          // no hits → tie → 'de'
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got === Seq("en", "es", "de"))
+  }
+
+  test("quality score stays in [0,1] on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val mm = TextAnalysis.quality(docs, "text", "doc_id")
+      .agg(min(col("quality_score")), max(col("quality_score")))
+      .as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+  }
+
+  test("bpe token count: letters/digit-runs/punct each count once") {
+    val n = Seq("ab12,cd ef!").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"))).as[Int].head()
+    // ab | 12 | , | cd | ef | !  = 6
+    assert(n === 6)
+  }
+
+  test("asof join attaches most recent strictly-earlier left event per user") {
+    val ev = Seq(
+      // (event_id, user_id, ts_us, event_type)
+      (1L, 1L, 100L, "click"),
+      (2L, 1L, 200L, "click"),
+      (3L, 1L, 200L, "purchase"), // tie on ts: click id=2 sorts first (id order) → visible
+      (4L, 1L, 300L, "purchase"), // sees click 2
+      (5L, 2L, 150L, "purchase"), // user 2 has no prior click → null
+      (6L, 2L, 160L, "click"),
+      (7L, 2L, 170L, "purchase")  // sees click 6
+    ).map { case (e, u, t, ty) => (e, u, t, ty, 0.0) }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val got = Events.asofJoin(ev, "click", "purchase")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(3L) === Some(2L))
+    assert(got(4L) === Some(2L))
+    assert(got(5L) === None)
+    assert(got(7L) === Some(6L))
+  }
+}
