@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.Checksum
+import graft.functions.{Checksum, CodecExpr}
 import graft.operators.{Dedup, Diff, Events, Gate, Scan, Similarity, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.WindowedChecksum
@@ -165,7 +165,34 @@ object SparkEntry {
         .orderBy(col("key_hex"))),
     // API-version probe + equality gate (utils/utils.go:13-26 analog)
     "q_meta_gate" -> ((s, dir) =>
-      Gate.check(KVSnapshot.src(s, dir), KVSnapshot.dst(s, dir))))
+      Gate.check(KVSnapshot.src(s, dir), KVSnapshot.dst(s, dir))),
+    // §2a rows 13-17: codec expression library. Not SQL-expressible in
+    // DuckDB → rows-only here; the hard signal is CodecSpec's
+    // known-answer + roundtrip + order-preservation properties.
+    "q_codec_roundtrip" -> ((s, dir) => {
+      val enc = KVSnapshot.src(s, dir).select(col("key"),
+        CodecExpr.apiV2EncodeKey(col("key")).as("enc"),
+        CodecExpr.escapeGo(col("key")).as("esc"))
+      enc.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(CodecExpr.apiV2DecodeKey(col("enc")) === col("key"), 1L)
+          .otherwise(0L)).as("n_apiv2_roundtrip_ok"),
+        sum(when(CodecExpr.unescapeGo(col("esc")) === col("key"), 1L)
+          .otherwise(0L)).as("n_escape_roundtrip_ok"),
+        sum(length(col("enc"))).as("sum_enc_bytes"))
+    }),
+    // complemented-ts decode (codec/codec.go:35-36) over synthesized
+    // 8-byte big-endian ~ts keys from the event stream
+    "q_codec_ts" -> ((s, dir) => {
+      val keyed = Events.read(s, dir).select(col("ts_ns"),
+        unhex(lpad(hex(bitwise_not(col("ts_ns"))), 16, "0")).as("tskey"))
+      keyed.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(CodecExpr.decodeTs(col("tskey")) === col("ts_ns"), 1L)
+          .otherwise(0L)).as("n_ts_roundtrip_ok"),
+        min(CodecExpr.decodeTs(col("tskey"))).as("min_ts_ns"),
+        max(CodecExpr.decodeTs(col("tskey"))).as("max_ts_ns"))
+    }))
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a rows 4-7: checksum aggregate (crc64-xor monoid; partial+final agg)
