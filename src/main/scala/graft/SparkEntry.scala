@@ -225,6 +225,14 @@ object SparkEntry {
           "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
         .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
         .orderBy(col("key_hex"))),
+    // §2a rows 1-3 via the DSv2 connector: range filter pushes down to
+    // region-file pruning + in-reader scoping (same oracle semantics as
+    // q_range_filter, different physical source)
+    "q_kvbin_scan" -> ((s, dir) =>
+      KVSnapshot.rangeFilter(KVSnapshot.srcBin(s, dir),
+          "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
+        .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
+        .orderBy(col("key_hex"))),
     // §2a row 11: ordered hex scan dump with running cnt
     "q_scan_dump" -> ((s, dir) =>
       Scan.hexDumpWithCnt(KVSnapshot.rangeFilter(KVSnapshot.src(s, dir),
@@ -424,6 +432,9 @@ object SparkEntry {
         |  SELECT k AS key, v AS value, 'dst' AS side FROM (SELECT k, v FROM dst EXCEPT ALL SELECT k, v FROM src))
         |ORDER BY key, side""".stripMargin),
     "q_range_filter" -> (cte +
+      """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
+        |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
+    "q_kvbin_scan" -> (cte +
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
         |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
     "q_scan_dump" -> (cte +

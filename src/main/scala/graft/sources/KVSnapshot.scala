@@ -114,6 +114,22 @@ object KVSnapshot {
     materialize(spark, dir, "dst", deriveDst(spark, dir)
       .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value")))
 
+  /** src snapshot stored as kvbin region files and served through the
+    * [[graft.sources.kvbin.KVBinSource]] DSv2 connector — the live-
+    * cluster-connector code path (range pushdown prunes region files at
+    * planning time instead of parquet row groups). */
+  def srcBin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.kvbin.KVBin
+    val path = matCache.synchronized {
+      matCache.getOrElseUpdate(s"$dir/srcbin", {
+        val p = s"$matRoot/srcbin_${Integer.toHexString(dir.hashCode)}"
+        KVBin.write(toKV(base(spark, dir)), p, matRangePartitions)
+        p
+      })
+    }
+    KVBin.read(spark, path)
+  }
+
   /** Range-filter a KV frame to `[startKey, endKey)` — BinaryType
     * comparison in Spark is unsigned-lexicographic, matching TiKV byte
     * order (reference `config/config.go:23-24`; applied at every scan
