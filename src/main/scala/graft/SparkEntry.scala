@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Scan, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, Scan, Similarity, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.WindowedChecksum
 
@@ -37,7 +37,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++
-    dedupQueries ++ similarityQueries ++ textQueries ++ eventQueries ++ relationalQueries
+    dedupQueries ++ similarityQueries ++ textQueries ++ multimodalQueries ++
+    eventQueries ++ relationalQueries
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -115,6 +116,40 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))))
+
+  // §2b multimodal: binary media blobs with typed metadata; codecs are
+  // deterministic stubs, the Spark plumbing (schema, header decode,
+  // sampling expressions, partition-wise batch extraction) is real.
+  private def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // header decode → typed metadata aggregation (oracle recomputes the
+    // expected metadata from vec_id, checking the encode→decode path)
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.synthesize(
+          s.read.parquet(s"$dir/embeddings.parquet")))
+        .groupBy(col("channels"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("payload_bytes")).as("sum_payload_bytes"),
+          min(col("width")).as("min_width"), max(col("width")).as("max_width"),
+          min(col("height")).as("min_height"), max(col("height")).as("max_height"))
+        .orderBy(col("channels"))),
+    // stubbed decode+resize / frame-sampling kernels (codegen'd
+    // expressions) + mapPartitions batch feature extraction
+    "q_multimodal_thumb" -> ((s, dir) => {
+      val blobs = Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet"))
+      blobs.select(
+          col("media_id"),
+          length(Multimodal.thumbnail(col("blob"), 7)).as("thumb_bytes"),
+          (length(Multimodal.frameSample(col("blob"), 16, 2)) / 16).as("n_frames_kept"))
+        .orderBy(col("media_id"))
+    }),
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet")))
+        .select(col("media_id"), col("payload_bytes"),
+          round(col("byte_mean"), 6).as("byte_mean"),
+          round(col("byte_var"), 6).as("byte_var"))
+        .orderBy(col("media_id"))))
 
   // §2b: JSON extraction, event-time windows, as-of join, streaming-shaped
   // windowed checksum over `events`.
@@ -363,6 +398,14 @@ object SparkEntry {
         |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """WITH m AS (SELECT vec_id, 16 + vec_id % 48 AS width, 16 + vec_id % 32 AS height,
+        |                  1 + vec_id % 3 AS channels, 128 AS payload_bytes FROM embeddings)
+        |SELECT channels, count(*) AS n,
+        |  CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
+        |  min(width) AS min_width, max(width) AS max_width,
+        |  min(height) AS min_height, max(height) AS max_height
+        |FROM m GROUP BY channels ORDER BY channels""".stripMargin,
     "q_json_stats" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

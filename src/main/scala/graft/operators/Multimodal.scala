@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+/** Multimodal-column operators (north-star mandate): image/audio/video
+  * content as opaque `BinaryType` blobs with typed, queryable metadata.
+  *
+  * The Spark-side plumbing — blob schema, header decode, partition-wise
+  * batch feature extraction, byte/frame sampling operators, partitioning
+  * behavior — is real and tested. The actual media codecs are STUBBED
+  * with deterministic fakes (this container has no image/audio
+  * libraries): "decode+resize" samples payload bytes, "frame sampling"
+  * slices fixed-size frames, "feature extraction" computes byte-moment
+  * statistics. Swapping a real codec in changes only the per-record
+  * kernel inside `sampleBytes` / `extractFeatures`; every plan shape
+  * stays identical.
+  *
+  * Blob layout (self-describing, 13-byte ASCII header + payload):
+  *   [0,4)   magic  "IMG1"
+  *   [4,8)   width  (4-digit decimal)
+  *   [8,12)  height (4-digit decimal)
+  *   [12,13) channels (1 digit)
+  *   [13,..) payload bytes
+  */
+object Multimodal {
+
+  val HeaderLen = 13
+
+  /** Deterministic fake media corpus derived from `embeddings` — blob
+    * dimensions and payload are pure functions of vec_id, so the DuckDB
+    * oracle can recompute every expected metadata value. */
+  def synthesize(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id").as("media_id"),
+      concat(
+        lit("IMG1"),
+        lpad((lit(16) + col("vec_id") % 48).cast("string"), 4, "0"),
+        lpad((lit(16) + col("vec_id") % 32).cast("string"), 4, "0"),
+        (lit(1) + col("vec_id") % 3).cast("string"),
+        repeat(md5(col("vec_id").cast("string")), 4)).cast("binary").as("blob"))
+
+  /** Typed metadata projection out of the binary header (pure codegen'd
+    * substring/cast — the blob never leaves Tungsten format). */
+  def decodeMeta(blobs: DataFrame, blobCol: String = "blob"): DataFrame = {
+    val b = col(blobCol)
+    blobs
+      .withColumn("magic", substring(b, 1, 4).cast("string"))
+      .withColumn("width", substring(b, 5, 4).cast("string").cast("int"))
+      .withColumn("height", substring(b, 9, 4).cast("string").cast("int"))
+      .withColumn("channels", substring(b, 13, 1).cast("string").cast("int"))
+      .withColumn("payload_bytes", length(b) - HeaderLen)
+  }
+
+  /** STUB decode+resize kernel: every `stride`-th chunk of `chunk`
+    * payload bytes. thumbnail = (chunk 1, stride k); video frame-sample
+    * = (chunk frameSize, stride frameSize*k). */
+  def sampleBytes(blob: Array[Byte], offset: Int, stride: Int, chunk: Int): Array[Byte] = {
+    if (blob == null || blob.length <= offset) return Array.emptyByteArray
+    val n = blob.length
+    val out = new java.io.ByteArrayOutputStream()
+    var i = offset
+    while (i < n) {
+      val end = math.min(i + chunk, n)
+      out.write(blob, i, end - i)
+      i += stride
+    }
+    out.toByteArray
+  }
+
+  /** Column form of the sampling kernel (codegen'd). */
+  def sampleBytesCol(blob: Column, offset: Int, stride: Int, chunk: Int): Column =
+    Bridge.column(SampleBytesExpr(Bridge.expression(blob), offset, stride, chunk))
+
+  /** Thumbnail stub: every k-th payload byte. */
+  def thumbnail(blob: Column, k: Int): Column =
+    sampleBytesCol(blob, HeaderLen, k, 1)
+
+  /** Video frame-sampling stub: every k-th frame of `frameSize` bytes. */
+  def frameSample(blob: Column, frameSize: Int, k: Int): Column =
+    sampleBytesCol(blob, HeaderLen, frameSize * k, frameSize)
+
+  /** STUB feature extraction, batch-per-partition (the Scala analog of a
+    * `mapInPandas` batch UDF): each partition streams its blobs through
+    * one kernel call, emitting a fixed-width feature vector (byte count
+    * + first three byte-value moments of the payload). */
+  def extractFeatures(blobs: DataFrame, blobCol: String = "blob",
+                      idCol: String = "media_id"): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = blobs
+      .select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, blob) =>
+        val payload = if (blob.length > HeaderLen) blob.drop(HeaderLen) else Array.emptyByteArray
+        val n = payload.length.max(1)
+        val m1 = payload.map(_ & 0xFF).sum.toDouble / n
+        val m2 = payload.map(b => { val d = (b & 0xFF) - m1; d * d }).sum / n
+        val m3 = payload.map(b => { val d = (b & 0xFF) - m1; d * d * d }).sum / n
+        (id, payload.length, m1, m2, m3)
+      }
+    }.toDF(idCol, "payload_bytes", "byte_mean", "byte_var", "byte_skew")
+  }
+}
+
+/** `sample_bytes(blob)` with static (offset, stride, chunk) — the
+  * stubbed media-decode kernel as a codegen'd expression. */
+case class SampleBytesExpr(child: Expression, offset: Int, stride: Int, chunk: Int)
+    extends UnaryExpression {
+  require(stride > 0 && chunk > 0 && offset >= 0)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sample_bytes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sample_bytes requires BINARY, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    Multimodal.sampleBytes(v.asInstanceOf[Array[Byte]], offset, stride, chunk)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Multimodal.sampleBytes($c, $offset, $stride, $chunk)")
+  override protected def withNewChildInternal(c: Expression): SampleBytesExpr = copy(child = c)
+}
