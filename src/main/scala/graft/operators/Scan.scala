@@ -43,4 +43,25 @@ object Scan {
     * batch-pagination viewed as a query). */
   def scanLimit(kv: DataFrame, n: Int): DataFrame =
     kv.orderBy(col("key")).limit(n)
+
+  /** The reference's scan SINK (`scan/scan.go:35-41,51-54`): the ordered
+    * dump written as text lines `key:<HEX>, value:<HEX>, cnt:<n>.` into
+    * `<outDir>/<name>_scan.log.<timestamp>`. Distributed write — one
+    * shard per range partition (the reference's single bufio stream
+    * doesn't survive 100 TB; a sharded sorted dump does, and `cnt` still
+    * totally orders it). Returns the output path. */
+  def writeHexDump(kv: DataFrame, outDir: String, name: String,
+                   timestamp: String = java.time.ZonedDateTime
+                     .now(java.time.ZoneOffset.UTC)
+                     .format(java.time.format.DateTimeFormatter
+                       .ofPattern("yyyy-MM-dd'T'HH.mm.ssX"))): String = {
+    val path = s"$outDir/${name}_scan.log.$timestamp"
+    hexDumpWithCnt(kv)
+      .select(concat(
+        lit("key:"), col("key_hex"),
+        lit(", value:"), col("value_hex"),
+        lit(", cnt:"), col("cnt"), lit(".")).as("value"))
+      .write.mode("overwrite").text(path)
+    path
+  }
 }
