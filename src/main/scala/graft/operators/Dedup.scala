@@ -62,12 +62,23 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: k independent permutation-minima approximated by
-    * `min over shingles of xxhash64(seed_j, shingle)` — one array column
-    * of k longs, computed in a single codegen'd projection. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))): _*)
+  /** MinHash signatures: k independent permutation-minima approximated
+    * by `min over shingles of xxhash64(seed_j, shingle)`. Computed as
+    * explode(shingles) → k grouped min-aggregates: each shingle is built
+    * and hashed exactly once per seed, the mins partial-aggregate
+    * map-side, and the plan stays inside whole-stage codegen. (The naive
+    * single-projection form — k × array_min(transform(...)) — inlines
+    * the shingle subtree k times into one giant expression and ran two
+    * orders of magnitude slower.) Output: (doc_id, sig array<long>). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("s"))).as(s"__m$j"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"__m$j")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: split the k-long signature into `bands` bands
     * of k/bands rows, hash each band, equi-join docs sharing any band
@@ -76,8 +87,7 @@ object Dedup {
                         n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val sig = minhashSignatures(docs, textCol, idCol, n, k)
     val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
