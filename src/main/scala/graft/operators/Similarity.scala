@@ -45,11 +45,16 @@ object Similarity {
     * vec_id. `sim` is rounded to 9 dp for stable cross-engine compares;
     * ranking uses the rounded value so rank and sim can never disagree. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = corpus.select(col("id").as("vec_id"), col("vec").as("cv"))
+    // norms are computed once per VECTOR (not once per pair): the
+    // per-pair kernel is one dot + one divide. Bit-identical to the
+    // inline form — sqrt(dot(v,v)) is the same double either way.
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 9).as("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -88,10 +93,11 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster_id"))))
       .filter(col("r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cluster_id"))
-    val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
+    val scored = assigned.withColumn("cn", norm(col("cv")))
+      .join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 9).as("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -103,13 +109,16 @@ object Similarity {
     * join, not an all-pairs cross join). Exact within-cluster. */
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     labelCol: String = "label"): DataFrame = {
-    val v = corpus.select(col("id"), col("vec"), col(labelCol).as("cluster_id"))
-    val a = v.select(col("cluster_id"), col("id").as("id_a"), col("vec").as("va"))
-    val b = v.select(col("cluster_id"), col("id").as("id_b"), col("vec").as("vb"))
+    val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
+      col(labelCol).as("cluster_id"))
+    val a = v.select(col("cluster_id"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("cluster_id"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 9).as("sim"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
