@@ -160,6 +160,38 @@ object SparkEntry {
       Events.dailyAgg(Events.read(s, dir)).orderBy(col("day"), col("event_type"))),
     "q_asof_join" -> ((s, dir) =>
       Events.asofJoin(Events.read(s, dir), "click", "purchase").orderBy(col("event_id"))),
+    // gap-based sessionization (30-minute idle gap)
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(Events.read(s, dir), 1800000000L)
+        .orderBy(col("user_id"), col("session_no"))),
+    // lag/lead/rank + running frame sum per user
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Events.read(s, dir).filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+        .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+        .withColumn("seq", row_number().over(w))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(20,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .drop("value")
+        .orderBy(col("user_id"), col("seq"))
+    }),
+    // pivot: wide per-day event-type counts
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Events.read(s, dir)
+        .withColumn("day", date_format(timestamp_micros(
+          expr("ts_ns DIV 86400000000000") * lit(86400000000L)), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("day"))
+    }),
     // per-day checksum triple of the event stream viewed as KV change
     // records — the continuous-compare transform (same code path drives
     // the Structured Streaming variant; crc64 → no SQL oracle)
@@ -193,6 +225,24 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
+    // rollup (grouping-sets family) with exact decimal sums
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // set ops: pairs present in BOTH snapshots (complement of symdiff)
+    "q_intersect" -> ((s, dir) =>
+      kvStrSrc(s, dir).intersectAll(kvStrDst(s, dir)).orderBy(col("key"))),
+    // exact interpolated percentiles per event type
+    "q_percentiles" -> ((s, dir) =>
+      Events.read(s, dir).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95"))
+        .orderBy(col("event_type"))),
     // ordered limit (the reference's batch pagination viewed as a query)
     "q_scan_limit" -> ((s, dir) =>
       Scan.scanLimit(KVSnapshot.src(s, dir), 50)
@@ -429,6 +479,55 @@ object SparkEntry {
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |FROM events),
+        |b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM o),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM b)
+        |SELECT user_id, session_no, min(ts_us) AS ts_start_us, max(ts_us) AS ts_end_us,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "q_window_lag" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE user_id < 20),
+        |w AS (SELECT event_id, user_id, ts_us,
+        |  lag(event_id) OVER win AS prev_event_id,
+        |  lead(event_id) OVER win AS next_event_id,
+        |  row_number() OVER win AS seq,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_value
+        |FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT event_id, user_id, ts_us, prev_event_id, next_event_id, seq, running_value
+        |FROM w ORDER BY user_id, seq""".stripMargin,
+    "q_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_intersect" -> (cte +
+      """SELECT key, value FROM (
+        |  SELECT k AS key, v AS value FROM src
+        |  INTERSECT ALL
+        |  SELECT k AS key, v AS value FROM dst)
+        |ORDER BY key""".stripMargin),
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_join_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

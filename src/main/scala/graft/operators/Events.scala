@@ -76,6 +76,28 @@ object Events {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than `gapUs`. Classic lag → break flag → running sum →
+    * grouped agg; one shuffle on user_id, SQL-expressible (oracle twin
+    * runs the same windows). The streaming-native equivalent is
+    * `groupBy(session_window($"ts", gap))` — EventsSpec cross-checks the
+    * two formulations. */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prevTs = lag(col("ts_us"), 1).over(byUser)
+    events
+      .withColumn("__brk",
+        when(prevTs.isNull || (col("ts_us") - prevTs) > gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts_us")).as("ts_start_us"),
+        max(col("ts_us")).as("ts_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+  }
+
   /** As-of join: for each event of type `rightType`, attach the most
     * recent STRICTLY EARLIER event of type `leftType` by the same user
     * (classic trade/quote as-of). Expressed as a union + last-value
