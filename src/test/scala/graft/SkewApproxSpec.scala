@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Salted-join equivalence + HLL approx-distinct sanity. */
+class SkewApproxSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows under a hot key") {
+    // one hot key (90% of left rows) + a long tail
+    val left = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "lv")
+    val right = (Seq(("hot", 1), ("hot", 2)) ++ (1 to 100).map(i => (s"k$i", i * 10)))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k", 8)
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
+    assert(salted === plain)
+    assert(plain.length === 900 * 2 + 100)
+  }
+
+  test("approx_count_distinct tracks the exact distinct count within 5%") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val (exact, approx) = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(count_distinct(col("t")), approx_count_distinct(col("t")))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
