@@ -54,4 +54,37 @@ class StreamingSpec extends SparkTestBase {
       assert(w0.isDefined && w0.get(2) === 2L)
     } finally q.stop()
   }
+
+  test("mapGroupsWithState keyed checksum accumulates across micro-batches to the batch value") {
+    import graft.streaming.KeyedChecksumState
+    import graft.streaming.KeyedChecksumState.KVRecord
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KVRecord]
+    val q = KeyedChecksumState(mem.toDS())
+      .writeStream.format("memory").queryName("kcs")
+      .outputMode(KeyedChecksumState.outputMode).start()
+    try {
+      def rec(g: String, k: String, v: String) =
+        KVRecord(g, k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+      // two micro-batches touching group "a"; one record for "b"
+      mem.addData(rec("a", "k1", "v1"), rec("b", "k2", "v2"))
+      q.processAllAvailable()
+      mem.addData(rec("a", "k3", "v3"))
+      q.processAllAvailable()
+      // memory sink in Update mode appends each update; the latest state
+      // per group is the one with the highest total_kvs (counts only grow)
+      val last = spark.table("kcs")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).maxBy(_._2) }
+      // batch twin: checksum of all records per group via the monoid
+      import graft.functions.{Crc64, RawChecksum}
+      def batchOf(recs: (String, String)*) =
+        recs.map { case (k, v) => RawChecksum.of(k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
+          .foldLeft(RawChecksum.zero)(_.merge(_))
+      val ea = batchOf(("k1", "v1"), ("k3", "v3"))
+      val eb = batchOf(("k2", "v2"))
+      assert(last("a") === ((ea.crc64_xor, ea.total_kvs, ea.total_bytes)))
+      assert(last("b") === ((eb.crc64_xor, eb.total_kvs, eb.total_bytes)))
+    } finally q.stop()
+  }
 }
