@@ -87,4 +87,34 @@ class StreamingSpec extends SparkTestBase {
       assert(last("b") === ((eb.crc64_xor, eb.total_kvs, eb.total_bytes)))
     } finally q.stop()
   }
+
+  test("stream-stream diff classifies src_only / dst_only / mismatch per closed window") {
+    import graft.streaming.StreamDiff
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val srcMem = MemoryStream[(Timestamp, Array[Byte], Array[Byte])]
+    val dstMem = MemoryStream[(Timestamp, Array[Byte], Array[Byte])]
+    val out = StreamDiff(
+      srcMem.toDF.toDF("ts", "key", "value"),
+      dstMem.toDF.toDF("ts", "key", "value"),
+      "ts", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sdiff")
+      .outputMode("append").start()
+    try {
+      // window [00:00,00:10): equal pair, mismatch pair, src-only, dst-only
+      srcMem.addData(kv(1, "same", "x"), kv(2, "mut", "a"), kv(3, "only_src", "s"))
+      dstMem.addData(kv(1, "same", "x"), kv(2, "mut", "b"), kv(4, "only_dst", "d"))
+      q.processAllAvailable()
+      // advance both watermarks past the window end
+      srcMem.addData(kv(30, "tick", "t"))
+      dstMem.addData(kv(30, "tick", "t"))
+      q.processAllAvailable()
+      val got = spark.table("sdiff")
+        .collect()
+        .map(r => (new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+          r.getAs[String]("diff_class")))
+        .toSet
+      assert(got === Set(
+        ("mut", "mismatch"), ("only_src", "src_only"), ("only_dst", "dst_only")))
+    } finally q.stop()
+  }
 }
