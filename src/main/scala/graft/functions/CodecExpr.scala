@@ -131,15 +131,11 @@ object CodecExpr {
   def escapeGo(c: Column): Column =
     Bridge.column(GoEscapeExpr(Bridge.expression(c)))
 
-  /** Register all codec functions (plus crc64) for `spark.sql` use. */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "memcomparable_encode", es => MemcomparableEncodeExpr(es.head))
-    Bridge.registerFunction(spark, "memcomparable_decode", es => MemcomparableDecodeExpr(es.head))
-    Bridge.registerFunction(spark, "apiv2_encode_key", es => ApiV2EncodeKeyExpr(es.head))
-    Bridge.registerFunction(spark, "apiv2_decode_key", es => ApiV2DecodeKeyExpr(es.head))
-    Bridge.registerFunction(spark, "decode_ts", es => DecodeTsExpr(es.head))
-    Bridge.registerFunction(spark, "unescape_go", es => GoUnescapeExpr(es.head))
-    Bridge.registerFunction(spark, "escape_go", es => GoEscapeExpr(es.head))
-    Bridge.registerFunction(spark, "crc64", es => Crc64Expr(es.head))
-  }
+  /** Register the engine's SQL-function surface on a LIVE session (the
+    * session-build-time path is [[graft.GraftExtensions]]; both share
+    * one function table). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

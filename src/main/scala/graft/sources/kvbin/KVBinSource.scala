@@ -45,13 +45,18 @@ class KVBinTable(dir: String) extends Table with SupportsRead {
     new KVBinScanBuilder(dir)
 }
 
-/** Accepts unsigned-lex range predicates on `key`; everything else stays
-  * with Spark as a post-scan filter. */
-class KVBinScanBuilder(dir: String) extends ScanBuilder with SupportsPushDownFilters {
+/** Accepts unsigned-lex range predicates on `key` and column pruning;
+  * everything else stays with Spark as a post-scan filter. */
+class KVBinScanBuilder(dir: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
   private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = KVBinSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
 
   private def tighterStart(k: Array[Byte]): Unit =
     if (startKey == null || KVBin.compare(k, startKey) > 0) startKey = k
@@ -81,12 +86,12 @@ class KVBinScanBuilder(dir: String) extends ScanBuilder with SupportsPushDownFil
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new KVBinScan(dir, startKey, endKey, endInclusive)
+    new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema)
 }
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
-                endIncl: Array[Byte]) extends Scan with Batch {
-  override def readSchema(): StructType = KVBinSource.schema
+                endIncl: Array[Byte], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     def h(b: Array[Byte]) = if (b == null) "∅" else KVBin.hexOf(b)
@@ -102,7 +107,8 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
       (end == null || KVBin.compare(mn, end) < 0) &&
       (endIncl == null || KVBin.compare(mn, endIncl) <= 0)
     }.map { case (f, _, _, _) =>
-      KVBinInputPartition(dir, f, start, end, endIncl): InputPartition
+      KVBinInputPartition(dir, f, start, end, endIncl,
+        required.fieldNames): InputPartition
     }.toArray
   }
 
@@ -111,7 +117,8 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
 }
 
 case class KVBinInputPartition(dir: String, file: String,
-    start: Array[Byte], end: Array[Byte], endIncl: Array[Byte])
+    start: Array[Byte], end: Array[Byte], endIncl: Array[Byte],
+    columns: Array[String])
   extends InputPartition
 
 class KVBinReaderFactory extends PartitionReaderFactory {
@@ -122,10 +129,13 @@ class KVBinReaderFactory extends PartitionReaderFactory {
 }
 
 /** Streams one region file, scoped to the pushed range (records are
-  * key-sorted, so the reader stops at the range end). */
+  * key-sorted, so the reader stops at the range end) and projecting only
+  * the pruned columns. */
 class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[InternalRow] {
   private val it = KVBin.readFile(p.dir, p.file, new Configuration())
   private var current: (Array[Byte], Array[Byte]) = _
+  private val emitKey = p.columns.contains("key")
+  private val emitValue = p.columns.contains("value")
 
   override def next(): Boolean = {
     while (it.hasNext) {
@@ -142,8 +152,12 @@ class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[Inter
     false
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](current._1, current._2))
+  override def get(): InternalRow = {
+    val fields = Array.newBuilder[Any]
+    if (emitKey) fields += current._1
+    if (emitValue) fields += current._2
+    new GenericInternalRow(fields.result())
+  }
 
   override def close(): Unit = ()
 }

@@ -105,5 +105,17 @@ class CodecSpec extends SparkTestBase {
     assert(sqlRt)
     val ts = spark.sql("SELECT decode_ts(unhex('FFFFFFFFFFFFFFFE'))").collect().head.getLong(0)
     assert(ts === 1L)
+    val pair = spark.sql(
+      "SELECT crc64_pair(CAST('12345' AS BINARY), CAST('6789' AS BINARY)) = crc64(CAST('123456789' AS BINARY))")
+      .collect().head.getBoolean(0)
+    assert(pair)
+  }
+
+  test("GraftExtensions injects the full function surface without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw
+    assert(graft.GraftExtensions.functions.map(_._1).toSet === Set(
+      "crc64", "crc64_pair", "memcomparable_encode", "memcomparable_decode",
+      "apiv2_encode_key", "apiv2_decode_key", "decode_ts", "unescape_go", "escape_go"))
   }
 }

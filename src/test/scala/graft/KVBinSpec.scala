@@ -54,6 +54,15 @@ class KVBinSpec extends SparkTestBase {
     assert(strict === all - 1)
   }
 
+  test("column pruning reaches the kvbin scan (key-only projection)") {
+    val keyOnly = binSrc.select("key")
+    val scans = keyOnly.queryExecution.executedPlan.collectLeaves().collect {
+      case b: BatchScanExec => b.output.map(_.name)
+    }
+    assert(scans.nonEmpty && scans.head === Seq("key"))
+    assert(keyOnly.count() === binSrc.count())
+  }
+
   test("kvbin roundtrip preserves arbitrary binary payloads") {
     val data = Seq(
       (Array[Byte](0, 1, 2), Array[Byte](-1, -2)),
