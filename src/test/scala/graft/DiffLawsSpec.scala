@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Diff
+import graft.sources.KVSnapshot
+
+/** Diff algebraic laws (SURVEY §5): self-diff is empty; the
+  * classification partitions the key universe; symdiff is consistent
+  * with the join diff. */
+class DiffLawsSpec extends SparkTestBase {
+
+  private lazy val src = KVSnapshot.src(spark, sfSmoke)
+  private lazy val dst = KVSnapshot.dst(spark, sfSmoke)
+
+  test("diff(x, x) = ∅ and symmetricDiff(x, x) = ∅") {
+    assert(Diff.diff(src, src).count() === 0L)
+    assert(Diff.symmetricDiff(src, src).count() === 0L)
+  }
+
+  test("diff classification partitions the key universe") {
+    val classes = Diff.diff(src, dst)
+      .groupBy(col("diff_class")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcOnly = classes.getOrElse("src_only", 0L)
+    val dstOnly = classes.getOrElse("dst_only", 0L)
+    val mismatch = classes.getOrElse("mismatch", 0L)
+    val nSrc = src.count()
+    val nDst = dst.count()
+    val nAllKeys = src.select("key").union(dst.select("key")).distinct().count()
+    // equal keys = those in both with same value; universe identity:
+    // |keys| = equal + mismatch + srcOnly + dstOnly
+    val equal = nSrc - srcOnly - mismatch
+    assert(nAllKeys === equal + mismatch + srcOnly + dstOnly)
+    // the fixture plants all three divergence classes
+    assert(srcOnly > 0 && dstOnly > 0 && mismatch > 0)
+    // anti-join formulation agrees with the classified full-outer join
+    assert(Diff.srcOnly(src, dst).count() === srcOnly)
+  }
+
+  test("symmetric difference counts = 2·mismatch + src_only + dst_only") {
+    val classes = Diff.diff(src, dst)
+      .groupBy(col("diff_class")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sym = Diff.symmetricDiff(src, dst).count()
+    assert(sym === 2 * classes("mismatch") + classes("src_only") + classes("dst_only"))
+  }
+}
