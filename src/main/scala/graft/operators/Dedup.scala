@@ -81,8 +81,14 @@ object Dedup {
   }
 
   /** LSH candidate pairs: split the k-long signature into `bands` bands
-    * of k/bands rows, hash each band, equi-join docs sharing any band
-    * hash. Deterministic (xxhash64), banded — never all-pairs. */
+    * of k/bands rows, hash each band, group docs by (band, hash) bucket
+    * and emit each bucket's pairwise combinations. Deterministic
+    * (xxhash64), banded — never all-pairs; the signature aggregation
+    * runs ONCE (a banded self-join would recompute it per side — Spark
+    * does not reuse the exchange across the two aliases). Bucket pair
+    * expansion is in-memory per bucket: LSH bucket sizes are small by
+    * construction (a giant bucket means a giant true near-dup cluster,
+    * whose quadratic pair OUTPUT is inherent to the problem). */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
@@ -92,11 +98,16 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .toDF("doc_id", "band_id", "band_hash")
-    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // sorted ids → combinations (i < j) are already (doc_a < doc_b)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash near-dup pairs, verified: LSH candidates filtered by EXACT
