@@ -115,7 +115,12 @@ object SparkEntry {
     "q_rollhash" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    // BM25 keyword search: top-10 docs for a 3-term query
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Search(docs(s, dir), "text", "doc_id",
+        Seq("spark", "table", "query"), 10)
+        .orderBy(col("score").desc, col("doc_id"))))
 
   // §2b multimodal: binary media blobs with typed metadata; codecs are
   // deterministic stubs, the Spark plumbing (schema, header decode,
@@ -442,6 +447,26 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tok AS (SELECT d.doc_id, dl.dl, unnest(d.w) AS t FROM d JOIN dl ON d.doc_id = dl.doc_id),
+        |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+        |       WHERE t IN ('spark','table','query') GROUP BY doc_id, dl, t),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |         (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2))
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS sv
+        |       FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s),
+        |agg AS (SELECT doc_id,
+        |          COALESCE(sum(CASE WHEN t = 'spark' THEN sv END), 0.0) AS s0,
+        |          COALESCE(sum(CASE WHEN t = 'table' THEN sv END), 0.0) AS s1,
+        |          COALESCE(sum(CASE WHEN t = 'query' THEN sv END), 0.0) AS s2
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, round(s0 + s1 + s2, 4) AS score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_rollhash" ->
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(7 AS BIGINT),

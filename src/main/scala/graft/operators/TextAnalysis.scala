@@ -113,4 +113,49 @@ object TextAnalysis {
       filter(split(text, ""), c => length(c) > 0),
       lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+
+  /** BM25 keyword search: top-k documents for a bag of query terms.
+    * Pure relational formulation — inverted index (explode) → per-doc
+    * term frequencies → document frequencies (broadcast) → corpus stats
+    * (broadcast 1-row) → per-term partial scores summed per doc. At
+    * scale the only shuffle is the (doc, term) tf aggregation; df and
+    * corpus stats are tiny broadcasts. Scores are rounded to 4 dp and
+    * tie-broken by doc id so ranking is deterministic cross-engine
+    * (ln() may differ in the last ulp between libms). */
+  def bm25Search(docs: DataFrame, textCol: String, idCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(lit(_))
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val withDl = base.select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val tok = withDl.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = tok.groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("t"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+    // one column per query term, added in FIXED order: a bare sum(s)
+    // would add term contributions in partition order, which is not
+    // deterministic across runs/engines for doubles
+    val termSums = queryTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("t") === t, col("s"))), lit(0.0)).as(s"__s$i")
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(termSums.head, termSums.tail: _*)
+      .select(col("doc_id"),
+        round(queryTerms.indices.map(i => col(s"__s$i")).reduce(_ + _), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
