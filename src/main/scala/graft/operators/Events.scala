@@ -66,16 +66,6 @@ object Events {
         sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
 
-  /** Tumbling-window aggregate via the Structured-Streaming `window()`
-    * operator — identical semantics batch or streaming (see
-    * `graft.streaming.WindowedChecksum` for the streaming use). */
-  def windowAgg(events: DataFrame, duration: String): DataFrame =
-    events.groupBy(window(col("ts"), duration), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapUs`. Classic lag → break flag → running sum →
     * grouped agg; one shuffle on user_id, SQL-expressible (oracle twin

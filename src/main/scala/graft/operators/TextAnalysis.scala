@@ -53,27 +53,10 @@ object TextAnalysis {
     }._1
   }
 
-  /** Quality metrics per document: lengths, token counts, type-token
-    * ratio, stopword ratio, mean token length — the length/punct/
-    * stopword family of heuristics used to filter training corpora. */
-  def qualityMetrics(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
-    val nTok = tokenCount(t)
-    val nDis = distinctTokenCount(t)
-    val nStop = profileHits(t, langProfiles.toMap.apply("en"))
-    docs.select(
-      col(idCol).as("doc_id"),
-      length(t).as("n_chars"),
-      nTok.as("n_tokens"),
-      nDis.as("n_distinct_tokens"),
-      bpeTokenCount(t).as("n_bpe_tokens"),
-      round(nDis.cast("double") / nTok.cast("double"), 6).as("type_token_ratio"),
-      round(nStop.cast("double") / nTok.cast("double"), 6).as("stopword_ratio"),
-      round((length(t) - (nTok - lit(1))).cast("double") / nTok.cast("double"), 6)
-        .as("mean_token_len"))
-  }
-
-  /** Quality metrics plus a composite score in [0,1]: blend of
+  /** Quality metrics per document — lengths, token counts, type-token
+    * ratio, stopword ratio, mean token length (the length/punct/
+    * stopword heuristic family used to filter training corpora) — plus
+    * a composite score in [0,1]: blend of
     * type-token ratio, an in-range length band, and stopword presence.
     * The score is computed from the RAW integer counts in one double
     * expression with a single final round — feeding it the
