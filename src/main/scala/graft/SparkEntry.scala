@@ -61,6 +61,14 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // near-dup clusters: connected components over the verified pair
+    // graph; cluster_id = min reachable doc_id (the canonical survivor)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+        .filter(col("j") >= 0.5)
+      Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
+    }),
     // 64-bit SimHash signatures (xxhash64-based → property-tested, no oracle)
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
@@ -394,6 +402,16 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_jaccard_join" -> (shingleCte + jaccardSelect),
+    "q_dedup_clusters" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach
+        |GROUP BY a ORDER BY doc_id""".stripMargin),
     // the LSH path must recover every pair the exact join finds at this
     // threshold — same oracle; LSH only prunes candidates
     "q_dedup_minhash" -> (shingleCte + jaccardSelect),

@@ -162,6 +162,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document in
+    * a pair gets `cluster_id = min doc_id reachable` — the canonical
+    * survivor of its duplicate cluster. Iterative min-label propagation
+    * (one join + grouped min per round, lineage cut via localCheckpoint);
+    * converges in O(graph diameter) rounds — near-dup clusters are
+    * dense, so the practical diameter is tiny; `maxIters` is a
+    * safety bound, and non-convergence raises rather than returning
+    * partial labels. Input: (doc_a, doc_b) pairs. Output:
+    * (doc_id, cluster_id). */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per document: hash each token once, then for every
     * bit position sum +1/-1 contributions across tokens (with
     * multiplicity); bit b of the signature is 1 iff the sum is positive.

@@ -81,6 +81,16 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 3L))) // hamming 0
   }
 
+  test("nearDupClusters labels every member with the min reachable doc id") {
+    // a 5-node chain (worst-case diameter) + a separate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("shingles of short documents never produce empty arrays") {
     val df = Seq((1L, "one"), (2L, "one two")).toDF("doc_id", "text")
     val sizes = df.select(size(Dedup.shingles(col("text"), 3))).as[Int].collect()
