@@ -124,6 +124,13 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))),
+    // corpus vocabulary: top-20 tokens by frequency (Zipf head)
+    "q_token_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t"))
+        .limit(20)),
     // BM25 keyword search: top-10 docs for a 3-term query
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Search(docs(s, dir), "text", "doc_id",
@@ -465,6 +472,10 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q_token_topk" ->
+      """SELECT t, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, len(w) AS dl FROM d),
