@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, Scan, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, RangeJoin, Scan, Similarity, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.WindowedChecksum
 
@@ -184,6 +184,19 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(Events.read(s, dir), 1800000000L)
         .orderBy(col("user_id"), col("session_no"))),
+    // range (interval-containment) join: events joined back into their
+    // containing session windows via bin-bucketed equi-join — per-session
+    // counts must reproduce q_sessionize's n_events
+    "q_range_join" -> ((s, dir) => {
+      val ev = Events.read(s, dir)
+      val sessions = Events.sessionize(ev, 1800000000L)
+        .select(col("user_id"), col("session_no"), col("ts_start_us"), col("ts_end_us"))
+      RangeJoin(ev.select(col("user_id"), col("ts_us")), "ts_us",
+          sessions, "ts_start_us", "ts_end_us", Seq("user_id"), 3600000000L)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
     // lag/lead/rank + running frame sum per user
     "q_window_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -544,6 +557,21 @@ object SparkEntry {
         |SELECT user_id, session_no, min(ts_us) AS ts_start_us, max(ts_us) AS ts_end_us,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "q_range_join" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |FROM events),
+        |b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM o),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM b),
+        |sess AS (SELECT user_id, session_no, min(ts_us) AS ts_start_us, max(ts_us) AS ts_end_us
+        |         FROM s GROUP BY user_id, session_no)
+        |SELECT sess.user_id, sess.session_no, count(*) AS n_events
+        |FROM sess JOIN events e ON e.user_id = sess.user_id
+        |  AND epoch_us(e.ts) BETWEEN sess.ts_start_us AND sess.ts_end_us
+        |GROUP BY sess.user_id, sess.session_no
+        |ORDER BY sess.user_id, sess.session_no""".stripMargin,
     "q_window_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |           FROM events WHERE user_id < 20),
