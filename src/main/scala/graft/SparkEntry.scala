@@ -93,6 +93,13 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // int8-quantized two-stage top-k (coarse codes -> exact re-score;
+    // recall property-tested, no oracle)
+    "q_quantized_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizedTopK(e.filter(col("id") < 10), e, 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // embedding-cosine near-dup pairs, blocked by cluster (no cross join)
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), 0.4)

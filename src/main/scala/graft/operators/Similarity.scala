@@ -103,6 +103,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Scalar (int8) quantization of an embedding column: one global
+    * (min, max) pair per dimension (a tiny broadcast aggregate), values
+    * mapped affinely to 0..255. 4× memory reduction per vector — at
+    * 100 TB the quantized corpus is what stays hot; search runs coarse
+    * scoring on codes and re-scores only the short candidate list in
+    * full precision (see [[quantizedTopK]]). Output: input columns +
+    * `qvec` (array<int> codes). The per-dim scale frame is returned for
+    * dequantization. */
+  def quantize(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val dims = corpus
+      .select(posexplode(col("vec")))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("lo"), max(col("col").cast("double")).as("hi"))
+      .select(col("pos"), col("lo"),
+        when(col("hi") === col("lo"), lit(1.0)).otherwise(col("hi") - col("lo")).as("span"))
+    val scales = dims.orderBy(col("pos"))
+      .groupBy().agg(collect_list(struct(col("pos"), col("lo"), col("span"))).as("ds"))
+      .select(array_sort(col("ds")).as("ds"))
+      .select(transform(col("ds"), d => d.getField("lo")).as("los"),
+        transform(col("ds"), d => d.getField("span")).as("spans"))
+    val quantized = corpus.crossJoin(broadcast(scales))
+      .withColumn("qvec",
+        zip_with(col("vec"),
+          zip_with(col("los"), col("spans"), (l, s) => struct(l.as("l"), s.as("s"))),
+          (x, ls) => round((x.cast("double") - ls.getField("l")) / ls.getField("s") * lit(255.0), 0)
+            .cast("int")))
+      .drop("los", "spans")
+    (quantized, scales)
+  }
+
+  /** Two-stage quantized top-k: coarse cosine on dequantized int8 codes
+    * selects `k * overfetch` candidates per query, which are re-scored
+    * in full float precision; exact ordering within the candidate set. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    overfetch: Int = 4): DataFrame = {
+    val (qcorpus, scales) = quantize(corpus)
+    val deq = qcorpus.crossJoin(broadcast(scales))
+      .withColumn("dvec",
+        zip_with(col("qvec"),
+          zip_with(col("los"), col("spans"), (l, s) => struct(l.as("l"), s.as("s"))),
+          (c, ls) => (c.cast("double") / lit(255.0)) * ls.getField("s") + ls.getField("l")))
+      .select(col("id").as("vec_id"), col("vec").as("cv"), col("dvec"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val coarse = deq.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
+        (dot(col("qv"), col("dvec")) / (col("qn") * norm(col("dvec")))).as("csim"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("vec_id"))
+    val candidates = coarse.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * overfetch)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
     * threshold, found via the IVF partitioning (pairs are only compared
     * within a cluster — at scale this is the blocked/bucketed near-dup

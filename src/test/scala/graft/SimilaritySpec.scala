@@ -63,6 +63,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  test("int8 quantization roundtrip error is bounded by half a code step per dim") {
+    val (q, scales) = Similarity.quantize(emb)
+    val row = q.select(col("vec"), col("qvec")).head()
+    val vec = row.getSeq[Float](0)
+    val codes = row.getSeq[Int](1)
+    assert(codes.length === vec.length)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    val s = scales.select("los", "spans").head()
+    val los = s.getSeq[Double](0); val spans = s.getSeq[Double](1)
+    vec.indices.foreach { i =>
+      val deq = codes(i).toDouble / 255.0 * spans(i) + los(i)
+      assert(math.abs(deq - vec(i)) <= spans(i) / 255.0 * 0.5 + 1e-9,
+        s"dim $i: ${vec(i)} vs $deq span ${spans(i)}")
+    }
+  }
+
+  test("quantized two-stage top-k achieves high recall vs exact search") {
+    val queries = emb.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(queries, emb, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@3 = $recall")
+  }
+
   test("cosine near-dup is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDup(emb, 0.3)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
