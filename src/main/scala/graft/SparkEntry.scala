@@ -273,6 +273,14 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // cube (full grouping-sets lattice) over event type × value band
+    "q_cube" -> ((s, dir) =>
+      Events.read(s, dir)
+        .withColumn("value_band", floor(col("value") / 100.0).cast("int"))
+        .cube(col("event_type"), col("value_band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("value_band").asc_nulls_first)),
     // set ops: pairs present in BOTH snapshots (complement of symdiff)
     "q_intersect" -> ((s, dir) =>
       kvStrSrc(s, dir).intersectAll(kvStrDst(s, dir)).orderBy(col("key"))),
@@ -606,6 +614,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, CAST(floor(value / 100.0) AS INT) AS value_band, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, CAST(floor(value / 100.0) AS INT))
+        |ORDER BY event_type NULLS FIRST, value_band NULLS FIRST""".stripMargin,
     "q_intersect" -> (cte +
       """SELECT key, value FROM (
         |  SELECT k AS key, v AS value FROM src

@@ -97,6 +97,27 @@ object TextAnalysis {
       lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
 
+  /** Sparse TF-IDF document vectors as a `map<token, double>` column —
+    * the sparse twin of the dense `embeddings` fixture. Same inverted-
+    * index shape as BM25: one (doc, term) tf aggregation shuffle, df
+    * broadcast, weights assembled per doc with `map_from_entries`.
+    * tfidf = (tf / dl) · ln((N + 1)/(df + 1)). */
+  def tfidfVectors(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    val tok = base.select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(broadcast(dfT), Seq("t"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"),
+        ((col("tf").cast("double") / col("dl")) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))).as("wgt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("t"), col("wgt")))))
+        .as("tfidf"))
+  }
+
   /** BM25 keyword search: top-k documents for a bag of query terms.
     * Pure relational formulation — inverted index (explode) → per-doc
     * term frequencies → document frequencies (broadcast) → corpus stats

@@ -48,6 +48,22 @@ class TextEventsSpec extends SparkTestBase {
     assert(n === 6)
   }
 
+  test("tfidf vectors: map-typed, rare terms outweigh common ones") {
+    val df = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple apple")).toDF("doc_id", "text")
+    val vecs = TextAnalysis.tfidfVectors(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Double](1)).toMap
+    // 'apple' appears in all docs → lowest idf; 'banana'/'cherry' in one
+    assert(vecs(1L)("banana") > vecs(1L)("apple"))
+    assert(vecs(2L)("cherry") > vecs(2L)("apple"))
+    assert(vecs(3L).keySet === Set("apple"))
+    // weights are (tf/dl)·ln((N+1)/(df+1)): spot-check doc 2's cherry
+    val expected = (1.0 / 2.0) * math.log(4.0 / 2.0)
+    assert(math.abs(vecs(2L)("cherry") - expected) < 1e-12)
+  }
+
   test("asof join attaches most recent strictly-earlier left event per user") {
     val ev = Seq(
       // (event_id, user_id, ts_us, event_type)
