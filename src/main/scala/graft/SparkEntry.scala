@@ -131,6 +131,15 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))),
+    // sparse TF-IDF vectors (map<token,double>); summarized per doc
+    // (map columns aren't hash-comparable in the oracle → rows-only)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfVectors(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"),
+          size(map_keys(col("tfidf"))).as("n_terms"),
+          round(sqrt(aggregate(map_values(col("tfidf")), lit(0.0d),
+            (acc, v) => acc + v * v)), 6).as("l2_norm"))
+        .orderBy(col("doc_id"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
