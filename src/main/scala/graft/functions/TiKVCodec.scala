@@ -103,7 +103,11 @@ object TiKVCodec {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c != '\\') {
-        out.write(c.toString.getBytes("UTF-8")); i += 1
+        // iterate by code point: charAt-wise iteration would split
+        // surrogate pairs into two invalid UTF-8 sequences
+        val cp = s.codePointAt(i)
+        out.write(new String(Character.toChars(cp)).getBytes("UTF-8"))
+        i += Character.charCount(cp)
       } else {
         if (i + 1 >= s.length) return null
         s.charAt(i + 1) match {

@@ -89,6 +89,9 @@ class CodecSpec extends SparkTestBase {
     check(forAll(bytesGen) { b =>
       TiKVCodec.unescapeGo(TiKVCodec.escapeGo(b)).toSeq == b.toSeq
     })
+    // astral-plane characters pass through as whole code points
+    assert(TiKVCodec.unescapeGo("a😀b").toSeq ===
+      "a😀b".getBytes("UTF-8").toSeq)
   }
 
   test("codec expressions evaluate in DataFrames and via spark.sql") {
