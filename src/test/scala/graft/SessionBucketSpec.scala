@@ -46,6 +46,36 @@ class SessionBucketSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions by gap and by event-time timeout") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.{ClosedSession, Evt}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val mem = MemoryStream[Evt]
+    val sessions = StreamingSessions(
+      mem.toDS().withWatermark("ts", "0 seconds").as[Evt], 1800000000L) // 30 min gap
+    val q = sessions.writeStream.format("memory").queryName("ssess")
+      .outputMode(StreamingSessions.outputMode).start()
+    try {
+      // user 1: two events 5 min apart (one session); user 2: events 50
+      // min apart in ONE batch → first closes by in-batch gap
+      mem.addData(Evt(1L, t(0), 1.0), Evt(1L, t(5), 2.0),
+        Evt(2L, t(0), 5.0), Evt(2L, t(50), 6.0))
+      q.processAllAvailable()
+      // push the watermark far ahead → user 1's open session times out
+      mem.addData(Evt(3L, t(600), 0.0))
+      q.processAllAvailable()
+      mem.addData(Evt(3L, t(1200), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssess").as[ClosedSession].collect()
+        .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+      assert(got.contains((2L, 1L, 5.0)))  // in-batch gap close
+      assert(got.contains((1L, 2L, 3.0)))  // event-time timeout close
+    } finally q.stop()
+  }
+
   test("joining two tables bucketed on the join key plans no shuffle") {
     val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
