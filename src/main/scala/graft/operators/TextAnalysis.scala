@@ -40,6 +40,33 @@ object TextAnalysis {
   def profileHits(text: Column, words: Seq[String]): Column =
     size(filter(split(text, " "), t => t.isin(words.map(lit(_)): _*)))
 
+  /** Tiny public-knowledge character-bigram profiles (most frequent
+    * bigrams per language) for the char-n-gram language-ID variant. */
+  val charNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("en", "er", "ch", "de", "ei"),
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "en", "os", "es", "la"),
+    "fr" -> Seq("es", "le", "de", "re", "en"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Character-n-gram hits: non-overlapping occurrences of any of the
+    * profile's bigrams (regexp alternation — identical counting
+    * semantics in Spark and RE2-based engines). */
+  def charNgramHits(text: Column, ngrams: Seq[String]): Column =
+    regexp_count(text, lit(ngrams.mkString("|")))
+
+  /** Char-n-gram language ID: argmax bigram-profile hits, alphabetical
+    * tie-break — the classic character-n-gram heuristic (the token
+    * [[langId]] variant is oracle-checked; this one is spec-tested). */
+  def langIdNgram(text: Column): Column = {
+    val scored = charNgramProfiles.map { case (code, ngs) => (code, charNgramHits(text, ngs)) }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestCode, bestScore), (code, score)) =>
+        (when(score > bestScore, lit(code)).otherwise(bestCode),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
   /** Heuristic language ID: argmax profile hits, ties broken by
     * alphabetical language code (profiles are pre-sorted). */
   def langId(text: Column): Column = {

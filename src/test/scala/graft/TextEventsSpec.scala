@@ -33,6 +33,17 @@ class TextEventsSpec extends SparkTestBase {
     assert(got === Seq("en", "es", "de"))
   }
 
+  test("char-n-gram langId scores bigram profiles; English text wins on th/he") {
+    val got = Seq("the weather here is rather nice these days")
+      .toDF("text")
+      .select(TextAnalysis.langIdNgram(col("text"))).as[String].head()
+    assert(got === "en")
+    // no profile hits anywhere → alphabetical tie-break
+    val none = Seq("xxxx qqqq").toDF("text")
+      .select(TextAnalysis.langIdNgram(col("text"))).as[String].head()
+    assert(none === "de")
+  }
+
   test("quality score stays in [0,1] on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val mm = TextAnalysis.quality(docs, "text", "doc_id")
