@@ -131,6 +131,13 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))),
+    // char-bigram language ID (n-gram heuristic) confusion counts
+    "q_lang_id_ngram" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langIdNgram(col("text")).as("predicted_lang"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted_lang"))),
     // sparse TF-IDF vectors (map<token,double>); summarized per doc
     // (map columns aren't hash-comparable in the oracle → rows-only)
     "q_tfidf" -> ((s, dir) =>
@@ -436,6 +443,9 @@ object SparkEntry {
   private val langHits = TextAnalysis.langProfiles.map { case (code, ws) =>
     s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS $code"
   }.mkString(",\n  ")
+  private val ngramHits = TextAnalysis.charNgramProfiles.map { case (code, ngs) =>
+    s"len(regexp_extract_all(text, '${ngs.mkString("|")}')) AS $code"
+  }.mkString(",\n  ")
 
   private def extensionOracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -533,6 +543,18 @@ object SparkEntry {
         |        FROM sc GROUP BY doc_id)
         |SELECT doc_id, round(s0 + s1 + s2, 4) AS score FROM agg
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_lang_id_ngram" ->
+      s"""WITH h AS (SELECT lang,
+        |  $ngramHits
+        |FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
+        |       WHEN en >= greatest(es, fr, zh) THEN 'en'
+        |       WHEN es >= greatest(fr, zh) THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang FROM h)
+        |SELECT lang, predicted_lang, count(*) AS n FROM p
+        |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
     "q_rollhash" ->
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(7 AS BIGINT),
