@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, RangeJoin, Scan, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, RangeJoin, Scan, Similarity, Skew, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.WindowedChecksum
 
@@ -280,6 +280,18 @@ object SparkEntry {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
+    }),
+    // hot-key-safe salted join, provably equal to the plain equi-join
+    "q_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "k", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     }),
     // rollup (grouping-sets family) with exact decimal sums
     "q_rollup" -> ((s, dir) =>
@@ -639,6 +651,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
