@@ -22,6 +22,18 @@ class SkewApproxSpec extends SparkTestBase {
     assert(plain.length === 900 * 2 + 100)
   }
 
+  test("approx_percentile tracks exact percentiles within 5% of the value range") {
+    val ev = graft.operators.Events.read(spark, sfSmoke)
+    val r = ev.agg(
+        expr("percentile(value, 0.5D)"),
+        expr("approx_percentile(value, 0.5D, 1000)"),
+        min(col("value")), max(col("value")))
+      .as[(Double, Double, Double, Double)].head()
+    val (exact, approx, lo, hi) = r
+    assert(math.abs(approx - exact) <= (hi - lo) * 0.05,
+      s"approx=$approx exact=$exact range=${hi - lo}")
+  }
+
   test("approx_count_distinct tracks the exact distinct count within 5%") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val (exact, approx) = docs
