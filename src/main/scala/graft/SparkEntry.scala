@@ -312,6 +312,15 @@ object SparkEntry {
     // set ops: pairs present in BOTH snapshots (complement of symdiff)
     "q_intersect" -> ((s, dir) =>
       kvStrSrc(s, dir).intersectAll(kvStrDst(s, dir)).orderBy(col("key"))),
+    // statistical aggregates: spread + correlation per event type
+    "q_stats" -> ((s, dir) =>
+      Events.withProps(Events.read(s, dir))
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 6).as("sd_value"),
+          round(corr(col("value"), col("k").cast("double")), 6).as("corr_value_k"),
+          round(covar_samp(col("value"), col("k").cast("double")), 6).as("cov_value_k"))
+        .orderBy(col("event_type"))),
     // exact interpolated percentiles per event type
     "q_percentiles" -> ((s, dir) =>
       Events.read(s, dir).groupBy(col("event_type"))
@@ -673,6 +682,12 @@ object SparkEntry {
         |  INTERSECT ALL
         |  SELECT k AS key, v AS value FROM dst)
         |ORDER BY key""".stripMargin),
+    "q_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)), 6) AS corr_value_k,
+        |  round(covar_samp(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)), 6) AS cov_value_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
