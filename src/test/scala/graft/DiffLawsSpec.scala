@@ -38,6 +38,21 @@ class DiffLawsSpec extends SparkTestBase {
     assert(Diff.srcOnly(src, dst).count() === srcOnly)
   }
 
+  test("typed cogroup diff classifies identically to the join diff") {
+    import spark.implicits._
+    import graft.functions.KVPair
+    import graft.operators.TypedDiff
+    val srcDs = src.as[(Array[Byte], Array[Byte])].map(t => KVPair(t._1, t._2))
+    val dstDs = dst.as[(Array[Byte], Array[Byte])].map(t => KVPair(t._1, t._2))
+    val typed = TypedDiff.cogroupDiff(srcDs, dstDs)
+      .collect().map(r => (r.key.toSeq, r.diff_class)).toSet
+    val joined = Diff.diff(src, dst)
+      .collect().map(r => (r.getAs[Array[Byte]]("key").toSeq,
+        r.getAs[String]("diff_class"))).toSet
+    assert(typed === joined)
+    assert(typed.nonEmpty)
+  }
+
   test("symmetric difference counts = 2·mismatch + src_only + dst_only") {
     val classes = Diff.diff(src, dst)
       .groupBy(col("diff_class")).count()
