@@ -48,23 +48,32 @@ object SparkEntry {
     // token-set (bag-of-words) dedup: equal up to order+multiplicity
     "q_dedup_bag" -> ((s, dir) =>
       Dedup.bagGroups(docs(s, dir), "text", "doc_id").orderBy(col("fp"))),
-    // exact 3-gram-shingle Jaccard similarity join (inverted index)
+    // exact 3-gram-shingle Jaccard similarity join (inverted index) with
+    // df pruning ON (maxDf=100): shingles shared by >100 docs are cut
+    // from the candidate self-join — the knob that bounds the join at
+    // 100× corpus scale (Σdf² candidates otherwise). The oracle mirrors
+    // the same df filter, so the gate checks the pruned semantics.
     "q_jaccard_join" -> ((s, dir) =>
-      Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3)
+      Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3, maxDf = jaccardMaxDf)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     // MinHash-LSH near-dup, exactly verified: candidates from banded
-    // signature equi-joins, each emitted pair checked by true Jaccard
+    // signature equi-joins, each emitted pair checked by true Jaccard.
+    // Band/row choice (k=64, bands=32 → r=2): candidate recall at the
+    // emitted threshold j=0.5 is 1-(1-0.5²)³² ≈ 0.9999, so equality with
+    // the exact-join oracle doesn't hinge on the fixture's pairs sitting
+    // far above threshold (r=4 recalls only ~64% at j=0.5).
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDup(docs(s, dir), "text", "doc_id", 0.4, 3, 64, 16)
+      Dedup.minhashNearDup(docs(s, dir), "text", "doc_id", 0.4, 3, 64, 32)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     // near-dup clusters: connected components over the verified pair
     // graph; cluster_id = min reachable doc_id (the canonical survivor)
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3)
+      val pairs = Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3,
+          maxDf = jaccardMaxDf)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
         .filter(col("j") >= 0.5)
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
@@ -444,21 +453,40 @@ object SparkEntry {
     * are covered by scalatest/scalacheck property suites instead. */
   def oracleSql: Map[String, String] = parityOracle ++ extensionOracle
 
-  // Shared DuckDB fragments for the extension oracles.
-  private val shingleCte =
+  /** df cap for the exact-Jaccard family: shingles present in more than
+    * this many documents are dropped from the candidate self-join (set
+    * sizes keep all shingles). Mirrored in the DuckDB oracle below. */
+  private val jaccardMaxDf = 100
+
+  // Shared DuckDB fragments for the extension oracles. `pruned` mirrors
+  // Dedup.jaccardJoin's maxDf semantics: the intersection join runs over
+  // df-filtered shingles, sizes over all shingles.
+  private def shingleCteOf(maxDf: Option[Int]): String = {
+    val tokp = maxDf match {
+      case Some(cap) =>
+        s"""tokp AS (SELECT tok.doc_id, tok.t FROM tok
+           |         JOIN (SELECT t FROM tok GROUP BY t HAVING count(*) <= $cap) keep
+           |         USING (t)),
+           |""".stripMargin
+      case None => "tokp AS (SELECT doc_id, t FROM tok),\n"
+    }
     """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |         generate_series(1, greatest(len(w)-2, 1)),
       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
       |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
       |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |""".stripMargin + tokp +
+    """inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM tokp a JOIN tokp b ON a.t = b.t AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2),
       |jac AS (SELECT doc_a, doc_b,
       |          round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
       |        FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
       |""".stripMargin
+  }
+  private val shingleCte = shingleCteOf(None)
+  private val shingleCtePruned = shingleCteOf(Some(jaccardMaxDf))
   private val jaccardSelect =
     "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"
   private val langHits = TextAnalysis.langProfiles.map { case (code, ws) =>
@@ -476,8 +504,8 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "q_jaccard_join" -> (shingleCte + jaccardSelect),
-    "q_dedup_clusters" -> (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    "q_jaccard_join" -> (shingleCtePruned + jaccardSelect),
+    "q_dedup_clusters" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -619,8 +647,8 @@ object SparkEntry {
         |FROM events),
         |b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
         |                     THEN 1 ELSE 0 END AS brk FROM o),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM b)
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM b)
         |SELECT user_id, session_no, min(ts_us) AS ts_start_us, max(ts_us) AS ts_end_us,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
@@ -630,8 +658,8 @@ object SparkEntry {
         |FROM events),
         |b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
         |                     THEN 1 ELSE 0 END AS brk FROM o),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM b),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM b),
         |sess AS (SELECT user_id, session_no, min(ts_us) AS ts_start_us, max(ts_us) AS ts_end_us
         |         FROM s GROUP BY user_id, session_no)
         |SELECT sess.user_id, sess.session_no, count(*) AS n_events

@@ -62,97 +62,125 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** The shared hashed-shingle inverted index: one (doc_id, t) row per
+    * distinct shingle per document, where `t = xxhash64(shingle)` — the
+    * shuffle currency is 8-byte longs, never n-gram text (a cross-shingle
+    * hash collision perturbs one intersection count with probability
+    * ~|shingles|²/2^65 — negligible). Materialized eagerly
+    * (localCheckpoint) because every consumer — per-doc set sizes, the
+    * inverted-index self-join, MinHash signatures, exact candidate
+    * verification — would otherwise re-run the explode+hash pipeline per
+    * reference (the round-2 jaccard join recomputed it 4×, which was
+    * most of its bench time). */
+  def hashedShingleIndex(docs: DataFrame, textCol: String, idCol: String,
+                         n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("t"))
+      .localCheckpoint()
+
   /** MinHash signatures: k independent permutation-minima approximated
-    * by `min over shingles of xxhash64(seed_j, shingle)`. Computed as
-    * explode(shingles) → k grouped min-aggregates: each shingle is built
-    * and hashed exactly once per seed, the mins partial-aggregate
-    * map-side, and the plan stays inside whole-stage codegen. (The naive
-    * single-projection form — k × array_min(transform(...)) — inlines
-    * the shingle subtree k times into one giant expression and ran two
-    * orders of magnitude slower.) Output: (doc_id, sig array<long>). */
+    * by `min over shingles of xxhash64(seed_j, hashedShingle)`, computed
+    * as k grouped min-aggregates over the shared index: the mins
+    * partial-aggregate map-side and the plan stays inside whole-stage
+    * codegen. (The naive single-projection form — k ×
+    * array_min(transform(...)) — inlines the shingle subtree k times
+    * into one giant expression and ran two orders of magnitude slower.)
+    * Output: (doc_id, sig array<long>). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("s"))).as(s"__m$j"))
-    sh.groupBy(col("doc_id"))
+                        n: Int, k: Int): DataFrame =
+    signaturesOnIndex(hashedShingleIndex(docs, textCol, idCol, n), k)
+
+  private def signaturesOnIndex(tok: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("t"))).as(s"__m$j"))
+    tok.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(j => col(s"__m$j")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: split the k-long signature into `bands` bands
-    * of k/bands rows, hash each band, group docs by (band, hash) bucket
-    * and emit each bucket's pairwise combinations. Deterministic
-    * (xxhash64), banded — never all-pairs; the signature aggregation
-    * runs ONCE (a banded self-join would recompute it per side — Spark
-    * does not reuse the exchange across the two aliases). Bucket pair
-    * expansion is in-memory per bucket: LSH bucket sizes are small by
-    * construction (a giant bucket means a giant true near-dup cluster,
-    * whose quadratic pair OUTPUT is inherent to the problem). */
+    * of k/bands rows, hash each band, and equi-join docs sharing a
+    * (band, hash) bucket. Deterministic (xxhash64), banded — never
+    * all-pairs. The banded frame is materialized once (localCheckpoint)
+    * so the bucket SELF-JOIN doesn't recompute the signature aggregation
+    * per side; pairs come out of the join — not out of expanding each
+    * bucket's combinations inside one task — so a degenerate bucket
+    * (e.g. a fully duplicated corpus) costs shuffle rows that AQE's
+    * skew handling splits, never one task's memory. */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+                        n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    candidatesOnIndex(hashedShingleIndex(docs, textCol, idCol, n), k, bands)
+
+  private def candidatesOnIndex(tok: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minhashSignatures(docs, textCol, idCol, n, k)
+    val sig = signaturesOnIndex(tok, k)
     val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .toDF("doc_id", "band_id", "band_hash")
-    // sorted ids → combinations (i < j) are already (doc_a < doc_b)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-        struct(x.as("a"), y.as("b")))))
-    banded.groupBy(col("band_id"), col("band_hash"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(pairs).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .localCheckpoint()
+    banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
   /** MinHash near-dup pairs, verified: LSH candidates filtered by EXACT
     * shingle Jaccard >= threshold. The LSH stage only prunes; every
-    * emitted pair is exactly verified, so output is deterministic. */
+    * emitted pair is exactly verified — intersection counts come from
+    * joining the candidate list back onto the hashed-shingle index
+    * (8-byte longs), union from per-doc set sizes; the shingle STRING
+    * arrays never travel (the round-2 form shipped both docs' full
+    * string arrays per candidate). A candidate pair sharing zero
+    * shingles (possible only via a seeded band-hash collision) drops out
+    * of the inner join — correct, its Jaccard is 0. */
   def minhashNearDup(docs: DataFrame, textCol: String, idCol: String,
                      threshold: Double, n: Int = 3, k: Int = 64,
                      bands: Int = 16): DataFrame = {
-    val cand = minhashCandidates(docs, textCol, idCol, n, k, bands)
-    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val tok = hashedShingleIndex(docs, textCol, idCol, n)
+    val cand = candidatesOnIndex(tok, k, bands)
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    jaccardFromCounts(inter, sz, threshold)
   }
 
-  /** Exact n-gram Jaccard similarity join via inverted index: explode
-    * distinct shingles, join doc lists per shingle (intersection counts),
-    * derive union from set sizes. SQL-expressible — the oracle twin runs
-    * the same unnest/join in DuckDB. `maxDf` drops shingles present in
-    * more than maxDf documents (hot-key/df pruning; pass Int.MaxValue to
-    * disable — at fixture scale the oracle twin disables it too). */
+  /** Exact n-gram Jaccard similarity join via inverted index: join doc
+    * lists per hashed shingle (intersection counts), derive union from
+    * per-doc set sizes. SQL-expressible — the oracle twin runs the same
+    * unnest/join in DuckDB. `maxDf` drops shingles present in more than
+    * maxDf documents from the CANDIDATE self-join only (set sizes keep
+    * every shingle): a shingle shared by much of the corpus generates
+    * df² candidate rows while carrying no similarity signal, so the cap
+    * is what bounds the self-join at 100×-corpus scale; pass
+    * Int.MaxValue to disable. */
   def jaccardJoin(docs: DataFrame, textCol: String, idCol: String,
                   threshold: Double, n: Int = 3,
                   maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-    val sz = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // the index joins on xxhash64(shingle), not the shingle string: the
-    // shuffle moves 8-byte longs instead of n-gram text (~30% faster at
-    // sf0.1; a cross-shingle hash collision would perturb one
-    // intersection count with probability ~|shingles|²/2^65 — negligible)
-    var tok = sh.select(col("doc_id"), explode(col("sh")).as("t0"))
-      .select(col("doc_id"), xxhash64(col("t0")).as("t"))
-    if (maxDf != Int.MaxValue) {
-      val df = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("t"))
-      tok = tok.join(df, Seq("t"))
-    }
+    val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
+    val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val tok =
+      if (maxDf == Int.MaxValue) tok0
+      else {
+        val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("t"))
+        tok0.join(keep, Seq("t"))
+      }
     val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
       .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    jaccardFromCounts(inter, sz, threshold)
+  }
+
+  /** jaccard = i / (|a| + |b| - i) from an intersection-count frame
+    * (doc_a, doc_b, i) and a size frame (doc_id, n_sh), thresholded. */
+  private def jaccardFromCounts(inter: DataFrame, sz: DataFrame,
+                                threshold: Double): DataFrame =
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
@@ -160,7 +188,6 @@ object Dedup {
         (col("i").cast("double") /
          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Connected components over a near-dup pair graph: every document in
     * a pair gets `cluster_id = min doc_id reachable` — the canonical
@@ -183,13 +210,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nlabel"))
+      // carry the old label through the update so convergence is a bare
+      // filter over the just-checkpointed frame — one job per round, not
+      // a second join+action on top of the update job
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")

@@ -91,6 +91,37 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("degenerate LSH bucket (fully duplicated corpus) stays bounded and exact") {
+    // 500 identical docs → every band bucket holds all 500 ids. The pair
+    // expansion must happen via the bucket self-join (distributed shuffle
+    // rows), never a single task's in-memory combinations array; output
+    // is the inherent 500·499/2 pairs, every one at jaccard 1.0.
+    val dup = spark.range(1, 501)
+      .select(col("id").as("doc_id"),
+        lit("the same document body repeated verbatim across the corpus many times").as("text"))
+    val pairs = Dedup.minhashNearDup(dup, "text", "doc_id", 0.5)
+    assert(pairs.count() === 500L * 499 / 2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).isEmpty)
+  }
+
+  test("jaccard df pruning drops hot shingles from candidates but not from sizes") {
+    // doc pairs (1,2) share only the hot shingle; (3,4) share a rare one.
+    // With maxDf=2 the hot shingle (df=4) is pruned: pair (1,2) vanishes,
+    // (3,4) survives with its jaccard denominator still counting ALL
+    // shingles of both docs.
+    val df = Seq(
+      (1L, "hot hot hot a1 b1 c1"), (2L, "hot hot hot a2 b2 c2"),
+      (3L, "rare rare rare x y z hot hot hot"), (4L, "rare rare rare x y w hot hot hot")
+    ).toDF("doc_id", "text")
+    val unpruned = Dedup.jaccardJoin(df, "text", "doc_id", 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unpruned.contains((1L, 2L)))
+    val pruned = Dedup.jaccardJoin(df, "text", "doc_id", 0.0, maxDf = 2)
+    val prunedPairs = pruned.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!prunedPairs.contains((1L, 2L)))
+    assert(prunedPairs.contains((3L, 4L)))
+  }
+
   test("shingles of short documents never produce empty arrays") {
     val df = Seq((1L, "one"), (2L, "one two")).toDF("doc_id", "text")
     val sizes = df.select(size(Dedup.shingles(col("text"), 3))).as[Int].collect()

@@ -42,9 +42,21 @@ for name, sql in sorted(oracle.items()):
     import pandas as pd
     g = got.reset_index(drop=True)
     w = want.reset_index(drop=True)
+    # the driver's hash canonicalizes values per-KIND (an int64 "1" and a
+    # float64 "1.0" hash differently even when numerically equal — the
+    # round-2 q_sessionize failure mode), so an integer-vs-float skew is a
+    # FAIL here even though the value compare below is dtype-lenient.
+    # Width-only skew (int32 vs int64) canonicalizes identically — round-2
+    # queries with it were hash-green — and is not flagged.
+    dtype_skew = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                  if g[c].dtype.kind != w[c].dtype.kind]
     try:
         pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-        print(f"[ OK ] {name}: {len(got)} rows")
+        if dtype_skew:
+            print(f"[TYPE] {name}: dtype skew {dtype_skew}")
+            fails += 1
+        else:
+            print(f"[ OK ] {name}: {len(got)} rows")
     except AssertionError as e:
         print(f"[DIFF] {name}: {str(e).splitlines()[-1] if str(e) else 'mismatch'}")
         fails += 1
