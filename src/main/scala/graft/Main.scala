@@ -27,8 +27,11 @@ object Main {
 
   private def parseArgs(args: Array[String]): (String, Map[String, String]) = {
     require(args.nonEmpty, "missing subcommand")
-    val flags = args.tail.sliding(2, 2).collect {
+    require(args.tail.length % 2 == 0,
+      s"flags must come in --name value pairs; got: ${args.tail.mkString(" ")}")
+    val flags = args.tail.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, _) => sys.error(s"expected a --flag, got: $k")
     }.toMap
     (args.head, flags)
   }
@@ -94,6 +97,10 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // record the exit code and raise it AFTER the finally has stopped the
+    // session — sys.exit inside the try would halt the JVM before the
+    // finally block runs, leaking the session
+    var exitCode = 0
     try {
       def src = ranged(readKV(spark, flags("src")), start, end)
       def dst = ranged(readKV(spark, flags("dst")), start, end)
@@ -104,7 +111,7 @@ object Main {
           require(gate.getAs[Boolean]("compatible"), s"api version mismatch: $gate")
           val verdict = Checksum.verdict(src, dst).head()
           println(verdict)
-          if (!verdict.getAs[Boolean]("matches")) sys.exit(2)
+          if (!verdict.getAs[Boolean]("matches")) exitCode = 2
         case "diff" =>
           val limit = flags.getOrElse("limit", "100").toInt
           val d = Diff.diff(src, dst)
@@ -115,7 +122,7 @@ object Main {
             .collect().foreach(println)
           val counts = Diff.diffCounts(src, dst).collect()
           println(counts.mkString("diff counts: ", ", ", ""))
-          if (counts.nonEmpty) sys.exit(2)
+          if (counts.nonEmpty) exitCode = 2
         case "scan" =>
           val out = flags.getOrElse("out", ".")
           val p1 = Scan.writeHexDump(src, out, "src")
@@ -127,5 +134,6 @@ object Main {
         case other => sys.error(s"unknown subcommand: $other")
       }
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

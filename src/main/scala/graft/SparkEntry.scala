@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.{Checksum, CodecExpr}
 import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, RangeJoin, Scan, Similarity, Skew, TextAnalysis}
 import graft.sources.KVSnapshot
-import graft.streaming.WindowedChecksum
+import graft.streaming.{StreamEntries, WindowedChecksum}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,7 +38,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++
     dedupQueries ++ similarityQueries ++ textQueries ++ multimodalQueries ++
-    eventQueries ++ relationalQueries
+    eventQueries ++ relationalQueries ++ streamingStateQueries
+
+  // §2b streaming: the three STATEFUL Structured Streaming operators
+  // (stream-stream diff, mapGroupsWithState keyed checksum,
+  // flatMapGroupsWithState sessions with event-time timeouts), driven
+  // end-to-end through real micro-batches/watermarks/state stores by
+  // deterministic MemoryStream feeds — see graft.streaming.StreamEntries.
+  private def streamingStateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_diff" -> ((s, dir) => StreamEntries.streamDiff(s, dir)),
+    "q_stream_sessions" -> ((s, dir) => StreamEntries.streamSessions(s, dir)),
+    "q_stream_keyed_checksum" -> ((s, dir) => StreamEntries.streamKeyedChecksum(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,15 +157,13 @@ object SparkEntry {
         .groupBy(col("lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted_lang"))),
-    // sparse TF-IDF vectors (map<token,double>); summarized per doc
-    // (map columns aren't hash-comparable in the oracle → rows-only)
+    // sparse TF-IDF weights as sorted (doc_id, term, weight) rows —
+    // fully hash-checkable against the DuckDB oracle (the map-column
+    // form, TextAnalysis.tfidfVectors, assembles these same rows)
     "q_tfidf" -> ((s, dir) =>
-      TextAnalysis.tfidfVectors(docs(s, dir), "text", "doc_id")
-        .select(col("doc_id"),
-          size(map_keys(col("tfidf"))).as("n_terms"),
-          round(sqrt(aggregate(map_values(col("tfidf")), lit(0.0d),
-            (acc, v) => acc + v * v)), 6).as("l2_norm"))
-        .orderBy(col("doc_id"))),
+      TextAnalysis.tfidfTerms(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("term"), round(col("weight"), 6).as("weight"))
+        .orderBy(col("doc_id"), col("term"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -610,6 +618,48 @@ object SparkEntry {
         |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+        |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok GROUP BY doc_id, dl, t),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.t AS term,
+        |  round((CAST(tf.tf AS DOUBLE) / tf.dl) * ln((n.n_docs + 1.0) / (dft.df + 1.0)), 6) AS weight
+        |FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin,
+    // thumbnail / frame-sample kernel outputs are pure functions of the
+    // blob length, itself a pure function of vec_id (payload =
+    // repeat(md5(vec_id), 4)): thumbnail(k=7) keeps every 7th payload
+    // byte; frameSample(16, 2) keeps min(16, remaining) bytes at each
+    // 32-byte stride past the 13-byte header
+    "q_multimodal_thumb" ->
+      """WITH b AS (SELECT vec_id AS media_id,
+        |  13 + 4 * length(md5(CAST(vec_id AS VARCHAR))) AS blob_len FROM embeddings)
+        |SELECT media_id,
+        |  CAST(floor((blob_len - 13 - 1) / 7) + 1 AS INT) AS thumb_bytes,
+        |  CAST(list_sum(list_transform(
+        |        generate_series(0, CAST(floor((blob_len - 13 - 1) / 32) AS INT)),
+        |        k -> least(16, blob_len - 13 - 32 * k))) / 16.0 AS DOUBLE) AS n_frames_kept
+        |FROM b ORDER BY media_id""".stripMargin,
+    // byte-moment features recomputed from the synthesized payload
+    // (ASCII md5 hex ×4): every intermediate is exactly representable in
+    // double (integer byte values, mean = int/128, squared deviations
+    // with ≤14 fractional bits), so both engines produce identical bits
+    "q_multimodal_features" ->
+      """WITH p AS (SELECT vec_id AS media_id,
+        |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
+        |c AS (SELECT media_id, ord(u) AS b
+        |      FROM (SELECT media_id, unnest(string_split_regex(pay, '')) AS u FROM p)
+        |      WHERE u <> ''),
+        |m AS (SELECT media_id, count(*) AS n,
+        |        CAST(sum(b) AS DOUBLE) / count(*) AS m1 FROM c GROUP BY media_id),
+        |v AS (SELECT c.media_id, m.n, m.m1,
+        |        sum((c.b - m.m1) * (c.b - m.m1)) / m.n AS m2
+        |      FROM c JOIN m ON c.media_id = m.media_id GROUP BY c.media_id, m.n, m.m1)
+        |SELECT media_id, CAST(n AS INT) AS payload_bytes,
+        |  round(m1, 6) AS byte_mean, round(m2, 6) AS byte_var
+        |FROM v ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       """WITH m AS (SELECT vec_id, 16 + vec_id % 48 AS width, 16 + vec_id % 32 AS height,
         |                  1 + vec_id % 3 AS channels, 128 AS payload_bytes FROM embeddings)
@@ -667,6 +717,34 @@ object SparkEntry {
         |  AND epoch_us(e.ts) BETWEEN sess.ts_start_us AND sess.ts_end_us
         |GROUP BY sess.user_id, sess.session_no
         |ORDER BY sess.user_id, sess.session_no""".stripMargin,
+    // the stream-stream diff must equal the batch diff on the same
+    // bounded key range — the watermark/window machinery only changes
+    // WHEN rows emit, never what
+    "q_stream_diff" -> (cte +
+      """SELECT COALESCE(s.k, d.k) AS key, s.v AS src_value, d.v AS dst_value,
+        |  CASE WHEN s.k IS NULL THEN 'dst_only'
+        |       WHEN d.k IS NULL THEN 'src_only'
+        |       ELSE 'mismatch' END AS diff_class
+        |FROM (SELECT k, v FROM src WHERE k >= 'li_0000000001' AND k < 'li_0000002000') s
+        |FULL OUTER JOIN
+        |     (SELECT k, v FROM dst WHERE k >= 'li_0000000001' AND k < 'li_0000002000') d
+        |ON s.k = d.k
+        |WHERE s.k IS NULL OR d.k IS NULL OR s.v <> d.v
+        |ORDER BY key, diff_class""".stripMargin),
+    // streaming sessions (event-time timeouts) must equal batch
+    // sessionization; the double-typed sum column is excluded because
+    // the streaming fold adds doubles in arrival order
+    "q_stream_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |FROM events WHERE user_id < 20),
+        |b AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM o),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM b)
+        |SELECT user_id, min(ts_us) AS ts_start_us, max(ts_us) AS ts_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, ts_start_us""".stripMargin,
     "q_window_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |           FROM events WHERE user_id < 20),

@@ -124,12 +124,12 @@ object TextAnalysis {
       lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
 
-  /** Sparse TF-IDF document vectors as a `map<token, double>` column —
-    * the sparse twin of the dense `embeddings` fixture. Same inverted-
-    * index shape as BM25: one (doc, term) tf aggregation shuffle, df
-    * broadcast, weights assembled per doc with `map_from_entries`.
+  /** Sparse TF-IDF weights as (doc_id, term, weight) ROWS — the
+    * oracle-checkable surface (a map column can't be hash-compared
+    * cross-engine). Same inverted-index shape as BM25: one (doc, term)
+    * tf aggregation shuffle, df broadcast.
     * tfidf = (tf / dl) · ln((N + 1)/(df + 1)). */
-  def tfidfVectors(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def tfidfTerms(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
     val tok = base.select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
@@ -137,13 +137,19 @@ object TextAnalysis {
     val n = base.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(broadcast(dfT), Seq("t"))
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("t"),
+      .select(col("doc_id"), col("t").as("term"),
         ((col("tf").cast("double") / col("dl")) *
-          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))).as("wgt"))
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("t"), col("wgt")))))
-        .as("tfidf"))
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))).as("weight"))
   }
+
+  /** Sparse TF-IDF document vectors as a `map<token, double>` column —
+    * the sparse twin of the dense `embeddings` fixture, assembled per
+    * doc with `map_from_entries` over [[tfidfTerms]]. */
+  def tfidfVectors(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    tfidfTerms(docs, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("term"), col("weight")))))
+        .as("tfidf"))
 
   /** BM25 keyword search: top-k documents for a bag of query terms.
     * Pure relational formulation — inverted index (explode) → per-doc

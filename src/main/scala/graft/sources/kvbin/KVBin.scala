@@ -29,12 +29,19 @@ object KVBin {
   val IndexFile = "_index"
 
   /** Write a binary (key, value) frame as `numRanges` contiguous region
-    * files + index. Returns the index entries. */
-  def write(kv: DataFrame, dir: String, numRanges: Int): Seq[(String, Array[Byte], Array[Byte], Long)] = {
+    * files + index, stamped with the cluster API version (`#api_version=`
+    * header line in the index — the source-side half of the reference's
+    * version gate, `utils/utils.go:13-26`). Returns the index entries. */
+  def write(kv: DataFrame, dir: String, numRanges: Int,
+            apiVersion: String = "V1"): Seq[(String, Array[Byte], Array[Byte], Long)] = {
     val spark = kv.sparkSession
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir))
+    // the session's hadoop conf must reach the executor-side writes
+    // (credentials, FS implementations) — Configuration isn't
+    // Serializable, so it travels via the Writable-based wrapper
+    val sconf = new SerializableConf(spark.sessionState.newHadoopConf())
     val index = kv
       .select(col("key"), col("value"))
       .repartitionByRange(numRanges, col("key"))
@@ -45,8 +52,7 @@ object KVBin {
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val name = f"part-$pid%05d.kv"
-          val conf = new Configuration()
-          val fs = FileSystem.get(new java.net.URI(dir), conf)
+          val fs = FileSystem.get(new java.net.URI(dir), sconf.value)
           val out = new DataOutputStream(new BufferedOutputStream(
             fs.create(new Path(dir, name), true), 1 << 16))
           var minK: Array[Byte] = null
@@ -65,7 +71,7 @@ object KVBin {
       }
       .collect()
       .toSeq
-    val lines = index.map { case (f, mn, mx, n) =>
+    val lines = s"#api_version=$apiVersion" +: index.map { case (f, mn, mx, n) =>
       s"$f\t${hexOf(mn)}\t${hexOf(mx)}\t$n"
     }
     val out = fs.create(new Path(dir, IndexFile), true)
@@ -78,16 +84,32 @@ object KVBin {
   def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  /** Read the region index: (file, minKey, maxKey, count). */
+  /** Read the region index: (file, minKey, maxKey, count). `#key=value`
+    * header lines carry source metadata (see [[readMeta]]). */
   def readIndex(dir: String, conf: Configuration): Seq[(String, Array[Byte], Array[Byte], Long)] = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(new Path(dir, IndexFile)), "UTF-8"))
     try {
-      Iterator.continually(in.readLine()).takeWhile(_ != null).filter(_.nonEmpty).map { line =>
-        val Array(f, mn, mx, n) = line.split("\t")
-        (f, unhex(mn), unhex(mx), n.toLong)
-      }.toList
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+          val Array(f, mn, mx, n) = line.split("\t")
+          (f, unhex(mn), unhex(mx), n.toLong)
+        }.toList
+    } finally in.close()
+  }
+
+  /** Source metadata from the index header (`#key=value` lines). Indexes
+    * written before the stamp existed report api_version V1. */
+  def readMeta(dir: String, conf: Configuration): Map[String, String] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new Path(dir, IndexFile)), "UTF-8"))
+    try {
+      val kv = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.startsWith("#")).map(_.stripPrefix("#").split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      if (kv.contains("api_version")) kv else kv + ("api_version" -> "V1")
     } finally in.close()
   }
 

@@ -2,7 +2,6 @@ package graft.sources.kvbin
 
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -21,6 +20,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `scan/scan.go:45`). Pushed range filters are consumed entirely —
   * `pushedFilters` reports them handled, so Spark plans no residual
   * filter for them.
+  *
+  * Connector options (the live-cluster interface surface):
+  *  - `api_version` — expected cluster API version; planning fails fast
+  *    if the source's stamped version differs (the reference's
+  *    per-cluster version gate, `utils/utils.go:13-26` applied at
+  *    `checksum/checksum.go:134-137`);
+  *  - `endpoints` — comma-separated endpoint list, recorded on the scan
+  *    (a real network client would dial these; the file-backed stand-in
+  *    only surfaces them for plan inspection).
   */
 class KVBinSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -42,13 +50,21 @@ class KVBinTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KVBinScanBuilder(dir)
+    new KVBinScanBuilder(dir,
+      Option(options.get("api_version")),
+      Option(options.get("endpoints")))
 }
 
 /** Accepts unsigned-lex range predicates on `key` and column pruning;
-  * everything else stays with Spark as a post-scan filter. */
-class KVBinScanBuilder(dir: String) extends ScanBuilder
+  * everything else stays with Spark as a post-scan filter. The session's
+  * hadoop configuration is captured here (driver side) and shipped to
+  * readers — executor-side `FileSystem.get` must see the cluster's FS
+  * settings and credentials, not a default `Configuration()`. */
+class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
+                       endpoints: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val conf = new SerializableConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
@@ -86,29 +102,41 @@ class KVBinScanBuilder(dir: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema)
+    new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema,
+      conf, expectedApiVersion, endpoints)
 }
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
-                endIncl: Array[Byte], required: StructType) extends Scan with Batch {
+                endIncl: Array[Byte], required: StructType,
+                conf: SerializableConf,
+                expectedApiVersion: Option[String] = None,
+                endpoints: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     def h(b: Array[Byte]) = if (b == null) "∅" else KVBin.hexOf(b)
-    s"KVBinScan(dir=$dir, start=${h(start)}, end=${h(end)}, endIncl=${h(endIncl)})"
+    s"KVBinScan(dir=$dir, start=${h(start)}, end=${h(end)}, endIncl=${h(endIncl)}" +
+      endpoints.map(e => s", endpoints=$e").getOrElse("") + ")"
   }
 
   /** Region pruning: only files whose [min,max] intersects the pushed
-    * range become input partitions. */
+    * range become input partitions. The API-version gate runs first —
+    * a mismatched cluster fails the query at planning time, before any
+    * region file is opened (`checksum/checksum.go:134-137` analog). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val index = KVBin.readIndex(dir, new Configuration())
+    val sourceVersion = KVBin.readMeta(dir, conf.value)("api_version")
+    expectedApiVersion.filter(_ != sourceVersion).foreach { e =>
+      throw new IllegalStateException(
+        s"kvbin api version mismatch: source $dir is $sourceVersion, reader expects $e")
+    }
+    val index = KVBin.readIndex(dir, conf.value)
     index.filter { case (_, mn, mx, _) =>
       (start == null || KVBin.compare(mx, start) >= 0) &&
       (end == null || KVBin.compare(mn, end) < 0) &&
       (endIncl == null || KVBin.compare(mn, endIncl) <= 0)
     }.map { case (f, _, _, _) =>
       KVBinInputPartition(dir, f, start, end, endIncl,
-        required.fieldNames): InputPartition
+        required.fieldNames, conf): InputPartition
     }.toArray
   }
 
@@ -118,7 +146,7 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
 
 case class KVBinInputPartition(dir: String, file: String,
     start: Array[Byte], end: Array[Byte], endIncl: Array[Byte],
-    columns: Array[String])
+    columns: Array[String], conf: SerializableConf)
   extends InputPartition
 
 class KVBinReaderFactory extends PartitionReaderFactory {
@@ -129,13 +157,13 @@ class KVBinReaderFactory extends PartitionReaderFactory {
 }
 
 /** Streams one region file, scoped to the pushed range (records are
-  * key-sorted, so the reader stops at the range end) and projecting only
-  * the pruned columns. */
+  * key-sorted, so the reader stops at the range end) and projecting the
+  * pruned columns IN THE PRUNED SCHEMA'S ORDER — a (value, key)-ordered
+  * requiredSchema yields (value, key) rows, never silently swapped
+  * binary columns. */
 class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[InternalRow] {
-  private val it = KVBin.readFile(p.dir, p.file, new Configuration())
+  private val it = KVBin.readFile(p.dir, p.file, p.conf.value)
   private var current: (Array[Byte], Array[Byte]) = _
-  private val emitKey = p.columns.contains("key")
-  private val emitValue = p.columns.contains("value")
 
   override def next(): Boolean = {
     while (it.hasNext) {
@@ -152,12 +180,14 @@ class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[Inter
     false
   }
 
-  override def get(): InternalRow = {
-    val fields = Array.newBuilder[Any]
-    if (emitKey) fields += current._1
-    if (emitValue) fields += current._2
-    new GenericInternalRow(fields.result())
-  }
+  override def get(): InternalRow =
+    new GenericInternalRow(Array.tabulate[Any](p.columns.length) { i =>
+      p.columns(i) match {
+        case "key" => current._1
+        case "value" => current._2
+        case other => throw new IllegalArgumentException(s"unknown kvbin column: $other")
+      }
+    })
 
   override def close(): Unit = ()
 }

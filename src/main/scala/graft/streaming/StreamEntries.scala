@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Events
+import graft.sources.KVSnapshot
+
+/** Deterministic, driver-checkable entry points for the three stateful
+  * streaming operators ([[StreamDiff]], [[StreamingSessions]],
+  * [[KeyedChecksumState]]) — the continuous analogs of the reference's
+  * `diff` (`diff/diff.go:18-63`) and checksum (`checksum/checksum.go:25-29`)
+  * paths.
+  *
+  * Each entry drives the REAL Structured Streaming machinery (MemoryStream
+  * micro-batches, watermarks, state store, event-time timeouts) over a
+  * bounded, deterministic slice of the fixtures, then returns the sink
+  * table so `Verify` can hash it like any batch query. The driver-side
+  * collect that feeds MemoryStream is test plumbing — the operators
+  * themselves hold O(state) memory and shuffle by group key exactly as
+  * they would against a real source at scale; only the feed is local.
+  */
+object StreamEntries {
+
+  private val nameCounter = new AtomicInteger()
+  private def fresh(prefix: String): String =
+    s"${prefix}_${nameCounter.incrementAndGet()}"
+
+  private def drain(q: StreamingQuery)(feed: => Unit): Unit =
+    try { feed; q.processAllAvailable() } finally q.stop()
+
+  /** Stream-stream diff over the KV snapshots restricted to a fixed key
+    * range, all records in one event-time window; a tick batch advances
+    * both watermarks past the window so the full-outer join emits it.
+    * Output = the batch diff's classification — same oracle SQL. */
+  def streamDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val tick = Timestamp.valueOf("2024-01-01 01:00:00")
+    def rows(df: DataFrame): Seq[(Timestamp, String, String)] =
+      df.filter(col("k") >= "li_0000000001" && col("k") < "li_0000002000")
+        .as[(String, String)].collect().toSeq.map { case (k, v) => (t0, k, v) }
+    val srcRows = rows(KVSnapshot.srcStr(s, dir))
+    val dstRows = rows(KVSnapshot.dstStr(s, dir))
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val srcMem = MemoryStream[(Timestamp, String, String)]
+    val dstMem = MemoryStream[(Timestamp, String, String)]
+    val out = StreamDiff(
+      srcMem.toDF.toDF("ts", "key", "value"),
+      dstMem.toDF.toDF("ts", "key", "value"),
+      "ts", "10 minutes", "5 minutes")
+    val name = fresh("graft_stream_diff")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    drain(q) {
+      srcMem.addData(srcRows)
+      dstMem.addData(dstRows)
+      q.processAllAvailable()
+      // advance both sides' watermarks past the data window
+      srcMem.addData(Seq((tick, "~tick", "t")))
+      dstMem.addData(Seq((tick, "~tick", "t")))
+    }
+    s.table(name)
+      .select(col("key"), col("src_value"), col("dst_value"), col("diff_class"))
+      .orderBy(col("key"), col("diff_class"))
+  }
+
+  /** Streaming gap sessionization with event-time timeouts over the
+    * events of users < 20: batch 1 carries every real event (in-batch
+    * gap closure), two far-future sentinel batches advance the watermark
+    * so the per-user OPEN sessions close via the timeout path. Output
+    * equals batch sessionization (the oracle) minus the double-typed
+    * sum column (closed-form session bounds + counts are exact). */
+  def streamSessions(s: SparkSession, dir: String,
+                     gapUs: Long = 1800000000L): DataFrame = {
+    import s.implicits._
+    val evts = Events.read(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingSessions.Evt].collect().toSeq
+    val maxTs = evts.map(_.ts.getTime).max
+    def sentinel(offsetMs: Long) =
+      StreamingSessions.Evt(-1L, new Timestamp(maxTs + offsetMs), 0.0)
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[StreamingSessions.Evt]
+    val sessions = StreamingSessions(
+      mem.toDS().withWatermark("ts", "1 second"), gapUs)
+    val name = fresh("graft_stream_sessions")
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(StreamingSessions.outputMode).start()
+    drain(q) {
+      mem.addData(evts)
+      q.processAllAvailable()
+      // watermark advances at end-of-batch; timeouts fire in the NEXT
+      // batch — hence two sentinel batches a day apart
+      mem.addData(Seq(sentinel(86400000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel(2 * 86400000L)))
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("ts_start_us"), col("ts_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("ts_start_us"))
+  }
+
+  /** Continuously-maintained per-group checksum (mapGroupsWithState)
+    * driven by three deterministic micro-batches (events split by
+    * event_id mod 3). The final state per group — the monoid fold of
+    * everything seen, independent of batch boundaries — is recovered
+    * from the Update-mode sink as the row with the highest total_kvs. */
+  def streamKeyedChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = Events.read(s, dir)
+      .select(col("event_type"), col("event_id").cast("string"), col("props"))
+      .as[(String, String, String)].collect()
+      .map { case (g, k, v) =>
+        KeyedChecksumState.KVRecord(g, k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[KeyedChecksumState.KVRecord]
+    val name = fresh("graft_stream_kcs")
+    val q = KeyedChecksumState(mem.toDS())
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode(KeyedChecksumState.outputMode).start()
+    drain(q) {
+      (0 until 3).foreach { b =>
+        mem.addData(recs.filter(r => (new String(r.key, "UTF-8").toLong % 3) == b).toSeq)
+        q.processAllAvailable()
+      }
+    }
+    s.table(name)
+      .groupBy(col("group"))
+      .agg(
+        max_by(col("crc64_xor"), col("total_kvs")).as("crc64_xor"),
+        max(col("total_kvs")).as("total_kvs"),
+        max(col("total_bytes")).as("total_bytes"))
+      .orderBy(col("group"))
+  }
+}

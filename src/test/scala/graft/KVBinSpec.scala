@@ -63,6 +63,70 @@ class KVBinSpec extends SparkTestBase {
     assert(keyOnly.count() === binSrc.count())
   }
 
+  test("api_version option gates a mismatched source at planning time") {
+    val data = Seq(("k1".getBytes("UTF-8"), "v1".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-gate-").toString
+    KVBin.write(data, dir, 1, apiVersion = "V1")
+    // matching (and absent) expectation reads fine
+    assert(spark.read.format(classOf[graft.sources.kvbin.KVBinSource].getName)
+      .option("path", dir).option("api_version", "V1").load().count() === 1)
+    assert(KVBin.read(spark, dir).count() === 1)
+    // mismatched expectation fails fast, before any region file is read
+    val e = intercept[Exception] {
+      spark.read.format(classOf[graft.sources.kvbin.KVBinSource].getName)
+        .option("path", dir).option("api_version", "V2").load().count()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(rootChain(e).exists(m => m != null && m.contains("api version mismatch")))
+  }
+
+  test("index meta: stamped version read back; pre-stamp indexes default to V1") {
+    val conf = spark.sessionState.newHadoopConf()
+    val data = Seq(("k".getBytes("UTF-8"), "v".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-meta-").toString
+    KVBin.write(data, dir, 1, apiVersion = "V2")
+    assert(KVBin.readMeta(dir, conf)("api_version") === "V2")
+    // strip the header line → legacy index → defaults to V1, still
+    // readable (rewrite through the Hadoop FS so its .crc sidecar stays
+    // consistent)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val idx = new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile)
+    val legacy = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(idx), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filterNot(_.startsWith("#")).mkString("\n")
+      finally in.close()
+    }
+    val out = fs.create(idx, true)
+    out.write(legacy.getBytes("UTF-8"))
+    out.close()
+    assert(KVBin.readMeta(dir, conf)("api_version") === "V1")
+    assert(KVBin.read(spark, dir).count() === 1)
+  }
+
+  test("partition reader honors the pruned schema's field order") {
+    import graft.sources.kvbin.{KVBinInputPartition, KVBinPartitionReader, SerializableConf}
+    val data = Seq(("kk".getBytes("UTF-8"), "vvv".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-order-").toString
+    KVBin.write(data, dir, 1)
+    val file = KVBin.readIndex(dir, spark.sessionState.newHadoopConf()).head._1
+    val sconf = new SerializableConf(spark.sessionState.newHadoopConf())
+    def readWith(cols: Array[String]): Seq[Seq[String]] = {
+      val r = new KVBinPartitionReader(
+        KVBinInputPartition(dir, file, null, null, null, cols, sconf))
+      val rows = Iterator.continually(r)
+        .takeWhile(_.next())
+        .map(x => cols.indices.map(i =>
+          new String(x.get().getBinary(i), "UTF-8")).toSeq)
+        .toList
+      r.close(); rows
+    }
+    assert(readWith(Array("key", "value")) === Seq(Seq("kk", "vvv")))
+    assert(readWith(Array("value", "key")) === Seq(Seq("vvv", "kk")))
+    assert(readWith(Array("value")) === Seq(Seq("vvv")))
+  }
+
   test("kvbin roundtrip preserves arbitrary binary payloads") {
     val data = Seq(
       (Array[Byte](0, 1, 2), Array[Byte](-1, -2)),
