@@ -75,6 +75,36 @@ object Checksum {
         sum(col("__len")).as("total_bytes"))
   }
 
+  /** [[verdict]] with the two cluster scans submitted as two CONCURRENT
+    * Spark jobs from the driver — the reference's explicit src/dst
+    * errgroup concurrency (`checksum/checksum.go:140-169`,
+    * `scan/scan.go:87-108`). The single-plan [[verdict]] already
+    * evaluates both branches inside one job; this form exists for the
+    * case where the two sources have very different latencies (e.g. two
+    * remote clusters) and should overlap wall-clock. Results are
+    * identical (the aggregate is deterministic per side). */
+  def verdictConcurrent(src: DataFrame, dst: DataFrame): DataFrame = {
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val spark = src.sparkSession
+    def triple(kv: DataFrame, group: String) = Future {
+      spark.sparkContext.setJobGroup(group, s"checksum $group", interruptOnCancel = true)
+      try of(kv).head() finally spark.sparkContext.clearJobGroup()
+    }
+    val (s, d) = (triple(src, "graft-src"), triple(dst, "graft-dst"))
+    val Seq(sr, dr) = Await.result(Future.sequence(Seq(s, d)), Duration.Inf)
+    import spark.implicits._
+    Seq((sr.getLong(0), sr.getLong(1), sr.getLong(2),
+         dr.getLong(0), dr.getLong(1), dr.getLong(2)))
+      .toDF("src_crc64_xor", "src_total_kvs", "src_total_bytes",
+        "dst_crc64_xor", "dst_total_kvs", "dst_total_bytes")
+      .withColumn("matches",
+        col("src_crc64_xor") === col("dst_crc64_xor") &&
+        col("src_total_kvs") === col("dst_total_kvs") &&
+        col("src_total_bytes") === col("dst_total_bytes"))
+  }
+
   /** The reference's flagship verdict (`checksum/checksum.go:173-178`):
     * compare src and dst checksum triples, one row with both + match flag. */
   def verdict(src: DataFrame, dst: DataFrame): DataFrame = {

@@ -34,6 +34,20 @@ object StreamEntries {
   private def drain(q: StreamingQuery)(feed: => Unit): Unit =
     try { feed; q.processAllAvailable() } finally q.stop()
 
+  /** Streaming state partitioning is fixed at query start from
+    * `spark.sql.shuffle.partitions`; one state store per partition (×2
+    * sides ×2 stores for the stream-stream join) is provisioned and
+    * committed EVERY micro-batch, so the store count must be sized to
+    * the keyspace, not inherited from the batch default — at these
+    * bounded feed sizes 8 stores halve the harness wall-clock vs 32
+    * with identical output. Restores the session setting afterwards. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Stream-stream diff over the KV snapshots restricted to a fixed key
     * range, all records in one event-time window; a tick batch advances
     * both watermarks past the window so the full-outer join emits it.
@@ -48,22 +62,24 @@ object StreamEntries {
     val srcRows = rows(KVSnapshot.srcStr(s, dir))
     val dstRows = rows(KVSnapshot.dstStr(s, dir))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val srcMem = MemoryStream[(Timestamp, String, String)]
-    val dstMem = MemoryStream[(Timestamp, String, String)]
-    val out = StreamDiff(
-      srcMem.toDF.toDF("ts", "key", "value"),
-      dstMem.toDF.toDF("ts", "key", "value"),
-      "ts", "10 minutes", "5 minutes")
     val name = fresh("graft_stream_diff")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    drain(q) {
-      srcMem.addData(srcRows)
-      dstMem.addData(dstRows)
-      q.processAllAvailable()
-      // advance both sides' watermarks past the data window
-      srcMem.addData(Seq((tick, "~tick", "t")))
-      dstMem.addData(Seq((tick, "~tick", "t")))
+    withStatePartitions(s, 8) {
+      val srcMem = MemoryStream[(Timestamp, String, String)]
+      val dstMem = MemoryStream[(Timestamp, String, String)]
+      val out = StreamDiff(
+        srcMem.toDF.toDF("ts", "key", "value"),
+        dstMem.toDF.toDF("ts", "key", "value"),
+        "ts", "10 minutes", "5 minutes")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        srcMem.addData(srcRows)
+        dstMem.addData(dstRows)
+        q.processAllAvailable()
+        // advance both sides' watermarks past the data window
+        srcMem.addData(Seq((tick, "~tick", "t")))
+        dstMem.addData(Seq((tick, "~tick", "t")))
+      }
     }
     s.table(name)
       .select(col("key"), col("src_value"), col("dst_value"), col("diff_class"))
@@ -86,20 +102,22 @@ object StreamEntries {
     def sentinel(offsetMs: Long) =
       StreamingSessions.Evt(-1L, new Timestamp(maxTs + offsetMs), 0.0)
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = MemoryStream[StreamingSessions.Evt]
-    val sessions = StreamingSessions(
-      mem.toDS().withWatermark("ts", "1 second"), gapUs)
     val name = fresh("graft_stream_sessions")
-    val q = sessions.toDF().writeStream.format("memory").queryName(name)
-      .outputMode(StreamingSessions.outputMode).start()
-    drain(q) {
-      mem.addData(evts)
-      q.processAllAvailable()
-      // watermark advances at end-of-batch; timeouts fire in the NEXT
-      // batch — hence two sentinel batches a day apart
-      mem.addData(Seq(sentinel(86400000L)))
-      q.processAllAvailable()
-      mem.addData(Seq(sentinel(2 * 86400000L)))
+    withStatePartitions(s, 8) {
+      val mem = MemoryStream[StreamingSessions.Evt]
+      val sessions = StreamingSessions(
+        mem.toDS().withWatermark("ts", "1 second"), gapUs)
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode(StreamingSessions.outputMode).start()
+      drain(q) {
+        mem.addData(evts)
+        q.processAllAvailable()
+        // watermark advances at end-of-batch; timeouts fire in the NEXT
+        // batch — hence two sentinel batches a day apart
+        mem.addData(Seq(sentinel(86400000L)))
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel(2 * 86400000L)))
+      }
     }
     s.table(name)
       .filter(col("user_id") >= 0)
@@ -120,15 +138,17 @@ object StreamEntries {
       .map { case (g, k, v) =>
         KeyedChecksumState.KVRecord(g, k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = MemoryStream[KeyedChecksumState.KVRecord]
     val name = fresh("graft_stream_kcs")
-    val q = KeyedChecksumState(mem.toDS())
-      .toDF().writeStream.format("memory").queryName(name)
-      .outputMode(KeyedChecksumState.outputMode).start()
-    drain(q) {
-      (0 until 3).foreach { b =>
-        mem.addData(recs.filter(r => (new String(r.key, "UTF-8").toLong % 3) == b).toSeq)
-        q.processAllAvailable()
+    withStatePartitions(s, 8) {
+      val mem = MemoryStream[KeyedChecksumState.KVRecord]
+      val q = KeyedChecksumState(mem.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode(KeyedChecksumState.outputMode).start()
+      drain(q) {
+        (0 until 3).foreach { b =>
+          mem.addData(recs.filter(r => (new String(r.key, "UTF-8").toLong % 3) == b).toSeq)
+          q.processAllAvailable()
+        }
       }
     }
     s.table(name)

@@ -50,6 +50,15 @@ class ChecksumSpec extends SparkTestBase {
     assert(!Checksum.verdict(src, dst).head().getAs[Boolean]("matches"))
   }
 
+  test("concurrent two-job verdict equals the single-plan verdict") {
+    val src = KVSnapshot.src(spark, sfSmoke)
+    val dst = KVSnapshot.dst(spark, sfSmoke)
+    val single = Checksum.verdict(src, dst).head()
+    val conc = Checksum.verdictConcurrent(src, dst).head()
+    assert(conc.toSeq === single.toSeq)
+    assert(Checksum.verdictConcurrent(src, src).head().getAs[Boolean]("matches"))
+  }
+
   test("grouped checksum buckets merge to the global checksum") {
     val src = KVSnapshot.src(spark, sfSmoke)
     val buckets = Checksum.byBucket(src, substring(col("key").cast("string"), 1, 10))
