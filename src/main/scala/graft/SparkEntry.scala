@@ -112,8 +112,9 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
         .orderBy(col("query_id"), col("rank"))
     }),
-    // int8-quantized two-stage top-k (coarse codes -> exact re-score;
-    // recall property-tested, no oracle)
+    // int8-quantized two-stage top-k (coarse codes -> exact re-score);
+    // the DuckDB oracle replays quantization, dequantized coarse ranking
+    // and the full-precision rescore — recall is ALSO property-tested
     "q_quantized_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.quantizedTopK(e.filter(col("id") < 10), e, 3)
@@ -534,6 +535,39 @@ object SparkEntry {
         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
         |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.vec_id <> c.vec_id),
         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // replays Similarity.quantize + quantizedTopK: per-dim (min, span)
+    // over double-cast floats, codes = round((x-lo)/span·255), coarse
+    // rank on the dequantized cosine, exact rescore of the top
+    // k·overfetch (12) candidates — every arithmetic step mirrors the
+    // Spark expression order so the doubles match bit-for-bit
+    "q_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT vec_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+        |dims AS (SELECT pos, min(x) AS lo,
+        |           CASE WHEN max(x) = min(x) THEN 1.0 ELSE max(x) - min(x) END AS span
+        |         FROM px GROUP BY pos),
+        |dq AS (SELECT vec_id, pos,
+        |         (CAST(round((x - lo) / span * 255.0, 0) AS INT) / 255.0) * span + lo AS dx
+        |       FROM px JOIN dims USING (pos)),
+        |deq AS (SELECT vec_id, list(dx ORDER BY pos) AS dvec FROM dq GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 10),
+        |coarse AS (SELECT q.query_id, d.vec_id,
+        |             round(list_dot_product(q.qv, d.dvec)
+        |               / (q.qn * sqrt(list_dot_product(d.dvec, d.dvec))), 9) AS csim
+        |           FROM q JOIN deq d ON d.vec_id <> q.query_id),
+        |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY csim DESC, vec_id) AS crank FROM coarse),
+        |resc AS (SELECT c.query_id, c.vec_id,
+        |           round(list_dot_product(q.qv, e.v)
+        |             / (q.qn * sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+        |         FROM cand c JOIN q ON c.query_id = q.query_id
+        |         JOIN e ON c.vec_id = e.vec_id
+        |         WHERE c.crank <= 12),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY sim DESC, vec_id) AS rank FROM resc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
     "q_cosine_neardup" ->

@@ -135,7 +135,11 @@ object Similarity {
 
   /** Two-stage quantized top-k: coarse cosine on dequantized int8 codes
     * selects `k * overfetch` candidates per query, which are re-scored
-    * in full float precision; exact ordering within the candidate set. */
+    * in full float precision; exact ordering within the candidate set.
+    * The coarse rank uses the 9-dp-rounded score (like every other
+    * similarity ranking here) so the candidate set is reproducible
+    * cross-engine — the DuckDB oracle replays the whole
+    * quantize→dequantize→rank pipeline bit-for-bit. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     overfetch: Int = 4): DataFrame = {
     val (qcorpus, scales) = quantize(corpus)
@@ -149,7 +153,7 @@ object Similarity {
       norm(col("vec")).as("qn"))
     val coarse = deq.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
-        (dot(col("qv"), col("dvec")) / (col("qn") * norm(col("dvec")))).as("csim"))
+        round(dot(col("qv"), col("dvec")) / (col("qn") * norm(col("dvec"))), 9).as("csim"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("vec_id"))
     val candidates = coarse.withColumn("crank", row_number().over(wCoarse))

@@ -1,0 +1,74 @@
+package graft
+
+/** Asserts the PHYSICAL-PLAN properties the 100 TB design depends on —
+  * not just that queries return the right rows, but that they produce
+  * the plans you'd want on a 1000-executor cluster: filters reaching the
+  * parquet scan, columns pruned at the source, small dimensions
+  * broadcast, partial (map-side) aggregation before any shuffle, and no
+  * accidental cartesian products in the candidate-join family. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfSmoke).queryExecution.executedPlan.toString
+
+  test("q_range_filter: the key range reaches the parquet scan as pushed filters") {
+    val p = plan("q_range_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(key") && p.contains("LessThan(key"), p)
+  }
+
+  test("q1_agg: column pruning — the scan reads only the 5 referenced lineitem columns") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+      .foreach(c => assert(readSchema.contains(c), readSchema))
+    Seq("l_comment", "l_shipdate", "l_orderkey")
+      .foreach(c => assert(!readSchema.contains(c), readSchema))
+  }
+
+  test("q_checksum: partial+final hash aggregation (map-side combine before the shuffle)") {
+    val p = plan("q_checksum")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs in:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_join_revenue: small dimensions broadcast; no shuffle of customer/nation") {
+    val p = plan("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
+  test("candidate-join family plans contain no cartesian product or nested-loop join") {
+    // these joins must stay equi-joins on hashes/buckets/labels at any
+    // scale — a cartesian anywhere here is the 100×-scale-killer
+    for (q <- Seq("q_jaccard_join", "q_dedup_minhash", "q_simhash_neardup",
+        "q_cosine_neardup", "q_range_join", "q_asof_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("text-analysis pipeline: vectorized scan, codegen spans, no interpreter fallback") {
+    // AQE only shows codegen spans in the FINAL plan — execute THIS
+    // queryExecution (a write would clone the plan and leave it unfinal)
+    // and unwrap the adaptive root (its toString hides children). The
+    // scoring Project itself uses higher-order array functions (lambda
+    // filter/transform), which Spark deliberately keeps out of WSCG —
+    // the guarantees that matter are the vectorized parquet read, the
+    // codegen'd (*) stages around it, and the absence of Python/RDD
+    // evaluation anywhere.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q_quality")(spark, sfSmoke)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("*("), p)                    // whole-stage codegen spans
+    assert(p.contains("Batched: true"), p)         // vectorized parquet reader
+    assert(!p.contains("BatchEvalPython"), p)
+    assert(!p.contains("ExistingRDD"), p)
+  }
+}
