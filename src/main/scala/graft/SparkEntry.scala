@@ -370,16 +370,21 @@ object SparkEntry {
         sum(length(col("enc"))).as("sum_enc_bytes"))
     }),
     // complemented-ts decode (codec/codec.go:35-36) over synthesized
-    // 8-byte big-endian ~ts keys from the event stream
+    // 8-byte big-endian ~ts keys from the event stream. The roundtrip
+    // count asserts full NANOSECOND fidelity in-engine; the min/max are
+    // emitted at µs resolution because DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to µs, so the oracle can't see sub-µs tails.
     "q_codec_ts" -> ((s, dir) => {
       val keyed = Events.read(s, dir).select(col("ts_ns"),
         unhex(lpad(hex(bitwise_not(col("ts_ns"))), 16, "0")).as("tskey"))
-      keyed.agg(
-        count(lit(1)).as("n_keys"),
-        sum(when(CodecExpr.decodeTs(col("tskey")) === col("ts_ns"), 1L)
-          .otherwise(0L)).as("n_ts_roundtrip_ok"),
-        min(CodecExpr.decodeTs(col("tskey"))).as("min_ts_ns"),
-        max(CodecExpr.decodeTs(col("tskey"))).as("max_ts_ns"))
+      keyed
+        .withColumn("dec", CodecExpr.decodeTs(col("tskey")))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("dec") === col("ts_ns"), 1L)
+            .otherwise(0L)).as("n_ts_roundtrip_ok"),
+          min(expr("dec DIV 1000")).as("min_ts_us"),
+          max(expr("dec DIV 1000")).as("max_ts_us"))
     }))
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -496,6 +501,42 @@ object SparkEntry {
   }
   private val shingleCte = shingleCteOf(None)
   private val shingleCtePruned = shingleCteOf(Some(jaccardMaxDf))
+
+  /** CRC64 in pure DuckDB SQL — the EXACT algorithm of
+    * `functions/Crc64.scala` (reflected ECMA-182 polynomial, init ~0,
+    * final complement): the 256-entry lookup table is generated by 8
+    * unrolled polynomial-division steps over UBIGINT, and each row
+    * digest is a `list_reduce` fold over the ASCII bytes of key‖value
+    * (every KV fixture is pure ASCII, so `ord(char) = byte`). This puts
+    * the whole checksum family — previously property-tested only —
+    * under the cross-engine oracle gate. */
+  private val crc64TabCte: String = {
+    val poly = java.lang.Long.toUnsignedString(graft.functions.Crc64.Poly)
+    val steps = (0 until 8).map { j =>
+      s"c${j + 1} AS (SELECT i, CASE WHEN c & 1 = 1 THEN xor(c >> 1, CAST('$poly' AS UBIGINT)) ELSE c >> 1 END AS c FROM c$j)"
+    }.mkString(",\n")
+    s"""c0 AS (SELECT i, CAST(i AS UBIGINT) AS c FROM range(256) t(i)),
+       |$steps,
+       |crctab AS (SELECT list(c ORDER BY i) AS tab FROM c8)""".stripMargin
+  }
+
+  /** CTE pair `<name>0`/`<name>`: per-row signed-long CRC64 over the
+    * ASCII bytes of `k ‖ v` from `src` (which must expose VARCHAR k, v
+    * plus any `carry` columns). The unsigned fold result is re-signed
+    * through HUGEINT to match Spark's two's-complement long. */
+  private def crcRows(name: String, src: String, carry: Seq[String] = Nil): String = {
+    val cs = carry.map(_ + ", ").mkString
+    s"""${name}0 AS (SELECT $cs k, v,
+       |  xor(list_reduce(list_prepend(CAST('18446744073709551615' AS UBIGINT),
+       |        list_transform(string_split_regex(k || v, ''), ch -> CAST(ord(ch) AS UBIGINT))),
+       |      (acc, b) -> xor(tab[CAST((xor(acc, b) & 255) AS INT) + 1], acc >> 8)),
+       |    CAST('18446744073709551615' AS UBIGINT)) AS crc_u
+       |  FROM $src CROSS JOIN crctab),
+       |$name AS (SELECT $cs k, v,
+       |  CAST(CASE WHEN crc_u >= CAST('9223372036854775808' AS UBIGINT)
+       |       THEN CAST(crc_u AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT)
+       |       ELSE CAST(crc_u AS HUGEINT) END AS BIGINT) AS crc FROM ${name}0)""".stripMargin
+  }
   private val jaccardSelect =
     "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"
   private val langHits = TextAnalysis.langProfiles.map { case (code, ws) =>
@@ -751,6 +792,24 @@ object SparkEntry {
         |  AND epoch_us(e.ts) BETWEEN sess.ts_start_us AND sess.ts_end_us
         |GROUP BY sess.user_id, sess.session_no
         |ORDER BY sess.user_id, sess.session_no""".stripMargin,
+    // per-day and per-group streaming checksums, recomputed end-to-end
+    // by the SQL crc64 over (event_id ‖ props)
+    "q_stream_window_checksum" -> ("WITH " + crc64TabCte + ",\n" +
+      crcRows("sgn",
+        """(SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |  CAST(event_id AS VARCHAR) AS k, props AS v FROM events)""".stripMargin,
+        carry = Seq("day")) + "\n" +
+      """SELECT day, bit_xor(crc) AS crc64_xor, count(*) AS total_kvs,
+        |  CAST(sum(length(k) + length(v)) AS BIGINT) AS total_bytes
+        |FROM sgn GROUP BY day ORDER BY day""".stripMargin),
+    "q_stream_keyed_checksum" -> ("WITH " + crc64TabCte + ",\n" +
+      crcRows("sgn",
+        """(SELECT event_type, CAST(event_id AS VARCHAR) AS k, props AS v FROM events)""",
+        carry = Seq("event_type")) + "\n" +
+      """SELECT event_type AS "group", bit_xor(crc) AS crc64_xor,
+        |  count(*) AS total_kvs,
+        |  CAST(sum(length(k) + length(v)) AS BIGINT) AS total_bytes
+        |FROM sgn GROUP BY 1 ORDER BY "group"""".stripMargin),
     // the stream-stream diff must equal the batch diff on the same
     // bounded key range — the watermark/window machinery only changes
     // WHEN rows emit, never what
@@ -853,6 +912,40 @@ object SparkEntry {
         |             THEN 'V2' ELSE 'V1' END AS dst_api_version, count(*) AS dst_n_keys FROM dst) d""".stripMargin))
 
   private def parityOracle: Map[String, String] = Map(
+    // §2a rows 4-9: the checksum family, fully recomputed in DuckDB via
+    // the SQL crc64 (crc64TabCte) — the oracle now checks the digest
+    // VALUES, not just shapes
+    "q_checksum" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
+      """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
+        |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes
+        |FROM sgn""".stripMargin),
+    "q_checksum_bucket" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
+      """SELECT substr(k, 1, 10) AS bucket, bit_xor(crc) AS crc64_xor,
+        |  count(*) AS total_kvs,
+        |  CAST(sum(length(k) + length(v)) AS BIGINT) AS total_bytes
+        |FROM sgn GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "q_checksum_verdict" -> (cte + "," + crc64TabCte + ",\n" +
+      crcRows("ssg", "src") + ",\n" + crcRows("dsg", "dst") + "\n" +
+      """SELECT s.c AS src_crc64_xor, s.n AS src_total_kvs, s.b AS src_total_bytes,
+        |  d.c AS dst_crc64_xor, d.n AS dst_total_kvs, d.b AS dst_total_bytes,
+        |  (s.c = d.c AND s.n = d.n AND s.b = d.b) AS matches
+        |FROM (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM ssg) s,
+        |     (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM dsg) d""".stripMargin),
+    // §2a rows 13-17: the codec aggregates — roundtrip-success counts
+    // must claim every key, and the APIv2 encoded size is closed-form:
+    // 9 bytes per 8-byte group of (4-byte prefix ‖ key), incl. the
+    // always-present padding group (TiKVCodec.memcomparableEncode)
+    "q_codec_roundtrip" -> (cte +
+      """SELECT count(*) AS n_keys, count(*) AS n_apiv2_roundtrip_ok,
+        |  count(*) AS n_escape_roundtrip_ok,
+        |  CAST(sum(9 * ((4 + length(k)) // 8 + 1)) AS BIGINT) AS sum_enc_bytes
+        |FROM src""".stripMargin),
+    "q_codec_ts" ->
+      """SELECT count(*) AS n_keys, count(*) AS n_ts_roundtrip_ok,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+        |FROM events""".stripMargin,
     "q_diff" -> (cte +
       """SELECT COALESCE(s.k, d.k) AS key, s.v AS src_value, d.v AS dst_value,
         |  CASE WHEN s.k IS NULL THEN 'dst_only'
