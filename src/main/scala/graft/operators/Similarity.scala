@@ -170,7 +170,24 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
     * threshold, found via the IVF partitioning (pairs are only compared
     * within a cluster — at scale this is the blocked/bucketed near-dup
-    * join, not an all-pairs cross join). Exact within-cluster. */
+    * join, not an all-pairs cross join). Exact within-cluster.
+    *
+    * At 100× the within-cluster work is quadratic in cluster size; the
+    * remedies considered and their trade-offs, deliberately:
+    *  - sub-bucketing by sign-projection / int8-code LSH would cut the
+    *    quadratic but has recall < 1 for cosine at any finite table
+    *    count — it CHANGES the output, so it belongs behind a separate
+    *    approximate entry point (the machinery exists: [[quantize]] +
+    *    banded joins as in Dedup), not silently inside the exact one;
+    *  - norm-decomposition upper bounds (Cauchy-Schwarz over vector
+    *    segments, |a_h||b_h|+|a_t||b_t| ≥ dot) are sound but vacuous on
+    *    embeddings whose energy spreads evenly across dimensions (the
+    *    bound sits at ~1 for every pair) — measured useless here;
+    *  - the practical exact-scale path is RECURSIVE BLOCKING: split any
+    *    oversized cluster by k-means into sub-clusters and verify the
+    *    cross-sub-cluster pairs only where sub-centroid similarity
+    *    admits threshold-crossing pairs — exact, but warrants its own
+    *    operator when a fixture with mega-clusters exists. */
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     labelCol: String = "label"): DataFrame = {
     val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
