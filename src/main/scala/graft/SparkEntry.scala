@@ -88,6 +88,22 @@ object SparkEntry {
         .filter(col("j") >= 0.5)
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
+    // end-to-end corpus curation — the actual training-data use-case the
+    // operators compose into: quality-gate (score + length band) →
+    // exact-dedup survivors (min doc_id per content) → per-language
+    // corpus stats. Every stage is individually oracle-checked; this
+    // entry checks the COMPOSITION.
+    "q_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qual = TextAnalysis.quality(d, "text", "doc_id")
+        .filter(col("quality_score") >= 0.5 && col("n_tokens").between(10, 1000))
+        .select(col("doc_id"), col("n_tokens"))
+      Dedup.dropExactDuplicates(d, "text", "doc_id")
+        .join(qual, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }),
     // 64-bit SimHash signatures (xxhash64-based → property-tested, no oracle)
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
@@ -266,6 +282,20 @@ object SparkEntry {
         .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
         .orderBy(col("day"))
     }),
+    // sliding event-time windows (2-day window, 1-day slide): each event
+    // lands in exactly two windows — the overlap form the tumbling
+    // dailyAgg can't express
+    "q_event_sliding" -> ((s, dir) =>
+      Events.read(s, dir)
+        .select(window(col("ts"), "2 days", "1 day").as("w"),
+          col("value"), col("user_id"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"),
+          count_distinct(col("user_id")).as("n_users"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("w_start"),
+          col("n_events"), col("sum_value"), col("n_users"))
+        .orderBy(col("w_start"))),
     // per-day checksum triple of the event stream viewed as KV change
     // records — the continuous-compare transform (same code path drives
     // the Structured Streaming variant; crc64 → no SQL oracle)
@@ -750,6 +780,35 @@ object SparkEntry {
         |  max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // curated-corpus stats: quality gate → exact-dedup survivors →
+    // per-lang aggregates (the composition of three oracle-checked stages)
+    "q_curation" ->
+      s"""WITH m AS (SELECT doc_id, lang, text, length(text) AS n_chars,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM documents),
+        |qual AS (SELECT doc_id, n_tokens FROM m
+        |  WHERE round(((CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4)
+        |    + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END)
+        |    + (least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 3.0, 1.0) * 0.3), 6) >= 0.5
+        |    AND n_tokens BETWEEN 10 AND 1000),
+        |kept AS (SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM kept JOIN qual USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // each event contributes to the two 2-day windows whose 1-day-slide
+    // starts cover it (UTC day-aligned, like Spark's window())
+    "q_event_sliding" ->
+      """WITH w AS (SELECT strftime(date_trunc('day', ts) - o * INTERVAL 1 DAY, '%Y-%m-%d') AS w_start,
+        |                  value, user_id
+        |           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o))
+        |SELECT w_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q_event_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n_events,
