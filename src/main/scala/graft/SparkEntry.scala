@@ -104,12 +104,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("lang"))
     }),
-    // 64-bit SimHash signatures (xxhash64-based → property-tested, no oracle)
+    // 60-bit SimHash signatures over the md5-derived token hash — fully
+    // oracle-checked (the xxhash64 default stays the in-engine fast
+    // path; it has no DuckDB twin and is covered by DedupSpec instead)
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
-    // SimHash near-dup pairs: 4×16-bit chunk pigeonhole join, Hamming ≤ 3
+      Dedup.simhash(docs(s, dir), "text", "doc_id", 60, Dedup.md5Hash60)
+        .orderBy(col("doc_id"))),
+    // SimHash near-dup pairs: 4×15-bit chunk pigeonhole join, Hamming ≤ 3
     "q_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", 3)
+      Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", 3, 60, Dedup.md5Hash60)
         .orderBy(col("doc_a"), col("doc_b"))))
 
   // §2b LLM-pipeline: similarity search over `embeddings`.
@@ -120,9 +123,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.filter(col("id") < 10), e, 3)
         .orderBy(col("query_id"), col("rank"))
     }),
-    // IVF-style ANN: probe the 2 nearest of 10 centroid clusters
-    // (centroids from grouped avg → not bit-reproducible in SQL; recall
-    // vs brute force is scalatest-checked instead)
+    // IVF-style ANN: probe the 2 nearest of the per-label centroid
+    // clusters. Centroids sum in DECIMAL → the full pipeline (codebook,
+    // assignment, probing, rescoring) is deterministic and
+    // oracle-replayed in DuckDB; recall vs brute force is ALSO
+    // scalatest-checked
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
@@ -532,6 +537,25 @@ object SparkEntry {
   private val shingleCte = shingleCteOf(None)
   private val shingleCtePruned = shingleCteOf(Some(jaccardMaxDf))
 
+  /** SimHash signature CTE: per-token 60-bit md5 hash → per-bit ±1 votes
+    * with multiplicity → signature = OR of positive-vote bits. Yields
+    * CTE `sig` with (doc_id, simhash). */
+  private val simhashSigCte: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, list_reduce(
+      |        list_transform(string_split_regex(substr(md5(t), 1, 15), ''),
+      |          ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+      |        (a, d) -> a * 16 + d) AS h
+      |      FROM tok),
+      |votes AS (SELECT doc_id, b,
+      |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+      |          GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM votes GROUP BY doc_id)
+      |""".stripMargin
+
   /** CRC64 in pure DuckDB SQL — the EXACT algorithm of
     * `functions/Crc64.scala` (reflected ECMA-182 polynomial, init ~0,
     * final complement): the 256-entry lookup table is generated by 8
@@ -598,6 +622,20 @@ object SparkEntry {
     // the LSH path must recover every pair the exact join finds at this
     // threshold — same oracle; LSH only prunes candidates
     "q_dedup_minhash" -> (shingleCte + jaccardSelect),
+    // SimHash bit-vote signatures over the md5-derived 60-bit token hash
+    // (substr(md5,1,15) parsed base-16 — exactly Dedup.md5Hash60)
+    "q_simhash" -> (simhashSigCte +
+      "SELECT doc_id, simhash FROM sig ORDER BY doc_id"),
+    "q_simhash_neardup" -> (simhashSigCte +
+      """, chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+        |            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            a.simhash AS sa, b.simhash AS sb
+        |          FROM chunks a JOIN chunks b
+        |          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |scored AS (
@@ -606,6 +644,41 @@ object SparkEntry {
         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
         |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.vec_id <> c.vec_id),
         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // replays Similarity.ivfTopK end-to-end: decimal-exact per-label
+    // centroids, every corpus vector assigned to its nearest centroid
+    // (9-dp cosine, cluster_id tie-break), per-query probe of the 2
+    // nearest clusters, full-precision rescore within probed clusters
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT vec_id, label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+        |cm AS (SELECT label AS cluster_id, pos,
+        |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+        |       FROM px GROUP BY label, pos),
+        |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |           round(list_dot_product(e.v, c.cvec)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |         FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, v, cluster_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 10),
+        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
+        |          round(list_dot_product(q.qv, c.cvec)
+        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |        FROM q CROSS JOIN cent c),
+        |pr AS (SELECT query_id, qv, qn, cluster_id FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY csim DESC, cluster_id) AS r FROM pr0) WHERE r <= 2),
+        |sc AS (SELECT p.query_id, a.vec_id,
+        |         round(list_dot_product(p.qv, a.v)
+        |           / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
+        |       FROM pr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
     // replays Similarity.quantize + quantizedTopK: per-dim (min, span)

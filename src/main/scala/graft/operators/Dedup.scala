@@ -225,35 +225,50 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** 64-bit SimHash per document: hash each token once, then for every
-    * bit position sum +1/-1 contributions across tokens (with
-    * multiplicity); bit b of the signature is 1 iff the sum is positive.
-    * One explode + one 64-column grouped agg — fully partial-aggregated. */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** 60-bit token hash both Spark and the DuckDB oracle compute exactly:
+    * the leading 15 hex digits of md5(token), parsed base-16. Used by
+    * the oracle-checked SimHash entries; [[simhash]]'s default xxhash64
+    * is the faster in-engine path (hash quality is equivalent — both are
+    * uniform — but xxhash64 has no DuckDB twin). */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** SimHash per document: hash each token once, then for every bit
+    * position sum +1/-1 contributions across tokens (with multiplicity);
+    * bit b of the signature is 1 iff the sum is positive. One explode +
+    * one `bits`-column grouped agg — fully partial-aggregated. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+              bits: Int = 64,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+    val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b"))
     val summed = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b =>
+    val sig = (0 until bits).map(b =>
         when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     summed.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
-    * chunks; by pigeonhole any pair within Hamming distance 3 shares at
-    * least one exact chunk, so an equi-join per chunk finds ALL such
-    * pairs (exact, not probabilistic); verify with bit_count(xor). */
+  /** SimHash near-dup pairs: band the `bits`-bit signature into four
+    * bits/4-wide chunks; by pigeonhole any pair within Hamming distance
+    * 3 shares at least one exact chunk, so an equi-join per chunk finds
+    * ALL such pairs (exact, not probabilistic); verify with
+    * bit_count(xor). */
   def simhashNearDup(docs: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, bits: Int = 64,
+                     tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers Hamming <= 3")
-    val sig = simhash(docs, textCol, idCol)
+    require(bits % 4 == 0, "signature must split into 4 equal chunks")
+    val cb = bits / 4
+    val mask = (1L << cb) - 1L
+    val sig = simhash(docs, textCol, idCol, bits, tokenHash)
     val chunked = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          shiftright(col("simhash"), c * cb).bitwiseAND(lit(mask))): _*)))
       .toDF("doc_id", "simhash", "chunk_id", "chunk")
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))

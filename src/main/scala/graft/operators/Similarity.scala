@@ -66,12 +66,18 @@ object Similarity {
     * exact search. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
               labelCol: String = "label"): DataFrame = {
-    // centroid[j] = avg(vec[j]) per label — posexplode + grouped avg, a
+    // centroid[j] = mean(vec[j]) per label — posexplode + grouped agg, a
     // partial-aggregated shuffle of (label, j, sum, cnt) triples only.
+    // The mean sums in DECIMAL(27,15) and divides once as a double: a
+    // bare avg(double) adds in partition order, so the codebook — and
+    // with it every downstream assignment — would differ run to run;
+    // this way the whole ANN pipeline is deterministic and the DuckDB
+    // oracle reproduces it bit-for-bit.
     val cent = corpus
       .select(col(labelCol).as("cluster_id"), posexplode(col("vec")))
       .groupBy(col("cluster_id"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"))
+      .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+        count(lit(1))).as("m"))
       .groupBy(col("cluster_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
