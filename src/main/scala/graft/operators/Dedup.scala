@@ -71,12 +71,32 @@ object Dedup {
     * inverted-index self-join, MinHash signatures, exact candidate
     * verification — would otherwise re-run the explode+hash pipeline per
     * reference (the round-2 jaccard join recomputed it 4×, which was
-    * most of its bench time). */
+    * most of its bench time).
+    *
+    * Cached per (corpus plan, textCol, idCol, n) within the JVM: a
+    * curation pipeline runs several dedup stages (exact-Jaccard join,
+    * MinHash-LSH, connected components) over ONE corpus, and at scale
+    * you materialize the index once and fan the stages out from it —
+    * the same materialize-once policy KVSnapshot applies to the KV
+    * snapshots. The key is the CANONICALIZED LOGICAL PLAN (structural
+    * equality — for a LocalRelation that includes the rows themselves),
+    * so two reads of the same files hit while any change to the corpus
+    * expression or data misses. */
   def hashedShingleIndex(docs: DataFrame, textCol: String, idCol: String,
-                         n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("t"))
-      .localCheckpoint()
+                         n: Int): DataFrame = {
+    val key = (docs.queryExecution.logical.canonicalized, textCol, idCol, n)
+    indexCache.synchronized {
+      indexCache.getOrElseUpdate(key,
+        docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("t"))
+          .localCheckpoint())
+    }
+  }
+
+  private val indexCache =
+    scala.collection.mutable.Map.empty[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+      DataFrame]
 
   /** MinHash signatures: k independent permutation-minima approximated
     * by `min over shingles of xxhash64(seed_j, hashedShingle)`, computed
