@@ -303,7 +303,7 @@ object SparkEntry {
         .orderBy(col("w_start"))),
     // per-day checksum triple of the event stream viewed as KV change
     // records — the continuous-compare transform (same code path drives
-    // the Structured Streaming variant; crc64 → no SQL oracle)
+    // the Structured Streaming variant); oracle = the SQL crc64 fold
     "q_stream_window_checksum" -> ((s, dir) => {
       val ev = Events.read(s, dir)
       val kv = ev.select(col("ts"),

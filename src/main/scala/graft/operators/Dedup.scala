@@ -78,24 +78,38 @@ object Dedup {
     * MinHash-LSH, connected components) over ONE corpus, and at scale
     * you materialize the index once and fan the stages out from it —
     * the same materialize-once policy KVSnapshot applies to the KV
-    * snapshots. The key is the CANONICALIZED LOGICAL PLAN (structural
-    * equality — for a LocalRelation that includes the rows themselves),
-    * so two reads of the same files hit while any change to the corpus
-    * expression or data misses. */
+    * snapshots. The key is (session, CANONICALIZED LOGICAL PLAN, params):
+    * plan equality is structural (for a LocalRelation that includes the
+    * rows themselves; for file reads it is the root path + schema — like
+    * KVSnapshot's cache, an in-place rewrite of the same path within one
+    * JVM is NOT detected), and keying by session plus pruning entries of
+    * stopped sessions means a restarted session can never be served a
+    * checkpoint whose blocks died with the old context. The index build
+    * runs OUTSIDE the cache lock (it is a Spark job); a rare concurrent
+    * double-build is benign — one result wins, the other is garbage
+    * collected. */
   def hashedShingleIndex(docs: DataFrame, textCol: String, idCol: String,
                          n: Int): DataFrame = {
-    val key = (docs.queryExecution.logical.canonicalized, textCol, idCol, n)
+    val session = docs.sparkSession
+    val key = (session, docs.queryExecution.logical.canonicalized, textCol, idCol, n)
     indexCache.synchronized {
-      indexCache.getOrElseUpdate(key,
-        docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
-          .select(col("doc_id"), xxhash64(col("s")).as("t"))
-          .localCheckpoint())
+      indexCache.filterInPlace { case ((s, _, _, _, _), _) => !s.sparkContext.isStopped }
+      indexCache.get(key)
+    } match {
+      case Some(cached) => cached
+      case None =>
+        val built =
+          docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+            .select(col("doc_id"), xxhash64(col("s")).as("t"))
+            .localCheckpoint()
+        indexCache.synchronized { indexCache.getOrElseUpdate(key, built) }
     }
   }
 
   private val indexCache =
     scala.collection.mutable.Map.empty[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+      (org.apache.spark.sql.SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
       DataFrame]
 
   /** MinHash signatures: k independent permutation-minima approximated

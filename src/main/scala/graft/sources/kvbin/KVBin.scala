@@ -36,12 +36,14 @@ object KVBin {
             apiVersion: String = "V1"): Seq[(String, Array[Byte], Array[Byte], Long)] = {
     val spark = kv.sparkSession
     import spark.implicits._
-    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // the session's hadoop conf (session-scoped spark.hadoop.* settings,
+    // credentials, FS implementations) drives BOTH the driver-side
+    // mkdirs/index write and — via Spark's serializable wrapper — the
+    // executor-side region writes
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val fs = FileSystem.get(new java.net.URI(dir), sconf.value)
     fs.mkdirs(new Path(dir))
-    // the session's hadoop conf must reach the executor-side writes
-    // (credentials, FS implementations) — Configuration isn't
-    // Serializable, so it travels via the Writable-based wrapper
-    val sconf = new SerializableConf(spark.sessionState.newHadoopConf())
     val index = kv
       .select(col("key"), col("value"))
       .repartitionByRange(numRanges, col("key"))
@@ -84,34 +86,37 @@ object KVBin {
   def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  /** Read the region index: (file, minKey, maxKey, count). `#key=value`
-    * header lines carry source metadata (see [[readMeta]]). */
-  def readIndex(dir: String, conf: Configuration): Seq[(String, Array[Byte], Array[Byte], Long)] = {
+  /** One read of the index file → (metadata, region entries). Metadata
+    * comes from `#key=value` header lines; indexes written before the
+    * stamp existed report api_version V1. */
+  def readAll(dir: String, conf: Configuration)
+      : (Map[String, String], Seq[(String, Array[Byte], Array[Byte], Long)]) = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(new Path(dir, IndexFile)), "UTF-8"))
     try {
-      Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-          val Array(f, mn, mx, n) = line.split("\t")
-          (f, unhex(mn), unhex(mx), n.toLong)
-        }.toList
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toList
+      val meta0 = lines.filter(_.startsWith("#"))
+        .map(_.stripPrefix("#").split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      val meta = if (meta0.contains("api_version")) meta0
+                 else meta0 + ("api_version" -> "V1")
+      val entries = lines.filterNot(_.startsWith("#")).map { line =>
+        val Array(f, mn, mx, n) = line.split("\t")
+        (f, unhex(mn), unhex(mx), n.toLong)
+      }
+      (meta, entries)
     } finally in.close()
   }
 
-  /** Source metadata from the index header (`#key=value` lines). Indexes
-    * written before the stamp existed report api_version V1. */
-  def readMeta(dir: String, conf: Configuration): Map[String, String] = {
-    val fs = FileSystem.get(new java.net.URI(dir), conf)
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(new Path(dir, IndexFile)), "UTF-8"))
-    try {
-      val kv = Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.startsWith("#")).map(_.stripPrefix("#").split("=", 2))
-        .collect { case Array(k, v) => k -> v }.toMap
-      if (kv.contains("api_version")) kv else kv + ("api_version" -> "V1")
-    } finally in.close()
-  }
+  /** Region index entries: (file, minKey, maxKey, count). */
+  def readIndex(dir: String, conf: Configuration): Seq[(String, Array[Byte], Array[Byte], Long)] =
+    readAll(dir, conf)._2
+
+  /** Source metadata from the index header. */
+  def readMeta(dir: String, conf: Configuration): Map[String, String] =
+    readAll(dir, conf)._1
 
   /** Iterate one region file's records. */
   def readFile(dir: String, name: String, conf: Configuration): Iterator[(Array[Byte], Array[Byte])] = {

@@ -63,7 +63,7 @@ class KVBinTable(dir: String) extends Table with SupportsRead {
 class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
                        endpoints: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private val conf = new SerializableConf(
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
@@ -108,7 +108,7 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 endIncl: Array[Byte], required: StructType,
-                conf: SerializableConf,
+                conf: org.apache.spark.util.SerializableConfiguration,
                 expectedApiVersion: Option[String] = None,
                 endpoints: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -124,12 +124,12 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     * a mismatched cluster fails the query at planning time, before any
     * region file is opened (`checksum/checksum.go:134-137` analog). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val sourceVersion = KVBin.readMeta(dir, conf.value)("api_version")
+    val (meta, index) = KVBin.readAll(dir, conf.value) // one index read
+    val sourceVersion = meta("api_version")
     expectedApiVersion.filter(_ != sourceVersion).foreach { e =>
       throw new IllegalStateException(
         s"kvbin api version mismatch: source $dir is $sourceVersion, reader expects $e")
     }
-    val index = KVBin.readIndex(dir, conf.value)
     index.filter { case (_, mn, mx, _) =>
       (start == null || KVBin.compare(mx, start) >= 0) &&
       (end == null || KVBin.compare(mn, end) < 0) &&
@@ -146,7 +146,7 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
 
 case class KVBinInputPartition(dir: String, file: String,
     start: Array[Byte], end: Array[Byte], endIncl: Array[Byte],
-    columns: Array[String], conf: SerializableConf)
+    columns: Array[String], conf: org.apache.spark.util.SerializableConfiguration)
   extends InputPartition
 
 class KVBinReaderFactory extends PartitionReaderFactory {

@@ -34,6 +34,17 @@ object StreamEntries {
   private def drain(q: StreamingQuery)(feed: => Unit): Unit =
     try { feed; q.processAllAvailable() } finally q.stop()
 
+  /** Resolve the memory-sink table into a DataFrame, then drop its temp
+    * view: the resolved plan keeps this run's sink rows alive, while the
+    * catalog entry (and with it the PREVIOUS runs' result sets — every
+    * call registers a fresh name) is released instead of pinning driver
+    * memory for the JVM lifetime. */
+  private def takeTable(s: SparkSession, name: String): DataFrame = {
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** Streaming state partitioning is fixed at query start from
     * `spark.sql.shuffle.partitions`; one state store per partition (×2
     * sides ×2 stores for the stream-stream join) is provisioned and
@@ -81,7 +92,7 @@ object StreamEntries {
         dstMem.addData(Seq((tick, "~tick", "t")))
       }
     }
-    s.table(name)
+    takeTable(s, name)
       .select(col("key"), col("src_value"), col("dst_value"), col("diff_class"))
       .orderBy(col("key"), col("diff_class"))
   }
@@ -119,7 +130,7 @@ object StreamEntries {
         mem.addData(Seq(sentinel(2 * 86400000L)))
       }
     }
-    s.table(name)
+    takeTable(s, name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("ts_start_us"), col("ts_end_us"), col("n_events"))
       .orderBy(col("user_id"), col("ts_start_us"))
@@ -151,7 +162,7 @@ object StreamEntries {
         }
       }
     }
-    s.table(name)
+    takeTable(s, name)
       .groupBy(col("group"))
       .agg(
         max_by(col("crc64_xor"), col("total_kvs")).as("crc64_xor"),

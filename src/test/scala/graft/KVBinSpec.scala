@@ -106,12 +106,13 @@ class KVBinSpec extends SparkTestBase {
   }
 
   test("partition reader honors the pruned schema's field order") {
-    import graft.sources.kvbin.{KVBinInputPartition, KVBinPartitionReader, SerializableConf}
+    import graft.sources.kvbin.{KVBinInputPartition, KVBinPartitionReader}
     val data = Seq(("kk".getBytes("UTF-8"), "vvv".getBytes("UTF-8"))).toDF("key", "value")
     val dir = java.nio.file.Files.createTempDirectory("kvbin-order-").toString
     KVBin.write(data, dir, 1)
     val file = KVBin.readIndex(dir, spark.sessionState.newHadoopConf()).head._1
-    val sconf = new SerializableConf(spark.sessionState.newHadoopConf())
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     def readWith(cols: Array[String]): Seq[Seq[String]] = {
       val r = new KVBinPartitionReader(
         KVBinInputPartition(dir, file, null, null, null, cols, sconf))

@@ -3,14 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Manual profiling harness (Test/runMain graft.StreamProfile) — times
-  * the streaming entries at a given SF and shuffle-partition setting. */
+  * the streaming entries at a given SF. Note: the entries pin their own
+  * STATE partitioning (StreamEntries.withStatePartitions), so the
+  * session's shuffle-partition setting only affects the non-stateful
+  * stages around them. */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val parts = args.lift(1).getOrElse("32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
