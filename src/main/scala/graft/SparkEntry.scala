@@ -727,21 +727,27 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '$bpePat'))) AS BIGINT) AS sum_bpe_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // quality_score mirrors TextAnalysis.quality's INTEGER 6-dp rounding
+    // (ppm = floor((2·10⁵·num + den)/(2·den))): rounding the double
+    // approximation instead hits exact k.5×10⁻⁷ boundaries (den = 10·nTok
+    // can terminate at 7 decimals) where the engines' round() disagree
     "q_quality" ->
       s"""WITH m AS (SELECT doc_id, length(text) AS n_chars,
         |  len(string_split(text,' ')) AS n_tokens,
         |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
         |  len(regexp_extract_all(text, '$bpePat')) AS n_bpe_tokens,
         |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
-        |FROM documents)
+        |FROM documents),
+        |s AS (SELECT *,
+        |  4 * n_distinct_tokens + 3 * n_tokens * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |    + 3 * least(3 * n_stop, n_tokens) AS num,
+        |  10 * n_tokens AS den FROM m)
         |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_bpe_tokens,
         |  round(CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
         |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
         |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
-        |  round(((CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4)
-        |    + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END)
-        |    + (least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 3.0, 1.0) * 0.3), 6) AS quality_score
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  floor(CAST(200000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits
@@ -861,10 +867,12 @@ object SparkEntry {
         |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
         |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
         |FROM documents),
-        |qual AS (SELECT doc_id, n_tokens FROM m
-        |  WHERE round(((CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4)
-        |    + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END)
-        |    + (least((CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 3.0, 1.0) * 0.3), 6) >= 0.5
+        |sc AS (SELECT *,
+        |  4 * n_distinct_tokens + 3 * n_tokens * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |    + 3 * least(3 * n_stop, n_tokens) AS num,
+        |  10 * n_tokens AS den FROM m),
+        |qual AS (SELECT doc_id, n_tokens FROM sc
+        |  WHERE floor(CAST(200000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 >= 0.5
         |    AND n_tokens BETWEEN 10 AND 1000),
         |kept AS (SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -83,19 +83,31 @@ object TextAnalysis {
   /** Quality metrics per document — lengths, token counts, type-token
     * ratio, stopword ratio, mean token length (the length/punct/
     * stopword heuristic family used to filter training corpora) — plus
-    * a composite score in [0,1]: blend of
-    * type-token ratio, an in-range length band, and stopword presence.
-    * The score is computed from the RAW integer counts in one double
-    * expression with a single final round — feeding it the
-    * already-rounded 6-dp ratio columns would park many inputs exactly
-    * on a .5 rounding boundary at the 7th decimal, where Spark's
-    * HALF_UP and the oracle's float rounding disagree. */
+    * a composite score in [0,1]: blend of type-token ratio, an in-range
+    * length band, and stopword presence.
+    *
+    * The score is an exact rational of integer counts:
+    *   score = (4·nDistinct + 3·nTok·bandFlag + 3·min(3·nStop, nTok))
+    *           / (10·nTok)
+    * and its 6-dp HALF_UP rounding is computed IN INTEGER ARITHMETIC
+    * (ppm = ⌊(2·10⁵·num + den) / (2·den)⌋) before one final double
+    * division by 10⁶ — rounding the double approximation instead parks
+    * scores that are exactly k.5×10⁻⁷ (common, the denominator is a
+    * small integer) within an ulp of the rounding boundary, where
+    * Spark's BigDecimal HALF_UP and the oracle's multiply-based round
+    * can disagree (bit one doc at sf0.1). */
   def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     val nTokI = tokenCount(t)
     val nTok = nTokI.cast("double")
     val nDisI = distinctTokenCount(t)
     val nStopI = profileHits(t, langProfiles.toMap.apply("en"))
+    val bandFlag = when(nTokI.between(10, 1000), 1).otherwise(0)
+    val num = (lit(4) * nDisI + lit(3) * nTokI * bandFlag +
+      lit(3) * least(lit(3) * nStopI, nTokI)).cast("long")
+    val den = (lit(10) * nTokI).cast("long")
+    val ppm = floor((lit(200000L) * num + den).cast("double") /
+      (lit(2L) * den).cast("double"))
     docs.select(
       col(idCol).as("doc_id"),
       length(t).as("n_chars"),
@@ -105,11 +117,7 @@ object TextAnalysis {
       round(nDisI.cast("double") / nTok, 6).as("type_token_ratio"),
       round(nStopI.cast("double") / nTok, 6).as("stopword_ratio"),
       round((length(t) - (nTokI - lit(1))).cast("double") / nTok, 6).as("mean_token_len"),
-      round(
-        ((nDisI.cast("double") / nTok) * 0.4d)
-          + (when(nTokI.between(10, 1000), 0.3d).otherwise(0.0d))
-          + (least((nStopI.cast("double") / nTok) * lit(3.0d), lit(1.0d)) * 0.3d),
-        6).as("quality_score"))
+      (ppm.cast("double") / lit(1000000.0d)).as("quality_score"))
   }
 
   /** Polynomial rolling-hash content fingerprint over the text's
