@@ -225,13 +225,17 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph: every document in
     * a pair gets `cluster_id = min doc_id reachable` — the canonical
-    * survivor of its duplicate cluster. Iterative min-label propagation
-    * (one join + grouped min per round, lineage cut via localCheckpoint);
-    * converges in O(graph diameter) rounds — near-dup clusters are
-    * dense, so the practical diameter is tiny; `maxIters` is a
-    * safety bound, and non-convergence raises rather than returning
-    * partial labels. Input: (doc_a, doc_b) pairs. Output:
-    * (doc_id, cluster_id). */
+    * survivor of its duplicate cluster.
+    *
+    * Each round combines (a) min-label propagation over edges with (b)
+    * POINTER JUMPING — every node also adopts its current label's label
+    * (`labels[labels[n]]`), halving representative-path lengths — so
+    * convergence takes O(log diameter) rounds, not O(diameter): a
+    * 1000-node transitive-drift chain (a→b→c→…, the worst case for
+    * plain propagation) finishes in ~10 rounds. One job per round (the
+    * convergence check is a bare filter over the just-checkpointed
+    * update); non-convergence raises rather than returning partial
+    * labels. Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id). */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -244,12 +248,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nlabel"))
-      // carry the old label through the update so convergence is a bare
-      // filter over the just-checkpointed frame — one job per round, not
-      // a second join+action on top of the update job
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val stepped = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: label ← min(label, labels[label]); labels[label]
+      // always exists (labels are node ids of the same frame)
+      val next = stepped
+        .join(labels.select(col("node").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("node"), col("old"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select(col("node"), col("label"))

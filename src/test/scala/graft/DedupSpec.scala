@@ -91,6 +91,17 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters converges on a 300-node chain within the round budget") {
+    // transitive-drift worst case: plain min-label propagation needs
+    // O(diameter)=300 rounds and would blow the maxIters bound; pointer
+    // jumping converges in O(log diameter)
+    val pairs = spark.range(1, 300)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect()
+    assert(got.length === 300)
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("degenerate LSH bucket (fully duplicated corpus) stays bounded and exact") {
     // 500 identical docs → every band bucket holds all 500 ids. The pair
     // expansion must happen via the bucket self-join (distributed shuffle
