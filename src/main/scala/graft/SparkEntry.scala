@@ -88,6 +88,19 @@ object SparkEntry {
         .filter(col("j") >= 0.5)
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
+    // passage-level duplication: content-defined chunks shared across
+    // distinct documents — catches PARTIAL copies that whole-document
+    // fingerprints miss (the chunk boundaries are content-defined, so a
+    // prefix edit doesn't shift every downstream chunk)
+    "q_cdc_dup_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docs(s, dir), "text", "doc_id")
+        .groupBy(col("fp"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("chunk_len")).as("chunk_len"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occ").desc, col("fp"))
+        .limit(50)),
     // end-to-end corpus curation — the actual training-data use-case the
     // operators compose into: quality-gate (score + length band) →
     // exact-dedup survivors (min doc_id per content) → per-language
@@ -859,6 +872,29 @@ object SparkEntry {
         |  max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CDC chunk boundaries replayed with the identical integer Horner
+    // fold (w=16 window, mod 1e9+7, cut where hash % 64 = 0)
+    "q_cdc_dup_chunks" ->
+      """WITH cs AS (SELECT doc_id,
+        |        list_filter(string_split_regex(text, ''), c -> len(c) > 0) AS ch
+        |      FROM documents),
+        |b AS (SELECT doc_id, ch, len(ch) AS n,
+        |        CASE WHEN len(ch) > 16 THEN
+        |          list_filter(generate_series(16, len(ch) - 1), p ->
+        |            list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(list_slice(ch, p - 15, p), c -> CAST(ord(c) AS BIGINT))),
+        |              (a, d) -> (a * 31 + d) % 1000000007) % 64 = 0)
+        |        ELSE CAST([] AS BIGINT[]) END AS bpos
+        |      FROM cs),
+        |st AS (SELECT doc_id, ch, list_prepend(0, bpos) AS starts,
+        |         list_append(bpos, n) AS ends FROM b),
+        |ck AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(starts)),
+        |         i -> array_to_string(list_slice(ch, starts[i] + 1, ends[i]), ''))) AS chunk
+        |       FROM st)
+        |SELECT md5(chunk) AS fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  CAST(min(length(chunk)) AS INT) AS chunk_len
+        |FROM ck GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occ DESC, fp LIMIT 50""".stripMargin,
     // curated-corpus stats: quality gate → exact-dedup survivors →
     // per-lang aggregates (the composition of three oracle-checked stages)
     "q_curation" ->

@@ -133,6 +133,25 @@ class DedupSpec extends SparkTestBase {
     assert(prunedPairs.contains((3L, 4L)))
   }
 
+  test("CDC chunks cover the text exactly and an early edit only perturbs a prefix of chunks") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val edited = "XX " + base
+    val chunksOf = (t: String) =>
+      Dedup.cdcChunks(Seq((1L, t)).toDF("doc_id", "text"), "text", "doc_id")
+        .orderBy(col("chunk_no"))
+        .select("fp", "chunk_len").as[(String, Int)].collect().toSeq
+    val a = chunksOf(base)
+    val b = chunksOf(edited)
+    // full coverage, deterministic
+    assert(a.map(_._2).sum === base.length)
+    assert(a === chunksOf(base))
+    assert(a.length > 2, s"expected several chunks, got ${a.length}")
+    // content-defined boundaries: the edit changes a prefix of chunks but
+    // the chunk streams re-synchronize — a shared suffix of fingerprints
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(common > 0, s"no shared chunk suffix: a=$a b=$b")
+  }
+
   test("shingles of short documents never produce empty arrays") {
     val df = Seq((1L, "one"), (2L, "one two")).toDF("doc_id", "text")
     val sizes = df.select(size(Dedup.shingles(col("text"), 3))).as[Int].collect()
