@@ -199,6 +199,20 @@ object SparkEntry {
       TextAnalysis.tfidfTerms(docs(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("term"), round(col("weight"), 6).as("weight"))
         .orderBy(col("doc_id"), col("term"))),
+    // deterministic train/validation/test split assignment (90/5/5) via
+    // a keyed content-stable hash: a document keeps its split across
+    // corpus versions and cluster layouts — never assign splits by
+    // row_number or rand(), both of which reshuffle when data moves
+    "q_split_assign" -> ((s, dir) => {
+      val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L))
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "validation").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("lang"), col("split"))
+    }),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -773,6 +787,20 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q_split_assign" ->
+      """WITH b AS (SELECT lang, text,
+        |  list_reduce(list_transform(
+        |      string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |    (a, d) -> a * 16 + d) % 100 AS bucket
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'validation'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q_token_topk" ->
       """SELECT t, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
