@@ -30,9 +30,16 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles. Documents shorter than n tokens
-    * produce one shingle holding all their tokens (never an empty or
-    * descending `sequence`). */
-  def shingles(text: Column, n: Int): Column = {
+    * produce one shingle holding all their tokens. Backed by the
+    * codegen'd single-pass [[graft.functions.WordShinglesExpr]] — the
+    * HOF formulation ([[shinglesHof]]) is interpreted and dominated the
+    * dedup index build; DedupSpec asserts the two are identical. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles.wordShingles(text, n)
+
+  /** The higher-order-function twin of [[shingles]] (reference
+    * semantics; kept for the equivalence spec). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val w = tokens(text)
     array_distinct(
       transform(

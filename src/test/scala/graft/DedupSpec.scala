@@ -157,4 +157,20 @@ class DedupSpec extends SparkTestBase {
     val sizes = df.select(size(Dedup.shingles(col("text"), 3))).as[Int].collect()
     assert(sizes.forall(_ === 1))
   }
+
+  test("codegen'd shingle expression is identical to the HOF formulation") {
+    // fixture docs + adversarial edge cases: empty text, repeated and
+    // trailing separators (empty tokens), short docs, duplicate shingles
+    val edge = Seq((9001L, ""), (9002L, "a  b "), (9003L, " x"),
+      (9004L, "w w w w w w"), (9005L, "one two")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text")).unionAll(edge)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = docs.select(col("doc_id"),
+          Dedup.shingles(col("text"), n).as("fast"),
+          Dedup.shinglesHof(col("text"), n).as("hof"))
+        .filter(col("fast") =!= col("hof"))
+      assert(diff.isEmpty, s"n=$n mismatch: ${diff.take(3).mkString}")
+    }
+  }
 }
