@@ -56,9 +56,14 @@ object TextAnalysis {
     regexp_count(text, lit(ngrams.mkString("|")))
 
   /** Char-n-gram language ID: argmax bigram-profile hits, alphabetical
-    * tie-break — the classic character-n-gram heuristic (the token
-    * [[langId]] variant is oracle-checked; this one is spec-tested). */
-  def langIdNgram(text: Column): Column = {
+    * tie-break — the classic character-n-gram heuristic. Backed by the
+    * codegen'd single-pass kernel ([[graft.functions.NgramLangIdExpr]]);
+    * [[langIdNgramFold]] is the column-fold twin (five regexp scans)
+    * kept for the equivalence spec. */
+  def langIdNgram(text: Column): Column =
+    graft.functions.LangIdKernels.ngramLangIdCol(text)
+
+  def langIdNgramFold(text: Column): Column = {
     val scored = charNgramProfiles.map { case (code, ngs) => (code, charNgramHits(text, ngs)) }
     scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bestCode, bestScore), (code, score)) =>
@@ -68,8 +73,13 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: argmax profile hits, ties broken by
-    * alphabetical language code (profiles are pre-sorted). */
-  def langId(text: Column): Column = {
+    * alphabetical language code (profiles are pre-sorted). Backed by
+    * the codegen'd single-pass kernel; [[langIdFold]] is the
+    * interpreted column-fold twin kept for the equivalence spec. */
+  def langId(text: Column): Column =
+    graft.functions.LangIdKernels.tokenLangIdCol(text)
+
+  def langIdFold(text: Column): Column = {
     val scored = langProfiles.map { case (code, words) => (code, profileHits(text, words)) }
     // strictly-greater fold keeps the FIRST (alphabetically smallest)
     // language on ties.

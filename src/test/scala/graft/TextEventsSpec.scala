@@ -44,6 +44,23 @@ class TextEventsSpec extends SparkTestBase {
     assert(none === "de")
   }
 
+  test("codegen'd language-ID kernels equal the column-fold formulations on the corpus") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, ""), (9002L, "the el le der 的"),
+        (9003L, "xyzzy plugh")).toDF("doc_id", "text"))
+    val diffTok = docs.select(
+        TextAnalysis.langId(col("text")).as("fast"),
+        TextAnalysis.langIdFold(col("text")).as("fold"))
+      .filter(col("fast") =!= col("fold"))
+    assert(diffTok.isEmpty, diffTok.take(3).mkString)
+    val diffNg = docs.select(
+        TextAnalysis.langIdNgram(col("text")).as("fast"),
+        TextAnalysis.langIdNgramFold(col("text")).as("fold"))
+      .filter(col("fast") =!= col("fold"))
+    assert(diffNg.isEmpty, diffNg.take(3).mkString)
+  }
+
   test("quality score stays in [0,1] on the fixture corpus") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val mm = TextAnalysis.quality(docs, "text", "doc_id")
