@@ -27,11 +27,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Sequential-fold double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  /** Sequential-fold double dot product of two float/double-array
+    * columns. Backed by the codegen'd [[graft.functions.DotProductExpr]]
+    * kernel, which is bit-identical to the HOF formulation
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(double) *
+    * y.cast(double)), 0.0d, (acc, v) => acc + v)` it replaced — the HOF
+    * tree is interpreted and ran once per candidate pair, dominating
+    * every similarity query. */
+  def dot(a: Column, b: Column): Column = graft.functions.Dot.dotProduct(a, b)
 
   /** L2 norm (double). */
   def norm(a: Column): Column = sqrt(dot(a, a))

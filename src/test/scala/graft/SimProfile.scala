@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Manual profiling harness (Test/runMain graft.SimProfile) — times the
+  * similarity-family queries at a given SF to locate bench hot spots. */
+object SimProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val sims = Seq("q_cosine_topk", "q_cosine_neardup", "q_ann_ivf", "q_quantized_topk")
+    // warmup
+    SparkEntry.queries("q_cosine_topk")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    sims.foreach { q =>
+      time(q) {
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

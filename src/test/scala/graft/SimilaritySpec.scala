@@ -11,6 +11,43 @@ class SimilaritySpec extends SparkTestBase {
   private def emb = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
     .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
 
+  test("codegen'd dot product is bit-identical to the HOF fold it replaced") {
+    // the HOF twin the kernel must reproduce exactly (including the
+    // sequential left-to-right fold order — float addition isn't
+    // associative, so any reordering would show up bitwise)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    // float×float on real fixture vectors
+    val both = emb.limit(64).crossJoin(
+        emb.limit(64).select(col("vec").as("vb")))
+      .select(Similarity.dot(col("vec"), col("vb")).as("fast"),
+        hofDot(col("vec"), col("vb")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).isEmpty)
+    assert(both.filter(col("fast").isNull).isEmpty)
+    // float×double (the centroid path) — doubles from a transform
+    val mixed = emb.limit(64)
+      .withColumn("dv", transform(col("vec"), x => x.cast("double") * 1.7))
+      .select(Similarity.dot(col("vec"), col("dv")).as("fast"),
+        hofDot(col("vec"), col("dv")).as("ref"))
+    assert(mixed.filter(col("fast") =!= col("ref")).isEmpty)
+    // edge cases: empty arrays → 0.0; length mismatch → null (zip_with
+    // pads the short side with null, nulling the fold); null array → null
+    val edge = Seq(
+      (Seq.empty[Float], Seq.empty[Float]),
+      (Seq(1.0f, 2.0f), Seq(3.0f))
+    ).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("fast"),
+        hofDot(col("a"), col("b")).as("ref"))
+      .collect()
+    assert(edge(0).getDouble(0) === 0.0 && edge(0).getDouble(1) === 0.0)
+    assert(edge(1).isNullAt(0) && edge(1).isNullAt(1))
+    val nul = Seq((Option.empty[Seq[Float]], Option(Seq(1.0f))))
+      .toDF("a", "b").select(Similarity.dot(col("a"), col("b")))
+      .collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
     val c = df.select(Similarity.cosine(col("vec"), col("vec"))).as[Double].head()
