@@ -84,26 +84,32 @@ object Similarity {
       .groupBy(col("cluster_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
+      // centroid norms hoisted out of the per-(vector, centroid) kernel:
+      // norm is a pure per-array quantity, so precomputing it is
+      // bit-identical and saves an array walk per candidate pair
+      .withColumn("cvn", norm(col("cvec")))
     // stage 1: assign every corpus vector to its nearest centroid
-    val assigned = corpus.select(col("id").as("vec_id"), col("vec").as("cv"))
+    val assigned = corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
+        norm(col("vec")).as("cn"))
       .join(broadcast(cent))
-      .select(col("vec_id"), col("cv"), col("cluster_id"),
-        round(cosine(col("cv"), col("cvec")), 9).as("csim"))
+      .select(col("vec_id"), col("cv"), col("cn"), col("cluster_id"),
+        round(dot(col("cv"), col("cvec")) / (col("cn") * col("cvn")), 9).as("csim"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
       .filter(col("r") === 1)
-      .select(col("vec_id"), col("cluster_id"), col("cv"))
+      .select(col("vec_id"), col("cluster_id"), col("cv"), col("cn"))
     // stage 2: per query, probe the nprobe nearest clusters only
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        norm(col("vec")).as("qn"))
       .join(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("cluster_id"),
-        round(cosine(col("qv"), col("cvec")), 9).as("csim"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cluster_id"),
+        round(dot(col("qv"), col("cvec")) / (col("qn") * col("cvn")), 9).as("csim"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster_id"))))
       .filter(col("r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cluster_id"))
-    val scored = assigned.withColumn("cn", norm(col("cv")))
-      .join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("cluster_id"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cluster_id"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
@@ -157,12 +163,17 @@ object Similarity {
         zip_with(col("qvec"),
           zip_with(col("los"), col("spans"), (l, s) => struct(l.as("l"), s.as("s"))),
           (c, ls) => (c.cast("double") / lit(255.0)) * ls.getField("s") + ls.getField("l")))
-      .select(col("id").as("vec_id"), col("vec").as("cv"), col("dvec"))
+      // per-vector norms hoisted out of the per-(query, vector) kernel —
+      // bit-identical (norm is a pure function of the array) and saves
+      // an array walk per pair scored
+      .select(col("id").as("vec_id"), col("vec").as("cv"), col("dvec"),
+        norm(col("vec")).as("cn"), norm(col("dvec")).as("dn"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       norm(col("vec")).as("qn"))
     val coarse = deq.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("qv"), col("cv"),
-        round(dot(col("qv"), col("dvec")) / (col("qn") * norm(col("dvec"))), 9).as("csim"))
+        col("qn"), col("cn"),
+        round(dot(col("qv"), col("dvec")) / (col("qn") * col("dn")), 9).as("csim"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("vec_id"))
     val candidates = coarse.withColumn("crank", row_number().over(wCoarse))
@@ -171,7 +182,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
     candidates
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("cv")), 9).as("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
