@@ -20,6 +20,17 @@ object SparkEntry {
 
   private val cte = KVSnapshot.duckdbCte
 
+  /** The diff-classification SELECT shared by q_diff and q_diff_pruned
+    * (the pruned form changes only the execution strategy). */
+  private val diffSelectSql =
+    """SELECT COALESCE(s.k, d.k) AS key, s.v AS src_value, d.v AS dst_value,
+      |  CASE WHEN s.k IS NULL THEN 'dst_only'
+      |       WHEN d.k IS NULL THEN 'src_only'
+      |       ELSE 'mismatch' END AS diff_class
+      |FROM src s FULL OUTER JOIN dst d ON s.k = d.k
+      |WHERE s.k IS NULL OR d.k IS NULL OR s.v <> d.v
+      |ORDER BY key, diff_class""".stripMargin
+
   /** Flagship query (reference's `checksum` subcommand end-to-end,
     * SURVEY.md §3.1) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -463,6 +474,13 @@ object SparkEntry {
     // §2a row 10: diff = full-outer join on key, classified
     "q_diff" -> ((s, dir) =>
       Diff.diff(kvStrSrc(s, dir), kvStrDst(s, dir))
+        .orderBy(col("key"), col("diff_class"))),
+    // the 100 TB diff: per-bucket checksum digests locate the (few)
+    // changed buckets, then the join-diff runs over those buckets only —
+    // the equal bulk never shuffles. Output contract identical to q_diff
+    // (same oracle SQL).
+    "q_diff_pruned" -> ((s, dir) =>
+      Diff.checksumPrunedDiff(kvStrSrc(s, dir), kvStrDst(s, dir))
         .orderBy(col("key"), col("diff_class"))),
     // §2a row 12: per-class running-counter totals
     "q_diff_counts" -> ((s, dir) =>
@@ -1150,14 +1168,10 @@ object SparkEntry {
       """SELECT count(*) AS n_keys, count(*) AS n_ts_roundtrip_ok,
         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
         |FROM events""".stripMargin,
-    "q_diff" -> (cte +
-      """SELECT COALESCE(s.k, d.k) AS key, s.v AS src_value, d.v AS dst_value,
-        |  CASE WHEN s.k IS NULL THEN 'dst_only'
-        |       WHEN d.k IS NULL THEN 'src_only'
-        |       ELSE 'mismatch' END AS diff_class
-        |FROM src s FULL OUTER JOIN dst d ON s.k = d.k
-        |WHERE s.k IS NULL OR d.k IS NULL OR s.v <> d.v
-        |ORDER BY key, diff_class""".stripMargin),
+    "q_diff" -> (cte + diffSelectSql),
+    // identical output contract to q_diff — the checksum pruning is a
+    // pure execution-strategy change, so the oracle is the same SQL
+    "q_diff_pruned" -> (cte + diffSelectSql),
     "q_diff_counts" -> (cte +
       """SELECT diff_class, COUNT(*) AS n FROM (
         |  SELECT CASE WHEN s.k IS NULL THEN 'dst_only'

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** The reference's `diff` subcommand re-expressed as a key join
   * (`diff/diff.go:18-63`).
@@ -35,6 +35,53 @@ object Diff {
           .otherwise("equal"))
       .filter(col("diff_class") =!= "equal")
       .select(col("key"), col("src_value"), col("dst_value"), col("diff_class"))
+  }
+
+  /** Checksum-pruned diff — the scale form of [[diff]] for the common
+    * case where the two snapshots are ALMOST identical (the reference's
+    * whole reason to exist). [[diff]] shuffles both full datasets even
+    * when zero rows differ; at 100 TB that one shuffle dominates. This
+    * form first reduces each side to per-bucket checksum digests (the
+    * reference's per-region checksum report, `checksum/checksum.go:89-90`
+    * — a map-side-combined aggregate whose shuffle is 4 longs per
+    * bucket), full-outer-joins the two tiny digest frames to find
+    * buckets whose (crc64_xor, count, bytes) triple differs, and runs
+    * the full [[diff]] only over rows hashing into those buckets — a
+    * broadcast semi-join, so the equal bulk of both datasets is
+    * filtered at the scan and never shuffles.
+    *
+    * Every differing key perturbs its bucket's digest, so the output
+    * equals diff(src, dst) exactly — unless a crc64-xor collision makes
+    * a differing bucket look equal (probability ~2^-64 per bucket, the
+    * same trust the reference's own checksum verdict rests on). Size
+    * `buckets` so a single bucket's rows fit comfortably in one task:
+    * the re-diffed volume is (changed buckets / buckets) of the data. */
+  def checksumPrunedDiff(src: DataFrame, dst: DataFrame,
+                         buckets: Int = 4096): DataFrame = {
+    import graft.functions.Checksum
+    // cast-through-binary makes the same bucketing apply to string- and
+    // binary-typed KV frames (xxhash64 of a string hashes its UTF-8
+    // bytes, but being explicit costs nothing)
+    def bucketOf(key: Column): Column =
+      pmod(xxhash64(key.cast("binary")), lit(buckets.toLong))
+    def digest(kv: DataFrame, side: String): DataFrame =
+      Checksum.byBucket(
+          kv.select(col("key").cast("binary").as("key"),
+            col("value").cast("binary").as("value")),
+          bucketOf(col("key")))
+        .select(col("bucket"), col("crc64_xor").as(s"${side}_crc"),
+          col("total_kvs").as(s"${side}_kvs"), col("total_bytes").as(s"${side}_bytes"))
+    val changed = digest(src, "src").join(digest(dst, "dst"), Seq("bucket"), "full_outer")
+      .filter(col("src_crc").isNull || col("dst_crc").isNull ||
+        col("src_crc") =!= col("dst_crc") ||
+        col("src_kvs") =!= col("dst_kvs") ||
+        col("src_bytes") =!= col("dst_bytes"))
+      .select(col("bucket").as("__bucket"))
+    def prune(kv: DataFrame): DataFrame =
+      kv.withColumn("__bucket", bucketOf(col("key")))
+        .join(broadcast(changed), Seq("__bucket"), "left_semi")
+        .drop("__bucket")
+    diff(prune(src), prune(dst))
   }
 
   /** Keys present in src but not dst — left_anti join, no value compare

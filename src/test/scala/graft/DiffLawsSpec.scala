@@ -38,6 +38,36 @@ class DiffLawsSpec extends SparkTestBase {
     assert(Diff.srcOnly(src, dst).count() === srcOnly)
   }
 
+  test("checksum-pruned diff equals the full join diff") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Array[Byte]]("key").toSeq,
+        Option(r.getAs[Array[Byte]]("src_value")).map(_.toSeq),
+        Option(r.getAs[Array[Byte]]("dst_value")).map(_.toSeq),
+        r.getAs[String]("diff_class"))).toSet
+    val full = rows(Diff.diff(src, dst))
+    // enough buckets that pruning is non-trivial, few enough that some
+    // bucket holds multiple fixture rows
+    val pruned = rows(Diff.checksumPrunedDiff(src, dst, buckets = 64))
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
+  }
+
+  test("checksum-pruned self-diff prunes everything and is empty") {
+    // identical sides → every bucket digest matches → both pruned scans
+    // are empty before the join even runs (the 100 TB fast path)
+    assert(Diff.checksumPrunedDiff(src, src).count() === 0L)
+  }
+
+  test("checksum-pruned diff catches a single mutated value") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+    val mut = (1 to 1000).map(i => (s"k$i", if (i == 617) "CHANGED" else s"v$i"))
+      .toDF("key", "value")
+    val out = Diff.checksumPrunedDiff(base, mut, buckets = 16)
+      .collect().map(r => (r.getString(0), r.getString(3)))
+    assert(out.toSeq === Seq(("k617", "mismatch")))
+  }
+
   test("typed cogroup diff classifies identically to the join diff") {
     import spark.implicits._
     import graft.functions.KVPair
