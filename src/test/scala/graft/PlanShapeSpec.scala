@@ -50,6 +50,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_diff_pruned: changed-bucket list broadcast; pruning is a semi-join at the scan side") {
+    val p = plan("q_diff_pruned")
+    // the changed-bucket list must BROADCAST (it is tiny by construction);
+    // a shuffled semi-join here would defeat the whole point — the equal
+    // bulk of both snapshots must be dropped without shuffling
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text-analysis pipeline: vectorized scan, codegen spans, no interpreter fallback") {
     // AQE only shows codegen spans in the FINAL plan — execute THIS
     // queryExecution (a write would clone the plan and leave it unfinal)
