@@ -168,6 +168,17 @@ object SparkEntry {
     // embedding-cosine near-dup pairs, blocked by cluster (no cross join)
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+    // approximate near-dup via sign-random-projection LSH: deterministic
+    // ±1 hyperplanes → k sign bits → banded equi-join candidates → exact
+    // verify. Band width r=8 is the HIGH-similarity dedup operating point
+    // (recall ≈ 0.93 at cos 0.9, ~3% candidate rate on orthogonal noise);
+    // on this fixture's weak-similarity pairs (max cos ≈ 0.5) recall is
+    // accordingly partial — the oracle REPLAYS the algorithm, so the
+    // gate is exact regardless; recall is property-tested on planted
+    // high-cosine pairs in SimilaritySpec
+    "q_srp_neardup" -> ((s, dir) =>
+      Similarity.srpNearDup(emb(s, dir), 0.4)
         .orderBy(col("id_a"), col("id_b"))))
 
   // §2b LLM-pipeline: text analysis over `documents`.
@@ -766,6 +777,32 @@ object SparkEntry {
         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // replays Similarity.srpNearDup end-to-end: the md5-derived ±1
+    // hyperplanes, the k=64 sign bits (list_dot_product is bit-exact
+    // against the codegen'd sequential-fold kernel), 8-bit band values,
+    // the banded candidate self-join, and the full-precision verify
+    "q_srp_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, list(CASE WHEN substring(md5('srp_' || j || '_' || d), 1, 1) >= '8'
+        |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS p
+        |  FROM generate_series(0, 63) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
+        |  GROUP BY j),
+        |bits AS (
+        |  SELECT e.vec_id, pl.j, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
+        |  FROM e CROSS JOIN planes pl),
+        |bands AS (
+        |  SELECT vec_id, j // 8 AS band_id, sum(b * (1 << (j % 8))) AS band_val
+        |  FROM bits GROUP BY vec_id, j // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+        |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT * FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 9) AS sim
+        |  FROM cand c JOIN vn va ON c.id_a = va.vec_id JOIN vn vb ON c.id_b = vb.vec_id)
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q_text_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,

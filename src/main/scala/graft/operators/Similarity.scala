@@ -196,9 +196,9 @@ object Similarity {
     * remedies considered and their trade-offs, deliberately:
     *  - sub-bucketing by sign-projection / int8-code LSH would cut the
     *    quadratic but has recall < 1 for cosine at any finite table
-    *    count — it CHANGES the output, so it belongs behind a separate
-    *    approximate entry point (the machinery exists: [[quantize]] +
-    *    banded joins as in Dedup), not silently inside the exact one;
+    *    count — it CHANGES the output, so it lives behind the separate
+    *    approximate entry point [[srpNearDup]], not silently inside the
+    *    exact one;
     *  - norm-decomposition upper bounds (Cauchy-Schwarz over vector
     *    segments, |a_h||b_h|+|a_t||b_t| ≥ dot) are sound but vacuous on
     *    embeddings whose energy spreads evenly across dimensions (the
@@ -208,6 +208,70 @@ object Similarity {
     *    cross-sub-cluster pairs only where sub-centroid similarity
     *    admits threshold-crossing pairs — exact, but warrants its own
     *    operator when a fixture with mega-clusters exists. */
+  /** Deterministic ±1 (Rademacher) sign-projection hyperplanes:
+    * component d of plane j is +1 iff the first hex digit of
+    * md5("srp_<j>_<d>") has its high bit set — a construction the
+    * DuckDB oracle rebuilds verbatim with md5()/substring(). */
+  def srpPlanes(k: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { j =>
+      (0 until dim).map { d =>
+        val h = md.digest(s"srp_${j}_$d".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Approximate embedding near-dup via sign-random-projection LSH —
+    * the scale path [[cosineNearDup]]'s doc promises: no label blocking,
+    * no all-pairs. Each vector gets k sign bits (bit j = dot with
+    * deterministic ±1 hyperplane j ≥ 0; P[bits agree] = 1 − θ/π), the
+    * bits split into `bands` bands joined banded-equi like MinHash-LSH,
+    * and every candidate is verified in full precision — so emitted
+    * pairs are exactly the threshold-passing subset of the candidates.
+    * Recall < 1 is inherent to any cosine LSH at finite k (this is why
+    * it is a SEPARATE entry point and not silently inside the exact
+    * operator); band width r = k/bands sets the operating point —
+    * r = 8 tunes for the high-similarity dedup regime (recall ≈ 0.93 at
+    * cos 0.9, candidate rate ≈ 3% on orthogonal noise). Deterministic
+    * end-to-end: the DuckDB oracle replays planes → bits → bands →
+    * candidates → verification bit-for-bit. */
+  def srpNearDup(corpus: DataFrame, threshold: Double,
+                 k: Int = 64, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val dim = corpus.select(size(col("vec")).as("d")).head().getInt(0)
+    val planes = srpPlanes(k, dim)
+    val bitCols = planes.zipWithIndex.map { case (p, j) =>
+      (dot(col("vec"), typedLit(p)) >= lit(0.0)).cast("int").as(s"__b$j")
+    }
+    val withBits = corpus.select(col("id") +: bitCols: _*)
+    val bandVals = (0 until bands).map { i =>
+      (0 until r).map(jj => col(s"__b${i * r + jj}") * lit(1 << jj))
+        .reduce(_ + _).as(s"__band$i")
+    }
+    // materialized once (localCheckpoint) so the bucket self-join doesn't
+    // recompute the k dot products per side — same lesson as the MinHash
+    // banded frame
+    val banded = withBits
+      .select(col("id"), posexplode(array(bandVals: _*)))
+      .toDF("id", "band_id", "band_val")
+      .localCheckpoint()
+    val cand = banded.select(col("band_id"), col("band_val"), col("id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_val"), col("id").as("id_b")),
+        Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     labelCol: String = "label"): DataFrame = {
     val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"),

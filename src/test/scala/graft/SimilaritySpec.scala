@@ -126,6 +126,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"quantized recall@3 = $recall")
   }
 
+  test("SRP near-dup emits only true threshold-passing pairs (verified subset)") {
+    // every emitted pair must appear in the exact all-pairs result —
+    // LSH prunes candidates, verification makes emitted pairs exact
+    val srp = Similarity.srpNearDup(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val v = emb.select(col("id"), col("vec"),
+      Similarity.norm(col("vec")).as("nrm"))
+    val exact = v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(srp.subsetOf(exact), s"false positives: ${srp -- exact}")
+    assert(srp.nonEmpty)
+  }
+
+  test("SRP near-dup achieves high recall on planted high-cosine pairs") {
+    // 100 base vectors with deterministic pseudo-random coords; each gets
+    // a planted near-duplicate (tiny perturbation → cosine ≈ 0.99+) —
+    // the regime the r=8 band width is tuned for. Distractors are
+    // near-orthogonal, so candidate volume stays small.
+    def coord(i: Int, d: Int): Float =
+      (((i * 1315423911L + d * 2654435761L) % 1000L) / 500.0f) - 1.0f
+    val base = (0 until 100).map { i =>
+      (i.toLong, (0 until 64).map(d => coord(i, d)))
+    }
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, d) => x + (if (d % 7 == 0) 0.01f else 0.0f) })
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val found = Similarity.srpNearDup(df, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 100).map(i => (i.toLong, i + 1000L)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("cosine near-dup is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDup(emb, 0.3)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
