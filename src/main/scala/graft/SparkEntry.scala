@@ -235,6 +235,15 @@ object SparkEntry {
           sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
         .orderBy(col("lang"), col("split"))
     }),
+    // corpus mixing: deterministic stratified sampling to per-language
+    // quotas (cap the dominant language, keep low-resource ones whole) —
+    // emits the SAMPLED DOC IDS so the gate checks the exact selection,
+    // not just the counts
+    "q_mix_quota" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          Map("en" -> 120L, "de" -> 60L, "es" -> 60L, "fr" -> 60L, "zh" -> 60L))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -856,6 +865,20 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // replays stratifiedSample: rank by the same 60-bit md5(doc_id) hash
+    // within each language, keep the quota lowest
+    "q_mix_quota" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |  list_reduce(list_transform(
+        |      string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |    (a, d) -> a * 16 + d) AS hk
+        |FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn FROM h)
+        |SELECT lang, doc_id FROM r
+        |WHERE rn <= CASE lang WHEN 'en' THEN 120 ELSE 60 END
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_token_topk" ->
       """SELECT t, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -128,6 +129,29 @@ object TextAnalysis {
       round(nStopI.cast("double") / nTok, 6).as("stopword_ratio"),
       round((length(t) - (nTokI - lit(1))).cast("double") / nTok, 6).as("mean_token_len"),
       (ppm.cast("double") / lit(1000000.0d)).as("quality_score"))
+  }
+
+  /** Deterministic stratified sampling to per-group quotas — the corpus
+    * MIXING step of a training-data pipeline ("cap en at N docs, keep
+    * low-resource languages whole"): within each group, rank documents
+    * by a content-independent md5 hash of their id (so the DuckDB
+    * oracle replays the choice exactly) and keep the `quota(g)` lowest
+    * — EXACTLY quota docs per group (the whole group when it is
+    * smaller), uniform over the group, reproducible across runs and
+    * cluster layouts (no rand(), no row_number over an arbitrary
+    * order). Groups without a quota are dropped. At scale this is one
+    * shuffle by group plus a per-group top-k; a skewed giant group is
+    * the classic AQE/two-phase top-k case, not a plan change. */
+  def stratifiedSample(docs: DataFrame, groupCol: String, idCol: String,
+                       quotas: Map[String, Long]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
+    val quotaCol = quotas.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, q)) => when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotaCol)
+      .drop("__rn")
   }
 
   /** Polynomial rolling-hash content fingerprint over the text's

@@ -43,7 +43,7 @@ class PlanShapeSpec extends SparkTestBase {
     // these joins must stay equi-joins on hashes/buckets/labels at any
     // scale — a cartesian anywhere here is the 100×-scale-killer
     for (q <- Seq("q_jaccard_join", "q_dedup_minhash", "q_simhash_neardup",
-        "q_cosine_neardup", "q_range_join", "q_asof_join")) {
+        "q_cosine_neardup", "q_srp_neardup", "q_range_join", "q_asof_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")

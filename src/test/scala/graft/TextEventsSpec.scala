@@ -9,6 +9,19 @@ import graft.operators.{Events, TextAnalysis}
 class TextEventsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("stratified sampling hits quotas exactly, deterministically, dropping unquoted groups") {
+    val docs = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx")
+    }.toDF("doc_id", "lang")
+    val quotas = Map("en" -> 40L, "zh" -> 500L)   // en capped, zh kept whole, xx dropped
+    def sample() = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", quotas)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val s1 = sample()
+    val byLang = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byLang === Map("en" -> 40, "zh" -> 100))   // min(quota, group size)
+    assert(s1 === sample())                            // reproducible selection
+  }
+
   test("rolling hash known-answer: 'abc' folds to 304891") {
     // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
     val h = Seq("abc").toDF("text")
