@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, RangeJoin, Scan, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, Pack, RangeJoin, Scan, Similarity, Skew, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -244,6 +244,12 @@ object SparkEntry {
           Map("en" -> 120L, "de" -> 60L, "es" -> 60L, "fr" -> 60L, "zh" -> 60L))
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))),
+    // context-window packing: concat-then-chunk documents into 4096-token
+    // bins via a distributed two-phase prefix sum (no single-task global
+    // window)
+    "q_pack_bins" -> ((s, dir) =>
+      Pack.packBins(docs(s, dir), "text", "doc_id", 4096L)
+        .orderBy(col("bin"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -879,6 +885,19 @@ object SparkEntry {
         |SELECT lang, doc_id FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 120 ELSE 60 END
         |ORDER BY lang, doc_id""".stripMargin,
+    // replays Pack.packBins: bin = (tokens preceding the doc in id
+    // order) / 4096 — the windowed sum is the oracle's (single-threaded)
+    // stand-in for the engine's two-phase prefix scan
+    "q_pack_bins" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |      FROM t)
+        |SELECT CAST(s // 4096 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_token_topk" ->
       """SELECT t, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

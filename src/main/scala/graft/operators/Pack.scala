@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Token-budget packing — the context-window assembly step of a
+  * training-data pipeline: documents are laid out in a deterministic
+  * global order (doc id) and chunked into fixed token-budget bins, the
+  * standard concat-then-chunk scheme (a document belongs to the bin its
+  * first token falls into).
+  *
+  * The core is a GLOBAL WEIGHTED PREFIX SUM of token counts. The naive
+  * `sum().over(Window.orderBy(id))` funnels the whole dataset through
+  * one task; this implementation is the classic two-phase scan instead:
+  * range-partition + sort by id, reduce each partition to its token
+  * subtotal (one lightweight job over counts only), prefix-scan the
+  * per-partition subtotals on the driver (P longs), then assign each
+  * row `start = partition offset + running subtotal` in one fully
+  * parallel pass — the weighted generalization of
+  * [[Scan.hexDumpWithCnt]]'s zipWithIndex counter. Bin assignment
+  * depends only on the global id order, not on partition boundaries.
+  */
+object Pack {
+
+  /** Per-document bin assignment: (doc_id, n_tok, bin, start) where
+    * `start` is the number of tokens preceding the document in id order
+    * and `bin = start / budget`. */
+  def assignBins(docs: DataFrame, textCol: String, idCol: String,
+                 budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val rdd = base.rdd
+    rdd.cache()
+    try {
+      // phase 1: one subtotal per partition (P longs to the driver)
+      val subtotals = rdd
+        .mapPartitionsWithIndex { case (pid, it) =>
+          Iterator.single(pid -> it.map(_.getLong(1)).sum)
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = subtotals.scanLeft(0L)(_ + _)
+      // phase 2: within-partition running sum + broadcast offset
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_tok", LongType, nullable = false),
+        StructField("bin", LongType, nullable = false),
+        StructField("start", LongType, nullable = false)))
+      val assigned = rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var running = bOffsets.value(pid)
+        it.map { r =>
+          val start = running
+          running += r.getLong(1)
+          Row(r.getLong(0), r.getLong(1), start / budget, start)
+        }
+      }
+      spark.createDataFrame(assigned, outSchema).localCheckpoint()
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** Per-bin packing stats: bin, n_docs, sum_tokens, first/last doc. */
+  def packBins(docs: DataFrame, textCol: String, idCol: String,
+               budget: Long): DataFrame =
+    assignBins(docs, textCol, idCol, budget)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+}

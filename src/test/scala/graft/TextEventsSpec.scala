@@ -22,6 +22,25 @@ class TextEventsSpec extends SparkTestBase {
     assert(s1 === sample())                            // reproducible selection
   }
 
+  test("token packing: two-phase prefix sum matches the sequential fold, any partitioning") {
+    import graft.operators.Pack
+    // texts with varied token counts; ids deliberately unsorted on input
+    val rows = (1L to 200L).map(i => (i, ("tok " * ((i % 17 + 1)).toInt).trim))
+    val expectedStarts = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, text)) =>
+        (id, acc + text.split(" ").length) }
+      .sliding(2).map { case Seq((_, s), (id, _)) => id -> s }.toMap
+    for (nPart <- Seq(1, 7)) {
+      val df = rows.toDF("doc_id", "text").repartition(nPart)
+      val got = Pack.assignBins(df, "text", "doc_id", budget = 64L)
+        .select("doc_id", "start", "bin").as[(Long, Long, Long)].collect()
+      got.foreach { case (id, start, bin) =>
+        assert(start === expectedStarts(id), s"doc $id at $nPart partitions")
+        assert(bin === start / 64L)
+      }
+    }
+  }
+
   test("rolling hash known-answer: 'abc' folds to 304891") {
     // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
     val h = Seq("abc").toDF("text")
