@@ -99,6 +99,17 @@ object SparkEntry {
         .filter(col("j") >= 0.5)
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
+    // decontamination: training docs whose shingles cover an eval doc
+    // (containment, not Jaccard) — the synthetic eval set is every 10th
+    // document, so the planted near-dup pairs that straddle the split
+    // surface as leakage
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", 0.5)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
     // passage-level duplication: content-defined chunks shared across
     // distinct documents — catches PARTIAL copies that whole-document
     // fingerprints miss (the chunk boundaries are content-defined, so a
@@ -680,6 +691,24 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_jaccard_join" -> (shingleCtePruned + jaccardSelect),
+    // replays Dedup.decontaminate: same 3-gram shingle construction,
+    // tok split train/eval on doc_id % 10, containment = i / |eval|
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        |tr AS (SELECT doc_id AS train_id, t FROM tok WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, t FROM tok WHERE doc_id % 10 = 0),
+        |esz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |inter AS (SELECT train_id, eval_id, count(*) AS i
+        |          FROM tr JOIN ev USING (t) GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT train_id, eval_id,
+        |    round(CAST(i AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS containment
+        |  FROM inter JOIN esz USING (eval_id))
+        |WHERE containment >= 0.5 ORDER BY train_id, eval_id""".stripMargin,
     "q_dedup_clusters" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -218,6 +218,34 @@ object Dedup {
     jaccardFromCounts(inter, sz, threshold)
   }
 
+  /** Decontamination: flag TRAIN documents whose shingles cover an
+    * EVAL/benchmark document above a containment threshold — the
+    * test-set-leakage scrub of a training pipeline, as a CROSS-corpus
+    * twin of [[jaccardJoin]]. Both corpora reduce to hashed-shingle
+    * indexes; the equi-join on the 8-byte shingle hash counts
+    * per-(train, eval) intersections; the score is CONTAINMENT
+    * `i / |eval shingles|` rather than symmetric Jaccard — a short
+    * benchmark item embedded verbatim in a long training document must
+    * flag at 1.0, where Jaccard would dilute it toward 0. At scale the
+    * eval index is orders of magnitude smaller and broadcasts (hinted),
+    * so the training corpus is never shuffled for the join; there is no
+    * self-join anywhere. Output: (train_id, eval_id, containment ≥
+    * threshold), 6-dp rounded like the rest of the family. */
+  def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
+                    idCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val tTok = hashedShingleIndex(train, textCol, idCol, n)
+    val eTok = hashedShingleIndex(eval, textCol, idCol, n)
+    val eSz = eTok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval"))
+    val inter = tTok.select(col("t"), col("doc_id").as("train_id"))
+      .join(broadcast(eTok.select(col("t"), col("doc_id").as("eval_id"))), Seq("t"))
+      .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(eSz.select(col("doc_id").as("eval_id"), col("n_eval"))), Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"),
+        round(col("i").cast("double") / col("n_eval").cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** jaccard = i / (|a| + |b| - i) from an intersection-count frame
     * (doc_a, doc_b, i) and a size frame (doc_id, n_sh), thresholded. */
   private def jaccardFromCounts(inter: DataFrame, sz: DataFrame,

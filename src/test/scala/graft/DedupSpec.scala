@@ -102,6 +102,24 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("decontamination flags verbatim-embedded eval items at containment 1.0") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta THE BENCH MARK QUESTION TEXT epsilon zeta eta"),
+      (2L, "totally unrelated training content with its own words here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "THE BENCH MARK QUESTION TEXT"),       // embedded verbatim in doc 1
+      (200L, "an eval item nobody copied anywhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, "text", "doc_id", 0.5)
+      .select("train_id", "eval_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    // every 3-gram of eval 100 appears in train 1 → containment exactly 1;
+    // nothing else crosses the threshold (containment is w.r.t. the EVAL
+    // side — the long train doc does not dilute the hit)
+    assert(out.toSeq === Seq((1L, 100L, 1.0)))
+  }
+
   test("degenerate LSH bucket (fully duplicated corpus) stays bounded and exact") {
     // 500 identical docs → every band bucket holds all 500 ids. The pair
     // expansion must happen via the bucket self-join (distributed shuffle
