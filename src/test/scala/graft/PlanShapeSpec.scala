@@ -60,6 +60,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_decontaminate: eval side broadcast — the training corpus is never shuffled to join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text-analysis pipeline: vectorized scan, codegen spans, no interpreter fallback") {
     // AQE only shows codegen spans in the FINAL plan — execute THIS
     // queryExecution (a write would clone the plan and leave it unfinal)
