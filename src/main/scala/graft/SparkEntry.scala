@@ -912,7 +912,8 @@ object SparkEntry {
         |r AS (SELECT lang, doc_id,
         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn FROM h)
         |SELECT lang, doc_id FROM r
-        |WHERE rn <= CASE lang WHEN 'en' THEN 120 ELSE 60 END
+        |WHERE rn <= CASE lang WHEN 'en' THEN 120 WHEN 'de' THEN 60 WHEN 'es' THEN 60
+        |             WHEN 'fr' THEN 60 WHEN 'zh' THEN 60 ELSE NULL END
         |ORDER BY lang, doc_id""".stripMargin,
     // replays Pack.packBins: bin = (tokens preceding the doc in id
     // order) / 4096 — the windowed sum is the oracle's (single-threaded)

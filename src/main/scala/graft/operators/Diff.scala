@@ -77,10 +77,17 @@ object Diff {
         col("src_kvs") =!= col("dst_kvs") ||
         col("src_bytes") =!= col("dst_bytes"))
       .select(col("bucket").as("__bucket"))
+    // a row with a null key or value has no crc64 digest (the checksum
+    // excludes it from all three components), so no bucket mismatch can
+    // ever flag it — route such rows to the diff unconditionally instead
+    // of pruning them, keeping pruned ≡ full on degenerate inputs
+    // (genuine KV frames contain neither)
     def prune(kv: DataFrame): DataFrame =
-      kv.withColumn("__bucket", bucketOf(col("key")))
+      kv.filter(col("key").isNotNull && col("value").isNotNull)
+        .withColumn("__bucket", bucketOf(col("key")))
         .join(broadcast(changed), Seq("__bucket"), "left_semi")
         .drop("__bucket")
+        .unionAll(kv.filter(col("key").isNull || col("value").isNull))
     diff(prune(src), prune(dst))
   }
 

@@ -187,27 +187,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
-    * threshold, found via the IVF partitioning (pairs are only compared
-    * within a cluster — at scale this is the blocked/bucketed near-dup
-    * join, not an all-pairs cross join). Exact within-cluster.
-    *
-    * At 100× the within-cluster work is quadratic in cluster size; the
-    * remedies considered and their trade-offs, deliberately:
-    *  - sub-bucketing by sign-projection / int8-code LSH would cut the
-    *    quadratic but has recall < 1 for cosine at any finite table
-    *    count — it CHANGES the output, so it lives behind the separate
-    *    approximate entry point [[srpNearDup]], not silently inside the
-    *    exact one;
-    *  - norm-decomposition upper bounds (Cauchy-Schwarz over vector
-    *    segments, |a_h||b_h|+|a_t||b_t| ≥ dot) are sound but vacuous on
-    *    embeddings whose energy spreads evenly across dimensions (the
-    *    bound sits at ~1 for every pair) — measured useless here;
-    *  - the practical exact-scale path is RECURSIVE BLOCKING: split any
-    *    oversized cluster by k-means into sub-clusters and verify the
-    *    cross-sub-cluster pairs only where sub-centroid similarity
-    *    admits threshold-crossing pairs — exact, but warrants its own
-    *    operator when a fixture with mega-clusters exists. */
   /** Deterministic ±1 (Rademacher) sign-projection hyperplanes:
     * component d of plane j is +1 iff the first hex digit of
     * md5("srp_<j>_<d>") has its high bit set — a construction the
@@ -240,14 +219,22 @@ object Similarity {
                  k: Int = 64, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val dim = corpus.select(size(col("vec")).as("d")).head().getInt(0)
+    require(r <= 62, "band width must fit a long's bit weights")
+    // the corpus must be fixed-dimension (the embedding-table contract);
+    // the plane width is read from one row. A vector of a DIFFERENT
+    // length dots to null against every plane and can never pair.
+    val headRow = corpus.select(size(col("vec")).as("d")).head(1)
+    if (headRow.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("sim"))
+    val dim = headRow(0).getInt(0)
     val planes = srpPlanes(k, dim)
     val bitCols = planes.zipWithIndex.map { case (p, j) =>
-      (dot(col("vec"), typedLit(p)) >= lit(0.0)).cast("int").as(s"__b$j")
+      (dot(col("vec"), typedLit(p)) >= lit(0.0)).cast("long").as(s"__b$j")
     }
     val withBits = corpus.select(col("id") +: bitCols: _*)
     val bandVals = (0 until bands).map { i =>
-      (0 until r).map(jj => col(s"__b${i * r + jj}") * lit(1 << jj))
+      (0 until r).map(jj => col(s"__b${i * r + jj}") * lit(1L << jj))
         .reduce(_ + _).as(s"__band$i")
     }
     // materialized once (localCheckpoint) so the bucket self-join doesn't
@@ -263,6 +250,17 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    verifyPairs(cand, corpus, threshold)
+  }
+
+  /** Full-precision verification of an (id_a, id_b) candidate-pair
+    * frame: join both sides' vectors + precomputed norms, emit
+    * `(id_a, id_b, sim)` with the family's 9-dp rounded cosine,
+    * thresholded. THE one place the near-dup scoring contract lives —
+    * every candidate generator (banded LSH, cluster blocking, …)
+    * funnels through it so the entry points cannot diverge. */
+  private def verifyPairs(cand: DataFrame, corpus: DataFrame,
+                          threshold: Double): DataFrame = {
     val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     cand
       .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
@@ -272,18 +270,34 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    * threshold, found via the IVF partitioning (pairs are only compared
+    * within a cluster — at scale this is the blocked/bucketed near-dup
+    * join, not an all-pairs cross join). Exact within-cluster.
+    *
+    * At 100× the within-cluster work is quadratic in cluster size; the
+    * remedies considered and their trade-offs, deliberately:
+    *  - sub-bucketing by sign-projection / int8-code LSH would cut the
+    *    quadratic but has recall < 1 for cosine at any finite table
+    *    count — it CHANGES the output, so it lives behind the separate
+    *    approximate entry point [[srpNearDup]], not silently inside the
+    *    exact one;
+    *  - norm-decomposition upper bounds (Cauchy-Schwarz over vector
+    *    segments, |a_h||b_h|+|a_t||b_t| ≥ dot) are sound but vacuous on
+    *    embeddings whose energy spreads evenly across dimensions (the
+    *    bound sits at ~1 for every pair) — measured useless here;
+    *  - the practical exact-scale path is RECURSIVE BLOCKING: split any
+    *    oversized cluster by k-means into sub-clusters and verify the
+    *    cross-sub-cluster pairs only where sub-centroid similarity
+    *    admits threshold-crossing pairs — exact, but warrants its own
+    *    operator when a fixture with mega-clusters exists. */
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     labelCol: String = "label"): DataFrame = {
-    val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
-      col(labelCol).as("cluster_id"))
-    val a = v.select(col("cluster_id"), col("id").as("id_a"),
-      col("vec").as("va"), col("nrm").as("na"))
-    val b = v.select(col("cluster_id"), col("id").as("id_b"),
-      col("vec").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cluster_id"))
+    val cand = corpus.select(col(labelCol).as("cluster_id"), col("id").as("id_a"))
+      .join(corpus.select(col(labelCol).as("cluster_id"), col("id").as("id_b")),
+        Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim"))
-      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    verifyPairs(cand, corpus, threshold)
   }
 }

@@ -58,6 +58,20 @@ class DiffLawsSpec extends SparkTestBase {
     assert(Diff.checksumPrunedDiff(src, src).count() === 0L)
   }
 
+  test("checksum-pruned diff stays exact on null keys and values") {
+    import spark.implicits._
+    // null-key/value rows carry no crc64 digest, so bucket pruning can't
+    // see them — they must reach the diff unconditionally, once
+    val srcN = Seq((Option("k1"), Option("v1")), (Option.empty[String], Option("vx")),
+      (Option("k2"), Option.empty[String])).toDF("key", "value")
+    val dstN = Seq((Option("k1"), Option("v1"))).toDF("key", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(3))).toSeq.sortBy(_.toString)
+    assert(rows(Diff.checksumPrunedDiff(srcN, dstN, buckets = 8)) ===
+      rows(Diff.diff(srcN, dstN)))
+  }
+
   test("checksum-pruned diff catches a single mutated value") {
     import spark.implicits._
     val base = (1 to 1000).map(i => (s"k$i", s"v$i")).toDF("key", "value")

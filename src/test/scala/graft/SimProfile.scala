@@ -20,7 +20,8 @@ object SimProfile {
       f
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val sims = Seq("q_cosine_topk", "q_cosine_neardup", "q_ann_ivf", "q_quantized_topk")
+    val sims = Seq("q_cosine_topk", "q_cosine_neardup", "q_srp_neardup",
+      "q_ann_ivf", "q_quantized_topk")
     // warmup
     SparkEntry.queries("q_cosine_topk")(spark, dir)
       .write.format("noop").mode("overwrite").save()
