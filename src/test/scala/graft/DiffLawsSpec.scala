@@ -82,6 +82,34 @@ class DiffLawsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("k617", "mismatch")))
   }
 
+  test("diff over key-bucketed snapshots plans no shuffle (the co-located 100 TB layout)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      KVSnapshot.srcStr(spark, sfSmoke).toDF("key", "value").write.mode("overwrite")
+        .bucketBy(8, "key").saveAsTable("kv_src_bucketed")
+      KVSnapshot.dstStr(spark, sfSmoke).toDF("key", "value").write.mode("overwrite")
+        .bucketBy(8, "key").saveAsTable("kv_dst_bucketed")
+      val d = Diff.diff(spark.table("kv_src_bucketed"), spark.table("kv_dst_bucketed"))
+      val shuffles = d.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed diff should be shuffle-free:\n${d.queryExecution.executedPlan}")
+      // and it still classifies identically to the unbucketed diff
+      val bucketed = d.collect().map(r => (r.getString(0), r.getString(3))).toSet
+      val plain = Diff.diff(KVSnapshot.srcStr(spark, sfSmoke).toDF("key", "value"),
+          KVSnapshot.dstStr(spark, sfSmoke).toDF("key", "value"))
+        .collect().map(r => (r.getString(0), r.getString(3))).toSet
+      assert(bucketed === plain && bucketed.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+      spark.sql("DROP TABLE IF EXISTS kv_src_bucketed")
+      spark.sql("DROP TABLE IF EXISTS kv_dst_bucketed")
+    }
+  }
+
   test("typed cogroup diff classifies identically to the join diff") {
     import spark.implicits._
     import graft.functions.KVPair
