@@ -34,5 +34,6 @@ object GraftExtensions {
     "apiv2_decode_key" -> (es => ApiV2DecodeKeyExpr(es.head)),
     "decode_ts" -> (es => DecodeTsExpr(es.head)),
     "unescape_go" -> (es => GoUnescapeExpr(es.head)),
-    "escape_go" -> (es => GoEscapeExpr(es.head)))
+    "escape_go" -> (es => GoEscapeExpr(es.head)),
+    "dot_product" -> (es => DotProductExpr(es.head, es(1))))
 }

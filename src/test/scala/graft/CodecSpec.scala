@@ -112,6 +112,11 @@ class CodecSpec extends SparkTestBase {
       "SELECT crc64_pair(CAST('12345' AS BINARY), CAST('6789' AS BINARY)) = crc64(CAST('123456789' AS BINARY))")
       .collect().head.getBoolean(0)
     assert(pair)
+    val dp = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), " +
+        "array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)))")
+      .collect().head.getDouble(0)
+    assert(dp === 11.0)
   }
 
   test("GraftExtensions injects the full function surface without error") {
@@ -119,6 +124,7 @@ class CodecSpec extends SparkTestBase {
     new graft.GraftExtensions().apply(ext) // must not throw
     assert(graft.GraftExtensions.functions.map(_._1).toSet === Set(
       "crc64", "crc64_pair", "memcomparable_encode", "memcomparable_decode",
-      "apiv2_encode_key", "apiv2_decode_key", "decode_ts", "unescape_go", "escape_go"))
+      "apiv2_encode_key", "apiv2_decode_key", "decode_ts", "unescape_go", "escape_go",
+      "dot_product"))
   }
 }
