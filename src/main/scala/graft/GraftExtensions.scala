@@ -24,16 +24,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Wraps a builder with an arity gate: without it `es.head`/`es(1)`
+    * silently ignores extra arguments (a wrong-answer hazard for SQL
+    * callers) and fails a missing one with a bare
+    * IndexOutOfBoundsException instead of a readable analysis error. */
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { es =>
+    require(es.length == n,
+      s"$name expects exactly $n argument(s), got ${es.length}")
+    b(es)
+  }
+
   /** name → expression builder, the engine's SQL-function surface. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "crc64" -> (es => Crc64Expr(es.head)),
-    "crc64_pair" -> (es => Crc64PairExpr(es.head, es(1))),
-    "memcomparable_encode" -> (es => MemcomparableEncodeExpr(es.head)),
-    "memcomparable_decode" -> (es => MemcomparableDecodeExpr(es.head)),
-    "apiv2_encode_key" -> (es => ApiV2EncodeKeyExpr(es.head)),
-    "apiv2_decode_key" -> (es => ApiV2DecodeKeyExpr(es.head)),
-    "decode_ts" -> (es => DecodeTsExpr(es.head)),
-    "unescape_go" -> (es => GoUnescapeExpr(es.head)),
-    "escape_go" -> (es => GoEscapeExpr(es.head)),
-    "dot_product" -> (es => DotProductExpr(es.head, es(1))))
+    "crc64" -> arity("crc64", 1)(es => Crc64Expr(es.head)),
+    "crc64_pair" -> arity("crc64_pair", 2)(es => Crc64PairExpr(es.head, es(1))),
+    "memcomparable_encode" -> arity("memcomparable_encode", 1)(es => MemcomparableEncodeExpr(es.head)),
+    "memcomparable_decode" -> arity("memcomparable_decode", 1)(es => MemcomparableDecodeExpr(es.head)),
+    "apiv2_encode_key" -> arity("apiv2_encode_key", 1)(es => ApiV2EncodeKeyExpr(es.head)),
+    "apiv2_decode_key" -> arity("apiv2_decode_key", 1)(es => ApiV2DecodeKeyExpr(es.head)),
+    "decode_ts" -> arity("decode_ts", 1)(es => DecodeTsExpr(es.head)),
+    "unescape_go" -> arity("unescape_go", 1)(es => GoUnescapeExpr(es.head)),
+    "escape_go" -> arity("escape_go", 1)(es => GoEscapeExpr(es.head)),
+    "dot_product" -> arity("dot_product", 2)(es => DotProductExpr(es.head, es(1))))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Single-pass dot-product kernel behind [[DotProductExpr]].
   *
@@ -27,11 +27,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * once with no allocation. */
 object Dot {
 
-  /** Sequential-fold double dot product of two numeric ArrayData.
-    * `aFloat`/`bFloat` select float vs double element reads (the only
-    * two element types the expression admits). Returns null exactly when
-    * the HOF twin would: length mismatch or any null element. */
-  def fold(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  // element-read dispatch codes (passed as codegen literals so the JIT
+  // sees per-call-site constants; every numeric element type converts
+  // to double exactly as the HOF's cast would)
+  final val KindDouble = 0
+  final val KindFloat = 1
+  final val KindInt = 2
+  final val KindLong = 3
+
+  /** Sequential-fold double dot product of two numeric ArrayData;
+    * `aKind`/`bKind` are the Kind* element-read codes. Returns null
+    * exactly when the HOF twin would: length mismatch or any null
+    * element. */
+  def fold(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): java.lang.Double = {
     val la = a.numElements()
     val lb = b.numElements()
     if (la != lb) return null
@@ -39,12 +47,17 @@ object Dot {
     var i = 0
     while (i < la) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += read(a, i, aKind) * read(b, i, bKind)
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  private def read(a: ArrayData, i: Int, kind: Int): Double = kind match {
+    case KindDouble => a.getDouble(i)
+    case KindFloat  => a.getFloat(i).toDouble
+    case KindInt    => a.getInt(i).toDouble
+    case KindLong   => a.getLong(i).toDouble
   }
 
   /** Column form: sequential-fold double dot product of two float- or
@@ -53,36 +66,39 @@ object Dot {
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 }
 
-/** `dot_product(a, b)` over `array<float>`/`array<double>` — codegen'd. */
+/** `dot_product(a, b)` over arrays of any numeric element type (each
+  * element converts to double exactly, like the HOF's cast) — codegen'd. */
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
 
-  private def elemFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  private def elemKind(e: Expression): Option[Int] = e.dataType match {
+    case ArrayType(DoubleType, _)  => Some(Dot.KindDouble)
+    case ArrayType(FloatType, _)   => Some(Dot.KindFloat)
+    case ArrayType(IntegerType, _) => Some(Dot.KindInt)
+    case ArrayType(LongType, _)    => Some(Dot.KindLong)
+    case _                         => None
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemKind(left).isDefined && elemKind(right).isDefined)
       TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"dot_product requires ARRAY<FLOAT|DOUBLE> operands, got " +
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires ARRAY<DOUBLE|FLOAT|INT|BIGINT> operands, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
-  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     Dot.fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      elemFloat(left), elemFloat(right))
+      elemKind(left).get, elemKind(right).get)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dot")
       s"""
          |java.lang.Double $tmp = graft.functions.Dot.fold(
-         |  $a, $b, ${elemFloat(left)}, ${elemFloat(right)});
+         |  $a, $b, ${elemKind(left).get}, ${elemKind(right).get});
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin

@@ -112,19 +112,26 @@ class CodecSpec extends SparkTestBase {
       "SELECT crc64_pair(CAST('12345' AS BINARY), CAST('6789' AS BINARY)) = crc64(CAST('123456789' AS BINARY))")
       .collect().head.getBoolean(0)
     assert(pair)
-    val dp = spark.sql(
-      "SELECT dot_product(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), " +
-        "array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)))")
-      .collect().head.getDouble(0)
-    assert(dp === 11.0)
+    // dot_product over a COLUMN (non-foldable), so constant folding can't
+    // bypass the codegen path; int arrays exercise the numeric widening
+    Seq((Seq(1, 2), Seq(3, 4)), (Seq(0, 0), Seq(5, 5)))
+      .toDF("a", "b").createOrReplaceTempView("dp_in")
+    val dps = spark.sql("SELECT dot_product(a, b) FROM dp_in ORDER BY 1")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(dps === Seq(0.0, 11.0))
+    // arity is validated with a readable error, not an index crash
+    val e = intercept[Exception](spark.sql("SELECT dot_product(array(1))").collect())
+    assert(e.getMessage.contains("dot_product expects exactly 2"))
   }
 
   test("GraftExtensions injects the full function surface without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw
-    assert(graft.GraftExtensions.functions.map(_._1).toSet === Set(
-      "crc64", "crc64_pair", "memcomparable_encode", "memcomparable_decode",
-      "apiv2_encode_key", "apiv2_decode_key", "decode_ts", "unescape_go", "escape_go",
-      "dot_product"))
+    // sorted Seq, not Set: a duplicate name would silently shadow at
+    // runtime (createOrReplaceTempFunction: last registration wins)
+    assert(graft.GraftExtensions.functions.map(_._1).sorted === Seq(
+      "apiv2_decode_key", "apiv2_encode_key", "crc64", "crc64_pair",
+      "decode_ts", "dot_product", "escape_go", "memcomparable_decode",
+      "memcomparable_encode", "unescape_go"))
   }
 }
