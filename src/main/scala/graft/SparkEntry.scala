@@ -508,6 +508,30 @@ object SparkEntry {
     // §2a row 9: src-vs-dst checksum equality verdict
     "q_checksum_verdict" -> ((s, dir) =>
       Checksum.verdict(KVSnapshot.src(s, dir), KVSnapshot.dst(s, dir))),
+    // incremental maintenance: derive dst's checksum from src's checksum
+    // plus the change delta (XOR self-inverse — no dst rescan), then
+    // prove it equals the directly-computed dst checksum
+    "q_checksum_delta" -> ((s, dir) => {
+      val src = KVSnapshot.src(s, dir)
+      val dst = KVSnapshot.dst(s, dir)
+      val d = Diff.diff(src, dst)
+      val dels = d.filter(col("src_value").isNotNull)
+        .select(col("key"), col("src_value").as("value"))
+      val inss = d.filter(col("dst_value").isNotNull)
+        .select(col("key"), col("dst_value").as("value"))
+      val derived = Checksum.applyDelta(Checksum.of(src), dels, inss)
+        .select(col("crc64_xor").as("derived_crc64_xor"),
+          col("total_kvs").as("derived_total_kvs"),
+          col("total_bytes").as("derived_total_bytes"))
+      val direct = Checksum.of(dst)
+        .select(col("crc64_xor").as("direct_crc64_xor"),
+          col("total_kvs").as("direct_total_kvs"),
+          col("total_bytes").as("direct_total_bytes"))
+      derived.crossJoin(direct).withColumn("matches",
+        col("derived_crc64_xor") === col("direct_crc64_xor") &&
+        col("derived_total_kvs") === col("direct_total_kvs") &&
+        col("derived_total_bytes") === col("direct_total_bytes"))
+    }),
     // §2a row 10: diff = full-outer join on key, classified
     "q_diff" -> ((s, dir) =>
       Diff.diff(kvStrSrc(s, dir), kvStrDst(s, dir))
@@ -1264,6 +1288,30 @@ object SparkEntry {
         |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM ssg) s,
         |     (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
         |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM dsg) d""".stripMargin),
+    // replays the incremental-maintenance identity: derived = src XOR
+    // delta digests, direct = dst recomputed — both in pure SQL
+    "q_checksum_delta" -> (cte + "," + crc64TabCte + ",\n" +
+      """del AS (SELECT s.k, s.v FROM src s LEFT JOIN dst d ON s.k = d.k
+        |        WHERE d.k IS NULL OR s.v <> d.v),
+        |ins AS (SELECT d.k, d.v FROM dst d LEFT JOIN src s ON d.k = s.k
+        |        WHERE s.k IS NULL OR s.v <> d.v),
+        |""".stripMargin +
+      crcRows("ssg", "src") + ",\n" + crcRows("dsg", "dst") + ",\n" +
+      crcRows("delsg", "del") + ",\n" + crcRows("inssg", "ins") + "\n" +
+      """SELECT xor(xor(s.c, de.c), i.c) AS derived_crc64_xor,
+        |  s.n - de.n + i.n AS derived_total_kvs,
+        |  s.b - de.b + i.b AS derived_total_bytes,
+        |  d.c AS direct_crc64_xor, d.n AS direct_total_kvs, d.b AS direct_total_bytes,
+        |  (xor(xor(s.c, de.c), i.c) = d.c AND s.n - de.n + i.n = d.n
+        |     AND s.b - de.b + i.b = d.b) AS matches
+        |FROM (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM ssg) s,
+        |     (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM dsg) d,
+        |     (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM delsg) de,
+        |     (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM inssg) i""".stripMargin),
     // §2a rows 13-17: the codec aggregates — roundtrip-success counts
     // must claim every key, and the APIv2 encoded size is closed-form:
     // 9 bytes per 8-byte group of (4-byte prefix ‖ key), incl. the

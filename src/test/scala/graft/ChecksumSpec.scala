@@ -21,6 +21,28 @@ class ChecksumSpec extends SparkTestBase {
     assert(row.getLong(2) === expected.total_bytes)
   }
 
+  test("applyDelta derives the new snapshot's exact checksum from base + delta") {
+    // deterministic pseudo-random mutation of a 400-pair base: delete
+    // every 7th, mutate every 5th, insert 40 fresh keys — the identity
+    // checksum(B) == applyDelta(checksum(A), deletes, inserts) must hold
+    // bit-exactly (XOR self-inverse + count/byte arithmetic)
+    val a = (1 to 400).map(i => (f"k$i%05d", s"val-${i * 31 % 97}"))
+    val deleted = a.filter { case (k, _) => k.drop(1).toInt % 7 == 0 }
+    val mutated = a.filter { case (k, _) => k.drop(1).toInt % 7 != 0 && k.drop(1).toInt % 5 == 0 }
+    val fresh = (1001 to 1040).map(i => (s"n$i", s"new-$i"))
+    val b = a.filterNot(deleted.contains).map { case (k, v) =>
+      if (mutated.exists(_._1 == k)) (k, v + "#MUT") else (k, v)
+    } ++ fresh
+    val dels = deleted ++ mutated                             // old versions leaving
+    val inss = mutated.map { case (k, v) => (k, v + "#MUT") } ++ fresh  // new versions arriving
+    val derived = Checksum.applyDelta(
+      Checksum.of(kvDs(a).toDF()), kvDs(dels).toDF(), kvDs(inss).toDF()).head()
+    val direct = Checksum.of(kvDs(b).toDF()).head()
+    assert(derived.getLong(0) === direct.getLong(0))
+    assert(derived.getLong(1) === direct.getLong(1))
+    assert(derived.getLong(2) === direct.getLong(2))
+  }
+
   test("typed Aggregator agrees with expression-form checksum") {
     val pairs = (1 to 500).map(i => (f"k$i%05d", s"value-$i"))
     val ds = kvDs(pairs)
