@@ -896,7 +896,7 @@ object SparkEntry {
         |  round(CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
         |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
         |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
-        |  floor(CAST(200000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 AS quality_score
+        |  floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
@@ -1087,7 +1087,7 @@ object SparkEntry {
         |    + 3 * least(3 * n_stop, n_tokens) AS num,
         |  10 * n_tokens AS den FROM m),
         |qual AS (SELECT doc_id, n_tokens FROM sc
-        |  WHERE floor(CAST(200000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 >= 0.5
+        |  WHERE floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 >= 0.5
         |    AND n_tokens BETWEEN 10 AND 1000),
         |kept AS (SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -109,12 +109,22 @@ object Dedup {
           docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
             .select(col("doc_id"), xxhash64(col("s")).as("t"))
             .localCheckpoint()
-        indexCache.synchronized { indexCache.getOrElseUpdate(key, built) }
+        indexCache.synchronized {
+          val out = indexCache.getOrElseUpdate(key, built)
+          // bound the cache: a long-lived session deduping many corpora
+          // must not pin every index's checkpoint blocks forever —
+          // dropping the oldest entries releases our reference and the
+          // ContextCleaner reclaims the blocks once the frame is GC'd
+          while (indexCache.size > maxCachedIndexes)
+            indexCache.remove(indexCache.head._1)
+          out
+        }
     }
   }
 
+  private val maxCachedIndexes = 8
   private val indexCache =
-    scala.collection.mutable.Map.empty[
+    scala.collection.mutable.LinkedHashMap.empty[
       (org.apache.spark.sql.SparkSession,
        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
       DataFrame]

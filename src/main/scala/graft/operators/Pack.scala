@@ -33,6 +33,10 @@ object Pack {
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      // a row without an id or text has no position in the layout —
+      // exclude it up front instead of letting the phase-1 unboxing NPE
+      // inside a task (the row-level getLong calls below assume non-null)
+      .filter(col("doc_id").isNotNull && col("n_tok").isNotNull)
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
     val rdd = base.rdd

@@ -101,7 +101,7 @@ object TextAnalysis {
     *   score = (4·nDistinct + 3·nTok·bandFlag + 3·min(3·nStop, nTok))
     *           / (10·nTok)
     * and its 6-dp HALF_UP rounding is computed IN INTEGER ARITHMETIC
-    * (ppm = ⌊(2·10⁵·num + den) / (2·den)⌋) before one final double
+    * (ppm = ⌊(2·10⁶·num + den) / (2·den)⌋) before one final double
     * division by 10⁶ — rounding the double approximation instead parks
     * scores that are exactly k.5×10⁻⁷ (common, the denominator is a
     * small integer) within an ulp of the rounding boundary, where
@@ -117,7 +117,7 @@ object TextAnalysis {
     val num = (lit(4) * nDisI + lit(3) * nTokI * bandFlag +
       lit(3) * least(lit(3) * nStopI, nTokI)).cast("long")
     val den = (lit(10) * nTokI).cast("long")
-    val ppm = floor((lit(200000L) * num + den).cast("double") /
+    val ppm = floor((lit(2000000L) * num + den).cast("double") /
       (lit(2L) * den).cast("double"))
     docs.select(
       col(idCol).as("doc_id"),

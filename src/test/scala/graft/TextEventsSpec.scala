@@ -9,6 +9,25 @@ import graft.operators.{Events, TextAnalysis}
 class TextEventsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("quality score known answers: perfect doc scores 1.0, repetitive doc 0.34") {
+    // guards the ppm scale factor: the oracle SQL replays the same
+    // arithmetic, so a wrong constant there stays gate-green — only a
+    // hand-computed expected value catches it (a 2·10⁵-for-2·10⁶ slip
+    // deflated every score 10× and silently emptied q_curation's gate)
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 10 tokens, all distinct, 7 stopwords: num = 4·10+3·10+3·min(21,10)
+      // = 100, den = 100 → exactly 1.0
+      (1L, "the a of and to in is x1 x2 x3"),
+      // 10 tokens, 1 distinct, 0 stopwords: num = 4+30+0 = 34 → 0.34
+      (2L, "w w w w w w w w w w")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.quality(docs, "text", "doc_id")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(scores(1L) === 1.0)
+    assert(scores(2L) === 0.34)
+  }
+
   test("stratified sampling hits quotas exactly, deterministically, dropping unquoted groups") {
     val docs = (1L to 300L).map { i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx")
@@ -39,6 +58,15 @@ class TextEventsSpec extends SparkTestBase {
         assert(bin === start / 64L)
       }
     }
+  }
+
+  test("token packing excludes null-id/null-text rows instead of crashing") {
+    import graft.operators.Pack
+    val df = Seq((Option(1L), Option("a b c")), (Option.empty[Long], Option("x")),
+      (Option(2L), Option.empty[String])).toDF("doc_id", "text")
+    val out = Pack.assignBins(df, "text", "doc_id", 64L)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L))
   }
 
   test("rolling hash known-answer: 'abc' folds to 304891") {
