@@ -9,6 +9,24 @@ import graft.operators.{Events, TextAnalysis}
 class TextEventsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("BM25 and TF-IDF known answers (hand-computed, not oracle-lockstep)") {
+    import graft.operators.TextAnalysis
+    // three equal-length docs → dl/avgdl = 1, so the tf factor is
+    // (1·2.2)/(1+1.2·1) = 1 and the score reduces to the idf term:
+    // ln(1 + (3 − 1 + 0.5)/(1 + 0.5)) = ln(8/3)
+    val docs = Seq((1L, "w1 w2 rare"), (2L, "w1 w2 w3"), (3L, "w1 w2 w4"))
+      .toDF("doc_id", "text")
+    val bm = TextAnalysis.bm25Search(docs, "text", "doc_id", Seq("rare"), 3)
+      .as[(Long, Double)].collect()
+    assert(bm.toSeq === Seq((1L, math.rint(math.log(8.0 / 3.0) * 1e4) / 1e4)))
+    // tfidf(y in "x y") = (tf/dl)·ln((N+1)/(df+1)) = 0.5·ln(3/2)
+    val tf = TextAnalysis.tfidfTerms(Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .filter(col("term") === "y")
+      .select("weight").as[Double].collect()
+    assert(tf.toSeq === Seq(0.5 * math.log(3.0 / 2.0)))
+  }
+
   test("quality score known answers: perfect doc scores 1.0, repetitive doc 0.34") {
     // guards the ppm scale factor: the oracle SQL replays the same
     // arithmetic, so a wrong constant there stays gate-green — only a
