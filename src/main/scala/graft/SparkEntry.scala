@@ -261,6 +261,11 @@ object SparkEntry {
     "q_pack_bins" -> ((s, dir) =>
       Pack.packBins(docs(s, dir), "text", "doc_id", 4096L)
         .orderBy(col("bin"))),
+    // the materialized context windows: per bin, md5 of the id-ordered
+    // newline-joined document texts — pins every byte of every window
+    "q_pack_text" -> ((s, dir) =>
+      Pack.packedSequences(docs(s, dir), "text", "doc_id", 4096L)
+        .orderBy(col("bin"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -951,6 +956,17 @@ object SparkEntry {
         |SELECT CAST(s // 4096 AS BIGINT) AS bin, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    // replays packedSequences: same bin layout, then the id-ordered
+    // newline-joined text per bin, md5'd
+    "q_pack_text" ->
+      """WITH t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, text, n_tok,
+        |        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |      FROM t)
+        |SELECT CAST(s // 4096 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_token_topk" ->
       """SELECT t, count(*) AS n

@@ -75,4 +75,23 @@ object Pack {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  /** The materialized packed sequences: one row per bin with the bin's
+    * documents concatenated in id order, newline-separated — the actual
+    * context windows a trainer consumes. Assembly is order-sensitive, so
+    * the texts are gathered as (doc_id, text) structs and array_sort'ed
+    * before joining (collect_list order is not deterministic across
+    * partitionings; the sort is). Emitting the md5 of each packed blob
+    * keeps the driver-checkable surface small while still pinning every
+    * byte of every window. */
+  def packedSequences(docs: DataFrame, textCol: String, idCol: String,
+                      budget: Long): DataFrame =
+    assignBins(docs, textCol, idCol, budget)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")),
+        Seq("doc_id"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+            s => s.getField("__text")), "\n").cast("binary")).as("packed_md5"))
 }

@@ -78,6 +78,16 @@ class TextEventsSpec extends SparkTestBase {
     }
   }
 
+  test("packed sequences are partition-invariant (order-sensitive assembly is sorted)") {
+    import graft.operators.Pack
+    val rows = (1L to 100L).map(i => (i, s"doc $i body ${"t " * (i % 9).toInt}".trim))
+    def md5s(nPart: Int) = Pack.packedSequences(
+        rows.toDF("doc_id", "text").repartition(nPart), "text", "doc_id", 64L)
+      .select("bin", "packed_md5").as[(Long, String)].collect().toMap
+    assert(md5s(1) === md5s(7))
+    assert(md5s(1).nonEmpty)
+  }
+
   test("token packing excludes null-id/null-text rows instead of crashing") {
     import graft.operators.Pack
     val df = Seq((Option(1L), Option("a b c")), (Option.empty[Long], Option("x")),
