@@ -123,11 +123,19 @@ object Dedup {
   }
 
   private val maxCachedIndexes = 8
+  private type FrameKey = (org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int)
   private val indexCache =
-    scala.collection.mutable.LinkedHashMap.empty[
-      (org.apache.spark.sql.SparkSession,
-       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
-      DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[FrameKey, DataFrame]
+
+  /** The verified-pair cache, same policy and lifetime rules as
+    * [[indexCache]]: a curation pipeline consumes ONE corpus's verified
+    * similarity pairs from several operators (the thresholded join
+    * itself, connected components over it), and at scale you materialize
+    * the pair set once and fan out. Keyed by the same canonicalized
+    * corpus plan plus the join parameters (tag). */
+  private val pairCache =
+    scala.collection.mutable.LinkedHashMap.empty[(FrameKey, String), DataFrame]
 
   /** MinHash signatures: k independent permutation-minima approximated
     * by `min over shingles of xxhash64(seed_j, hashedShingle)`, computed
@@ -212,20 +220,36 @@ object Dedup {
   def jaccardJoin(docs: DataFrame, textCol: String, idCol: String,
                   threshold: Double, n: Int = 3,
                   maxDf: Int = Int.MaxValue): DataFrame = {
-    val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
-    val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val tok =
-      if (maxDf == Int.MaxValue) tok0
-      else {
-        val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("t"))
-        tok0.join(keep, Seq("t"))
-      }
-    val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
-      .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-    jaccardFromCounts(inter, sz, threshold)
+    val session = docs.sparkSession
+    val key = ((session, docs.queryExecution.logical.canonicalized, textCol, idCol, n),
+      s"jac:$threshold:$maxDf")
+    pairCache.synchronized {
+      pairCache.filterInPlace { case (((s, _, _, _, _), _), _) => !s.sparkContext.isStopped }
+      pairCache.get(key)
+    } match {
+      case Some(cached) => cached
+      case None =>
+        val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
+        val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val tok =
+          if (maxDf == Int.MaxValue) tok0
+          else {
+            val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
+              .filter(col("df") <= maxDf).select(col("t"))
+            tok0.join(keep, Seq("t"))
+          }
+        val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
+          .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        val built = jaccardFromCounts(inter, sz, threshold).localCheckpoint()
+        pairCache.synchronized {
+          val out = pairCache.getOrElseUpdate(key, built)
+          while (pairCache.size > maxCachedIndexes)
+            pairCache.remove(pairCache.head._1)
+          out
+        }
+    }
   }
 
   /** Decontamination: flag TRAIN documents whose shingles cover an
