@@ -109,17 +109,35 @@ object Checksum {
     * case where the two sources have very different latencies (e.g. two
     * remote clusters) and should overlap wall-clock. Results are
     * identical (the aggregate is deterministic per side). */
-  def verdictConcurrent(src: DataFrame, dst: DataFrame): DataFrame = {
-    import scala.concurrent.duration.Duration
+  def verdictConcurrent(src: DataFrame, dst: DataFrame,
+                        timeout: scala.concurrent.duration.Duration =
+                          scala.concurrent.duration.Duration.Inf): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val spark = src.sparkSession
+    // per-call unique group ids: two overlapping verdictConcurrent calls
+    // must not cancel each other's jobs
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val (srcGroup, dstGroup) = (s"graft-src-$tag", s"graft-dst-$tag")
     def triple(kv: DataFrame, group: String) = Future {
       spark.sparkContext.setJobGroup(group, s"checksum $group", interruptOnCancel = true)
       try of(kv).head() finally spark.sparkContext.clearJobGroup()
     }
-    val (s, d) = (triple(src, "graft-src"), triple(dst, "graft-dst"))
-    val Seq(sr, dr) = Await.result(Future.sequence(Seq(s, d)), Duration.Inf)
+    val (s, d) = (triple(src, srcGroup), triple(dst, dstGroup))
+    // first failure cancels the sibling's jobs instead of letting them
+    // run (and hold executors) untracked behind the caller's exception
+    s.failed.foreach(_ => spark.sparkContext.cancelJobGroup(dstGroup))
+    d.failed.foreach(_ => spark.sparkContext.cancelJobGroup(srcGroup))
+    val Seq(sr, dr) =
+      try Await.result(Future.sequence(Seq(s, d)), timeout)
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          // a hung source must not block the caller forever: reap both
+          // sides' jobs before surfacing the timeout
+          spark.sparkContext.cancelJobGroup(srcGroup)
+          spark.sparkContext.cancelJobGroup(dstGroup)
+          throw e
+      }
     import spark.implicits._
     Seq((sr.getLong(0), sr.getLong(1), sr.getLong(2),
          dr.getLong(0), dr.getLong(1), dr.getLong(2)))

@@ -97,6 +97,7 @@ object Dedup {
     * collected. */
   def hashedShingleIndex(docs: DataFrame, textCol: String, idCol: String,
                          n: Int): DataFrame = {
+    if (!cachingEnabled) return buildShingleIndex(docs, textCol, idCol, n)
     val session = docs.sparkSession
     val key = (session, docs.queryExecution.logical.canonicalized, textCol, idCol, n)
     indexCache.synchronized {
@@ -105,10 +106,7 @@ object Dedup {
     } match {
       case Some(cached) => cached
       case None =>
-        val built =
-          docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
-            .select(col("doc_id"), xxhash64(col("s")).as("t"))
-            .localCheckpoint()
+        val built = buildShingleIndex(docs, textCol, idCol, n)
         indexCache.synchronized {
           val out = indexCache.getOrElseUpdate(key, built)
           // bound the cache: a long-lived session deduping many corpora
@@ -122,11 +120,36 @@ object Dedup {
     }
   }
 
+  private def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String,
+                                n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("t"))
+      .localCheckpoint()
+
   private val maxCachedIndexes = 8
   private type FrameKey = (org.apache.spark.sql.SparkSession,
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int)
   private val indexCache =
     scala.collection.mutable.LinkedHashMap.empty[FrameKey, DataFrame]
+
+  /** Caching opt-out for both memo maps ([[indexCache]] and the verified-
+    * pair cache): the keys canonicalize a FILE-BACKED plan to its root
+    * path + schema, so rewriting a path in place within one JVM would be
+    * served stale frames — a caller that mutates its inputs mid-session
+    * disables caching (or calls [[clearCaches]] after the rewrite).
+    * Checkpoint blocks are also non-replicated: after losing an executor,
+    * [[clearCaches]] is the recovery hook. */
+  @volatile var cachingEnabled: Boolean = true
+
+  /** Drop every memoized shingle index and verified-pair frame. The
+    * dropped frames' checkpoint blocks are reclaimed by the
+    * ContextCleaner once unreferenced; in-flight consumers of a
+    * previously returned frame are unaffected (they hold their own
+    * reference). */
+  def clearCaches(): Unit = {
+    indexCache.synchronized { indexCache.clear() }
+    pairCache.synchronized { pairCache.clear() }
+  }
 
   /** The verified-pair cache, same policy and lifetime rules as
     * [[indexCache]]: a curation pipeline consumes ONE corpus's verified
@@ -220,6 +243,23 @@ object Dedup {
   def jaccardJoin(docs: DataFrame, textCol: String, idCol: String,
                   threshold: Double, n: Int = 3,
                   maxDf: Int = Int.MaxValue): DataFrame = {
+    def build(): DataFrame = {
+      val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
+      val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val tok =
+        if (maxDf == Int.MaxValue) tok0
+        else {
+          val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxDf).select(col("t"))
+          tok0.join(keep, Seq("t"))
+        }
+      val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
+        .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      jaccardFromCounts(inter, sz, threshold)
+    }
+    if (!cachingEnabled) return build()
     val session = docs.sparkSession
     val key = ((session, docs.queryExecution.logical.canonicalized, textCol, idCol, n),
       s"jac:$threshold:$maxDf")
@@ -229,20 +269,7 @@ object Dedup {
     } match {
       case Some(cached) => cached
       case None =>
-        val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
-        val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val tok =
-          if (maxDf == Int.MaxValue) tok0
-          else {
-            val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
-              .filter(col("df") <= maxDf).select(col("t"))
-            tok0.join(keep, Seq("t"))
-          }
-        val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
-          .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-        val built = jaccardFromCounts(inter, sz, threshold).localCheckpoint()
+        val built = build().localCheckpoint()
         pairCache.synchronized {
           val out = pairCache.getOrElseUpdate(key, built)
           while (pairCache.size > maxCachedIndexes)
@@ -359,7 +386,12 @@ object Dedup {
                 w: Int = 16, divisor: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      // a row without an id or text has no chunks — exclude it up front
+      // instead of letting the typed decode NPE inside a task (same
+      // contract as Pack.assignBins)
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         cdcChunkKernel(text, w, divisor).zipWithIndex.map { case ((fp, len), i) =>
           (id, i, fp, len)

@@ -38,9 +38,18 @@ object Pack {
       // inside a task (the row-level getLong calls below assume non-null)
       .filter(col("doc_id").isNotNull && col("n_tok").isNotNull)
       .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
+      // secondary sort key n_tok: duplicate doc_ids would otherwise tie
+      // nondeterministically, and a partition recomputed after block
+      // eviction could reorder them between phase 1 and phase 2 —
+      // (doc_id, n_tok) pins the order up to rows that are fully
+      // identical, which are interchangeable for start assignment
+      .sortWithinPartitions(col("doc_id"), col("n_tok"))
     val rdd = base.rdd
-    rdd.cache()
+    // MEMORY_AND_DISK, not cache(): under memory pressure an evicted
+    // MEMORY_ONLY partition recomputes through the range shuffle between
+    // the phase-1 subtotal collect and the phase-2 assignment pass;
+    // spilling to disk keeps the two phases reading identical contents
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // phase 1: one subtotal per partition (P longs to the driver)
       val subtotals = rdd

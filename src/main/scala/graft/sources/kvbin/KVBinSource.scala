@@ -56,15 +56,10 @@ class KVBinTable(dir: String) extends Table with SupportsRead {
 }
 
 /** Accepts unsigned-lex range predicates on `key` and column pruning;
-  * everything else stays with Spark as a post-scan filter. The session's
-  * hadoop configuration is captured here (driver side) and shipped to
-  * readers — executor-side `FileSystem.get` must see the cluster's FS
-  * settings and credentials, not a default `Configuration()`. */
+  * everything else stays with Spark as a post-scan filter. */
 class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
                        endpoints: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private val conf = new org.apache.spark.util.SerializableConfiguration(
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
@@ -103,14 +98,25 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
 
   override def build(): Scan =
     new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema,
-      conf, expectedApiVersion, endpoints)
+      expectedApiVersion, endpoints)
 }
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 endIncl: Array[Byte], required: StructType,
-                conf: org.apache.spark.util.SerializableConfiguration,
                 expectedApiVersion: Option[String] = None,
                 endpoints: Option[String] = None) extends Scan with Batch {
+  /** The session's hadoop configuration, shipped to readers —
+    * executor-side `FileSystem.get` must see the cluster's FS settings
+    * and credentials, not a default `Configuration()`. Resolved LAZILY
+    * (first partition planning, driver side) from the session actually
+    * executing the scan — capturing `SparkSession.active` at builder
+    * construction would, in a multi-session JVM, ship the thread-local
+    * active session's per-session `spark.hadoop.*` overrides to a query
+    * owned by a different session. */
+  private lazy val conf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
+      .sessionState.newHadoopConf())
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
