@@ -414,13 +414,18 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
-    // hot-key-safe salted join, provably equal to the plain equi-join
+    // hot-key-safe salted join, provably equal to the plain equi-join.
+    // Two-path: keys with >= 1000 fact rows would be salted; this fixture
+    // has none (max ~7 lineitems per order), so the whole join takes the
+    // unreplicated plain path — which is exactly the point: salting is
+    // paid only where skew exists (SkewApproxSpec's planted-hot-key
+    // fixture proves the salted path engages and stays row-identical).
     "q_salted_join" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("k"), col("l_quantity"))
       val o = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-      Skew.saltedJoin(li, o, "k", 8)
+      Skew.saltedJoin(li, o, "k", 8, hotThreshold = 1000L)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))

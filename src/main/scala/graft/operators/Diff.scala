@@ -96,9 +96,37 @@ object Diff {
   def srcOnly(src: DataFrame, dst: DataFrame): DataFrame =
     src.join(dst.select("key"), Seq("key"), "left_anti")
 
-  /** Symmetric difference on whole (key, value) pairs via set ops —
-    * the alternative diff formulation (SURVEY.md §2b set-ops row). */
-  def symmetricDiff(src: DataFrame, dst: DataFrame): DataFrame =
+  /** Symmetric difference on (key, value) pairs — one row per pair
+    * present on exactly one side, `side ∈ {src, dst}`. Derived from ONE
+    * [[diff]] pass: src_only → the src row, dst_only → the dst row, a
+    * mismatch → both rows (that key's src and dst pairs each exist on
+    * only their own side). The set-ops formulation
+    * ([[symmetricDiffSetOps]]) computes the identical rows with two
+    * `exceptAll` passes = four full shuffles of both snapshots; this
+    * form pays the full-outer join's one shuffle per side and emits the
+    * two mismatch rows with an explode — at 100 TB that is the
+    * difference between shuffling each snapshot once and twice.
+    *
+    * Assumes the KV contract ([[diff]]'s input): keys unique and
+    * non-null per side. On general multisets (repeated or null-keyed
+    * rows) use [[symmetricDiffSetOps]], whose bag semantics are the
+    * honest answer there; DiffLawsSpec pins the two equal on KV input. */
+  def symmetricDiff(src: DataFrame, dst: DataFrame): DataFrame = {
+    def one(value: Column, side: String): Column =
+      array(struct(value.as("value"), lit(side).as("side")))
+    diff(src, dst)
+      .select(col("key"), explode(
+        when(col("diff_class") === "src_only", one(col("src_value"), "src"))
+          .when(col("diff_class") === "dst_only", one(col("dst_value"), "dst"))
+          .otherwise(concat(one(col("src_value"), "src"),
+            one(col("dst_value"), "dst")))).as("__e"))
+      .select(col("key"), col("__e.value").as("value"), col("__e.side").as("side"))
+  }
+
+  /** Symmetric difference via set ops (two `exceptAll` passes) — the
+    * general-multiset formulation and [[symmetricDiff]]'s spec twin
+    * (SURVEY.md §2b set-ops row). */
+  def symmetricDiffSetOps(src: DataFrame, dst: DataFrame): DataFrame =
     src.exceptAll(dst).withColumn("side", lit("src"))
       .unionAll(dst.exceptAll(src).withColumn("side", lit("dst")))
 

@@ -63,31 +63,95 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN top-k. Coarse codebook = per-`labelCol` mean vectors
-    * (deterministic; a k-means codebook drops in identically). Probing
-    * `nprobe` clusters bounds recall loss; `nprobe = C` degrades to
-    * exact search. */
+  /** IVF-style ANN top-k over the per-`labelCol` mean-vector codebook —
+    * the labeled-corpus form; [[kmeansCodebook]] is the unsupervised
+    * drop-in for the usual case where no label exists. Probing `nprobe`
+    * clusters bounds recall loss; `nprobe = C` degrades to exact search
+    * (SimilaritySpec pins that equality against [[bruteForceTopK]]). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-              labelCol: String = "label"): DataFrame = {
-    // centroid[j] = mean(vec[j]) per label — posexplode + grouped agg, a
-    // partial-aggregated shuffle of (label, j, sum, cnt) triples only.
-    // The mean sums in DECIMAL(27,15) and divides once as a double: a
-    // bare avg(double) adds in partition order, so the codebook — and
-    // with it every downstream assignment — would differ run to run;
-    // this way the whole ANN pipeline is deterministic and the DuckDB
-    // oracle reproduces it bit-for-bit.
-    val cent = corpus
-      .select(col(labelCol).as("cluster_id"), posexplode(col("vec")))
+              labelCol: String = "label"): DataFrame =
+    ivfTopKWithCodebook(corpus, queries, k, nprobe,
+      labelCodebook(corpus, labelCol))
+
+  /** Coarse codebook from a label column: centroid[j] = mean(vec[j]) per
+    * label — posexplode + grouped agg, a partial-aggregated shuffle of
+    * (label, j, sum, cnt) triples only. The mean sums in DECIMAL(27,15)
+    * and divides once as a double: a bare avg(double) adds in partition
+    * order, so the codebook — and with it every downstream assignment —
+    * would differ run to run; this way the whole ANN pipeline is
+    * deterministic and the DuckDB oracle reproduces it bit-for-bit.
+    * Output: (cluster_id, cvec array<double>). */
+  def labelCodebook(corpus: DataFrame, labelCol: String = "label"): DataFrame =
+    meanByCluster(corpus.select(col(labelCol).as("cluster_id"), col("vec")))
+
+  /** centroid[j] = decimal-exact mean of component j per cluster_id, from
+    * a (cluster_id, vec) frame. */
+  private def meanByCluster(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster_id"), posexplode(col("vec")))
       .groupBy(col("cluster_id"), col("pos"))
       .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
         count(lit(1))).as("m"))
       .groupBy(col("cluster_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
-      // centroid norms hoisted out of the per-(vector, centroid) kernel:
-      // norm is a pure per-array quantity, so precomputing it is
-      // bit-identical and saves an array walk per candidate pair
-      .withColumn("cvn", norm(col("cvec")))
+
+  /** Deterministic unsupervised k-means codebook — the IVF default when
+    * the corpus has no label column. Every source of k-means
+    * nondeterminism is pinned so the DuckDB oracle replays the codebook
+    * bit-for-bit:
+    *  - INIT: the k corpus vectors with the smallest
+    *    `(md5(cast(id as string)), id)` — a seeded pseudo-random draw
+    *    both engines compute identically (the distributed plan is a
+    *    top-k, never a global sort);
+    *  - ASSIGNMENT: the family's 9-dp rounded cosine, ties broken by
+    *    cluster_id — same kernel as the probe stages;
+    *  - UPDATE: component means summed in DECIMAL(27,15), divided once
+    *    as double (partition-order-proof, like [[labelCodebook]]);
+    *  - a FIXED iteration count (no data-dependent stopping), and an
+    *    emptied cluster keeps its previous centroid.
+    * Each round broadcasts k·dim doubles and collects the k new
+    * centroids — model parameters, not data; the corpus itself only
+    * streams through one assignment scan + one partial-aggregated
+    * shuffle per round. Output: (cluster_id, cvec array<double>). */
+  def kmeansCodebook(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus
+      .select(md5(col("id").cast("string")).as("__h"), col("id"),
+        col("vec").cast("array<double>").as("cvec"))
+      .orderBy(col("__h"), col("id")).limit(k)
+      .select(col("cvec")).as[Seq[Double]].collect()
+    var cent: Seq[(Long, Seq[Double])] =
+      seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val centDf = cent.toDF("cluster_id", "cvec").withColumn("cvn", norm(col("cvec")))
+      val assigned = corpus
+        .select(col("id"), col("vec"), norm(col("vec")).as("vn"))
+        .join(broadcast(centDf))
+        .select(col("id"), col("vec"), col("cluster_id"),
+          round(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn")), 9).as("csim"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cluster_id"))))
+        .filter(col("r") === 1)
+        .select(col("cluster_id"), col("vec"))
+      val means = meanByCluster(assigned)
+        .as[(Long, Seq[Double])].collect().toMap
+      cent = cent.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+    }
+    cent.toDF("cluster_id", "cvec")
+  }
+
+  /** The IVF two-stage probe over an explicit (cluster_id, cvec)
+    * codebook — shared core of [[ivfTopK]] (label codebook) and the
+    * [[kmeansCodebook]] path. */
+  def ivfTopKWithCodebook(corpus: DataFrame, queries: DataFrame, k: Int,
+                          nprobe: Int, codebook: DataFrame): DataFrame = {
+    // centroid norms hoisted out of the per-(vector, centroid) kernel:
+    // norm is a pure per-array quantity, so precomputing it is
+    // bit-identical and saves an array walk per candidate pair
+    val cent = codebook.withColumn("cvn", norm(col("cvec")))
     // stage 1: assign every corpus vector to its nearest centroid
     val assigned = corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
         norm(col("vec")).as("cn"))

@@ -9,20 +9,74 @@ import org.apache.spark.sql.functions._
   * diff over a key space with one giant tombstone region, or an
   * inverted-index join on a hot shingle).
   *
-  * `saltedJoin` replicates the RIGHT side `salt` times and scatters the
-  * left side across the replicas: left rows get `salt_id = hash(row) %
-  * salt`, right rows are exploded to all salt_ids, and the equi-join key
-  * becomes (key, salt_id) — a hot key's rows now spread over `salt`
-  * reducers instead of one. Exact same join result, `salt`× right-side
-  * duplication as the price. */
+  * `saltedJoin` is TWO-PATH: it first finds the left side's hot keys
+  * (count ≥ `hotThreshold`, optionally from a seeded sample), then
+  *  - salts ONLY the hot slice: hot left rows get `salt_id = hash(row)
+  *    % salt`, hot right rows are exploded to all salt_ids, and the
+  *    equi-join key becomes (key, salt_id) — a hot key's rows spread
+  *    over `salt` reducers instead of one;
+  *  - plain-joins everything else — the overwhelming bulk of a skewed
+  *    dataset — with zero replication;
+  * and unions the two. The round-3 form salted unconditionally, which
+  * replicated the ENTIRE right side `salt`× for every key — at scale,
+  * blanket 8× duplication of a large build side is itself the hazard
+  * the operator exists to avoid. With no hot keys the plan degrades to
+  * the plain join plus two broadcast anti-joins (near-free); the result
+  * is the plain join's exactly, whichever path each key takes.
+  *
+  * The hot-key set is bounded by |left| / hotThreshold rows, so it
+  * broadcasts by construction; it is materialized once (localCheckpoint)
+  * because four routing joins consume it. */
 object Skew {
 
-  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+  /** Left-side keys whose row count reaches `hotThreshold`, as a 1-column
+    * frame. `sampleFraction` < 1 counts a seeded deterministic sample
+    * instead of the full side (the 100 TB path — frequency estimation
+    * needs no exact counts; the threshold scales with the fraction).
+    * Which keys land here affects ROUTING only, never the join result. */
+  def hotKeys(left: DataFrame, key: String, hotThreshold: Long,
+              sampleFraction: Double = 1.0): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val (base, scaledThreshold) =
+      if (sampleFraction >= 1.0) (left, hotThreshold)
+      else (left.sample(withReplacement = false, sampleFraction, seed = 8675309L),
+        math.max(1L, (hotThreshold * sampleFraction).toLong))
+    base.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= scaledThreshold)
+      .select(col(key))
+  }
+
+  /** Skew-aware equi-join on `key`; result equals `left.join(right,
+    * Seq(key))` row-for-row. `hotThreshold` is the left-side row count at
+    * which a key is salted (size it to a few reducer-tasks' worth of
+    * rows); `sampleFraction` < 1 estimates frequencies from a sample. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+                 hotThreshold: Long = 1000000L,
+                 sampleFraction: Double = 1.0): DataFrame =
+    saltedJoin(left, right, key, salt,
+      hotKeys(left, key, hotThreshold, sampleFraction))
+
+  /** [[saltedJoin]] with a caller-supplied hot-key list (one column named
+    * like `key`) — the "you already know the hot keys" form: at scale the
+    * hot set is often known a priori (tombstone regions, header shingles)
+    * and re-counting the fact side to discover it is wasted work. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+                 hotKeys: DataFrame): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    val l = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)))
-    val r = right.withColumn("__salt",
-      explode(sequence(lit(0L), lit((salt - 1).toLong))))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    val hot = broadcast(hotKeys.select(col(key)).localCheckpoint())
+    val lHot = left.join(hot, Seq(key), "left_semi")
+      .withColumn("__salt",
+        pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt.toLong)))
+    val rHot = right.join(hot, Seq(key), "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0L), lit((salt - 1).toLong))))
+    val salted = lHot.join(rHot, Seq(key, "__salt")).drop("__salt")
+    // the anti side of RIGHT too: hot right rows can never match a
+    // non-hot left row, so keeping them out of the plain join's shuffle
+    // is free volume saved
+    val plain = left.join(hot, Seq(key), "left_anti")
+      .join(right.join(hot, Seq(key), "left_anti"), Seq(key))
+    salted.unionAll(plain)
   }
 }

@@ -132,4 +132,15 @@ class DiffLawsSpec extends SparkTestBase {
     val sym = Diff.symmetricDiff(src, dst).count()
     assert(sym === 2 * classes("mismatch") + classes("src_only") + classes("dst_only"))
   }
+
+  test("one-pass symmetric difference equals the set-ops formulation") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key").cast("string"), col("value").cast("string"), col("side"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val onePass = rows(Diff.symmetricDiff(src, dst))
+    val setOps = rows(Diff.symmetricDiffSetOps(src, dst))
+    assert(onePass === setOps)
+    assert(onePass.nonEmpty)
+  }
 }

@@ -16,10 +16,39 @@ class SkewApproxSpec extends SparkTestBase {
       .toDF("k", "rv")
     val plain = left.join(right, Seq("k"))
       .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
-    val salted = Skew.saltedJoin(left, right, "k", 8)
+    // threshold 500: the planted key (900 rows) routes through the salted
+    // path, the tail (1 row each) through the plain path
+    val salted = Skew.saltedJoin(left, right, "k", 8, hotThreshold = 500L)
       .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
     assert(salted === plain)
     assert(plain.length === 900 * 2 + 100)
+    // threshold above every count: pure plain path, same rows
+    val unsalted = Skew.saltedJoin(left, right, "k", 8, hotThreshold = 10000L)
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
+    assert(unsalted === plain)
+  }
+
+  test("hot-key detection finds exactly the planted key, full or sampled") {
+    val left = ((1 to 5000).map(i => ("hot", i)) ++ (1 to 200).map(i => (s"k$i", i)))
+      .toDF("k", "lv")
+    assert(Skew.hotKeys(left, "k", 1000L).as[String].collect().toSeq === Seq("hot"))
+    assert(Skew.hotKeys(left, "k", 10000L).isEmpty)
+    // sampled estimation: 5000-row key vs threshold 1000 at 10% sampling
+    // (expected 500 sampled rows vs scaled threshold 100 — far from the
+    // noise floor, deterministic seed)
+    assert(Skew.hotKeys(left, "k", 1000L, sampleFraction = 0.1)
+      .as[String].collect().toSeq === Seq("hot"))
+  }
+
+  test("salted join with an explicit hot-key list equals the plain join") {
+    val left = ((1 to 300).map(i => ("hot", i)) ++ (1 to 50).map(i => (s"k$i", i)))
+      .toDF("k", "lv")
+    val right = (Seq(("hot", 7)) ++ (1 to 50).map(i => (s"k$i", i * 10))).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k", 4, Seq("hot").toDF("k"))
+      .select("k", "lv", "rv").as[(String, Int, Int)].collect().sorted.toSeq
+    assert(salted === plain)
   }
 
   test("approx_percentile tracks exact percentiles within 5% of the value range") {
