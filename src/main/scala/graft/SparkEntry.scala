@@ -168,6 +168,17 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the same IVF probe over the UNSUPERVISED deterministic k-means
+    // codebook (md5-seeded init, 2 fixed iterations, decimal-exact
+    // means) — the no-label-column path. The DuckDB oracle replays the
+    // whole construction: seeds, both assignment+update rounds, then the
+    // probe — so the codebook itself is hash-gated, not just the top-k
+    "q_ann_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKWithCodebook(e, e.filter(col("id") < 10), 3, 2,
+        Similarity.kmeansCodebook(e, 5, 2))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // int8-quantized two-stage top-k (coarse codes -> exact re-score);
     // the DuckDB oracle replays quantization, dequantized coarse ranking
     // and the full-precision rescore — recall is ALSO property-tested
@@ -791,6 +802,68 @@ object SparkEntry {
         |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
         |       FROM px GROUP BY label, pos),
         |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |           round(list_dot_product(e.v, c.cvec)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |         FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, v, cluster_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 10),
+        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
+        |          round(list_dot_product(q.qv, c.cvec)
+        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |        FROM q CROSS JOIN cent c),
+        |pr AS (SELECT query_id, qv, qn, cluster_id FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY csim DESC, cluster_id) AS r FROM pr0) WHERE r <= 2),
+        |sc AS (SELECT p.query_id, a.vec_id,
+        |         round(list_dot_product(p.qv, a.v)
+        |           / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
+        |       FROM pr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // replays Similarity.kmeansCodebook + the IVF probe end-to-end:
+    // seeds = 5 smallest (md5(id), id) vectors; two unrolled
+    // assignment/update rounds (9-dp cosine, cluster_id tie-break,
+    // DECIMAL(27,15) means, emptied cluster keeps its centroid via
+    // coalesce); then the identical probe/rescore as q_ann_ivf
+    "q_ann_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster_id,
+        |            v AS cvec
+        |          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5),
+        |a1 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |         round(list_dot_product(e.v, c.cvec)
+        |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |       FROM e CROSS JOIN cent0 c),
+        |asg1 AS (SELECT vec_id, v, cluster_id FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY csim DESC, cluster_id) AS r FROM a1) WHERE r = 1),
+        |px1 AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg1),
+        |cm1 AS (SELECT cluster_id, pos,
+        |          CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+        |        FROM px1 GROUP BY cluster_id, pos),
+        |mean1 AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm1 GROUP BY cluster_id),
+        |cent1 AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
+        |          FROM cent0 p LEFT JOIN mean1 m USING (cluster_id)),
+        |a2 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |         round(list_dot_product(e.v, c.cvec)
+        |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |       FROM e CROSS JOIN cent1 c),
+        |asg2 AS (SELECT vec_id, v, cluster_id FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY csim DESC, cluster_id) AS r FROM a2) WHERE r = 1),
+        |px2 AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg2),
+        |cm2 AS (SELECT cluster_id, pos,
+        |          CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+        |        FROM px2 GROUP BY cluster_id, pos),
+        |mean2 AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm2 GROUP BY cluster_id),
+        |cent AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
+        |         FROM cent1 p LEFT JOIN mean2 m USING (cluster_id)),
         |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
         |           round(list_dot_product(e.v, c.cvec)
         |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim

@@ -100,6 +100,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  test("k-means codebook IVF achieves high recall@3 on clustered data, no labels used") {
+    // same well-separated shape as the labeled IVF test, but the
+    // codebook is learned unsupervised — recall must come from k-means
+    // actually recovering the cluster structure
+    val vecs = (0 until 200).map { i =>
+      val label = i % 10
+      val v = Array.fill(16)(0.0f)
+      v(label) = 10.0f
+      (0 until 16).foreach(j => v(j) += (((i * 31 + j * 7) % 11) - 5) * 0.05f)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("id", "vec")
+    val queries = df.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, df, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val codebook = Similarity.kmeansCodebook(df, 10, 3)
+    val ann = Similarity.ivfTopKWithCodebook(df, queries, 3, 3, codebook)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"k-means IVF recall@3 = $recall")
+  }
+
+  test("k-means codebook is deterministic and k-row, rerun bit-identical") {
+    def run() = Similarity.kmeansCodebook(emb, 5, 2)
+      .orderBy(col("cluster_id"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val a = run()
+    val b = run()
+    assert(a === b)
+    assert(a.map(_._1) === (0L until 5L))
+    val dim = emb.select(size(col("vec"))).as[Int].head()
+    assert(a.forall(_._2.length == dim))
+  }
+
+  test("k-means-codebook IVF probing all clusters degrades to exact search") {
+    val queries = emb.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopKWithCodebook(emb, queries, 3, 5,
+        Similarity.kmeansCodebook(emb, 5, 2))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("int8 quantization roundtrip error is bounded by half a code step per dim") {
     val (q, scales) = Similarity.quantize(emb)
     val row = q.select(col("vec"), col("qvec")).head()
