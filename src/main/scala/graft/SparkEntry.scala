@@ -59,7 +59,8 @@ object SparkEntry {
   private def streamingStateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_diff" -> ((s, dir) => StreamEntries.streamDiff(s, dir)),
     "q_stream_sessions" -> ((s, dir) => StreamEntries.streamSessions(s, dir)),
-    "q_stream_keyed_checksum" -> ((s, dir) => StreamEntries.streamKeyedChecksum(s, dir)))
+    "q_stream_keyed_checksum" -> ((s, dir) => StreamEntries.streamKeyedChecksum(s, dir)),
+    "q_stream_dedup" -> ((s, dir) => StreamEntries.streamDedup(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1273,6 +1274,13 @@ object SparkEntry {
         |ON s.k = d.k
         |WHERE s.k IS NULL OR d.k IS NULL OR s.v <> d.v
         |ORDER BY key, diff_class""".stripMargin),
+    // streaming dedup (dropDuplicatesWithinWatermark) fed every row 4×
+    // must equal batch DISTINCT on the slice — keys are unique per
+    // snapshot, so the surviving (key, value) row is deterministic
+    "q_stream_dedup" -> (cte +
+      """SELECT k AS key, v AS value FROM src
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
     // streaming sessions (event-time timeouts) must equal batch
     // sessionization; the double-typed sum column is excluded because
     // the streaming fold adds doubles in arrival order

@@ -137,6 +137,45 @@ object StreamEntries {
       .orderBy(col("user_id"), col("ts_start_us"))
   }
 
+  /** Streaming deduplication over the src snapshot restricted to the
+    * same key range as [[streamDiff]]: every row arrives FOUR times (a
+    * within-batch twin plus two replay batches) and must emit exactly
+    * once. Uses `dropDuplicatesWithinWatermark`, not plain
+    * `dropDuplicates` — state is one entry per distinct key seen within
+    * the watermark horizon and is EVICTED once the watermark passes, so
+    * at 100 TB the store holds the recent-key window, not the corpus's
+    * full key history (the unbounded-state trap plain streaming
+    * dropDuplicates falls into). All feeds share one event time inside
+    * the horizon, so the replays hit live state and drop; keys are
+    * unique per snapshot (KV contract), so the surviving row — and with
+    * it the sink table — is deterministic and equals batch DISTINCT,
+    * which is exactly the oracle. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = KVSnapshot.srcStr(s, dir)
+      .filter(col("k") >= "li_0000000001" && col("k") < "li_0000002000")
+      .as[(String, String)].collect().toSeq.map { case (k, v) => (t0, k, v) }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_dedup")
+    withStatePartitions(s, 4) {
+      val mem = MemoryStream[(Timestamp, String, String)]
+      val deduped = mem.toDF.toDF("ts", "key", "value")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("key")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        mem.addData(rows ++ rows) // within-batch duplicate pairs
+        q.processAllAvailable()
+        mem.addData(rows)         // replay against live state
+        q.processAllAvailable()
+        mem.addData(rows)
+      }
+    }
+    takeTable(s, name).select(col("key"), col("value")).orderBy(col("key"))
+  }
+
   /** Continuously-maintained per-group checksum (mapGroupsWithState)
     * driven by three deterministic micro-batches (events split by
     * event_id mod 3). The final state per group — the monoid fold of

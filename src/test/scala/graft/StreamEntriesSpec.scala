@@ -35,6 +35,17 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_dedup equals batch distinct on the same key range") {
+    val streamed = StreamEntries.streamDedup(spark, dir)
+    val batch = KVSnapshot.srcStr(spark, dir)
+      .select(col("k").as("key"), col("v").as("value"))
+      .filter(col("key") >= "li_0000000001" && col("key") < "li_0000002000")
+    assert(streamed.count() > 0)
+    // every row was fed 4x; exactly one copy survives
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_keyed_checksum equals the batch per-group checksum") {
     val streamed = StreamEntries.streamKeyedChecksum(spark, dir)
     val kv = Events.read(spark, dir).select(

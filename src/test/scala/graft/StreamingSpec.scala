@@ -55,6 +55,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark drops within the horizon, re-emits after eviction") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF.toDF("ts", "key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.format("memory").queryName("dd_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"))
+      q.processAllAvailable()
+      // same key inside the horizon: state live → dropped
+      mem.addData((ts(5), "a"))
+      q.processAllAvailable()
+      // advance event time to 00:59 → watermark 00:49, far past the
+      // first "a"'s 00:10 expiry → its state is EVICTED
+      mem.addData((ts(59), "w"))
+      q.processAllAvailable()
+      // same key again, beyond the horizon: no state → re-emits. This is
+      // the bounded-state contract: the store tracks the recent-key
+      // window, not all keys ever seen.
+      mem.addData((ts(59), "a"))
+      q.processAllAvailable()
+      val emitted = spark.table("dd_evict").filter(col("key") === "a").count()
+      assert(emitted === 2L, "one emit per horizon, not one per key-lifetime")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keyed checksum accumulates across micro-batches to the batch value") {
     import graft.streaming.KeyedChecksumState
     import graft.streaming.KeyedChecksumState.KVRecord
