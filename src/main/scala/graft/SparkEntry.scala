@@ -192,6 +192,13 @@ object SparkEntry {
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+    // the recursive-blocking scale path: label clusters above 64 members
+    // are split (exercised at every SF — fixture labels are larger), far
+    // sub-block pairs pruned by the triangle-inequality bound, and the
+    // result is EXACTLY cosineNearDup's — hence the identical oracle
+    "q_cosine_neardup_blocked" -> ((s, dir) =>
+      Similarity.cosineNearDupBlocked(emb(s, dir), 0.4, maxBlock = 64)
+        .orderBy(col("id_a"), col("id_b"))),
     // approximate near-dup via sign-random-projection LSH: deterministic
     // ±1 hyperplanes → k sign bits → banded equi-join candidates → exact
     // verify. Band width r=8 is the HIGH-similarity dedup operating point
@@ -923,6 +930,17 @@ object SparkEntry {
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
     "q_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // recursive blocking is an EXECUTION strategy, not a semantics
+    // change: its contract is bit-identical output to the unblocked
+    // exact operator, so the oracle is the same within-label all-pairs
+    // query — the triangle-inequality pruning must be invisible here
+    "q_cosine_neardup_blocked" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        round(list_dot_product(a.v, b.v) /

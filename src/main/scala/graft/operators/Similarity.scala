@@ -86,7 +86,7 @@ object Similarity {
 
   /** centroid[j] = decimal-exact mean of component j per cluster_id, from
     * a (cluster_id, vec) frame. */
-  private def meanByCluster(assigned: DataFrame): DataFrame =
+  private[graft] def meanByCluster(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster_id"), posexplode(col("vec")))
       .groupBy(col("cluster_id"), col("pos"))
@@ -363,5 +363,143 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     verifyPairs(cand, corpus, threshold)
+  }
+
+  /** [[cosineNearDup]]'s exact scale path — the recursive-blocking
+    * remedy its doc promises. Same output, but no within-cluster pair
+    * join may exceed `maxBlock`²:
+    *
+    *  1. [[refineBlocks]] recursively splits every label cluster larger
+    *     than `maxBlock` into `branch` sub-blocks (per-block
+    *     deterministic seeds, one distributed assignment pass per depth
+    *     level — never a per-block driver loop);
+    *  2. [[blockedCandidates]] generates within-block pairs, plus
+    *     cross-sub-block pairs ONLY where the blocks' centroid geometry
+    *     admits a threshold-crossing pair — the spherical triangle
+    *     inequality `angle(a,b) >= angle(ca,cb) - rad_a - rad_b` makes
+    *     skipping the rest EXACT, not approximate;
+    *  3. the shared [[verifyPairs]] kernel scores the candidates.
+    *
+    * One honest limit: a mega-block of IDENTICAL vectors cannot be split
+    * by any similarity-based method (every member ties to every seed),
+    * so such a block stays oversized after `maxDepth` — run exact
+    * dedup ([[Dedup]]) before near-dup, which removes it. */
+  def cosineNearDupBlocked(corpus: DataFrame, threshold: Double,
+                           labelCol: String = "label", maxBlock: Int = 256,
+                           branch: Int = 4, maxDepth: Int = 4): DataFrame = {
+    val blocks = refineBlocks(corpus, labelCol, maxBlock, branch, maxDepth)
+    verifyPairs(blockedCandidates(blocks, threshold), corpus, threshold)
+  }
+
+  /** Recursively split label clusters larger than `maxBlock` into
+    * `branch` sub-blocks. Each depth level is ONE distributed pass over
+    * every oversized block at once: per-block seeds are the `branch`
+    * members with the smallest `(md5(id), id)` (a per-block window
+    * top-k), and every member joins its own block's seeds and takes the
+    * nearest by the family's 9-dp cosine (ties → lowest sub id). Blocks
+    * already within the cap never reshuffle. Output: (block, root, id,
+    * vec) where `block` is the split path ("<label>~2~0") and `root`
+    * the original label — candidate generation never crosses roots, so
+    * the operator's output stays exactly [[cosineNearDup]]'s. */
+  private[graft] def refineBlocks(corpus: DataFrame, labelCol: String,
+                                  maxBlock: Int, branch: Int,
+                                  maxDepth: Int): DataFrame = {
+    require(branch > 1, "branch must be > 1")
+    require(maxBlock >= branch, "maxBlock must be >= branch")
+    var blocks = corpus.select(
+      col(labelCol).cast("string").as("block"),
+      col(labelCol).cast("string").as("root"), col("id"), col("vec"))
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val over = blocks.groupBy(col("block")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBlock).select(col("block"))
+      // the oversized-block list is tiny (≤ |corpus| / maxBlock rows);
+      // materialized once because four joins route on it
+      val overB = broadcast(over.localCheckpoint())
+      if (overB.isEmpty) done = true
+      else {
+        val target = blocks.join(overB, Seq("block"), "left_semi")
+        val keep = blocks.join(overB, Seq("block"), "left_anti")
+        val seeds = target
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("block"))
+              .orderBy(md5(col("id").cast("string")), col("id"))))
+          .filter(col("__r") <= branch)
+          .select(col("block"), (col("__r") - 1).cast("long").as("__sub"),
+            col("vec").cast("array<double>").as("cvec"))
+        val seedsB = broadcast(
+          seeds.withColumn("cvn", norm(col("cvec"))).localCheckpoint())
+        val assigned = target.withColumn("vn", norm(col("vec")))
+          .join(seedsB, Seq("block"))
+          .select(col("block"), col("root"), col("id"), col("vec"), col("__sub"),
+            round(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn")), 9).as("csim"))
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("block"), col("id"))
+              .orderBy(col("csim").desc, col("__sub"))))
+          .filter(col("__r") === 1)
+          .select(concat(col("block"), lit("~"), col("__sub")).as("block"),
+            col("root"), col("id"), col("vec"))
+        blocks = keep.unionByName(assigned).localCheckpoint()
+        depth += 1
+      }
+    }
+    blocks
+  }
+
+  /** Candidate (id_a, id_b) pairs from a refined (block, root, id, vec)
+    * frame: all within-block pairs, plus pairs across two same-root
+    * blocks whose centroid angle minus both angular radii still reaches
+    * `arccos(threshold)` — by the spherical triangle inequality no pair
+    * in a skipped block pair can score >= threshold, so the pruning is
+    * exact. Block metadata (centroid, norm, radius) is |blocks| rows —
+    * broadcast; the block-pair admission test is a same-root self-join
+    * of that tiny frame, and each admitted pair's member join is at most
+    * maxBlock × maxBlock. */
+  private[graft] def blockedCandidates(blocks: DataFrame,
+                                       threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      "threshold must be in (-1, 1]")
+    val clamped = (c: Column) => acos(least(lit(1.0), greatest(lit(-1.0), c)))
+    val cent = meanByCluster(blocks.select(col("block").as("cluster_id"), col("vec")))
+      .select(col("cluster_id").as("block"), col("cvec"))
+      .withColumn("cvn", norm(col("cvec")))
+    val meta = blocks.withColumn("vn", norm(col("vec")))
+      .join(broadcast(cent), Seq("block"))
+      .groupBy(col("block"), col("root"))
+      .agg(max(clamped(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn"))))
+        .as("rad"))
+      .join(cent, Seq("block"))
+      .localCheckpoint()
+    val a = meta.select(col("block").as("ba"), col("root"),
+      col("cvec").as("ca"), col("cvn").as("na"), col("rad").as("ra"))
+    val b = meta.select(col("block").as("bb"), col("root"),
+      col("cvec").as("cb"), col("cvn").as("nb"), col("rad").as("rb"))
+    // 1e-9 slack absorbs float error in the angle arithmetic — slack can
+    // only ADMIT a borderline block pair (extra verification work), never
+    // skip one, so exactness is preserved
+    val admitted = a.join(b, Seq("root"))
+      .filter(col("ba") <= col("bb"))
+      .filter(col("ba") === col("bb") ||
+        clamped(dot(col("ca"), col("cb")) / (col("na") * col("nb")))
+          - col("ra") - col("rb") <= lit(math.acos(threshold) + 1e-9))
+      .select(col("ba"), col("bb"))
+    val mem = blocks.select(col("block"), col("id"))
+    val diag = admitted.filter(col("ba") === col("bb")).select(col("ba"))
+    val diagPairs = mem.join(broadcast(diag), col("block") === col("ba"))
+      .select(col("ba"), col("id").as("id_a"))
+      .join(mem.select(col("block"), col("id").as("id_b")),
+        col("ba") === col("block") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val off = admitted.filter(col("ba") < col("bb"))
+    // each unordered cross pair appears exactly once in members(ba) ×
+    // members(bb); least/greatest canonicalizes the id order
+    val offPairs = mem.join(broadcast(off), col("block") === col("ba"))
+      .select(col("bb"), col("id").as("__x"))
+      .join(mem.select(col("block"), col("id").as("__y")), col("bb") === col("block"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    diagPairs.unionAll(offPairs)
   }
 }

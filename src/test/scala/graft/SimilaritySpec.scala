@@ -144,6 +144,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  // one label holding 600 vectors in 6 tight orthogonal groups — the
+  // mega-cluster shape where cosineNearDup's within-cluster join goes
+  // quadratic and recursive blocking must both (a) stay exact and
+  // (b) bound every pair join
+  private def megaCluster = {
+    val vecs = (0 until 600).map { i =>
+      val g = i % 6
+      val v = Array.fill(16)(0.0f)
+      v(g) = 10.0f
+      (0 until 16).foreach(j => v(j) += (((i * 13 + j * 5) % 9) - 4) * 0.03f)
+      (i.toLong, v.toSeq, 0)
+    }
+    vecs.toDF("id", "vec", "label")
+  }
+
+  test("recursive blocking equals the exact near-dup on a planted mega-cluster") {
+    val df = megaCluster
+    val exact = Similarity.cosineNearDup(df, 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.cosineNearDupBlocked(df, 0.6,
+        maxBlock = 64, branch = 4, maxDepth = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(blocked === exact)
+  }
+
+  test("refineBlocks caps block sizes; centroid pruning skips far block pairs") {
+    val df = megaCluster
+    val blocks = Similarity.refineBlocks(df, "label", 64, 4, 8)
+    // same members, just re-blocked
+    assert(blocks.count() === 600L)
+    val maxBlockSize = blocks.groupBy(col("block")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxBlockSize <= 64L,
+      s"a block of $maxBlockSize exceeds the cap — no pair join is bounded then")
+    // every admitted pair join is therefore <= 64^2; and the candidate
+    // set must be far below the mega-cluster's all-pairs 600*599/2 =
+    // 179700 — the orthogonal groups' block pairs get pruned by the
+    // triangle-inequality bound
+    val cand = Similarity.blockedCandidates(blocks, 0.6).count()
+    assert(cand < 100000L, s"pruning did not engage: $cand candidates")
+    assert(cand >= Similarity.cosineNearDup(df, 0.6).count())
+  }
+
   test("int8 quantization roundtrip error is bounded by half a code step per dim") {
     val (q, scales) = Similarity.quantize(emb)
     val row = q.select(col("vec"), col("qvec")).head()
