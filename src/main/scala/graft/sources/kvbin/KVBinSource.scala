@@ -26,9 +26,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    if the source's stamped version differs (the reference's
   *    per-cluster version gate, `utils/utils.go:13-26` applied at
   *    `checksum/checksum.go:134-137`);
-  *  - `endpoints` — comma-separated endpoint list, recorded on the scan
-  *    (a real network client would dial these; the file-backed stand-in
-  *    only surfaces them for plan inspection).
+  *  - `endpoints` — comma-separated endpoint list, passed to
+  *    [[RegionClient.connect]] (the dial point): a network client
+  *    implementation dials these, the file-backed default ignores them
+  *    but still surfaces them on the scan description for inspection.
+  *
+  * All cluster interaction goes through the [[RegionClient]] seam —
+  * planning consumes `clusterMeta`/`listRegions`, readers consume
+  * `scanRegion` — so a live TiKV client swaps in behind `connect`
+  * without touching planner or reader code.
   */
 class KVBinSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -117,6 +123,9 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     org.apache.spark.sql.SparkSession.getActiveSession
       .getOrElse(org.apache.spark.sql.SparkSession.active)
       .sessionState.newHadoopConf())
+  /** The cluster connection, behind the [[RegionClient]] seam — this is
+    * the only line a live (network) source implementation changes. */
+  private lazy val client = RegionClient.connect(dir, endpoints, conf)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -130,19 +139,18 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     * a mismatched cluster fails the query at planning time, before any
     * region file is opened (`checksum/checksum.go:134-137` analog). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val (meta, index) = KVBin.readAll(dir, conf.value) // one index read
-    val sourceVersion = meta("api_version")
+    val sourceVersion = client.clusterMeta()("api_version")
     expectedApiVersion.filter(_ != sourceVersion).foreach { e =>
       throw new IllegalStateException(
         s"kvbin api version mismatch: source $dir is $sourceVersion, reader expects $e")
     }
-    index.filter { case (_, mn, mx, _) =>
-      (start == null || KVBin.compare(mx, start) >= 0) &&
-      (end == null || KVBin.compare(mn, end) < 0) &&
-      (endIncl == null || KVBin.compare(mn, endIncl) <= 0)
-    }.map { case (f, _, _, _) =>
-      KVBinInputPartition(dir, f, start, end, endIncl,
-        required.fieldNames, conf): InputPartition
+    client.listRegions().filter { r =>
+      (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
+      (end == null || KVBin.compare(r.minKey, end) < 0) &&
+      (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0)
+    }.map { r =>
+      KVBinInputPartition(client, r.id, start, end, endIncl,
+        required.fieldNames): InputPartition
     }.toArray
   }
 
@@ -150,9 +158,9 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     new KVBinReaderFactory()
 }
 
-case class KVBinInputPartition(dir: String, file: String,
+case class KVBinInputPartition(client: RegionClient, regionId: String,
     start: Array[Byte], end: Array[Byte], endIncl: Array[Byte],
-    columns: Array[String], conf: org.apache.spark.util.SerializableConfiguration)
+    columns: Array[String])
   extends InputPartition
 
 class KVBinReaderFactory extends PartitionReaderFactory {
@@ -162,13 +170,13 @@ class KVBinReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Streams one region file, scoped to the pushed range (records are
-  * key-sorted, so the reader stops at the range end) and projecting the
-  * pruned columns IN THE PRUNED SCHEMA'S ORDER — a (value, key)-ordered
-  * requiredSchema yields (value, key) rows, never silently swapped
-  * binary columns. */
+/** Streams one region through the [[RegionClient]] seam, scoped to the
+  * pushed range (records are key-sorted, so the reader stops at the
+  * range end) and projecting the pruned columns IN THE PRUNED SCHEMA'S
+  * ORDER — a (value, key)-ordered requiredSchema yields (value, key)
+  * rows, never silently swapped binary columns. */
 class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[InternalRow] {
-  private val it = KVBin.readFile(p.dir, p.file, p.conf.value)
+  private val it = p.client.scanRegion(p.regionId)
   private var current: (Array[Byte], Array[Byte]) = _
 
   override def next(): Boolean = {

@@ -1,0 +1,57 @@
+package graft.sources.kvbin
+
+import org.apache.spark.util.SerializableConfiguration
+
+/** One region's placement metadata: id (the scan handle), key bounds,
+  * record count — what a PD `GetAllRegions` row carries
+  * (`checksum/checksum.go:52-57`'s region enumeration). */
+case class RegionInfo(id: String, minKey: Array[Byte], maxKey: Array[Byte],
+                      nKeys: Long)
+
+/** The connector's live-source seam — everything [[KVBinScan]] needs
+  * from "the cluster", and nothing else:
+  *
+  *  - [[clusterMeta]] ≙ the cluster-level metadata probe (API version
+  *    gate, `utils/utils.go:13-26`);
+  *  - [[listRegions]] ≙ the PD region-metadata scan that drives
+  *    partition planning;
+  *  - [[scanRegion]] ≙ the server-side key-ordered region scan
+  *    (`scan/scan.go:45`) — called on EXECUTORS, so implementations
+  *    must be serializable and must not capture driver-only state.
+  *
+  * [[FileRegionClient]] is the file-backed implementation this sandbox
+  * runs on; a network implementation dialing the `endpoints` option
+  * (gRPC to PD + store nodes) plugs in at [[RegionClient.connect]]
+  * without touching the planner or reader — KVBinSpec drives the scan
+  * machinery through a purely in-memory client to pin that the
+  * machinery is client-agnostic. */
+trait RegionClient extends Serializable {
+  /** Cluster-level metadata; must include `api_version`. */
+  def clusterMeta(): Map[String, String]
+  /** All regions, with key bounds for pruning. Driver-side, once per scan. */
+  def listRegions(): Seq[RegionInfo]
+  /** Key-ordered records of one region. Executor-side. */
+  def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])]
+}
+
+object RegionClient {
+  /** The dial point. `endpoints` is the would-be cluster address list;
+    * the file-backed client serves this sandbox (no network egress), and
+    * is also the right behavior for `endpoints=None` snapshot reads. */
+  def connect(dir: String, endpoints: Option[String],
+              conf: SerializableConfiguration): RegionClient =
+    new FileRegionClient(dir, conf)
+}
+
+/** Region files + index sidecar on a Hadoop filesystem. The index is
+  * read once per planning pass (cached lazily, driver-side); executors
+  * deserialize only (dir, conf) and stream their one region file. */
+class FileRegionClient(dir: String, conf: SerializableConfiguration)
+    extends RegionClient {
+  @transient private lazy val all = KVBin.readAll(dir, conf.value)
+  override def clusterMeta(): Map[String, String] = all._1
+  override def listRegions(): Seq[RegionInfo] =
+    all._2.map { case (f, mn, mx, n) => RegionInfo(f, mn, mx, n) }
+  override def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])] =
+    KVBin.readFile(dir, regionId, conf.value)
+}

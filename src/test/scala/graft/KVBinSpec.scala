@@ -106,16 +106,17 @@ class KVBinSpec extends SparkTestBase {
   }
 
   test("partition reader honors the pruned schema's field order") {
-    import graft.sources.kvbin.{KVBinInputPartition, KVBinPartitionReader}
+    import graft.sources.kvbin.{FileRegionClient, KVBinInputPartition, KVBinPartitionReader}
     val data = Seq(("kk".getBytes("UTF-8"), "vvv".getBytes("UTF-8"))).toDF("key", "value")
     val dir = java.nio.file.Files.createTempDirectory("kvbin-order-").toString
     KVBin.write(data, dir, 1)
     val file = KVBin.readIndex(dir, spark.sessionState.newHadoopConf()).head._1
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val client = new FileRegionClient(dir, sconf)
     def readWith(cols: Array[String]): Seq[Seq[String]] = {
       val r = new KVBinPartitionReader(
-        KVBinInputPartition(dir, file, null, null, null, cols, sconf))
+        KVBinInputPartition(client, file, null, null, null, cols))
       val rows = Iterator.continually(r)
         .takeWhile(_.next())
         .map(x => cols.indices.map(i =>
@@ -126,6 +127,31 @@ class KVBinSpec extends SparkTestBase {
     assert(readWith(Array("key", "value")) === Seq(Seq("kk", "vvv")))
     assert(readWith(Array("value", "key")) === Seq(Seq("vvv", "kk")))
     assert(readWith(Array("value")) === Seq(Seq("vvv")))
+  }
+
+  test("reader machinery is client-agnostic: an in-memory RegionClient serves scans") {
+    import graft.sources.kvbin.{KVBinInputPartition, KVBinPartitionReader, RegionClient, RegionInfo}
+    // no files, no filesystem — the RegionClient seam is the whole
+    // cluster interface, so a live network client plugs in identically
+    val mem: RegionClient = new RegionClient {
+      private def b(s: String) = s.getBytes("UTF-8")
+      private val recs = Seq("a" -> "1", "b" -> "2", "c" -> "3")
+        .map { case (k, v) => (b(k), b(v)) }
+      override def clusterMeta(): Map[String, String] = Map("api_version" -> "V2")
+      override def listRegions(): Seq[RegionInfo] =
+        Seq(RegionInfo("r0", recs.head._1, recs.last._1, recs.size.toLong))
+      override def scanRegion(id: String): Iterator[(Array[Byte], Array[Byte])] = {
+        assert(id === "r0"); recs.iterator
+      }
+    }
+    // bounded scan [a, c): sorted-input early stop must apply
+    val r = new KVBinPartitionReader(KVBinInputPartition(mem, "r0",
+      "a".getBytes("UTF-8"), "c".getBytes("UTF-8"), null, Array("key", "value")))
+    val rows = Iterator.continually(r).takeWhile(_.next())
+      .map(x => (new String(x.get().getBinary(0), "UTF-8"),
+        new String(x.get().getBinary(1), "UTF-8"))).toList
+    r.close()
+    assert(rows === List(("a", "1"), ("b", "2")))
   }
 
   test("kvbin roundtrip preserves arbitrary binary payloads") {
