@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The two dedup failure shapes a 100 TB corpus WILL contain, planted
+  * deliberately: a boilerplate shingle shared by every document (df ≈
+  * |corpus| — licenses, headers, templates) and a 1000-document
+  * duplicate cluster (mirrored pages). These are the scenarios the
+  * operators' scale story claims to survive; this suite proves the df
+  * cap and the banded join actually engage on them.
+  *
+  * Corpus: 3000 docs — 2000 with unique 12-word bodies, 1000 exact
+  * copies of one text — all sharing a 5-word boilerplate header, so
+  * the 3 header-only shingles have df = 3000. */
+class DedupStressSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val header = "alpha beta gamma delta epsilon"
+
+  private lazy val corpus: DataFrame = {
+    val unique = (0 until 2000).map { i =>
+      (i.toLong, header + " " + (0 until 12).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val dupText = header + " " + (0 until 12).map(j => s"dupw$j").mkString(" ")
+    val dups = (2000 until 3000).map(i => (i.toLong, dupText))
+    (unique ++ dups).toDF("doc_id", "text").repartition(8).localCheckpoint()
+  }
+
+  /** The exact candidate-row count jaccardJoin's inverted-index
+    * self-join shuffles: Σ over kept shingles of C(df, 2). */
+  private def selfJoinRows(maxDf: Int): Long =
+    Dedup.hashedShingleIndex(corpus, "text", "doc_id", 3)
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).cast("long"))
+      .as[Long].head() / 2
+
+  test("df cap bounds the hot-shingle self-join; answer unchanged at the gate threshold") {
+    val uncapped = selfJoinRows(Int.MaxValue)
+    val capped = selfJoinRows(1500)
+    // the 3 df=3000 header shingles alone contribute 3 * C(3000,2)
+    assert(uncapped >= 3L * 3000 * 2999 / 2, s"uncapped=$uncapped")
+    assert(capped <= uncapped - 3L * 3000 * 2999 / 2,
+      s"cap did not drop the hot shingles: capped=$capped uncapped=$uncapped")
+    // and a header-tight cap removes EVERY multi-doc shingle: the
+    // remaining unique-body shingles have df=1 → zero candidate rows
+    assert(selfJoinRows(100) === 0L)
+    // the cap's documented score semantics: set sizes keep every
+    // shingle, intersections only the kept ones — so a true-duplicate
+    // pair sharing the 3 hot header shingles scores 12/18 ≈ 0.667
+    // capped instead of 1.0, while header-only pairs sit at 3/27 ≈
+    // 0.11 either way. At a 0.6 gate (under the deflated duplicate
+    // score, above the boilerplate score) the answer is IDENTICAL
+    // capped or not, and the cap cut the shuffle by the amount above
+    def pairs(maxDf: Int): Set[(Long, Long)] =
+      Dedup.jaccardJoin(corpus, "text", "doc_id", 0.6, 3, maxDf)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val withCap = pairs(1500)
+    val noCap = pairs(Int.MaxValue)
+    assert(withCap === noCap)
+    // exactly the duplicate cluster's C(1000,2) pairs
+    assert(withCap.size === 1000 * 999 / 2)
+  }
+
+  test("banded LSH + exact verify survive the 1000-doc duplicate cluster") {
+    // every cluster member shares all 16 band buckets: the candidate
+    // join emits 16 * C(1000,2) rows as SHUFFLE volume (AQE-splittable),
+    // never one task's in-memory combination explosion — and exact
+    // verification then keeps precisely the C(1000,2) true pairs
+    val found = Dedup.minhashNearDup(corpus, "text", "doc_id", 0.9)
+    val pairs = found.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length === 1000 * 999 / 2)
+    assert(pairs.forall { case (a, b, j) => a >= 2000 && b >= 2000 && j === 1.0 })
+  }
+
+  test("exact dedup collapses the cluster first, shrinking near-dup input 3000 to 2001") {
+    // the composition a real pipeline runs: exact dedup BEFORE near-dup
+    // removes identical mega-clusters entirely (the one shape similarity
+    // splitting cannot break), so the expensive stage sees one survivor
+    val keep = Dedup.exactGroups(corpus, "text", "doc_id")
+      .select(col("keep_doc_id").as("doc_id"))
+    val survivors = corpus.join(keep, Seq("doc_id"))
+    assert(survivors.count() === 2001L)
+    val nearDupPairs = Dedup.jaccardJoin(
+      survivors.select(col("doc_id"), col("text")), "text", "doc_id", 0.8, 3, 1500)
+    assert(nearDupPairs.count() === 0L)
+  }
+}
