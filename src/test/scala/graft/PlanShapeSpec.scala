@@ -66,6 +66,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_salted_join: hot-key routing joins broadcast; no full-side replication operator") {
+    // the two-path salted join must route via BROADCAST semi/anti joins
+    // on the tiny hot-key list — a shuffled routing join would scan-
+    // shuffle both sides twice before the real join even starts
+    val p = plan("q_salted_join")
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && (l.contains("LeftSemi") || l.contains("LeftAnti"))) >= 4, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ann_kmeans / q_cosine_neardup_blocked: centroid tables broadcast, equi-joins only") {
+    for (q <- Seq("q_ann_kmeans", "q_cosine_neardup_blocked")) {
+      val p = plan(q)
+      // codebooks / block metadata are model parameters, not data — the
+      // corpus-side joins against them must be broadcast equi-joins
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q does not broadcast its centroid table:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
+  test("q_symdiff: one diff pass — exactly one full-outer join, no exceptAll shuffles") {
+    val p = plan("q_symdiff")
+    assert(p.linesIterator.count(_.contains("FullOuter")) === 1, p)
+    // the set-ops formulation would show up as extra (4-way) aggregates
+    // over unioned snapshots; the derived form has none
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text-analysis pipeline: vectorized scan, codegen spans, no interpreter fallback") {
     // AQE only shows codegen spans in the FINAL plan — execute THIS
     // queryExecution (a write would clone the plan and leave it unfinal)
