@@ -80,6 +80,21 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // incremental dedup: every 10th doc arrives as the "new batch",
+    // matched against the standing corpus index only — no corpus
+    // self-join (the q_checksum_delta idea applied to near-dup). The
+    // threshold sits at 0.3: the fixture's near-dup pairs are planted
+    // at adjacent ids, so cross-split pairs are rarer/weaker than the
+    // self-join's — a higher gate would leave a trivial 1-row answer.
+    "q_dedup_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.deltaJaccardJoin(
+          d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+          "text", "doc_id", 0.0, 3, maxDf = jaccardMaxDf)
+        .select(col("doc_new"), col("doc_old"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("doc_new"), col("doc_old"))
+    }),
     // MinHash-LSH near-dup, exactly verified: candidates from banded
     // signature equi-joins, each emitted pair checked by true Jaccard.
     // Band/row choice (k=64, bands=32 → r=2): candidate recall at the
@@ -744,6 +759,28 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_jaccard_join" -> (shingleCtePruned + jaccardSelect),
+    // replays deltaJaccardJoin: same shingle construction, tok split
+    // new/old on doc_id % 10, corpus-side df cap, sizes from ALL shingles
+    "q_dedup_delta" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        |newt AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 = 0),
+        |oldt AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 <> 0),
+        |szn AS (SELECT doc_id, count(*) AS n FROM newt GROUP BY doc_id),
+        |szo AS (SELECT doc_id, count(*) AS n FROM oldt GROUP BY doc_id),
+        |oldp AS (SELECT oldt.doc_id, oldt.t FROM oldt
+        |         JOIN (SELECT t FROM oldt GROUP BY t HAVING count(*) <= $jaccardMaxDf) keep
+        |         USING (t)),
+        |inter AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS i
+        |          FROM newt a JOIN oldp b ON a.t = b.t GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_new, doc_old,
+        |    round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN szn sa ON doc_new = sa.doc_id JOIN szo sb ON doc_old = sb.doc_id)
+        |WHERE jaccard >= 0.3 ORDER BY doc_new, doc_old""".stripMargin,
     // replays Dedup.decontaminate: same 3-gram shingle construction,
     // tok split train/eval on doc_id % 10, containment = i / |eval|
     "q_decontaminate" ->

@@ -307,6 +307,53 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Incremental near-dup: match a NEW document batch against an
+    * EXISTING corpus — the dedup analog of `Checksum.applyDelta`'s
+    * O(delta) re-verification. A growing corpus ingests batches
+    * continuously; re-running [[jaccardJoin]] over corpus ∪ batch pays
+    * the corpus's self-join again per batch, when the only NEW pairs are
+    * (new × corpus) and (new × new) — this operator computes exactly
+    * those. The corpus's hashed-shingle index is the standing artifact
+    * ([[hashedShingleIndex]] memoizes it), the small batch index
+    * broadcasts into the intersection join, and the corpus is never
+    * self-joined and never reshuffled per batch.
+    *
+    * `maxDf` caps the CORPUS-side document frequency (mirroring
+    * [[jaccardJoin]]: sizes keep every shingle, only the candidate join
+    * is pruned) — corpus df is what multiplies per new-batch shingle.
+    * Output: (doc_new, doc_old, jaccard >= threshold) over new × corpus
+    * pairs, plus new × new pairs via the batch's own [[jaccardJoin]]
+    * when `withinBatch` is set. */
+  def deltaJaccardJoin(newDocs: DataFrame, corpus: DataFrame, textCol: String,
+                       idCol: String, threshold: Double, n: Int = 3,
+                       maxDf: Int = Int.MaxValue,
+                       withinBatch: Boolean = false): DataFrame = {
+    val newTok = hashedShingleIndex(newDocs, textCol, idCol, n)
+    val oldTok = hashedShingleIndex(corpus, textCol, idCol, n)
+    val szNew = newTok.groupBy(col("doc_id")).agg(count(lit(1)).as("nn"))
+    val szOld = oldTok.groupBy(col("doc_id")).agg(count(lit(1)).as("no"))
+    val oldPruned =
+      if (maxDf == Int.MaxValue) oldTok
+      else oldTok.join(
+        oldTok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("t")), Seq("t"))
+    val inter = oldPruned.select(col("t"), col("doc_id").as("doc_old"))
+      .join(broadcast(newTok.select(col("t"), col("doc_id").as("doc_new"))), Seq("t"))
+      .groupBy(col("doc_new"), col("doc_old")).agg(count(lit(1)).as("i"))
+    val cross = inter
+      .join(broadcast(szNew.select(col("doc_id").as("doc_new"), col("nn"))), Seq("doc_new"))
+      .join(szOld.select(col("doc_id").as("doc_old"), col("no")), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
+        (col("i").cast("double") /
+         (col("nn") + col("no") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (!withinBatch) cross
+    else cross.unionAll(
+      jaccardJoin(newDocs, textCol, idCol, threshold, n, maxDf)
+        .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
+          col("jaccard")))
+  }
+
   /** jaccard = i / (|a| + |b| - i) from an intersection-count frame
     * (doc_a, doc_b, i) and a size frame (doc_id, n_sh), thresholded. */
   private def jaccardFromCounts(inter: DataFrame, sz: DataFrame,

@@ -70,6 +70,35 @@ class DedupSpec extends SparkTestBase {
     assert(exact === lsh)       // and at this scale recovers all of them
   }
 
+  test("delta jaccard equals the full self-join restricted to cross-split pairs") {
+    // real documents fixture, split new/old on doc_id % 10 — the law:
+    // matching the batch against the corpus finds EXACTLY the pairs the
+    // full (corpus ∪ batch) self-join finds with one member per side
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val isNew = (id: Long) => id % 10 == 0
+    val full = Dedup.jaccardJoin(d, "text", "doc_id", 0.3, 3)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val expected = full.collect {
+      case (a, b) if isNew(a) && !isNew(b) => (a, b)
+      case (a, b) if !isNew(a) && isNew(b) => (b, a)
+    }.toSet
+    val delta = Dedup.deltaJaccardJoin(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", 0.3, 3)
+      .select(col("doc_new"), col("doc_old")).as[(Long, Long)].collect().toSet
+    assert(delta === expected)
+    assert(delta.nonEmpty, "fixture produced no cross-split pairs — law vacuous")
+    // withinBatch additionally covers new x new, so delta ∪ within ==
+    // every full pair with at least one new member
+    val withBatch = Dedup.deltaJaccardJoin(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", 0.3, 3, withinBatch = true)
+      .select(col("doc_new"), col("doc_old")).as[(Long, Long)].collect().toSet
+    val expectedAll = expected ++ full.collect {
+      case (a, b) if isNew(a) && isNew(b) => (a, b) }.toSet
+    assert(withBatch === expectedAll)
+  }
+
   test("simhash: exact duplicates share signatures; near-dups are close; hamming classification") {
     val sig = Dedup.simhash(corpus, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
