@@ -240,6 +240,27 @@ object SparkEntry {
     // per-doc quality metrics + composite score
     "q_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir), "text", "doc_id").orderBy(col("doc_id"))),
+    // PII redaction scrub: deterministic synthetic PII (emails on ids
+    // %3, phones %4, IPv4s %5) planted into the fixture text by BOTH
+    // engines, then redacted; the md5 fingerprint of the redacted text
+    // makes every replaced byte oracle-checked, the counts audit recall
+    "q_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("ptext",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" reach user"),
+            col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, concat(lit(" call +1 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 250).cast("string"))).otherwise(lit(""))))
+      val (ne, np, ni) = TextAnalysis.piiCounts(col("ptext"))
+      planted.select(col("doc_id"),
+          ne.cast("long").as("n_email"), np.cast("long").as("n_phone"),
+          ni.cast("long").as("n_ip"),
+          md5(TextAnalysis.redactPii(col("ptext"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
     // stopword-profile language ID vs the labeled lang (confusion counts)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -1037,6 +1058,27 @@ object SparkEntry {
         |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
         |  floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) / 1000000.0 AS quality_score
         |FROM s ORDER BY doc_id""".stripMargin,
+    // replays q_redact: identical PII planting (string concat per id
+    // class), identical Java/RE2-portable patterns, 'g' for the global
+    // replace Spark does by default, placeholders applied in the same
+    // email -> phone -> ip order
+    "q_redact" -> {
+      val e = TextAnalysis.emailPattern
+      val p = TextAnalysis.phonePattern
+      val i = TextAnalysis.ipv4Pattern
+      s"""WITH pl AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        |  AS ptext FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ptext, '$e')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(ptext, '$p')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(ptext, '$i')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS fp
+        |FROM pl ORDER BY doc_id""".stripMargin
+    },
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits

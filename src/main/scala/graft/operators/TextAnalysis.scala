@@ -26,6 +26,36 @@ object TextAnalysis {
   /** Distinct-token (vocabulary) count. */
   def distinctTokenCount(text: Column): Column = size(array_distinct(split(text, " ")))
 
+  /** PII patterns for redaction — the pre-training scrub every public
+    * corpus goes through. Deliberately engine-portable: explicit
+    * character classes (no \d, no \b, no lookaround, no backrefs), so
+    * Java regex (Spark codegen) and RE2 (the DuckDB oracle) match the
+    * identical spans. Each is a structural detector, not a validator —
+    * redaction wants recall; `999.999.999.999` is not a real IP but
+    * absolutely should not survive a scrub that removes IPs. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, then phone numbers, then IPv4s to typed placeholder
+    * tags — a pure codegen'd column expression (three regexp_replace
+    * passes, no UDF). Order matters and is part of the contract: emails
+    * go first so their digit runs can't half-match the phone pattern,
+    * and the placeholders themselves contain no digits or '@', so later
+    * passes can never match inside an earlier replacement. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** Per-class PII match counts (pre-redaction), for audit metrics. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(emailPattern)),
+     regexp_count(text, lit(phonePattern)),
+     regexp_count(text, lit(ipv4Pattern)))
+
   /** Tiny public-knowledge stopword profiles for the n-gram/stopword
     * language-ID heuristic. Scoring = number of token occurrences that
     * hit the language's profile; argmax with alphabetical tie-break. */

@@ -97,6 +97,31 @@ class TextEventsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L))
   }
 
+  test("PII redaction known answers: emails, phones, IPs, order contract, counts") {
+    val rows = Seq(
+      (1L, "mail a.b+c@x-mail.co now"),
+      (2L, "call +1 555-0042 or 44 123-4567"),
+      (3L, "host 10.0.0.1 and 999.999.999.999 both go"),
+      (4L, "user9@example.com then +12 345-6789 then 172.16.254.3"),
+      (5L, "no pii here at all")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail <EMAIL> now")
+    assert(out(2L) === "call <PHONE> or <PHONE>")
+    // recall over validation: a structurally-IP-shaped non-IP is scrubbed
+    assert(out(3L) === "host <IP> and <IP> both go")
+    assert(out(4L) === "<EMAIL> then <PHONE> then <IP>")
+    assert(out(5L) === "no pii here at all")
+    val (ne, np, ni) = TextAnalysis.piiCounts(col("t"))
+    val counts = rows.select(col("id"), ne, np, ni)
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(counts(2L) === ((0, 2, 0)))
+    assert(counts(4L) === ((1, 1, 1)))
+    assert(counts(5L) === ((0, 0, 0)))
+  }
+
   test("rolling hash known-answer: 'abc' folds to 304891") {
     // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
     val h = Seq("abc").toDF("text")
