@@ -261,6 +261,18 @@ object SparkEntry {
           md5(TextAnalysis.redactPii(col("ptext"))).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    // word-trigram repetition ratio per (lang, source) — the corpus-level
+    // repetitiveness audit; per-doc ratios aggregate through exact
+    // DECIMAL so the mean is bit-stable cross-engine
+    "q_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"), col("source"),
+          TextAnalysis.repetitionRatio(col("text")).as("rr"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("rr").cast("decimal(16,6)")).cast("double") /
+            count(lit(1))).as("mean_repetition"),
+          max(col("rr")).as("max_repetition"))
+        .orderBy(col("lang"), col("source"))),
     // stopword-profile language ID vs the labeled lang (confusion counts)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -1079,6 +1091,18 @@ object SparkEntry {
         |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS fp
         |FROM pl ORDER BY doc_id""".stripMargin
     },
+    // same shingle construction as the dedup CTEs; mean through DECIMAL
+    "q_repetition" ->
+      """WITH m AS (SELECT lang, source,
+        |  round(1.0 - CAST(len(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(w)-2, 1)),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+        |    / CAST(greatest(len(w)-2, 1) AS DOUBLE), 6) AS rr
+        |  FROM (SELECT lang, source, string_split(text,' ') AS w FROM documents))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CAST(rr AS DECIMAL(16,6))) AS DOUBLE) / count(*) AS mean_repetition,
+        |  max(rr) AS max_repetition
+        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits

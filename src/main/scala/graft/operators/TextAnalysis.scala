@@ -56,6 +56,18 @@ object TextAnalysis {
      regexp_count(text, lit(phonePattern)),
      regexp_count(text, lit(ipv4Pattern)))
 
+  /** Repetition signal (the Gopher/C4-family quality heuristic):
+    * fraction of word n-gram slots occupied by a repeat of an earlier
+    * n-gram — 0 for fully novel text, → 1 for a loop of one phrase.
+    * distinct counts ride the same codegen'd shingle kernel the dedup
+    * family uses; documents shorter than n tokens score 0 (their single
+    * all-tokens shingle is trivially unique). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(split(text, " ")) - lit(n - 1), lit(1))
+    val distinct = size(graft.functions.Shingles.wordShingles(text, n))
+    round(lit(1.0) - distinct.cast("double") / total.cast("double"), 6)
+  }
+
   /** Tiny public-knowledge stopword profiles for the n-gram/stopword
     * language-ID heuristic. Scoring = number of token occurrences that
     * hit the language's profile; argmax with alphabetical tie-break. */

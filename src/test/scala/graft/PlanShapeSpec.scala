@@ -87,6 +87,12 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q_dedup_delta: batch-side index broadcasts; no corpus self-join blowup shapes") {
+    val p = plan("q_dedup_delta")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_symdiff: one diff pass — exactly one full-outer join, no exceptAll shuffles") {
     val p = plan("q_symdiff")
     assert(p.linesIterator.count(_.contains("FullOuter")) === 1, p)

@@ -134,6 +134,14 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(_._2.length == dim))
   }
 
+  test("k-means codebook with k exceeding the corpus yields one centroid per vector") {
+    val df = (0 until 3).map(i => (i.toLong, Seq.fill(4)(i + 1.0))).toDF("id", "vec")
+    val cb = Similarity.kmeansCodebook(df, 10, 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(cb.length === 3)
+    assert(cb.map(_._1).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("k-means-codebook IVF probing all clusters degrades to exact search") {
     val queries = emb.filter(col("id") < 5)
     val exact = Similarity.bruteForceTopK(queries, emb, 3)

@@ -122,6 +122,20 @@ class TextEventsSpec extends SparkTestBase {
     assert(counts(5L) === ((0, 0, 0)))
   }
 
+  test("repetition ratio: novel text 0, looped phrase 4/7, short doc 0") {
+    val rows = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z x y z x y z"), // 7 trigram slots, 3 distinct
+      (3L, "hi")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextAnalysis.repetitionRatio(col("t")).as("rr"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === BigDecimal(4.0 / 7.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(3L) === 0.0)
+  }
+
   test("rolling hash known-answer: 'abc' folds to 304891") {
     // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
     val h = Seq("abc").toDF("text")
