@@ -122,6 +122,28 @@ class TextEventsSpec extends SparkTestBase {
     assert(counts(5L) === ((0, 0, 0)))
   }
 
+  test("redaction scrub guarantee: no residual matches, idempotent on token text") {
+    // 300 seeded random compositions of PII-ish and near-miss fragments
+    // (space-separated, the realistic tokenized-text shape; digit-dot
+    // runs that SPAN fragments — where any single-pass regex scrub can
+    // leave re-matchable residue — cannot occur across a space)
+    val frags = Seq("user@x.io", "plain words", "+1 555-1234", "10.0.0.1",
+      "@@", "x.y", "123-4567", "9.9.9.9999", ".com", "u%p@d-e.org",
+      "+123 456-7890", "999.999.999.999", "a@b.cd")
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(5)(frags(rnd.nextInt(frags.length))).mkString(" ")))
+    val df = texts.toDF("id", "t")
+    val once = TextAnalysis.redactPii(col("t"))
+    val (ne, np, ni) = TextAnalysis.piiCounts(once)
+    val bad = df.select(
+        once.as("r1"), TextAnalysis.redactPii(once).as("r2"),
+        (ne + np + ni).as("resid"))
+      .filter(col("r1") =!= col("r2") || col("resid") > 0)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("repetition ratio: novel text 0, looped phrase 4/7, short doc 0") {
     val rows = Seq(
       (1L, "a b c d e f"),
