@@ -261,6 +261,12 @@ object SparkEntry {
           md5(TextAnalysis.redactPii(col("ptext"))).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    // self-trained unigram LM per-doc average log-prob — the cheap
+    // perplexity-family quality filter; per-token 6-dp rounding before a
+    // DECIMAL sum keeps both engines' doubles identical
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
     // word-trigram repetition ratio per (lang, source) — the corpus-level
     // repetitiveness audit; per-doc ratios aggregate through exact
     // DECIMAL so the mean is bit-stable cross-engine
@@ -387,6 +393,11 @@ object SparkEntry {
       Events.jsonStats(Events.read(s, dir)).orderBy(col("event_type"))),
     "q_event_daily" -> ((s, dir) =>
       Events.dailyAgg(Events.read(s, dir)).orderBy(col("day"), col("event_type"))),
+    // ordered view -> click -> purchase conversion funnel on per-user
+    // first occurrences (strict ns-exact ordering between stages)
+    "q_funnel" -> ((s, dir) =>
+      Events.funnel(Events.read(s, dir), Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
     "q_asof_join" -> ((s, dir) =>
       Events.asofJoin(Events.read(s, dir), "click", "purchase").orderBy(col("event_id"))),
     // gap-based sessionization (30-minute idle gap)
@@ -1091,6 +1102,17 @@ object SparkEntry {
         |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$i', '<IP>', 'g')) AS fp
         |FROM pl ORDER BY doc_id""".stripMargin
     },
+    // replays unigramLogProb: corpus unigram counts, ln(c/N) rounded to
+    // 6 dp per token, DECIMAL per-doc sum — summation order immaterial
+    "q_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM tk),
+        |lp AS (SELECT doc_id, round(ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS lp
+        |       FROM tk JOIN cnt USING (w) CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same shingle construction as the dedup CTEs; mean through DECIMAL
     "q_repetition" ->
       """WITH m AS (SELECT lang, source,
@@ -1327,6 +1349,24 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // replays Events.funnel: per-user first-occurrence ns per stage,
+    // strict-increase depth fold, per-stage reached counts
+    "q_funnel" ->
+      """WITH m AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t0,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t2
+        |FROM events GROUP BY user_id),
+        |d AS (SELECT user_id,
+        |  CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+        |            AND t2 IS NOT NULL AND t2 > t1 THEN 3
+        |       WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 2
+        |       WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS depth FROM m)
+        |SELECT stage_idx, stage,
+        |  CAST(count(CASE WHEN depth >= stage_idx THEN 1 END) AS BIGINT) AS n_users
+        |FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) s(stage_idx, stage)
+        |CROSS JOIN d
+        |GROUP BY stage_idx, stage ORDER BY stage_idx""".stripMargin,
     "q_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
         |           FROM events WHERE event_type IN ('click','purchase')),

@@ -66,6 +66,37 @@ object Events {
         sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
 
+  /** Ordered conversion funnel over per-user FIRST occurrences: a user
+    * reaches stage k iff every stage 1..k has an occurrence and their
+    * first-occurrence times strictly increase along the stage order.
+    * ONE shuffle (the per-user conditional-min aggregate, map-side
+    * partial); the depth fold and the per-stage explode are pure
+    * projections. Timestamps compare as exact int64 nanos (`ts_ns`) —
+    * ties between stages break the strict order and stop the funnel,
+    * deterministically in both engines. Output: (stage_idx, stage,
+    * n_users) with n_users = users reaching depth >= stage_idx. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts_ns"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val firsts = stages.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"__t$i") }
+    val byUser = events.groupBy(col(userCol))
+      .agg(firsts.head, firsts.tail: _*)
+    val depth = stages.indices.drop(1).foldLeft(
+      when(col("__t0").isNotNull, lit(1)).otherwise(lit(0))) { (d, i) =>
+      when(d === i && col(s"__t$i").isNotNull &&
+        col(s"__t$i") > col(s"__t${i - 1}"), lit(i + 1)).otherwise(d)
+    }
+    val entries = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
+        (col("__depth") >= i + 1).cast("long").as("hit")) }
+    byUser.withColumn("__depth", depth)
+      .select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.stage_idx").as("stage_idx"), col("e.stage").as("stage"))
+      .agg(sum(col("e.hit")).as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapUs`. Classic lag → break flag → running sum →
     * grouped agg; one shuffle on user_id, SQL-expressible (oracle twin

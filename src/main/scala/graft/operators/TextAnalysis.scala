@@ -56,6 +56,29 @@ object TextAnalysis {
      regexp_count(text, lit(phonePattern)),
      regexp_count(text, lit(ipv4Pattern)))
 
+  /** Self-trained unigram LM score: avg log P(w) per token, with P from
+    * the corpus's own unigram counts — the cheap perplexity-family
+    * quality filter (an implausibly-worded document scores far below
+    * the corpus mean). The count join is a broadcast of the vocabulary
+    * against the token stream; per-token log-probs round to 6 dp BEFORE
+    * the per-doc sum and the sum runs in DECIMAL, so the cross-engine
+    * double-summation-order trap can't bite. Output: (doc_id, n_tokens,
+    * avg_logprob). */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val cnts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = cnts.groupBy().agg(sum(col("c")).as("n"))
+    tok.join(broadcast(cnts), Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(log(col("c").cast("double") / col("n").cast("double")), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Repetition signal (the Gopher/C4-family quality heuristic):
     * fraction of word n-gram slots occupied by a repeat of an earlier
     * n-gram — 0 for fully novel text, → 1 for a loop of one phrase.

@@ -122,6 +122,23 @@ class TextEventsSpec extends SparkTestBase {
     assert(counts(5L) === ((0, 0, 0)))
   }
 
+  test("funnel: strict first-occurrence ordering, ties and missing stages stop the depth") {
+    // u1 completes all 3 in order; u2 views+clicks but purchase precedes
+    // click (out of order); u3 views only; u4 has click==view tie (strict
+    // order broken at stage 2); u5 never enters (no view)
+    val evts = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 25L, "click"), (2L, 15L, "purchase"),
+      (3L, 10L, "view"),
+      (4L, 10L, "view"), (4L, 10L, "click"), (4L, 40L, "purchase"),
+      (5L, 12L, "click"), (5L, 18L, "purchase")
+    ).toDF("user_id", "ts_ns", "event_type")
+    val out = graft.operators.Events.funnel(evts, Seq("view", "click", "purchase"))
+      .orderBy(col("stage_idx"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("redaction scrub guarantee: no residual matches, idempotent on token text") {
     // 300 seeded random compositions of PII-ish and near-miss fragments
     // (space-separated, the realistic tokenized-text shape; digit-dot
