@@ -394,9 +394,14 @@ object SparkEntry {
     "q_event_daily" -> ((s, dir) =>
       Events.dailyAgg(Events.read(s, dir)).orderBy(col("day"), col("event_type"))),
     // ordered view -> click -> purchase conversion funnel on per-user
-    // first occurrences (strict ns-exact ordering between stages)
+    // first occurrences. Gated at µs resolution (ts_us / epoch_us) so
+    // both engines compare IDENTICAL integers even if DuckDB's parquet
+    // reader truncates the NANOS column — a sub-µs tie must not be able
+    // to split the hash at some SF; the operator itself defaults to
+    // ns-exact ts_ns for in-engine use
     "q_funnel" -> ((s, dir) =>
-      Events.funnel(Events.read(s, dir), Seq("view", "click", "purchase"))
+      Events.funnel(Events.read(s, dir), Seq("view", "click", "purchase"),
+          tsCol = "ts_us")
         .orderBy(col("stage_idx"))),
     "q_asof_join" -> ((s, dir) =>
       Events.asofJoin(Events.read(s, dir), "click", "purchase").orderBy(col("event_id"))),
@@ -1353,9 +1358,9 @@ object SparkEntry {
     // strict-increase depth fold, per-stage reached counts
     "q_funnel" ->
       """WITH m AS (SELECT user_id,
-        |  min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t0,
-        |  min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t1,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t2
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
         |FROM events GROUP BY user_id),
         |d AS (SELECT user_id,
         |  CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
