@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Multimodal, Pack, RangeJoin, Scan, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Graph, Multimodal, Pack, RangeJoin, Scan, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -49,7 +49,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++
     dedupQueries ++ similarityQueries ++ textQueries ++ multimodalQueries ++
-    eventQueries ++ relationalQueries ++ streamingStateQueries
+    eventQueries ++ relationalQueries ++ sketchQueries ++ streamingStateQueries
 
   // §2b streaming: the three STATEFUL Structured Streaming operators
   // (stream-stream diff, mapGroupsWithState keyed checksum,
@@ -588,6 +588,67 @@ object SparkEntry {
             .otherwise(0L)).as("n_ts_roundtrip_ok"),
           min(expr("dec DIV 1000")).as("min_ts_us"),
           max(expr("dec DIV 1000")).as("max_ts_us"))
+    }))
+
+  // §2b sketch / approximate aggregates + iterative graph compute —
+  // bounded-memory summaries (KMV, count-min, Bloom, priority sampling)
+  // and integer-exact PageRank, all md5-derived so the DuckDB oracle
+  // replays every bit (operators/Sketches.scala, operators/Graph.scala).
+  private def sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KMV (k-minimum-values) distinct-count estimate over part keys,
+    // with the exact-NDV twin for verification. k=256 < NDV(sf0.01)=2000
+    // so the gate exercises the estimation path, not the exact fallback.
+    "q_approx_distinct" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Sketches.kmvDistinct(li, col("l_partkey"), 256)
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_ndv")))
+    }),
+    // count-min-sketch heavy hitters over word-trigram shingles
+    // (document frequency): exact top-20 vs the d=4 × w=1024 sketch's
+    // upper-bound estimate — est >= exact always, = exact when the
+    // item's 4 cells dodge collisions
+    "q_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(
+        docs(s, dir).select(explode(Dedup.shingles(col("text"), 3)).as("item")),
+        col("item"), d = 4, w = 1024, topK = 20)),
+    // Bloom-runtime-filtered fact-dim join: lineitem pruned by the
+    // nation-0 suppliers' 8192-bit filter BEFORE the join; result is
+    // provably the plain join (no false negatives), which is exactly
+    // what the oracle's plain-join SQL checks
+    "q_bloom_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_nationkey") === 0)
+      Sketches.bloomFilteredJoin(li, "l_suppkey", supp, "s_suppkey")
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // weight-proportional fixed-size sample (priority sampling): the 50
+    // highest-priority orders, priority = cents * 2^20 div quantized
+    // uniform — integer arithmetic end to end, a distributed top-k
+    "q_priority_sample" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("w", expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)"))
+      Sketches.prioritySample(o, "o_orderkey", col("w"), 50)
+    }),
+    // integer-exact PageRank (3 fixed iterations, micro-unit ranks)
+    // over the symmetrized customer—supplier trade graph; top 20 hubs
+    "q_pagerank" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(edges, 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)
     }))
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1638,6 +1699,88 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem)
-        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    // ---- sketch / approximate-aggregate family (Sketches.scala) ----
+    // KMV: same salted 60-bit md5 hash, k smallest distinct, same
+    // double-precision estimate arithmetic (IEEE ops on identical
+    // integer inputs are bit-deterministic in both engines)
+    "q_approx_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${duckHash60("'kmv_' || CAST(l_partkey AS VARCHAR)")} AS h
+        |           FROM lineitem),
+        |km AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |a AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM km),
+        |x AS (SELECT count(DISTINCT l_partkey) AS exact_ndv FROM lineitem)
+        |SELECT k_used, kth_hash,
+        |  CASE WHEN k_used < 256 THEN k_used
+        |       ELSE CAST(floor(255.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+        |  END AS est_ndv,
+        |  exact_ndv
+        |FROM a CROSS JOIN x""".stripMargin,
+    // count-min: identical d=4 salted bucket hashes; sketch cells are
+    // integer counts; estimate = min over the item's 4 cells
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |it AS (SELECT unnest(s) AS item FROM sh),
+        |cnt AS (SELECT item, count(*) AS c FROM it GROUP BY item),
+        |hb AS (SELECT item, j,
+        |         ${duckHash60("'cms' || j || '_' || item")} % 1024 AS bucket
+        |       FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+        |cms AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+        |        FROM hb JOIN cnt USING (item) GROUP BY j, bucket),
+        |topk AS (SELECT item, c AS exact_cnt FROM cnt
+        |         ORDER BY c DESC, item LIMIT 20)
+        |SELECT item, exact_cnt, min(cnt) AS cms_est
+        |FROM topk JOIN hb USING (item) JOIN cms USING (j, bucket)
+        |GROUP BY item, exact_cnt ORDER BY exact_cnt DESC, item""".stripMargin,
+    // Bloom pre-filter is execution strategy only (zero false
+    // negatives; positives die in the join) — the oracle is the plain
+    // fact-dim join the operator must exactly reproduce
+    "q_bloom_join" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 0
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    // priority sampling: cents weight, 20-bit quantized uniform from
+    // the salted md5 hash, integer floor division — ties break on key
+    "q_priority_sample" ->
+      s"""WITH w AS (SELECT o_orderkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w FROM orders),
+        |h AS (SELECT o_orderkey, w,
+        |        ${duckHash60("'ps_' || CAST(o_orderkey AS VARCHAR)")} AS h FROM w)
+        |SELECT o_orderkey, w,
+        |  (w * 1048576) // ((h // 1099511627776) + 1) AS priority
+        |FROM h ORDER BY priority DESC, o_orderkey LIMIT 50""".stripMargin,
+    // integer PageRank, 3 unrolled iterations: micro-unit ranks,
+    // contribution = rank // degree, damping in integer arithmetic —
+    // bit-equal to the engine's loop regardless of summation order
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |r1 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst)
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
+
+  /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the
+    * expression `e` as input: `substr(md5(e),1,15)` parsed base-16. */
+  private def duckHash60(e: String): String =
+    s"""list_reduce(list_transform(string_split_regex(substr(md5($e), 1, 15), ''),
+       |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+       |    (a, d) -> a * 16 + d)""".stripMargin
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Sketch / approximate-aggregate operators — the bounded-memory
+  * summaries a 100 TB pipeline leans on when the exact answer would
+  * shuffle the full key universe. The reference's nearest concept is
+  * the CRC64 checksum (`checksum/checksum.go:25-29`): a tiny
+  * order-invariant digest standing in for the full dataset. Each
+  * operator here generalizes that idea — a fixed-size commutative
+  * summary, mergeable across partitions — and each is built from
+  * md5-derived integer hashing so the DuckDB oracle replays the result
+  * bit-for-bit (no engine-private RNG, no float summation order).
+  *
+  * Scale design (100 TB):
+  *  - KMV: only `partitions × k` longs ever cross the wire — the
+  *    per-partition pass keeps a bounded k-smallest set, so the
+  *    estimate costs a scan plus a trivial shuffle regardless of NDV;
+  *  - count-min: the sketch is `d × w` counters built by map-side
+  *    partial aggregation; point queries touch d cells. The exact
+  *    top-k twin in the query exists to *verify* the sketch, not to
+  *    replace it;
+  *  - Bloom-filtered join: the classic runtime row filter — the fact
+  *    side is pruned by a broadcast m-bit filter BEFORE the join
+  *    shuffle, with zero false negatives by construction;
+  *  - priority sampling: a weight-proportional fixed-size sample via
+  *    a per-row priority — a distributed top-k (TakeOrdered), no
+  *    global sort, no rejection loop.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash with a salt prefix, shared with the oracle
+    * (`substr(md5(salt || key), 1, 15)` parsed base-16). */
+  private def saltedHash60(salt: String, key: Column): Column =
+    Dedup.md5Hash60(concat(lit(salt), key.cast("string")))
+
+  // ---------------------------------------------------------------- KMV
+
+  /** K-minimum-values distinct-count estimate (Bar-Yossef et al.):
+    * hash every key to a 60-bit uniform, keep the k smallest DISTINCT
+    * hash values; if fewer than k exist the count is exact, else
+    * NDV ≈ (k-1) * 2^60 / kth_smallest.
+    *
+    * The first pass is a bounded per-partition sketch (a size-k
+    * TreeSet per partition — `mapPartitions`, constant memory), so the
+    * shuffle that merges partials moves at most `partitions × k`
+    * longs. The estimate arithmetic runs in IEEE double from exactly
+    * the same integer inputs in both engines, so `floor` of it is
+    * deterministic. Output: one row (k_used, kth_hash, est_ndv). */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(saltedHash60("kmv_", key).as("h")).as[Long]
+    val partial = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (set.size < k) set.add(h)
+        else if (h < set.last()) { set.add(h); if (set.size > k) set.pollLast() }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+        .asScala.map(_.longValue())
+    }
+    val kmins = partial.toDF("h").distinct().orderBy(col("h")).limit(k)
+    val two60 = math.pow(2.0, 60) // 2^60 is exact in double
+    kmins.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(two60) /
+            col("kth_hash").cast("double")).cast("long"))
+          .as("est_ndv"))
+  }
+
+  // ---------------------------------------------------- count-min sketch
+
+  /** The count-min sketch of a token stream: `d` hash rows × `w`
+    * buckets of occurrence counts. One explode + one grouped count —
+    * fully map-side partial-aggregated; the result is `d*w` rows
+    * (constant in corpus size). */
+  def cmsSketch(items: DataFrame, item: Column, d: Int, w: Int): DataFrame = {
+    val rows = (0 until d).map(j =>
+      struct(lit(j).as("j"),
+        pmod(saltedHash60(s"cms${j}_", item), lit(w.toLong)).as("bucket")))
+    items.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters with a count-min upper-bound estimate: the exact
+    * top-k items (the verification twin) joined against the sketch —
+    * `cms_est = min over the d cells an item maps to`, which is ≥ the
+    * true count (collisions only inflate). At scale the exact twin is
+    * what you drop: the sketch is the survivable summary. Output:
+    * (item, exact_cnt, cms_est) by falling exact count. */
+  def cmsHeavyHitters(items: DataFrame, itemCol: Column, d: Int, w: Int,
+                      topK: Int): DataFrame = {
+    val it = items.select(itemCol.as("item"))
+    val cms = cmsSketch(it, col("item"), d, w)
+    val exact = it.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item")).limit(topK)
+    exact
+      .withColumn("j", explode(array((0 until d).map(lit): _*)))
+      .withColumn("bucket",
+        pmod(Dedup.md5Hash60(concat(lit("cms"), col("j").cast("string"),
+          lit("_"), col("item").cast("string"))), lit(w.toLong)))
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy(col("item"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("item"))
+  }
+
+  // ------------------------------------------------- Bloom-filtered join
+
+  /** Builds the m-bit Bloom bitmap of a (small) key set: `numHashes`
+    * md5-salted bit positions per key, OR-folded into `m/64` longs on
+    * the driver. The collect is bounded by the BITMAP size premise
+    * (positions are distinct-ed first, so at most `m` rows arrive),
+    * not by the dim cardinality. */
+  def bloomBits(dim: DataFrame, key: Column, m: Int, numHashes: Int): Array[Long] = {
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    val spark = dim.sparkSession
+    import spark.implicits._
+    val pos = dim.select(explode(array((0 until numHashes).map(j =>
+        pmod(saltedHash60(s"bloom${j}_", key), lit(m.toLong))): _*)).as("p"))
+      .distinct().as[Long].collect()
+    val bits = new Array[Long](m / 64)
+    pos.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64))
+    bits
+  }
+
+  /** Membership predicate against a literal bitmap: all `numHashes`
+    * bits set. Pure built-ins (element_at on two literal arrays +
+    * bitwiseAND), so it stays inside whole-stage codegen — this is the
+    * filter that runs on every fact row, it must be cheap. */
+  def bloomMightContain(bits: Array[Long], key: Column, m: Int,
+                        numHashes: Int): Column = {
+    val words = lit(bits)
+    val masks = lit((0 until 64).map(1L << _).toArray)
+    (0 until numHashes).map { j =>
+      val p = pmod(saltedHash60(s"bloom${j}_", key), lit(m.toLong))
+      element_at(words, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(masks, pmod(p, lit(64L)).cast("int") + 1)) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Join with a Bloom runtime filter: the fact side is pre-filtered
+    * by the dim side's bitmap before the join. False positives are
+    * eliminated by the join itself; false negatives cannot occur, so
+    * the result is EXACTLY the plain join's — which is what the
+    * oracle checks. At 100 TB this is the difference between
+    * shuffling every fact row and shuffling the ~selectivity× slice
+    * that can possibly match. */
+  def bloomFilteredJoin(fact: DataFrame, factKey: String,
+                        dim: DataFrame, dimKey: String,
+                        m: Int = 8192, numHashes: Int = 3): DataFrame = {
+    val bits = bloomBits(dim, col(dimKey), m, numHashes)
+    fact.filter(bloomMightContain(bits, col(factKey), m, numHashes))
+      .join(broadcast(dim), col(factKey) === col(dimKey))
+  }
+
+  // ------------------------------------------------- priority sampling
+
+  /** Weight-proportional fixed-size sample via priority sampling
+    * (Duffield-Lund-Thorup): each row gets priority = weight / u for
+    * a per-row uniform u, and the k highest-priority rows form the
+    * sample. The uniform is the row's salted md5 hash quantized to 20
+    * bits and the division is integer (`shift` keeps weight*2^20 in
+    * range), so both engines order rows identically; ties (same
+    * quantized priority) break on the key. A distributed top-k — no
+    * global sort, no per-row state.
+    *
+    * `weightInt` must be a non-negative integral column (e.g. cents);
+    * rows with weight 0 can never enter the sample. */
+  def prioritySample(df: DataFrame, keyCol: String, weightInt: Column,
+                     k: Int): DataFrame =
+    df.select(col(keyCol), weightInt.as("w"))
+      .withColumn("h", saltedHash60("ps_", col(keyCol)))
+      .withColumn("priority",
+        expr("(w * 1048576) div ((h div 1099511627776) + 1)"))
+      .select(col(keyCol), col("w"), col("priority"))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+}

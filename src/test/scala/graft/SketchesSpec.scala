@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Sketches}
+
+/** Sketch operators: KMV distinct estimation, count-min heavy hitters,
+  * Bloom-filtered join, priority sampling, and integer PageRank. Each
+  * test pins determinism (partitioning invariance) plus the sketch's
+  * defining guarantee (KMV accuracy, CMS over-count-only, Bloom
+  * no-false-negative, sample = exact top-k by priority, PageRank mass
+  * conservation). */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("KMV estimate is partitioning-invariant and within 20% of true NDV") {
+    val n = 5000
+    val df = (1 to 20000).map(i => i % n).toDF("key")
+    val est = Sketches.kmvDistinct(df, col("key"), 256)
+      .select("est_ndv").as[Long].head()
+    assert(math.abs(est - n).toDouble / n < 0.2, s"est=$est true=$n")
+    // same rows, different partitioning → identical sketch result
+    // (the per-partition bounded pass only changes which partials
+    // exist, not the global k smallest distinct hashes)
+    val est2 = Sketches.kmvDistinct(df.repartition(13), col("key"), 256)
+      .select("est_ndv").as[Long].head()
+    assert(est2 === est)
+  }
+
+  test("KMV with NDV below k returns the exact distinct count") {
+    val df = (1 to 1000).map(i => i % 40).toDF("key")
+    val r = Sketches.kmvDistinct(df, col("key"), 256)
+      .select("k_used", "est_ndv").as[(Long, Long)].head()
+    assert(r === ((40L, 40L)))
+  }
+
+  test("count-min estimates are >= exact and tight for a planted heavy hitter") {
+    // one token at 5000 occurrences + 2000 singletons: the heavy
+    // hitter's relative error is bounded by the tail mass per bucket
+    val items = (Seq.fill(5000)("heavy") ++ (1 to 2000).map(i => s"rare$i"))
+      .toDF("item")
+    val hh = Sketches.cmsHeavyHitters(items, col("item"), d = 4, w = 1024, topK = 5)
+      .as[(String, Long, Long)].collect()
+    assert(hh.head._1 === "heavy")
+    hh.foreach { case (it, exact, est) =>
+      assert(est >= exact, s"$it: CMS must never under-count")
+    }
+    val (_, exact, est) = hh.head
+    assert(exact === 5000L)
+    // tail mass 2000 over 1024 buckets ≈ 2/bucket; min over 4 rows
+    // stays far under +1% of a 5000-count item
+    assert(est - exact <= 50, s"heavy hitter over-count $est vs $exact")
+  }
+
+  test("Bloom-filtered join returns exactly the plain join's rows") {
+    val fact = (1 to 5000).map(i => (i % 500, i)).toDF("fk", "payload")
+    val dim = (0 until 500 by 25).map(k => (k, s"d$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").as[(Int, Int, String)].collect().sorted.toSeq
+    val bloomed = Sketches.bloomFilteredJoin(fact, "fk", dim, "dk")
+      .select("fk", "payload", "name").as[(Int, Int, String)].collect().sorted.toSeq
+    assert(bloomed === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("Bloom pre-filter actually prunes non-matching rows") {
+    val dim = (1 to 20).map(k => (k, k)).toDF("dk", "x")
+    val bits = Sketches.bloomBits(dim, col("dk"), 8192, 3)
+    val fact = (1 to 10000).map(i => i).toDF("fk")
+    val kept = fact.filter(Sketches.bloomMightContain(bits, col("fk"), 8192, 3))
+      .count()
+    // all 20 members kept (no false negatives); false-positive rate at
+    // 60 set bits / 8192 is ~(60/8192)^3 ≈ 4e-7 — essentially none of
+    // the 9980 non-members survive
+    assert(kept >= 20 && kept <= 25, s"kept=$kept")
+  }
+
+  test("priority sample equals the brute-force top-k by priority and is weight-biased") {
+    val rows = (1 to 2000).map(i => (i.toLong, (i % 100 + 1) * 100L))
+    val df = rows.toDF("id", "w")
+    val got = Sketches.prioritySample(df, "id", col("w"), 100)
+      .select("id", "w", "priority").as[(Long, Long, Long)].collect().toSeq
+    // brute force in Scala with the same arithmetic
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val brute = rows.map { case (id, w) =>
+      val p = (w * 1048576L) / ((h60(s"ps_$id") / 1099511627776L) + 1L)
+      (id, w, p)
+    }.sortBy { case (id, _, p) => (-p, id) }.take(100)
+    assert(got === brute)
+    // weight bias: size-biased sampling pulls the mean toward
+    // E[w²]/E[w] ≈ 6700 for these weights (population mean 5050)
+    val meanSample = got.map(_._2).sum.toDouble / got.size
+    val meanPop = rows.map(_._2).sum.toDouble / rows.size
+    assert(meanSample > meanPop * 1.2, s"sample mean $meanSample vs pop $meanPop")
+  }
+
+  test("PageRank conserves rank mass, favors hubs, and is partitioning-invariant") {
+    // star graph: hub connected to 10 spokes (symmetrized) + a 2-cycle
+    val raw = ((1 to 10).map(i => ("hub", s"s$i")) ++ Seq(("a", "b"))).toDF("a", "b")
+    val edges = raw.select(col("a").as("src"), col("b").as("dst"))
+      .union(raw.select(col("b").as("src"), col("a").as("dst")))
+    val r = Graph.pageRank(edges, 3).as[(String, Long)].collect().toMap
+    assert(r.size === 13)
+    // hub holds the largest rank; spokes all equal by symmetry
+    assert(r("hub") === r.values.max)
+    assert((1 to 10).map(i => r(s"s$i")).distinct.size === 1)
+    // integer damping loses mass only to truncation: within 13 nodes *
+    // (100 micro-units/node slack per round * 3 rounds)
+    val mass = r.values.sum
+    assert(mass <= 13000000L && mass > 13000000L - 13 * 300L, s"mass=$mass")
+    val r2 = Graph.pageRank(edges.repartition(7), 3).as[(String, Long)].collect().toMap
+    assert(r2 === r)
+  }
+}
