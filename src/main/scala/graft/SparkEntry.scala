@@ -267,6 +267,15 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    // bigram conditional LM — one step up the perplexity ladder (word
+    // ORDER, not just word choice); counts shuffle-join (scale-honest)
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+    // char-level Shannon entropy per doc: gibberish/boilerplate signal
+    "q_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
     // word-trigram repetition ratio per (lang, source) — the corpus-level
     // repetitiveness audit; per-doc ratios aggregate through exact
     // DECIMAL so the mean is bit-stable cross-engine
@@ -1179,6 +1188,34 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram twin of q_unigram_logprob: conditional from bigram /
+    // left-context counts; per-bigram ln rounds to 6 dp pre-sum
+    "q_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |       FROM toks WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, w[i] AS p, w[i + 1] AS c FROM ix),
+        |cb AS (SELECT p, c, count(*) AS nb FROM bg GROUP BY p, c),
+        |cl AS (SELECT p, count(*) AS np FROM bg GROUP BY p),
+        |lp AS (SELECT doc_id,
+        |         round(ln(CAST(nb AS DOUBLE) / CAST(np AS DOUBLE)), 6) AS lp
+        |       FROM bg JOIN cb USING (p, c) JOIN cl USING (p))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // char entropy: p*ln(p) terms round to 9 dp, DECIMAL sum, abs
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS k FROM ch GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, count(*) AS distinct_chars
+        |      FROM cc GROUP BY doc_id),
+        |t AS (SELECT cc.doc_id, n.n, n.distinct_chars,
+        |        round((CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |          ln(CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE)), 9) AS t
+        |      FROM cc JOIN n ON cc.doc_id = n.doc_id)
+        |SELECT doc_id, max(n) AS n_chars_total, max(distinct_chars) AS distinct_chars,
+        |  round(CAST(abs(sum(CAST(t AS DECIMAL(20,9)))) AS DOUBLE), 6) AS entropy_nats
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same shingle construction as the dedup CTEs; mean through DECIMAL
     "q_repetition" ->
       """WITH m AS (SELECT lang, source,

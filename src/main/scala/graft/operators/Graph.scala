@@ -35,7 +35,13 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src")
+    // materialize the degree-annotated edge list ONCE: every iteration
+    // joins against it, and without the checkpoint each round's lineage
+    // would re-run the source scan + distinct + degree count from
+    // scratch (iteration i pays i× the base cost). At cluster scale
+    // this is the cached edge partitioning every Pregel-style system
+    // keeps resident across supersteps.
+    val withDeg = e.join(deg, "src").localCheckpoint()
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       rank = withDeg.join(rank, withDeg("src") === rank("node"))

@@ -79,6 +79,62 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Self-trained bigram LM score: avg log P(w_i | w_{i-1}) per bigram,
+    * with the conditional from the corpus's own bigram / left-context
+    * counts — one step up the perplexity ladder from
+    * [[unigramLogProb]] (it punishes implausible word ORDER, which a
+    * unigram can't see). Docs with fewer than 2 tokens have no bigrams
+    * and drop out. The count joins are plain equi-joins on (p, c) / p —
+    * deliberately NOT broadcast: the bigram vocabulary grows with the
+    * corpus (unlike the unigram vocab) and must be allowed to shuffle
+    * at 100 TB; AQE still broadcasts it when it happens to be small.
+    * Same determinism contract as unigram: per-bigram log-probs round
+    * to 6 dp before a DECIMAL sum. Output: (doc_id, n_bigrams,
+    * avg_logprob). */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withW = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = withW.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("p"),
+            element_at(col("w"), i + 1).as("c")))).as("pc"))
+      .select(col("doc_id"), col("pc.p").as("p"), col("pc.c").as("c"))
+    val cb = bg.groupBy(col("p"), col("c")).agg(count(lit(1)).as("nb"))
+    val cl = bg.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    bg.join(cb, Seq("p", "c")).join(cl, Seq("p"))
+      .select(col("doc_id"),
+        round(log(col("nb").cast("double") / col("np").cast("double")), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/boilerplate detector (natural prose sits ~4 bits/char;
+    * base64 blobs and aaaa… runs sit far off it in either direction).
+    * Per-char-class terms `p·ln p` round to 9 dp before the DECIMAL
+    * sum (the unigram determinism pattern); `abs` of the (≤ 0) sum
+    * avoids a cross-engine -0.0. Output: (doc_id, n_chars_total,
+    * distinct_chars, entropy_nats). */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ch = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), "")).as("ch"))
+    val cc = ch.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("k"))
+    val n = cc.groupBy(col("doc_id")).agg(sum(col("k")).as("n"),
+      count(lit(1)).as("distinct_chars"))
+    cc.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("distinct_chars"),
+        round((col("k").cast("double") / col("n").cast("double")) *
+          log(col("k").cast("double") / col("n").cast("double")), 9).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars_total"),
+        max(col("distinct_chars")).as("distinct_chars"),
+        round(abs(sum(col("t").cast("decimal(20,9)"))).cast("double"), 6)
+          .as("entropy_nats"))
+  }
+
   /** Repetition signal (the Gopher/C4-family quality heuristic):
     * fraction of word n-gram slots occupied by a repeat of an earlier
     * n-gram — 0 for fully novel text, → 1 for a loop of one phrase.

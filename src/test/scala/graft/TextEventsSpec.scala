@@ -9,6 +9,30 @@ import graft.operators.{Events, TextAnalysis}
 class TextEventsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("bigram LM: hand-computed conditionals; sub-2-token docs drop out") {
+    // corpus bigrams: (a b) ×2 [docs 1, 2], (b a) ×1, (a a) ×1
+    // left-context counts: a→3, b→1
+    val docs = Seq((1L, "a b"), (2L, "a b a a"), (3L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val ln = (x: Double) => BigDecimal(math.log(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: P(b|a)=2/3. doc2: P(b|a)=2/3, P(a|b)=1/1, P(a|a)=1/3
+    val d1 = ln(2.0 / 3)
+    val d2 = BigDecimal((ln(2.0 / 3) + ln(1.0) + ln(1.0 / 3)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Seq((1L, 1L, d1), (2L, 3L, d2))) // doc 3 has no bigrams
+  }
+
+  test("char entropy: uniform text hits ln(alphabet), runs hit 0") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r(0) === ((1L, 4L, 1L, 0.0)))           // single symbol: H = 0
+    assert(r(1)._4 === 0.693147)                   // ln 2
+    assert(r(2) === ((3L, 4L, 4L, 1.386294)))      // ln 4
+  }
+
   test("BM25 and TF-IDF known answers (hand-computed, not oracle-lockstep)") {
     import graft.operators.TextAnalysis
     // three equal-length docs → dl/avgdl = 1, so the tf factor is
