@@ -224,7 +224,15 @@ object SparkEntry {
     // high-cosine pairs in SimilaritySpec
     "q_srp_neardup" -> ((s, dir) =>
       Similarity.srpNearDup(emb(s, dir), 0.4)
-        .orderBy(col("id_a"), col("id_b"))))
+        .orderBy(col("id_a"), col("id_b"))),
+    // sparse idf-weighted shingle cosine JOIN over raw text — the
+    // no-embedding similarity path: inverted-index candidates (pairs
+    // sharing >=1 shingle), integer weights (milli-unit idf), df cap
+    // mirrored in the oracle
+    "q_sparse_cosine" -> ((s, dir) =>
+      Similarity.tfidfCosineJoin(docs(s, dir), "text", "doc_id",
+          minCos = 0.5, maxDf = Some(100), shingleN = 3)
+        .orderBy(col("doc_a"), col("doc_b"))))
 
   // §2b LLM-pipeline: text analysis over `documents`.
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -446,6 +454,20 @@ object SparkEntry {
             .cast("double"))
         .drop("value")
         .orderBy(col("user_id"), col("seq"))
+    }),
+    // distribution window functions: quartile assignment + cumulative
+    // distribution + percent rank per event type (total order via the
+    // unique event_id tiebreak, so both engines tile identically)
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Events.read(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .orderBy(col("event_type"), col("value"), col("event_id"))
     }),
     // pivot: wide per-day event-type counts
     "q_pivot" -> ((s, dir) => {
@@ -1129,6 +1151,29 @@ object SparkEntry {
         |    round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 9) AS sim
         |  FROM cand c JOIN vn va ON c.id_a = va.vec_id JOIN vn vb ON c.id_b = vb.vec_id)
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // sparse idf-weighted shingle cosine: same shingle construction as
+    // the dedup CTEs, milli-unit integer idf weights, int64 dots/norms,
+    // double only in the final sqrt/divide. df cap mirrored (<= 100).
+    "q_sparse_cosine" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t HAVING count(*) <= 100),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |wt AS (SELECT doc_id, t,
+        |         c * CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w
+        |       FROM tf JOIN dfc USING (t) CROSS JOIN n),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS ns FROM wt GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |      FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ns AS DOUBLE)) * sqrt(CAST(nb.ns AS DOUBLE))), 6) AS cos
+        |  FROM p JOIN norms na ON p.doc_a = na.doc_id JOIN norms nb ON p.doc_b = nb.doc_id)
+        |WHERE cos >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "q_text_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
@@ -1572,6 +1617,13 @@ object SparkEntry {
         |FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         |SELECT event_id, user_id, ts_us, prev_event_id, next_event_id, seq, running_value
         |FROM w ORDER BY user_id, seq""".stripMargin,
+    "q_ntile" ->
+      """SELECT event_type, event_id, value,
+        |  ntile(4) OVER win AS tile,
+        |  round(cume_dist() OVER win, 6) AS cd,
+        |  round(percent_rank() OVER win, 6) AS pr
+        |FROM events WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin,
     "q_pivot" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -502,4 +502,55 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
     diagPairs.unionAll(offPairs)
   }
+
+  /** Sparse TF-IDF cosine similarity JOIN over raw text — the
+    * similarity-search path that needs no embedding model at all: each
+    * document is a sparse vector of `tf × idf` token weights and the
+    * pair dot products come from an inverted-index self-join on token
+    * (only pairs sharing ≥1 token are ever materialized — the sparse
+    * analog of the LSH-banded candidate generation, and the standard
+    * scale shape for all-pairs text similarity).
+    *
+    * Determinism contract: weights are INTEGERS — idf is quantized to
+    * milli-units (`floor(ln(N/df)·1000 + 0.5)`, both engines compute
+    * the same double then floor it), a weight is `tf · idf₃`
+    * (≤ 4e6), and dots/norms² are int64 sums of weight products
+    * (≤ 1.6e13/term — no overflow, no float summation order). Only the
+    * final cosine divides in double (IEEE sqrt/÷ are exactly rounded).
+    *
+    * `maxDf` prunes tokens present in more than maxDf documents from
+    * the VECTOR SPACE itself (not just the index): hot near-stopwords
+    * generate quadratic candidates while carrying ~zero idf weight —
+    * at 100× corpus scale the cap is what bounds the self-join.
+    * Mirrored in the oracle. Output: (doc_a, doc_b, cos) with
+    * cos ≥ minCos, rounded to 6 dp. */
+  def tfidfCosineJoin(docs: DataFrame, textCol: String, idCol: String,
+                      minCos: Double, maxDf: Option[Int] = None,
+                      shingleN: Int = 1): DataFrame = {
+    val terms = if (shingleN <= 1) split(col(textCol), " ")
+      else Dedup.shingles(col(textCol), shingleN)
+    val tok = docs.select(col(idCol).as("doc_id"), explode(terms).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dfKept = maxDf.fold(dfc)(cap => dfc.filter(col("df") <= cap))
+    val n = docs.select(count(lit(1)).as("n"))
+    val weights = tf.join(dfKept, Seq("t")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"),
+        (col("c") * floor(log(col("n").cast("double") / col("df").cast("double"))
+          * 1000.0 + 0.5).cast("long")).as("w"))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("ns"))
+    val a = weights.select(col("doc_id").as("doc_a"), col("t"), col("w").as("wa"))
+    val b = weights.select(col("doc_id").as("doc_b"), col("t"), col("w").as("wb"))
+    a.join(b, Seq("t")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("ns").as("nsa")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("ns").as("nsb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("nsa").cast("double")) * sqrt(col("nsb").cast("double"))), 6)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

@@ -266,4 +266,26 @@ class SimilaritySpec extends SparkTestBase {
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
     assert(pairs.forall { case (a, b, s) => a < b && s >= 0.3 })
   }
+
+  test("sparse tf-idf cosine: identical docs score 1, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),    // exact dup of 1
+      (3L, "epsilon zeta eta theta"),    // disjoint from 1/2
+      (4L, "alpha beta gamma iota")      // shares a prefix with 1/2
+    ).toDF("doc_id", "text")
+    val pairs = Similarity.tfidfCosineJoin(docs, "text", "doc_id",
+        minCos = 0.0, shingleN = 1)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "disjoint docs must not generate a candidate")
+    assert(pairs((1L, 4L)) > 0 && pairs((1L, 4L)) < 1.0)
+    // the df cap drops hot terms from the vector space entirely:
+    // with maxDf=1 every shared term (df>=2) vanishes -> no pairs
+    val capped = Similarity.tfidfCosineJoin(docs, "text", "doc_id",
+      minCos = 0.0, maxDf = Some(1), shingleN = 1)
+    assert(capped.isEmpty)
+  }
 }
