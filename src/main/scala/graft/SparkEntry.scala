@@ -60,7 +60,10 @@ object SparkEntry {
     "q_stream_diff" -> ((s, dir) => StreamEntries.streamDiff(s, dir)),
     "q_stream_sessions" -> ((s, dir) => StreamEntries.streamSessions(s, dir)),
     "q_stream_keyed_checksum" -> ((s, dir) => StreamEntries.streamKeyedChecksum(s, dir)),
-    "q_stream_dedup" -> ((s, dir) => StreamEntries.streamDedup(s, dir)))
+    "q_stream_dedup" -> ((s, dir) => StreamEntries.streamDedup(s, dir)),
+    // streaming count-min sketch: constant-size counter-grid state
+    // folded across micro-batches; final emission = the batch sketch
+    "q_stream_cms" -> ((s, dir) => StreamEntries.streamCms(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1590,6 +1593,22 @@ object SparkEntry {
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),
+    // the streaming CMS's final state must equal the batch sketch over
+    // the whole corpus (micro-batch boundaries can't show through a
+    // commutative counter fold)
+    "q_stream_cms" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |it AS (SELECT unnest(s) AS item FROM sh),
+        |hb AS (SELECT item, j,
+        |         ${duckHash60("'cms' || j || '_' || item")} % 1024 AS bucket
+        |       FROM (SELECT DISTINCT item FROM it)
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))
+        |SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM it JOIN hb USING (item)
+        |GROUP BY j, bucket ORDER BY j, bucket""".stripMargin,
     // streaming sessions (event-time timeouts) must equal batch
     // sessionization; the double-typed sum column is excluded because
     // the streaming fold adds doubles in arrival order

@@ -210,4 +210,39 @@ object StreamEntries {
         max(col("total_bytes")).as("total_bytes"))
       .orderBy(col("group"))
   }
+
+  /** Continuously-maintained count-min sketch over the shingle stream:
+    * [[graft.operators.Sketches.cmsSketch]] applied to a streaming
+    * relation is just a streaming aggregation on (row, bucket) — the
+    * state store holds the d×w counter grid (CONSTANT size regardless
+    * of stream length: the whole point of sketching a stream) and every
+    * micro-batch folds its occurrences in. Three deterministic batches
+    * split the corpus; the final Complete-mode emission must equal the
+    * batch sketch over the union, which is what the oracle computes. */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("item"))
+      .select(col("doc_id"), col("item"))
+      .as[(Long, String)].collect()
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_cms")
+    withStatePartitions(s, 4) {
+      val mem = MemoryStream[(Long, String)]
+      val sketch = graft.operators.Sketches.cmsSketch(
+        mem.toDS().toDF("doc_id", "item"), col("item"), d = 4, w = 1024)
+      val q = sketch.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        (0 until 3).foreach { b =>
+          mem.addData(items.filter(_._1 % 3 == b).toSeq)
+          q.processAllAvailable()
+        }
+      }
+    }
+    takeTable(s, name)
+      .select(col("j").cast("long").as("j"), col("bucket"), col("cnt"))
+      .orderBy(col("j"), col("bucket"))
+  }
 }
