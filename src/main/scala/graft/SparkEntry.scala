@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Graph, Multimodal, Pack, RangeJoin, Scan, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, RangeJoin, Scan, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -458,6 +458,20 @@ object SparkEntry {
         .drop("value")
         .orderBy(col("user_id"), col("seq"))
     }),
+    // Z-order (Morton) clustering key: bit-interleaved (value, user)
+    // coordinates — the multi-dim pruning layout; the key arithmetic is
+    // oracle-replayed, the bounding-box benefit is LayoutSpec's job
+    "q_zorder" -> ((s, dir) => {
+      val ev = Events.read(s, dir)
+      val qx = Layout.quantize(col("value"), 10)
+      val qy = pmod(col("user_id"), lit(1024L))
+      ev.select(Layout.zorder2(qx, qy, 10).as("z"))
+        .groupBy(expr("z div 4096").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy(col("n").desc, col("zbucket"))
+        .limit(20)
+    }),
     // distribution window functions: quartile assignment + cumulative
     // distribution + percent rank per event type (total order via the
     // unique event_id tiebreak, so both engines tile identically)
@@ -548,6 +562,13 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
+    // equi-width histogram with exact decimal per-bin sums
+    "q_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+        .orderBy(col("bin"))),
     // rollup (grouping-sets family) with exact decimal sums
     "q_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1636,6 +1657,22 @@ object SparkEntry {
         |FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         |SELECT event_id, user_id, ts_us, prev_event_id, next_event_id, seq, running_value
         |FROM w ORDER BY user_id, seq""".stripMargin,
+    // Z-key arithmetic replayed bit-for-bit: same quantizers, same
+    // 10-bit interleave as Layout.zorder2
+    "q_zorder" -> {
+      val zTerms = (0 until 10).map(b =>
+        s"(((qx >> $b) & 1) << ${2 * b}) + (((qy >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT CAST(least(greatest(floor(value), 0), 1023) AS BIGINT) AS qx,
+        |              user_id % 1024 AS qy FROM events),
+        |z AS (SELECT $zTerms AS z FROM q)
+        |SELECT z // 4096 AS zbucket, count(*) AS n, min(z) AS min_z, max(z) AS max_z
+        |FROM z GROUP BY 1 ORDER BY n DESC, zbucket LIMIT 20""".stripMargin
+    },
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_ntile" ->
       """SELECT event_type, event_id, value,
         |  ntile(4) OVER win AS tile,

