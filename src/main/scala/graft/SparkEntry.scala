@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, RangeJoin, Scan, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Scan, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -561,6 +561,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
+    }),
+    // ANALYZE-style per-column stats (rows/nonnull/ndv/min/max) — the
+    // CBO-input profile; exact ndv here so the oracle replays it, with
+    // Sketches.kmvDistinct as the documented 100 TB swap-in
+    "q_table_stats" -> ((s, dir) =>
+      Profile.tableStats(s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy(col("column"))),
+    // deterministic-hash-sampled quantiles vs exact: the 1/8 sample is
+    // content-addressed (md5 of event_id), so both engines draw the
+    // SAME sample and the oracle checks sampled AND exact together
+    "q_approx_quantile" -> ((s, dir) => {
+      val ev = Events.read(s, dir)
+      val sampled = ev.filter(
+        pmod(Dedup.md5Hash60(concat(lit("aq_"), col("event_id").cast("string"))),
+          lit(8L)) === 0L)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("p50_sample"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95_sample"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95_exact"))
+      sampled.join(exact, Seq("event_type")).orderBy(col("event_type"))
     }),
     // equi-width histogram with exact decimal per-bin sums
     "q_histogram" -> ((s, dir) =>
@@ -1669,6 +1692,28 @@ object SparkEntry {
         |SELECT z // 4096 AS zbucket, count(*) AS n, min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1 ORDER BY n DESC, zbucket LIMIT 20""".stripMargin
     },
+    "q_table_stats" -> {
+      val statsCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      statsCols.map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS ndv, CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    // same content-addressed 1/8 sample (md5 of event_id) in both
+    // engines; quantile_cont ≡ Spark's interpolated percentile
+    "q_approx_quantile" ->
+      s"""WITH s AS (SELECT event_type, value FROM events
+        |           WHERE ${duckHash60("'aq_' || CAST(event_id AS VARCHAR)")} % 8 = 0),
+        |sq AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_sample,
+        |         round(quantile_cont(value, 0.95), 6) AS p95_sample
+        |       FROM s GROUP BY event_type),
+        |eq AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |         round(quantile_cont(value, 0.95), 6) AS p95_exact
+        |       FROM events GROUP BY event_type)
+        |SELECT event_type, p50_sample, p95_sample, p50_exact, p95_exact
+        |FROM sq JOIN eq USING (event_type) ORDER BY event_type""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
