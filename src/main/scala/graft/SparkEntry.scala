@@ -109,6 +109,28 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // the MinHash ESTIMATOR itself, hash-gated: for every exact pair
+    // j >= 0.5, the k=32 md5-signature agreement fraction — the
+    // accuracy contract behind every LSH recall claim, checked
+    // bit-for-bit (not just the candidates it generates)
+    "q_minhash_est" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3, maxDf = jaccardMaxDf)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val sig = Dedup.minhashSignatureMd5(d, "text", "doc_id", 3, 32)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 32).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 32).map(i => col(s"m$i").as(s"b$i")): _*)
+      val matches = (0 until 32)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          round(matches.cast("double") / 32.0, 6).as("est_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // near-dup clusters: connected components over the verified pair
     // graph; cluster_id = min reachable doc_id (the canonical survivor)
     "q_dedup_clusters" -> ((s, dir) => {
@@ -947,6 +969,20 @@ object SparkEntry {
         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_jaccard_join" -> (shingleCtePruned + jaccardSelect),
+    // the estimator gate: same salted md5 min-hash per component, the
+    // agreement fraction over k=32 components per exact pair
+    "q_minhash_est" -> (shingleCtePruned +
+      s""", msig AS (SELECT doc_id, i,
+        |            min(${duckHash60("'mh' || i || '_' || t")}) AS m
+        |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+        |          GROUP BY doc_id, i),
+        |p AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / 32, 6) AS est_jaccard
+        |FROM p JOIN msig a ON p.doc_a = a.doc_id
+        |       JOIN msig b ON p.doc_b = b.doc_id AND a.i = b.i
+        |GROUP BY p.doc_a, p.doc_b, p.jaccard
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // replays deltaJaccardJoin: same shingle construction, tok split
     // new/old on doc_id % 10, corpus-side df cap, sizes from ALL shingles
     "q_dedup_delta" ->

@@ -498,6 +498,24 @@ object Dedup {
   def md5Hash60(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** Oracle-replayable MinHash signature: component i is the minimum
+    * over the document's shingles of the salted 60-bit md5 hash
+    * (`mh<i>_<shingle>`). One explode + one grouped k-way min — fully
+    * partial-aggregated, so signatures cost a single shuffle of
+    * (doc_id, k longs) regardless of corpus size. The production
+    * signatures inside [[minhashNearDup]] ride the xxhash64 shingle
+    * index instead (faster, no string re-hash); THIS form exists so
+    * the estimator itself (matching components / k ≈ Jaccard) can be
+    * hash-checked against DuckDB, not just its candidates. */
+  def minhashSignatureMd5(docs: DataFrame, textCol: String, idCol: String,
+                          n: Int, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("t"))
+    val mins = (0 until k).map(i =>
+      min(md5Hash60(concat(lit(s"mh${i}_"), col("t")))).as(s"m$i"))
+    tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
   /** SimHash per document: hash each token once, then for every bit
     * position sum +1/-1 contributions across tokens (with multiplicity);
     * bit b of the signature is 1 iff the sum is positive. One explode +

@@ -220,4 +220,22 @@ class DedupSpec extends SparkTestBase {
       assert(diff.isEmpty, s"n=$n mismatch: ${diff.take(3).mkString}")
     }
   }
+
+  test("md5 minhash signatures: equal docs sign equal; disjoint docs sign apart") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),           // identical to 1 → same signature
+      (3L, "zz yy xx ww vv uu tt ss")    // disjoint shingles
+    ).toDF("doc_id", "text")
+    val k = 32
+    val sig = Dedup.minhashSignatureMd5(docs, "text", "doc_id", 3, k)
+      .orderBy("doc_id").collect()
+    val s1 = (1 to k).map(sig(0).getLong)
+    val s2 = (1 to k).map(sig(1).getLong)
+    val s3 = (1 to k).map(sig(2).getLong)
+    assert(s1 === s2, "identical content must produce identical signatures")
+    // disjoint shingle sets: component collisions only by hash accident
+    // (P ≈ k/2^60); estimator for a disjoint pair is 0
+    assert(s1.zip(s3).count { case (a, b) => a == b } === 0)
+  }
 }
