@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Scan, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -607,6 +607,16 @@ object SparkEntry {
           round(expr("percentile(value, 0.95D)"), 6).as("p95_exact"))
       sampled.join(exact, Seq("event_type")).orderBy(col("event_type"))
     }),
+    // Pareto frontier (maximize totalprice AND recency): two-phase
+    // distributed skyline — per-partition local frontier, one-task merge
+    "q_skyline" -> ((s, dir) =>
+      Skyline.skyline2(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_totalprice").as("a"),
+              unix_timestamp(col("o_orderdate")).as("b")),
+          "a", "b")
+        .select(col("a").as("totalprice"), col("b").as("orderdate_epoch"))
+        .orderBy(col("totalprice").desc)),
     // equi-width histogram with exact decimal per-bin sums
     "q_histogram" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1750,6 +1760,15 @@ object SparkEntry {
         |       FROM events GROUP BY event_type)
         |SELECT event_type, p50_sample, p95_sample, p50_exact, p95_exact
         |FROM sq JOIN eq USING (event_type) ORDER BY event_type""".stripMargin,
+    // O(n log n) sort/running-max skyline formulation (2-D special
+    // case); the engine's generic dominance operator must equal it
+    "q_skyline" ->
+      """WITH pts AS (SELECT DISTINCT o_totalprice AS a,
+        |               CAST(date_part('epoch', o_orderdate) AS BIGINT) AS b FROM orders),
+        |s AS (SELECT a, b, max(b) OVER (ORDER BY a DESC, b DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb FROM pts)
+        |SELECT a AS totalprice, b AS orderdate_epoch FROM s
+        |WHERE mb IS NULL OR b > mb ORDER BY totalprice DESC""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
