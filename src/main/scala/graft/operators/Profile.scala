@@ -18,15 +18,21 @@ object Profile {
 
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
-    cols.map { c =>
-      df.agg(
-          count(lit(1)).as("n_rows"),
-          count(col(c)).as("n_nonnull"),
-          countDistinct(col(c)).as("ndv"),
-          min(col(c)).cast("string").as("min_val"),
-          max(col(c)).cast("string").as("max_val"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
-          col("ndv"), col("min_val"), col("max_val"))
-    }.reduce(_ unionAll _)
+    // ONE scan for all columns: a single wide aggregate (Catalyst
+    // rewrites the multi-column countDistincts via Expand — the input
+    // is still read once), then stack() unpivots the 1-row result into
+    // the per-column stats table. The naive per-column union of
+    // aggregates would scan the table |cols| times — the difference
+    // between one pass and five at 100 TB.
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows, `nn_$c`, `ndv_$c`, `min_$c`, `max_$c`").mkString(", ")
+    row.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n_rows, n_nonnull, ndv, min_val, max_val)"))
   }
 }

@@ -43,7 +43,8 @@ class PlanShapeSpec extends SparkTestBase {
     // these joins must stay equi-joins on hashes/buckets/labels at any
     // scale — a cartesian anywhere here is the 100×-scale-killer
     for (q <- Seq("q_jaccard_join", "q_dedup_minhash", "q_simhash_neardup",
-        "q_cosine_neardup", "q_srp_neardup", "q_range_join", "q_asof_join")) {
+        "q_cosine_neardup", "q_srp_neardup", "q_range_join", "q_asof_join",
+        "q_minhash_est")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
@@ -121,6 +122,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Batched: true"), p)         // vectorized parquet reader
     assert(!p.contains("BatchEvalPython"), p)
     assert(!p.contains("ExistingRDD"), p)
+  }
+
+  test("q_sparse_cosine: index self-join is an equi-join; only the scalar doc count nest-loops") {
+    val p = plan("q_sparse_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    // BroadcastNestedLoopJoins here are ONLY the 1-row corpus-count
+    // broadcast (the verdict-join pattern), whose subtree the plan text
+    // replicates once per `weights` consumer (norms + both join sides +
+    // dot; ReusedExchange dedups at runtime) — every one must be the
+    // scalar Cross build, and the candidate self-join itself a hash join
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 4 && bnlj.forall(_.contains("Cross")), p)
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("q_bloom_join: membership filter sits on the fact scan; dim broadcasts") {
