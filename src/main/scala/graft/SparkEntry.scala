@@ -713,6 +713,19 @@ object SparkEntry {
       Sketches.kmvDistinct(li, col("l_partkey"), 256)
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_ndv")))
     }),
+    // grouped KMV: per-language distinct-shingle NDV estimates
+    // (shuffle = groups × k longs), exact twin attached for the gate
+    "q_approx_distinct_by" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("lang"),
+        explode(Dedup.shingles(col("text"), 3)).as("t"))
+      val est = Sketches.kmvDistinctBy(tok, col("lang"), col("t"), 64)
+      val exact = tok.groupBy(col("lang").as("g2"))
+        .agg(countDistinct(col("t")).as("exact_ndv"))
+      est.join(exact, col("g") === col("g2"))
+        .select(col("g").as("lang"), col("k_used"), col("kth_hash"),
+          col("est_ndv"), col("exact_ndv"))
+        .orderBy(col("lang"))
+    }),
     // count-min-sketch heavy hitters over word-trigram shingles
     // (document frequency): exact top-20 vs the d=4 × w=1024 sketch's
     // upper-bound estimate — est >= exact always, = exact when the
@@ -1961,6 +1974,24 @@ object SparkEntry {
         |  END AS est_ndv,
         |  exact_ndv
         |FROM a CROSS JOIN x""".stripMargin,
+    // grouped KMV: same per-language k-min-distinct-hash construction
+    "q_approx_distinct_by" ->
+      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT lang, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT lang, unnest(s) AS t FROM sh),
+        |h AS (SELECT DISTINCT lang, ${duckHash60("'kmv_' || t")} AS h FROM tok),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |a AS (SELECT lang, count(*) AS k_used, max(h) AS kth_hash FROM r
+        |      WHERE rn <= 64 GROUP BY lang),
+        |x AS (SELECT lang, count(DISTINCT t) AS exact_ndv FROM tok GROUP BY lang)
+        |SELECT a.lang, k_used, kth_hash,
+        |  CASE WHEN k_used < 64 THEN k_used
+        |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+        |  END AS est_ndv,
+        |  exact_ndv
+        |FROM a JOIN x ON a.lang = x.lang ORDER BY a.lang""".stripMargin,
     // count-min: identical d=4 salted bucket hashes; sketch cells are
     // integer counts; estimate = min over the item's 4 cells
     "q_heavy_hitters" ->

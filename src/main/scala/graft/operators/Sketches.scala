@@ -71,6 +71,28 @@ object Sketches {
           .as("est_ndv"))
   }
 
+  /** Per-group KMV distinct-count estimates: the grouped form keeps
+    * the k smallest distinct hashes PER GROUP (row_number over the
+    * distinct-hash stream partitioned by group), so the shuffle holds
+    * `groups × k` longs — per-language / per-source NDV dashboards at
+    * corpus scale. Same estimator arithmetic as [[kmvDistinct]].
+    * Output: one row per group (group, k_used, kth_hash, est_ndv). */
+  def kmvDistinctBy(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(group.as("g"), saltedHash60("kmv_", key).as("h")).distinct()
+    val ranked = h.withColumn("rn",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+    val two60 = math.pow(2.0, 60)
+    ranked.filter(col("rn") <= k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(col("g"), col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(two60) /
+            col("kth_hash").cast("double")).cast("long"))
+          .as("est_ndv"))
+  }
+
   // ---------------------------------------------------- count-min sketch
 
   /** The count-min sketch of a token stream: `d` hash rows × `w`

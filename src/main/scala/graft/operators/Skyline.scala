@@ -39,8 +39,11 @@ object Skyline {
   def skyline2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NaN is excluded up front: IEEE NaN compares false against
+    // everything, so a NaN point would be "never dominated" and pollute
+    // the frontier instead of erroring
     val pts = df.select(col(aCol).cast("double").as("a"), col(bCol).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull)
+      .filter(col("a").isNotNull && col("b").isNotNull && !isnan(col("a")))
       .distinct().as[(Double, Long)]
     pts.mapPartitions(localSkyline)     // phase 1: bounded per-partition
       .repartition(1)
