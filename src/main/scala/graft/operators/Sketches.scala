@@ -71,15 +71,35 @@ object Sketches {
           .as("est_ndv"))
   }
 
-  /** Per-group KMV distinct-count estimates: the grouped form keeps
-    * the k smallest distinct hashes PER GROUP (row_number over the
-    * distinct-hash stream partitioned by group), so the shuffle holds
-    * `groups × k` longs — per-language / per-source NDV dashboards at
-    * corpus scale. Same estimator arithmetic as [[kmvDistinct]].
-    * Output: one row per group (group, k_used, kth_hash, est_ndv). */
+  /** Per-group KMV distinct-count estimates: per-language /
+    * per-source NDV dashboards at corpus scale. The per-partition pass
+    * keeps the k smallest distinct hashes PER GROUP (a bounded TreeSet
+    * per group key), so what shuffles is `partitions × groups × k`
+    * longs — never the raw distinct-hash stream; the window then
+    * re-ranks that reduced set globally per group. Same estimator
+    * arithmetic as [[kmvDistinct]]. The group column must be a string.
+    * Output: one row per group (g, k_used, kth_hash, est_ndv). */
   def kmvDistinctBy(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = df.select(group.as("g"), saltedHash60("kmv_", key).as("h")).distinct()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partial = df.select(group.cast("string").as("g"),
+        saltedHash60("kmv_", key).as("h"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val perGroup = scala.collection.mutable.Map
+          .empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (g, h) =>
+          val set = perGroup.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+          if (set.size < k) set.add(h)
+          else if (h < set.last()) { set.add(h); if (set.size > k) set.pollLast() }
+        }
+        perGroup.iterator.flatMap { case (g, set) =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+            .asScala.map(h => (g, h.longValue()))
+        }
+      }
+    val h = partial.toDF("g", "h").distinct()
     val ranked = h.withColumn("rn",
       row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
     val two60 = math.pow(2.0, 60)

@@ -27,6 +27,20 @@ class SketchesSpec extends SparkTestBase {
     assert(est2 === est)
   }
 
+  test("grouped KMV estimates per-group NDV within 3σ and is partitioning-invariant") {
+    val rows = (1 to 20000).map(i => ("a", i % 3000)) ++
+      (1 to 5000).map(i => ("b", i % 400))
+    val df = rows.toDF("g", "key")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvDistinctBy(d, col("g"), col("key"), 64)
+        .select("g", "est_ndv").as[(String, Long)].collect().toMap
+    val est = run(df)
+    // KMV relative sd ≈ 1/√(k−2) ≈ 12.7%; 3σ ≈ 40%
+    assert(math.abs(est("a") - 3000.0) / 3000 < 0.4, est("a"))
+    assert(math.abs(est("b") - 400.0) / 400 < 0.4, est("b"))
+    assert(run(df.repartition(13)) === est)
+  }
+
   test("KMV with NDV below k returns the exact distinct count") {
     val df = (1 to 1000).map(i => i % 40).toDF("key")
     val r = Sketches.kmvDistinct(df, col("key"), 256)
