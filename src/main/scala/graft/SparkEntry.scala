@@ -834,6 +834,15 @@ object SparkEntry {
     // left_anti variant: keys only in src
     "q_diff_src_only" -> ((s, dir) =>
       Diff.srcOnly(kvStrSrc(s, dir), kvStrDst(s, dir)).orderBy(col("key"))),
+    // MERGE/upsert (CDC apply), gated by the inverse identity:
+    // applying diff(src,dst) as a changelog to src must rebuild dst
+    // bit-for-bit — the oracle is simply dst
+    "q_merge_upsert" -> ((s, dir) => {
+      val src = kvStrSrc(s, dir)
+      val dst = kvStrDst(s, dir)
+      Diff.applyChangelog(src, Diff.diffAsChangelog(Diff.diff(src, dst)))
+        .orderBy(col("key"))
+    }),
     // §2b set ops: symmetric difference on whole pairs
     "q_symdiff" -> ((s, dir) =>
       Diff.symmetricDiff(kvStrSrc(s, dir), kvStrDst(s, dir))
@@ -1704,6 +1713,9 @@ object SparkEntry {
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),
+    // the merge identity: src + changelog(diff) must equal dst
+    "q_merge_upsert" -> (cte +
+      "SELECT k AS key, v AS value FROM dst ORDER BY key"),
     // the streaming CMS's final state must equal the batch sketch over
     // the whole corpus (micro-batch boundaries can't show through a
     // commutative counter fold)

@@ -134,4 +134,35 @@ object Diff {
     * (`diff/diff.go:48`) as an aggregate. */
   def diffCounts(src: DataFrame, dst: DataFrame): DataFrame =
     diff(src, dst).groupBy(col("diff_class")).agg(count(lit(1)).as("n"))
+
+  /** MERGE / upsert: apply a keyed changelog to a base snapshot —
+    * [[diff]]'s inverse, and the lakehouse CDC-apply primitive. The
+    * changelog carries (key, value, seq, op) with op ∈ {U, D}: per
+    * key the highest-seq record wins (base rows enter at seq 0), a
+    * winning D deletes the key, a winning U upserts its value.
+    *
+    * One hash-partitioned union + per-key window — the same shuffle
+    * shape as [[diff]] itself, so everything said there about
+    * bucketing/skew applies. With `changes = diff(src, dst)` recast
+    * as a changelog, `applyChangelog(src, changes) == dst` exactly —
+    * the identity q_merge_upsert gates and DiffLawsSpec pins. */
+  def applyChangelog(base: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = base.select(col("key"), col("value"),
+      lit(0L).as("seq"), lit("U").as("op"))
+    val c = changes.select(col("key"), col("value"), col("seq"), col("op"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("seq").desc, col("op")) // op tiebreak: D before U at equal seq
+    b.unionByName(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") === "U")
+      .select(col("key"), col("value"))
+  }
+
+  /** Recast a [[diff]] output as the changelog that turns src into
+    * dst: dst_only → insert, mismatch → update (both op U with dst's
+    * value), src_only → delete. */
+  def diffAsChangelog(d: DataFrame, seq: Long = 1L): DataFrame =
+    d.select(col("key"), col("dst_value").as("value"), lit(seq).as("seq"),
+      when(col("diff_class") === "src_only", "D").otherwise("U").as("op"))
 }

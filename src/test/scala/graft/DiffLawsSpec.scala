@@ -143,4 +143,23 @@ class DiffLawsSpec extends SparkTestBase {
     assert(onePass === setOps)
     assert(onePass.nonEmpty)
   }
+
+  test("merge inverse identity: applyChangelog(src, diff(src,dst)) = dst") {
+    import spark.implicits._
+    val merged = Diff.applyChangelog(src,
+      Diff.diffAsChangelog(Diff.diff(src, dst)))
+    // exact equality both directions
+    assert(merged.exceptAll(dst).isEmpty && dst.exceptAll(merged).isEmpty)
+    assert(merged.count() === dst.count())
+    // last-writer-wins and delete semantics on a hand-built changelog
+    val base = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("key", "value")
+    val log = Seq(
+      ("a", "10", 1L, "U"), ("a", "11", 2L, "U"),   // two updates: seq 2 wins
+      ("b", null.asInstanceOf[String], 1L, "D"),    // delete b
+      ("d", "4", 1L, "U"))                          // insert d
+      .toDF("key", "value", "seq", "op")
+    val got = Diff.applyChangelog(base, log)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(got === Seq(("a", "11"), ("c", "3"), ("d", "4")))
+  }
 }
