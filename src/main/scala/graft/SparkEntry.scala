@@ -63,7 +63,10 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => StreamEntries.streamDedup(s, dir)),
     // streaming count-min sketch: constant-size counter-grid state
     // folded across micro-batches; final emission = the batch sketch
-    "q_stream_cms" -> ((s, dir) => StreamEntries.streamCms(s, dir)))
+    "q_stream_cms" -> ((s, dir) => StreamEntries.streamCms(s, dir)),
+    // streaming upsert view (mapGroupsWithState latest-value state):
+    // base + split changelog must rebuild dst — q_merge_upsert's twin
+    "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1715,6 +1718,9 @@ object SparkEntry {
         |ORDER BY key""".stripMargin),
     // the merge identity: src + changelog(diff) must equal dst
     "q_merge_upsert" -> (cte +
+      "SELECT k AS key, v AS value FROM dst ORDER BY key"),
+    // streaming twin of the same identity
+    "q_stream_upsert" -> (cte +
       "SELECT k AS key, v AS value FROM dst ORDER BY key"),
     // the streaming CMS's final state must equal the batch sketch over
     // the whole corpus (micro-batch boundaries can't show through a

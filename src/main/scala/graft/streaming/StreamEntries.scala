@@ -211,6 +211,49 @@ object StreamEntries {
       .orderBy(col("group"))
   }
 
+  /** Continuously-maintained upsert view ([[StreamUpsert]]): batch 1
+    * feeds the base snapshot as seq-0 upserts, batches 2-3 split the
+    * src→dst changelog (the diff recast, exactly what
+    * `Diff.diffAsChangelog` produces). The view after the final batch
+    * — latest emission per key, tombstones dropped — must equal dst:
+    * the streaming twin of q_merge_upsert's inverse identity. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Diff
+    def kv(df: DataFrame): DataFrame =
+      df.select(col("k").as("key"), col("v").as("value"))
+    val src = kv(KVSnapshot.srcStr(s, dir))
+    val dst = kv(KVSnapshot.dstStr(s, dir))
+    val base = src.as[(String, String)].collect()
+      .map { case (k, v) => StreamUpsert.Chg(k, v, 0L, "U") }
+    val chg = Diff.diffAsChangelog(Diff.diff(src, dst))
+      .select(col("key"), col("value"), col("seq"), col("op"))
+      .as[(String, String, Long, String)].collect()
+      .map { case (k, v, q, o) => StreamUpsert.Chg(k, v, q, o) }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_upsert")
+    withStatePartitions(s, 4) {
+      val mem = MemoryStream[StreamUpsert.Chg]
+      val q = StreamUpsert(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(StreamUpsert.outputMode).start()
+      drain(q) {
+        mem.addData(base.toSeq)
+        q.processAllAvailable()
+        val (c1, c2) = chg.partition(_.key.hashCode % 2 == 0)
+        mem.addData(c1.toSeq)
+        q.processAllAvailable()
+        mem.addData(c2.toSeq)
+      }
+    }
+    takeTable(s, name)
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("seq"), col("op"), col("value")), col("seq")).as("st"))
+      .filter(col("st.op") === "U")
+      .select(col("key"), col("st.value").as("value"))
+      .orderBy(col("key"))
+  }
+
   /** Continuously-maintained count-min sketch over the shingle stream:
     * [[graft.operators.Sketches.cmsSketch]] applied to a streaming
     * relation is just a streaming aggregation on (row, bucket) — the
