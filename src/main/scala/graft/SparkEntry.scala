@@ -771,17 +771,25 @@ object SparkEntry {
       Sketches.prioritySample(o, "o_orderkey", col("w"), 50)
     }),
     // integer-exact PageRank (3 fixed iterations, micro-unit ranks)
-    // over the symmetrized customer—supplier trade graph; top 20 hubs
+    // over the symmetrized customer—supplier trade graph; top 20 hubs.
+    // Nodes are LONGS in flight (customer 2k, supplier 2k+1): every
+    // iteration shuffles 8-byte ids instead of 10-char labels; the
+    // display label is decoded once on the 20-row result
     "q_pagerank" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
       Graph.pageRank(edges, 3)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+            .as("node"),
+          col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     }))
 
@@ -2061,7 +2069,7 @@ object SparkEntry {
     // contribution = rank // degree, damping in integer arithmetic —
     // bit-equal to the engine's loop regardless of summation order
     "q_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |e AS (SELECT a AS src, b AS dst FROM e0
         |      UNION ALL SELECT b AS src, a AS dst FROM e0),
@@ -2076,7 +2084,10 @@ object SparkEntry {
         |r3 AS (SELECT e.dst AS node, CAST(150000 + (85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
         |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
         |       GROUP BY e.dst)
-        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+        |  rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 
   /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the

@@ -31,8 +31,11 @@ object Graph {
     * Returns (node, rank) with rank in micro-units. Iterations are
     * O(edges) shuffles each; the loop runs on the driver but every
     * data pass is distributed. `iters` is small and fixed (plan depth
-    * grows linearly; callers wanting >8 rounds should checkpoint). */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    * grows linearly; callers wanting >8 rounds should checkpoint).
+    * `broadcastRanks = false` for graphs whose node set itself exceeds
+    * broadcast size — iterations then shuffle-join on src. */
+  def pageRank(edges: DataFrame, iters: Int,
+               broadcastRanks: Boolean = true): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // NOT checkpointed: all iterations evaluate in ONE action, where
@@ -45,7 +48,11 @@ object Graph {
     val withDeg = e.join(deg, "src")
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
-      rank = withDeg.join(rank, withDeg("src") === rank("node"))
+      // the rank vector is |V| rows against |E| edges — broadcast it
+      // when it fits (the common case; V ≪ E for any dense-ish graph)
+      // so the big edge side never re-shuffles per iteration
+      val r = if (broadcastRanks) broadcast(rank) else rank
+      rank = withDeg.join(r, withDeg("src") === r("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node"))
         .agg(expr("150000L + (85 * sum(c)) div 100").as("rank"))
