@@ -1727,9 +1727,11 @@ object SparkEntry {
     // the merge identity: src + changelog(diff) must equal dst
     "q_merge_upsert" -> (cte +
       "SELECT k AS key, v AS value FROM dst ORDER BY key"),
-    // streaming twin of the same identity
+    // streaming twin of the same identity, on the bounded feed slice
     "q_stream_upsert" -> (cte +
-      "SELECT k AS key, v AS value FROM dst ORDER BY key"),
+      """SELECT k AS key, v AS value FROM dst
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
     // the streaming CMS's final state must equal the batch sketch over
     // the whole corpus (micro-batch boundaries can't show through a
     // commutative counter fold)

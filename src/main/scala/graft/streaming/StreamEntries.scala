@@ -220,8 +220,11 @@ object StreamEntries {
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.Diff
+    // same bounded key range as streamDiff/streamDedup: the feed is
+    // driver-side test plumbing and must stay O(slice), not O(corpus)
     def kv(df: DataFrame): DataFrame =
-      df.select(col("k").as("key"), col("v").as("value"))
+      df.filter(col("k") >= "li_0000000001" && col("k") < "li_0000002000")
+        .select(col("k").as("key"), col("v").as("value"))
     val src = kv(KVSnapshot.srcStr(s, dir))
     val dst = kv(KVSnapshot.dstStr(s, dir))
     val base = src.as[(String, String)].collect()
