@@ -66,7 +66,10 @@ object SparkEntry {
     "q_stream_cms" -> ((s, dir) => StreamEntries.streamCms(s, dir)),
     // streaming upsert view (mapGroupsWithState latest-value state):
     // base + split changelog must rebuild dst — q_merge_upsert's twin
-    "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)))
+    "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
+    // stateless stream-static enrichment: per-batch broadcast join of
+    // the event stream against the customer dim
+    "q_stream_static" -> ((s, dir) => StreamEntries.streamStaticJoin(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -791,6 +794,56 @@ object SparkEntry {
             .as("node"),
           col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+    // exact triangle enumeration (degree-ordered node-iterator++) over
+    // the co-purchase graph: parts that share >=2 distinct orders. The
+    // support threshold keeps the edge set sparse as the corpus grows;
+    // orientation bounds wedge fan-out by O(sqrt(E)) per vertex
+    "q_triangles" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Graph.triangles(Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2))
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+    // Markov transition matrix of consecutive per-user events:
+    // (prev_type -> type, count, conditional probability). The p column
+    // divides two exact longs — deterministic across engines
+    "q_event_transitions" -> ((s, dir) =>
+      Events.transitions(Events.read(s, dir))
+        .orderBy(col("prev_type"), col("event_type"))),
+    // per-user ordered event-type sequence ("user history -> token
+    // stream"), the training-sequence assembly primitive
+    "q_event_seq" -> ((s, dir) =>
+      Events.sequences(Events.read(s, dir)).orderBy(col("user_id"))),
+    // explicit GROUPING SETS lattice (rollup/cube's general form) with
+    // the grouping_id disambiguator both engines bit-agree on
+    "q_grouping_sets" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    // left-semi / left-anti join pair: per-nation customers with and
+    // without orders. The two probe sides reuse one orders projection;
+    // both are plain shuffled semi/anti hash joins on the key
+    "q_semi_anti" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without"))
+      withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+        .orderBy(col("c_nationkey"))
     }))
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1732,6 +1785,12 @@ object SparkEntry {
       """SELECT k AS key, v AS value FROM dst
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),
+    // a stateless stream-static join's sink must equal the batch join
+    // over the same slice, whatever the micro-batch boundaries
+    "q_stream_static" ->
+      """SELECT event_id, user_id, c_nationkey, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE user_id < 50 ORDER BY event_id""".stripMargin,
     // the streaming CMS's final state must equal the batch sketch over
     // the whole corpus (micro-batch boundaries can't show through a
     // commutative counter fold)
@@ -2089,7 +2148,50 @@ object SparkEntry {
         |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
         |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
         |  rank
-        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    // triangle listing replayed as the naive canonical triple join —
+    // tractable for the oracle because the support threshold already
+    // thinned the edge set; the engine's degree-ordered plan enumerates
+    // the identical set
+    "q_triangles" ->
+      """WITH e AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2)
+        |SELECT e1.a, e1.b, e2.b AS c
+        |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_event_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, count(*) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "q_event_seq" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, '|' ORDER BY epoch_us(ts), event_id) AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_semi_anti" ->
+      """WITH d AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT c_nationkey,
+        |  count(CASE WHEN d.o_custkey IS NOT NULL THEN 1 END) AS n_with,
+        |  count(CASE WHEN d.o_custkey IS NULL THEN 1 END) AS n_without
+        |FROM customer LEFT JOIN d ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 
   /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the

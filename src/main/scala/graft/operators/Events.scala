@@ -140,4 +140,46 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("asof_event_id"), col("asof_ts_us"))
   }
+
+  /** Markov transition matrix over per-user event streams: for each
+    * ordered pair of consecutive events by the same user, count the
+    * (prev_type → event_type) transition and its conditional
+    * probability. One shuffle on user_id for the lag window, one
+    * map-side-combined aggregate on the (tiny) type-pair key; the
+    * per-prev normalizer is a window over that aggregate's handful of
+    * rows, not over the events. `p` divides two exact longs — IEEE
+    * division of exact integers is bit-identical across engines.
+    * Ordering ties resolve on (ts_us, event_id); event_id is unique so
+    * the sequence is total. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+  }
+
+  /** Per-user ordered event-type sequence — the "assemble a training
+    * sequence per entity" primitive (user session → token stream). One
+    * shuffle on user_id; the per-user list is sorted with `array_sort`
+    * on (ts_us, event_id, type) structs (lexicographic, deterministic —
+    * event_id uniqueness makes the type component unreachable) and
+    * flattened to a `|`-joined string so the result hashes as a scalar.
+    * State per group is O(events of that user) — bounded by the same
+    * per-entity skew cap any sequence-building pipeline must assume;
+    * skewed entities should be length-capped upstream (cf.
+    * [[Pack.assignBins]] for the fixed-window variant). */
+  def sequences(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        concat_ws("|",
+          transform(
+            array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("seq"))
 }

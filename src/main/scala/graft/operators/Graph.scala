@@ -59,4 +59,64 @@ object Graph {
     }
     rank
   }
+
+  /** Co-occurrence edge list: nodes are `itemCol` values, an edge joins
+    * two items that appear together in at least `minGroups` distinct
+    * `groupCol` groups (e.g. parts co-purchased in ≥2 orders). The
+    * self-join is per-group — quadratic only in GROUP size, which for
+    * order-like groups is small and bounded — and shuffles on the group
+    * key, which the source is typically already clustered by. The
+    * `minGroups` support threshold is the standard market-basket thinning
+    * that keeps the graph sparse as the corpus grows: co-occurrence
+    * counts concentrate, so the ≥k edge set grows ~linearly, not
+    * quadratically, with data size. Output: (a, b) with a < b, distinct. */
+  def coEdges(df: DataFrame, groupCol: String, itemCol: String,
+              minGroups: Int): DataFrame = {
+    val l = df.select(col(groupCol).as("g"), col(itemCol).as("a"))
+    val r = df.select(col(groupCol).as("g"), col(itemCol).as("b"))
+    l.join(r, Seq("g")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count_distinct(col("g")).as("w"))
+      .filter(col("w") >= minGroups)
+      .select(col("a"), col("b"))
+  }
+
+  /** Exact triangle enumeration by degree ordering (the MapReduce-classic
+    * node-iterator++): orient each undirected edge from its lower-(deg,id)
+    * endpoint to the higher, form wedges at the low vertex, and close them
+    * against the oriented edge set. Orientation bounds every vertex's
+    * out-degree by O(√E), so the wedge join materializes O(E^1.5) rows
+    * worst-case instead of Σdeg² — the difference between "survives a
+    * power-law graph at 100 TB" and "one hub vertex OOMs the shuffle".
+    * Both joins are plain hash equi-joins on node ids. Input must be the
+    * canonical a<b distinct edge list; output is one row per triangle
+    * (a < b < c). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    // orient low->high in the (deg, id) total order; carry the target's
+    // rank so wedge endpoints can be ordered without re-joining degrees
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          struct(col("db").as("d"), col("b").as("n")).as("rv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"),
+            struct(col("da").as("d"), col("a").as("n")).as("rv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("rv").as("rx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("rv").as("ry"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("rx") < col("ry"))
+      .select(col("u"), col("x"), col("y"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    wedges.join(closing, Seq("x", "y"), "left_semi")
+      .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
 }

@@ -176,6 +176,41 @@ object StreamEntries {
     takeTable(s, name).select(col("key"), col("value")).orderBy(col("key"))
   }
 
+  /** Stream-static enrichment join — the stateless streaming op every
+    * ingest pipeline runs first: each micro-batch of events joins the
+    * batch `customer` dim on user_id = c_custkey. The dim is broadcast,
+    * so no micro-batch ever shuffles the stream side and no state store
+    * exists (stateless join ⇒ nothing to evict); at 100 TB/day the
+    * stream partitions map straight through. Fed as three batches split
+    * by event_id mod 3 to prove the result is batch-boundary-invariant;
+    * the oracle is the plain batch join over the same slice. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evts = Events.read(s, dir).filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_ssj")
+    withStatePartitions(s, 4) {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val joined = mem.toDF.toDF("event_id", "user_id", "value")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_nationkey"),
+          col("c_mktsegment"), col("value"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        (0 until 3).foreach { b =>
+          mem.addData(evts.filter(_._1 % 3 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    takeTable(s, name).orderBy(col("event_id"))
+  }
+
   /** Continuously-maintained per-group checksum (mapGroupsWithState)
     * driven by three deterministic micro-batches (events split by
     * event_id mod 3). The final state per group — the monoid fold of

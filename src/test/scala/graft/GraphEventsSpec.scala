@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Graph}
+
+/** Triangle enumeration and the event-sequence operators
+  * (transitions / sequences) on closed-form fixtures. */
+class GraphEventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toDF("a", "b")
+
+  test("triangles: K4 has exactly its 4 triangles") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.triangles(k4).as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: stars and paths are triangle-free") {
+    val star = edges((1L to 9L).map(i => (0L, i)): _*)
+    val path = edges((1L to 9L).map(i => (i - 1, i)): _*)
+    assert(Graph.triangles(star).count() === 0)
+    assert(Graph.triangles(path).count() === 0)
+  }
+
+  test("triangles match brute force and are partition-invariant") {
+    // deterministic sparse-ish graph on 24 nodes
+    val pairs = for {
+      a <- 0L until 24L; b <- (a + 1) until 24L
+      if (a * 7 + b * 11 + a * b) % 5 == 0
+    } yield (a, b)
+    val expect = (for {
+      (a, b) <- pairs; (b2, c) <- pairs if b2 == b
+      if pairs.contains((a, c))
+    } yield (a, b, c)).toSet
+    assert(expect.nonEmpty) // fixture sanity: brute force found triangles
+    val e = edges(pairs: _*)
+    val got = Graph.triangles(e).as[(Long, Long, Long)].collect().toSet
+    assert(got === expect)
+    val got7 = Graph.triangles(e.repartition(7)).as[(Long, Long, Long)].collect().toSet
+    assert(got7 === expect)
+  }
+
+  test("coEdges thins by distinct-group support") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), // group 10: pairs (1,2)(1,3)(2,3)
+      (11L, 1L), (11L, 2L),            // (1,2) again -> support 2
+      (12L, 1L), (12L, 2L)             // (1,2) a third time
+    ).toDF("g", "item")
+    val e1 = Graph.coEdges(df, "g", "item", minGroups = 1)
+      .as[(Long, Long)].collect().toSet
+    val e2 = Graph.coEdges(df, "g", "item", minGroups = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(e1 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(e2 === Set((1L, 2L)))
+  }
+
+  private def evts(rows: (Long, Long, Long, String)*) = // (event_id, ts_us, user, type)
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+
+  test("transitions count consecutive pairs per user; p sums to 1 per prev") {
+    val e = evts(
+      (1L, 100L, 1L, "a"), (2L, 200L, 1L, "b"), (3L, 300L, 1L, "a"),
+      (4L, 100L, 2L, "a"), (5L, 200L, 2L, "b"))
+    val got = Events.transitions(e)
+      .select(col("prev_type"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 2L), ("b", "a", 1L)))
+    val sums = Events.transitions(e).groupBy(col("prev_type"))
+      .agg(sum(col("p")).as("s")).as[(String, Double)].collect()
+    sums.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+  }
+
+  test("sequences order by ts then event_id (tie-break) per user") {
+    val e = evts(
+      (5L, 100L, 1L, "x"), (2L, 100L, 1L, "y"), // ts tie: event_id 2 first
+      (9L, 50L, 1L, "z"),
+      (1L, 10L, 2L, "a"))
+    val got = Events.sequences(e)
+      .select(col("user_id"), col("n_events"), col("seq"))
+      .as[(Long, Long, String)].collect().map { case (u, n, s) => (u, (n, s)) }.toMap
+    assert(got(1L) === ((3L, "z|y|x")))
+    assert(got(2L) === ((1L, "a")))
+  }
+
+  test("sequences are input-partitioning-invariant") {
+    val base = Events.read(spark, sfSmoke)
+    val a = Events.sequences(base).orderBy(col("user_id")).collect()
+    val b = Events.sequences(base.repartition(13)).orderBy(col("user_id")).collect()
+    assert(a.sameElements(b))
+  }
+}

@@ -12,6 +12,9 @@ import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+if len(sys.argv) > 3:  # optional: restrict to named queries
+    names = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in names}
 
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
