@@ -844,6 +844,48 @@ object SparkEntry {
           coalesce(col("n_with"), lit(0L)).as("n_with"),
           coalesce(col("n_without"), lit(0L)).as("n_without"))
         .orderBy(col("c_nationkey"))
+    }),
+    // gap-filled hourly series: full [min,max] hour spine per event
+    // type, holes carry the last observed sum forward (time-series
+    // resample + ffill). Spine size = hours x types, not row count
+    "q_gap_fill" -> ((s, dir) =>
+      Events.gapFillHourly(Events.read(s, dir))
+        .orderBy(col("event_type"), col("hr"))),
+    // weekly cohort retention triangle (first-active-week cohorts)
+    "q_retention" -> ((s, dir) =>
+      Events.retention(Events.read(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+    // exact dedup on the canonical text form (casefold / strip punct /
+    // collapse whitespace) — the fuzzy-exact duplicate class
+    "q_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalGroups(docs(s, dir), "text", "doc_id").orderBy(col("fp"))),
+    // character-level near-dup: (lang, length-bucket)-blocked candidates,
+    // Levenshtein verify within the 10% distance budget
+    "q_edit_neardup" -> ((s, dir) =>
+      Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang")
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // incremental view maintenance: dst's per-bucket (count, bytes)
+    // summary derived from src's summary + the diff changelog — cost
+    // scales with the change rate, never rescans dst
+    "q_ivm_agg" -> ((s, dir) =>
+      Diff.maintainAgg(kvStrSrc(s, dir),
+          Diff.diff(kvStrSrc(s, dir), kvStrDst(s, dir)),
+          k => substring(k, 1, 10))
+        .orderBy(col("bucket"))),
+    // UNPIVOT/melt: wide per-flag aggregate rotated to (flag, metric,
+    // value) rows — pivot's inverse completes the reshaping family
+    "q_unpivot" -> ((s, dir) => {
+      val wide = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"),
+          sum(col("l_discount").cast("decimal(4,2)")).cast("double").as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
     }))
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2191,7 +2233,69 @@ object SparkEntry {
         |  count(CASE WHEN d.o_custkey IS NOT NULL THEN 1 END) AS n_with,
         |  count(CASE WHEN d.o_custkey IS NULL THEN 1 END) AS n_without
         |FROM customer LEFT JOIN d ON c_custkey = o_custkey
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+        |    count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(20,6))) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM hourly),
+        |spine AS (
+        |  SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT mn FROM b),
+        |                                            (SELECT mx FROM b))) AS hr) g)
+        |SELECT s.event_type, s.hr,
+        |  coalesce(h.n_events, 0) AS n_events,
+        |  CAST(coalesce(
+        |    last_value(h.sum_value IGNORE NULLS) OVER (
+        |      PARTITION BY s.event_type ORDER BY s.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    0) AS DOUBLE) AS filled_sum
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hr = h.hr
+        |ORDER BY s.event_type, s.hr""".stripMargin,
+    "q_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY 1)
+        |SELECT c.cohort_wk AS cohort_week, w.wk - c.cohort_wk AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM weekly w JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_edit_neardup" ->
+      """WITH d AS (SELECT doc_id, text, lang, length(text) AS len,
+        |    length(text) // 32 AS b FROM documents)
+        |SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |  levenshtein(d1.text, d2.text) AS dist
+        |FROM d d1 JOIN d d2 ON d1.lang = d2.lang
+        |  AND d2.b BETWEEN d1.b AND d1.b + 1 AND d1.doc_id < d2.doc_id
+        |WHERE levenshtein(d1.text, d2.text) * 1000
+        |        <= greatest(d1.len, d2.len) * 100
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the maintained summary must equal the direct dst aggregate
+    "q_ivm_agg" -> (cte +
+      """SELECT substr(k, 1, 10) AS bucket, count(*) AS n,
+        |  CAST(sum(length(v)) AS BIGINT) AS bytes
+        |FROM dst GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 
   /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the

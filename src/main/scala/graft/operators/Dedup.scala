@@ -564,4 +564,60 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Canonical text form for fuzzy-exact dedup: casefold, strip
+    * non-alphanumerics (unicode letters/digits survive), collapse
+    * whitespace runs, trim. Catches the near-universal "same document,
+    * different capitalization/punctuation/spacing" duplicate class that
+    * exact hashing misses and MinHash wastes a candidate-verify round
+    * on. Pure codegen'd string expressions. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
+
+  /** Exact dedup groups on the canonical form — same output contract as
+    * [[exactGroups]] (fp, keep_doc_id, dup_count), same 16-byte-key
+    * shuffle; only the fingerprinted bytes differ. */
+  def canonicalGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(canonicalText(col(textCol)).cast("binary")).as("fp"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the
+    * character-level member of the near-dup family (MinHash sees token
+    * sets, SimHash sees weighted token vectors; edit distance is the
+    * right lens for OCR noise, typo clusters, and template fill-ins).
+    *
+    * Candidate-then-verify like its siblings: candidates are blocked on
+    * (`blockCol`, length-bucket) equi-joins — a true near-pair within
+    * the distance budget can differ by at most that budget in length,
+    * so joining each bucket to itself AND its successor (bucketWidth ≥
+    * the max distance at typical lengths) loses nothing while keeping
+    * blocks small; the quadratic O(len²) DP verify runs only inside
+    * blocks. Unlike the hash families the verify must ship document
+    * BODIES to the join — that is intrinsic to edit distance; the
+    * blocking exists precisely to bound how many bodies meet.
+    * `maxDistPermille` keeps pairs whose distance ≤ maxlen·d/1000. */
+  def editNearDup(docs: DataFrame, textCol: String, idCol: String,
+                  blockCol: String, bucketWidth: Int = 32,
+                  maxDistPermille: Int = 100): DataFrame = {
+    val d = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(textCol).as("t"), length(col(textCol)).as("len"))
+      .withColumn("b", expr(s"len DIV $bucketWidth"))
+    val l = d.select(col("blk"), col("b"), col("id").as("doc_a"),
+      col("t").as("t_a"), col("len").as("len_a"))
+    // register the probe side under its own bucket AND the one below, so
+    // "same or adjacent bucket" becomes a plain equi-join on (block,
+    // bucket) — the join key carries the length bucket, not just the
+    // block, or every document of a block would meet every other and the
+    // blocking would be decorative. No pair matches twice (b_r and
+    // b_r−1 are distinct registrations).
+    val r = d.select(col("blk").as("blk_r"), col("b").as("b_r"),
+        col("id").as("doc_b"), col("t").as("t_b"), col("len").as("len_b"))
+      .withColumn("reg", explode(array(col("b_r"), col("b_r") - 1)))
+    l.join(r, col("blk") === col("blk_r") && col("b") === col("reg") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") * 1000 <= greatest(col("len_a"), col("len_b")) * maxDistPermille)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -165,4 +165,35 @@ object Diff {
   def diffAsChangelog(d: DataFrame, seq: Long = 1L): DataFrame =
     d.select(col("key"), col("dst_value").as("value"), lit(seq).as("seq"),
       when(col("diff_class") === "src_only", "D").otherwise("U").as("op"))
+
+  /** Incremental view maintenance for additive aggregates: maintain the
+    * per-bucket (row count, value bytes) summary of dst from the SRC
+    * summary plus the [[diff]] changelog — never rescanning dst, the
+    * additive-group twin of [[graft.functions.Checksum]]'s XOR delta
+    * (`q_checksum_delta`). Each diff row contributes a signed delta
+    * (insert +1/+len, delete −1/−len, update ±len difference); the
+    * delta aggregate is |changes|-sized, so maintenance cost scales
+    * with the CHANGE RATE, not the table — the whole point of IVM at
+    * 100 TB. `bucketOf` must be a deterministic function of the key. */
+  def maintainAgg(src: DataFrame, changes: DataFrame,
+                  bucketOf: Column => Column): DataFrame = {
+    val base = src
+      .groupBy(bucketOf(col("key")).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(length(col("value"))).as("bytes"))
+    val delta = changes
+      .select(bucketOf(col("key")).as("bucket"),
+        when(col("diff_class") === "dst_only", lit(1L))
+          .when(col("diff_class") === "src_only", lit(-1L))
+          .otherwise(lit(0L)).as("dn"),
+        (when(col("dst_value").isNotNull, length(col("dst_value"))).otherwise(lit(0))
+          - when(col("src_value").isNotNull, length(col("src_value"))).otherwise(lit(0)))
+          .cast("long").as("dbytes"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dbytes")).as("dbytes"))
+    base.join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("bytes"), lit(0L)) + coalesce(col("dbytes"), lit(0L))).as("bytes"))
+      .filter(col("n") > 0)
+  }
 }

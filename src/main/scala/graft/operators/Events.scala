@@ -162,6 +162,54 @@ object Events {
       .withColumn("p", col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))))
   }
 
+  /** Gap-filled hourly series per event type: project events onto an
+    * exact integer hour index (ts_ns DIV 3.6e12 — no calendar math, no
+    * timezone), build the full [min,max] hour spine per type, left-join
+    * the observed aggregate, and forward-fill the last observed sum into
+    * the holes. The spine is `sequence(...)` exploded from ONE tiny
+    * bounds row broadcast against the distinct types — never a
+    * driver-side range — and the fill is a per-type running `last(_,
+    * ignoreNulls)` window, one shuffle on the (small) type key. Spine
+    * size is (hours × types), a function of the TIME RANGE, not the row
+    * count — at 100 TB of events the spine is the same few thousand
+    * rows. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("hr", expr("ts_ns DIV 3600000000000"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+    val bounds = hourly.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_sum",
+        coalesce(last(col("sum_value"), ignoreNulls = true).over(w),
+          lit(0).cast("decimal(20,6)")).cast("double"))
+      .select(col("event_type"), col("hr"), col("n_events"), col("filled_sum"))
+  }
+
+  /** Weekly cohort retention: a user's cohort is their first active
+    * week; `n_users` counts distinct users of cohort `cohort_week` still
+    * (or again) active `week_offset` weeks later. Two shuffles — the
+    * per-user first-week aggregate, then the distinct-count per
+    * (cohort, offset) — both map-side combined; week indexes are exact
+    * integer ns arithmetic. */
+  def retention(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), expr("ts_ns DIV 604800000000000").as("wk"))
+      .distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    weekly.join(cohort, "user_id")
+      .groupBy(col("cohort_wk").as("cohort_week"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** Per-user ordered event-type sequence — the "assemble a training
     * sequence per entity" primitive (user session → token stream). One
     * shuffle on user_id; the per-user list is sorted with `array_sort`

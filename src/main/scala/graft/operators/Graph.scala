@@ -72,11 +72,16 @@ object Graph {
     * quadratically, with data size. Output: (a, b) with a < b, distinct. */
   def coEdges(df: DataFrame, groupCol: String, itemCol: String,
               minGroups: Int): DataFrame = {
-    val l = df.select(col(groupCol).as("g"), col(itemCol).as("a"))
-    val r = df.select(col(groupCol).as("g"), col(itemCol).as("b"))
+    // distinct (group, item) FIRST: shrinks the self-join input and
+    // makes every surviving (a, b) pair unique per group, so the
+    // support count is a plain count(*) — no count_distinct dedup
+    // state inside the aggregation
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val l = gi.select(col("g"), col("i").as("a"))
+    val r = gi.select(col("g"), col("i").as("b"))
     l.join(r, Seq("g")).filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count_distinct(col("g")).as("w"))
+      .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minGroups)
       .select(col("a"), col("b"))
   }

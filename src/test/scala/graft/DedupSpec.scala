@@ -238,4 +238,33 @@ class DedupSpec extends SparkTestBase {
     // (P ≈ k/2^60); estimator for a disjoint pair is 0
     assert(s1.zip(s3).count { case (a, b) => a == b } === 0)
   }
+
+  test("canonicalGroups merges case/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val g = Dedup.canonicalGroups(docs, "text", "doc_id")
+      .as[(String, Long, Long)].collect().map { case (_, k, n) => (k, n) }.toSet
+    assert(g === Set((1L, 3L), (4L, 1L)))
+    // exact grouping keeps all four distinct
+    assert(Dedup.exactGroups(docs, "text", "doc_id").count() === 4)
+  }
+
+  test("editNearDup finds small-edit pairs and only those") {
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base.replace("quick", "quik")),   // 1 edit
+      (3L, "en", base.reverse),                    // same length, far
+      (4L, "de", base),                            // other block: never compared
+      (5L, "en", "completely different text")      // different length bucket
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.editNearDup(docs, "text", "doc_id", "lang")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    assert(pairs.head._3 === 3) // one char dropped in each of the 3 repeats
+  }
 }

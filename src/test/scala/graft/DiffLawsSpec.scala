@@ -162,4 +162,24 @@ class DiffLawsSpec extends SparkTestBase {
       .as[(String, String)].collect().sorted.toSeq
     assert(got === Seq(("a", "11"), ("c", "3"), ("d", "4")))
   }
+
+  test("IVM identity: maintainAgg(src, diff) = direct aggregate of dst") {
+    def direct(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(substring(col("key"), 1, 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("value"))).as("bytes"))
+    val maintained = Diff.maintainAgg(src, Diff.diff(src, dst),
+      k => substring(k, 1, 10))
+    val want = direct(dst)
+    assert(maintained.exceptAll(want).isEmpty && want.exceptAll(maintained).isEmpty)
+    assert(maintained.count() > 0)
+    // a fully-deleted bucket must vanish from the maintained summary
+    import spark.implicits._
+    val b = Seq(("aaaa_k1", "x"), ("aaaa_k2", "yy"), ("bbbb_k1", "z"))
+      .toDF("key", "value")
+    val d2 = Seq(("bbbb_k1", "z")).toDF("key", "value")
+    val m2 = Diff.maintainAgg(b, Diff.diff(b, d2), k => substring(k, 1, 4))
+      .as[(String, Long, Long)].collect().toSet
+    assert(m2 === Set(("bbbb", 1L, 1L)))
+  }
 }

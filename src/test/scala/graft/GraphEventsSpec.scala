@@ -91,4 +91,38 @@ class GraphEventsSpec extends SparkTestBase {
     val b = Events.sequences(base.repartition(13)).orderBy(col("user_id")).collect()
     assert(a.sameElements(b))
   }
+
+  private def nsEvents(rows: (Long, Long, Long, String, Double)*) =
+    // (event_id, ts_ns, user_id, type, value) shaped like Events.read output
+    rows.toDF("event_id", "ts_ns", "user_id", "event_type", "value")
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+
+  test("gapFillHourly fills holes with the last observed sum") {
+    val h = 3600000000000L // ns per hour
+    val e = nsEvents(
+      (1L, 0 * h, 1L, "a", 10.0),
+      (2L, 0 * h, 1L, "a", 5.0),
+      (3L, 3 * h, 1L, "a", 2.0), // hours 1-2 are gaps
+      (4L, 1 * h, 1L, "b", 7.0)) // b missing at 0 (before first obs) and 2-3
+    val got = Events.gapFillHourly(e)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 0L, 2L, 15.0), ("a", 1L, 0L, 15.0), ("a", 2L, 0L, 15.0),
+      ("a", 3L, 1L, 2.0),
+      ("b", 0L, 0L, 0.0), // before b's first observation: zero-filled
+      ("b", 1L, 1L, 7.0), ("b", 2L, 0L, 7.0), ("b", 3L, 0L, 7.0)))
+  }
+
+  test("retention cohorts count returning users by week offset") {
+    val wk = 604800000000000L // ns per week
+    val e = nsEvents(
+      (1L, 0 * wk, 1L, "x", 0.0), (2L, 1 * wk, 1L, "x", 0.0), // u1: wks 0,1
+      (3L, 0 * wk, 2L, "x", 0.0), (4L, 2 * wk, 2L, "x", 0.0), // u2: wks 0,2
+      (5L, 1 * wk, 3L, "x", 0.0))                             // u3: wk 1 only
+    val got = Events.retention(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L)))
+  }
 }
