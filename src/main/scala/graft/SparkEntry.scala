@@ -886,6 +886,44 @@ object SparkEntry {
           Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
           "metric", "value")
         .orderBy(col("l_returnflag"), col("metric"))
+    }),
+    // RAG chunking: 200-char windows every 150 chars, md5-fingerprinted
+    // for chunk-level dedup; shuffle-free explode, volume = len/stride
+    "q_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(docs(s, dir), "text", "doc_id", 200, 150)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // Q18-shaped "big orders": HAVING on a decimal aggregate, then the
+    // small survivor set joins back to orders detail
+    "q_big_orders" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("__sq"))
+        .filter(col("__sq") > 250)
+        .select(col("l_orderkey"), col("__sq").cast("double").as("sum_qty"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // SQL surface: correlated scalar subqueries (price above 1.01x the
+    // brand average — the fixture's prices sit in a tight 900-1000
+    // band), decorrelated by Catalyst into aggregate+join. Exact
+    // integer cross-multiply (cents*n*100 > sum_cents*101) so no float
+    // threshold can flip a row between engines
+    "q_above_avg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("graft_part_sql")
+      s.sql("""
+        SELECT p_brand, p_partkey, cents
+        FROM (SELECT p_brand, p_partkey,
+                CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM graft_part_sql) p
+        WHERE cents * (SELECT count(*) FROM graft_part_sql p2
+                       WHERE p2.p_brand = p.p_brand) * 100
+              > (SELECT sum(CAST(floor(p2.p_retailprice * 100 + 0.5) AS BIGINT))
+                 FROM graft_part_sql p2 WHERE p2.p_brand = p.p_brand) * 101
+        ORDER BY p_brand, p_partkey""")
     }))
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2285,6 +2323,34 @@ object SparkEntry {
       """SELECT substr(k, 1, 10) AS bucket, count(*) AS n,
         |  CAST(sum(length(v)) AS BIGINT) AS bytes
         |FROM dst GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "q_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nw
+        |  FROM documents),
+        |e AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, nw - 1)) AS chunk_idx FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  length(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len,
+        |  md5(substr(text, chunk_idx * 150 + 1, 200)) AS fp
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM lineitem GROUP BY 1 HAVING sq > 250)
+        |SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_above_avg" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM part),
+        |c AS (SELECT p_brand, count(*) AS n, sum(cents) AS sc
+        |      FROM p GROUP BY 1)
+        |SELECT p.p_brand, p.p_partkey, p.cents
+        |FROM p JOIN c ON p.p_brand = c.p_brand
+        |WHERE p.cents * c.n * 100 > c.sc * 101
+        |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
     "q_unpivot" ->
       """WITH w AS (SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

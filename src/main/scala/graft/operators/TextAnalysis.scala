@@ -358,4 +358,27 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Overlapping fixed-size character windows per document — the RAG /
+    * retrieval chunking primitive ([[Pack]] assembles fixed token
+    * budgets across documents; this slices within one). Windows start
+    * every `stride` chars; the last window starts at the final stride
+    * boundary before (or at) `len − window` rounded UP, so every char is
+    * covered and no window is ever empty. Pure codegen projection + one
+    * explode — no shuffle at all; chunk volume is len/stride per doc,
+    * each chunk fingerprinted for downstream chunk-level dedup. */
+  def chunkWindows(docs: DataFrame, textCol: String, idCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, "need stride > 0, window >= stride")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__nw",
+        expr(s"1 + (greatest(length(__t) - $window, 0) + ${stride - 1}) DIV $stride"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("__nw") - 1)).as("chunk_idx"), col("__t"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substr(__t, chunk_idx * $stride + 1, $window)").as("__c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("__c")).as("chunk_len"), md5(col("__c").cast("binary")).as("fp"))
+  }
 }

@@ -171,4 +171,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q_triangles / q_edit_neardup: candidate meets are equi-joins, never block-wide") {
+    // triangles: wedge build + closure check must be hash equi-joins —
+    // the degree orientation is pointless if the join nest-loops; edit
+    // near-dup: the join key must carry the length bucket (blk alone
+    // would meet every document of a language with every other)
+    for (q <- Seq("q_triangles", "q_edit_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+    val pe = plan("q_edit_neardup")
+    val joinLine = pe.linesIterator.filter(_.contains("HashJoin"))
+      .find(l => l.contains("blk")).getOrElse("")
+    assert(joinLine.contains("reg") || joinLine.contains("b#"),
+      s"edit-neardup join key must include the length bucket:\n$pe")
+  }
+
+  test("q_semi_anti: plans a real left-semi and a real left-anti join") {
+    val p = plan("q_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_chunk_windows: shuffle-free — projection + explode only") {
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Exchange") ||
+      // the final orderBy (verify-output determinism) is the only
+      // allowed exchange; nothing before the generate may shuffle
+      p.indexOf("Exchange") < p.indexOf("Generate"),
+      s"chunking itself must not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q_above_avg: correlated subqueries decorrelate to aggregate+join (no per-row subplan)") {
+    val p = plan("q_above_avg")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -303,4 +303,25 @@ class TextEventsSpec extends SparkTestBase {
     assert(got(5L) === None)
     assert(got(7L) === Some(6L))
   }
+
+  test("chunkWindows covers every char, overlaps by window-stride, no empty chunks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 450),  // 3 windows: 0-200, 150-350, 300-450
+      (2L, "b" * 200),  // exactly one window
+      (3L, "c" * 10),   // shorter than a window: one short chunk
+      (4L, "d" * 201)   // 2 windows; second is 51 chars
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .chunkWindows(docs, "text", "doc_id", 200, 150)
+      .select("doc_id", "chunk_idx", "chunk_len")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(got(1L) === List(200, 200, 150))
+    assert(got(2L) === List(200))
+    assert(got(3L) === List(10))
+    assert(got(4L) === List(200, 51))
+    // coverage: windows reach the end of every doc
+    got.foreach { case (_, lens) => assert(lens.forall(_ > 0)) }
+  }
 }
