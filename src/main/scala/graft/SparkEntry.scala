@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -907,6 +907,12 @@ object SparkEntry {
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_orderkey"))
     }),
+    // distributed BPE merge learning (tokenizer training): 3 rounds of
+    // corpus-wide most-frequent-adjacent-pair, greedy-left merges on
+    // the word-frequency table — per-round cost is vocab-sized, not
+    // corpus-sized
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(docs(s, dir), "text", 3).orderBy(col("rank"))),
     // SQL surface: correlated scalar subqueries (price above 1.01x the
     // brand average — the fixture's prices sit in a tight 900-1000
     // band), decorrelated by Catalyst into aggregate+join. Exact
@@ -2323,6 +2329,7 @@ object SparkEntry {
       """SELECT substr(k, 1, 10) AS bucket, count(*) AS n,
         |  CAST(sum(length(v)) AS BIGINT) AS bytes
         |FROM dst GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "q_bpe_merges" -> bpeOracleSql(3),
     "q_chunk_windows" ->
       """WITH d AS (SELECT doc_id, text,
         |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nw
@@ -2370,4 +2377,42 @@ object SparkEntry {
     s"""list_reduce(list_transform(string_split_regex(substr(md5($e), 1, 15), ''),
        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
        |    (a, d) -> a * 16 + d)""".stripMargin
+
+  /** Unrolled DuckDB replay of [[graft.operators.Bpe.learnMerges]]:
+    * per round, lateral-unnest adjacent pairs of the symbol list,
+    * argmax with the (cnt DESC, l, r) tie-break, then the identical
+    * delimiter-wrapped `replace` greedy-left merge (chr(31) ≙ the
+    * engine's U+001F wrapper). */
+  private def bpeOracleSql(rounds: Int): String = {
+    def iter(i: Int): String =
+      s"""pairs$i AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, seq[i] AS l, seq[i+1] AS r
+         |    FROM words$i, unnest(generate_series(1, len(seq)-1)) t(i)
+         |    WHERE len(seq) > 1)
+         |  GROUP BY 1, 2),
+         |best$i AS (SELECT l, r, cnt FROM pairs$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |words${i + 1} AS (
+         |  SELECT word, freq,
+         |    list_filter(string_split(
+         |      replace(
+         |        list_reduce(list_transform(seq, s -> chr(31)||s||chr(31)), (a,b) -> a||b),
+         |        chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)),
+         |      chr(31)), x -> x <> '') AS seq
+         |  FROM words$i, best$i b)""".stripMargin
+    val selects = (0 until rounds).map(i =>
+      s"SELECT ${i + 1} AS rank, l, r, l || r AS merged, cnt FROM best$i")
+    s"""WITH w0 AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |words0 AS (
+       |  SELECT word, freq,
+       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS seq
+       |  FROM w0),
+       |${(0 until rounds).map(iter).mkString(",\n")}
+       |SELECT * FROM (
+       |${selects.mkString("\n  UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning — the tokenizer-training primitive
+  * of an LLM data pipeline, distributed. Classic BPE (Sennrich et al.
+  * 2016, public alg): start from characters, repeatedly find the most
+  * frequent adjacent symbol pair across the corpus and fuse it.
+  *
+  * Scale shape: everything runs on the WORD-FREQUENCY table, not the
+  * corpus — pair counting is an explode + map-side-combined sum over
+  * (vocab-size × avg-word-len) rows, the merge step is a pure
+  * projection, and the 1-row argmax broadcasts. The corpus is read
+  * once to build word frequencies; at 100 TB the vocabulary table is
+  * millions of rows regardless of corpus size, so per-iteration cost is
+  * corpus-independent. Each round localCheckpoints the (small) vocab so
+  * iteration k never replays rounds 1..k−1.
+  *
+  * Determinism: ties on pair count break lexicographically on (l, r);
+  * merging is greedy left-to-right within each word, implemented as a
+  * delimiter-wrapped literal `replace` — each symbol is wrapped
+  * `␟s␟`, the pair pattern `␟l␟␟r␟` collapses to `␟lr␟`, and because
+  * the wrapping doubles delimiters BETWEEN symbols, consecutive
+  * occurrences ("abab", "aaa") merge exactly as the sequential
+  * algorithm does. U+001F cannot appear in whitespace-split words. */
+object Bpe {
+  private val S = "\u001f"
+
+  /** Corpus word-frequency table: (word, freq), whitespace-tokenized. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Learn the top `numMerges` BPE merges. Output: one row per merge,
+    * (rank, l, r, merged, cnt) in learning order. */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    var words = wordFreq(docs, textCol)
+      .withColumn("seq",
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (k <- 1 to numMerges) {
+      val pairs = words.filter(size(col("seq")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(seq)-1), " +
+            "i -> struct(element_at(seq, i) AS l, element_at(seq, i+1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint() // 1 row; evaluated once, reused twice below
+      val ranked = best.select(lit(k).as("rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+      merges = if (merges == null) ranked else merges.unionByName(ranked)
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("__ml"), col("r").as("__mr"))))
+        .withColumn("__w",
+          expr(s"concat_ws('', transform(seq, s -> concat('$S', s, '$S')))"))
+        .withColumn("__w2", expr(
+          s"replace(__w, concat('$S', __ml, '$S', '$S', __mr, '$S')," +
+            s" concat('$S', __ml, __mr, '$S'))"))
+        .withColumn("seq", expr(s"filter(split(__w2, '$S'), x -> x != '')"))
+        .select(col("word"), col("freq"), col("seq"))
+        .localCheckpoint()
+    }
+    merges
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE merge learning on closed-form corpora. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def merges(texts: Seq[String], k: Int): Seq[(Int, String, String, Long)] =
+    Bpe.learnMerges(texts.toDF("text"), "text", k)
+      .select("rank", "l", "r", "cnt")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("hand-computed merges: most frequent pair wins each round") {
+    // word freqs: aa x3, ab x2 → pairs (a,a):3 (a,b):2 → merge aa;
+    // aa becomes a single symbol, only (a,b):2 remains → merge ab
+    val got = merges(Seq("aa ab aa", "aa ab"), 2)
+    assert(got === Seq((1, "a", "a", 3L), (2, "a", "b", 2L)))
+  }
+
+  test("greedy left-to-right merging: 'aaaa' fuses to (aa)(aa), not a(aa)a") {
+    // round 1: (a,a) count 3 → greedy merge gives [aa, aa]; a non-greedy
+    // or right-biased merge would leave [a, aa, a]-shaped splits whose
+    // round-2 top pair differs
+    val got = merges(Seq("aaaa"), 2)
+    assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("ties break lexicographically on (l, r)") {
+    // "ab" and "cd" both occur twice: (a,b):2 ties (c,d):2 → (a,b) first
+    val got = merges(Seq("ab cd", "cd ab"), 1)
+    assert(got === Seq((1, "a", "b", 2L)))
+  }
+
+  test("merged symbols participate in later rounds as units") {
+    // "abab" x2: (a,b):4 wins (b,a):2 → [ab, ab] x2 → (ab,ab):2
+    val got = merges(Seq("abab abab"), 2)
+    assert(got === Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)))
+  }
+}
