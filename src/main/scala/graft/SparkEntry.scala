@@ -913,6 +913,10 @@ object SparkEntry {
     // corpus-sized
     "q_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir), "text", 3).orderBy(col("rank"))),
+    // corpus token count after each learned merge (rank 0 = chars):
+    // does the next merge still pay for itself?
+    "q_bpe_compress" -> ((s, dir) =>
+      Bpe.compression(docs(s, dir), "text", 3).orderBy(col("rank"))),
     // SQL surface: correlated scalar subqueries (price above 1.01x the
     // brand average — the fixture's prices sit in a tight 900-1000
     // band), decorrelated by Catalyst into aggregate+join. Exact
@@ -2330,6 +2334,7 @@ object SparkEntry {
         |  CAST(sum(length(v)) AS BIGINT) AS bytes
         |FROM dst GROUP BY 1 ORDER BY bucket""".stripMargin),
     "q_bpe_merges" -> bpeOracleSql(3),
+    "q_bpe_compress" -> bpeOracleSql(3, compress = true),
     "q_chunk_windows" ->
       """WITH d AS (SELECT doc_id, text,
         |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nw
@@ -2383,7 +2388,7 @@ object SparkEntry {
     * argmax with the (cnt DESC, l, r) tie-break, then the identical
     * delimiter-wrapped `replace` greedy-left merge (chr(31) ≙ the
     * engine's U+001F wrapper). */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int, compress: Boolean = false): String = {
     def iter(i: Int): String =
       s"""pairs$i AS (
          |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -2400,8 +2405,11 @@ object SparkEntry {
          |        chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31), chr(31)||b.l||b.r||chr(31)),
          |      chr(31)), x -> x <> '') AS seq
          |  FROM words$i, best$i b)""".stripMargin
-    val selects = (0 until rounds).map(i =>
-      s"SELECT ${i + 1} AS rank, l, r, l || r AS merged, cnt FROM best$i")
+    val selects =
+      if (compress) (0 to rounds).map(i =>
+        s"SELECT $i AS rank, CAST(sum(len(seq) * freq) AS BIGINT) AS corpus_tokens FROM words$i")
+      else (0 until rounds).map(i =>
+        s"SELECT ${i + 1} AS rank, l, r, l || r AS merged, cnt FROM best$i")
     s"""WITH w0 AS (
        |  SELECT w AS word, count(*) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

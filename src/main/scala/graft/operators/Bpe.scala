@@ -35,11 +35,31 @@ object Bpe {
 
   /** Learn the top `numMerges` BPE merges. Output: one row per merge,
     * (rank, l, r, merged, cnt) in learning order. */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    learn(docs, textCol, numMerges)._1
+
+  /** Corpus compression trajectory of the learned merges: row `rank` =
+    * total corpus token count AFTER applying merges 1..rank (rank 0 =
+    * the character baseline) — the measurement that tells you whether
+    * the next thousand merges still pay for themselves. Token counts
+    * weight each vocab word by its corpus frequency, so this is the
+    * real corpus size, computed on the vocab table. */
+  def compression(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (_, byRound) = learn(docs, textCol, numMerges)
+    byRound.zipWithIndex.map { case (w, i) =>
+      w.agg(sum(size(col("seq")) * col("freq")).as("corpus_tokens"))
+        .select(lit(i).as("rank"), col("corpus_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def learn(docs: DataFrame, textCol: String,
+                    numMerges: Int): (DataFrame, Seq[DataFrame]) = {
     var words = wordFreq(docs, textCol)
       .withColumn("seq",
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
       .localCheckpoint()
+    val byRound = Seq.newBuilder[DataFrame]
+    byRound += words
     var merges: DataFrame = null
     for (k <- 1 to numMerges) {
       val pairs = words.filter(size(col("seq")) > 1)
@@ -63,7 +83,8 @@ object Bpe {
         .withColumn("seq", expr(s"filter(split(__w2, '$S'), x -> x != '')"))
         .select(col("word"), col("freq"), col("seq"))
         .localCheckpoint()
+      byRound += words
     }
-    merges
+    (merges, byRound.result())
   }
 }

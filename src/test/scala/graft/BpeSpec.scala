@@ -37,4 +37,12 @@ class BpeSpec extends SparkTestBase {
     val got = merges(Seq("abab abab"), 2)
     assert(got === Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)))
   }
+
+  test("compression: each distinct-symbol merge removes exactly its pair count") {
+    // corpus "ab ab abc": chars 7; merge (a,b) cnt 3 → 4; merge (ab,c) → 3.
+    // (For l≠r pairs occurrences can't overlap, so Δtokens = cnt.)
+    val got = Bpe.compression(Seq("ab ab abc").toDF("text"), "text", 2)
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0, 7L), (1, 4L), (2, 3L)))
+  }
 }
