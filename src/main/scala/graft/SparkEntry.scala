@@ -2320,13 +2320,15 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_edit_neardup" ->
       """WITH d AS (SELECT doc_id, text, lang, length(text) AS len,
-        |    length(text) // 32 AS b FROM documents)
-        |SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
-        |  levenshtein(d1.text, d2.text) AS dist
-        |FROM d d1 JOIN d d2 ON d1.lang = d2.lang
-        |  AND d2.b BETWEEN d1.b AND d1.b + 1 AND d1.doc_id < d2.doc_id
-        |WHERE levenshtein(d1.text, d2.text) * 1000
-        |        <= greatest(d1.len, d2.len) * 100
+        |    length(text) // 32 AS b FROM documents),
+        |cand AS (
+        |  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |    levenshtein(d1.text, d2.text) AS dist,
+        |    greatest(d1.len, d2.len) * 100 AS budget
+        |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang
+        |    AND d2.b BETWEEN d1.b AND d1.b + 1 AND d1.doc_id < d2.doc_id)
+        |SELECT doc_a, doc_b, dist FROM cand
+        |WHERE dist * 1000 <= budget AND dist <= 64
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the maintained summary must equal the direct dst aggregate
     "q_ivm_agg" -> (cte +

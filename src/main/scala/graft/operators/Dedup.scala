@@ -599,12 +599,23 @@ object Dedup {
     * `maxDistPermille` keeps pairs whose distance ≤ maxlen·d/1000. */
   def editNearDup(docs: DataFrame, textCol: String, idCol: String,
                   blockCol: String, bucketWidth: Int = 32,
-                  maxDistPermille: Int = 100): DataFrame = {
+                  maxDistPermille: Int = 100, maxAbsDist: Int = 64): DataFrame = {
+    // cheap counting-filter probes, computed ONCE per document before
+    // the join: a single edit changes at most two characters' counts by
+    // one each, so Σ_probe |cntₐ(c) − cnt_b(c)| ≤ 2·dist for ANY char
+    // subset — a linear-time lower bound that discharges the vast
+    // majority of candidate pairs before the O(len²) DP runs. (The DP
+    // is ~10⁴× a char count; without this the verify stage, not the
+    // blocking, is what breaks first as blocks grow.)
+    val probes = Seq('e', 't', 'a', 'o', 'i', 'n', 's', ' ')
+    def cnts(src: Column): Column = array(probes.map(c =>
+      (length(src) - length(regexp_replace(src, java.util.regex.Pattern.quote(c.toString), "")))): _*)
     val d = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("t"), length(col(textCol)).as("len"))
       .withColumn("b", expr(s"len DIV $bucketWidth"))
+      .withColumn("pc", cnts(col("t")))
     val l = d.select(col("blk"), col("b"), col("id").as("doc_a"),
-      col("t").as("t_a"), col("len").as("len_a"))
+      col("t").as("t_a"), col("len").as("len_a"), col("pc").as("pc_a"))
     // register the probe side under its own bucket AND the one below, so
     // "same or adjacent bucket" becomes a plain equi-join on (block,
     // bucket) — the join key carries the length bucket, not just the
@@ -612,12 +623,34 @@ object Dedup {
     // blocking would be decorative. No pair matches twice (b_r and
     // b_r−1 are distinct registrations).
     val r = d.select(col("blk").as("blk_r"), col("b").as("b_r"),
-        col("id").as("doc_b"), col("t").as("t_b"), col("len").as("len_b"))
+        col("id").as("doc_b"), col("t").as("t_b"), col("len").as("len_b"),
+        col("pc").as("pc_b"))
       .withColumn("reg", explode(array(col("b_r"), col("b_r") - 1)))
-    l.join(r, col("blk") === col("blk_r") && col("b") === col("reg") &&
+    val budget = greatest(col("len_a"), col("len_b")) * maxDistPermille
+    // spread the verify stage: when the probe side broadcasts (small
+    // corpora / the common one-file-per-table layout), the join output
+    // inherits the LEFT side's partitioning — for a single-file scan
+    // that is ONE task running every DP. doc ids are uniform, so
+    // repartitioning the left by id fans the pair work across the
+    // cluster without touching the join keys.
+    val lp = l.repartition(l.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
+    lp.join(r, col("blk") === col("blk_r") && col("b") === col("reg") &&
         col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("dist") * 1000 <= greatest(col("len_a"), col("len_b")) * maxDistPermille)
+      // counting filter first (linear scan), DP only on survivors: the
+      // bound says dist >= sum/2, so sum * 500 > budget (= maxlen *
+      // permille) proves dist * 1000 > budget without running the DP
+      .filter(
+        expr("aggregate(zip_with(pc_a, pc_b, (x, y) -> abs(x - y)), 0, (s, v) -> s + v)") * 500
+          <= budget)
+      // banded DP: the threshold variant fills only the 2k+1 diagonal
+      // band (O(k*n), not O(n^2)) and returns -1 past the cap — on
+      // ~300-char docs that is ~5x fewer cells, and the verify stage is
+      // where all the time goes once blocking has done its job. The cap
+      // makes the contract dist <= min(budget, maxAbsDist); callers
+      // with very long documents and a permille budget above the cap
+      // must raise maxAbsDist explicitly.
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxAbsDist))
+      .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 }
