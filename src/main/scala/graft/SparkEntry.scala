@@ -154,6 +154,22 @@ object SparkEntry {
         .filter(col("j") >= 0.5)
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
+    // leakage-free split assignment: hash the near-dup CLUSTER
+    // representative, not the doc id, so a whole duplicate cluster
+    // lands in one split and eval can never see a paraphrase of a
+    // training document. Reuses q_dedup_clusters' pair set (cached).
+    "q_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3,
+          maxDf = jaccardMaxDf)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+        .filter(col("j") >= 0.5)
+      Dedup.leakFreeSplit(d, pairs, "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rep") =!= col("doc_id"), 1)).as("n_dup_members"))
+        .orderBy(col("lang"), col("split"))
+    }),
     // decontamination: training docs whose shingles cover an eval doc
     // (containment, not Jaccard) — the synthetic eval set is every 10th
     // document, so the planted near-dup pairs that straddle the split
@@ -1227,6 +1243,26 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach
         |GROUP BY a ORDER BY doc_id""".stripMargin),
+    // leak-free split: same recursive clustering, then the split bucket
+    // hashes the cluster representative (singletons = own id)
+    "q_split_leakfree" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |clu AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |rep AS (SELECT d.lang, d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep,
+        |          ${duckHash60("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")} % 100 AS bucket
+        |        FROM documents d LEFT JOIN clu c USING (doc_id))
+        |SELECT lang,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'validation' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  count(CASE WHEN rep <> doc_id THEN 1 END) AS n_dup_members
+        |FROM rep GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
     // the LSH path must recover every pair the exact join finds at this
     // threshold — same oracle; LSH only prunes candidates
     "q_dedup_minhash" -> (shingleCte + jaccardSelect),

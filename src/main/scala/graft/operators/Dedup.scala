@@ -565,6 +565,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Leakage-free train/validation/test assignment: split by the
+    * near-dup CLUSTER representative, not the document — if two
+    * documents are near-duplicates, hashing doc ids independently puts
+    * them on opposite sides of the train/eval fence with probability
+    * 2·p·(1−p), and the eval set silently overlaps training data. Every
+    * member of a cluster shares its representative (the cluster's min
+    * label from [[nearDupClusters]]; singletons represent themselves),
+    * so a whole cluster lands in ONE split, deterministically
+    * (content-stable md5 bucket of the representative — no rand()).
+    * One left join against the (small) cluster labels + a projection. */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    trainPct: Int = 90, validationPct: Int = 5): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .select(col("doc_id").as("__cid"), col("cluster_id").as("__clu"))
+    val bucket = pmod(md5Hash60(col("rep").cast("string")), lit(100L))
+    docs.join(clusters, docs(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("__clu"), docs(idCol)))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validationPct, "validation")
+          .otherwise("test"))
+      .drop("__cid", "__clu")
+  }
+
   /** Canonical text form for fuzzy-exact dedup: casefold, strip
     * non-alphanumerics (unicode letters/digits survive), collapse
     * whitespace runs, trim. Catches the near-universal "same document,

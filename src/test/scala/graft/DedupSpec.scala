@@ -239,6 +239,23 @@ class DedupSpec extends SparkTestBase {
     assert(s1.zip(s3).count { case (a, b) => a == b } === 0)
   }
 
+  test("leakFreeSplit: co-cluster docs share one split; no doc is lost or duplicated") {
+    val pairs = Dedup.jaccardJoin(corpus, "text", "doc_id", 0.5, 3)
+      .select(col("doc_a"), col("doc_b"))
+    val split = Dedup.leakFreeSplit(corpus, pairs, "doc_id")
+      .select(col("doc_id"), col("rep"), col("split"))
+    val byDoc = split.as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(byDoc.size === 6) // partition of the corpus: nothing lost, nothing doubled
+    // docs 1,2,3 are one near-dup cluster (4's token REORDER breaks
+    // 3-gram shingle overlap below 0.5 — bag-dedup's job, not LSH's) →
+    // identical rep (cluster min 1) and identical split: no straddling
+    val cluster = Seq(1L, 2L, 3L).map(byDoc)
+    assert(cluster.map(_._2).toSet === Set(1L))
+    assert(cluster.map(_._3).toSet.size === 1)
+    // singletons represent themselves
+    assert(Seq(4L, 5L, 6L).forall(i => byDoc(i)._2 === i))
+  }
+
   test("canonicalGroups merges case/punctuation/whitespace variants") {
     val docs = Seq(
       (1L, "Hello, World!"),
