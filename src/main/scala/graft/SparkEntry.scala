@@ -820,6 +820,31 @@ object SparkEntry {
       Graph.triangles(Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2))
         .orderBy(col("a"), col("b"), col("c"))
     }),
+    // argmax/argmin surface: per type, the event holding the extreme
+    // value — struct-max with the id as tiebreaker, so ties cannot
+    // split the hash between engines
+    "q_argmax" -> ((s, dir) =>
+      Events.read(s, dir).groupBy(col("event_type"))
+        .agg(max(struct(col("value"), col("event_id"))).as("mx"),
+          min(struct(col("value"), col("event_id"))).as("mn"))
+        .select(col("event_type"),
+          col("mx.value").as("max_value"), col("mx.event_id").as("max_event_id"),
+          col("mn.value").as("min_value"), col("mn.event_id").as("min_event_id"))
+        .orderBy(col("event_type"))),
+    // RANGE window frames (value-based, not row-based): rolling 1-hour
+    // sum/count per type over exact integer microsecond bounds — ties
+    // are peers, so the frame is order-insensitive and deterministic
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      Events.read(s, dir).filter(col("user_id") < 20)
+        .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+        .withColumn("rolling_1h",
+          sum(col("value").cast("decimal(20,6)")).over(w).cast("double"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .orderBy(col("event_id"))
+    }),
     // Markov transition matrix of consecutive per-user events:
     // (prev_type -> type, count, conditional probability). The p column
     // divides two exact longs — deterministic across engines
@@ -2288,6 +2313,23 @@ object SparkEntry {
         |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_argmax" ->
+      """SELECT event_type,
+        |  mx.v AS max_value, mx.id AS max_event_id,
+        |  mn.v AS min_value, mn.id AS min_event_id
+        |FROM (SELECT event_type,
+        |        max(struct_pack(v := value, id := event_id)) AS mx,
+        |        min(struct_pack(v := value, id := event_id)) AS mn
+        |      FROM events GROUP BY 1)
+        |ORDER BY event_type""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS rolling_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_event_transitions" ->
       """WITH t AS (SELECT event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
