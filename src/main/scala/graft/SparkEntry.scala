@@ -69,7 +69,10 @@ object SparkEntry {
     "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
     // stateless stream-static enrichment: per-batch broadcast join of
     // the event stream against the customer dim
-    "q_stream_static" -> ((s, dir) => StreamEntries.streamStaticJoin(s, dir)))
+    "q_stream_static" -> ((s, dir) => StreamEntries.streamStaticJoin(s, dir)),
+    // watermark eviction gated end-to-end: late-arriving first-half
+    // data cannot resurrect closed windows — sink = on-time slice only
+    "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -933,6 +936,29 @@ object SparkEntry {
     "q_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkWindows(docs(s, dir), "text", "doc_id", 200, 150)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    // Q3-shaped shipping priority: 3-way join with date predicates on
+    // both fact sides, decimal-exact revenue, distributed top-10 — the
+    // canonical star-join + top-k plan (dims broadcast, one shuffle)
+    "q_ship_priority" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < "1995-03-15")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > "1995-03-15")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     // Q18-shaped "big orders": HAVING on a decimal aggregate, then the
     // small survivor set joins back to orders detail
     "q_big_orders" -> ((s, dir) => {
@@ -1936,6 +1962,14 @@ object SparkEntry {
       """SELECT k AS key, v AS value FROM dst
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),
+    // the watermark-drop sink must equal the batch aggregate of the
+    // ON-TIME slice alone: the late half contributes nothing
+    "q_stream_late_drop" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+        |  event_type, count(*) AS n
+        |FROM events
+        |WHERE user_id < 20 AND epoch_us(ts) >= 1705363200000000
+        |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
     // a stateless stream-static join's sink must equal the batch join
     // over the same slice, whatever the micro-batch boundaries
     "q_stream_static" ->
@@ -2425,6 +2459,19 @@ object SparkEntry {
         |  length(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_len,
         |  md5(substr(text, chunk_idx * 150 + 1, 200)) AS fp
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_ship_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_big_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq

@@ -176,6 +176,57 @@ object StreamEntries {
     takeTable(s, name).select(col("key"), col("value")).orderBy(col("key"))
   }
 
+  /** Watermark eviction as a GATED result, not just a spec: daily
+    * windowed counts in append mode where the second half of January
+    * arrives first, a sentinel drives the watermark far past every
+    * window, and THEN the first half arrives — entirely below the
+    * watermark, so the state store never re-opens those windows and the
+    * sink holds exactly the on-time slice's aggregate. This is the
+    * bounded-state contract that makes streaming aggregation viable at
+    * all (state is evicted once the watermark passes; late data cannot
+    * resurrect it); the oracle is the batch aggregate of the on-time
+    * slice alone. The sentinels are NOT filtered out — a filter between
+    * withWatermark and the aggregation gets pushed BELOW the watermark
+    * collector by Catalyst, silently un-advancing the watermark (found
+    * the hard way). Instead the sentinel times are chosen one day apart
+    * so neither sentinel's own window ever closes: append mode emits
+    * only closed windows, so the sink structurally excludes them. */
+  def streamLateDrop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val splitUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, mid-fixture
+    val evts = Events.read(s, dir).filter(col("user_id") < 20)
+      .select(col("ts"), col("event_type"), col("ts_us"))
+      .as[(Timestamp, String, Long)].collect().toSeq
+    val onTime = evts.filter(_._3 >= splitUs)
+    val late = evts.filter(_._3 < splitUs)
+    def tick(d: String) = (Timestamp.valueOf(d), "~tick", 0L)
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_latedrop")
+    withStatePartitions(s, 4) {
+      val mem = MemoryStream[(Timestamp, String, Long)]
+      val agg = mem.toDF.toDF("ts", "event_type", "ts_us")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("day_us"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        mem.addData(onTime)
+        q.processAllAvailable()
+        mem.addData(Seq(tick("2024-03-01 00:00:00"))) // watermark past every window
+        q.processAllAvailable()
+        mem.addData(late)      // below watermark: dropped, windows stay closed
+        q.processAllAvailable()
+        // a LATER tick: emission rides watermark ADVANCES, so the final
+        // advance flushes the last still-open real window
+        mem.addData(Seq(tick("2024-03-02 00:00:00")))
+      }
+    }
+    takeTable(s, name).orderBy(col("day_us"), col("event_type"))
+  }
+
   /** Stream-static enrichment join — the stateless streaming op every
     * ingest pipeline runs first: each micro-batch of events joins the
     * batch `customer` dim on user_id = c_custkey. The dim is broadcast,
