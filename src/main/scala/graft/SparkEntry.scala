@@ -219,9 +219,13 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "text", "doc_id", 60, Dedup.md5Hash60)
         .orderBy(col("doc_id"))),
-    // SimHash near-dup pairs: 4×15-bit chunk pigeonhole join, Hamming ≤ 3
+    // SimHash near-dup pairs: 4×15-bit chunk pigeonhole join, Hamming ≤ 3.
+    // The chunk-df cap (mirrored in the oracle) bounds bucket occupancy
+    // at 100× corpus scale; at this scale max df is ~27, so it is
+    // exercised but drops nothing
     "q_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", 3, 60, Dedup.md5Hash60)
+      Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", 3, 60, Dedup.md5Hash60,
+          maxChunkDf = 100)
         .orderBy(col("doc_a"), col("doc_b"))))
 
   // §2b LLM-pipeline: similarity search over `embeddings`.
@@ -814,6 +818,26 @@ object SparkEntry {
           col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
+    // general directed-graph PageRank with dangling-mass redistribution:
+    // the customer → supplier purchase edges are NOT symmetrized, so
+    // every supplier is a sink — each round gathers sink-held mass (one
+    // anti-join + broadcast 1-row aggregate) and every node receives an
+    // equal integer share, conserving total rank up to truncation
+    "q_pagerank_dangling" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.pageRank(edges, 3, redistributeDangling = true)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+            .as("node"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
     // exact triangle enumeration (degree-ordered node-iterator++) over
     // the co-purchase graph: parts that share >=2 distinct orders. The
     // support threshold keeps the edge set sparse as the corpus grows;
@@ -903,10 +927,14 @@ object SparkEntry {
     // collapse whitespace) — the fuzzy-exact duplicate class
     "q_dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalGroups(docs(s, dir), "text", "doc_id").orderBy(col("fp"))),
-    // character-level near-dup: (lang, length-bucket)-blocked candidates,
-    // Levenshtein verify within the 10% distance budget
+    // character-level near-dup: (lang, length-bucket, simhash-chunk)-
+    // blocked candidates, Levenshtein verify within the 10% distance
+    // budget. The md5-derived 60-bit band hash keeps the content band
+    // oracle-replayable; the oracle mirrors the band, the (len, id)
+    // pair orientation, and the derived bucket radius exactly
     "q_edit_neardup" -> ((s, dir) =>
-      Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang")
+      Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang",
+          bandBits = 60, tokenHash = Dedup.md5Hash60)
         .orderBy(col("doc_a"), col("doc_b"))),
     // incremental view maintenance: dst's per-bucket (count, bytes)
     // summary derived from src's summary + the diff changelog — cost
@@ -1324,9 +1352,11 @@ object SparkEntry {
     "q_simhash_neardup" -> (simhashSigCte +
       """, chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
         |            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk HAVING count(*) <= 100),
+        |ck AS (SELECT ch.* FROM chunks ch JOIN keep k ON ch.c = k.c AND ch.chunk = k.chunk),
         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |            a.simhash AS sa, b.simhash AS sb
-        |          FROM chunks a JOIN chunks b
+        |          FROM ck a JOIN ck b
         |          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
@@ -2334,6 +2364,43 @@ object SparkEntry {
         |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
         |  rank
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    // the dangling-redistribution round replayed exactly: per round,
+    // dm = Σ rank over out-degree-0 nodes, every node gets
+    // 0.15·1e6 + 0.85·(Σ contrib + dm // |V|) — all integer, bit-equal
+    "q_pagerank_dangling" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT node FROM
+        |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nv AS (SELECT count(*) AS cnt FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |dm0 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r0 r
+        |        LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+        |c0 AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * (coalesce(c.s, 0) + dm.dm // nv.cnt)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c0 c ON n.node = c.node, dm0 dm, nv),
+        |dm1 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r1 r
+        |        LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * (coalesce(c.s, 0) + dm.dm // nv.cnt)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node, dm1 dm, nv),
+        |dm2 AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r2 r
+        |        LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * (coalesce(c.s, 0) + dm.dm // nv.cnt)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node, dm2 dm, nv)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+        |  rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
     // triangle listing replayed as the naive canonical triple join —
     // tractable for the oracle because the support threshold already
     // thinned the edge set; the engine's degree-ordered plan enumerates
@@ -2430,18 +2497,28 @@ object SparkEntry {
         |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "q_edit_neardup" ->
-      """WITH d AS (SELECT doc_id, text, lang, length(text) AS len,
+    // replays the (lang, length-bucket, simhash-chunk) blocking exactly:
+    // pairs oriented shorter-first (len, doc_id), the longer side's
+    // bucket within radius 2 (= ceil(maxAbsDist 64 / bucketWidth 32)),
+    // one exact 15-bit chunk agreement of the 60-bit md5 simhash
+    "q_edit_neardup" -> (simhashSigCte +
+      """, chunks AS (SELECT doc_id, c, (simhash >> (c * 15)) & 32767 AS chunk
+        |            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |d AS (SELECT doc_id, text, lang, length(text) AS len,
         |    length(text) // 32 AS b FROM documents),
+        |dc AS (SELECT d.*, ch.c, ch.chunk FROM d JOIN chunks ch USING (doc_id)),
         |cand AS (
-        |  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
-        |    levenshtein(d1.text, d2.text) AS dist,
+        |  SELECT DISTINCT least(d1.doc_id, d2.doc_id) AS doc_a,
+        |    greatest(d1.doc_id, d2.doc_id) AS doc_b,
+        |    d1.text AS t1, d2.text AS t2,
         |    greatest(d1.len, d2.len) * 100 AS budget
-        |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang
-        |    AND d2.b BETWEEN d1.b AND d1.b + 1 AND d1.doc_id < d2.doc_id)
-        |SELECT doc_a, doc_b, dist FROM cand
-        |WHERE dist * 1000 <= budget AND dist <= 64
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |  FROM dc d1 JOIN dc d2 ON d1.lang = d2.lang
+        |    AND d1.c = d2.c AND d1.chunk = d2.chunk
+        |    AND d2.b BETWEEN d1.b AND d1.b + 2
+        |    AND (d1.len < d2.len OR (d1.len = d2.len AND d1.doc_id < d2.doc_id)))
+        |SELECT doc_a, doc_b, levenshtein(t1, t2) AS dist FROM cand
+        |WHERE levenshtein(t1, t2) * 1000 <= budget AND levenshtein(t1, t2) <= 64
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // the maintained summary must equal the direct dst aggregate
     "q_ivm_agg" -> (cte +
       """SELECT substr(k, 1, 10) AS bucket, count(*) AS n,

@@ -61,7 +61,9 @@ object Bpe {
     val byRound = Seq.newBuilder[DataFrame]
     byRound += words
     var merges: DataFrame = null
-    for (k <- 1 to numMerges) {
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
       val pairs = words.filter(size(col("seq")) > 1)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(seq)-1), " +
@@ -70,21 +72,37 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
         .localCheckpoint() // 1 row; evaluated once, reused twice below
-      val ranked = best.select(lit(k).as("rank"), col("l"), col("r"),
-        concat(col("l"), col("r")).as("merged"), col("cnt"))
-      merges = if (merges == null) ranked else merges.unionByName(ranked)
-      words = words
-        .crossJoin(broadcast(best.select(col("l").as("__ml"), col("r").as("__mr"))))
-        .withColumn("__w",
-          expr(s"concat_ws('', transform(seq, s -> concat('$S', s, '$S')))"))
-        .withColumn("__w2", expr(
-          s"replace(__w, concat('$S', __ml, '$S', '$S', __mr, '$S')," +
-            s" concat('$S', __ml, __mr, '$S'))"))
-        .withColumn("seq", expr(s"filter(split(__w2, '$S'), x -> x != '')"))
-        .select(col("word"), col("freq"), col("seq"))
-        .localCheckpoint()
-      byRound += words
+      if (best.isEmpty) {
+        // every word is a single symbol — no learnable pair remains.
+        // Stop rather than carry on: the crossJoin against an EMPTY
+        // best would silently empty the whole vocab, wiping later
+        // rounds' trajectory instead of plateauing (the emptiness
+        // check is one row off a checkpointed frame — cheap).
+        exhausted = true
+      } else {
+        val ranked = best.select(lit(k).as("rank"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("cnt"))
+        merges = if (merges == null) ranked else merges.unionByName(ranked)
+        words = words
+          .crossJoin(broadcast(best.select(col("l").as("__ml"), col("r").as("__mr"))))
+          .withColumn("__w",
+            expr(s"concat_ws('', transform(seq, s -> concat('$S', s, '$S')))"))
+          .withColumn("__w2", expr(
+            s"replace(__w, concat('$S', __ml, '$S', '$S', __mr, '$S')," +
+              s" concat('$S', __ml, __mr, '$S'))"))
+          .withColumn("seq", expr(s"filter(split(__w2, '$S'), x -> x != '')"))
+          .select(col("word"), col("freq"), col("seq"))
+          .localCheckpoint()
+        byRound += words
+        k += 1
+      }
     }
-    (merges, byRound.result())
+    // zero learnable pairs at round 1 (single-char vocab): an empty
+    // merges frame with the contract schema, not null
+    val mergesOut =
+      if (merges != null) merges
+      else words.limit(0).select(lit(0).as("rank"), lit("").as("l"),
+        lit("").as("r"), lit("").as("merged"), lit(0L).as("cnt"))
+    (mergesOut, byRound.result())
   }
 }

@@ -540,19 +540,41 @@ object Dedup {
     * bits/4-wide chunks; by pigeonhole any pair within Hamming distance
     * 3 shares at least one exact chunk, so an equi-join per chunk finds
     * ALL such pairs (exact, not probabilistic); verify with
-    * bit_count(xor). */
+    * bit_count(xor).
+    *
+    * `maxChunkDf` caps the per-chunk-value document frequency in the
+    * CANDIDATE join (the direct analog of [[jaccardJoin]]'s `maxDf`):
+    * a chunk space of only 2^(bits/4) values means bucket occupancy
+    * grows linearly with the corpus, and the self-join materializes
+    * Σ df² rows per value — at 100×-corpus scale a popular chunk
+    * value holds millions of documents. Dropping values with df >
+    * maxChunkDf bounds the join at df²·maxChunkDf²-free cost; a true
+    * pair is lost ONLY if every one of its agreeing chunks is hot
+    * (it still surfaces through any of its other ≤3 chunks), so the
+    * cap trades bounded recall on pathological buckets for a join
+    * that survives the scale-up. Pass Int.MaxValue to disable. */
   def simhashNearDup(docs: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3, bits: Int = 64,
-                     tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                     tokenHash: Column => Column = xxhash64(_),
+                     maxChunkDf: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers Hamming <= 3")
     require(bits % 4 == 0, "signature must split into 4 equal chunks")
     val cb = bits / 4
     val mask = (1L << cb) - 1L
     val sig = simhash(docs, textCol, idCol, bits, tokenHash)
-    val chunked = sig.select(col("doc_id"), col("simhash"),
+    val chunked0 = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("simhash"), c * cb).bitwiseAND(lit(mask))): _*)))
       .toDF("doc_id", "simhash", "chunk_id", "chunk")
+    val chunked =
+      if (maxChunkDf == Int.MaxValue) chunked0
+      else {
+        val keep = chunked0.groupBy(col("chunk_id"), col("chunk"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxChunkDf)
+          .select(col("chunk_id"), col("chunk"))
+        chunked0.join(keep, Seq("chunk_id", "chunk"))
+      }
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = chunked.select(col("chunk_id"), col("chunk"),
@@ -612,18 +634,38 @@ object Dedup {
     * right lens for OCR noise, typo clusters, and template fill-ins).
     *
     * Candidate-then-verify like its siblings: candidates are blocked on
-    * (`blockCol`, length-bucket) equi-joins — a true near-pair within
-    * the distance budget can differ by at most that budget in length,
-    * so joining each bucket to itself AND its successor (bucketWidth ≥
-    * the max distance at typical lengths) loses nothing while keeping
-    * blocks small; the quadratic O(len²) DP verify runs only inside
-    * blocks. Unlike the hash families the verify must ship document
-    * BODIES to the join — that is intrinsic to edit distance; the
-    * blocking exists precisely to bound how many bodies meet.
+    * (`blockCol`, length-bucket, SimHash-chunk) equi-joins. Length
+    * blocking is EXACT: a pair within the distance cap differs by at
+    * most `maxAbsDist` in length, and pairs are oriented by
+    * (length, id) — the shorter document is always the probe side — so
+    * the longer side registering at buckets {b−radius … b}, with
+    * `radius` DERIVED from maxAbsDist/bucketWidth, covers every legal
+    * length gap in either direction (the previous id-oriented form
+    * registered only {b−1, b} and silently missed pairs whose lower-id
+    * member was the longer document). The quadratic O(len²) DP verify
+    * runs only inside blocks. Unlike the hash families the verify must
+    * ship document BODIES to the join — that is intrinsic to edit
+    * distance; the blocking exists precisely to bound how many bodies
+    * meet.
+    *
+    * The CONTENT band (`contentBand`, default on) divides block sizes
+    * by ~2^(bandBits/4): both sides additionally carry their SimHash
+    * signature split into 4 chunks, and the join requires one exact
+    * chunk match. Without it, a (block, length-bucket) bucket's
+    * occupancy grows linearly with the corpus and the join output
+    * quadratically — the content band is what keeps candidate growth
+    * linear at 100× scale. Recall contract: by pigeonhole the band
+    * keeps EVERY pair whose signatures differ in ≤3 bits; a small edit
+    * perturbs few token votes, so edit-near pairs almost always
+    * qualify, but a pathological edit that flips ≥4 signature bits
+    * spread over all 4 chunks can be missed — callers needing the
+    * exact answer pass contentBand = false.
     * `maxDistPermille` keeps pairs whose distance ≤ maxlen·d/1000. */
   def editNearDup(docs: DataFrame, textCol: String, idCol: String,
                   blockCol: String, bucketWidth: Int = 32,
-                  maxDistPermille: Int = 100, maxAbsDist: Int = 64): DataFrame = {
+                  maxDistPermille: Int = 100, maxAbsDist: Int = 64,
+                  contentBand: Boolean = true, bandBits: Int = 64,
+                  tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // cheap counting-filter probes, computed ONCE per document before
     // the join: a single edit changes at most two characters' counts by
     // one each, so Σ_probe |cntₐ(c) − cnt_b(c)| ≤ 2·dist for ANY char
@@ -634,22 +676,47 @@ object Dedup {
     val probes = Seq('e', 't', 'a', 'o', 'i', 'n', 's', ' ')
     def cnts(src: Column): Column = array(probes.map(c =>
       (length(src) - length(regexp_replace(src, java.util.regex.Pattern.quote(c.toString), "")))): _*)
-    val d = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+    // any emitted pair has dist <= maxAbsDist (the banded-DP cap), and
+    // |len_a - len_b| <= dist, so the longer doc's bucket exceeds the
+    // shorter's by at most floor((W-1 + maxAbsDist)/W) = radius
+    val radius = (maxAbsDist - 1) / bucketWidth + 1
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("t"), length(col(textCol)).as("len"))
       .withColumn("b", expr(s"len DIV $bucketWidth"))
       .withColumn("pc", cnts(col("t")))
-    val l = d.select(col("blk"), col("b"), col("id").as("doc_a"),
-      col("t").as("t_a"), col("len").as("len_a"), col("pc").as("pc_a"))
-    // register the probe side under its own bucket AND the one below, so
-    // "same or adjacent bucket" becomes a plain equi-join on (block,
-    // bucket) — the join key carries the length bucket, not just the
-    // block, or every document of a block would meet every other and the
-    // blocking would be decorative. No pair matches twice (b_r and
-    // b_r−1 are distinct registrations).
-    val r = d.select(col("blk").as("blk_r"), col("b").as("b_r"),
-        col("id").as("doc_b"), col("t").as("t_b"), col("len").as("len_b"),
-        col("pc").as("pc_b"))
-      .withColumn("reg", explode(array(col("b_r"), col("b_r") - 1)))
+    // each document carries 4 (chunk_id, chunk) band rows (or one
+    // constant row when the band is off): the join requires one exact
+    // chunk agreement, and a pair agreeing on several chunks is
+    // de-duplicated before the DP
+    val d =
+      if (!contentBand)
+        base.withColumn("chunk_id", lit(0)).withColumn("chunk", lit(0L))
+      else {
+        require(bandBits % 4 == 0, "bandBits must split into 4 chunks")
+        val cb = bandBits / 4
+        val mask = (1L << cb) - 1L
+        val sig = simhash(docs, textCol, idCol, bandBits, tokenHash)
+          .select(col("doc_id").as("id"), col("simhash"))
+        base.join(sig, Seq("id"))
+          .select(col("blk"), col("id"), col("t"), col("len"), col("b"), col("pc"),
+            posexplode(array((0 until 4).map(c =>
+              shiftright(col("simhash"), c * cb).bitwiseAND(lit(mask))): _*)))
+          .withColumnRenamed("pos", "chunk_id")
+          .withColumnRenamed("col", "chunk")
+      }
+    val l = d.select(col("blk"), col("b"), col("chunk_id"), col("chunk"),
+      col("id").as("id_a"), col("t").as("t_a"), col("len").as("len_a"),
+      col("pc").as("pc_a"))
+    // orient every pair by (length, id): the probe side is the SHORTER
+    // document, so the longer side registering under buckets
+    // {b−radius … b} covers every legal length gap symmetrically in
+    // doc id — the join key carries the length bucket AND the content
+    // chunk, not just the block, or every document of a block would
+    // meet every other and the blocking would be decorative
+    val r = d.select(col("blk").as("blk_r"), col("chunk_id").as("cid_r"),
+        col("chunk").as("chunk_r"), col("id").as("id_b"), col("t").as("t_b"),
+        col("len").as("len_b"), col("pc").as("pc_b"),
+        explode(sequence(col("b") - radius, col("b"))).as("reg"))
     val budget = greatest(col("len_a"), col("len_b")) * maxDistPermille
     // spread the verify stage: when the probe side broadcasts (small
     // corpora / the common one-file-per-table layout), the join output
@@ -657,15 +724,20 @@ object Dedup {
     // that is ONE task running every DP. doc ids are uniform, so
     // repartitioning the left by id fans the pair work across the
     // cluster without touching the join keys.
-    val lp = l.repartition(l.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
-    lp.join(r, col("blk") === col("blk_r") && col("b") === col("reg") &&
-        col("doc_a") < col("doc_b"))
+    val lp = l.repartition(l.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+    lp.join(r, col("blk") === col("blk_r") && col("chunk_id") === col("cid_r") &&
+        col("chunk") === col("chunk_r") && col("b") === col("reg") &&
+        (col("len_a") < col("len_b") ||
+          (col("len_a") === col("len_b") && col("id_a") < col("id_b"))))
       // counting filter first (linear scan), DP only on survivors: the
       // bound says dist >= sum/2, so sum * 500 > budget (= maxlen *
       // permille) proves dist * 1000 > budget without running the DP
       .filter(
         expr("aggregate(zip_with(pc_a, pc_b, (x, y) -> abs(x - y)), 0, (s, v) -> s + v)") * 500
           <= budget)
+      // a pair agreeing on several band chunks reaches here once per
+      // agreement — collapse before the DP so each pair pays one verify
+      .dropDuplicates("id_a", "id_b")
       // banded DP: the threshold variant fills only the 2k+1 diagonal
       // band (O(k*n), not O(n^2)) and returns -1 past the cap — on
       // ~300-char docs that is ~5x fewer cells, and the verify stage is
@@ -675,6 +747,9 @@ object Dedup {
       // must raise maxAbsDist explicitly.
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxAbsDist))
       .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      // emitted pairs stay id-ordered regardless of the length
+      // orientation the join used
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
   }
 }

@@ -24,18 +24,32 @@ object Graph {
 
   /** Fixed-iteration integer PageRank. `edges` must be the directed
     * edge list (src, dst) — for an undirected graph pass both
-    * directions. Every node must have out-degree ≥ 1 (true for
-    * symmetrized edges); dangling-node mass is therefore not a case
-    * this operator needs to redistribute.
+    * directions.
     *
-    * Returns (node, rank) with rank in micro-units. Iterations are
+    * Two dangling-node modes. The DEFAULT fast path assumes every node
+    * has out-degree ≥ 1 (always true for symmetrized edges — the
+    * engine's own callers) and skips the dangling machinery entirely;
+    * feeding it a general directed graph with sink nodes silently
+    * leaks their rank mass out of circulation each round.
+    * `redistributeDangling = true` is the general contract: each round
+    * the total rank held by out-degree-0 nodes is gathered (one
+    * anti-join + 1-row aggregate, broadcast back) and every node
+    * receives an equal integer share — `rank = 0.15·1e6 +
+    * 0.85·(Σ contrib + dm div |V|)` — so mass is conserved up to
+    * truncation and sinks themselves keep earning rank. All still
+    * 64-bit integer, so the unrolled-CTE oracle replays it bit-exact.
+    *
+    * Returns (node, rank) with rank in micro-units; in redistributing
+    * mode every node of V = src ∪ dst gets a row (a no-in-edge node
+    * still earns the damping floor + dangling share). Iterations are
     * O(edges) shuffles each; the loop runs on the driver but every
     * data pass is distributed. `iters` is small and fixed (plan depth
     * grows linearly; callers wanting >8 rounds should checkpoint).
     * `broadcastRanks = false` for graphs whose node set itself exceeds
     * broadcast size — iterations then shuffle-join on src. */
   def pageRank(edges: DataFrame, iters: Int,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRanks: Boolean = true,
+               redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // NOT checkpointed: all iterations evaluate in ONE action, where
@@ -46,18 +60,45 @@ object Graph {
     // Callers running MANY actions over the rank (or >8 iterations)
     // should persist the edge list themselves.
     val withDeg = e.join(deg, "src")
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
-      // the rank vector is |V| rows against |E| edges — broadcast it
-      // when it fits (the common case; V ≪ E for any dense-ish graph)
-      // so the big edge side never re-shuffles per iteration
-      val r = if (broadcastRanks) broadcast(rank) else rank
-      rank = withDeg.join(r, withDeg("src") === r("node"))
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-        .groupBy(col("node"))
-        .agg(expr("150000L + (85 * sum(c)) div 100").as("rank"))
+    if (!redistributeDangling) {
+      var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to iters) {
+        // the rank vector is |V| rows against |E| edges — broadcast it
+        // when it fits (the common case; V ≪ E for any dense-ish graph)
+        // so the big edge side never re-shuffles per iteration
+        val r = if (broadcastRanks) broadcast(rank) else rank
+        rank = withDeg.join(r, withDeg("src") === r("node"))
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy(col("node"))
+          .agg(expr("150000L + (85 * sum(c)) div 100").as("rank"))
+      }
+      rank
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      // |V| stays in-plan as a broadcast 1-row aggregate — no
+      // driver-side count() action at build time
+      val nv = nodes.agg(count(lit(1)).as("cnt"))
+      val srcs = deg.select(col("src").as("node"))
+      var rank = nodes.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to iters) {
+        val r = if (broadcastRanks) broadcast(rank) else rank
+        val contrib = withDeg.join(r, withDeg("src") === r("node"))
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        // mass currently held by sinks: one anti-join against the
+        // out-degree'd node list, folded to a single row
+        val dangling = rank.join(broadcast(srcs), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .crossJoin(broadcast(nv))
+          .select(col("node"),
+            expr("150000L + (85 * (coalesce(s, 0L) + dm div cnt)) div 100")
+              .as("rank"))
+      }
+      rank
     }
-    rank
   }
 
   /** Co-occurrence edge list: nodes are `itemCol` values, an edge joins

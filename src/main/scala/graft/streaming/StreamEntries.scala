@@ -85,12 +85,14 @@ object StreamEntries {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        srcMem.addData(srcRows)
-        dstMem.addData(dstRows)
-        q.processAllAvailable()
-        // advance both sides' watermarks past the data window
-        srcMem.addData(Seq((tick, "~tick", "t")))
-        dstMem.addData(Seq((tick, "~tick", "t")))
+        // data and tick share ONE micro-batch per side: both sides'
+        // rows land in join state with the pre-batch watermark (0), the
+        // tick advances both watermarks at END of batch, and the
+        // post-batch state cleanup emits every unmatched row — one
+        // state commit instead of two (the streaming family's cost is
+        // the per-batch floor, not the data)
+        srcMem.addData(srcRows :+ ((tick, "~tick", "t")))
+        dstMem.addData(dstRows :+ ((tick, "~tick", "t")))
       }
     }
     takeTable(s, name)
@@ -122,11 +124,14 @@ object StreamEntries {
       val q = sessions.toDF().writeStream.format("memory").queryName(name)
         .outputMode(StreamingSessions.outputMode).start()
       drain(q) {
-        mem.addData(evts)
-        q.processAllAvailable()
-        // watermark advances at end-of-batch; timeouts fire in the NEXT
-        // batch — hence two sentinel batches a day apart
-        mem.addData(Seq(sentinel(86400000L)))
+        // the first sentinel rides the data batch: every real event is
+        // processed under the pre-batch watermark (in-batch gap
+        // closure unchanged), the sentinel advances the watermark at
+        // END of that batch, and the second sentinel's batch fires the
+        // event-time timeouts — two state commits, not three
+        // (timeouts evaluate against the PREVIOUS batch's watermark,
+        // so a next batch is still required to close open sessions)
+        mem.addData(evts :+ sentinel(86400000L))
         q.processAllAvailable()
         mem.addData(Seq(sentinel(2 * 86400000L)))
       }
@@ -138,8 +143,8 @@ object StreamEntries {
   }
 
   /** Streaming deduplication over the src snapshot restricted to the
-    * same key range as [[streamDiff]]: every row arrives FOUR times (a
-    * within-batch twin plus two replay batches) and must emit exactly
+    * same key range as [[streamDiff]]: every row arrives THREE times (a
+    * within-batch twin plus a replay batch) and must emit exactly
     * once. Uses `dropDuplicatesWithinWatermark`, not plain
     * `dropDuplicates` — state is one entry per distinct key seen within
     * the watermark horizon and is EVICTED once the watermark passes, so
@@ -169,8 +174,6 @@ object StreamEntries {
         mem.addData(rows ++ rows) // within-batch duplicate pairs
         q.processAllAvailable()
         mem.addData(rows)         // replay against live state
-        q.processAllAvailable()
-        mem.addData(rows)
       }
     }
     takeTable(s, name).select(col("key"), col("value")).orderBy(col("key"))
@@ -199,7 +202,15 @@ object StreamEntries {
       .as[(Timestamp, String, Long)].collect().toSeq
     val onTime = evts.filter(_._3 >= splitUs)
     val late = evts.filter(_._3 < splitUs)
-    def tick(d: String) = (Timestamp.valueOf(d), "~tick", 0L)
+    // sentinels are explicit UTC instants, NOT Timestamp.valueOf:
+    // valueOf parses in the JVM default timezone while the day windows
+    // align to UTC — east of UTC the first sentinel's UTC-day window
+    // end would fall below the final watermark, the "~tick" window
+    // would close and be emitted, and the sink would diverge from the
+    // oracle. Instant.parse keeps the "neither sentinel's window ever
+    // closes" invariant timezone-independent.
+    def tick(iso: String) =
+      (Timestamp.from(java.time.Instant.parse(iso)), "~tick", 0L)
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_latedrop")
     withStatePartitions(s, 4) {
@@ -213,15 +224,18 @@ object StreamEntries {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        mem.addData(onTime)
+        // batch 1: the on-time slice plus the first sentinel — the real
+        // events aggregate under the pre-batch watermark (0), then the
+        // sentinel advances the watermark at END of batch, closing and
+        // emitting every real window in this batch's commit
+        mem.addData(onTime :+ tick("2024-03-01T00:00:00Z"))
         q.processAllAvailable()
-        mem.addData(Seq(tick("2024-03-01 00:00:00"))) // watermark past every window
-        q.processAllAvailable()
-        mem.addData(late)      // below watermark: dropped, windows stay closed
-        q.processAllAvailable()
-        // a LATER tick: emission rides watermark ADVANCES, so the final
-        // advance flushes the last still-open real window
-        mem.addData(Seq(tick("2024-03-02 00:00:00")))
+        // batch 2: the late half arrives entirely below the watermark —
+        // dropped, closed windows stay closed — and the LATER tick
+        // advances the watermark again, proving no resurrected window
+        // rides a subsequent advance (sentinel windows never close:
+        // each tick's own day-window end stays above the watermark)
+        mem.addData(late :+ tick("2024-03-02T00:00:00Z"))
       }
     }
     takeTable(s, name).orderBy(col("day_us"), col("event_type"))

@@ -45,4 +45,22 @@ class BpeSpec extends SparkTestBase {
       .as[(Int, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((0, 7L), (1, 4L), (2, 3L)))
   }
+
+  test("requesting more merges than learnable pairs stops early, never empties the vocab") {
+    // "ab" has exactly one learnable merge; asking for 5 used to
+    // crossJoin an EMPTY best frame in round 2, silently wiping the
+    // vocab and every later compression row
+    val got = merges(Seq("ab ab"), 5)
+    assert(got === Seq((1, "a", "b", 2L)))
+    val comp = Bpe.compression(Seq("ab ab").toDF("text"), "text", 5)
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    // trajectory: 4 chars → 2 tokens, then the loop stops — rows are
+    // truncated at the plateau, not emptied to zero
+    assert(comp === Seq((0, 4L), (1, 2L)))
+    // degenerate corpus of single-char words: zero merges, empty frame
+    // with the contract schema
+    val none = Bpe.learnMerges(Seq("a b a").toDF("text"), "text", 3)
+    assert(none.columns.toSeq === Seq("rank", "l", "r", "merged", "cnt"))
+    assert(none.count() === 0L)
+  }
 }

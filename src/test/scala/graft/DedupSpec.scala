@@ -279,9 +279,89 @@ class DedupSpec extends SparkTestBase {
       (4L, "de", base),                            // other block: never compared
       (5L, "en", "completely different text")      // different length bucket
     ).toDF("doc_id", "lang", "text")
-    val pairs = Dedup.editNearDup(docs, "text", "doc_id", "lang")
+    // exact semantics with the content band off
+    val exact = Dedup.editNearDup(docs, "text", "doc_id", "lang",
+        contentBand = false)
       .as[(Long, Long, Int)].collect().toSet
-    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)))
-    assert(pairs.head._3 === 3) // one char dropped in each of the 3 repeats
+    assert(exact.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    assert(exact.head._3 === 3) // one char dropped in each of the 3 repeats
+    // the banded default is a SUBSET of the exact answer, and the
+    // pigeonhole contract holds: any pair whose signatures differ in
+    // ≤3 bits is guaranteed kept. (On THIS 27-token fixture the
+    // 3-occurrence token swap flips >3 signature bits — tiny documents
+    // are exactly where the documented recall caveat bites, and where
+    // contentBand = false costs nothing.)
+    val banded = Dedup.editNearDup(docs, "text", "doc_id", "lang")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded.subsetOf(exact))
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (a, b, _) =>
+      if (java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3)
+        assert(banded.exists(p => p._1 == a && p._2 == b),
+          s"pigeonhole pair ($a,$b) lost by the band")
+    }
+  }
+
+  test("memo caches key on the file plan: in-place rewrite is served stale until clearCaches / opt-out") {
+    // pins the DOCUMENTED staleness contract of the index/pair memo
+    // caches (key = canonicalized plan = root path + schema for file
+    // reads): rewriting the same path in place within one JVM serves
+    // the old corpus's answer; clearCaches() and cachingEnabled=false
+    // are the two recovery paths
+    val dir = java.nio.file.Files.createTempDirectory("dedup_cache").toString
+    val p = s"$dir/docs.parquet"
+    def write(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    def run(): Set[(Long, Long)] =
+      Dedup.jaccardJoin(spark.read.parquet(p), "text", "doc_id", 0.5, 3)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    Dedup.clearCaches()
+    try {
+      write((1L, "aa bb cc dd"), (2L, "aa bb cc dd"))
+      assert(run() === Set((1L, 2L)))
+      // same path, same schema, different rows: a FRESH spark.read of
+      // the rewritten path still canonicalizes to the same cache key,
+      // so the memoized pair frame answers for the OLD corpus
+      write((1L, "aa bb cc dd"), (3L, "zz yy xx ww"))
+      assert(run() === Set((1L, 2L)), "in-place rewrite must hit the stale cache")
+      // recovery 1: explicit invalidation
+      Dedup.clearCaches()
+      assert(run() === Set.empty)
+      // recovery 2: caching opt-out sees every rewrite immediately
+      write((4L, "mm nn oo pp"), (5L, "mm nn oo pp"))
+      Dedup.cachingEnabled = false
+      try assert(run() === Set((4L, 5L)))
+      finally Dedup.cachingEnabled = true
+    } finally Dedup.clearCaches()
+  }
+
+  test("editNearDup blocking is symmetric in doc id (lower id may be the longer doc)") {
+    // doc 1 (lower id) is LONGER and sits one length bucket ABOVE
+    // doc 2: len 66 → bucket 2, len 62 → bucket 1. The round-4 form
+    // registered the probe side only at {b, b−1} with doc_a < doc_b,
+    // so this pair never became a candidate — silent recall loss.
+    val docs = Seq(
+      (1L, "en", "a" * 66),
+      (2L, "en", "a" * 62)
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.editNearDup(docs, "text", "doc_id", "lang",
+        contentBand = false)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 4)))
+  }
+
+  test("editNearDup bucket radius covers the full maxAbsDist length gap") {
+    // length gap of exactly maxAbsDist = 64 spans TWO bucketWidth-32
+    // buckets (600 → b 18, 664 → b 20): radius is derived from
+    // maxAbsDist, not hardwired to one
+    val docs = Seq(
+      (1L, "en", "a" * 600),
+      (2L, "en", "a" * 664)
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.editNearDup(docs, "text", "doc_id", "lang",
+        contentBand = false)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 64)))
   }
 }

@@ -89,4 +89,81 @@ class DedupStressSpec extends SparkTestBase {
       survivors.select(col("doc_id"), col("text")), "text", "doc_id", 0.8, 3, 1500)
     assert(nearDupPairs.count() === 0L)
   }
+
+  /** The exact candidate-row count simhashNearDup's chunk self-join
+    * shuffles: Σ over kept (chunk_id, chunk) values of C(df, 2). */
+  private def chunkJoinRows(maxChunkDf: Int): Long = {
+    val sig = Dedup.simhash(corpus, "text", "doc_id")
+    val chunked = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "chunk_id", "chunk")
+    chunked.groupBy(col("chunk_id"), col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxChunkDf)
+      .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).cast("long"))
+      .as[Long].head() / 2
+  }
+
+  test("chunk-df cap bounds the hot-chunk simhash self-join; deduped answer unchanged") {
+    // the 1000-doc duplicate cluster shares ALL FOUR chunk values —
+    // each is a planted hot chunk with df >= 1000, contributing
+    // 4 * C(1000,2) = ~2M candidate rows to the uncapped self-join
+    val uncapped = chunkJoinRows(Int.MaxValue)
+    assert(uncapped >= 4L * 1000 * 999 / 2, s"uncapped=$uncapped")
+    // a cap below the cluster size drops those values from the join:
+    // bounded candidates no matter how big the cluster grows
+    val capped = chunkJoinRows(500)
+    assert(capped <= uncapped - 4L * 1000 * 999 / 2,
+      s"cap did not drop the hot chunks: capped=$capped uncapped=$uncapped")
+    // the documented pipeline composition: exact dedup first collapses
+    // the cluster, after which chunk dfs are small and the capped
+    // operator returns the IDENTICAL answer to the uncapped one
+    val keep = Dedup.exactGroups(corpus, "text", "doc_id")
+      .select(col("keep_doc_id").as("doc_id"))
+    val survivors = corpus.join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def pairs(maxChunkDf: Int): Set[(Long, Long)] =
+      Dedup.simhashNearDup(survivors, "text", "doc_id", maxChunkDf = maxChunkDf)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(pairs(500) === pairs(Int.MaxValue))
+  }
+
+  test("editNearDup content band divides a hot (block, length-bucket) block's candidates") {
+    // one giant block: 2000 same-lang docs whose lengths all land in
+    // one bucket — WITHOUT a content band every doc meets every other
+    // (~C(2000,2) = 2M candidate pairs); the simhash chunk in the join
+    // key collapses that to near-zero for distinct contents
+    val bucketed = corpus.filter(col("doc_id") < 2000) // the distinct-body docs
+      .select(col("doc_id"), lit("en").as("lang"), col("text"))
+      .localCheckpoint()
+    val d = bucketed.select(col("doc_id"),
+        (length(col("text")).divide(lit(32))).cast("long").as("b"))
+    // no-band candidate volume: all pairs whose buckets are within the
+    // derived radius 2 of each other — the quadratic shape the band
+    // exists to break
+    val noBand = d.select(col("b").as("ba"), col("doc_id").as("ia"))
+      .join(d.select(col("b").as("bb"), col("doc_id").as("ib")),
+        col("bb") >= col("ba") - 2 && col("bb") <= col("ba") + 2 &&
+          col("ia") < col("ib"))
+      .count()
+    // banded candidate volume: additionally require one exact 16-bit
+    // chunk agreement (what the operator's join key now carries)
+    val sig = Dedup.simhash(bucketed, "text", "doc_id")
+    val chunked = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "chunk_id", "chunk")
+    val dc = d.join(chunked, Seq("doc_id"))
+    val banded = dc.select(col("b").as("ba"), col("doc_id").as("ia"),
+        col("chunk_id"), col("chunk"))
+      .join(dc.select(col("b").as("bb"), col("doc_id").as("ib"),
+          col("chunk_id"), col("chunk")), Seq("chunk_id", "chunk"))
+      .filter(col("bb") >= col("ba") - 2 && col("bb") <= col("ba") + 2 &&
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+      .count()
+    assert(noBand >= 1000000L, s"hot block should be quadratic: $noBand")
+    assert(banded < noBand / 100,
+      s"content band must shrink the block >100x: banded=$banded noBand=$noBand")
+  }
 }

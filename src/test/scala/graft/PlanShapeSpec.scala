@@ -199,8 +199,10 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q_chunk_windows")
     assert(!p.contains("Exchange") ||
       // the final orderBy (verify-output determinism) is the only
-      // allowed exchange; nothing before the generate may shuffle
-      p.indexOf("Exchange") < p.indexOf("Generate"),
+      // allowed exchange; nothing before the generate may shuffle —
+      // checked on the LAST Exchange so a second one sneaking in below
+      // the Generate fails the test
+      p.lastIndexOf("Exchange") < p.indexOf("Generate"),
       s"chunking itself must not shuffle:\n$p")
     assert(p.contains("Generate"), p)
   }

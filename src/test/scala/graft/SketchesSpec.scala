@@ -129,4 +129,26 @@ class SketchesSpec extends SparkTestBase {
     val r2 = Graph.pageRank(edges.repartition(7), 3).as[(String, Long)].collect().toMap
     assert(r2 === r)
   }
+
+  test("PageRank redistributes dangling mass on a directed graph with a sink") {
+    // 1→2, 1→3, 2→3: node 3 is a sink. Hand-computed round 1 with
+    // dm = 1e6 (node 3's initial rank), share = dm div 3 = 333333:
+    //   r(1) = 150000 + 85·(0       + 333333) div 100 =  433333
+    //   r(2) = 150000 + 85·(500000  + 333333) div 100 =  858333
+    //   r(3) = 150000 + 85·(1500000 + 333333) div 100 = 1708333
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, 1, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 433333L, 2L -> 858333L, 3L -> 1708333L))
+    // total mass conserved up to per-node truncation across 3 rounds
+    val r3 = Graph.pageRank(edges, 3, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    val mass = r3.values.sum
+    assert(mass <= 3000000L && mass > 3000000L - 3 * 300L, s"mass=$mass")
+    // without redistribution the same graph leaks the sink's mass each
+    // round — the precondition the fast path documents
+    val leaky = Graph.pageRank(edges, 3).as[(Long, Long)].collect().toMap
+    assert(leaky.values.sum < mass - 500000L,
+      s"fast path should visibly leak on a sink graph: $leaky vs $mass")
+  }
 }
