@@ -1,0 +1,172 @@
+package graft.sources.kvbin
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.hadoop.conf.Configuration
+
+/** The kvbin protocol over a real socket — the network half of the
+  * connector's live-source seam. The reference actually dials PD and
+  * the store nodes over gRPC (`scan/scan.go:45` opens a client against
+  * `--pd` endpoints; `checksum/checksum.go:66-70` fans RPCs out per
+  * region); this sandbox has no egress and no TiKV, so the seam is
+  * proven end-to-end over LOOPBACK instead: [[KVBinServer]] serves a
+  * kvbin directory the way a store node serves its regions, and
+  * [[SocketRegionClient]] is a full [[RegionClient]] that knows only a
+  * `host:port` — planning metadata and every region's bytes flow
+  * through the wire, never through a shared filesystem path.
+  *
+  * Wire protocol (deterministic, length-prefixed, one request per
+  * connection — connections are cheap on loopback and executor-side
+  * scans must not share mutable driver sockets):
+  *
+  *   request  := line "META" | "REGIONS" | "SCAN <regionId>"
+  *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8
+  *   REGIONS  -> int32 n, then n × ([idlen][id][mlen][minKey]
+  *               [xlen][maxKey][nKeys:int64])
+  *   SCAN     -> records [klen][key][vlen][value]…, terminated klen=-1
+  *
+  * The int32/bytes framing is exactly the region-file record layout
+  * ([[KVBin]]), so a SCAN response is the region file streamed with a
+  * terminator — the server never buffers a region in memory. */
+object KVBinNet {
+
+  private[kvbin] def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
+    out.writeInt(b.length); out.write(b)
+  }
+  private[kvbin] def readBytes(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    val b = new Array[Byte](n); in.readFully(b); b
+  }
+}
+
+/** Serves one kvbin directory over TCP on an ephemeral loopback port.
+  * Thread-per-connection (the verification workload opens a handful of
+  * concurrent region scans — one per executor task — not thousands);
+  * `close()` is idempotent and joins the acceptor. */
+class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
+  import KVBinNet._
+
+  private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  private val closed = new AtomicBoolean(false)
+
+  /** The `endpoints` value clients dial. */
+  val address: String =
+    s"${InetAddress.getLoopbackAddress.getHostAddress}:${server.getLocalPort}"
+
+  private val acceptor = new Thread(() => {
+    while (!closed.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "kvbin-serve")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: java.net.SocketException => // closed
+      }
+    }
+  }, "kvbin-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+      val req = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      // the reader above may buffer ahead, but every request type ends
+      // the inbound half of the conversation at the newline, so nothing
+      // after the line is ever needed
+      req match {
+        case "META" =>
+          val meta = KVBin.readMeta(dir, conf)
+          out.writeInt(meta.size)
+          meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            writeBytes(out, k.getBytes("UTF-8"))
+            writeBytes(out, v.getBytes("UTF-8"))
+          }
+        case "REGIONS" =>
+          val regions = KVBin.readIndex(dir, conf)
+          out.writeInt(regions.size)
+          regions.foreach { case (id, mn, mx, n) =>
+            writeBytes(out, id.getBytes("UTF-8"))
+            writeBytes(out, mn)
+            writeBytes(out, mx)
+            out.writeLong(n)
+          }
+        case scan if scan != null && scan.startsWith("SCAN ") =>
+          val id = scan.stripPrefix("SCAN ")
+          // region ids come from this server's own index; anything else
+          // is a protocol error answered by the terminator alone
+          val known = KVBin.readIndex(dir, conf).exists(_._1 == id)
+          if (known) KVBin.readFile(dir, id, conf).foreach { case (k, v) =>
+            writeBytes(out, k); writeBytes(out, v)
+          }
+          out.writeInt(-1)
+        case _ => // unknown request: close without a frame
+      }
+      out.flush()
+    } catch {
+      case _: java.io.IOException => // client went away mid-scan
+    } finally sock.close()
+  }
+
+  override def close(): Unit = if (closed.compareAndSet(false, true)) {
+    server.close()
+    acceptor.join(2000)
+  }
+}
+
+/** A [[RegionClient]] that knows only the server address — the network
+  * twin of [[FileRegionClient]]. Serializable state is the address
+  * string alone, so executor tasks deserialize it and dial the server
+  * themselves (`scanRegion` runs executor-side; one connection per
+  * region scan, no shared sockets). */
+class SocketRegionClient(address: String) extends RegionClient {
+  import KVBinNet._
+
+  private def dial[T](request: String)(read: DataInputStream => T): T = {
+    val Array(host, port) = address.split(":", 2)
+    val sock = new Socket(host, port.toInt)
+    try {
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      out.write((request + "\n").getBytes("UTF-8"))
+      out.flush()
+      read(new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16)))
+    } finally sock.close()
+  }
+
+  override def clusterMeta(): Map[String, String] =
+    dial("META") { in =>
+      (0 until in.readInt()).map { _ =>
+        (new String(readBytes(in), "UTF-8"), new String(readBytes(in), "UTF-8"))
+      }.toMap
+    }
+
+  override def listRegions(): Seq[RegionInfo] =
+    dial("REGIONS") { in =>
+      (0 until in.readInt()).map { _ =>
+        RegionInfo(new String(readBytes(in), "UTF-8"),
+          readBytes(in), readBytes(in), in.readLong())
+      }
+    }
+
+  /** Streams the region fully into the task (regions are bounded by the
+    * writer's range split — the same contract the file client's
+    * buffered reads rely on); the connection closes before the iterator
+    * is handed back, so a task that stops consuming early leaks nothing. */
+  override def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])] =
+    dial(s"SCAN $regionId") { in =>
+      val buf = Vector.newBuilder[(Array[Byte], Array[Byte])]
+      var klen = in.readInt()
+      while (klen >= 0) {
+        val k = new Array[Byte](klen); in.readFully(k)
+        val v = readBytes(in)
+        buf += ((k, v))
+        klen = in.readInt()
+      }
+      buf.result().iterator
+    }
+}

@@ -35,12 +35,19 @@ trait RegionClient extends Serializable {
 }
 
 object RegionClient {
-  /** The dial point. `endpoints` is the would-be cluster address list;
-    * the file-backed client serves this sandbox (no network egress), and
-    * is also the right behavior for `endpoints=None` snapshot reads. */
+  /** The dial point. `endpoints` is the cluster address list: when it
+    * carries a `host:port`, the scan runs through [[SocketRegionClient]]
+    * — planning metadata and region bytes flow over the wire (loopback
+    * in this sandbox; the protocol doesn't care), with the FIRST
+    * endpoint dialed (a production client would balance/failover across
+    * the list). `endpoints=None` — the snapshot-read case — and
+    * non-address values stay on the file-backed client. */
   def connect(dir: String, endpoints: Option[String],
               conf: SerializableConfiguration): RegionClient =
-    new FileRegionClient(dir, conf)
+    endpoints.map(_.split(",")(0).trim).filter(_.matches(".+:\\d+")) match {
+      case Some(addr) => new SocketRegionClient(addr)
+      case None => new FileRegionClient(dir, conf)
+    }
 }
 
 /** Region files + index sidecar on a Hadoop filesystem. The index is
