@@ -1114,6 +1114,18 @@ object SparkEntry {
     "q_scan_dump" -> ((s, dir) =>
       Scan.hexDumpWithCnt(KVSnapshot.rangeFilter(KVSnapshot.src(s, dir),
         "li_0000000001".getBytes("UTF-8"), "li_0000000100".getBytes("UTF-8")))),
+    // §2b sources: JSONL ingest through the real permissive JSON parser
+    // with corrupt-line quarantine — mangled lines (deterministically
+    // truncated in the derived fixture) survive as a counted quarantine
+    // group with zero data contribution, never dropped silently
+    "q_jsonl_ingest" -> ((s, dir) =>
+      graft.sources.Jsonl.read(s, dir)
+        .select(
+          when(col("_bad").isNotNull, lit("~corrupt")).otherwise(col("lang")).as("lang"),
+          when(col("_bad").isNotNull, lit(0L)).otherwise(col("n_chars")).as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"))
+        .orderBy(col("lang"))),
     // §2b aggregations: TPC-H Q1-style grouped agg (exact decimal sums)
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -2253,6 +2265,17 @@ object SparkEntry {
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex,
         |  ROW_NUMBER() OVER (ORDER BY k) AS cnt FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000000100' ORDER BY cnt""".stripMargin),
+    // replays the fixture derivation instead of re-parsing files: lines
+    // truncated at doc_id % 100 == 7 always fail the JSON parse (the
+    // closing brace is among the five cut characters), so the corrupt
+    // group is exactly that residue class and good groups are the rest
+    "q_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 100 <> 7 GROUP BY lang
+        |UNION ALL
+        |SELECT '~corrupt' AS lang, count(*) AS n_docs, 0 AS sum_chars
+        |FROM documents WHERE doc_id % 100 = 7
+        |ORDER BY lang""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
