@@ -236,6 +236,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.filter(col("id") < 10), e, 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // hard-negative mining for contrastive training: per query, the
+    // top-3 most-similar vectors with a DIFFERENT label
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e.filter(col("id") < 10), e, 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // IVF-style ANN: probe the 2 nearest of the per-label centroid
     // clusters. Centroids sum in DECIMAL → the full pipeline (codebook,
     // assignment, probing, rescoring) is deterministic and
@@ -425,6 +432,27 @@ object SparkEntry {
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("t"))
         .limit(20)),
+    // out-of-vocabulary rate: vocabulary = tokens seen >= 2 times in the
+    // deterministic train split; per-lang OOV token share of the eval
+    // split — the tokenizer-coverage health check run before training.
+    // Exact integers end-to-end (permille via integer division)
+    "q_oov_rate" -> ((s, dir) => {
+      val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L))
+      val tok = docs(s, dir).withColumn("is_train", bucket < 90)
+        .select(col("lang"), col("is_train"),
+          explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val vocab = tok.filter(col("is_train")).groupBy(col("t"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select(col("t"), lit(1).as("in_vocab"))
+      tok.filter(!col("is_train"))
+        .join(vocab, Seq("t"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+        .orderBy(col("lang"))
+    }),
     // BM25 keyword search: top-10 docs for a 3-term query
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Search(docs(s, dir), "text", "doc_id",
@@ -1373,6 +1401,16 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+        |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.label <> c.label),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |scored AS (
@@ -1691,6 +1729,23 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q_oov_rate" ->
+      """WITH d AS (SELECT lang, text,
+        |  list_reduce(list_transform(
+        |      string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |    (a, d) -> a * 16 + d) % 100 < 90 AS is_train
+        |  FROM documents),
+        |tok AS (SELECT lang, is_train, unnest(string_split(text, ' ')) AS t FROM d),
+        |tok2 AS (SELECT * FROM tok WHERE t <> ''),
+        |vocab AS (SELECT t FROM tok2 WHERE is_train GROUP BY t HAVING count(*) >= 2)
+        |SELECT e.lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  (CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // count(*) AS oov_permille
+        |FROM (SELECT * FROM tok2 WHERE NOT is_train) e
+        |LEFT JOIN vocab v ON e.t = v.t
+        |GROUP BY e.lang ORDER BY e.lang""".stripMargin,
     "q_split_assign" ->
       """WITH b AS (SELECT lang, text,
         |  list_reduce(list_transform(

@@ -63,6 +63,28 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: per query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label ("looks the same, is not" — the examples that actually move
+    * an embedding model, versus easy negatives cosine already
+    * separates). Same broadcast-query brute-force shape as
+    * [[bruteForceTopK]] with the label guard in the join; at corpus
+    * scale the same IVF probe swaps in for the corpus side and the
+    * label guard rides the rescore. Output: (query_id, vec_id, sim,
+    * rank ≤ k), deterministic (9-dp rounding + vec_id tiebreak). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("q_label"), norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
+      col("label").as("c_label"), norm(col("vec")).as("cn"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN top-k over the per-`labelCol` mean-vector codebook —
     * the labeled-corpus form; [[kmeansCodebook]] is the unsupervised
     * drop-in for the usual case where no label exists. Probing `nprobe`

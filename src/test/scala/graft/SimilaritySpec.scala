@@ -67,6 +67,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hardNegatives: top-k strictly different-label neighbors, consistent with the full ranking") {
+    val labels = emb.select(col("id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val res = Similarity.hardNegatives(emb.filter(col("id") < 5), emb, 3)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.length === 5 * 3)
+    // a hard negative NEVER shares the query's label (self is excluded
+    // a fortiori)
+    assert(res.forall { case (q, v, _, _) => labels(q) != labels(v) })
+    // and it is exactly the label-filtered slice of the full ranking:
+    // every same-or-better different-label candidate is ranked above
+    val full = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, 100000)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val expected = full
+      .filter { case (q, v, _, _) => labels(q) != labels(v) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, v, s, _), i) => (q, v, s, i + 1) }
+      }.toSet
+    assert(res.toSet === expected)
+  }
+
   test("IVF ANN achieves high recall@3 on clustered data") {
     // 10 well-separated clusters (scaled one-hot centroids) + small
     // deterministic offsets — the data shape IVF is designed for. (The
