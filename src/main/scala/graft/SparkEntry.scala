@@ -512,6 +512,11 @@ object SparkEntry {
         .orderBy(col("stage_idx"))),
     "q_asof_join" -> ((s, dir) =>
       Events.asofJoin(Events.read(s, dir), "click", "purchase").orderBy(col("event_id"))),
+    // the forward twin: each purchase paired with the NEXT click — the
+    // fill-backward half of the as-of enrichment pair
+    "q_asof_forward" -> ((s, dir) =>
+      Events.asofJoin(Events.read(s, dir), "click", "purchase",
+        direction = "forward").orderBy(col("event_id"))),
     // gap-based sessionization (30-minute idle gap)
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(Events.read(s, dir), 1800000000L)
@@ -1984,6 +1989,16 @@ object SparkEntry {
         |  last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER win AS asof_ts_us
         |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT *,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS asof_event_id,
+        |  first_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER win AS asof_ts_us
+        |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_sessionize" ->

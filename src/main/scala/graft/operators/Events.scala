@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Event-stream operators: JSON property extraction, time-window
   * aggregation, and as-of joins over the `events` fixture.
@@ -124,18 +124,31 @@ object Events {
     * (classic trade/quote as-of). Expressed as a union + last-value
     * window — one shuffle on (user_id), no range join explosion; ties on
     * ts_ns resolved by event_id order. */
-  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+  def asofJoin(events: DataFrame, leftType: String, rightType: String,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward|forward, got $direction")
     val tagged = events
       .filter(col("event_type").isin(leftType, rightType))
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
-    val w = Window.partitionBy(col("user_id"))
+    val base = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // backward: most recent strictly-earlier left event; forward: next
+    // strictly-later left event (the fill-forward vs fill-backward pair
+    // of time-series enrichment) — same merge-sorted single-shuffle
+    // window plan, only the frame direction flips
+    val (w, pick) =
+      if (direction == "backward")
+        (base.rowsBetween(Window.unboundedPreceding, -1),
+          (c: Column) => last(c, ignoreNulls = true))
+      else
+        (base.rowsBetween(1, Window.unboundedFollowing),
+          (c: Column) => first(c, ignoreNulls = true))
     tagged
       .withColumn("asof_event_id",
-        last(when(col("event_type") === leftType, col("event_id")), ignoreNulls = true).over(w))
+        pick(when(col("event_type") === leftType, col("event_id"))).over(w))
       .withColumn("asof_ts_us",
-        last(when(col("event_type") === leftType, col("ts_us")), ignoreNulls = true).over(w))
+        pick(when(col("event_type") === leftType, col("ts_us"))).over(w))
       .filter(col("event_type") === rightType)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("asof_event_id"), col("asof_ts_us"))

@@ -260,19 +260,43 @@ object TextAnalysis {
     * — EXACTLY quota docs per group (the whole group when it is
     * smaller), uniform over the group, reproducible across runs and
     * cluster layouts (no rand(), no row_number over an arbitrary
-    * order). Groups without a quota are dropped. At scale this is one
-    * shuffle by group plus a per-group top-k; a skewed giant group is
-    * the classic AQE/two-phase top-k case, not a plan change. */
+    * order). Groups without a quota are dropped.
+    *
+    * Scale shape: a per-group row_number window sorts EVERY row of a
+    * group inside one task — a giant group (the usual case: "en" is
+    * most of the corpus) is a one-task sort of most of the corpus. So
+    * the window runs on a HASH-PRUNED survivor set instead: hashes are
+    * uniform in [0, 2^60), so the quota-th smallest hash of an m-row
+    * group concentrates at ~(2^60/m)·q, and keeping only rows below
+    * (2^60/m)·q·`pruneMargin` (per-group m from one broadcast count)
+    * passes ~q·margin rows per group to the exact window — the
+    * two-phase top-k, with phase 1 a stateless filter. At margin 8 the
+    * probability the prune cuts a true selection is e^{-Ω(q·margin)}
+    * (vanishing even for q = 1, and fixed-dataset runs are
+    * deterministic either way); the q_mix_quota oracle runs the
+    * UNPRUNED window in SQL, so the correctness gate itself is the
+    * prune-equals-plain proof. Groups with m ≤ q·margin skip the prune
+    * entirely (threshold would cover everything). */
   def stratifiedSample(docs: DataFrame, groupCol: String, idCol: String,
-                       quotas: Map[String, Long]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
+                       quotas: Map[String, Long],
+                       pruneMargin: Int = 8): DataFrame = {
+    val h = Dedup.md5Hash60(col(idCol).cast("string"))
     val quotaCol = quotas.foldLeft(lit(null).cast("long")) {
       case (acc, (g, q)) => when(col(groupCol) === g, lit(q)).otherwise(acc)
     }
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quotaCol)
-      .drop("__rn")
+    val cnt = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__m"))
+    val pruned = docs.withColumn("__h", h)
+      .withColumn("__q", quotaCol)
+      .filter(col("__q").isNotNull)
+      .join(broadcast(cnt), Seq(groupCol))
+      // (2^60 / m) · q·margin never overflows: for m > q·margin the
+      // product is < 2^60; for m ≤ q·margin the prune is skipped
+      .filter(col("__m") <= col("__q") * pruneMargin ||
+        col("__h") < (lit(1L << 60) / col("__m")) * (col("__q") * pruneMargin))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+    pruned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__rn", "__h", "__m", "__q")
   }
 
   /** Polynomial rolling-hash content fingerprint over the text's

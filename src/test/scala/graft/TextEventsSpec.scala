@@ -83,6 +83,24 @@ class TextEventsSpec extends SparkTestBase {
     assert(s1 === sample())                            // reproducible selection
   }
 
+  test("stratified sampling: hash prune equals the unpruned window on a giant group") {
+    // one 20k-row group with a 50-doc quota: the prune passes ~400 rows
+    // to the exact window instead of sorting all 20k in one task, and
+    // must select the IDENTICAL sample (the q_mix_quota oracle runs the
+    // unpruned form in SQL, so this equality is also gate-checked)
+    val docs = spark.range(1, 20001).select(col("id").as("doc_id"),
+      when(col("id") % 100 === 0, "small").otherwise("big").as("lang"))
+    val quotas = Map("big" -> 50L, "small" -> 20L)
+    def sample(margin: Int) =
+      TextAnalysis.stratifiedSample(docs, "lang", "doc_id", quotas, margin)
+        .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val pruned = sample(8)
+    val plain = sample(Int.MaxValue) // threshold covers everything: no prune
+    assert(pruned === plain)
+    assert(pruned.count(_._1 == "big") === 50)
+    assert(pruned.count(_._1 == "small") === 20)
+  }
+
   test("token packing: two-phase prefix sum matches the sequential fold, any partitioning") {
     import graft.operators.Pack
     // texts with varied token counts; ids deliberately unsorted on input
