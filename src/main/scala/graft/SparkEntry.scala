@@ -432,6 +432,23 @@ object SparkEntry {
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("t"))
         .limit(20)),
+    // adaptive quality gate: keep documents scoring at or above their
+    // OWN language's mean quality (integer-ppm arithmetic end-to-end —
+    // sum div count, never a float mean), the per-domain thresholding a
+    // curation pipeline applies instead of one global cutoff. Two-phase:
+    // per-lang aggregate (5 rows, broadcast back), then a counted gate
+    "q_adaptive_quality" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        TextAnalysis.qualityPpm(col("text")).as("ppm"))
+      val thr = d.groupBy(col("lang"))
+        .agg(expr("sum(ppm) div count(1)").as("thr_ppm"),
+          count(lit(1)).as("n_total"))
+      d.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("thr_ppm")).as("thr_ppm"), max(col("n_total")).as("n_total"),
+          sum(when(col("ppm") >= col("thr_ppm"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
     // out-of-vocabulary rate: vocabulary = tokens seen >= 2 times in the
     // deterministic train split; per-lang OOV token share of the eval
     // split — the tokenizer-coverage health check run before training.
@@ -1734,6 +1751,25 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q_adaptive_quality" ->
+      """WITH m AS (SELECT lang,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM documents),
+        |s AS (SELECT lang,
+        |  4 * n_distinct_tokens + 3 * n_tokens * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |    + 3 * least(3 * n_stop, n_tokens) AS num,
+        |  10 * n_tokens AS den FROM m),
+        |p AS (SELECT lang,
+        |  CAST(floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT) AS ppm
+        |FROM s),
+        |thr AS (SELECT lang, CAST(sum(ppm) // count(*) AS BIGINT) AS thr_ppm,
+        |          count(*) AS n_total FROM p GROUP BY lang)
+        |SELECT p.lang, max(t.thr_ppm) AS thr_ppm, max(t.n_total) AS n_total,
+        |  CAST(sum(CASE WHEN p.ppm >= t.thr_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM p JOIN thr t ON p.lang = t.lang
+        |GROUP BY p.lang ORDER BY p.lang""".stripMargin,
     "q_oov_rate" ->
       """WITH d AS (SELECT lang, text,
         |  list_reduce(list_transform(

@@ -228,18 +228,33 @@ object TextAnalysis {
     * small integer) within an ulp of the rounding boundary, where
     * Spark's BigDecimal HALF_UP and the oracle's multiply-based round
     * can disagree (bit one doc at sf0.1). */
-  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The quality score in exact parts-per-million (a LONG) — the form
+    * thresholds should compare and aggregates should average: the
+    * double `quality_score` is ppm/1e6, and 1e6 is not a power of two,
+    * so round-tripping through the double re-derives a DIFFERENT long
+    * for some values. Same half-up rational rounding as
+    * [[quality]]'s score (they share the expression). */
+  def qualityPpm(text: Column): Column = qualityPpmExpr(text).cast("long")
+
+  private def qualityPpmExpr(t: Column): Column = {
     val nTokI = tokenCount(t)
-    val nTok = nTokI.cast("double")
     val nDisI = distinctTokenCount(t)
     val nStopI = profileHits(t, langProfiles.toMap.apply("en"))
     val bandFlag = when(nTokI.between(10, 1000), 1).otherwise(0)
     val num = (lit(4) * nDisI + lit(3) * nTokI * bandFlag +
       lit(3) * least(lit(3) * nStopI, nTokI)).cast("long")
     val den = (lit(10) * nTokI).cast("long")
-    val ppm = floor((lit(2000000L) * num + den).cast("double") /
+    floor((lit(2000000L) * num + den).cast("double") /
       (lit(2L) * den).cast("double"))
+  }
+
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTokI = tokenCount(t)
+    val nTok = nTokI.cast("double")
+    val nDisI = distinctTokenCount(t)
+    val nStopI = profileHits(t, langProfiles.toMap.apply("en"))
+    val ppm = qualityPpmExpr(t)
     docs.select(
       col(idCol).as("doc_id"),
       length(t).as("n_chars"),
