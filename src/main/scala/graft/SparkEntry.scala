@@ -800,6 +800,20 @@ object SparkEntry {
       Sketches.kmvDistinct(li, col("l_partkey"), 256)
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_ndv")))
     }),
+    // KMV sketch set operations: |src ∪ dst| and |src ∩ dst| key-set
+    // estimates from two 256-long sketches — the cross-cluster overlap
+    // probe at O(k) memory, never joining the snapshots; exact twins
+    // attached so the gate scores the estimator and its honesty at once
+    "q_kmv_setops" -> ((s, dir) => {
+      val src = kvStrSrc(s, dir)
+      val dst = kvStrDst(s, dir)
+      val est = Sketches.kmvSetOps(src, col("key"), dst, col("key"), 256)
+      val xu = src.select(col("key")).unionAll(dst.select(col("key")))
+        .agg(countDistinct(col("key")).as("exact_union"))
+      val xi = src.select(col("key")).intersect(dst.select(col("key")))
+        .agg(count(lit(1)).as("exact_intersect"))
+      est.crossJoin(xu).crossJoin(xi)
+    }),
     // grouped KMV: per-language distinct-shingle NDV estimates
     // (shuffle = groups × k longs), exact twin attached for the gate
     "q_approx_distinct_by" -> ((s, dir) => {
@@ -2413,6 +2427,36 @@ object SparkEntry {
         |  END AS est_ndv,
         |  exact_ndv
         |FROM a CROSS JOIN x""".stripMargin,
+    // KMV set ops: identical two-sketch merge, membership flags, and
+    // IEEE estimate arithmetic ((k-1)·2^60 is an exact double literal;
+    // the ρ·|union| product runs left-to-right in both engines)
+    "q_kmv_setops" -> (cte +
+      s""", ha AS (SELECT DISTINCT ${duckHash60("'kmv_' || k")} AS h FROM src),
+        |hb AS (SELECT DISTINCT ${duckHash60("'kmv_' || k")} AS h FROM dst),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |       ORDER BY h LIMIT 256),
+        |f AS (SELECT u.h, a.h IS NOT NULL AS ia, b.h IS NOT NULL AS ib
+        |      FROM ku u LEFT JOIN ka a ON u.h = a.h LEFT JOIN kb b ON u.h = b.h),
+        |agg AS (SELECT count(*) AS k_used, max(h) AS kth_hash,
+        |          CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |        FROM f),
+        |e AS (SELECT k_used, n_both,
+        |        CASE WHEN k_used < 256 THEN k_used
+        |             ELSE CAST(floor(255.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+        |        END AS est_union FROM agg),
+        |xu AS (SELECT count(*) AS exact_union FROM
+        |       (SELECT k FROM src UNION SELECT k FROM dst)),
+        |xi AS (SELECT count(*) AS exact_intersect FROM
+        |       (SELECT k FROM src INTERSECT SELECT k FROM dst))
+        |SELECT k_used, n_both, est_union,
+        |  CASE WHEN k_used < 256 THEN n_both
+        |       ELSE CAST(floor(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+        |              * CAST(est_union AS DOUBLE)) AS BIGINT)
+        |  END AS est_intersect,
+        |  exact_union, exact_intersect
+        |FROM e CROSS JOIN xu CROSS JOIN xi""".stripMargin),
     // grouped KMV: same per-language k-min-distinct-hash construction
     "q_approx_distinct_by" ->
       s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),

@@ -49,6 +49,18 @@ object Sketches {
     * the same integer inputs in both engines, so `floor` of it is
     * deterministic. Output: one row (k_used, kth_hash, est_ndv). */
   def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val km = kmins(df, key, k)
+    km.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(kmvEstimate(k, col("kth_hash")))
+          .as("est_ndv"))
+  }
+
+  /** The k smallest DISTINCT salted hashes of `key` — the KMV sketch
+    * itself, as a ≤k-row frame. Bounded per-partition TreeSets first,
+    * so the shuffle moves at most `partitions × k` longs. */
+  private def kmins(df: DataFrame, key: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashes = df.select(saltedHash60("kmv_", key).as("h")).as[Long]
@@ -61,14 +73,49 @@ object Sketches {
       scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
         .asScala.map(_.longValue())
     }
-    val kmins = partial.toDF("h").distinct().orderBy(col("h")).limit(k)
+    partial.toDF("h").distinct().orderBy(col("h")).limit(k)
+  }
+
+  private def kmvEstimate(k: Int, kthHash: Column): Column = {
     val two60 = math.pow(2.0, 60) // 2^60 is exact in double
-    kmins.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
-      .select(col("k_used"), col("kth_hash"),
+    // (k-1)·2^60 is an exact double (tiny mantissa), so both engines
+    // compute the identical literal before the one IEEE division
+    floor(lit((k - 1).toDouble) * lit(two60) / kthHash.cast("double"))
+      .cast("long")
+  }
+
+  /** KMV sketch SET OPERATIONS — estimate |A ∪ B| and |A ∩ B| from two
+    * bounded sketches WITHOUT ever joining the corpora (Beyer et al.,
+    * "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD'07): the k smallest hashes of A ∪ B are the k
+    * smallest of kmins(A) ∪ kmins(B), so the union sketch merges two
+    * ≤k-row frames; within it, the fraction ρ of hashes present in
+    * BOTH sides' sketches estimates Jaccard, and |A∩B| ≈ ρ·|A∪B|. The
+    * cross-corpus overlap probe ("how contaminated is corpus B with
+    * corpus A", "how far apart are the two clusters' key sets") at
+    * O(partitions × k) shuffle cost — the estimation twin of the exact
+    * [[graft.operators.Diff]]. When the true union is smaller than k
+    * both estimates collapse to exact counts. Output: one row
+    * (k_used, n_both, est_union, est_intersect). */
+  def kmvSetOps(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                k: Int): DataFrame = {
+    val ka = kmins(a, aKey, k).localCheckpoint()
+    val kb = kmins(b, bKey, k).localCheckpoint()
+    val ku = ka.unionAll(kb).distinct().orderBy(col("h")).limit(k)
+    val flagged = ku
+      .join(ka.withColumn("ia", lit(1)), Seq("h"), "left")
+      .join(kb.withColumn("ib", lit(1)), Seq("h"), "left")
+    flagged
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L)).as("n_both"))
+      .select(col("k_used"), col("n_both"),
         when(col("k_used") < k, col("k_used"))
-          .otherwise(floor(lit((k - 1).toDouble) * lit(two60) /
-            col("kth_hash").cast("double")).cast("long"))
-          .as("est_ndv"))
+          .otherwise(kmvEstimate(k, col("kth_hash"))).as("est_union"))
+      .select(col("k_used"), col("n_both"), col("est_union"),
+        when(col("k_used") < k, col("n_both"))
+          .otherwise(floor(col("n_both").cast("double") / col("k_used").cast("double")
+            * col("est_union").cast("double")).cast("long"))
+          .as("est_intersect"))
   }
 
   /** Per-group KMV distinct-count estimates: per-language /

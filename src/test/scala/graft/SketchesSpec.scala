@@ -48,6 +48,31 @@ class SketchesSpec extends SparkTestBase {
     assert(r === ((40L, 40L)))
   }
 
+  test("KMV set ops estimate union/intersection within the k error bound; exact below k") {
+    // A = 0..5999, B = 3000..8999: |A∪B| = 9000, |A∩B| = 3000
+    val a = spark.range(0, 6000).toDF("key")
+    val b = spark.range(3000, 9000).toDF("key")
+    val r = Sketches.kmvSetOps(a, col("key"), b, col("key"), 256)
+      .select("k_used", "n_both", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 === 256L)
+    assert(math.abs(r._3 - 9000).toDouble / 9000 < 0.2, s"union est ${r._3}")
+    assert(math.abs(r._4 - 3000).toDouble / 3000 < 0.35, s"intersect est ${r._4}")
+    // partitioning-invariant (the sketches are global k-min sets)
+    val r2 = Sketches.kmvSetOps(a.repartition(7), col("key"),
+        b.repartition(5), col("key"), 256)
+      .select("k_used", "n_both", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r2 === r)
+    // union smaller than k: both estimates collapse to exact counts
+    val sa = spark.range(0, 100).toDF("key")
+    val sb = spark.range(60, 160).toDF("key")
+    val ex = Sketches.kmvSetOps(sa, col("key"), sb, col("key"), 256)
+      .select("k_used", "n_both", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Long)].head()
+    assert(ex === ((160L, 40L, 160L, 40L)))
+  }
+
   test("count-min estimates are >= exact and tight for a planted heavy hitter") {
     // one token at 5000 occurrences + 2000 singletons: the heavy
     // hitter's relative error is bounded by the tail mass per bucket
