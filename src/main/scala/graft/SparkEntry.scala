@@ -1008,6 +1008,26 @@ object SparkEntry {
           Diff.diff(kvStrSrc(s, dir), kvStrDst(s, dir)),
           k => substring(k, 1, 10))
         .orderBy(col("bucket"))),
+    // TIME TRAVEL: reconstruct the keyspace state at a changelog
+    // sequence cutoff — the lakehouse snapshot-isolation replay, as
+    // diff→changelog→partial-apply composition. Changes carry a
+    // deterministic pseudo-sequence (key-hash mod 10); the state at
+    // cutoff 4 has ~half the src→dst changes applied, summarized per
+    // key bucket. applyChangelog's per-key latest-wins window does the
+    // reconstruction; cost scales with |changes|, never rescans dst
+    "q_time_travel" -> ((s, dir) => {
+      val src = kvStrSrc(s, dir)
+      val dst = kvStrDst(s, dir)
+      // seq ∈ 1..10: applyChangelog's base snapshot sits at seq 0, so
+      // every change must sequence strictly after it
+      val chg = Diff.diffAsChangelog(Diff.diff(src, dst))
+        .withColumn("seq", pmod(Dedup.md5Hash60(col("key")), lit(10L)) + 1)
+      Diff.applyChangelog(src, chg.filter(col("seq") <= 5))
+        .groupBy(substring(col("key"), 1, 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).cast("long").as("bytes"))
+        .orderBy(col("bucket"))
+    }),
     // UNPIVOT/melt: wide per-flag aggregate rotated to (flag, metric,
     // value) rows — pivot's inverse completes the reshaping family
     "q_unpivot" -> ((s, dir) => {
@@ -2692,6 +2712,27 @@ object SparkEntry {
         |SELECT doc_a, doc_b, levenshtein(t1, t2) AS dist FROM cand
         |WHERE levenshtein(t1, t2) * 1000 <= budget AND levenshtein(t1, t2) <= 64
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // state at cutoff = src with the seq<=4 slice of the changelog
+    // applied: updates take dst's value, applied deletes drop, applied
+    // inserts appear; everything else stays src
+    "q_time_travel" -> (cte +
+      s""", df AS (SELECT coalesce(s.k, d.k) AS key, s.v AS sv, d.v AS dv,
+        |    CASE WHEN s.k IS NULL THEN 'dst_only'
+        |         WHEN d.k IS NULL THEN 'src_only'
+        |         ELSE 'mismatch' END AS diff_class
+        |  FROM src s FULL OUTER JOIN dst d ON s.k = d.k
+        |  WHERE s.k IS NULL OR d.k IS NULL OR s.v <> d.v),
+        |app AS (SELECT key, diff_class, dv, ${duckHash60("key")} % 10 + 1 AS seq FROM df),
+        |applied AS (SELECT * FROM app WHERE seq <= 5),
+        |state AS (
+        |  SELECT s.k AS key, coalesce(a.dv, s.v) AS value
+        |  FROM src s LEFT JOIN applied a ON s.k = a.key
+        |  WHERE a.key IS NULL OR a.diff_class <> 'src_only'
+        |  UNION ALL
+        |  SELECT key, dv FROM applied WHERE diff_class = 'dst_only')
+        |SELECT substr(key, 1, 10) AS bucket, count(*) AS n,
+        |  CAST(sum(length(value)) AS BIGINT) AS bytes
+        |FROM state GROUP BY 1 ORDER BY bucket""".stripMargin),
     // the maintained summary must equal the direct dst aggregate
     "q_ivm_agg" -> (cte +
       """SELECT substr(k, 1, 10) AS bucket, count(*) AS n,

@@ -59,3 +59,33 @@ gen("lineitem", """
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM '{src}'""")
+
+gen("customer", """
+  SELECT c_custkey + {i} * 10000000 AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM '{src}'""")
+
+gen("supplier", """
+  SELECT s_suppkey + {i} * 1000000 AS s_suppkey,
+         s_name, s_nationkey, s_acctbal
+  FROM '{src}'""")
+
+gen("part", """
+  SELECT p_partkey + {i} * 10000000 AS p_partkey,
+         p_name, p_brand, p_type, p_size, p_retailprice
+  FROM '{src}'""")
+
+gen("events", """
+  SELECT event_id + {i} * 100000000 AS event_id,
+         ts, user_id + {i} * 10000000 AS user_id,
+         event_type, value, props
+  FROM '{src}'""")
+
+# shared dimensions: nation keys are referenced unshifted from every copy's
+# customers/suppliers, so these two stay single-copy
+for t in ("nation", "region"):
+    d = os.path.join(OUT, f"{t}.parquet")
+    os.makedirs(d, exist_ok=True)
+    con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{d}/part-00.parquet' (FORMAT PARQUET)")
+    print(f"{t}: copied (shared dim)")
