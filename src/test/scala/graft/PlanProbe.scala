@@ -6,7 +6,9 @@ object PlanProbe {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q_range_filter","q_kvbin_scan","q_checksum","q_join_revenue","q_cosine_topk")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q_range_filter","q_kvbin_scan","q_checksum","q_join_revenue","q_cosine_topk")
+    for (q <- qs) {
       println(s"===== $q =====")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       println(plan.linesIterator.filter(l =>

@@ -189,6 +189,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"edit-neardup join key must include the length bucket:\n$pe")
   }
 
+  test("q_hard_negatives: the tiny query side broadcasts into the non-equi join") {
+    // a label-inequality condition can't hash-join; the right plan is a
+    // BroadcastNestedLoopJoin that builds the 10-row QUERY side, so the
+    // corpus streams exactly once — never a shuffled cartesian
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_adaptive_quality: the 5-row threshold frame broadcasts back into the gate") {
+    val p = plan("q_adaptive_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine before both shuffles
+  }
+
   test("q_semi_anti: plans a real left-semi and a real left-anti join") {
     val p = plan("q_semi_anti")
     assert(p.contains("LeftSemi"), p)
