@@ -725,7 +725,7 @@ object Dedup {
     // repartitioning the left by id fans the pair work across the
     // cluster without touching the join keys.
     val lp = l.repartition(l.sparkSession.sparkContext.defaultParallelism, col("id_a"))
-    lp.join(r, col("blk") === col("blk_r") && col("chunk_id") === col("cid_r") &&
+    val cand = lp.join(r, col("blk") === col("blk_r") && col("chunk_id") === col("cid_r") &&
         col("chunk") === col("chunk_r") && col("b") === col("reg") &&
         (col("len_a") < col("len_b") ||
           (col("len_a") === col("len_b") && col("id_a") < col("id_b"))))
@@ -735,9 +735,12 @@ object Dedup {
       .filter(
         expr("aggregate(zip_with(pc_a, pc_b, (x, y) -> abs(x - y)), 0, (s, v) -> s + v)") * 500
           <= budget)
-      // a pair agreeing on several band chunks reaches here once per
-      // agreement — collapse before the DP so each pair pays one verify
-      .dropDuplicates("id_a", "id_b")
+    // a pair agreeing on several band chunks reaches the join once per
+    // agreement — collapse before the DP so each pair pays one verify.
+    // Band off ⇒ one constant chunk per doc ⇒ no duplicates possible,
+    // and the dedup's full-row (texts included) shuffle is skipped.
+    val deduped = if (contentBand) cand.dropDuplicates("id_a", "id_b") else cand
+    deduped
       // banded DP: the threshold variant fills only the 2k+1 diagonal
       // band (O(k*n), not O(n^2)) and returns -1 past the cap — on
       // ~300-char docs that is ~5x fewer cells, and the verify stage is
