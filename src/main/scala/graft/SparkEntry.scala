@@ -998,7 +998,7 @@ object SparkEntry {
     // pair orientation, and the derived bucket radius exactly
     "q_edit_neardup" -> ((s, dir) =>
       Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang",
-          bandBits = 60, tokenHash = Dedup.md5Hash60)
+          contentBand = true, bandBits = 60, tokenHash = Dedup.md5Hash60)
         .orderBy(col("doc_a"), col("doc_b"))),
     // incremental view maintenance: dst's per-bucket (count, bytes)
     // summary derived from src's summary + the diff changelog — cost
@@ -1011,8 +1011,8 @@ object SparkEntry {
     // TIME TRAVEL: reconstruct the keyspace state at a changelog
     // sequence cutoff — the lakehouse snapshot-isolation replay, as
     // diff→changelog→partial-apply composition. Changes carry a
-    // deterministic pseudo-sequence (key-hash mod 10); the state at
-    // cutoff 4 has ~half the src→dst changes applied, summarized per
+    // deterministic pseudo-sequence (key-hash mod 10 + 1); the state at
+    // cutoff 5 has ~half the src→dst changes applied, summarized per
     // key bucket. applyChangelog's per-key latest-wins window does the
     // reconstruction; cost scales with |changes|, never rescans dst
     "q_time_travel" -> ((s, dir) => {

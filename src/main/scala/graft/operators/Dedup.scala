@@ -648,7 +648,9 @@ object Dedup {
     * distance; the blocking exists precisely to bound how many bodies
     * meet.
     *
-    * The CONTENT band (`contentBand`, default on) divides block sizes
+    * The CONTENT band (`contentBand`, default OFF — exact recall is the
+    * default contract, matching `simhashNearDup`'s opt-in chunk-df cap;
+    * scale callers opt in) divides block sizes
     * by ~2^(bandBits/4): both sides additionally carry their SimHash
     * signature split into 4 chunks, and the join requires one exact
     * chunk match. Without it, a (block, length-bucket) bucket's
@@ -658,13 +660,14 @@ object Dedup {
     * keeps EVERY pair whose signatures differ in ≤3 bits; a small edit
     * perturbs few token votes, so edit-near pairs almost always
     * qualify, but a pathological edit that flips ≥4 signature bits
-    * spread over all 4 chunks can be missed — callers needing the
-    * exact answer pass contentBand = false.
+    * spread over all 4 chunks can be missed (short documents, where a
+    * few edited tokens swing many bit votes, are the risk case — which
+    * is why exactness is the default).
     * `maxDistPermille` keeps pairs whose distance ≤ maxlen·d/1000. */
   def editNearDup(docs: DataFrame, textCol: String, idCol: String,
                   blockCol: String, bucketWidth: Int = 32,
                   maxDistPermille: Int = 100, maxAbsDist: Int = 64,
-                  contentBand: Boolean = true, bandBits: Int = 64,
+                  contentBand: Boolean = false, bandBits: Int = 64,
                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // cheap counting-filter probes, computed ONCE per document before
     // the join: a single edit changes at most two characters' counts by

@@ -79,7 +79,12 @@ object Graph {
       // |V| stays in-plan as a broadcast 1-row aggregate — no
       // driver-side count() action at build time
       val nv = nodes.agg(count(lit(1)).as("cnt"))
-      val srcs = deg.select(col("src").as("node"))
+      // srcs is |V|-sized like the rank vector: honor the same
+      // broadcastRanks escape hatch, or the anti-join would rebuild a
+      // node-set broadcast each round on exactly the graphs whose node
+      // set was declared too big to broadcast
+      val srcs0 = deg.select(col("src").as("node"))
+      val srcs = if (broadcastRanks) broadcast(srcs0) else srcs0
       var rank = nodes.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to iters) {
         val r = if (broadcastRanks) broadcast(rank) else rank
@@ -94,7 +99,7 @@ object Graph {
         // materialization barriers cost more than the shared subtree,
         // which ReusedExchange already dedupes on the broadcast side),
         // so, like the fast path, this loop stays checkpoint-free.
-        val dangling = rank.join(broadcast(srcs), Seq("node"), "left_anti")
+        val dangling = rank.join(srcs, Seq("node"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
         rank = nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dangling))

@@ -41,6 +41,7 @@ object Jsonl {
     p.toString
   }
   private val cache = scala.collection.mutable.Map.empty[String, String]
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Materialize the JSONL fixture for `dir`'s documents table, once
     * per JVM (source setup, not query work — the file "already exists"
@@ -48,7 +49,9 @@ object Jsonl {
   def fixturePath(spark: SparkSession, dir: String): String =
     cache.synchronized {
       cache.getOrElseUpdate(dir, {
-        val p = s"$root/docs_${Integer.toHexString(dir.hashCode)}"
+        // a counter, NOT dir.hashCode: 32-bit hash collisions between
+        // two dataset dirs would silently alias their fixture paths
+        val p = s"$root/docs_${seq.incrementAndGet()}"
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         docs
           .withColumn("line", to_json(struct(col("doc_id"), col("text"),

@@ -50,6 +50,10 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   private val closed = new AtomicBoolean(false)
+  // the directory is immutable for the server's lifetime (META/REGIONS
+  // already assume it): read the index sidecar once, not per SCAN —
+  // a full N-region table scan must not cost N index reads
+  private lazy val index = KVBin.readAll(dir, conf)
 
   /** The `endpoints` value clients dial. */
   val address: String =
@@ -63,7 +67,12 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
         t.setDaemon(true)
         t.start()
       } catch {
-        case _: java.net.SocketException => // closed
+        // after close() any accept error just ends the loop; while
+        // live, swallowing ONLY SocketException would let e.g. an
+        // IOException under fd pressure kill the acceptor silently —
+        // clients would then connect (backlog) but never be served
+        case _ if closed.get() => // closing: fall out of the loop
+        case scala.util.control.NonFatal(_) => // transient: keep accepting
       }
     }
   }, "kvbin-accept")
@@ -81,14 +90,14 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
       // after the line is ever needed
       req match {
         case "META" =>
-          val meta = KVBin.readMeta(dir, conf)
+          val meta = index._1
           out.writeInt(meta.size)
           meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
             writeBytes(out, k.getBytes("UTF-8"))
             writeBytes(out, v.getBytes("UTF-8"))
           }
         case "REGIONS" =>
-          val regions = KVBin.readIndex(dir, conf)
+          val regions = index._2
           out.writeInt(regions.size)
           regions.foreach { case (id, mn, mx, n) =>
             writeBytes(out, id.getBytes("UTF-8"))
@@ -100,10 +109,10 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
           val id = scan.stripPrefix("SCAN ")
           // region ids come from this server's own index; anything else
           // is a protocol error answered by the terminator alone
-          val known = KVBin.readIndex(dir, conf).exists(_._1 == id)
-          if (known) KVBin.readFile(dir, id, conf).foreach { case (k, v) =>
-            writeBytes(out, k); writeBytes(out, v)
-          }
+          if (index._2.exists(_._1 == id))
+            KVBin.readFile(dir, id, conf).foreach { case (k, v) =>
+              writeBytes(out, k); writeBytes(out, v)
+            }
           out.writeInt(-1)
         case _ => // unknown request: close without a frame
       }
@@ -129,7 +138,11 @@ class SocketRegionClient(address: String) extends RegionClient {
 
   private def dial[T](request: String)(read: DataInputStream => T): T = {
     val Array(host, port) = address.split(":", 2)
-    val sock = new Socket(host, port.toInt)
+    val sock = new Socket()
+    // bounded waits: a wedged or dead server must FAIL the task (so
+    // Spark retries it) rather than hang it forever with no timeout
+    sock.connect(new java.net.InetSocketAddress(host, port.toInt), 10000)
+    sock.setSoTimeout(60000)
     try {
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
       out.write((request + "\n").getBytes("UTF-8"))

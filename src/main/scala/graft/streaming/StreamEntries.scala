@@ -78,11 +78,15 @@ object StreamEntries {
         case None => s.conf.unset(ckKey)
       }
       // explicit checkpoint locations are NOT auto-deleted on stop();
-      // reclaim the tmpfs space once the entry's sink is materialized
+      // reclaim the tmpfs space once the entry's sink is materialized.
+      // Files.walk holds directory fds until closed — close it before
+      // deleting or every entry leaks descriptors for the JVM lifetime
       ckDir.foreach { d =>
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(d)
+        val paths = try walk.iterator().asScala.toSeq.reverse
+          finally walk.close()
+        paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
   }

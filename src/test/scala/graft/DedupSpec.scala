@@ -285,13 +285,14 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(exact.map(p => (p._1, p._2)) === Set((1L, 2L)))
     assert(exact.head._3 === 3) // one char dropped in each of the 3 repeats
-    // the banded default is a SUBSET of the exact answer, and the
+    // the opt-in band is a SUBSET of the exact answer, and the
     // pigeonhole contract holds: any pair whose signatures differ in
     // ≤3 bits is guaranteed kept. (On THIS 27-token fixture the
     // 3-occurrence token swap flips >3 signature bits — tiny documents
-    // are exactly where the documented recall caveat bites, and where
-    // contentBand = false costs nothing.)
-    val banded = Dedup.editNearDup(docs, "text", "doc_id", "lang")
+    // are exactly where the documented recall caveat bites, and why
+    // the exact form is the DEFAULT.)
+    val banded = Dedup.editNearDup(docs, "text", "doc_id", "lang",
+        contentBand = true)
       .as[(Long, Long, Int)].collect().toSet
     assert(banded.subsetOf(exact))
     val sig = Dedup.simhash(docs, "text", "doc_id")
