@@ -352,6 +352,67 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L, 4)))
   }
 
+  test("editNearDup (exact mode) equals all-pairs brute force on randomized corpora") {
+    // the blocking (length buckets, derived radius, (len,id) orientation,
+    // counting filter, banded DP) must be INVISIBLE: seeded random
+    // corpora over a 3-letter alphabet (forcing plenty of near pairs at
+    // many length gaps), compared against a plain quadratic reference
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val fresh = () =>
+        (1 to (5 + rnd.nextInt(115))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      def perturb(s: String): String = {
+        var t = s
+        for (_ <- 0 until (1 + rnd.nextInt(8))) {
+          val p = rnd.nextInt(math.max(t.length, 1))
+          t = rnd.nextInt(3) match {
+            case 0 if t.nonEmpty => t.patch(p, "", 1)                     // delete
+            case 1 => t.patch(p, ('a' + rnd.nextInt(3)).toChar.toString, 0) // insert
+            case _ if t.nonEmpty => t.updated(math.min(p, t.length - 1),
+              ('a' + rnd.nextInt(3)).toChar)                              // substitute
+            case _ => t
+          }
+        }
+        t
+      }
+      val corpus = (1L to 40L).foldLeft(Vector.empty[(Long, String)]) { (acc, id) =>
+        // half the docs are small-edit perturbations of an earlier doc
+        // (guaranteed true near pairs at assorted length gaps), half are
+        // fresh random strings (dense in edit-space over a 3-letter
+        // alphabet, stressing the reject paths)
+        val text = if (acc.nonEmpty && rnd.nextBoolean())
+          perturb(acc(rnd.nextInt(acc.size))._2)
+        else fresh()
+        acc :+ (id, text)
+      }
+      val docs = corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), lit("xx").as("lang"), col("text"))
+      val got = Dedup.editNearDup(docs, "text", "doc_id", "lang",
+          contentBand = false)
+        .as[(Long, Long, Int)].collect().toSet
+      val expected = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        d = lev(ta, tb)
+        budget = math.max(ta.length, tb.length) * 100
+        if d <= 64 && d * 1000 <= budget
+      } yield (ia, ib, d)).toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("editNearDup bucket radius covers the full maxAbsDist length gap") {
     // length gap of exactly maxAbsDist = 64 spans TWO bucketWidth-32
     // buckets (600 → b 18, 664 → b 20): radius is derived from
