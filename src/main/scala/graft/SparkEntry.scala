@@ -72,7 +72,10 @@ object SparkEntry {
     "q_stream_static" -> ((s, dir) => StreamEntries.streamStaticJoin(s, dir)),
     // watermark eviction gated end-to-end: late-arriving first-half
     // data cannot resurrect closed windows — sink = on-time slice only
-    "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)))
+    "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)),
+    // stateful as-of enrichment: per-user latest-click state joins each
+    // purchase across the batch boundary — sink = the batch as-of join
+    "q_stream_asof" -> ((s, dir) => StreamEntries.streamAsof(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2158,6 +2161,19 @@ object SparkEntry {
       """SELECT event_id, user_id, c_nationkey, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+    // the streaming as-of sink must equal the batch as-of join over the
+    // fed slice: state carries the latest click across the batch split
+    "q_stream_asof" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events
+        |           WHERE event_type IN ('click','purchase') AND user_id < 20),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS asof_event_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER win AS asof_ts_us
+        |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // the streaming CMS's final state must equal the batch sketch over
     // the whole corpus (micro-batch boundaries can't show through a
     // commutative counter fold)

@@ -272,6 +272,39 @@ object StreamEntries {
     takeTable(s, name).orderBy(col("day_us"), col("event_type"))
   }
 
+  /** Streaming as-of enrichment ([[StreamAsof]]): each purchase joined
+    * to the user's most recent prior click, with the latest-click state
+    * carried across the batch boundary — batch 1 is the first half of
+    * the feed BY EVENT TIME, batch 2 the second, so second-half
+    * purchases whose matching click arrived in batch 1 prove the state
+    * store does the join. Sink = the batch as-of join on the slice
+    * (the oracle). */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val splitUs = 1705363200000000L // same mid-fixture instant as late-drop
+    val evts = Events.read(s, dir).filter(col("user_id") < 20)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .as[StreamAsof.Evt].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_asof")
+    withStatePartitions(s, 4) {
+      val mem = MemoryStream[StreamAsof.Evt]
+      val q = StreamAsof(mem.toDS(), "click", "purchase").toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(StreamAsof.outputMode).start()
+      drain(q) {
+        mem.addData(evts.filter(_.ts_us < splitUs))
+        q.processAllAvailable()
+        mem.addData(evts.filter(_.ts_us >= splitUs))
+      }
+    }
+    takeTable(s, name)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_event_id"), col("asof_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Stream-static enrichment join — the stateless streaming op every
     * ingest pipeline runs first: each micro-batch of events joins the
     * batch `customer` dim on user_id = c_custkey. The dim is broadcast,
