@@ -863,6 +863,22 @@ object SparkEntry {
         .withColumn("w", expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)"))
       Sketches.prioritySample(o, "o_orderkey", col("w"), 50)
     }),
+    // PER-GROUP priority sampling: 20 weight-proportional orders per
+    // market segment, two-phase (per-partition bounded heaps, then the
+    // exact window over <= partitions*n survivors) — a giant segment
+    // never one-task sorts
+    "q_priority_sample_by" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("w", expr("CAST(floor(o_totalprice * 100 + 0.5) AS LONG)"))
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Sketches.groupedPrioritySample(
+          o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+          col("c_mktsegment"), "o_orderkey", col("w"), 20)
+        .select(col("g").as("segment"), col("id").as("o_orderkey"),
+          col("w"), col("p").as("priority"), col("rk"))
+        .orderBy(col("segment"), col("rk"))
+    }),
     // integer-exact PageRank (3 fixed iterations, micro-unit ranks)
     // over the symmetrized customer—supplier trade graph; top 20 hubs.
     // Nodes are LONGS in flight (customer 2k, supplier 2k+1): every
@@ -2550,6 +2566,20 @@ object SparkEntry {
         |SELECT o_orderkey, w,
         |  (w * 1048576) // ((h // 1099511627776) + 1) AS priority
         |FROM h ORDER BY priority DESC, o_orderkey LIMIT 50""".stripMargin,
+    // grouped priority sampling replayed as the plain per-group rank —
+    // the two-phase heap reduction must be invisible
+    "q_priority_sample_by" ->
+      s"""WITH w AS (SELECT c_mktsegment AS segment, o_orderkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+        |       FROM orders JOIN customer ON o_custkey = c_custkey),
+        |h AS (SELECT segment, o_orderkey, w,
+        |        (w * 1048576) // ((${duckHash60("'ps_' || CAST(o_orderkey AS VARCHAR)")} // 1099511627776) + 1) AS priority
+        |      FROM w),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY segment ORDER BY priority DESC, o_orderkey) AS INT) AS rk
+        |      FROM h)
+        |SELECT segment, o_orderkey, w, priority, rk FROM r WHERE rk <= 20
+        |ORDER BY segment, rk""".stripMargin,
     // integer PageRank, 3 unrolled iterations: micro-unit ranks,
     // contribution = rank // degree, damping in integer arithmetic —
     // bit-equal to the engine's loop regardless of summation order

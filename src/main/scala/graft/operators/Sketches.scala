@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -269,4 +270,47 @@ object Sketches {
       .select(col(keyCol), col("w"), col("priority"))
       .orderBy(col("priority").desc, col(keyCol))
       .limit(k)
+
+  /** PER-GROUP priority sampling — `n` weight-proportional rows per
+    * group ([[prioritySample]] stratified), built scale-safe: priorities
+    * are NOT uniform, so the hash-threshold prune that bounds
+    * [[graft.operators.TextAnalysis.stratifiedSample]] doesn't apply;
+    * instead phase 1 is a per-partition BOUNDED HEAP per group
+    * (mapPartitions, ≤ n survivors per (partition, group) — constant
+    * task memory), and phase 2 ranks the ≤ partitions·n·groups
+    * survivors with the exact window. A giant group never one-task
+    * sorts, and any per-group "top-n by arbitrary value" reduction
+    * takes this same two-phase shape. Output:
+    * (group, key, w, priority, rk ≤ n), deterministic — the same
+    * (priority desc, key) order as the global sample. */
+  def groupedPrioritySample(df: DataFrame, groupCol: Column, keyCol: String,
+                            weightInt: Column, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(groupCol.cast("string").as("g"),
+        col(keyCol).cast("long").as("id"), weightInt.as("w"))
+      .withColumn("h", saltedHash60("ps_", col("id")))
+      .withColumn("p", expr("(w * 1048576) div ((h div 1099511627776) + 1)"))
+      .select(col("g"), col("id"), col("w"), col("p"))
+      .as[(String, Long, Long, Long)]
+    val ord = Ordering.by[(Long, Long, Long), (Long, Long)](t => (-t._3, t._1))
+    val survivors = base.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.TreeSet[(Long, Long, Long)]]
+      it.foreach { case (g, id, w, p) =>
+        val set = heaps.getOrElseUpdate(g,
+          scala.collection.mutable.TreeSet.empty[(Long, Long, Long)](ord))
+        set.add((id, w, p))
+        if (set.size > n) set.remove(set.last)
+      }
+      heaps.iterator.flatMap { case (g, set) =>
+        set.iterator.map { case (id, w, p) => (g, id, w, p) }
+      }
+    }.toDF("g", "id", "w", "p")
+    val win = Window.partitionBy(col("g"))
+      .orderBy(col("p").desc, col("id"))
+    survivors.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= n)
+  }
 }

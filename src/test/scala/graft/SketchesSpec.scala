@@ -137,6 +137,31 @@ class SketchesSpec extends SparkTestBase {
     assert(meanSample > meanPop * 1.2, s"sample mean $meanSample vs pop $meanPop")
   }
 
+  test("grouped priority sample: n per group, partition-invariant, equals per-group brute force") {
+    val rows = (1L to 3000L).map(i => (if (i % 3 == 0) "a" else "b", i, 1L + i % 97))
+    val df = rows.toDF("g", "key", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.groupedPrioritySample(d, col("g"), "key", col("w"), 15)
+        .select("g", "id", "w", "p", "rk")
+        .as[(String, Long, Long, Long, Int)].collect().toSet
+    val got = run(df.repartition(3))
+    assert(got === run(df.repartition(11))) // bounded-heap phase is layout-blind
+    assert(got.count(_._1 == "a") === 15 && got.count(_._1 == "b") === 15)
+    // equals the unreduced per-group top-n (priority desc, key asc)
+    def h60(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val brute = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, k, w) =>
+        (g, k, w, (w * 1048576L) / ((h60(s"ps_$k") / 1099511627776L) + 1L))
+      }.sortBy(t => (-t._4, t._2)).take(15).zipWithIndex
+        .map { case ((gg, k, w, p), i) => (gg, k, w, p, i + 1) }
+    }.toSet
+    assert(got === brute)
+  }
+
   test("PageRank conserves rank mass, favors hubs, and is partitioning-invariant") {
     // star graph: hub connected to 10 spokes (symmetrized) + a 2-cycle
     val raw = ((1 to 10).map(i => ("hub", s"s$i")) ++ Seq(("a", "b"))).toDF("a", "b")
