@@ -204,6 +204,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), p) // map-side combine before both shuffles
   }
 
+  test("q_priority_sample_by: one group shuffle, fed by the heap reduction, dim broadcast") {
+    val p = plan("q_priority_sample_by")
+    // phase 1 (per-partition bounded heaps) runs below the ONLY
+    // hash-partitioned exchange — what crosses the wire is the reduced
+    // survivor set, never the raw group
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) === 1, p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_semi_anti: plans a real left-semi and a real left-anti join") {
     val p = plan("q_semi_anti")
     assert(p.contains("LeftSemi"), p)
