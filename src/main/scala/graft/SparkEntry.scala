@@ -1213,6 +1213,14 @@ object SparkEntry {
           "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
         .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
         .orderBy(col("key_hex"))),
+    // the same scan THROUGH a live loopback kvbin server: region
+    // metadata and bytes arrive over the SocketRegionClient dial path
+    // (endpoints option) — the network connector on the oracle gate
+    "q_kvbin_socket_scan" -> ((s, dir) =>
+      KVSnapshot.rangeFilter(KVSnapshot.srcBinSocket(s, dir),
+          "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
+        .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
+        .orderBy(col("key_hex"))),
     // §2a row 11: ordered hex scan dump with running cnt
     "q_scan_dump" -> ((s, dir) =>
       Scan.hexDumpWithCnt(KVSnapshot.rangeFilter(KVSnapshot.src(s, dir),
@@ -2431,6 +2439,11 @@ object SparkEntry {
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
         |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
     "q_kvbin_scan" -> (cte +
+      """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
+        |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
+    // identical contract to q_kvbin_scan — the socket transport is a
+    // pure execution-path change, so the oracle is the same SQL
+    "q_kvbin_socket_scan" -> (cte +
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
         |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
     "q_scan_dump" -> (cte +

@@ -69,12 +69,16 @@ object KVSnapshot {
     p.toString
   }
   private val matCache = scala.collection.mutable.Map.empty[String, String]
+  // a counter, NOT dir.hashCode, names the per-JVM snapshot dirs:
+  // 32-bit hash collisions between two dataset dirs would silently
+  // alias their snapshots (same bug class fixed in Jsonl.fixturePath)
+  private val matSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   private def materialize(spark: SparkSession, dir: String, side: String,
                           build: => DataFrame): DataFrame = {
     val path = matCache.synchronized {
       matCache.getOrElseUpdate(s"$dir/$side", {
-        val p = s"$matRoot/${side}_${Integer.toHexString(dir.hashCode)}"
+        val p = s"$matRoot/${side}_${matSeq.incrementAndGet()}"
         build.repartitionByRange(matRangePartitions, col("key"))
           .sortWithinPartitions(col("key"))
           .write.mode("overwrite").parquet(p)
@@ -118,16 +122,42 @@ object KVSnapshot {
     * [[graft.sources.kvbin.KVBinSource]] DSv2 connector — the live-
     * cluster-connector code path (range pushdown prunes region files at
     * planning time instead of parquet row groups). */
-  def srcBin(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.kvbin.KVBin
-    val path = matCache.synchronized {
+  def srcBin(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.kvbin.KVBin.read(spark, srcBinPath(spark, dir))
+
+  private def srcBinPath(spark: SparkSession, dir: String): String =
+    matCache.synchronized {
       matCache.getOrElseUpdate(s"$dir/srcbin", {
-        val p = s"$matRoot/srcbin_${Integer.toHexString(dir.hashCode)}"
-        KVBin.write(toKV(base(spark, dir)), p, matRangePartitions)
+        val p = s"$matRoot/srcbin_${matSeq.incrementAndGet()}"
+        graft.sources.kvbin.KVBin.write(toKV(base(spark, dir)), p, matRangePartitions)
         p
       })
     }
-    KVBin.read(spark, path)
+
+  private val serverCache =
+    scala.collection.mutable.Map.empty[String, graft.sources.kvbin.KVBinServer]
+
+  /** The src snapshot read THROUGH a live loopback kvbin server: the
+    * same region files as [[srcBin]], but the planning metadata and
+    * every region's bytes arrive over the [[graft.sources.kvbin
+    * .SocketRegionClient]] dial path (the `endpoints` option) — the
+    * network half of the connector on the CORRECTNESS gate, not just in
+    * specs. One daemon server per (JVM, snapshot); it stays up for the
+    * JVM's lifetime because the returned frame is lazy and every later
+    * re-evaluation re-dials it (daemon threads, loopback socket — no
+    * lingering non-daemon resources). */
+  def srcBinSocket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.kvbin.{KVBinServer, KVBinSource}
+    val path = srcBinPath(spark, dir)
+    val server = serverCache.synchronized {
+      serverCache.getOrElseUpdate(path,
+        new KVBinServer(path, spark.sessionState.newHadoopConf()))
+    }
+    spark.read.format(classOf[KVBinSource].getName)
+      .option("path", path)
+      .option("endpoints", server.address)
+      .option("api_version", "V1")
+      .load()
   }
 
   /** Range-filter a KV frame to `[startKey, endKey)` — BinaryType
