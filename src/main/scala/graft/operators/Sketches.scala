@@ -287,6 +287,16 @@ object Sketches {
                             weightInt: Column, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the key rides the typed phase-1 kernel as a LONG (and the hash as
+    // "ps_<key>"): a fractional or string key would silently alias or
+    // null out under the cast, so the integral contract is enforced
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(keyCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"groupedPrioritySample requires an integral key column, got $dt for $keyCol")
+    }
     val base = df
       .select(groupCol.cast("string").as("g"),
         col(keyCol).cast("long").as("id"), weightInt.as("w"))
@@ -294,18 +304,26 @@ object Sketches {
       .withColumn("p", expr("(w * 1048576) div ((h div 1099511627776) + 1)"))
       .select(col("g"), col("id"), col("w"), col("p"))
       .as[(String, Long, Long, Long)]
-    val ord = Ordering.by[(Long, Long, Long), (Long, Long)](t => (-t._3, t._1))
+    // rank key: smaller (−p, id) = better. The bound is a PriorityQueue
+    // with the WORST element at the head — MULTISET semantics (a
+    // duplicate (key, weight) row survives as two rows, exactly as the
+    // window form ranks it; a TreeSet would collapse equal tuples and
+    // make the output partition-layout-dependent) and a guarded insert
+    // (rows that can't beat the current worst cost one comparison, not
+    // an insert+evict rebalance).
+    val pqOrd = Ordering.by[(Long, Long, Long), (Long, Long)](t => (-t._3, t._1))
     val survivors = base.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.TreeSet[(Long, Long, Long)]]
+        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long, Long)]]
       it.foreach { case (g, id, w, p) =>
-        val set = heaps.getOrElseUpdate(g,
-          scala.collection.mutable.TreeSet.empty[(Long, Long, Long)](ord))
-        set.add((id, w, p))
-        if (set.size > n) set.remove(set.last)
+        val q = heaps.getOrElseUpdate(g,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](pqOrd))
+        val t = (id, w, p)
+        if (q.size < n) q.enqueue(t)
+        else if (pqOrd.lt(t, q.head)) { q.dequeue(); q.enqueue(t) }
       }
-      heaps.iterator.flatMap { case (g, set) =>
-        set.iterator.map { case (id, w, p) => (g, id, w, p) }
+      heaps.iterator.flatMap { case (g, q) =>
+        q.iterator.map { case (id, w, p) => (g, id, w, p) }
       }
     }.toDF("g", "id", "w", "p")
     val win = Window.partitionBy(col("g"))

@@ -162,6 +162,24 @@ class SketchesSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("grouped priority sample keeps duplicate (key, weight) rows — multiset, layout-blind") {
+    // two identical copies of the best row must BOTH survive with n=2,
+    // whether they share a partition or not (a set-semantics phase 1
+    // would collapse colocated copies and diverge from the window form)
+    val rows = Seq(("a", 5L, 1000L), ("a", 5L, 1000L), ("a", 7L, 1L), ("a", 9L, 1L))
+    def run(parts: Int) =
+      Sketches.groupedPrioritySample(
+          rows.toDF("g", "key", "w").repartition(parts), col("g"), "key", col("w"), 2)
+        .select("id", "rk").as[(Long, Int)].collect().toSet
+    assert(run(1) === Set((5L, 1), (5L, 2)))
+    assert(run(4) === Set((5L, 1), (5L, 2)))
+    // non-integral keys are a contract violation, not silent aliasing
+    intercept[IllegalArgumentException] {
+      Sketches.groupedPrioritySample(
+        Seq(("a", 1.5, 1L)).toDF("g", "key", "w"), col("g"), "key", col("w"), 1)
+    }
+  }
+
   test("PageRank conserves rank mass, favors hubs, and is partitioning-invariant") {
     // star graph: hub connected to 10 spokes (symmetrized) + a 2-cycle
     val raw = ((1 to 10).map(i => ("hub", s"s$i")) ++ Seq(("a", "b"))).toDF("a", "b")
