@@ -734,9 +734,13 @@ object Dedup {
           (col("len_a") === col("len_b") && col("id_a") < col("id_b"))))
       // counting filter first (linear scan), DP only on survivors: the
       // bound says dist >= sum/2, so sum * 500 > budget (= maxlen *
-      // permille) proves dist * 1000 > budget without running the DP
+      // permille) proves dist * 1000 > budget without running the DP.
+      // Codegen'd single-pass kernel — the HOF aggregate(zip_with(...))
+      // twin is interpreted and allocates per CANDIDATE PAIR (the same
+      // hot path that motivated the dot-product kernel); DedupSpec pins
+      // kernel ≡ HOF equivalence
       .filter(
-        expr("aggregate(zip_with(pc_a, pc_b, (x, y) -> abs(x - y)), 0, (s, v) -> s + v)") * 500
+        graft.functions.AbsDiffSum.absDiffSum(col("pc_a"), col("pc_b")) * 500
           <= budget)
     // a pair agreeing on several band chunks reaches the join once per
     // agreement — collapse before the DP so each pair pays one verify.

@@ -54,4 +54,25 @@ class DotFoldSpec extends AnyFunSuite {
     val l = new GenericArrayData(Array[Any](4L, 5L))
     assert(Dot.fold(i, l, Dot.KindInt, Dot.KindLong).doubleValue() === 3.0 * 4 - 7.0 * 5)
   }
+
+  test("abs_diff_sum kernel equals the Scala fold; mismatch and null element yield null") {
+    import graft.functions.AbsDiffSum
+    val pairs = for {
+      xs <- Gen.listOf(Gen.chooseNum(-1000, 1000))
+      ys <- Gen.listOfN(xs.size, Gen.chooseNum(-1000, 1000))
+    } yield (xs.toArray, ys.toArray)
+    check(Prop.forAll(pairs) { case (xs, ys) =>
+      val a = new GenericArrayData(xs.map(x => x: Any))
+      val b = new GenericArrayData(ys.map(y => y: Any))
+      val got = AbsDiffSum.fold(a, b)
+      got != null &&
+        got.intValue() == xs.zip(ys).map { case (x, y) => math.abs(x - y) }.sum
+    })
+    assert(AbsDiffSum.fold(
+      new GenericArrayData(Array[Any](1, 2)),
+      new GenericArrayData(Array[Any](1))) == null)
+    assert(AbsDiffSum.fold(
+      new GenericArrayData(Array[Any](1, null)),
+      new GenericArrayData(Array[Any](1, 2))) == null)
+  }
 }
