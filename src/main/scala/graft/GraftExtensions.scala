@@ -46,5 +46,6 @@ object GraftExtensions {
     "decode_ts" -> arity("decode_ts", 1)(es => DecodeTsExpr(es.head)),
     "unescape_go" -> arity("unescape_go", 1)(es => GoUnescapeExpr(es.head)),
     "escape_go" -> arity("escape_go", 1)(es => GoEscapeExpr(es.head)),
-    "dot_product" -> arity("dot_product", 2)(es => DotProductExpr(es.head, es(1))))
+    "dot_product" -> arity("dot_product", 2)(es => DotProductExpr(es.head, es(1))),
+    "abs_diff_sum" -> arity("abs_diff_sum", 2)(es => AbsDiffSumExpr(es.head, es(1))))
 }

@@ -122,6 +122,10 @@ class CodecSpec extends SparkTestBase {
     // arity is validated with a readable error, not an index crash
     val e = intercept[Exception](spark.sql("SELECT dot_product(array(1))").collect())
     assert(e.getMessage.contains("dot_product expects exactly 2"))
+    // abs_diff_sum: SQL surface of the counting-filter kernel
+    val ads = spark.sql("SELECT abs_diff_sum(a, b) FROM dp_in ORDER BY 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ads === Seq(4, 10)) // |1-3|+|2-4| = 4; |0-5|+|0-5| = 10
   }
 
   test("GraftExtensions injects the full function surface without error") {
@@ -130,8 +134,8 @@ class CodecSpec extends SparkTestBase {
     // sorted Seq, not Set: a duplicate name would silently shadow at
     // runtime (createOrReplaceTempFunction: last registration wins)
     assert(graft.GraftExtensions.functions.map(_._1).sorted === Seq(
-      "apiv2_decode_key", "apiv2_encode_key", "crc64", "crc64_pair",
-      "decode_ts", "dot_product", "escape_go", "memcomparable_decode",
-      "memcomparable_encode", "unescape_go"))
+      "abs_diff_sum", "apiv2_decode_key", "apiv2_encode_key", "crc64",
+      "crc64_pair", "decode_ts", "dot_product", "escape_go",
+      "memcomparable_decode", "memcomparable_encode", "unescape_go"))
   }
 }
