@@ -1225,6 +1225,25 @@ object SparkEntry {
     "q_scan_dump" -> ((s, dir) =>
       Scan.hexDumpWithCnt(KVSnapshot.rangeFilter(KVSnapshot.src(s, dir),
         "li_0000000001".getBytes("UTF-8"), "li_0000000100".getBytes("UTF-8")))),
+    // §2b sources: CSV roundtrip through the real writer+parser with
+    // PLANTED quoting hazards (delimiter, quote char and newline inside
+    // a field for doc_id % 10 == 3) — the md5-distinct count catches any
+    // single-character corruption the quoting path might introduce
+    "q_csv_ingest" -> ((s, dir) =>
+      graft.sources.FileFormats.readCsv(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_distinct"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))),
+    // §2b sources: ORC (columnar) ingest; the lang predicate must reach
+    // the ORC scan as a pushed filter (PlanShapeSpec pins it)
+    "q_orc_ingest" -> ((s, dir) =>
+      graft.sources.FileFormats.readOrc(s, dir)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))),
     // §2b sources: JSONL ingest through the real permissive JSON parser
     // with corrupt-line quarantine — mangled lines (deterministically
     // truncated in the derived fixture) survive as a counted quarantine
@@ -2450,6 +2469,23 @@ object SparkEntry {
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex,
         |  ROW_NUMBER() OVER (ORDER BY k) AS cnt FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000000100' ORDER BY cnt""".stripMargin),
+    // replays the planted-hazard derivation: if the writer→parser
+    // roundtrip preserves every byte, the aggregate equals the mutated
+    // documents aggregate
+    "q_csv_ingest" ->
+      """WITH d AS (SELECT lang,
+        |    CASE WHEN doc_id % 10 = 3 THEN 'a,"b' || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_orc_ingest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     // replays the fixture derivation instead of re-parsing files: lines
     // truncated at doc_id % 100 == 7 always fail the JSON parse (the
     // closing brace is among the five cut characters), so the corrupt

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV and ORC ingest fixtures — the rest of the file-format family
+  * (parquet snapshots, the kvbin DSv2 connector, JSONL with quarantine,
+  * the text sink). Like [[Jsonl]], fixtures derive deterministically
+  * from the documents parquet so the DuckDB oracle replays the
+  * DERIVATION in SQL and the Spark side must survive the real
+  * writer→parser roundtrip.
+  *
+  * The CSV fixture PLANTS the quoting hazards the synthetic corpus
+  * lacks: every `doc_id % 10 == 3` text is prefixed with `a,"b\n` — the
+  * field delimiter, the quote character and the record separator all
+  * inside one field — so the gate actually exercises quoting, escaping
+  * and multi-line record parsing, not just comma-free happy paths. ORC
+  * is the columnar member: its gate query filters on `lang`, and
+  * PlanShapeSpec pins that the predicate reaches the ORC scan as a
+  * pushed filter (min/max stripe skipping at scale). */
+object FileFormats {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-fmt-")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+
+  private def memo(key: String)(write: String => Unit): String =
+    cache.synchronized {
+      cache.getOrElseUpdate(key, {
+        val p = s"$root/f_${seq.incrementAndGet()}"
+        write(p)
+        p
+      })
+    }
+
+  /** The planted-hazard text: delimiter + quote + newline inside the
+    * field for the residue class, verbatim otherwise. */
+  private def hazardText: org.apache.spark.sql.Column =
+    when(pmod(col("doc_id"), lit(10)) === 3,
+      concat(lit("a,\"b\n"), col("text"))).otherwise(col("text"))
+
+  /** CSV read end-to-end: derive (memoized, real Spark CSV writer with
+    * default quote/escape) + parse (multiLine for the planted embedded
+    * newlines, same default quote/escape). */
+  def readCsv(spark: SparkSession, dir: String): DataFrame = {
+    val p = memo(s"csv:$dir") { path =>
+      docs(spark, dir).withColumn("text", hazardText)
+        .write.option("header", "false").csv(path)
+    }
+    spark.read.schema(docSchema)
+      .option("header", "false")
+      .option("multiLine", "true")
+      .csv(p)
+  }
+
+  /** ORC read end-to-end: derive (memoized) + read — the columnar
+    * format with stats-based predicate pushdown. */
+  def readOrc(spark: SparkSession, dir: String): DataFrame = {
+    val p = memo(s"orc:$dir") { path =>
+      docs(spark, dir).write.orc(path)
+    }
+    spark.read.schema(docSchema).orc(p)
+  }
+}

@@ -189,6 +189,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"edit-neardup join key must include the length bucket:\n$pe")
   }
 
+  test("q_orc_ingest: the lang predicate reaches the ORC scan as a pushed filter") {
+    val p = plan("q_orc_ingest")
+    val scanLine = p.linesIterator.find(_.contains("FileScan orc")).getOrElse("")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("EqualTo(lang,en)"),
+      s"ORC scan must push the lang filter (stripe-stat skipping at scale):\n$p")
+  }
+
   test("q_hard_negatives: the tiny query side broadcasts into the non-equi join") {
     // a label-inequality condition can't hash-join; the right plan is a
     // BroadcastNestedLoopJoin that builds the 10-row QUERY side, so the
