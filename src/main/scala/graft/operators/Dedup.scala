@@ -737,8 +737,9 @@ object Dedup {
       // permille) proves dist * 1000 > budget without running the DP.
       // Codegen'd single-pass kernel — the HOF aggregate(zip_with(...))
       // twin is interpreted and allocates per CANDIDATE PAIR (the same
-      // hot path that motivated the dot-product kernel); DedupSpec pins
-      // kernel ≡ HOF equivalence
+      // hot path that motivated the dot-product kernel); the column-
+      // level kernel ≡ HOF equivalence (incl. null / length-mismatch
+      // edges) is pinned in DedupSpec, the JVM fold in DotFoldSpec
       .filter(
         graft.functions.AbsDiffSum.absDiffSum(col("pc_a"), col("pc_b")) * 500
           <= budget)

@@ -28,26 +28,11 @@ object FileFormats {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private lazy val root: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-fmt-")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
-  private val cache = scala.collection.mutable.Map.empty[String, String]
-  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+  private val store = new FixtureStore("graft-fmt-")
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-
-  private def memo(key: String)(write: String => Unit): String =
-    cache.synchronized {
-      cache.getOrElseUpdate(key, {
-        val p = s"$root/f_${seq.incrementAndGet()}"
-        write(p)
-        p
-      })
-    }
 
   /** The planted-hazard text: delimiter + quote + newline inside the
     * field for the residue class, verbatim otherwise. */
@@ -59,7 +44,7 @@ object FileFormats {
     * default quote/escape) + parse (multiLine for the planted embedded
     * newlines, same default quote/escape). */
   def readCsv(spark: SparkSession, dir: String): DataFrame = {
-    val p = memo(s"csv:$dir") { path =>
+    val p = store(s"csv:$dir", "csv") { path =>
       docs(spark, dir).withColumn("text", hazardText)
         .write.option("header", "false").csv(path)
     }
@@ -72,7 +57,7 @@ object FileFormats {
   /** ORC read end-to-end: derive (memoized) + read — the columnar
     * format with stats-based predicate pushdown. */
   def readOrc(spark: SparkSession, dir: String): DataFrame = {
-    val p = memo(s"orc:$dir") { path =>
+    val p = store(s"orc:$dir", "orc") { path =>
       docs(spark, dir).write.orc(path)
     }
     spark.read.schema(docSchema).orc(p)

@@ -35,34 +35,21 @@ object Jsonl {
     StructField("n_chars", LongType),
     StructField("_bad", StringType)))
 
-  private lazy val root: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-jsonl-")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
-  private val cache = scala.collection.mutable.Map.empty[String, String]
-  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+  private val store = new FixtureStore("graft-jsonl-")
 
   /** Materialize the JSONL fixture for `dir`'s documents table, once
     * per JVM (source setup, not query work — the file "already exists"
     * in a real pipeline). */
   def fixturePath(spark: SparkSession, dir: String): String =
-    cache.synchronized {
-      cache.getOrElseUpdate(dir, {
-        // a counter, NOT dir.hashCode: 32-bit hash collisions between
-        // two dataset dirs would silently alias their fixture paths
-        val p = s"$root/docs_${seq.incrementAndGet()}"
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-        docs
-          .withColumn("line", to_json(struct(col("doc_id"), col("text"),
-            col("lang"), col("source"), col("n_chars"))))
-          .select(
-            when(pmod(col("doc_id"), lit(100)) === 7,
-              expr("substring(line, 1, length(line) - 5)"))
-              .otherwise(col("line")).as("value"))
-          .write.mode("overwrite").text(p)
-        p
-      })
+    store(dir, "docs") { p =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("line", to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))))
+        .select(
+          when(pmod(col("doc_id"), lit(100)) === 7,
+            expr("substring(line, 1, length(line) - 5)"))
+            .otherwise(col("line")).as("value"))
+        .write.mode("overwrite").text(p)
     }
 
   /** Read a JSONL path through the permissive parser: typed rows for

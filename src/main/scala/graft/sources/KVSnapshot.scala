@@ -63,27 +63,16 @@ object KVSnapshot {
   // Per-JVM temp dir (no cross-run reuse) so a derivation change can
   // never serve stale snapshots.
   private val matRangePartitions = 16
-  private lazy val matRoot: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-kvsnap-")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
-  private val matCache = scala.collection.mutable.Map.empty[String, String]
-  // a counter, NOT dir.hashCode, names the per-JVM snapshot dirs:
-  // 32-bit hash collisions between two dataset dirs would silently
-  // alias their snapshots (same bug class fixed in Jsonl.fixturePath)
-  private val matSeq = new java.util.concurrent.atomic.AtomicInteger()
+  // counter-named subdirs + recursive exit cleanup via the shared store
+  // (a bare deleteOnExit left every JVM's snapshot copies in tmp)
+  private val matStore = new FixtureStore("graft-kvsnap-")
 
   private def materialize(spark: SparkSession, dir: String, side: String,
                           build: => DataFrame): DataFrame = {
-    val path = matCache.synchronized {
-      matCache.getOrElseUpdate(s"$dir/$side", {
-        val p = s"$matRoot/${side}_${matSeq.incrementAndGet()}"
-        build.repartitionByRange(matRangePartitions, col("key"))
-          .sortWithinPartitions(col("key"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+    val path = matStore(s"$dir/$side", side) { p =>
+      build.repartitionByRange(matRangePartitions, col("key"))
+        .sortWithinPartitions(col("key"))
+        .write.mode("overwrite").parquet(p)
     }
     spark.read.parquet(path)
   }
@@ -126,12 +115,8 @@ object KVSnapshot {
     graft.sources.kvbin.KVBin.read(spark, srcBinPath(spark, dir))
 
   private def srcBinPath(spark: SparkSession, dir: String): String =
-    matCache.synchronized {
-      matCache.getOrElseUpdate(s"$dir/srcbin", {
-        val p = s"$matRoot/srcbin_${matSeq.incrementAndGet()}"
-        graft.sources.kvbin.KVBin.write(toKV(base(spark, dir)), p, matRangePartitions)
-        p
-      })
+    matStore(s"$dir/srcbin", "srcbin") { p =>
+      graft.sources.kvbin.KVBin.write(toKV(base(spark, dir)), p, matRangePartitions)
     }
 
   private val serverCache =

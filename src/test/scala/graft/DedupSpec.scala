@@ -352,6 +352,27 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L, 4)))
   }
 
+  test("abs_diff_sum column equals its HOF aggregate(zip_with) twin, incl. null and mismatch edges") {
+    // the counting filter's codegen'd kernel must be indistinguishable
+    // from the interpreted HOF formulation it replaced — same values,
+    // same null channel (length mismatch or any null element → null)
+    val df = Seq(
+      (Some(Seq[Option[Int]](Some(1), Some(2), Some(3))),
+        Some(Seq[Option[Int]](Some(3), Some(1), Some(7)))),   // plain: 2+1+4
+      (Some(Seq.empty[Option[Int]]), Some(Seq.empty[Option[Int]])), // empty → 0
+      (Some(Seq[Option[Int]](Some(1), Some(2))),
+        Some(Seq[Option[Int]](Some(1)))),                     // mismatch → null
+      (Some(Seq[Option[Int]](Some(1), None)),
+        Some(Seq[Option[Int]](Some(1), Some(2))))             // null elem → null
+    ).toDF("a", "b")
+    val both = df.select(
+      graft.functions.AbsDiffSum.absDiffSum(col("a"), col("b")).as("k"),
+      expr("aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0, (s, v) -> s + v)").as("h"))
+    assert(both.filter(not(col("k") <=> col("h"))).isEmpty)
+    assert(both.select(col("k")).as[Option[Int]].collect().toSeq ===
+      Seq(Some(7), Some(0), None, None))
+  }
+
   test("editNearDup (exact mode) equals all-pairs brute force on randomized corpora") {
     // the blocking (length buckets, derived radius, (len,id) orientation,
     // counting filter, banded DP) must be INVISIBLE: seeded random
