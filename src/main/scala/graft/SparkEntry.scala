@@ -1221,6 +1221,26 @@ object SparkEntry {
           "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
         .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
         .orderBy(col("key_hex"))),
+    // the same scan through a TWO-server fleet, each store owning half
+    // the regions (comma-separated endpoints, config/config.go:30-31):
+    // the MultiSocketRegionClient unions both stores' region metadata
+    // and dials each region's owner
+    "q_kvbin_socket_multi" -> ((s, dir) =>
+      KVSnapshot.rangeFilter(KVSnapshot.srcBinSocketMulti(s, dir),
+          "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
+        .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
+        .orderBy(col("key_hex"))),
+    // §2a rows 4-7 over the wire: the CRC64 fold executes INSIDE the
+    // storage servers (the kvbin CHECKSUM verb ≙ rawkv.Checksum RPC,
+    // checksum/checksum.go:83-91) — the wire carries one triple per
+    // region, never region bytes; Spark merges triples via the monoid.
+    // Same result and oracle as q_checksum.
+    "q_kvbin_checksum" -> ((s, dir) => KVSnapshot.srcBinSocketChecksum(s, dir)),
+    // the reference's §3.1 flagship lifecycle end-to-end over wires:
+    // src (two-store fleet) and dst (own store) checksummed server-side
+    // concurrently, verdict from the pushed triples. Same oracle as
+    // q_checksum_verdict.
+    "q_kvbin_verdict" -> ((s, dir) => KVSnapshot.binSocketVerdict(s, dir)),
     // §2a row 11: ordered hex scan dump with running cnt
     "q_scan_dump" -> ((s, dir) =>
       Scan.hexDumpWithCnt(KVSnapshot.rangeFilter(KVSnapshot.src(s, dir),
@@ -2465,6 +2485,27 @@ object SparkEntry {
     "q_kvbin_socket_scan" -> (cte +
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
         |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
+    // identical contract again — two stores vs one is pure topology
+    "q_kvbin_socket_multi" -> (cte +
+      """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
+        |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
+    // the pushed (server-side) checksum must equal the scan-side digest
+    // bit-for-bit, so its oracle is exactly q_checksum's SQL
+    "q_kvbin_checksum" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
+      """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
+        |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes
+        |FROM sgn""".stripMargin),
+    // and the over-the-wire verdict equals the in-engine verdict:
+    // q_checksum_verdict's SQL verbatim
+    "q_kvbin_verdict" -> (cte + "," + crc64TabCte + ",\n" +
+      crcRows("ssg", "src") + ",\n" + crcRows("dsg", "dst") + "\n" +
+      """SELECT s.c AS src_crc64_xor, s.n AS src_total_kvs, s.b AS src_total_bytes,
+        |  d.c AS dst_crc64_xor, d.n AS dst_total_kvs, d.b AS dst_total_bytes,
+        |  (s.c = d.c AND s.n = d.n AND s.b = d.b) AS matches
+        |FROM (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM ssg) s,
+        |     (SELECT COALESCE(bit_xor(crc), 0) AS c, count(*) AS n,
+        |        CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS b FROM dsg) d""".stripMargin),
     "q_scan_dump" -> (cte +
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex,
         |  ROW_NUMBER() OVER (ORDER BY k) AS cnt FROM src

@@ -111,19 +111,30 @@ object Checksum {
     * identical (the aggregate is deterministic per side). */
   def verdictConcurrent(src: DataFrame, dst: DataFrame,
                         timeout: scala.concurrent.duration.Duration =
+                          scala.concurrent.duration.Duration.Inf): DataFrame =
+    verdictConcurrentFromTriples(of(src), of(dst), timeout)
+
+  /** [[verdictConcurrent]] over ALREADY-AGGREGATED one-row checksum
+    * triple frames — the shape the pushed (server-side) checksum path
+    * produces ([[graft.sources.kvbin.KVBinChecksum.pushed]]): each
+    * side's triple job runs concurrently, mirroring the reference's
+    * src/dst errgroup (`checksum/checksum.go:140-169`) where each
+    * cluster's per-region RPC fan-out overlaps the other's. */
+  def verdictConcurrentFromTriples(srcTriple: DataFrame, dstTriple: DataFrame,
+                        timeout: scala.concurrent.duration.Duration =
                           scala.concurrent.duration.Duration.Inf): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val spark = src.sparkSession
+    val spark = srcTriple.sparkSession
     // per-call unique group ids: two overlapping verdictConcurrent calls
     // must not cancel each other's jobs
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val (srcGroup, dstGroup) = (s"graft-src-$tag", s"graft-dst-$tag")
-    def triple(kv: DataFrame, group: String) = Future {
+    def triple(t: DataFrame, group: String) = Future {
       spark.sparkContext.setJobGroup(group, s"checksum $group", interruptOnCancel = true)
-      try of(kv).head() finally spark.sparkContext.clearJobGroup()
+      try t.head() finally spark.sparkContext.clearJobGroup()
     }
-    val (s, d) = (triple(src, srcGroup), triple(dst, dstGroup))
+    val (s, d) = (triple(srcTriple, srcGroup), triple(dstTriple, dstGroup))
     // first failure cancels the sibling's jobs instead of letting them
     // run (and hold executors) untracked behind the caller's exception
     s.failed.foreach(_ => spark.sparkContext.cancelJobGroup(dstGroup))
@@ -151,12 +162,17 @@ object Checksum {
 
   /** The reference's flagship verdict (`checksum/checksum.go:173-178`):
     * compare src and dst checksum triples, one row with both + match flag. */
-  def verdict(src: DataFrame, dst: DataFrame): DataFrame = {
-    val s = of(src).select(
+  def verdict(src: DataFrame, dst: DataFrame): DataFrame =
+    verdictFromTriples(of(src), of(dst))
+
+  /** [[verdict]] given each side's one-row `(crc64_xor, total_kvs,
+    * total_bytes)` triple frame (e.g. pushed server-side checksums). */
+  def verdictFromTriples(srcTriple: DataFrame, dstTriple: DataFrame): DataFrame = {
+    val s = srcTriple.select(
       col("crc64_xor").as("src_crc64_xor"),
       col("total_kvs").as("src_total_kvs"),
       col("total_bytes").as("src_total_bytes"))
-    val d = of(dst).select(
+    val d = dstTriple.select(
       col("crc64_xor").as("dst_crc64_xor"),
       col("total_kvs").as("dst_total_kvs"),
       col("total_bytes").as("dst_total_bytes"))

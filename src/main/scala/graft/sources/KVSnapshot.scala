@@ -132,17 +132,88 @@ object KVSnapshot {
     * re-evaluation re-dials it (daemon threads, loopback socket — no
     * lingering non-daemon resources). */
   def srcBinSocket(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.kvbin.{KVBinServer, KVBinSource}
+    import graft.sources.kvbin.KVBinSource
     val path = srcBinPath(spark, dir)
-    val server = serverCache.synchronized {
-      serverCache.getOrElseUpdate(path,
-        new KVBinServer(path, spark.sessionState.newHadoopConf()))
-    }
+    val server = serverFor(spark, path)
     spark.read.format(classOf[KVBinSource].getName)
       .option("path", path)
       .option("endpoints", server.address)
       .option("api_version", "V1")
       .load()
+  }
+
+  private def serverFor(spark: SparkSession, path: String,
+                        variant: String = "",
+                        owns: String => Boolean = _ => true)
+      : graft.sources.kvbin.KVBinServer =
+    serverCache.synchronized {
+      serverCache.getOrElseUpdate(path + variant,
+        new graft.sources.kvbin.KVBinServer(path,
+          spark.sessionState.newHadoopConf(), owns))
+    }
+
+  /** Deterministic region→store assignment for the two-store fleet:
+    * region ids are `part-NNNNN.kv`, so parity of NNNNN splits the key
+    * space across stores the way PD spreads regions across store nodes
+    * (`checksum/checksum.go:78-95` fans per-region work cluster-wide). */
+  private def regionParity(id: String): Long = {
+    val digits = id.filter(_.isDigit)
+    if (digits.isEmpty) 0L else digits.toLong % 2
+  }
+
+  /** Comma-separated endpoints of a live TWO-server fleet over the src
+    * snapshot's regions — each [[graft.sources.kvbin.KVBinServer]] owns
+    * a disjoint half (even/odd region number), the multi-store shape of
+    * the reference's endpoint list (`config/config.go:30-31`). */
+  private def srcBinMultiEndpoints(spark: SparkSession, dir: String): (String, String) = {
+    val path = srcBinPath(spark, dir)
+    val even = serverFor(spark, path, "#even", regionParity(_) == 0L)
+    val odd = serverFor(spark, path, "#odd", regionParity(_) == 1L)
+    (path, s"${even.address},${odd.address}")
+  }
+
+  /** The src snapshot read through TWO live kvbin servers, each owning
+    * half the regions — the [[graft.sources.kvbin.MultiSocketRegionClient]]
+    * dial path on the correctness gate: planning unions both stores'
+    * region answers, every region's bytes arrive from the one store
+    * that owns it. */
+  def srcBinSocketMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.kvbin.KVBinSource
+    val (path, endpoints) = srcBinMultiEndpoints(spark, dir)
+    spark.read.format(classOf[KVBinSource].getName)
+      .option("path", path)
+      .option("endpoints", endpoints)
+      .option("api_version", "V1")
+      .load()
+  }
+
+  /** Whole-snapshot checksum with the per-region CRC64 fold executed
+    * INSIDE the live servers (the CHECKSUM verb): the wire carries one
+    * triple per region, never region bytes — the reference's
+    * server-side checksum (`checksum/checksum.go:83-91`) end-to-end
+    * over sockets. Result ≡ `Checksum.of(src(spark, dir))`. */
+  def srcBinSocketChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val (path, endpoints) = srcBinMultiEndpoints(spark, dir)
+    graft.sources.kvbin.KVBinChecksum.pushed(spark, path, Some(endpoints))
+  }
+
+  private def dstBinPath(spark: SparkSession, dir: String): String =
+    matStore(s"$dir/dstbin", "dstbin") { p =>
+      graft.sources.kvbin.KVBin.write(dst(spark, dir), p, matRangePartitions)
+    }
+
+  /** src-vs-dst checksum verdict where BOTH sides' digests are pushed
+    * per-region triples from live servers (src: two-store fleet; dst:
+    * its own store), merged concurrently — the reference's §3.1
+    * flagship lifecycle (`checksum/checksum.go:140-178`) end-to-end
+    * over wires. Result ≡ `Checksum.verdict(src, dst)`. */
+  def binSocketVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val (srcPath, srcEndpoints) = srcBinMultiEndpoints(spark, dir)
+    val dstPath = dstBinPath(spark, dir)
+    val dstServer = serverFor(spark, dstPath)
+    graft.functions.Checksum.verdictConcurrentFromTriples(
+      graft.sources.kvbin.KVBinChecksum.pushed(spark, srcPath, Some(srcEndpoints)),
+      graft.sources.kvbin.KVBinChecksum.pushed(spark, dstPath, Some(dstServer.address)))
   }
 
   /** Range-filter a KV frame to `[startKey, endKey)` — BinaryType

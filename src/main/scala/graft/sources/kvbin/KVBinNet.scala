@@ -22,14 +22,21 @@ import org.apache.hadoop.conf.Configuration
   * scans must not share mutable driver sockets):
   *
   *   request  := line "META" | "REGIONS" | "SCAN <regionId>"
+  *             | "CHECKSUM <regionId>"
   *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8
   *   REGIONS  -> int32 n, then n × ([idlen][id][mlen][minKey]
   *               [xlen][maxKey][nKeys:int64])
   *   SCAN     -> records [klen][key][vlen][value]…, terminated klen=-1
+  *   CHECKSUM -> byte found(0|1); if found: int64 crc64_xor,
+  *               int64 total_kvs, int64 total_bytes
   *
   * The int32/bytes framing is exactly the region-file record layout
   * ([[KVBin]]), so a SCAN response is the region file streamed with a
-  * terminator — the server never buffers a region in memory. */
+  * terminator — the server never buffers a region in memory. CHECKSUM
+  * is the reference's flagship bandwidth win re-expressed: the CRC64
+  * fold executes INSIDE the storage node (`checksum/checksum.go:83`:
+  * `rawkvClient.Checksum` RPC) and the wire carries three longs per
+  * region, never the region's bytes (`checksum/checksum.go:87-91`). */
 object KVBinNet {
 
   private[kvbin] def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
@@ -44,8 +51,21 @@ object KVBinNet {
 /** Serves one kvbin directory over TCP on an ephemeral loopback port.
   * Thread-per-connection (the verification workload opens a handful of
   * concurrent region scans — one per executor task — not thousands);
-  * `close()` is idempotent and joins the acceptor. */
-class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
+  * `close()` is idempotent and joins the acceptor.
+  *
+  * `owns` scopes the server to a subset of the directory's regions —
+  * the multi-store shape: a TiKV cluster spreads regions across store
+  * nodes (`checksum/checksum.go:78-95` fans per-region RPCs across the
+  * cluster), so a multi-endpoint deployment runs one [[KVBinServer]]
+  * per "store", each owning a disjoint region subset of the same key
+  * space. REGIONS lists only owned regions; SCAN/CHECKSUM answer only
+  * owned ids.
+  *
+  * [[scanRequests]]/[[checksumRequests]] count served requests — the
+  * observable that lets a spec PROVE a pushed checksum never moved
+  * region bytes over the wire (0 SCANs, N CHECKSUMs). */
+class KVBinServer(dir: String, conf: Configuration,
+                  owns: String => Boolean = _ => true) extends AutoCloseable {
   import KVBinNet._
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -54,6 +74,11 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
   // already assume it): read the index sidecar once, not per SCAN —
   // a full N-region table scan must not cost N index reads
   private lazy val index = KVBin.readAll(dir, conf)
+  private lazy val ownedRegions = index._2.filter(r => owns(r._1))
+
+  /** Served SCAN / CHECKSUM request counts (spec observables). */
+  val scanRequests = new java.util.concurrent.atomic.AtomicLong
+  val checksumRequests = new java.util.concurrent.atomic.AtomicLong
 
   /** The `endpoints` value clients dial. */
   val address: String =
@@ -97,7 +122,7 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
             writeBytes(out, v.getBytes("UTF-8"))
           }
         case "REGIONS" =>
-          val regions = index._2
+          val regions = ownedRegions
           out.writeInt(regions.size)
           regions.foreach { case (id, mn, mx, n) =>
             writeBytes(out, id.getBytes("UTF-8"))
@@ -106,14 +131,31 @@ class KVBinServer(dir: String, conf: Configuration) extends AutoCloseable {
             out.writeLong(n)
           }
         case scan if scan != null && scan.startsWith("SCAN ") =>
+          scanRequests.incrementAndGet()
           val id = scan.stripPrefix("SCAN ")
           // region ids come from this server's own index; anything else
           // is a protocol error answered by the terminator alone
-          if (index._2.exists(_._1 == id))
+          if (ownedRegions.exists(_._1 == id))
             KVBin.readFile(dir, id, conf).foreach { case (k, v) =>
               writeBytes(out, k); writeBytes(out, v)
             }
           out.writeInt(-1)
+        case cs if cs != null && cs.startsWith("CHECKSUM ") =>
+          checksumRequests.incrementAndGet()
+          val id = cs.stripPrefix("CHECKSUM ")
+          if (ownedRegions.exists(_._1 == id)) {
+            // the server-side fold (`checksum/checksum.go:83`'s RPC body):
+            // stream the region file through the CRC64 monoid locally and
+            // answer with the triple — 24 bytes regardless of region size
+            var crc = 0L; var kvs = 0L; var bytes = 0L
+            KVBin.readFile(dir, id, conf).foreach { case (k, v) =>
+              crc ^= graft.functions.Crc64.crc64(k, v)
+              kvs += 1L
+              bytes += k.length.toLong + v.length.toLong
+            }
+            out.writeByte(1)
+            out.writeLong(crc); out.writeLong(kvs); out.writeLong(bytes)
+          } else out.writeByte(0)
         case _ => // unknown request: close without a frame
       }
       out.flush()
@@ -182,4 +224,65 @@ class SocketRegionClient(address: String) extends RegionClient {
       }
       buf.result().iterator
     }
+
+  /** The wire form of the server-side checksum: one CHECKSUM request,
+    * 25 response bytes, no region data on the wire — the socket twin of
+    * the reference's `rawkv.Checksum` RPC (`checksum/checksum.go:83-91`). */
+  override def checksumRegion(regionId: String): (Long, Long, Long) =
+    dial(s"CHECKSUM $regionId") { in =>
+      if (in.readByte() != 1)
+        throw new IllegalArgumentException(
+          s"region $regionId not served by $address")
+      (in.readLong(), in.readLong(), in.readLong())
+    }
+}
+
+/** A [[RegionClient]] over SEVERAL store endpoints — the reference dials
+  * a comma-separated endpoint list (`config/config.go:30-31`) and fans
+  * per-region work across the cluster's stores
+  * (`checksum/checksum.go:78-95`). Each endpoint is a [[KVBinServer]]
+  * owning a disjoint region subset; planning unions every store's
+  * REGIONS answer and remembers the owner, so executor-side
+  * scans/checksums dial the one store that holds the region.
+  *
+  * Serializable state: the address list plus the owner map captured at
+  * planning time (listRegions runs driver-side before partitions
+  * serialize the client); a reader that somehow sees an unmapped region
+  * re-lists rather than failing. */
+class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
+  require(addresses.nonEmpty, "at least one endpoint required")
+  private val clients = addresses.map(new SocketRegionClient(_)).toIndexedSeq
+  private var routing: Map[String, Int] = Map.empty
+
+  /** Cluster meta must be CONSISTENT across stores — a fleet where the
+    * stores disagree on `api_version` is a mis-wired deployment, caught
+    * here at planning time rather than as silent mixed-format rows
+    * (the per-cluster gate of `utils/utils.go:13-26`, applied per store). */
+  override def clusterMeta(): Map[String, String] = {
+    val metas = clients.map(_.clusterMeta())
+    val versions = metas.map(_.get("api_version")).distinct
+    if (versions.size > 1)
+      throw new IllegalStateException(
+        s"endpoints disagree on api_version: ${addresses.zip(metas.map(_.get("api_version"))).mkString(", ")}")
+    metas.head
+  }
+
+  override def listRegions(): Seq[RegionInfo] = {
+    val owned = clients.zipWithIndex.flatMap { case (c, i) =>
+      c.listRegions().map(r => (r, i))
+    }
+    routing = owned.map { case (r, i) => r.id -> i }.toMap
+    owned.map(_._1)
+  }
+
+  private def ownerOf(regionId: String): SocketRegionClient = {
+    if (!routing.contains(regionId)) listRegions()
+    clients(routing.getOrElse(regionId,
+      throw new IllegalArgumentException(s"no endpoint owns region $regionId")))
+  }
+
+  override def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])] =
+    ownerOf(regionId).scanRegion(regionId)
+  override def checksumRegion(regionId: String): (Long, Long, Long) =
+    ownerOf(regionId).checksumRegion(regionId)
 }

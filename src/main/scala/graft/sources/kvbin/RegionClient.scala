@@ -32,21 +32,41 @@ trait RegionClient extends Serializable {
   def listRegions(): Seq[RegionInfo]
   /** Key-ordered records of one region. Executor-side. */
   def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])]
+  /** One region's checksum triple `(crc64_xor, total_kvs, total_bytes)`
+    * computed AT THE SOURCE — the reference's server-side checksum RPC
+    * (`checksum/checksum.go:83`: the client receives three longs per
+    * range, never the range's bytes). The default folds the local scan
+    * (bit-identical semantics) for clients whose source already IS
+    * local; network clients override with the wire verb so region bytes
+    * never cross the wire. Executor-side. */
+  def checksumRegion(regionId: String): (Long, Long, Long) = {
+    var crc = 0L; var kvs = 0L; var bytes = 0L
+    scanRegion(regionId).foreach { case (k, v) =>
+      crc ^= graft.functions.Crc64.crc64(k, v)
+      kvs += 1L
+      bytes += k.length.toLong + v.length.toLong
+    }
+    (crc, kvs, bytes)
+  }
 }
 
 object RegionClient {
-  /** The dial point. `endpoints` is the cluster address list: when it
-    * carries a `host:port`, the scan runs through [[SocketRegionClient]]
-    * — planning metadata and region bytes flow over the wire (loopback
-    * in this sandbox; the protocol doesn't care), with the FIRST
-    * endpoint dialed (a production client would balance/failover across
-    * the list). `endpoints=None` — the snapshot-read case — and
-    * non-address values stay on the file-backed client. */
+  /** The dial point. `endpoints` is the cluster address list
+    * (comma-separated, `config/config.go:30-31`): one `host:port` runs
+    * through [[SocketRegionClient]]; several run through
+    * [[MultiSocketRegionClient]], which unions each store's region
+    * answer and routes per-region work to its owner — planning metadata
+    * and region payloads flow over the wire either way (loopback in
+    * this sandbox; the protocol doesn't care). `endpoints=None` — the
+    * snapshot-read case — and non-address values stay on the
+    * file-backed client. */
   def connect(dir: String, endpoints: Option[String],
               conf: SerializableConfiguration): RegionClient =
-    endpoints.map(_.split(",")(0).trim).filter(_.matches(".+:\\d+")) match {
-      case Some(addr) => new SocketRegionClient(addr)
-      case None => new FileRegionClient(dir, conf)
+    endpoints.map(_.split(",").map(_.trim).filter(_.matches(".+:\\d+")).toSeq)
+        .getOrElse(Seq.empty) match {
+      case Seq(addr) => new SocketRegionClient(addr)
+      case addrs if addrs.size > 1 => new MultiSocketRegionClient(addrs)
+      case _ => new FileRegionClient(dir, conf)
     }
 }
 

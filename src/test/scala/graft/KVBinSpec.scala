@@ -198,6 +198,89 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("CHECKSUM verb: server-side fold equals the scan-side digest with ZERO region bytes on the wire") {
+    import graft.sources.kvbin.{KVBinChecksum, KVBinServer}
+    val data = Seq.tabulate(600)(i => (f"ck_$i%04d".getBytes("UTF-8"),
+      s"val_$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-cksum-").toString
+    val nRegions = KVBin.write(data, dir, 5).size
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      val pushed = KVBinChecksum.pushed(spark, dir, Some(server.address))
+        .as[(Long, Long, Long)].head()
+      val scanned = Checksum.of(KVBin.read(spark, dir))
+        .as[(Long, Long, Long)].head()
+      assert(pushed === scanned)
+      assert(pushed._2 === 600)
+      // the bandwidth claim, observed: every region answered its triple
+      // via CHECKSUM, and NO scan request ever moved region bytes
+      assert(server.checksumRequests.get() === nRegions)
+      assert(server.scanRequests.get() === 0,
+        "a pushed checksum must not stream region data over the wire")
+    } finally server.close()
+  }
+
+  test("CHECKSUM for a region the server does not own fails the task, not silently zeros") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val data = Seq(("a".getBytes("UTF-8"), "1".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-cksum-miss-").toString
+    KVBin.write(data, dir, 1)
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      val client = new SocketRegionClient(server.address)
+      intercept[IllegalArgumentException] { client.checksumRegion("part-99999.kv") }
+    } finally server.close()
+  }
+
+  test("multi-endpoint fleet: two stores each owning half the regions serve one coherent scan") {
+    import graft.sources.kvbin.{KVBinChecksum, KVBinServer, KVBinSource}
+    val data = Seq.tabulate(400)(i => (f"m_$i%04d".getBytes("UTF-8"),
+      s"v$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-multi-").toString
+    val regions = KVBin.write(data, dir, 4).map(_._1)
+    assert(regions.size > 1, "fixture must split into several regions")
+    def parity(id: String) = id.filter(_.isDigit).toLong % 2
+    val even = new KVBinServer(dir, spark.sessionState.newHadoopConf(), parity(_) == 0)
+    val odd = new KVBinServer(dir, spark.sessionState.newHadoopConf(), parity(_) == 1)
+    try {
+      val endpoints = s"${even.address},${odd.address}"
+      val viaFleet = spark.read.format(classOf[KVBinSource].getName)
+        .option("path", dir).option("endpoints", endpoints).load()
+        .select(col("key").cast("string")).as[String].collect().sorted.toSeq
+      val viaFile = KVBin.read(spark, dir).select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      assert(viaFleet === viaFile)
+      assert(viaFleet.size === 400)
+      // both stores actually served their half (region bytes came from
+      // the owner, the sibling saw none of those scans)
+      assert(even.scanRequests.get() === regions.count(parity(_) == 0))
+      assert(odd.scanRequests.get() === regions.count(parity(_) == 1))
+      // the pushed checksum fans CHECKSUM RPCs across the same fleet
+      val pushed = KVBinChecksum.pushed(spark, dir, Some(endpoints))
+        .as[(Long, Long, Long)].head()
+      val scanned = Checksum.of(KVBin.read(spark, dir)).as[(Long, Long, Long)].head()
+      assert(pushed === scanned)
+      assert(even.checksumRequests.get() + odd.checksumRequests.get() === regions.size)
+    } finally { even.close(); odd.close() }
+  }
+
+  test("multi-endpoint planning fails fast when stores disagree on api_version") {
+    import graft.sources.kvbin.{KVBinServer, MultiSocketRegionClient}
+    val conf = spark.sessionState.newHadoopConf()
+    val mk = (version: String) => {
+      val d = java.nio.file.Files.createTempDirectory(s"kvbin-mixed-$version-").toString
+      KVBin.write(Seq(("k".getBytes("UTF-8"), "v".getBytes("UTF-8"))).toDF("key", "value"),
+        d, 1, apiVersion = version)
+      new KVBinServer(d, conf)
+    }
+    val (v1, v2) = (mk("V1"), mk("V2"))
+    try {
+      val client = new MultiSocketRegionClient(Seq(v1.address, v2.address))
+      val e = intercept[IllegalStateException] { client.clusterMeta() }
+      assert(e.getMessage.contains("disagree"))
+    } finally { v1.close(); v2.close() }
+  }
+
   test("kvbin roundtrip preserves arbitrary binary payloads") {
     val data = Seq(
       (Array[Byte](0, 1, 2), Array[Byte](-1, -2)),
