@@ -2516,6 +2516,7 @@ object SparkEntry {
     "q_csv_ingest" ->
       """WITH d AS (SELECT lang,
         |    CASE WHEN doc_id % 10 = 3 THEN 'a,"b' || chr(10) || text
+        |         WHEN doc_id % 10 = 4 THEN '  ' || text || '  '
         |         ELSE text END AS text
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
@@ -2848,7 +2849,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, levenshtein(t1, t2) AS dist FROM cand
         |WHERE levenshtein(t1, t2) * 1000 <= budget AND levenshtein(t1, t2) <= 64
         |ORDER BY doc_a, doc_b""".stripMargin),
-    // state at cutoff = src with the seq<=4 slice of the changelog
+    // state at cutoff = src with the seq<=5 slice of the changelog
     // applied: updates take dst's value, applied deletes drop, applied
     // inserts appear; everything else stays src
     "q_time_travel" -> (cte +

@@ -300,18 +300,37 @@ object TextAnalysis {
       case (acc, (g, q)) => when(col(groupCol) === g, lit(q)).otherwise(acc)
     }
     val cnt = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__m"))
-    val pruned = docs.withColumn("__h", h)
+    val withQ = docs.withColumn("__h", h)
       .withColumn("__q", quotaCol)
       .filter(col("__q").isNotNull)
       .join(broadcast(cnt), Seq(groupCol))
+    val pruned = withQ
       // (2^60 / m) · q·margin never overflows: for m > q·margin the
       // product is < 2^60; for m ≤ q·margin the prune is skipped
       .filter(col("__m") <= col("__q") * pruneMargin ||
         col("__h") < (lit(1L << 60) / col("__m")) * (col("__q") * pruneMargin))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
-    pruned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__q"))
-      .drop("__rn", "__h", "__m", "__q")
+    def windowed(in: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+      in.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__q"))
+        .drop("__rn", "__h", "__m", "__q")
+    }
+    // Runtime guard on the probabilistic prune: the prune keeps exactly
+    // the rows with hash below the threshold, and the true selection is
+    // the q SMALLEST hashes — so a pruned group that still holds ≥ q
+    // survivors provably kept its whole selection, while one with < q
+    // survivors (probability ~e^{-q·margin}) may have lost part of it.
+    // On violation fall back to the exact unpruned window instead of
+    // silently returning an under-quota (or different) sample. The
+    // check is one cheap aggregation pass (tiny grouped counts); it
+    // makes the sampler eager at call time, which a sampler can afford.
+    val violated = pruned.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__survivors"),
+        first(col("__q")).as("__qv"), first(col("__m")).as("__mv"))
+      .filter(col("__mv") > col("__qv") * pruneMargin &&
+        col("__survivors") < col("__qv"))
+      .limit(1).count() > 0
+    windowed(if (violated) withQ else pruned)
   }
 
   /** Polynomial rolling-hash content fingerprint over the text's

@@ -35,18 +35,33 @@ object FileFormats {
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
 
   /** The planted-hazard text: delimiter + quote + newline inside the
-    * field for the residue class, verbatim otherwise. */
+    * field for one residue class, leading/trailing whitespace for
+    * another (the writer's trim defaults would silently eat it),
+    * verbatim otherwise. */
   private def hazardText: org.apache.spark.sql.Column =
     when(pmod(col("doc_id"), lit(10)) === 3,
-      concat(lit("a,\"b\n"), col("text"))).otherwise(col("text"))
+      concat(lit("a,\"b\n"), col("text")))
+    .when(pmod(col("doc_id"), lit(10)) === 4,
+      concat(lit("  "), col("text"), lit("  ")))
+    .otherwise(col("text"))
 
   /** CSV read end-to-end: derive (memoized, real Spark CSV writer with
     * default quote/escape) + parse (multiLine for the planted embedded
-    * newlines, same default quote/escape). */
+    * newlines, same default quote/escape). The writer's whitespace
+    * trimming is OFF and empty/null encodings pinned explicitly —
+    * Spark's CSV WRITE defaults trim leading/trailing whitespace
+    * (ignore*WhiteSpace=true), which would silently mutate the planted
+    * whitespace hazard in the roundtrip; the read side's trim defaults
+    * are already false. */
   def readCsv(spark: SparkSession, dir: String): DataFrame = {
     val p = store(s"csv:$dir", "csv") { path =>
       docs(spark, dir).withColumn("text", hazardText)
-        .write.option("header", "false").csv(path)
+        .write.option("header", "false")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "")
+        .option("emptyValue", "\"\"")
+        .csv(path)
     }
     spark.read.schema(docSchema)
       .option("header", "false")

@@ -56,9 +56,18 @@ object StreamEntries {
   private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckKey = "spark.sql.streaming.checkpointLocation"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
     val prevCk = s.conf.getOption(ckKey)
+    val prevNd = s.conf.getOption(ndKey)
     s.conf.set(key, n.toString)
+    // the collapsed data+tick single-batch pattern (streamDiff/sessions/
+    // late-drop) depends on the post-watermark-advance NO-DATA micro-batch
+    // to emit closed windows/state: the tick advances the watermark at end
+    // of its batch, and the emission happens in the no-data batch that
+    // follows. That batch only runs while this conf is true (its default);
+    // pin it so a session that disabled it can't silently drop sink rows.
+    s.conf.set(ndKey, "true")
     // state-store commits fsync per partition per micro-batch; pointing
     // the (ephemeral, deterministic-feed) checkpoints at tmpfs turns
     // those into memory writes — worth ~a third of the per-query fixed
@@ -76,6 +85,10 @@ object StreamEntries {
       prevCk match {
         case Some(v) => s.conf.set(ckKey, v)
         case None => s.conf.unset(ckKey)
+      }
+      prevNd match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None => s.conf.unset(ndKey)
       }
       // explicit checkpoint locations are NOT auto-deleted on stop();
       // reclaim the tmpfs space once the entry's sink is materialized.

@@ -99,6 +99,11 @@ class TextEventsSpec extends SparkTestBase {
     assert(pruned === plain)
     assert(pruned.count(_._1 == "big") === 50)
     assert(pruned.count(_._1 == "small") === 20)
+    // margin=1 sits right at the expected survivor count — the runtime
+    // guard (fall back to the unpruned window when a pruned group keeps
+    // fewer than q survivors) must make even this margin exact, so the
+    // prune can never silently return an under-quota or different sample
+    assert(sample(1) === plain)
   }
 
   test("token packing: two-phase prefix sum matches the sequential fold, any partitioning") {
