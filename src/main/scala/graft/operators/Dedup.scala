@@ -569,11 +569,18 @@ object Dedup {
     val chunked =
       if (maxChunkDf == Int.MaxValue) chunked0
       else {
-        val keep = chunked0.groupBy(col("chunk_id"), col("chunk"))
+        // materialize the chunked signatures ONCE (the shingle-index
+        // pattern): without this, the df pass and the candidate join
+        // each recompute the full simhash aggregation upstream of
+        // chunked0 — the df cap's r5 cost was exactly that second pass.
+        // The checkpointed frame is 4 small columns × 4N rows; both
+        // consumers read it from local blocks.
+        val mat = chunked0.localCheckpoint()
+        val keep = mat.groupBy(col("chunk_id"), col("chunk"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxChunkDf)
           .select(col("chunk_id"), col("chunk"))
-        chunked0.join(keep, Seq("chunk_id", "chunk"))
+        mat.join(keep, Seq("chunk_id", "chunk"))
       }
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
@@ -668,7 +675,33 @@ object Dedup {
                   blockCol: String, bucketWidth: Int = 32,
                   maxDistPermille: Int = 100, maxAbsDist: Int = 64,
                   contentBand: Boolean = false, bandBits: Int = 64,
-                  tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                  tokenHash: Column => Column = xxhash64(_),
+                  maxBucketOccupancy: Int = 10000): DataFrame = {
+    // Occupancy guard for the exact (band-off) default: a (block,
+    // length-bucket) join bucket of occupancy m materializes ~m²/2
+    // candidate pairs, so a naive caller scaling the corpus 100× would
+    // silently go quadratic where the banded path stays linear. Rather
+    // than documenting the footgun, refuse it: one cheap count pass
+    // over (block, bucket) — no text, no probe counts — fails fast with
+    // the fix (enable contentBand) when any bucket exceeds the bound.
+    // The banded path divides occupancy by ~2^(bandBits/4) by
+    // construction and skips the check; Int.MaxValue disables.
+    if (!contentBand && maxBucketOccupancy != Int.MaxValue) {
+      val hot = docs
+        .select(col(blockCol).as("blk"),
+          (length(col(textCol)) / bucketWidth).cast("long").as("b"))
+        .groupBy(col("blk"), col("b")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > maxBucketOccupancy)
+        .orderBy(col("occ").desc).limit(3).collect()
+      if (hot.nonEmpty)
+        throw new IllegalStateException(
+          s"editNearDup exact mode: (block, length-bucket) occupancy exceeds " +
+          s"$maxBucketOccupancy — worst: " +
+          hot.map(r => s"(${r.get(0)}, ${r.get(1)})=${r.getLong(2)}").mkString(", ") +
+          s". The exact self-join would be quadratic in these buckets; enable " +
+          s"contentBand=true (pigeonhole SimHash band, ~2^(bandBits/4) occupancy cut) " +
+          s"or raise maxBucketOccupancy explicitly.")
+    }
     // cheap counting-filter probes, computed ONCE per document before
     // the join: a single edit changes at most two characters' counts by
     // one each, so Σ_probe |cntₐ(c) − cnt_b(c)| ≤ 2·dist for ANY char

@@ -166,4 +166,28 @@ class DedupStressSpec extends SparkTestBase {
     assert(banded < noBand / 100,
       s"content band must shrink the block >100x: banded=$banded noBand=$noBand")
   }
+
+  test("exact-mode occupancy guard refuses a quadratic (block, length-bucket) bucket") {
+    // the naive-caller footgun the guard closes: a big same-block,
+    // same-length-bucket corpus on the DEFAULT (exact) path would
+    // materialize ~m²/2 candidate pairs; the guard fails fast with the
+    // remedy instead of silently running the quadratic join
+    val hot = spark.range(0, 300).select(col("id").as("doc_id"),
+      lit("en").as("lang"),
+      concat(lit("body body body body "), col("id").cast("string")).as("text"))
+    val e = intercept[IllegalStateException] {
+      Dedup.editNearDup(hot, "text", "doc_id", "lang", maxBucketOccupancy = 100)
+        .count()
+    }
+    assert(e.getMessage.contains("occupancy"))
+    assert(e.getMessage.contains("contentBand"))
+    // the banded path is immune by construction and must run unguarded
+    val banded = Dedup.editNearDup(hot, "text", "doc_id", "lang",
+      contentBand = true, maxBucketOccupancy = 100)
+    assert(banded.count() >= 0L)
+    // and an explicit opt-out keeps the exact contract available
+    val optOut = Dedup.editNearDup(hot, "text", "doc_id", "lang",
+      maxBucketOccupancy = Int.MaxValue)
+    assert(optOut.count() >= 0L)
+  }
 }
