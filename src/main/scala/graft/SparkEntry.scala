@@ -584,6 +584,32 @@ object SparkEntry {
         .orderBy(col("n").desc, col("zbucket"))
         .limit(20)
     }),
+    // hive-partitioned documents layout: written once partitionBy(lang),
+    // read back with the lang predicate resolved as DIRECTORY pruning
+    // (PartitionFilters, pinned in PlanShapeSpec) — the oracle replays
+    // the aggregate over the unpartitioned original, so the gate proves
+    // the layout roundtrip loses nothing
+    "q_partition_prune" -> ((s, dir) =>
+      Layout.partitionedDocs(s, dir)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"), col("source"))),
+    // bucket-colocated src⋈dst: both snapshots bucketBy(8, k) at write
+    // time, so the equi-join runs with ZERO hash-partitioning exchange
+    // (pinned in PlanShapeSpec) — the shuffle was paid once in the
+    // layout job, amortized over every later diff/join at 100 TB
+    "q_bucket_join" -> ((s, dir) => {
+      val src = Layout.bucketedSnapshot(s, dir, "src")
+      val dst = Layout.bucketedSnapshot(s, dir, "dst").withColumnRenamed("v", "dv")
+      src.hint("merge").join(dst, Seq("k"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("v") === col("dv"), 1L).otherwise(0L)).as("n_equal"),
+          sum((length(col("v")) + length(col("dv"))).cast("long")).as("sum_len"))
+    }),
     // distribution window functions: quartile assignment + cumulative
     // distribution + percent rank per event type (total order via the
     // unique event_id tiebreak, so both engines tile identically)
@@ -2175,7 +2201,7 @@ object SparkEntry {
         |FROM sgn GROUP BY day ORDER BY day""".stripMargin),
     "q_stream_keyed_checksum" -> ("WITH " + crc64TabCte + ",\n" +
       crcRows("sgn",
-        """(SELECT event_type, CAST(event_id AS VARCHAR) AS k, props AS v FROM events)""",
+        """(SELECT event_type, CAST(event_id AS VARCHAR) AS k, props AS v FROM events WHERE user_id < 100)""",
         carry = Seq("event_type")) + "\n" +
       """SELECT event_type AS "group", bit_xor(crc) AS crc64_xor,
         |  count(*) AS total_kvs,
@@ -2292,6 +2318,21 @@ object SparkEntry {
         |SELECT z // 4096 AS zbucket, count(*) AS n, min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1 ORDER BY n DESC, zbucket LIMIT 20""".stripMargin
     },
+    // the partition-pruned read must lose nothing vs the unpartitioned
+    // original — the oracle replays the aggregate straight off documents
+    "q_partition_prune" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE lang IN ('en','zh')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // the bucketed tables hold exactly the snapshots, so the bucketed
+    // join must equal the plain CTE join
+    "q_bucket_join" -> (cte +
+      """SELECT count(*) AS n_matched,
+        |  CAST(sum(CASE WHEN s.v = d.v THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+        |  CAST(sum(length(s.v) + length(d.v)) AS BIGINT) AS sum_len
+        |FROM src s JOIN dst d USING (k)""".stripMargin),
     "q_table_stats" -> {
       val statsCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus")

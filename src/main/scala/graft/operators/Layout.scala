@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Physical-layout operators — how 100 TB of data gets ARRANGED so
   * that scans can skip most of it. The reference's analog is the
@@ -48,5 +48,63 @@ object Layout {
     withZ.repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+  }
+
+  // --- materialized layouts (write once, scan many) --------------------
+  // The other two lakehouse layout primitives next to Z-order: HIVE
+  // PARTITIONING (directory-per-value of a low-cardinality column, so a
+  // filter on it prunes whole directories before any file is opened) and
+  // BUCKETING (pre-hash-partitioned files on a join key, so an equi-join
+  // between two tables bucketed the same way runs with ZERO shuffle —
+  // the shuffle was paid once at write time, amortized over every
+  // subsequent join). Both are materialized once per JVM via
+  // [[graft.sources.FixtureStore]]; that is the production shape too:
+  // a layout is written once and scanned many times.
+  private lazy val store = new graft.sources.FixtureStore("graft-layout-")
+
+  /** The documents table re-written `partitionBy(lang)`: one directory
+    * per language, each holding only that language's rows. A reader
+    * filtering on `lang` sees the predicate as a PARTITION filter
+    * (directory pruning — pinned in PlanShapeSpec), not a data filter:
+    * at 100 TB the scan for one language never lists, opens, or reads
+    * any other language's files. */
+  def partitionedDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = store(s"$dir/docs_by_lang", "docs") { p =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  /** A KV snapshot written as a BUCKETED parquet table —
+    * `bucketBy(buckets, k)` + `sortBy(k)` — and read back through the
+    * catalog (bucket metadata lives there). Two snapshots bucketed with
+    * the same (column, count) join bucket-to-bucket with no exchange,
+    * and an equality filter on `k` prunes to a single bucket
+    * (`SelectedBucketsCount` — both pinned in PlanShapeSpec). The write
+    * happens at most once per (snapshot, session); at 100 TB this is
+    * the one-time layout job that makes every later diff/join/point
+    * lookup shuffle-free. */
+  def bucketedSnapshot(s: SparkSession, dir: String, side: String,
+                       buckets: Int = 8): DataFrame = {
+    require(side == "src" || side == "dst", s"side must be src|dst, got $side")
+    val table = s"graft_bkt_${side}_${math.abs(dir.hashCode).toString}"
+    if (!s.catalog.tableExists(table)) {
+      val df = if (side == "src") graft.sources.KVSnapshot.srcStr(s, dir)
+               else graft.sources.KVSnapshot.dstStr(s, dir)
+      // write-once is enforced by the tableExists check (per session —
+      // the catalog entry carries the bucket spec), so the store key is
+      // a fresh UUID: a later session in the same JVM must rewrite, and
+      // reusing a memoized path would hand saveAsTable a non-empty dir
+      val path = store(s"$dir/bkt_$side@${java.util.UUID.randomUUID()}",
+        s"bkt_$side") { p =>
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "k").sortBy("k")
+          .option("path", p)
+          .saveAsTable(table)
+      }
+      require(path.nonEmpty) // memo path is unused beyond the write
+    }
+    s.table(table)
   }
 }

@@ -176,6 +176,21 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsSketch]] over a PRE-AGGREGATED (item, weight) stream: each
+    * input row contributes `weight` occurrences. Identical grid to
+    * feeding the raw occurrences — sum of weights ≡ count of rows — so
+    * an upstream per-item combine (the map-side-combine idiom: ship
+    * counts, not occurrences) composes with the sketch for free. */
+  def cmsSketchWeighted(items: DataFrame, item: Column, weight: Column,
+                        d: Int, w: Int): DataFrame = {
+    val rows = (0 until d).map(j =>
+      struct(lit(j).as("j"),
+        pmod(saltedHash60(s"cms${j}_", item), lit(w.toLong)).as("bucket")))
+    items.select(explode(array(rows: _*)).as("rb"), weight.as("wt"))
+      .groupBy(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("wt")).as("cnt"))
+  }
+
   /** Heavy hitters with a count-min upper-bound estimate: the exact
     * top-k items (the verification twin) joined against the sketch —
     * `cms_est = min over the d cells an item maps to`, which is ≥ the

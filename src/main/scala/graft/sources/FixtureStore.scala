@@ -9,7 +9,7 @@ import java.nio.file.{Files, Path}
   * write-once memo, and RECURSIVE deletion at JVM exit (a bare
   * `deleteOnExit` on the root silently no-ops on non-empty directories,
   * leaking a full derived copy of the corpus into tmp per JVM run). */
-private[sources] final class FixtureStore(prefix: String) {
+private[graft] final class FixtureStore(prefix: String) {
 
   private lazy val root: String = {
     val p = Files.createTempDirectory(prefix)
@@ -33,7 +33,7 @@ private[sources] final class FixtureStore(prefix: String) {
     }
 }
 
-private[sources] object FixtureStore {
+private[graft] object FixtureStore {
   def deleteRecursively(p: Path): Unit =
     try {
       val walk = Files.walk(p)

@@ -31,6 +31,18 @@ object StreamEntries {
   private def fresh(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
 
+  /** Bench-only slice multiplier (`SPARK_GRAFT_STREAM_SCALE`, default 1):
+    * widens every entry's bounded feed slice proportionally, so the state
+    * stores carry N× the keys/windows — the lever for BENCH_SF1.md's
+    * streaming scaling table (10× corpus alone would leave the bounded
+    * slices, and with them the state, unchanged). The committed oracles
+    * replay the scale-1 bounds; the driver's CORRECTNESS gate runs
+    * without the env and is unaffected. */
+  private val sliceScale: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_SCALE").map(_.toLong).getOrElse(1L)
+  /** Upper key bound of the li_ key-range slices, scale-widened. */
+  private def keyUpper: String = f"li_${2000L * sliceScale}%010d"
+
   private def drain(q: StreamingQuery)(feed: => Unit): Unit =
     try { feed; q.processAllAvailable() } finally q.stop()
 
@@ -50,10 +62,11 @@ object StreamEntries {
     * sides ×2 stores for the stream-stream join) is provisioned and
     * committed EVERY micro-batch, so the store count must be sized to
     * the keyspace, not inherited from the batch default — at these
-    * bounded feed sizes 4 stores run ~25% faster than 8 and ~2× faster
-    * than 32
-    * with identical output. Restores the session setting afterwards. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    * bounded feed sizes 1-2 stores measure within noise of each other,
+    * ~25% faster than 8 and ~2× faster than 32, with identical output.
+    * Restores the session setting afterwards. */
+  private def withStatePartitions[T](s: SparkSession, n: Int,
+                                     noData: Boolean = true)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckKey = "spark.sql.streaming.checkpointLocation"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -67,7 +80,11 @@ object StreamEntries {
     // of its batch, and the emission happens in the no-data batch that
     // follows. That batch only runs while this conf is true (its default);
     // pin it so a session that disabled it can't silently drop sink rows.
-    s.conf.set(ndKey, "true")
+    // Entries whose sink rows all emit DURING data batches (update/complete
+    // modes, arrival-emitting append dedup/asof/static join) pass
+    // noData=false instead: the post-watermark batch would be one more
+    // full plan+state-commit cycle per run that can never add a row.
+    s.conf.set(ndKey, noData.toString)
     // state-store commits fsync per partition per micro-batch; pointing
     // the (ephemeral, deterministic-feed) checkpoints at tmpfs turns
     // those into memory writes — worth ~a third of the per-query fixed
@@ -113,13 +130,13 @@ object StreamEntries {
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     val tick = Timestamp.valueOf("2024-01-01 01:00:00")
     def rows(df: DataFrame): Seq[(Timestamp, String, String)] =
-      df.filter(col("k") >= "li_0000000001" && col("k") < "li_0000002000")
+      df.filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
         .as[(String, String)].collect().toSeq.map { case (k, v) => (t0, k, v) }
     val srcRows = rows(KVSnapshot.srcStr(s, dir))
     val dstRows = rows(KVSnapshot.dstStr(s, dir))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_diff")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1) {
       val srcMem = MemoryStream[(Timestamp, String, String)]
       val dstMem = MemoryStream[(Timestamp, String, String)]
       val out = StreamDiff(
@@ -153,7 +170,7 @@ object StreamEntries {
   def streamSessions(s: SparkSession, dir: String,
                      gapUs: Long = 1800000000L): DataFrame = {
     import s.implicits._
-    val evts = Events.read(s, dir).filter(col("user_id") < 20)
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
       .select(col("user_id"), col("ts"), col("value"))
       .as[StreamingSessions.Evt].collect().toSeq
     val maxTs = evts.map(_.ts.getTime).max
@@ -161,7 +178,7 @@ object StreamEntries {
       StreamingSessions.Evt(-1L, new Timestamp(maxTs + offsetMs), 0.0)
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_sessions")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1) {
       val mem = MemoryStream[StreamingSessions.Evt]
       val sessions = StreamingSessions(
         mem.toDS().withWatermark("ts", "1 second"), gapUs)
@@ -203,11 +220,11 @@ object StreamEntries {
     import s.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = KVSnapshot.srcStr(s, dir)
-      .filter(col("k") >= "li_0000000001" && col("k") < "li_0000002000")
+      .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
       .as[(String, String)].collect().toSeq.map { case (k, v) => (t0, k, v) }
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_dedup")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1, noData = false) {
       val mem = MemoryStream[(Timestamp, String, String)]
       val deduped = mem.toDF.toDF("ts", "key", "value")
         .withWatermark("ts", "10 minutes")
@@ -241,7 +258,7 @@ object StreamEntries {
   def streamLateDrop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val splitUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, mid-fixture
-    val evts = Events.read(s, dir).filter(col("user_id") < 20)
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
       .select(col("ts"), col("event_type"), col("ts_us"))
       .as[(Timestamp, String, Long)].collect().toSeq
     val onTime = evts.filter(_._3 >= splitUs)
@@ -257,7 +274,7 @@ object StreamEntries {
       (Timestamp.from(java.time.Instant.parse(iso)), "~tick", 0L)
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_latedrop")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1) {
       val mem = MemoryStream[(Timestamp, String, Long)]
       val agg = mem.toDF.toDF("ts", "event_type", "ts_us")
         .withWatermark("ts", "10 minutes")
@@ -295,13 +312,13 @@ object StreamEntries {
   def streamAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val splitUs = 1705363200000000L // same mid-fixture instant as late-drop
-    val evts = Events.read(s, dir).filter(col("user_id") < 20)
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
       .as[StreamAsof.Evt].collect().toSeq
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_asof")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1, noData = false) {
       val mem = MemoryStream[StreamAsof.Evt]
       val q = StreamAsof(mem.toDS(), "click", "purchase").toDF()
         .writeStream.format("memory").queryName(name)
@@ -323,19 +340,20 @@ object StreamEntries {
     * batch `customer` dim on user_id = c_custkey. The dim is broadcast,
     * so no micro-batch ever shuffles the stream side and no state store
     * exists (stateless join ⇒ nothing to evict); at 100 TB/day the
-    * stream partitions map straight through. Fed as three batches split
-    * by event_id mod 3 to prove the result is batch-boundary-invariant;
-    * the oracle is the plain batch join over the same slice. */
+    * stream partitions map straight through. Fed as two batches split
+    * by event_id parity to prove the result is batch-boundary-invariant
+    * (a third batch bought another commit, not more coverage); the
+    * oracle is the plain batch join over the same slice. */
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val evts = Events.read(s, dir).filter(col("user_id") < 50)
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
       .select(col("event_id"), col("user_id"), col("value"))
       .as[(Long, Long, Double)].collect().toSeq
     val dim = s.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_ssj")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1, noData = false) {
       val mem = MemoryStream[(Long, Long, Double)]
       val joined = mem.toDF.toDF("event_id", "user_id", "value")
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
@@ -344,8 +362,8 @@ object StreamEntries {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        (0 until 3).foreach { b =>
-          mem.addData(evts.filter(_._1 % 3 == b))
+        (0 until 2).foreach { b =>
+          mem.addData(evts.filter(_._1 % 2 == b))
           q.processAllAvailable()
         }
       }
@@ -360,21 +378,26 @@ object StreamEntries {
     * from the Update-mode sink as the row with the highest total_kvs. */
   def streamKeyedChecksum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val recs = Events.read(s, dir)
+    // bounded slice, same discipline as the other entries: the feed is
+    // driver-side test plumbing and must stay O(slice), not O(corpus)
+    val recs = Events.read(s, dir).filter(col("user_id") < lit(100L * sliceScale))
       .select(col("event_type"), col("event_id").cast("string"), col("props"))
       .as[(String, String, String)].collect()
       .map { case (g, k, v) =>
         KeyedChecksumState.KVRecord(g, k.getBytes("UTF-8"), v.getBytes("UTF-8")) }
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_kcs")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1, noData = false) {
       val mem = MemoryStream[KeyedChecksumState.KVRecord]
       val q = KeyedChecksumState(mem.toDS())
         .toDF().writeStream.format("memory").queryName(name)
         .outputMode(KeyedChecksumState.outputMode).start()
       drain(q) {
-        (0 until 3).foreach { b =>
-          mem.addData(recs.filter(r => (new String(r.key, "UTF-8").toLong % 3) == b).toSeq)
+        // two batches split by key parity: every group receives rows in
+        // BOTH batches, so the final state is provably the cross-batch
+        // monoid fold (a third batch adds a commit, not coverage)
+        (0 until 2).foreach { b =>
+          mem.addData(recs.filter(r => (new String(r.key, "UTF-8").toLong % 2) == b).toSeq)
           q.processAllAvailable()
         }
       }
@@ -389,41 +412,51 @@ object StreamEntries {
   }
 
   /** Continuously-maintained upsert view ([[StreamUpsert]]): batch 1
-    * feeds the base snapshot as seq-0 upserts, batches 2-3 split the
-    * src→dst changelog (the diff recast, exactly what
+    * feeds the base snapshot as seq-0 upserts, batch 2 applies the
+    * src→dst changelog (the diff recast, the same contract
     * `Diff.diffAsChangelog` produces). The view after the final batch
     * — latest emission per key, tombstones dropped — must equal dst:
     * the streaming twin of q_merge_upsert's inverse identity. */
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.operators.Diff
     // same bounded key range as streamDiff/streamDedup: the feed is
     // driver-side test plumbing and must stay O(slice), not O(corpus)
     def kv(df: DataFrame): DataFrame =
-      df.filter(col("k") >= "li_0000000001" && col("k") < "li_0000002000")
+      df.filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
         .select(col("k").as("key"), col("v").as("value"))
-    val src = kv(KVSnapshot.srcStr(s, dir))
-    val dst = kv(KVSnapshot.dstStr(s, dir))
-    val base = src.as[(String, String)].collect()
-      .map { case (k, v) => StreamUpsert.Chg(k, v, 0L, "U") }
-    val chg = Diff.diffAsChangelog(Diff.diff(src, dst))
-      .select(col("key"), col("value"), col("seq"), col("op"))
-      .as[(String, String, Long, String)].collect()
-      .map { case (k, v, q, o) => StreamUpsert.Chg(k, v, q, o) }
+    val srcRows = kv(KVSnapshot.srcStr(s, dir)).as[(String, String)].collect()
+    val dstRows = kv(KVSnapshot.dstStr(s, dir)).as[(String, String)].collect()
+    val base = srcRows.map { case (k, v) => StreamUpsert.Chg(k, v, 0L, "U") }
+    // the src→dst changelog, computed driver-side from the two collected
+    // slices with exactly [[graft.operators.Diff.diffAsChangelog]]'s
+    // contract (dst_only →
+    // insert, mismatch → update, src_only → delete, seq=1): the feed is
+    // test plumbing, and a map over the ≤2k-key slice replaces the
+    // full-outer join JOB the old Diff.diff feed launched per bench pass
+    val srcMap = srcRows.toMap
+    val dstMap = dstRows.toMap
+    val chg =
+      dstMap.iterator.collect {
+        case (k, v) if !srcMap.get(k).contains(v) => StreamUpsert.Chg(k, v, 1L, "U")
+      }.toArray ++
+      srcMap.keysIterator.collect {
+        case k if !dstMap.contains(k) => StreamUpsert.Chg(k, null, 1L, "D")
+      }
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_upsert")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 1, noData = false) {
       val mem = MemoryStream[StreamUpsert.Chg]
       val q = StreamUpsert(mem.toDS()).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode(StreamUpsert.outputMode).start()
       drain(q) {
+        // batch 1 installs the base snapshot's state, batch 2 applies
+        // the whole changelog against it — the cross-batch state carry
+        // is already proven by the boundary between them (splitting the
+        // changelog again bought a third commit, not more coverage)
         mem.addData(base.toSeq)
         q.processAllAvailable()
-        val (c1, c2) = chg.partition(_.key.hashCode % 2 == 0)
-        mem.addData(c1.toSeq)
-        q.processAllAvailable()
-        mem.addData(c2.toSeq)
+        mem.addData(chg.toSeq)
       }
     }
     takeTable(s, name)
@@ -444,22 +477,29 @@ object StreamEntries {
     * batch sketch over the union, which is what the oracle computes. */
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the feed is pre-combined DISTRIBUTED (per-item counts — ~10× fewer
+    // rows than raw occurrences through the driver); the weighted sketch
+    // folds sum(weight) so the grid is identical to feeding occurrences.
+    // This is also the 100 TB shape: map-side combine ships counts.
     val items = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         explode(graft.operators.Dedup.shingles(col("text"), 3)).as("item"))
-      .select(col("doc_id"), col("item"))
-      .as[(Long, String)].collect()
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_cms")
-    withStatePartitions(s, 4) {
-      val mem = MemoryStream[(Long, String)]
-      val sketch = graft.operators.Sketches.cmsSketch(
-        mem.toDS().toDF("doc_id", "item"), col("item"), d = 4, w = 1024)
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long)]
+      val sketch = graft.operators.Sketches.cmsSketchWeighted(
+        mem.toDS().toDF("item", "cnt"), col("item"), col("cnt"), d = 4, w = 1024)
       val q = sketch.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
+        // two batches split by item hash: distinct items land in either
+        // batch, their bucket cells overlap, so the complete-mode grid
+        // provably folds ACROSS the batch boundary
         (0 until 2).foreach { b =>
-          mem.addData(items.filter(_._1 % 2 == b).toSeq)
+          mem.addData(items.filter(t => math.floorMod(t._1.hashCode, 2) == b).toSeq)
           q.processAllAvailable()
         }
       }

@@ -244,4 +244,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_partition_prune: lang resolves as a PARTITION filter — directory pruning, not row filtering") {
+    val p = plan("q_partition_prune")
+    // the scan prints its filter buckets on one line:
+    // "... DataFilters: [...] ... PartitionFilters: [...] PushedFilters: [...] ..."
+    def bucket(name: String): String = {
+      val i = p.indexOf(s"$name: [")
+      if (i < 0) "" else p.substring(i + name.length + 3, p.indexOf("]", i))
+    }
+    assert(bucket("PartitionFilters").contains("lang"),
+      s"lang must be a partition filter:\n$p")
+    // and it must NOT be a parquet DATA filter — the whole point is
+    // that non-matching directories are never opened at all
+    assert(!bucket("PushedFilters").contains("lang") &&
+      !bucket("DataFilters").contains("lang"),
+      s"lang leaked into data filters:\n$p")
+  }
+
+  test("q_bucket_join: bucket-colocated join — no hash-partitioning exchange anywhere") {
+    val p = plan("q_bucket_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), s"scan must use the bucketed layout:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$p")
+  }
+
+  test("bucketed snapshot: an equality key filter prunes to a single bucket") {
+    import org.apache.spark.sql.functions.col
+    // a bare single-table scan has no distribution requirement, so the
+    // planner's auto-bucketed-scan optimization turns bucketing off and
+    // with it bucket PRUNING — pin the conf off to assert the pruning
+    // path a bucket-requiring plan (join/agg on k) gets by default
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = graft.operators.Layout.bucketedSnapshot(spark, sfSmoke, "src")
+        .filter(col("k") === "li_0000000001_001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected single-bucket pruning:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
 }

@@ -1,34 +1,67 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import scala.collection.mutable
 
-/** Manual profiling harness (Test/runMain graft.StreamProfile) — times
-  * the streaming entries at a given SF. Note: the entries pin their own
-  * STATE partitioning (StreamEntries.withStatePartitions), so the
-  * session's shuffle-partition setting only affects the non-stateful
-  * stages around them. */
+/** Diagnostic main: where does a streaming entry's wall time go?
+  * Attaches a [[StreamingQueryListener]] and dumps each micro-batch's
+  * `durationMs` phase breakdown (addBatch / queryPlanning / stateCommit /
+  * triggerExecution / walCommit …) plus the start→first-batch and
+  * last-batch→stop gaps, for a handful of representative entries run
+  * back-to-back. Run with:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt "Test/runMain graft.StreamProfile"
+  */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[32]")
+      .appName("graft-stream-profile")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+
+    val batches = mutable.ArrayBuffer[(String, Long, Map[String, Long])]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        import scala.jdk.CollectionConverters._
+        batches.synchronized {
+          batches += ((e.progress.name, e.progress.batchId,
+            e.progress.durationMs.asScala.map { case (k, v) => (k, v.toLong) }.toMap))
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
-    import graft.streaming.StreamEntries
-    // warm the KV snapshots so the diff entry isn't billed materialization
-    graft.sources.KVSnapshot.srcStr(spark, dir).count()
-    graft.sources.KVSnapshot.dstStr(spark, dir).count()
-    time("stream_diff")(StreamEntries.streamDiff(spark, dir).count())
-    time("stream_sessions")(StreamEntries.streamSessions(spark, dir).count())
-    time("stream_keyed_checksum")(StreamEntries.streamKeyedChecksum(spark, dir).count())
+    spark.streams.addListener(listener)
+
+    val entries: Seq[(String, () => Unit)] = Seq(
+      "static" -> (() => { graft.streaming.StreamEntries.streamStaticJoin(spark, dir).count(); () }),
+      "diff" -> (() => { graft.streaming.StreamEntries.streamDiff(spark, dir).count(); () }),
+      "cms" -> (() => { graft.streaming.StreamEntries.streamCms(spark, dir).count(); () }),
+      "upsert" -> (() => { graft.streaming.StreamEntries.streamUpsert(spark, dir).count(); () }))
+
+    // two passes like Bench, report the second (warm) one
+    (0 until 2).foreach { pass =>
+      entries.foreach { case (name, run) =>
+        batches.synchronized(batches.clear())
+        val t0 = System.nanoTime()
+        run()
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        if (pass == 1) {
+          val rows = batches.synchronized(batches.toVector)
+          val phaseTotal = rows.map(_._3.getOrElse("triggerExecution", 0L)).sum
+          println(f"== $name%-8s wall=${wallMs}ms batches=${rows.size} triggerTotal=${phaseTotal}ms unaccounted=${wallMs - phaseTotal}ms")
+          rows.foreach { case (_, bid, d) =>
+            val interesting = d.toSeq.sortBy(-_._2).filter(_._2 > 0)
+              .map { case (k, v) => s"$k=$v" }.mkString(" ")
+            println(s"   batch $bid: $interesting")
+          }
+        }
+      }
+    }
     spark.stop()
   }
 }
