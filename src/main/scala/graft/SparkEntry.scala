@@ -598,6 +598,17 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"), col("source"))),
+    // small-files compaction: documents fragmented to 64 shards, then
+    // rewritten at a byte-size target (Layout.compact) — the oracle
+    // aggregates per-text md5 over the ORIGINAL table, so the gate
+    // proves the maintenance rewrite is byte-identical content
+    "q_compaction" -> ((s, dir) =>
+      Layout.compactedDocs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(md5(col("text").cast("binary"))).as("n_distinct_texts"))
+        .orderBy(col("lang"))),
     // bucket-colocated src⋈dst: both snapshots bucketBy(8, k) at write
     // time, so the equi-join runs with ZERO hash-partitioning exchange
     // (pinned in PlanShapeSpec) — the shuffle was paid once in the
@@ -2326,6 +2337,12 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents WHERE lang IN ('en','zh')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // compaction must be content-identical — replay over the original
+    "q_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the bucketed tables hold exactly the snapshots, so the bucketed
     // join must equal the plain CTE join
     "q_bucket_join" -> (cte +

@@ -76,6 +76,48 @@ object Layout {
     s.read.parquet(path)
   }
 
+  /** Small-files COMPACTION — the table-maintenance primitive every
+    * long-lived lakehouse table needs: streaming ingest and per-executor
+    * writes leave directories of tiny files whose per-file open/footer
+    * cost dominates scans at 100 TB. Sizes the output from the INPUT's
+    * actual on-disk bytes (ceil(total/targetBytes) files, floor 1),
+    * rewrites content-identically, and returns the file count chosen.
+    * A driver-side file listing (metadata only — no data moves through
+    * the driver) feeds one distributed rewrite job. */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hp = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
+    s.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
+  /** The documents table deliberately FRAGMENTED (64 shards — the
+    * shape a micro-batching ingest leaves behind) and then compacted
+    * with [[compact]] at a 4 MB target; returns the compacted read.
+    * The q_compaction oracle replays its aggregate over the original
+    * table, so the gate proves the rewrite is content-identical down
+    * to per-text md5; LayoutSpec pins the file-count mechanics. */
+  def compactedDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = store(s"$dir/docs_compacted", "compact") { p =>
+      val frag = s"${p}_frag"
+      s.read.parquet(s"$dir/documents.parquet").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      compact(s, frag, p, targetBytes = 4L * 1024 * 1024)
+      ()
+    }
+    s.read.parquet(path)
+  }
+
   /** A KV snapshot written as a BUCKETED parquet table —
     * `bucketBy(buckets, k)` + `sortBy(k)` — and read back through the
     * catalog (bucket metadata lives there). Two snapshots bucketed with

@@ -38,10 +38,10 @@ object StreamEntries {
     * slices, and with them the state, unchanged). The committed oracles
     * replay the scale-1 bounds; the driver's CORRECTNESS gate runs
     * without the env and is unaffected. */
-  private val sliceScale: Long =
+  private[graft] val sliceScale: Long =
     sys.env.get("SPARK_GRAFT_STREAM_SCALE").map(_.toLong).getOrElse(1L)
   /** Upper key bound of the li_ key-range slices, scale-widened. */
-  private def keyUpper: String = f"li_${2000L * sliceScale}%010d"
+  private[graft] def keyUpper: String = f"li_${2000L * sliceScale}%010d"
 
   private def drain(q: StreamingQuery)(feed: => Unit): Unit =
     try { feed; q.processAllAvailable() } finally q.stop()

@@ -45,4 +45,34 @@ class LayoutSpec extends SparkTestBase {
     // content untouched
     assert(zSorted.count() === 128L * 128L)
   }
+
+  test("compact: sizes output files from input bytes, content-identical") {
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      val d = new java.io.File(p)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    try {
+      val frag = s"$root/frag"
+      val out = s"$root/out"
+      spark.read.parquet(s"$sfSmoke/documents.parquet").repartition(32)
+        .write.mode("overwrite").parquet(frag)
+      val fragFiles = parquetFiles(frag)
+      assert(fragFiles.size === 32, s"fixture must be fragmented: ${fragFiles.size}")
+      val total = fragFiles.map(_.length).sum
+      val target = total / 4 + 1 // expect ~4 output files
+      val n = Layout.compact(spark, frag, out, target)
+      assert(n === ((total + target - 1) / target).toInt, s"n=$n")
+      assert(parquetFiles(out).size === n,
+        s"output must hold exactly $n files: ${parquetFiles(out).size}")
+      assert(n < 32 && n >= 1)
+      // content identical, bag semantics (md5 over every text)
+      val a = spark.read.parquet(frag).select(md5(col("text").cast("binary")))
+      val b = spark.read.parquet(out).select(md5(col("text").cast("binary")))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally {
+      graft.sources.FixtureStore.deleteRecursively(root)
+    }
+  }
 }
