@@ -1056,6 +1056,13 @@ object SparkEntry {
       Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang",
           contentBand = true, bandBits = 60, tokenHash = Dedup.md5Hash60)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // the EXACT-recall scale path for the same contract: ED-Join q-gram
+    // prefix filtering (rarest-first positional grams, per-doc prefix of
+    // qτ+1) — the oracle is the UNPRUNED all-pairs brute force, so the
+    // gate itself proves prefix-filtered == plain on every run
+    "q_edit_neardup_prefix" -> ((s, dir) =>
+      Dedup.editNearDupPrefix(docs(s, dir), "text", "doc_id", "lang")
+        .orderBy(col("doc_a"), col("doc_b"))),
     // incremental view maintenance: dst's per-bucket (count, bytes)
     // summary derived from src's summary + the diff changelog — cost
     // scales with the change rate, never rescans dst
@@ -2907,6 +2914,21 @@ object SparkEntry {
         |SELECT doc_a, doc_b, levenshtein(t1, t2) AS dist FROM cand
         |WHERE levenshtein(t1, t2) * 1000 <= budget AND levenshtein(t1, t2) <= 64
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // brute force ON PURPOSE: the engine side prunes with the q-gram
+    // prefix index, the oracle replays the plain quadratic definition —
+    // the comparison is the exact-recall proof (same-lang pairs only;
+    // the length-gap prefilter is implied by dist <= 64, not a prune)
+    "q_edit_neardup_prefix" ->
+      """WITH d AS (SELECT doc_id, text, lang, length(text) AS len FROM documents),
+        |cand AS (
+        |  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |    levenshtein(d1.text, d2.text) AS dist,
+        |    greatest(d1.len, d2.len) * 100 AS budget
+        |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        |    AND abs(d1.len - d2.len) <= 64)
+        |SELECT doc_a, doc_b, dist FROM cand
+        |WHERE dist <= 64 AND dist * 1000 <= budget
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // state at cutoff = src with the seq<=5 slice of the changelog
     // applied: updates take dst's value, applied deletes drop, applied
     // inserts appear; everything else stays src

@@ -709,9 +709,7 @@ object Dedup {
     // majority of candidate pairs before the O(len²) DP runs. (The DP
     // is ~10⁴× a char count; without this the verify stage, not the
     // blocking, is what breaks first as blocks grow.)
-    val probes = Seq('e', 't', 'a', 'o', 'i', 'n', 's', ' ')
-    def cnts(src: Column): Column = array(probes.map(c =>
-      (length(src) - length(regexp_replace(src, java.util.regex.Pattern.quote(c.toString), "")))): _*)
+    def cnts(src: Column): Column = editProbeCounts(src)
     // any emitted pair has dist <= maxAbsDist (the banded-DP cap), and
     // |len_a - len_b| <= dist, so the longer doc's bucket exceeds the
     // shorter's by at most floor((W-1 + maxAbsDist)/W) = radius
@@ -793,6 +791,159 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
       // emitted pairs stay id-ordered regardless of the length
       // orientation the join used
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
+  }
+
+  /** Probe characters for the edit-distance counting filter — frequent
+    * English letters plus space, so most real text pairs get a
+    * non-trivial lower bound. Shared by both edit-near-dup paths. */
+  private val editProbes = Seq('e', 't', 'a', 'o', 'i', 'n', 's', ' ')
+
+  /** Per-character occurrence counts of the probe set, as one array
+    * column: a single edit changes at most two characters' counts by one
+    * each, so Σ_probe |cntₐ(c) − cnt_b(c)| ≤ 2·dist for ANY char subset
+    * — a linear-time lower bound that discharges the vast majority of
+    * candidate pairs before the O(len·k) DP runs. */
+  private def editProbeCounts(src: Column): Column = array(editProbes.map(c =>
+    (length(src) - length(regexp_replace(src, java.util.regex.Pattern.quote(c.toString), "")))): _*)
+
+  /** Edit-distance near-dup with EXACT recall at scale: positional
+    * q-gram PREFIX filtering (the ED-Join candidate shape) in place of
+    * [[editNearDup]]'s opt-in SimHash content band.
+    *
+    * Why another path: `editNearDup`'s exact mode goes quadratic inside
+    * a hot (block, length-bucket) — the occupancy guard refuses it — and
+    * its banded mode is linear but sacrifices the recall guarantee (a
+    * pathological edit flipping ≥4 signature bits can be missed). This
+    * operator is BOTH: candidates come from equi-joins whose buckets are
+    * the corpus-wide RAREST q-grams of each document, and the recall is
+    * exact by two classical theorems, not a pigeonhole heuristic:
+    *
+    *  - count filter (Gravano et al., VLDB'01): ed(a,b) ≤ τ implies the
+    *    positional q-gram BAGS share ≥ t = (max(len)−q+1) − q·τ grams —
+    *    each edit destroys at most q grams of the longer side;
+    *  - prefix filter (Chaudhuri et al., ICDE'06): under ANY global
+    *    total order of the gram universe, two sets sharing ≥ t elements
+    *    intersect within their (size − t + 1)-prefixes. Both sides'
+    *    required prefixes are ≤ q·τ + 1 elements.
+    *
+    * Bag semantics ride set machinery by tagging the k-th occurrence of
+    * a gram inside a document as element (gram, k): the tagged SET
+    * intersection equals the positional-gram bag intersection. The
+    * global order is (document frequency, gram, occ) ascending — any
+    * total order is correct; rarest-first makes bucket occupancy small
+    * BY CONSTRUCTION (a hot template gram shared by the whole corpus has
+    * maximal df, so it sorts last and never enters a prefix — the same
+    * df-vs-occupancy exchange `jaccardJoin`'s maxDf cap performs, but
+    * obtained here without dropping signal). A duplicate CLUSTER of m
+    * identical docs still meets in one bucket and emits its m²/2 true
+    * pairs — that cost is the answer, not the index.
+    *
+    * Scale shape (100 TB): one gram pass (Σ len rows, materialized once
+    * and reused for the df table and the prefix selection — the
+    * `buildShingleIndex` memo lesson), one df aggregation, one per-doc
+    * top-(qτ+1) window partitioned by doc id, one hash-partitioned
+    * self-join on (block, gram, occ), then the shared counting-filter →
+    * banded-DP verify on DISTINCT candidate pairs only. Document bodies
+    * never ride the gram index — they are re-joined by id once per
+    * survivor side, so the wide shuffle currency is (id, gram) pairs,
+    * not texts. No cross join, no quadratic bucket, no recall loss.
+    *
+    * Pairs whose overlap threshold t ≤ 0 are invisible to any gram
+    * filter (the bound is vacuous — e.g. two identical 1-char docs have
+    * no 2-grams). t ≤ 0 forces the LONGER side's length under
+    * q·τ + q − 1 ≤ q·maxAbsDist + q − 1, a constant: docs at most that
+    * long route through an unconditional per-block all-pairs side
+    * channel. At the default (permille=100, q=2) the cutoff is length 1
+    * — the channel is empty on any real corpus.
+    *
+    * Output contract is [[editNearDup]]'s exactly: (doc_a < doc_b, dist)
+    * for every same-block pair with dist ≤ min(maxAbsDist,
+    * max(len)·maxDistPermille/1000). */
+  def editNearDupPrefix(docs: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, maxDistPermille: Int = 100,
+                        maxAbsDist: Int = 64, q: Int = 2): DataFrame = {
+    require(q >= 1, "q must be >= 1")
+    val p = maxDistPermille
+    val cap = maxAbsDist
+    // largest longer-side length whose pair threshold t can be ≤ 0;
+    // t(lb) = (lb − q + 1) − q·min(cap, lb·p DIV 1000) is not monotone
+    // across the cap knee, so scan the finite range t ≤ 0 confines it to
+    val tinyLen = (1 to q * cap + q)
+      .filter(lb => lb - q + 1 - q * math.min(cap, lb * p / 1000) <= 0)
+      .foldLeft(0)(math.max)
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(textCol).as("t"), length(col(textCol)).as("len"))
+    // positional q-grams, bag-tagged: the k-th occurrence of a gram in a
+    // doc is element (gram, k). Materialized ONCE — the frame feeds both
+    // the df aggregation and the df-ranked prefix selection (recomputing
+    // it was exactly the simhash df-cap regression of round 5).
+    val gramRows = base.filter(col("len") >= q)
+      .select(col("blk"), col("id"), col("len"), col("t"),
+        explode(sequence(lit(1), col("len") - lit(q - 1))).as("gpos"))
+      .withColumn("gram", expr(s"substring(t, gpos, $q)"))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("id"), col("gram")).orderBy(col("gpos"))))
+      .select(col("blk"), col("id"), col("len"), col("gram"), col("occ"))
+      .localCheckpoint()
+    val dfTab = gramRows.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("gdf"))
+    // per-doc τ bound covering BOTH roles the doc can play: as the
+    // shorter side its partner is at most len+cap long, so
+    // τ_pair ≤ min(cap, (len+cap)·p/1000); as the longer side
+    // τ_pair = min(cap, len·p/1000) ≤ the same bound. Oversizing a
+    // prefix never loses recall (prefixes only grow).
+    val prefix = gramRows.join(dfTab, Seq("gram", "occ"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf"), col("gram"), col("occ"))))
+      .filter(col("prank") <=
+        lit(q) * expr(s"least($cap, ((len + $cap) * $p) DIV 1000)") + lit(1))
+      .select(col("blk"), col("id"), col("len"), col("gram"), col("occ"))
+    val l = prefix.select(col("blk"), col("gram"), col("occ"),
+      col("id").as("id_a"), col("len").as("len_a"))
+    val r = prefix.select(col("blk").as("blk_r"), col("gram").as("gram_r"),
+      col("occ").as("occ_r"), col("id").as("id_b"), col("len").as("len_b"))
+    // pair-level length gate uses the true pair τ (longer side's len);
+    // orientation is (len, id) shorter-first like editNearDup, so every
+    // pair is generated exactly one way regardless of id order
+    val cand = l.join(r, col("blk") === col("blk_r") &&
+        col("gram") === col("gram_r") && col("occ") === col("occ_r") &&
+        (col("len_a") < col("len_b") ||
+          (col("len_a") === col("len_b") && col("id_a") < col("id_b"))) &&
+        col("len_b") - col("len_a") <= least(lit(cap), expr(s"(len_b * $p) DIV 1000")))
+      .select(col("id_a"), col("id_b"))
+    // t ≤ 0 side channel: all-pairs among docs short enough that the
+    // gram bound is vacuous (empty at default parameters)
+    val tiny = if (tinyLen <= 0) cand.limit(0) else {
+      val td = base.filter(col("len") <= tinyLen)
+      td.select(col("blk"), col("id").as("id_a"), col("len").as("len_a"))
+        .join(td.select(col("blk").as("blk_r"), col("id").as("id_b"),
+          col("len").as("len_b")), col("blk") === col("blk_r") &&
+          (col("len_a") < col("len_b") ||
+            (col("len_a") === col("len_b") && col("id_a") < col("id_b"))) &&
+          col("len_b") - col("len_a") <= least(lit(cap), expr(s"(len_b * $p) DIV 1000")))
+        .select(col("id_a"), col("id_b"))
+    }
+    // one verify per distinct pair; bodies and probe counts join back by
+    // id AFTER the dedup so texts never ride the gram-index shuffles.
+    // Repartition by id_a spreads the DP work for the same reason as
+    // editNearDup's pre-verify repartition.
+    val bodies = base
+      .withColumn("pc", editProbeCounts(col("t")))
+      .select(col("id"), col("t"), col("pc"), col("len"))
+    val pairs = cand.union(tiny).dropDuplicates("id_a", "id_b")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+      .join(bodies.select(col("id").as("id_a"), col("t").as("t_a"),
+        col("pc").as("pc_a"), col("len").as("la")), Seq("id_a"))
+      .join(bodies.select(col("id").as("id_b"), col("t").as("t_b"),
+        col("pc").as("pc_b"), col("len").as("lb")), Seq("id_b"))
+    val budget = greatest(col("la"), col("lb")) * p
+    pairs
+      .filter(graft.functions.AbsDiffSum.absDiffSum(col("pc_a"), col("pc_b")) * 500
+        <= budget)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), cap))
+      .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
   }

@@ -434,6 +434,67 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("editNearDupPrefix equals all-pairs brute force, tiny docs included") {
+    // the q-gram prefix index (rarest-first positional grams, qτ+1 per
+    // doc) must be INVISIBLE: same seeded generator as the exact-mode
+    // equivalence test, plus planted sub-q-length docs exercising the
+    // t ≤ 0 side channel (identical 1-char docs have no 2-grams yet are
+    // a dist-0 pair the contract owes)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val fresh = () =>
+        (1 to (5 + rnd.nextInt(115))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      def perturb(s: String): String = {
+        var t = s
+        for (_ <- 0 until (1 + rnd.nextInt(8))) {
+          val p = rnd.nextInt(math.max(t.length, 1))
+          t = rnd.nextInt(3) match {
+            case 0 if t.nonEmpty => t.patch(p, "", 1)
+            case 1 => t.patch(p, ('a' + rnd.nextInt(3)).toChar.toString, 0)
+            case _ if t.nonEmpty => t.updated(math.min(p, t.length - 1),
+              ('a' + rnd.nextInt(3)).toChar)
+            case _ => t
+          }
+        }
+        t
+      }
+      val grown = (1L to 40L).foldLeft(Vector.empty[(Long, String)]) { (acc, id) =>
+        val text = if (acc.nonEmpty && rnd.nextBoolean())
+          perturb(acc(rnd.nextInt(acc.size))._2)
+        else fresh()
+        acc :+ (id, text)
+      }
+      // planted tiny docs: two identical 1-char docs (a true dist-0 pair
+      // with zero 2-grams) and a lone 1-char doc pairing with nothing
+      val corpus = grown ++ Vector((97L, "a"), (98L, "a"), (99L, "b"))
+      val docs = corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), lit("xx").as("lang"), col("text"))
+      val got = Dedup.editNearDupPrefix(docs, "text", "doc_id", "lang")
+        .as[(Long, Long, Int)].collect().toSet
+      val expected = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        d = lev(ta, tb)
+        budget = math.max(ta.length, tb.length) * 100
+        if d <= 64 && d * 1000 <= budget
+      } yield (ia, ib, d)).toSet
+      assert(got === expected, s"trial $trial")
+      assert(expected.contains((97L, 98L, 0)), "tiny-doc pair must be in scope")
+    }
+  }
+
   test("editNearDup bucket radius covers the full maxAbsDist length gap") {
     // length gap of exactly maxAbsDist = 64 spans TWO bucketWidth-32
     // buckets (600 → b 18, 664 → b 20): radius is derived from

@@ -167,6 +167,67 @@ class DedupStressSpec extends SparkTestBase {
       s"content band must shrink the block >100x: banded=$banded noBand=$noBand")
   }
 
+  test("editNearDupPrefix survives the hot block that trips the exact-mode guard") {
+    // 1202 same-lang docs, one length bucket: 64-char shared boilerplate
+    // + 64-char random tail — editNearDup's exact mode would be
+    // quadratic here (the guard refuses it); the banded mode runs but
+    // waives the recall guarantee. The q-gram prefix path must (a) run
+    // unguarded, (b) return the exact answer — only the two planted
+    // pairs — and (c) keep candidate volume orders below m²/2, because
+    // the boilerplate grams have df = m and therefore never enter any
+    // document's rarest-first prefix.
+    val rnd = new scala.util.Random(11)
+    val alpha = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toArray
+    val boiler = "license header common to every document in this corpus!"
+    def tail() = (0 until 64).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val bodies = (0 until 1200).map(i => (i.toLong, boiler + tail()))
+    def sub3(s: String): String = {
+      def flip(c: Char) = if (c == 'Q') 'R' else 'Q'
+      val cs = s.toCharArray
+      Seq(60, 80, 100).foreach(p => cs(p) = flip(cs(p)))
+      new String(cs)
+    }
+    val planted = Seq((1200L, sub3(bodies(0)._2)), // dist exactly 3
+                      (1201L, bodies(1)._2))        // dist 0
+    val docs = (bodies ++ planted).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("en").as("lang"), col("text"))
+      .localCheckpoint()
+    val e = intercept[IllegalStateException] {
+      Dedup.editNearDup(docs, "text", "doc_id", "lang", maxBucketOccupancy = 100)
+        .count()
+    }
+    assert(e.getMessage.contains("occupancy"))
+    val got = Dedup.editNearDupPrefix(docs, "text", "doc_id", "lang", q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((0L, 1200L, 3), (1L, 1201L, 0)))
+    // candidate-volume replica of the operator's index: positional
+    // 3-grams, occurrence-tagged, ranked by global df, per-doc prefix of
+    // 3τ+1 rarest — Σ C(bucket, 2) bounds the self-join's pair output
+    val d0 = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val grams = d0.select(col("doc_id"), col("len"),
+        explode(sequence(lit(1), col("len") - lit(2))).as("gpos"), col("text"))
+      .withColumn("gram", expr("substring(text, gpos, 3)"))
+      .withColumn("occ", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("gram")).orderBy(col("gpos"))))
+      .select(col("doc_id"), col("len"), col("gram"), col("occ"))
+      .localCheckpoint()
+    val pref = grams
+      .join(grams.groupBy(col("gram"), col("occ")).agg(count(lit(1)).as("gdf")),
+        Seq("gram", "occ"))
+      .withColumn("prank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("gdf"), col("gram"), col("occ"))))
+      .filter(col("prank") <= lit(3) * expr("least(64, ((len + 64) * 100) DIV 1000)") + lit(1))
+    val candUpper = pref.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m") * (col("m") - 1)), lit(0L)).cast("long"))
+      .as[Long].head() / 2
+    val quadratic = 1202L * 1201L / 2
+    assert(candUpper < quadratic / 100,
+      s"prefix index must break the hot block: cand<=$candUpper quadratic=$quadratic")
+  }
+
   test("exact-mode occupancy guard refuses a quadratic (block, length-bucket) bucket") {
     // the naive-caller footgun the guard closes: a big same-block,
     // same-length-bucket corpus on the DEFAULT (exact) path would
