@@ -275,6 +275,14 @@ object SparkEntry {
       Similarity.quantizedTopK(e.filter(col("id") < 10), e, 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // SemDeDup-shaped semantic dedup: k-means clusters (the same
+    // oracle-replayed deterministic codebook as q_ann_kmeans), then the
+    // keep-first rule within clusters — dropped iff a smaller-id
+    // cluster-mate sits at 9-dp cosine >= 0.4. Census output proves
+    // keeps AND drops
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), 5, 2, 0.4)
+        .orderBy(col("vec_id"))),
     // embedding-cosine near-dup pairs, blocked by cluster (no cross join)
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), 0.4)
@@ -1411,6 +1419,53 @@ object SparkEntry {
       |        FROM votes GROUP BY doc_id)
       |""".stripMargin
 
+  /** Deterministic k-means assignment CTE, shared by q_ann_kmeans and
+    * q_semantic_dedup: replays Similarity.kmeansCodebook (seeds = 5
+    * smallest (md5(id), id) vectors; two unrolled assignment/update
+    * rounds with the 9-dp cosine, cluster_id tie-break, DECIMAL(27,15)
+    * means, emptied clusters keeping their centroid) and ends with
+    * `asg(vec_id, v, cluster_id)` — every vector's final cluster. */
+  private val kmeansAsgCte: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster_id,
+      |            v AS cvec
+      |          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5),
+      |a1 AS (SELECT e.vec_id, e.v, c.cluster_id,
+      |         round(list_dot_product(e.v, c.cvec)
+      |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+      |       FROM e CROSS JOIN cent0 c),
+      |asg1 AS (SELECT vec_id, v, cluster_id FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY csim DESC, cluster_id) AS r FROM a1) WHERE r = 1),
+      |px1 AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg1),
+      |cm1 AS (SELECT cluster_id, pos,
+      |          CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+      |        FROM px1 GROUP BY cluster_id, pos),
+      |mean1 AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm1 GROUP BY cluster_id),
+      |cent1 AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
+      |          FROM cent0 p LEFT JOIN mean1 m USING (cluster_id)),
+      |a2 AS (SELECT e.vec_id, e.v, c.cluster_id,
+      |         round(list_dot_product(e.v, c.cvec)
+      |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+      |       FROM e CROSS JOIN cent1 c),
+      |asg2 AS (SELECT vec_id, v, cluster_id FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY csim DESC, cluster_id) AS r FROM a2) WHERE r = 1),
+      |px2 AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg2),
+      |cm2 AS (SELECT cluster_id, pos,
+      |          CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+      |        FROM px2 GROUP BY cluster_id, pos),
+      |mean2 AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm2 GROUP BY cluster_id),
+      |cent AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
+      |         FROM cent1 p LEFT JOIN mean2 m USING (cluster_id)),
+      |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
+      |           round(list_dot_product(e.v, c.cvec)
+      |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+      |         FROM e CROSS JOIN cent c),
+      |asg AS (SELECT vec_id, v, cluster_id FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1)""".stripMargin
+
   /** CRC64 in pure DuckDB SQL — the EXACT algorithm of
     * `functions/Crc64.scala` (reflected ECMA-182 polynomial, init ~0,
     * final complement): the 256-entry lookup table is generated by 8
@@ -1627,46 +1682,8 @@ object SparkEntry {
     // assignment/update rounds (9-dp cosine, cluster_id tie-break,
     // DECIMAL(27,15) means, emptied cluster keeps its centroid via
     // coalesce); then the identical probe/rescore as q_ann_ivf
-    "q_ann_kmeans" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster_id,
-        |            v AS cvec
-        |          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5),
-        |a1 AS (SELECT e.vec_id, e.v, c.cluster_id,
-        |         round(list_dot_product(e.v, c.cvec)
-        |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |       FROM e CROSS JOIN cent0 c),
-        |asg1 AS (SELECT vec_id, v, cluster_id FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY csim DESC, cluster_id) AS r FROM a1) WHERE r = 1),
-        |px1 AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg1),
-        |cm1 AS (SELECT cluster_id, pos,
-        |          CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
-        |        FROM px1 GROUP BY cluster_id, pos),
-        |mean1 AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm1 GROUP BY cluster_id),
-        |cent1 AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
-        |          FROM cent0 p LEFT JOIN mean1 m USING (cluster_id)),
-        |a2 AS (SELECT e.vec_id, e.v, c.cluster_id,
-        |         round(list_dot_product(e.v, c.cvec)
-        |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |       FROM e CROSS JOIN cent1 c),
-        |asg2 AS (SELECT vec_id, v, cluster_id FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY csim DESC, cluster_id) AS r FROM a2) WHERE r = 1),
-        |px2 AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg2),
-        |cm2 AS (SELECT cluster_id, pos,
-        |          CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
-        |        FROM px2 GROUP BY cluster_id, pos),
-        |mean2 AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm2 GROUP BY cluster_id),
-        |cent AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
-        |         FROM cent1 p LEFT JOIN mean2 m USING (cluster_id)),
-        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
-        |           round(list_dot_product(e.v, c.cvec)
-        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |         FROM e CROSS JOIN cent c),
-        |asg AS (SELECT vec_id, v, cluster_id FROM (
-        |          SELECT *, row_number() OVER (PARTITION BY vec_id
-        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
+    "q_ann_kmeans" -> (kmeansAsgCte +
+      """,
         |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
         |      FROM e WHERE vec_id < 10),
         |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
@@ -1683,7 +1700,21 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // the same k-means assignment, then the keep-first drop rule: a
+    // vector is dropped iff SOME smaller-id vector in its cluster sits
+    // at 9-dp cosine >= 0.4 (deliberately non-transitive — ε-chains
+    // prune aggressively; see Similarity.semanticDedup)
+    "q_semantic_dedup" -> (kmeansAsgCte +
+      """,
+        |near AS (SELECT DISTINCT b.vec_id AS id
+        |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |    AND round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.4)
+        |SELECT a.vec_id, a.cluster_id,
+        |  CAST(CASE WHEN n.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM asg a LEFT JOIN near n ON a.vec_id = n.id
+        |ORDER BY vec_id""".stripMargin),
     // replays Similarity.quantize + quantizedTopK: per-dim (min, span)
     // over double-cast floats, codes = round((x-lo)/span·255), coarse
     // rank on the dequantized cosine, exact rescore of the top

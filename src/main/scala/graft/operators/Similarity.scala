@@ -575,4 +575,61 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** SemDeDup-shaped SEMANTIC dedup: embedding-space near-duplicate
+    * removal, clustered so no similarity pair is ever scored across the
+    * whole corpus (Abbas et al. 2023's recipe re-expressed on the
+    * engine's deterministic primitives).
+    *
+    *  1. cluster with [[kmeansCodebook]] (md5-seeded init, fixed
+    *     iterations, decimal-exact means — the whole model is
+    *     oracle-replayable, and each round moves only k·dim doubles);
+    *  2. assign every vector to its nearest centroid with the family's
+    *     9-dp rounded cosine (ties → lowest cluster id);
+    *  3. WITHIN each cluster only, a vector is dropped when some
+    *     SMALLER-id cluster-mate sits at cosine ≥ `threshold` — the
+    *     deterministic keep-first rule. This is deliberately the
+    *     non-transitive variant: b near a and c near b (but not near a)
+    *     drops BOTH b and c, pruning ε-chains aggressively — the
+    *     behavior curation wants for "too semantically close to
+    *     something we already kept". Transitive-cluster semantics are
+    *     the [[Dedup.nearDupClusters]] composition over emitted pairs.
+    *
+    * Clustering makes it approximate BY DESIGN: a near pair split
+    * across cluster boundaries survives (the paper's trade; raise k for
+    * tighter clusters, or run [[cosineNearDupBlocked]] for the exact
+    * frontier). Scale shape: one broadcast-join assignment scan, then a
+    * self-join bucketed on cluster_id — cluster occupancy ~n/k keeps
+    * the pair stage linear when k grows with the corpus; ids, vectors
+    * and norms ride the join, never texts.
+    *
+    * Output census, one row per vector: (vec_id, cluster_id, kept
+    * 1|0). */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    val cent = kmeansCodebook(corpus, k, iters)
+      .withColumn("cvn", norm(col("cvec")))
+    val assigned = corpus
+      .select(col("id"), col("vec"), norm(col("vec")).as("vn"))
+      .join(broadcast(cent))
+      .select(col("id"), col("vec"), col("vn"), col("cluster_id"),
+        round(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("r") === 1)
+      .select(col("id"), col("cluster_id"), col("vec"), col("vn"))
+    val l = assigned.select(col("cluster_id"), col("id").as("id_a"),
+      col("vec").as("va"), col("vn").as("na"))
+    val rr = assigned.select(col("cluster_id"), col("id").as("id_b"),
+      col("vec").as("vb"), col("vn").as("nb"))
+    val dropped = l.join(rr, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b") &&
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9)
+          >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("is_dropped", lit(1))
+    assigned.join(dropped, Seq("id"), "left_outer")
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
 }

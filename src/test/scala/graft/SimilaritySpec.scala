@@ -313,4 +313,32 @@ class SimilaritySpec extends SparkTestBase {
       minCos = 0.0, maxDf = Some(1), shingleN = 1)
     assert(capped.isEmpty)
   }
+
+  test("semanticDedup census: keep-first drops within clusters, cross-cluster pairs survive") {
+    // two tight direction groups far apart → k=2 k-means separates them;
+    // ids chosen so each group holds one duplicate pair
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact dup of 1 → dropped
+      (3L, Seq(0.9f, 0.05f, 0.0f, 0.0f)),  // near 1 (cos>0.99) → dropped
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),   // exact dup of 4 → dropped
+      (6L, Seq(0.0f, 0.0f, 0.2f, -1.0f))   // same half-space as 4 but far
+    ).toDF("id", "vec")
+    val census = Similarity.semanticDedup(vecs, 2, 2, 0.99)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    // one row per vector, kept ∈ {0,1}
+    assert(census.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val kept = census.filter(_._3 == 1).map(_._1).toSet
+    val dropped = census.filter(_._3 == 0).map(_._1).toSet
+    assert(dropped === Set(2L, 3L, 5L))
+    assert(kept === Set(1L, 4L, 6L))
+    // the duplicate members landed in the same cluster as their keeper
+    val cluster = census.map(c => c._1 -> c._2).toMap
+    assert(cluster(1L) === cluster(2L) && cluster(4L) === cluster(5L))
+    // keep-first is id-deterministic: rerun is bit-identical
+    val rerun = Similarity.semanticDedup(vecs, 2, 2, 0.99)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(rerun.toSeq === census.toSeq)
+  }
 }
