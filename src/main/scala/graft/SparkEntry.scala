@@ -376,6 +376,12 @@ object SparkEntry {
             count(lit(1))).as("mean_repetition"),
           max(col("rr")).as("max_repetition"))
         .orderBy(col("lang"), col("source"))),
+    // top word-2-gram coverage per doc (Gopher's other repetition
+    // signal): most frequent 2-gram, ties lexicographic, coverage in
+    // exact integer permille with overlaps counted
+    "q_top_ngram" -> ((s, dir) =>
+      TextAnalysis.topNgramCoverage(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
     // stopword-profile language ID vs the labeled lang (confusion counts)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -1914,6 +1920,16 @@ object SparkEntry {
         |  CAST(sum(CAST(rr AS DECIMAL(16,6))) AS DOUBLE) / count(*) AS mean_repetition,
         |  max(rr) AS max_repetition
         |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // exact-integer coverage: occ * 2 * 1000 // tokens, overlap-counting
+    "q_top_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS total,
+        |        unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM t WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, total, g, count(*) AS occ FROM g GROUP BY ALL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY occ DESC, g) AS r FROM c)
+        |SELECT doc_id, g AS top_gram, occ, occ * 2 * 1000 // total AS coverage_permille
+        |FROM r WHERE r = 1 ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits

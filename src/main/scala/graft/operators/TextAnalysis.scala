@@ -135,6 +135,36 @@ object TextAnalysis {
           .as("entropy_nats"))
   }
 
+  /** Top word-n-gram coverage (the other Gopher repetition family
+    * member next to [[repetitionRatio]]): per document, the most
+    * frequent word n-gram (ties → lexicographically smallest) and the
+    * fraction of token slots its occurrences cover, in EXACT integer
+    * permille (occ·n·1000 DIV tokens — overlaps counted, like the
+    * paper's character-fraction form, so a pathological "x x x …" loop
+    * scores above 1000 by design). Template boilerplate and chorus-loop
+    * spam score high where the distinct-ratio signal can stay low.
+    * Documents shorter than n tokens have no n-gram slot and are
+    * excluded (the census contract is per-SLOTTED-doc). Scale shape:
+    * one explode (Σ tokens rows), one partial-aggregated count, one
+    * per-doc top-1 window — no joins, no driver state. */
+  def topNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .withColumn("total", size(col("w")))
+      .filter(col("total") >= n)
+    val grams = toks.select(col("doc_id"), col("total"),
+      explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(w, i, $n)))")).as("g"))
+    grams.groupBy(col("doc_id"), col("total"), col("g"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("occ").desc, col("g"))))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("g").as("top_gram"), col("occ"),
+        expr(s"occ * $n * 1000 DIV total").as("coverage_permille"))
+  }
+
   /** Repetition signal (the Gopher/C4-family quality heuristic):
     * fraction of word n-gram slots occupied by a repeat of an earlier
     * n-gram — 0 for fully novel text, → 1 for a loop of one phrase.

@@ -222,6 +222,21 @@ class TextEventsSpec extends SparkTestBase {
     assert(out(3L) === 0.0)
   }
 
+  test("topNgramCoverage: known answers, overlap counting, tie-break, short-doc exclusion") {
+    val rows = Seq(
+      (1L, "a b c d e"),          // all 2-grams unique → occ 1, top = "a b"
+      (2L, "x x x x"),            // "x x" occ 3; 3*2*1000 DIV 4 = 1500 (>1000 by design)
+      (3L, "b a b a c"),          // "b a" occ 2 beats "a b"/"a c" occ 1; 2*2*1000 DIV 5 = 800
+      (4L, "solo")                // 1 token → excluded
+    ).toDF("id", "t")
+    val out = TextAnalysis.topNgramCoverage(rows, "t", "id")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, "a b", 1L, 400L)))
+    assert(out(2L) === ((2L, "x x", 3L, 1500L)))
+    assert(out(3L) === ((3L, "b a", 2L, 800L)))
+  }
+
   test("rolling hash known-answer: 'abc' folds to 304891") {
     // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
     val h = Seq("abc").toDF("text")
