@@ -1271,6 +1271,15 @@ object SparkEntry {
           "li_0000000100".getBytes("UTF-8"), "li_0000000300".getBytes("UTF-8"))
         .select(upper(hex(col("key"))).as("key_hex"), upper(hex(col("value"))).as("value_hex"))
         .orderBy(col("key_hex"))),
+    // DSv2 AGGREGATE pushdown: COUNT/MIN(key)/MAX(key) answered from
+    // the region index (one metadata row per region, no region opened)
+    // — the planner-integrated sibling of the socket CHECKSUM verb.
+    // KVBinSpec pins zero SCAN requests on the wire for this shape
+    "q_kvbin_agg" -> ((s, dir) =>
+      KVSnapshot.srcBin(s, dir)
+        .agg(count(lit(1)).as("n"),
+          upper(hex(min(col("key")))).as("min_key_hex"),
+          upper(hex(max(col("key")))).as("max_key_hex"))),
     // the same scan THROUGH a live loopback kvbin server: region
     // metadata and bytes arrive over the SocketRegionClient dial path
     // (endpoints option) — the network connector on the oracle gate
@@ -2592,6 +2601,11 @@ object SparkEntry {
     "q_kvbin_scan" -> (cte +
       """SELECT upper(hex(k)) AS key_hex, upper(hex(v)) AS value_hex FROM src
         |WHERE k >= 'li_0000000100' AND k < 'li_0000000300' ORDER BY key_hex""".stripMargin),
+    // whole-table stats; ASCII keys make DuckDB's VARCHAR min/max equal
+    // Spark's unsigned-lex binary min/max
+    "q_kvbin_agg" -> (cte +
+      """SELECT count(*) AS n, upper(hex(min(k))) AS min_key_hex,
+        |  upper(hex(max(k))) AS max_key_hex FROM src""".stripMargin),
     // identical contract to q_kvbin_scan — the socket transport is a
     // pure execution-path change, so the oracle is the same SQL
     "q_kvbin_socket_scan" -> (cte +

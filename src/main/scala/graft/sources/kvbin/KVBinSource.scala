@@ -5,10 +5,11 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 connector over [[KVBin]] region files — the engine's
@@ -61,11 +62,33 @@ class KVBinTable(dir: String) extends Table with SupportsRead {
       Option(options.get("endpoints")))
 }
 
+/** The statistics a region-index row can answer WITHOUT opening the
+  * region: record count, first key, last key (the index stores all
+  * three; over the socket they arrive in the REGIONS metadata reply).
+  * A pushed aggregate turns a "scan everything" plan into one that
+  * ships three values per region — the planner-integrated sibling of
+  * the protocol-level CHECKSUM verb. */
+sealed trait KVBinAgg extends Serializable
+object KVBinAgg {
+  case object CountAll extends KVBinAgg
+  case object MinKey extends KVBinAgg
+  case object MaxKey extends KVBinAgg
+  def field(a: KVBinAgg): StructField = a match {
+    case CountAll => StructField("agg_count", LongType, nullable = false)
+    case MinKey => StructField("agg_min_key", BinaryType, nullable = true)
+    case MaxKey => StructField("agg_max_key", BinaryType, nullable = true)
+  }
+}
+
 /** Accepts unsigned-lex range predicates on `key` and column pruning;
-  * everything else stays with Spark as a post-scan filter. */
+  * everything else stays with Spark as a post-scan filter. Whole-table
+  * COUNT / MIN(key) / MAX(key) aggregates push down to the region
+  * index (partial pushdown: one row per region, Spark folds the
+  * final merge — sum of counts, min of mins, max of maxes). */
 class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
                        endpoints: Option[String] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
@@ -102,15 +125,48 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  private var aggCols: Option[Seq[KVBinAgg]] = None
+
+  /** Index stats are whole-region truths: a pushed key range (or any
+    * grouping) invalidates them, so those plans keep the row scan.
+    * COUNT over any single column is COUNT(*) here — both schema
+    * columns are non-nullable. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (startKey != null || endKey != null || endInclusive != null) return false
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames.length == 1 && r.fieldNames()(0) == "key"
+        case _ => false
+      }
+    def isAnyCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.length == 1 &&
+          (r.fieldNames()(0) == "key" || r.fieldNames()(0) == "value")
+        case _ => false
+      }
+    val mapped = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(KVBinAgg.CountAll)
+      case c: Count if !c.isDistinct && isAnyCol(c.column) => Some(KVBinAgg.CountAll)
+      case m: Min if isKey(m.column) => Some(KVBinAgg.MinKey)
+      case m: Max if isKey(m.column) => Some(KVBinAgg.MaxKey)
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) false
+    else { aggCols = Some(mapped.flatten); true }
+  }
+
   override def build(): Scan =
     new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema,
-      expectedApiVersion, endpoints)
+      expectedApiVersion, endpoints, aggCols)
 }
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 endIncl: Array[Byte], required: StructType,
                 expectedApiVersion: Option[String] = None,
-                endpoints: Option[String] = None) extends Scan with Batch {
+                endpoints: Option[String] = None,
+                agg: Option[Seq[KVBinAgg]] = None) extends Scan with Batch {
   /** The session's hadoop configuration, shipped to readers —
     * executor-side `FileSystem.get` must see the cluster's FS settings
     * and credentials, not a default `Configuration()`. Resolved LAZILY
@@ -126,12 +182,14 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
   /** The cluster connection, behind the [[RegionClient]] seam — this is
     * the only line a live (network) source implementation changes. */
   private lazy val client = RegionClient.connect(dir, endpoints, conf)
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    agg.fold(required)(cols => StructType(cols.map(KVBinAgg.field)))
   override def toBatch: Batch = this
   override def description(): String = {
     def h(b: Array[Byte]) = if (b == null) "∅" else KVBin.hexOf(b)
     s"KVBinScan(dir=$dir, start=${h(start)}, end=${h(end)}, endIncl=${h(endIncl)}" +
-      endpoints.map(e => s", endpoints=$e").getOrElse("") + ")"
+      endpoints.map(e => s", endpoints=$e").getOrElse("") +
+      agg.map(cs => s", PushedAggregates=[${cs.mkString(", ")}]").getOrElse("") + ")"
   }
 
   /** Region pruning: only files whose [min,max] intersects the pushed
@@ -144,14 +202,24 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
       throw new IllegalStateException(
         s"kvbin api version mismatch: source $dir is $sourceVersion, reader expects $e")
     }
-    client.listRegions().filter { r =>
-      (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
-      (end == null || KVBin.compare(r.minKey, end) < 0) &&
-      (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0)
-    }.map { r =>
-      KVBinInputPartition(client, r.id, start, end, endIncl,
-        required.fieldNames): InputPartition
-    }.toArray
+    agg match {
+      // pushed aggregate: the ANSWER is already in the region metadata
+      // — partitions carry three resolved values each, and no region is
+      // ever opened (readers never call scanRegion)
+      case Some(cols) =>
+        client.listRegions().map { r =>
+          KVBinAggInputPartition(r.nKeys, r.minKey, r.maxKey, cols): InputPartition
+        }.toArray
+      case None =>
+        client.listRegions().filter { r =>
+          (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
+          (end == null || KVBin.compare(r.minKey, end) < 0) &&
+          (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0)
+        }.map { r =>
+          KVBinInputPartition(client, r.id, start, end, endIncl,
+            required.fieldNames): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -163,11 +231,36 @@ case class KVBinInputPartition(client: RegionClient, regionId: String,
     columns: Array[String])
   extends InputPartition
 
+/** One region's pushed-aggregate row, fully resolved at planning time
+  * from the region index — the executor task materializes a single
+  * pre-computed row. */
+case class KVBinAggInputPartition(nKeys: Long, minKey: Array[Byte],
+    maxKey: Array[Byte], cols: Seq[KVBinAgg])
+  extends InputPartition
+
 class KVBinReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[KVBinInputPartition]
-    new KVBinPartitionReader(p)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: KVBinAggInputPartition => new KVBinAggPartitionReader(p)
+      case p: KVBinInputPartition => new KVBinPartitionReader(p)
+      case other => throw new IllegalArgumentException(
+        s"unknown kvbin partition: $other")
+    }
+}
+
+/** Emits the one partial-aggregate row of a [[KVBinAggInputPartition]];
+  * Spark's final aggregate folds the per-region rows (sum/min/max). */
+class KVBinAggPartitionReader(p: KVBinAggInputPartition)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow =
+    new GenericInternalRow(p.cols.map {
+      case KVBinAgg.CountAll => p.nKeys: Any
+      case KVBinAgg.MinKey => p.minKey: Any
+      case KVBinAgg.MaxKey => p.maxKey: Any
+    }.toArray)
+  override def close(): Unit = ()
 }
 
 /** Streams one region through the [[RegionClient]] seam, scoped to the

@@ -220,6 +220,40 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from region metadata, zero region bytes on the wire") {
+    import graft.sources.kvbin.{KVBinServer, KVBinSource}
+    val data = Seq.tabulate(600)(i => (f"ag_$i%04d".getBytes("UTF-8"),
+      s"v_$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-agg-").toString
+    KVBin.write(data, dir, 5)
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      val df = spark.read.format(classOf[KVBinSource].getName)
+        .option("endpoints", server.address).load(dir)
+      val row = df.agg(count(lit(1)).as("n"),
+          min(col("key")).as("mn"), max(col("key")).as("mx"))
+        .as[(Long, Array[Byte], Array[Byte])].head()
+      assert(row._1 === 600L)
+      assert(new String(row._2, "UTF-8") === "ag_0000")
+      assert(new String(row._3, "UTF-8") === "ag_0599")
+      // the stats crossed the wire inside the REGIONS metadata reply;
+      // not one SCAN request moved region data
+      assert(server.scanRequests.get() === 0,
+        "a pushed aggregate must not stream region data over the wire")
+      // the scan's output schema IS the aggregate (pushdown engaged)
+      val plan = df.agg(count(lit(1)).as("n")).queryExecution.executedPlan.toString
+      assert(plan.contains("agg_count") || plan.contains("PushedAggregates"),
+        s"aggregate not pushed:\n$plan")
+      // a pushed key range invalidates whole-region stats: the planner
+      // must fall back to the row scan (and still be right)
+      val filtered = df.filter(col("key") >= lit("ag_0100".getBytes("UTF-8")))
+        .agg(count(lit(1))).as[Long].head()
+      assert(filtered === 500L)
+      assert(server.scanRequests.get() > 0,
+        "range-filtered aggregate must fall back to the row scan")
+    } finally server.close()
+  }
+
   test("CHECKSUM for a region the server does not own fails the task, not silently zeros") {
     import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
     val data = Seq(("a".getBytes("UTF-8"), "1".getBytes("UTF-8"))).toDF("key", "value")
