@@ -1070,12 +1070,14 @@ object SparkEntry {
       Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang",
           contentBand = true, bandBits = 60, tokenHash = Dedup.md5Hash60)
         .orderBy(col("doc_a"), col("doc_b"))),
-    // the EXACT-recall scale path for the same contract: ED-Join q-gram
-    // prefix filtering (rarest-first positional grams, per-doc prefix of
-    // qτ+1) — the oracle is the UNPRUNED all-pairs brute force, so the
-    // gate itself proves prefix-filtered == plain on every run
+    // the EXACT-recall scale path for the same contract family: ED-Join
+    // q-gram prefix filtering (rarest-first positional grams, per-role
+    // prefixes of qτ+1, length-bucketed join key) at the 5%-edit
+    // dedup operating point — the oracle is the UNPRUNED all-pairs
+    // brute force, so the gate itself proves prefix-filtered == plain
     "q_edit_neardup_prefix" -> ((s, dir) =>
-      Dedup.editNearDupPrefix(docs(s, dir), "text", "doc_id", "lang")
+      Dedup.editNearDupPrefix(docs(s, dir), "text", "doc_id", "lang",
+          maxDistPermille = 50)
         .orderBy(col("doc_a"), col("doc_b"))),
     // incremental view maintenance: dst's per-bucket (count, bytes)
     // summary derived from src's summary + the diff changelog — cost
@@ -2984,7 +2986,7 @@ object SparkEntry {
         |cand AS (
         |  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
         |    levenshtein(d1.text, d2.text) AS dist,
-        |    greatest(d1.len, d2.len) * 100 AS budget
+        |    greatest(d1.len, d2.len) * 50 AS budget
         |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
         |    AND abs(d1.len - d2.len) <= 64)
         |SELECT doc_a, doc_b, dist FROM cand

@@ -844,11 +844,16 @@ object Dedup {
     * and reused for the df table and the prefix selection — the
     * `buildShingleIndex` memo lesson), one df aggregation, one per-doc
     * top-(qτ+1) window partitioned by doc id, one hash-partitioned
-    * self-join on (block, gram, occ), then the shared counting-filter →
-    * banded-DP verify on DISTINCT candidate pairs only. Document bodies
-    * never ride the gram index — they are re-joined by id once per
-    * survivor side, so the wide shuffle currency is (id, gram) pairs,
-    * not texts. No cross join, no quadratic bucket, no recall loss.
+    * self-join on (block, gram, occ, length-bucket) — the register side
+    * carries the bucket under editNearDup's radius scheme, so even a
+    * SMALL-ALPHABET corpus where no gram is rare gets its gram buckets
+    * divided by the length spread, and each role registers only the
+    * prefix ITS theorem bound requires (the longer role's is smaller) —
+    * then the shared counting-filter → banded-DP verify on DISTINCT
+    * candidate pairs only. Document bodies never ride the gram index —
+    * they are re-joined by id once per survivor side, so the wide
+    * shuffle currency is (id, gram) pairs, not texts. No cross join,
+    * no quadratic bucket, no recall loss.
     *
     * Pairs whose overlap threshold t ≤ 0 are invisible to any gram
     * filter (the bound is vacuous — e.g. two identical 1-char docs have
@@ -863,7 +868,8 @@ object Dedup {
     * max(len)·maxDistPermille/1000). */
   def editNearDupPrefix(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, maxDistPermille: Int = 100,
-                        maxAbsDist: Int = 64, q: Int = 2): DataFrame = {
+                        maxAbsDist: Int = 64, q: Int = 2,
+                        bucketWidth: Int = 32): DataFrame = {
     require(q >= 1, "q must be >= 1")
     val p = maxDistPermille
     val cap = maxAbsDist
@@ -876,39 +882,61 @@ object Dedup {
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(textCol).as("t"), length(col(textCol)).as("len"))
     // positional q-grams, bag-tagged: the k-th occurrence of a gram in a
-    // doc is element (gram, k). Materialized ONCE — the frame feeds both
-    // the df aggregation and the df-ranked prefix selection (recomputing
-    // it was exactly the simhash df-cap regression of round 5).
+    // doc is element (gram, k). Tags come from a count-then-explode
+    // (occurrence IDENTITY is irrelevant — only that a doc with m copies
+    // of g holds tags (g,1)…(g,m)), which partial-aggregates map-side
+    // where a row_number window would full-sort every partition.
+    // Materialized ONCE — the frame feeds both the df aggregation and
+    // the df-ranked prefix selection (recomputing it was exactly the
+    // simhash df-cap regression of round 5).
     val gramRows = base.filter(col("len") >= q)
       .select(col("blk"), col("id"), col("len"), col("t"),
         explode(sequence(lit(1), col("len") - lit(q - 1))).as("gpos"))
       .withColumn("gram", expr(s"substring(t, gpos, $q)"))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("id"), col("gram")).orderBy(col("gpos"))))
-      .select(col("blk"), col("id"), col("len"), col("gram"), col("occ"))
+      .groupBy(col("blk"), col("id"), col("len"), col("gram"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("blk"), col("id"), col("len"), col("gram"),
+        explode(sequence(lit(1), col("m"))).as("occ"))
       .localCheckpoint()
     val dfTab = gramRows.groupBy(col("gram"), col("occ"))
       .agg(count(lit(1)).as("gdf"))
-    // per-doc τ bound covering BOTH roles the doc can play: as the
-    // shorter side its partner is at most len+cap long, so
-    // τ_pair ≤ min(cap, (len+cap)·p/1000); as the longer side
-    // τ_pair = min(cap, len·p/1000) ≤ the same bound. Oversizing a
-    // prefix never loses recall (prefixes only grow).
-    val prefix = gramRows.join(dfTab, Seq("gram", "occ"))
+    // per-ROLE τ bounds (prefixes sized per the theorem, no slack):
+    //  - as the SHORTER side a doc's partner is at most len+cap long,
+    //    so τ_pair ≤ min(cap, (len+cap)·p/1000) — the probe prefix;
+    //  - as the LONGER side τ_pair = min(cap, len·p/1000) exactly —
+    //    the register prefix, strictly smaller. Asymmetric prefixes
+    //    per role are exact: each side only needs ITS
+    //    (|G| − t + 1)-prefix, both ≤ q·τ_pair + 1.
+    // The register side additionally carries the length bucket in the
+    // join key (editNearDup's radius registration): a legal pair's gap
+    // is ≤ cap, so the longer side registering buckets {b−radius … b}
+    // meets the shorter side's own bucket — dividing every gram
+    // bucket's occupancy by the corpus's length spread, which is what
+    // bounds the join on small-alphabet corpora where no gram is rare.
+    val ranked = gramRows.join(dfTab, Seq("gram", "occ"))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("gdf"), col("gram"), col("occ"))))
       .filter(col("prank") <=
         lit(q) * expr(s"least($cap, ((len + $cap) * $p) DIV 1000)") + lit(1))
-      .select(col("blk"), col("id"), col("len"), col("gram"), col("occ"))
-    val l = prefix.select(col("blk"), col("gram"), col("occ"),
-      col("id").as("id_a"), col("len").as("len_a"))
-    val r = prefix.select(col("blk").as("blk_r"), col("gram").as("gram_r"),
-      col("occ").as("occ_r"), col("id").as("id_b"), col("len").as("len_b"))
+      .select(col("blk"), col("id"), col("len"), col("gram"), col("occ"),
+        col("prank"))
+      .localCheckpoint()
+    val radius = (cap - 1) / bucketWidth + 1
+    val l = ranked.select(col("blk"), col("gram"), col("occ"),
+      col("id").as("id_a"), col("len").as("len_a"),
+      expr(s"len DIV $bucketWidth").as("b"))
+    val r = ranked
+      .filter(col("prank") <= lit(q) * expr(s"least($cap, (len * $p) DIV 1000)") + lit(1))
+      .select(col("blk").as("blk_r"), col("gram").as("gram_r"),
+        col("occ").as("occ_r"), col("id").as("id_b"), col("len").as("len_b"),
+        explode(sequence(expr(s"len DIV $bucketWidth") - radius,
+          expr(s"len DIV $bucketWidth"))).as("reg"))
     // pair-level length gate uses the true pair τ (longer side's len);
     // orientation is (len, id) shorter-first like editNearDup, so every
     // pair is generated exactly one way regardless of id order
     val cand = l.join(r, col("blk") === col("blk_r") &&
         col("gram") === col("gram_r") && col("occ") === col("occ_r") &&
+        col("b") === col("reg") &&
         (col("len_a") < col("len_b") ||
           (col("len_a") === col("len_b") && col("id_a") < col("id_b"))) &&
         col("len_b") - col("len_a") <= least(lit(cap), expr(s"(len_b * $p) DIV 1000")))
