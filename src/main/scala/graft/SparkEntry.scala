@@ -187,6 +187,17 @@ object SparkEntry {
           "text", "doc_id", 0.5)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    // corpus-level contamination rate over the deterministic hash
+    // split (train = md5 bucket < 90): per held-out doc, the permille
+    // of its shingles present anywhere in train — the overlap metric
+    // an eval release reports
+    "q_contamination_rate" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("__b",
+        pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(100L)))
+      Dedup.contaminationRate(d.filter(col("__b") < 90),
+          d.filter(col("__b") >= 90), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     // passage-level duplication: content-defined chunks shared across
     // distinct documents — catches PARTIAL copies that whole-document
     // fingerprints miss (the chunk boundaries are content-defined, so a
@@ -1590,6 +1601,22 @@ object SparkEntry {
         |    round(CAST(i AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS containment
         |  FROM inter JOIN esz USING (eval_id))
         |WHERE containment >= 0.5 ORDER BY train_id, eval_id""".stripMargin,
+    // same shingle construction; train collapses to one DISTINCT set
+    "q_contamination_rate" ->
+      s"""WITH b AS (SELECT doc_id, text,
+        |  ${duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents),
+        |toks AS (SELECT doc_id, bucket, string_split(text,' ') AS w FROM b),
+        |sh AS (SELECT doc_id, bucket, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT doc_id, bucket, unnest(s) AS t FROM sh),
+        |tr AS (SELECT DISTINCT t FROM tok WHERE bucket < 90),
+        |ev AS (SELECT doc_id, t FROM tok WHERE bucket >= 90),
+        |esz AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS hits FROM ev JOIN tr USING (t) GROUP BY 1)
+        |SELECT e.doc_id, e.n_shingles, coalesce(h.hits, 0) AS hits,
+        |  coalesce(h.hits, 0) * 1000 // e.n_shingles AS contamination_permille
+        |FROM esz e LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

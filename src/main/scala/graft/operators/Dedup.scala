@@ -307,6 +307,33 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Train→eval contamination RATE: for every eval document, the share
+    * of its distinct n-gram shingles that appear ANYWHERE in the train
+    * corpus, in exact integer permille — the corpus-level overlap
+    * metric an eval release reports, where [[decontaminate]] reports
+    * per-(train,eval) pair containment for actionable removal. A 0
+    * means fully novel; 1000 means every shingle is trained-on (the
+    * doc is fully leaked even if no single train doc contains it all).
+    *
+    * Scale shape: the train side collapses to its DISTINCT shingle set
+    * (hash-partitioned aggregate over the memoized index — never
+    * broadcast: at 100 TB the train shingle universe is the biggest
+    * object in the query), the eval index equi-joins it on the shingle
+    * hash, and the fraction is exact integer arithmetic. */
+  def contaminationRate(train: DataFrame, eval: DataFrame, textCol: String,
+                        idCol: String, n: Int = 3): DataFrame = {
+    val tSet = hashedShingleIndex(train, textCol, idCol, n)
+      .select(col("t")).distinct()
+    val eTok = hashedShingleIndex(eval, textCol, idCol, n)
+    val eSz = eTok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = eTok.join(tSet, Seq("t"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    eSz.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("contamination_permille", expr("hits * 1000 DIV n_shingles"))
+  }
+
   /** Incremental near-dup: match a NEW document batch against an
     * EXISTING corpus — the dedup analog of `Checksum.applyDelta`'s
     * O(delta) re-verification. A growing corpus ingests batches

@@ -434,6 +434,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationRate: leaked eval doc scores 1000, novel scores 0, partial in between") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta"),           // all 2 shingles in train doc 1 → 1000
+      (11L, "nu xi omicron pi rho sigma"),       // fully novel → 0
+      // 4 shingles; only "one two three" present → 250
+      (12L, "one two three banana apple pear")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationRate(train, eval, "text", "doc_id")
+      .select(col("doc_id"), col("contamination_permille"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 1000L, 11L -> 0L, 12L -> 250L))
+  }
+
   test("editNearDupPrefix equals all-pairs brute force, tiny docs included") {
     // the q-gram prefix index (rarest-first positional grams, qτ+1 per
     // doc) must be INVISIBLE: same seeded generator as the exact-mode
