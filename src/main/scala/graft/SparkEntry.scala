@@ -387,6 +387,13 @@ object SparkEntry {
             count(lit(1))).as("mean_repetition"),
           max(col("rr")).as("max_repetition"))
         .orderBy(col("lang"), col("source"))),
+    // temperature-flattened (α=1/2) source mixing weights in exact ppm
+    // — IEEE sqrt is correctly rounded in both engines, and the
+    // normalization is integer-sum integer-division, so the whole
+    // model is hash-gated
+    "q_mix_temperature" -> ((s, dir) =>
+      TextAnalysis.mixTemperatureWeights(docs(s, dir), "source", "text")
+        .orderBy(col("source"))),
     // top word-2-gram coverage per doc (Gopher's other repetition
     // signal): most frequent 2-gram, ties lexicographic, coverage in
     // exact integer permille with overlaps counted
@@ -1958,6 +1965,16 @@ object SparkEntry {
         |  CAST(sum(CAST(rr AS DECIMAL(16,6))) AS DOUBLE) / count(*) AS mean_repetition,
         |  max(rr) AS max_repetition
         |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // mirrors the milli-unit isqrt and the integer normalization
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY source),
+        |sq AS (SELECT *, CAST(floor(sqrt(CAST(sum_tokens AS DOUBLE) * 1000000)) AS BIGINT) AS s
+        |       FROM per),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS sq_total FROM sq)
+        |SELECT source, n_docs, sum_tokens, s * 1000000 // sq_total AS weight_ppm
+        |FROM sq CROSS JOIN tot ORDER BY source""".stripMargin,
     // exact-integer coverage: occ * 2 * 1000 // tokens, overlap-counting
     "q_top_ngram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -135,6 +135,33 @@ object TextAnalysis {
           .as("entropy_nats"))
   }
 
+  /** Temperature-flattened domain mixing weights — the `p_s ∝ n_s^α`
+    * resampling a pretraining mix applies so small domains are not
+    * drowned by raw-size sampling (α = 1 keeps raw proportions, α = 0
+    * is uniform). Fixed at α = 1/2, whose power is IEEE `sqrt` —
+    * correctly rounded in every IEEE-754 engine, so `floor(sqrt(·))` is
+    * bit-stable cross-engine where a general `pow(x, 0.7)` is not.
+    *
+    * Exact recipe: per group, token mass t_s; s_s = floor(sqrt(t_s ·
+    * 10^6)) (sqrt in milli-units for granularity; t_s·10^6 must stay
+    * under 2^52 to be exactly representable — fine to ~4.5e9 tokens per
+    * group, beyond which scale the milli-factor down); weight_ppm =
+    * s_s · 10^6 DIV Σ s_s — integer division over an integer sum, so
+    * no float accumulation order exists anywhere. The 1-row total
+    * broadcasts back; the corpus streams once. */
+  def mixTemperatureWeights(docs: DataFrame, groupCol: String,
+                            textCol: String): DataFrame = {
+    val per = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("sum_tokens"))
+      .withColumn("sq",
+        floor(sqrt(col("sum_tokens").cast("double") * 1000000.0d)).cast("long"))
+    val tot = per.agg(sum(col("sq")).as("sq_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("sum_tokens"),
+        expr("sq * 1000000 DIV sq_total").as("weight_ppm"))
+  }
+
   /** Top word-n-gram coverage (the other Gopher repetition family
     * member next to [[repetitionRatio]]): per document, the most
     * frequent word n-gram (ties → lexicographically smallest) and the

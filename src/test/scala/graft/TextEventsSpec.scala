@@ -237,6 +237,18 @@ class TextEventsSpec extends SparkTestBase {
     assert(out(3L) === ((3L, "b a", 2L, 800L)))
   }
 
+  test("mixTemperatureWeights: 4:1 token mass flattens to 2:1 in exact ppm") {
+    val docs = Seq(
+      (1L, "big", ("w " * 16).trim),   // 16 tokens
+      (2L, "small", ("w " * 4).trim)   //  4 tokens
+    ).toDF("id", "source", "text")
+    val out = TextAnalysis.mixTemperatureWeights(docs, "source", "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // isqrt milli-units: sqrt(16e6)=4000, sqrt(4e6)=2000; ppm over 6000
+    assert(out("big") === (("big", 1L, 16L, 666666L)))
+    assert(out("small") === (("small", 1L, 4L, 333333L)))
+  }
+
   test("rolling hash known-answer: 'abc' folds to 304891") {
     // ((7*31+97)*31+98)*31+99 mod 1e9+7 = 304891
     val h = Seq("abc").toDF("text")
