@@ -160,6 +160,23 @@ object SparkEntry {
         .filter(col("j") >= 0.5)
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
+    // curation keeper rule: per near-dup cluster keep the
+    // HIGHEST-quality member (qualityPpm argmax, min-id tiebreak via
+    // the (score, −id) struct max), singletons their own cluster —
+    // the retention census (keeper, best score, cluster size)
+    "q_dedup_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3,
+          maxDf = jaccardMaxDf)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+        .filter(col("j") >= 0.5)
+      val members = d
+        .select(col("doc_id"), TextAnalysis.qualityPpm(col("text")).as("score"))
+        .join(Dedup.nearDupClusters(pairs), Seq("doc_id"), "left_outer")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("doc_id"), col("score"))
+      Dedup.bestOfCluster(members).orderBy(col("cluster_id"))
+    }),
     // leakage-free split assignment: hash the near-dup CLUSTER
     // representative, not the doc id, so a whole duplicate cluster
     // lands in one split and eval can never see a paraphrase of a
@@ -1634,6 +1651,37 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach
         |GROUP BY a ORDER BY doc_id""".stripMargin),
+    // same recursive clustering + the q_adaptive_quality ppm replay,
+    // then the struct-max argmax with the (score, −id) tiebreak
+    "q_dedup_best" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |qm AS (SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM documents),
+        |qs AS (SELECT doc_id,
+        |  4 * n_distinct_tokens + 3 * n_tokens * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |    + 3 * least(3 * n_stop, n_tokens) AS num,
+        |  10 * n_tokens AS den FROM qm),
+        |qp AS (SELECT doc_id,
+        |  CAST(floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT) AS score
+        |FROM qs),
+        |mem AS (SELECT coalesce(c.cluster_id, q.doc_id) AS cluster_id, q.doc_id, q.score
+        |        FROM qp q LEFT JOIN cl c USING (doc_id)),
+        |agg AS (SELECT cluster_id,
+        |          max(struct_pack(s := score, ni := -doc_id)) AS b,
+        |          count(*) AS n_members
+        |        FROM mem GROUP BY cluster_id)
+        |SELECT cluster_id, -(b.ni) AS keep_doc_id, b.s AS best_score, n_members
+        |FROM agg ORDER BY cluster_id""".stripMargin),
     // leak-free split: same recursive clustering, then the split bucket
     // hashes the cluster representative (singletons = own id)
     "q_split_leakfree" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +

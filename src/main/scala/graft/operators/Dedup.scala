@@ -442,6 +442,23 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Curation keeper rule: within each near-dup cluster keep the
+    * HIGHEST-scoring member (smallest doc id on score ties) instead of
+    * an arbitrary min-id representative — a duplicate cluster usually
+    * holds one clean copy and several OCR- or boilerplate-damaged
+    * variants, and id-based retention throws the clean copy away
+    * whenever it sorts later. `members`: (cluster_id, doc_id, score).
+    * Output per cluster: (cluster_id, keep_doc_id, best_score,
+    * n_members) via a grouped struct-argmax over (score, −doc_id) —
+    * lexicographic max, partial-aggregated map-side; no window, no
+    * join, one shuffle of one small struct per cluster. */
+  def bestOfCluster(members: DataFrame): DataFrame =
+    members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("score").as("s"), (-col("doc_id")).as("ni"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("b.ni")).as("keep_doc_id"),
+        col("b.s").as("best_score"), col("n_members"))
+
   /** Content-defined chunking: split each document at positions where
     * the `w`-char rolling polynomial hash (Horner fold mod 1e9+7 — the
     * same hash family as [[graft.operators.TextAnalysis.rollingHash]])

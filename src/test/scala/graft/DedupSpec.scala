@@ -434,6 +434,16 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("bestOfCluster keeps the highest score, min id on ties; singletons pass through") {
+    val members = Seq(
+      (1L, 1L, 100L), (1L, 2L, 300L), (1L, 3L, 300L), // 2 and 3 tie → keep 2
+      (7L, 7L, 50L)                                   // singleton
+    ).toDF("cluster_id", "doc_id", "score")
+    val out = Dedup.bestOfCluster(members)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 300L, 3L), (7L, 7L, 50L, 1L)))
+  }
+
   test("contaminationRate: leaked eval doc scores 1000, novel scores 0, partial in between") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
