@@ -270,6 +270,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"bucketed join must not shuffle either side:\n$p")
   }
 
+  test("q_kvbin_agg: the scan's output schema IS the pushed aggregate") {
+    val p = plan("q_kvbin_agg")
+    // readSchema flips from (key, value) to the agg columns — region
+    // data never reaches Spark; KVBinSpec separately pins zero SCAN
+    // requests over the wire for this shape
+    assert(p.contains("agg_count"), s"aggregate not pushed into the kvbin scan:\n$p")
+    assert(p.contains("PushedAggregates=[CountAll, MinKey, MaxKey]"), p)
+  }
+
+  test("round-6 entries: no cartesian product anywhere; gram joins stay equi-joins") {
+    // q_semantic_dedup's broadcast k-row codebook join is the family's
+    // sanctioned BroadcastNestedLoopJoin (model parameters, not data) —
+    // so the BNLJ ban applies to the gram/pair joins only
+    for (q <- Seq("q_edit_neardup_prefix", "q_semantic_dedup",
+        "q_contamination_rate", "q_dedup_best")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    for (q <- Seq("q_edit_neardup_prefix", "q_contamination_rate")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("q_mix_temperature: one partial+final aggregate pass, 1-row total broadcast back") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("partial_"), s"group aggregate must map-side combine:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
   test("bucketed snapshot: an equality key filter prunes to a single bucket") {
     import org.apache.spark.sql.functions.col
     // a bare single-table scan has no distribution requirement, so the
