@@ -913,7 +913,8 @@ object Dedup {
   def editNearDupPrefix(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, maxDistPermille: Int = 100,
                         maxAbsDist: Int = 64, q: Int = 2,
-                        bucketWidth: Int = 32): DataFrame = {
+                        bucketWidth: Int = 32,
+                        maxCandidatesPerDoc: Int = 5000): DataFrame = {
     require(q >= 1, "q must be >= 1")
     val p = maxDistPermille
     val cap = maxAbsDist
@@ -975,6 +976,37 @@ object Dedup {
         col("occ").as("occ_r"), col("id").as("id_b"), col("len").as("len_b"),
         explode(sequence(expr(s"len DIV $bucketWidth") - radius,
           expr(s"len DIV $bucketWidth"))).as("reg"))
+    // CANDIDATE-VOLUME guard (editNearDup's occupancy-guard pattern,
+    // applied to the exact join volume): rarest-first selection bounds
+    // bucket occupancy only while the corpus's GRAM DIVERSITY grows
+    // with it — true of real text, false of an adversarially small
+    // alphabet, where every document's "rarest" grams are the same few
+    // keys and ANY exact gram method degrades toward the quadratic
+    // (the pairwise count bound cannot be evaluated without meeting
+    // the pair). The exact join volume Σ mₗ·mᵣ over join keys costs
+    // two small aggregations of the already-materialized prefix frame
+    // — refuse a super-linear join with the remedy named instead of
+    // silently running it. Int.MaxValue disables.
+    if (maxCandidatesPerDoc != Int.MaxValue) {
+      val nDocs = math.max(base.count(), 1L)
+      val ml = l.groupBy(col("blk"), col("gram"), col("occ"), col("b"))
+        .agg(count(lit(1)).as("ml"))
+      val mr = r.groupBy(col("blk_r"), col("gram_r"), col("occ_r"), col("reg"))
+        .agg(count(lit(1)).as("mr"))
+      val volume = ml.join(mr, col("blk") === col("blk_r") &&
+          col("gram") === col("gram_r") && col("occ") === col("occ_r") &&
+          col("b") === col("reg"))
+        .agg(coalesce(sum(col("ml") * col("mr")), lit(0L)).cast("long"))
+        .head().getLong(0)
+      if (volume > maxCandidatesPerDoc.toLong * nDocs)
+        throw new IllegalStateException(
+          s"editNearDupPrefix: candidate volume $volume exceeds " +
+          s"$maxCandidatesPerDoc/doc over $nDocs docs — the corpus's q-gram " +
+          s"diversity is too small for prefix filtering to stay linear " +
+          s"(small-alphabet/templated text). Use editNearDup(contentBand = " +
+          s"true) for this corpus, tighten maxDistPermille, raise q, or " +
+          s"raise maxCandidatesPerDoc explicitly to accept the cost.")
+    }
     // pair-level length gate uses the true pair τ (longer side's len);
     // orientation is (len, id) shorter-first like editNearDup, so every
     // pair is generated exactly one way regardless of id order

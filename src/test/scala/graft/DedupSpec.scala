@@ -509,7 +509,11 @@ class DedupSpec extends SparkTestBase {
       val corpus = grown ++ Vector((97L, "a"), (98L, "a"), (99L, "b"))
       val docs = corpus.toDF("doc_id", "text")
         .select(col("doc_id"), lit("xx").as("lang"), col("text"))
-      val got = Dedup.editNearDupPrefix(docs, "text", "doc_id", "lang")
+      // guard disabled: the 3-letter alphabet is the guard's target
+      // (volume sits near the default bound by design); THIS test is
+      // about recall semantics, the guard has its own stress spec
+      val got = Dedup.editNearDupPrefix(docs, "text", "doc_id", "lang",
+          maxCandidatesPerDoc = Int.MaxValue)
         .as[(Long, Long, Int)].collect().toSet
       val expected = (for {
         (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib

@@ -228,6 +228,29 @@ class DedupStressSpec extends SparkTestBase {
       s"prefix index must break the hot block: cand<=$candUpper quadratic=$quadratic")
   }
 
+  test("prefix-path volume guard refuses a gram-starved corpus; banded path handles it") {
+    // single-char alphabet: every document's grams are the SAME few
+    // (gram, occ) keys, so rarest-first selection cannot spread the
+    // join and candidate volume goes quadratic — the guard must refuse
+    // with the remedy named, and the named remedy (the banded
+    // editNearDup) must actually handle the corpus
+    val docs = (0 until 400).map { i =>
+      (i.toLong, "a" * (180 + i % 8)) // one length bucket, zero gram diversity
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), lit("en").as("lang"), col("text"))
+      .localCheckpoint()
+    val e = intercept[IllegalStateException] {
+      Dedup.editNearDupPrefix(docs, "text", "doc_id", "lang").count()
+    }
+    assert(e.getMessage.contains("candidate volume"))
+    assert(e.getMessage.contains("contentBand"))
+    // the banded path runs it (these docs ARE all near-dups; simhash
+    // agrees on every chunk, blocking keeps it one dense true cluster)
+    val banded = Dedup.editNearDup(docs, "text", "doc_id", "lang",
+      contentBand = true, maxBucketOccupancy = Int.MaxValue)
+    assert(banded.count() > 0L)
+  }
+
   test("exact-mode occupancy guard refuses a quadratic (block, length-bucket) bucket") {
     // the naive-caller footgun the guard closes: a big same-block,
     // same-length-bucket corpus on the DEFAULT (exact) path would
