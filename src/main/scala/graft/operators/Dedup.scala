@@ -907,6 +907,13 @@ object Dedup {
     * channel. At the default (permille=100, q=2) the cutoff is length 1
     * — the channel is empty on any real corpus.
     *
+    * CHOOSING q (measured, BENCH_SF1.md): linearity requires the q-gram
+    * universe to dwarf the corpus gram mass (|Σ|^q ≫ Σ len) — on a
+    * 62-symbol corpus, q=2 (universe 3.8k) measures quadratic volume
+    * growth while q=4 (universe 1.4e7) holds a FLAT 59 candidates/doc
+    * across a 10× scale-up. q never affects correctness, only volume;
+    * the guard converts a too-small q into a fail-fast naming the rule.
+    *
     * Output contract is [[editNearDup]]'s exactly: (doc_a < doc_b, dist)
     * for every same-block pair with dist ≤ min(maxAbsDist,
     * max(len)·maxDistPermille/1000). */
