@@ -523,6 +523,20 @@ class DedupSpec extends SparkTestBase {
       } yield (ia, ib, d)).toSet
       assert(got === expected, s"trial $trial")
       assert(expected.contains((97L, 98L, 0)), "tiny-doc pair must be in scope")
+      // parameter sweep on the same corpus: q and permille must never
+      // change the answer beyond the contract's own budget change —
+      // q=3 exercises non-default gram width (and the q-wide tiny-doc
+      // cutoff), permille=50 the tighter budget the flagship entry uses
+      val got3 = Dedup.editNearDupPrefix(docs, "text", "doc_id", "lang",
+          maxDistPermille = 50, q = 3, maxCandidatesPerDoc = Int.MaxValue)
+        .as[(Long, Long, Int)].collect().toSet
+      val expected3 = (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        d = lev(ta, tb)
+        budget = math.max(ta.length, tb.length) * 50
+        if d <= 64 && d * 1000 <= budget
+      } yield (ia, ib, d)).toSet
+      assert(got3 === expected3, s"trial $trial (q=3, permille=50)")
     }
   }
 
