@@ -177,6 +177,16 @@ object SparkEntry {
           col("doc_id"), col("score"))
       Dedup.bestOfCluster(members).orderBy(col("cluster_id"))
     }),
+    // the one-call kept corpus: dropNearDuplicates composes pairs →
+    // clusters → best-of-cluster → left-semi, schema-preserving; the
+    // entry summarizes the survivors per language
+    "q_dedup_keep" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir), "text", "doc_id", 0.5,
+          maxDf = jaccardMaxDf)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy(col("lang"))),
     // leakage-free split assignment: hash the near-dup CLUSTER
     // representative, not the doc id, so a whole duplicate cluster
     // lands in one split and eval can never see a paraphrase of a
@@ -1682,6 +1692,38 @@ object SparkEntry {
         |        FROM mem GROUP BY cluster_id)
         |SELECT cluster_id, -(b.ni) AS keep_doc_id, b.s AS best_score, n_members
         |FROM agg ORDER BY cluster_id""".stripMargin),
+    // q_dedup_best's keeper set, applied: survivors summarized per lang
+    "q_dedup_keep" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |qm AS (SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM documents),
+        |qs AS (SELECT doc_id,
+        |  4 * n_distinct_tokens + 3 * n_tokens * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |    + 3 * least(3 * n_stop, n_tokens) AS num,
+        |  10 * n_tokens AS den FROM qm),
+        |qp AS (SELECT doc_id,
+        |  CAST(floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT) AS score
+        |FROM qs),
+        |mem AS (SELECT coalesce(c.cluster_id, q.doc_id) AS cluster_id, q.doc_id, q.score
+        |        FROM qp q LEFT JOIN cl c USING (doc_id)),
+        |agg AS (SELECT cluster_id,
+        |          max(struct_pack(s := score, ni := -doc_id)) AS b
+        |        FROM mem GROUP BY cluster_id),
+        |keep AS (SELECT -(b.ni) AS doc_id FROM agg)
+        |SELECT d.lang, count(*) AS n_kept,
+        |  CAST(sum(length(d.text)) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN keep USING (doc_id)
+        |GROUP BY d.lang ORDER BY lang""".stripMargin),
     // leak-free split: same recursive clustering, then the split bucket
     // hashes the cluster representative (singletons = own id)
     "q_split_leakfree" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +

@@ -459,6 +459,32 @@ object Dedup {
       .select(col("cluster_id"), (-col("b.ni")).as("keep_doc_id"),
         col("b.s").as("best_score"), col("n_members"))
 
+  /** One-call fuzzy dedup — the kept corpus itself. Composes the
+    * pipeline a curation run wires by hand: [[jaccardJoin]] (df-capped
+    * candidates + exact verify) → [[nearDupClusters]] (pointer-jumping
+    * components) → [[bestOfCluster]] (score-argmax keeper, min id on
+    * ties; default score = [[TextAnalysis.qualityPpm]]), then a
+    * left-semi join restricts the ORIGINAL rows to the keepers —
+    * schema-preserving, so it drops into any pipeline. Singletons keep
+    * themselves; every stage is the already-audited distributed shape,
+    * and the jaccard is rounded to 6 dp before thresholding so the
+    * keep-set is bit-stable cross-engine. */
+  def dropNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, shingleN: Int = 3,
+                         maxDf: Int = Int.MaxValue,
+                         scoreCol: Option[Column] = None): DataFrame = {
+    val score = scoreCol.getOrElse(TextAnalysis.qualityPpm(col(textCol)))
+    val pairs = jaccardJoin(docs, textCol, idCol, 0.0, shingleN, maxDf)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+      .filter(col("j") >= threshold)
+    val members = docs.select(col(idCol).as("doc_id"), score.as("score"))
+      .join(nearDupClusters(pairs), Seq("doc_id"), "left_outer")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("doc_id"), col("score"))
+    val keep = bestOfCluster(members).select(col("keep_doc_id"))
+    docs.join(keep, col(idCol) === col("keep_doc_id"), "left_semi")
+  }
+
   /** Content-defined chunking: split each document at positions where
     * the `w`-char rolling polynomial hash (Horner fold mod 1e9+7 — the
     * same hash family as [[graft.operators.TextAnalysis.rollingHash]])

@@ -434,6 +434,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dropNearDuplicates: schema-preserving, one survivor per cluster, singletons kept") {
+    val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id", 0.5)
+    assert(kept.schema === corpus.schema)
+    val ids = kept.select(col("doc_id")).as[Long].collect().toSet
+    // 1 and 3 are exact duplicates (equal text ⇒ equal score ⇒ min id
+    // keeps 1); unrelated 5 and 6 must both survive
+    assert(ids.contains(1L) && !ids.contains(3L))
+    assert(ids.contains(5L) && ids.contains(6L))
+    // survivors are a subset of the corpus with no duplicates
+    assert(ids.subsetOf((1L to 6L).toSet))
+    assert(kept.count() === ids.size)
+  }
+
   test("bestOfCluster keeps the highest score, min id on ties; singletons pass through") {
     val members = Seq(
       (1L, 1L, 100L), (1L, 2L, 300L), (1L, 3L, 300L), // 2 and 3 tie → keep 2
