@@ -427,6 +427,31 @@ object SparkEntry {
     "q_top_ngram" -> ((s, dir) =>
       TextAnalysis.topNgramCoverage(docs(s, dir), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    // dedicated math-function gate (the §2b row previously only "rode"
+    // other queries): exact integer ops summed as BIGINT, and the one
+    // genuinely floating function (ln) 9-dp-rounded per row then
+    // DECIMAL-summed — the family's standard float recipe
+    "q_math_fns" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag").as("rf"),
+          abs(col("l_partkey") - col("l_suppkey")).as("i_abs"),
+          when(col("l_partkey") > col("l_suppkey"), 1)
+            .when(col("l_partkey") < col("l_suppkey"), -1).otherwise(0).as("i_sign"),
+          (col("l_orderkey") % 7).as("i_mod"),
+          expr("l_orderkey DIV 7").as("i_div"),
+          greatest(col("l_partkey"), col("l_suppkey")).as("i_max"),
+          least(col("l_partkey"), col("l_suppkey")).as("i_min"),
+          expr("shiftleft(CAST(1 AS BIGINT), l_linenumber)").as("i_pow2"),
+          floor(sqrt(col("l_orderkey").cast("double"))).cast("long").as("i_isqrt"),
+          round(log(col("l_extendedprice").cast("double")), 9).as("d_ln"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("i_abs")).as("s_abs"), sum(col("i_sign")).as("s_sign"),
+          sum(col("i_mod")).as("s_mod"), sum(col("i_div")).as("s_div"),
+          sum(col("i_max")).as("s_max"), sum(col("i_min")).as("s_min"),
+          sum(col("i_pow2")).as("s_pow2"), sum(col("i_isqrt")).as("s_isqrt"),
+          sum(col("d_ln").cast("decimal(20,9)")).cast("double").as("s_ln"))
+        .orderBy(col("rf"))),
     // stopword-profile language ID vs the labeled lang (confusion counts)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -2055,6 +2080,27 @@ object SparkEntry {
         |  CAST(sum(CAST(rr AS DECIMAL(16,6))) AS DOUBLE) / count(*) AS mean_repetition,
         |  max(rr) AS max_repetition
         |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // integer ops exact; ln rounded 9dp per row then DECIMAL-summed
+    "q_math_fns" ->
+      """WITH m AS (SELECT l_returnflag AS rf,
+        |    abs(l_partkey - l_suppkey) AS i_abs,
+        |    CASE WHEN l_partkey > l_suppkey THEN 1
+        |         WHEN l_partkey < l_suppkey THEN -1 ELSE 0 END AS i_sign,
+        |    l_orderkey % 7 AS i_mod,
+        |    l_orderkey // 7 AS i_div,
+        |    greatest(l_partkey, l_suppkey) AS i_max,
+        |    least(l_partkey, l_suppkey) AS i_min,
+        |    CAST(1 AS BIGINT) << l_linenumber AS i_pow2,
+        |    CAST(floor(sqrt(CAST(l_orderkey AS DOUBLE))) AS BIGINT) AS i_isqrt,
+        |    round(ln(CAST(l_extendedprice AS DOUBLE)), 9) AS d_ln
+        |  FROM lineitem)
+        |SELECT rf, count(*) AS n,
+        |  CAST(sum(i_abs) AS BIGINT) AS s_abs, CAST(sum(i_sign) AS BIGINT) AS s_sign,
+        |  CAST(sum(i_mod) AS BIGINT) AS s_mod, CAST(sum(i_div) AS BIGINT) AS s_div,
+        |  CAST(sum(i_max) AS BIGINT) AS s_max, CAST(sum(i_min) AS BIGINT) AS s_min,
+        |  CAST(sum(i_pow2) AS BIGINT) AS s_pow2, CAST(sum(i_isqrt) AS BIGINT) AS s_isqrt,
+        |  CAST(sum(CAST(d_ln AS DECIMAL(20,9))) AS DOUBLE) AS s_ln
+        |FROM m GROUP BY rf ORDER BY rf""".stripMargin,
     // mirrors the milli-unit isqrt and the integer normalization
     "q_mix_temperature" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
