@@ -25,7 +25,7 @@ import org.apache.hadoop.conf.Configuration
   *             | "CHECKSUM <regionId>"
   *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8
   *   REGIONS  -> int32 n, then n × ([idlen][id][mlen][minKey]
-  *               [xlen][maxKey][nKeys:int64])
+  *               [xlen][maxKey][nKeys:int64][bytes:int64])
   *   SCAN     -> records [klen][key][vlen][value]…, terminated klen=-1
   *   CHECKSUM -> byte found(0|1); if found: int64 crc64_xor,
   *               int64 total_kvs, int64 total_bytes
@@ -75,6 +75,13 @@ class KVBinServer(dir: String, conf: Configuration,
   // a full N-region table scan must not cost N index reads
   private lazy val index = KVBin.readAll(dir, conf)
   private lazy val ownedRegions = index._2.filter(r => owns(r._1))
+  // serialized region sizes (file lengths), shipped in the REGIONS
+  // reply the way PD ships approximate_size — one listStatus, cached
+  private lazy val regionLens: Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+  }
 
   /** Served SCAN / CHECKSUM request counts (spec observables). */
   val scanRequests = new java.util.concurrent.atomic.AtomicLong
@@ -129,6 +136,7 @@ class KVBinServer(dir: String, conf: Configuration,
             writeBytes(out, mn)
             writeBytes(out, mx)
             out.writeLong(n)
+            out.writeLong(regionLens.getOrElse(id, -1L))
           }
         case scan if scan != null && scan.startsWith("SCAN ") =>
           scanRequests.incrementAndGet()
@@ -204,7 +212,7 @@ class SocketRegionClient(address: String) extends RegionClient {
     dial("REGIONS") { in =>
       (0 until in.readInt()).map { _ =>
         RegionInfo(new String(readBytes(in), "UTF-8"),
-          readBytes(in), readBytes(in), in.readLong())
+          readBytes(in), readBytes(in), in.readLong(), in.readLong())
       }
     }
 

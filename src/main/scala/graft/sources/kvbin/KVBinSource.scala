@@ -166,7 +166,8 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 endIncl: Array[Byte], required: StructType,
                 expectedApiVersion: Option[String] = None,
                 endpoints: Option[String] = None,
-                agg: Option[Seq[KVBinAgg]] = None) extends Scan with Batch {
+                agg: Option[Seq[KVBinAgg]] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   /** The session's hadoop configuration, shipped to readers —
     * executor-side `FileSystem.get` must see the cluster's FS settings
     * and credentials, not a default `Configuration()`. Resolved LAZILY
@@ -192,6 +193,41 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
       agg.map(cs => s", PushedAggregates=[${cs.mkString(", ")}]").getOrElse("") + ")"
   }
 
+  /** One region-metadata fetch per scan, shared by partition planning
+    * and the planner's statistics probe (stats may be consulted several
+    * times while the plan is optimized — each must not re-dial the
+    * cluster). */
+  private lazy val regionList = client.listRegions()
+  private def prunedRegions: Seq[RegionInfo] = regionList.filter { r =>
+    (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
+    (end == null || KVBin.compare(r.minKey, end) < 0) &&
+    (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0)
+  }
+
+  /** Region-index statistics for Catalyst's cost model: EXACT row count
+    * (the index stores per-region counts) and the serialized byte size
+    * (region file lengths — PD's approximate_size analog; falls back to
+    * 64 B/record when a client can't supply sizes). RANGE-pruned: a
+    * pushed key range shrinks the estimate to the surviving regions, so
+    * a narrow scan of a huge table correctly becomes broadcast-able.
+    * This is what lets a join against a small kvbin table plan a
+    * BroadcastHashJoin with no hint — without it DSv2 defaults to
+    * "unknown = huge" and every kvbin join would shuffle. */
+  override def estimateStatistics(): Statistics = {
+    val regions = prunedRegions
+    val rows = if (agg.isDefined) regions.size.toLong else regions.map(_.nKeys).sum
+    val bytes =
+      if (agg.isDefined) math.max(32L * regions.size, 1L)
+      else math.max(regions.map(r =>
+        if (r.bytes >= 0) r.bytes else r.nKeys * 64L).sum, 1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   /** Region pruning: only files whose [min,max] intersects the pushed
     * range become input partitions. The API-version gate runs first —
     * a mismatched cluster fails the query at planning time, before any
@@ -207,15 +243,11 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
       // — partitions carry three resolved values each, and no region is
       // ever opened (readers never call scanRegion)
       case Some(cols) =>
-        client.listRegions().map { r =>
+        regionList.map { r =>
           KVBinAggInputPartition(r.nKeys, r.minKey, r.maxKey, cols): InputPartition
         }.toArray
       case None =>
-        client.listRegions().filter { r =>
-          (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
-          (end == null || KVBin.compare(r.minKey, end) < 0) &&
-          (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0)
-        }.map { r =>
+        prunedRegions.map { r =>
           KVBinInputPartition(client, r.id, start, end, endIncl,
             required.fieldNames): InputPartition
         }.toArray

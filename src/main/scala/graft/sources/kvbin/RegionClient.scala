@@ -3,10 +3,13 @@ package graft.sources.kvbin
 import org.apache.spark.util.SerializableConfiguration
 
 /** One region's placement metadata: id (the scan handle), key bounds,
-  * record count — what a PD `GetAllRegions` row carries
-  * (`checksum/checksum.go:52-57`'s region enumeration). */
+  * record count, serialized byte size — what a PD `GetAllRegions` row
+  * carries (`checksum/checksum.go:52-57`'s region enumeration; PD's
+  * `approximate_size` is the `bytes` analog). `bytes = -1` means the
+  * client cannot cheaply know it (in-memory test clients); consumers
+  * fall back to a per-record estimate. */
 case class RegionInfo(id: String, minKey: Array[Byte], maxKey: Array[Byte],
-                      nKeys: Long)
+                      nKeys: Long, bytes: Long = -1L)
 
 /** The connector's live-source seam — everything [[KVBinScan]] needs
   * from "the cluster", and nothing else:
@@ -76,9 +79,18 @@ object RegionClient {
 class FileRegionClient(dir: String, conf: SerializableConfiguration)
     extends RegionClient {
   @transient private lazy val all = KVBin.readAll(dir, conf.value)
+  /** Region file lengths, one listStatus (the serialized-size stat a
+    * planner consumes; framing included, like PD's approximate_size). */
+  @transient private lazy val fileLens: Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf.value)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+  }
   override def clusterMeta(): Map[String, String] = all._1
   override def listRegions(): Seq[RegionInfo] =
-    all._2.map { case (f, mn, mx, n) => RegionInfo(f, mn, mx, n) }
+    all._2.map { case (f, mn, mx, n) =>
+      RegionInfo(f, mn, mx, n, fileLens.getOrElse(f, -1L))
+    }
   override def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])] =
     KVBin.readFile(dir, regionId, conf.value)
 }

@@ -220,6 +220,49 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("region-index statistics reach the planner: exact rows, pruned size, no-hint broadcast") {
+    import graft.sources.kvbin.KVBinSource
+    val data = Seq.tabulate(600)(i => (f"st_$i%04d".getBytes("UTF-8"),
+      s"val_$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-stats-").toString
+    KVBin.write(data, dir, 5)
+    val df = KVBin.read(spark, dir)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // exact row count straight from the index
+    assert(stats.rowCount.contains(BigInt(600)), s"rowCount=${stats.rowCount}")
+    // size = Σ region file lengths (framing included), not a default guess
+    val expectedBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".kv")).map(_.length).sum
+    assert(stats.sizeInBytes === BigInt(expectedBytes),
+      s"sizeInBytes=${stats.sizeInBytes} expected=$expectedBytes")
+    // a pushed key range shrinks the estimate to the surviving regions
+    val pruned = df.filter(col("key") >= lit("st_0480".getBytes("UTF-8")))
+      .queryExecution.optimizedPlan.stats
+    assert(pruned.sizeInBytes < stats.sizeInBytes, s"pruned=${pruned.sizeInBytes}")
+    assert(pruned.rowCount.exists(_ < BigInt(600)), s"pruned rows=${pruned.rowCount}")
+    // the payoff: joined against a side whose stats exceed the broadcast
+    // threshold, the SMALL kvbin table broadcasts WITHOUT a hint —
+    // before this, DSv2's unknown-size default (huge) forced a shuffle
+    // join on every kvbin join
+    val big = spark.range(5000000L)
+      .select(concat(lit("st_"), lpad(col("id").cast("string"), 4, "0"))
+        .cast("binary").as("k"))
+    val joined = big.join(df, col("k") === col("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"kvbin side must auto-broadcast via reported stats:\n$plan")
+    // and the stats flow over the wire too (REGIONS carries bytes)
+    import graft.sources.kvbin.KVBinServer
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      val viaWire = spark.read.format(classOf[KVBinSource].getName)
+        .option("endpoints", server.address).load(dir)
+      val ws = viaWire.queryExecution.optimizedPlan.stats
+      assert(ws.rowCount.contains(BigInt(600)))
+      assert(ws.sizeInBytes === BigInt(expectedBytes))
+    } finally server.close()
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX answered from region metadata, zero region bytes on the wire") {
     import graft.sources.kvbin.{KVBinServer, KVBinSource}
     val data = Seq.tabulate(600)(i => (f"ag_$i%04d".getBytes("UTF-8"),
