@@ -5,10 +5,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -167,7 +167,8 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 expectedApiVersion: Option[String] = None,
                 endpoints: Option[String] = None,
                 agg: Option[Seq[KVBinAgg]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   /** The session's hadoop configuration, shipped to readers —
     * executor-side `FileSystem.get` must see the cluster's FS settings
     * and credentials, not a default `Configuration()`. Resolved LAZILY
@@ -198,10 +199,33 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     * times while the plan is optimized — each must not re-dial the
     * cluster). */
   private lazy val regionList = client.listRegions()
+
+  /** Runtime join-key set, delivered by AQE's dynamic-pruning subquery
+    * AFTER the broadcast side materializes (the DSv2 analog of dynamic
+    * partition pruning): the scan advertises `key` as filterable, and a
+    * selective broadcast join hands the build side's distinct keys here
+    * before [[planInputPartitions]] runs. Region-GRANULAR and advisory:
+    * a region survives iff some runtime key falls in its [min,max] — the
+    * join itself still filters rows, so ignoring an unsupported filter
+    * shape is always correct. */
+  @volatile private var runtimeKeys: Option[Array[Array[Byte]]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (agg.isDefined) Array.empty else Array(Expressions.column("key"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("key", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Array[Byte]]) =>
+      runtimeKeys = Some(vs.map(_.asInstanceOf[Array[Byte]]))
+    case EqualTo("key", v: Array[Byte]) => runtimeKeys = Some(Array(v))
+    case _ => // advisory: unsupported shapes prune nothing
+  }
+
   private def prunedRegions: Seq[RegionInfo] = regionList.filter { r =>
     (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
     (end == null || KVBin.compare(r.minKey, end) < 0) &&
-    (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0)
+    (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0) &&
+    runtimeKeys.forall(_.exists(k =>
+      KVBin.compare(k, r.minKey) >= 0 && KVBin.compare(k, r.maxKey) <= 0))
   }
 
   /** Region-index statistics for Catalyst's cost model: EXACT row count

@@ -263,6 +263,78 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("runtime filtering: a join-key set prunes regions before any is opened") {
+    import graft.sources.kvbin.{KVBinScan, KVBinScanBuilder}
+    import org.apache.spark.sql.sources.In
+    val data = Seq.tabulate(600)(i => (f"rt_$i%04d".getBytes("UTF-8"),
+      s"val_$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-rt-").toString
+    val nRegions = KVBin.write(data, dir, 5).size
+    // unit: drive the SupportsRuntimeFiltering surface directly (what
+    // AQE's dynamic-pruning subquery does after the broadcast side
+    // materializes)
+    val scan = new KVBinScanBuilder(dir).build().asInstanceOf[KVBinScan]
+    assert(scan.planInputPartitions().length === nRegions)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("key"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("key",
+      Array[Any]("rt_0001".getBytes("UTF-8"), "rt_0003".getBytes("UTF-8")))))
+    val kept = scan.planInputPartitions().length
+    assert(kept === 1, s"two adjacent keys live in one region, kept=$kept")
+    // an aggregate-pushdown scan reports nothing filterable (its rows
+    // are region metadata, not keys)
+    val aggB = new KVBinScanBuilder(dir)
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    aggB.pushAggregation(new Aggregation(Array(new CountStar()), Array.empty))
+    assert(aggB.build().asInstanceOf[KVBinScan].filterAttributes().isEmpty)
+  }
+
+  test("dynamic pruning end-to-end: a selective dim join scans 1 region of 5 over the wire") {
+    import graft.sources.kvbin.{KVBinServer, KVBinSource}
+    // Spark's DPP injects the runtime filter when the probe side
+    // advertises filterAttributes, the build side carries a selective
+    // predicate that SURVIVES optimization (file-backed — a
+    // LocalRelation filter constant-folds away and DPP declines), and
+    // the subquery may run standalone (reuseBroadcastOnly=false: the
+    // join's HashedRelation broadcast mode differs from the pruning
+    // subquery's keys, so reuse-only planning degrades to a no-op
+    // TrueLiteral filter)
+    val data = Seq.tabulate(600)(i => (f"dp_$i%04d".getBytes("UTF-8"),
+      s"val_$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-dpp-").toString
+    val nRegions = KVBin.write(data, dir, 5).size
+    val dimPath = java.nio.file.Files.createTempDirectory("kvbin-dim-").toString
+    Seq(("dp_0001", 1), ("dp_0002", 1), ("dp_0500", 2)).toDF("ks", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val kv = spark.read.format(classOf[KVBinSource].getName)
+        .option("endpoints", server.address).load(dir)
+      val dim = spark.read.parquet(dimPath)
+        .filter(col("grp") === 1)
+        .select(col("ks").cast("binary").as("k"))
+      val joined = kv.join(dim, col("key") === col("k"))
+      assert(joined.count() === 2L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"no runtime filter injected:\n$plan")
+      // both selected keys live in one region: 4 of 5 regions were
+      // pruned BEFORE any byte moved — the wire observable
+      assert(server.scanRequests.get() === 1,
+        s"expected 1 region scanned of $nRegions, got ${server.scanRequests.get()}")
+    } finally {
+      server.close()
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX answered from region metadata, zero region bytes on the wire") {
     import graft.sources.kvbin.{KVBinServer, KVBinSource}
     val data = Seq.tabulate(600)(i => (f"ag_$i%04d".getBytes("UTF-8"),
