@@ -88,7 +88,7 @@ object KVBinAgg {
 class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
                        endpoints: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
@@ -157,16 +157,29 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
     else { aggCols = Some(mapped.flatten); true }
   }
 
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: each region reader stops after `limit`
+    * rows (regions are key-sorted, so the first rows of every surviving
+    * region are the candidates) and Spark applies the global limit over
+    * the per-partition heads. Returning false keeps Spark's own Limit —
+    * full pushdown would need a single-region guarantee. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false
+  }
+
   override def build(): Scan =
     new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema,
-      expectedApiVersion, endpoints, aggCols)
+      expectedApiVersion, endpoints, aggCols, limit)
 }
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 endIncl: Array[Byte], required: StructType,
                 expectedApiVersion: Option[String] = None,
                 endpoints: Option[String] = None,
-                agg: Option[Seq[KVBinAgg]] = None)
+                agg: Option[Seq[KVBinAgg]] = None,
+                limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   /** The session's hadoop configuration, shipped to readers —
@@ -273,7 +286,7 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
       case None =>
         prunedRegions.map { r =>
           KVBinInputPartition(client, r.id, start, end, endIncl,
-            required.fieldNames): InputPartition
+            required.fieldNames, limit.getOrElse(-1)): InputPartition
         }.toArray
     }
   }
@@ -284,7 +297,7 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
 
 case class KVBinInputPartition(client: RegionClient, regionId: String,
     start: Array[Byte], end: Array[Byte], endIncl: Array[Byte],
-    columns: Array[String])
+    columns: Array[String], limit: Int = -1)
   extends InputPartition
 
 /** One region's pushed-aggregate row, fully resolved at planning time
@@ -327,8 +340,12 @@ class KVBinAggPartitionReader(p: KVBinAggInputPartition)
 class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[InternalRow] {
   private val it = p.client.scanRegion(p.regionId)
   private var current: (Array[Byte], Array[Byte]) = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    // pushed (partial) limit: the region is key-sorted, so its first
+    // `limit` in-range rows are the only candidates — stop reading
+    if (p.limit >= 0 && emitted >= p.limit) return false
     while (it.hasNext) {
       val rec = it.next()
       val k = rec._1
@@ -337,6 +354,7 @@ class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[Inter
           (p.endIncl != null && KVBin.compare(k, p.endIncl) > 0)
         if (pastEnd) return false // sorted file: nothing further can match
         current = rec
+        emitted += 1
         return true
       }
     }

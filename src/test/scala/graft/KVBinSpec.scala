@@ -288,6 +288,36 @@ class KVBinSpec extends SparkTestBase {
     assert(aggB.build().asInstanceOf[KVBinScan].filterAttributes().isEmpty)
   }
 
+  test("limit pushdown: each region reader stops after the pushed head count") {
+    import graft.sources.kvbin.{KVBinInputPartition, KVBinPartitionReader, RegionClient, RegionInfo}
+    var served = 0
+    val mem: RegionClient = new RegionClient {
+      private def b(s: String) = s.getBytes("UTF-8")
+      override def clusterMeta(): Map[String, String] = Map("api_version" -> "V1")
+      override def listRegions(): Seq[RegionInfo] =
+        Seq(RegionInfo("r0", b("a"), b("z"), 26L))
+      override def scanRegion(id: String): Iterator[(Array[Byte], Array[Byte])] =
+        ('a' to 'z').iterator.map { c => served += 1; (b(c.toString), b("v")) }
+    }
+    val r = new KVBinPartitionReader(KVBinInputPartition(mem, "r0",
+      null, null, null, Array("key"), limit = 2))
+    val got = Iterator.continually(r).takeWhile(_.next())
+      .map(x => new String(x.get().getBinary(0), "UTF-8")).toList
+    r.close()
+    assert(got === List("a", "b"))
+    // the sorted-region early stop is real: the source iterator was
+    // consumed exactly limit times, not drained
+    assert(served === 2, s"reader drained $served records for a limit of 2")
+    // and through the planner: limit(3) plans, reads and returns 3 rows
+    val data = Seq.tabulate(100)(i => (f"lm_$i%03d".getBytes("UTF-8"),
+      s"v$i".getBytes("UTF-8"))).toDF("key", "value")
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-limit-").toString
+    KVBin.write(data, dir, 4)
+    val rows = KVBin.read(spark, dir).orderBy(col("key")).limit(3)
+      .select(col("key").cast("string")).as[String].collect().toSeq
+    assert(rows === Seq("lm_000", "lm_001", "lm_002"))
+  }
+
   test("dynamic pruning end-to-end: a selective dim join scans 1 region of 5 over the wire") {
     import graft.sources.kvbin.{KVBinServer, KVBinSource}
     // Spark's DPP injects the runtime filter when the probe side
