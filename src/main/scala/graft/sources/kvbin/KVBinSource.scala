@@ -22,6 +22,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `pushedFilters` reports them handled, so Spark plans no residual
   * filter for them.
   *
+  * Full DSv2 planner integration (each spec-pinned in KVBinSpec):
+  *  - `SupportsPushDownAggregates` — COUNT/MIN(key)/MAX(key) answered
+  *    from region metadata, no region opened;
+  *  - `SupportsReportStatistics` — exact rows + serialized bytes from
+  *    the index, range-pruned, feeding broadcast decisions;
+  *  - `SupportsRuntimeFiltering` — dynamic region pruning from a
+  *    selective join's key set (the DPP analog);
+  *  - `SupportsPushDownLimit` — sorted-region readers stop at the head.
+  *
   * Connector options (the live-cluster interface surface):
   *  - `api_version` — expected cluster API version; planning fails fast
   *    if the source's stamped version differs (the reference's
