@@ -130,7 +130,11 @@ object Layout {
   def bucketedSnapshot(s: SparkSession, dir: String, side: String,
                        buckets: Int = 8): DataFrame = {
     require(side == "src" || side == "dst", s"side must be src|dst, got $side")
-    val table = s"graft_bkt_${side}_${math.abs(dir.hashCode).toString}"
+    // md5 of the dir, not dir.hashCode: Int hashCode collisions (or the
+    // Int.MinValue abs edge case) would alias two snapshots to one table
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val table = s"graft_bkt_${side}_$dirKey"
     if (!s.catalog.tableExists(table)) {
       val df = if (side == "src") graft.sources.KVSnapshot.srcStr(s, dir)
                else graft.sources.KVSnapshot.dstStr(s, dir)

@@ -287,9 +287,17 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     agg match {
       // pushed aggregate: the ANSWER is already in the region metadata
       // — partitions carry three resolved values each, and no region is
-      // ever opened (readers never call scanRegion)
+      // ever opened (readers never call scanRegion). pushAggregation
+      // rejects pushed key ranges, so prunedRegions == regionList here;
+      // using it anyway keeps the invariant local, and the require makes
+      // any future relaxation fail loudly instead of aggregating the
+      // whole table. Empty regions are skipped: their sentinel
+      // min/max bounds must not feed pushed MIN/MAX (COUNT is
+      // unaffected — they contribute 0).
       case Some(cols) =>
-        regionList.map { r =>
+        require(start == null && end == null && endIncl == null,
+          "kvbin pushed aggregate planned with a pushed key range")
+        prunedRegions.filter(_.nKeys > 0).map { r =>
           KVBinAggInputPartition(r.nKeys, r.minKey, r.maxKey, cols): InputPartition
         }.toArray
       case None =>

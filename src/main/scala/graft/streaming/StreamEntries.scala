@@ -39,7 +39,11 @@ object StreamEntries {
     * replay the scale-1 bounds; the driver's CORRECTNESS gate runs
     * without the env and is unaffected. */
   private[graft] val sliceScale: Long =
-    sys.env.get("SPARK_GRAFT_STREAM_SCALE").map(_.toLong).getOrElse(1L)
+    sys.env.get("SPARK_GRAFT_STREAM_SCALE")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption
+        .orElse { System.err.println(
+          s"graft: ignoring malformed SPARK_GRAFT_STREAM_SCALE=$v"); None })
+      .getOrElse(1L)
   /** Upper key bound of the li_ key-range slices, scale-widened. */
   private[graft] def keyUpper: String = f"li_${2000L * sliceScale}%010d"
 
