@@ -267,7 +267,28 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", 3, 60, Dedup.md5Hash60,
           maxChunkDf = 100)
-        .orderBy(col("doc_a"), col("doc_b"))))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // winnowing (MOSS) near-dup: positional 3-gram hashes, window-4
+    // rightmost-min fingerprint selection, df-capped fingerprint join —
+    // position-robust LOCAL fingerprinting (any shared 6-word run
+    // guarantees a shared fingerprint) that whole-document signatures
+    // can't provide. The oracle replays selection, cap, and scoring.
+    "q_winnow_neardup" -> ((s, dir) =>
+      Dedup.winnowNearDup(docs(s, dir), "text", "doc_id",
+        n = 3, winW = 4, maxDf = 100, minShared = 2, minPermille = 300)),
+    // corpus-level exact-substring duplication (Lee et al. 2022): any
+    // 8-word gram occurring >1× in the corpus marks a duplicated span;
+    // per-doc spans merge gaps-and-islands style. Detection is a gram
+    // GROUP BY — no document-pair join anywhere.
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedupStats(docs(s, dir), "text", "doc_id", l = 8)),
+    // stratified largest-remainder split: per-language class counts are
+    // the exact 800/100/100-permille apportionment (floor + largest
+    // remainders), assignment by content-free md5(id) order — the
+    // exact-counts complement of the hash-threshold q_split_assign
+    "q_split_stratified" -> ((s, dir) =>
+      Dedup.stratifiedSplit(docs(s, dir), "lang", "doc_id")
+        .withColumnRenamed("stratum", "lang")))
 
   // §2b LLM-pipeline: similarity search over `embeddings`.
   private def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1788,6 +1809,88 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // replays Dedup.winnowNearDup: positional 3-grams, 32-bit md5-prefix
+    // hash, window-4 rightmost-min selection (min over (h, -i) — struct
+    // ordering is lexicographic in both engines), df cap 100, shared-
+    // count + containment-permille scoring
+    "q_winnow_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i, w[i]||' '||w[i+1]||' '||w[i+2] AS gram
+        |      FROM toks, unnest(generate_series(1, len(w)-2)) u(i)
+        |      WHERE len(w) >= 3),
+        |h AS (SELECT doc_id, i, list_reduce(
+        |        list_transform(string_split_regex(substr(md5(gram),1,8),''),
+        |          ch -> CAST(strpos('0123456789abcdef',ch)-1 AS BIGINT)),
+        |        (a,d) -> a*16+d) AS h
+        |      FROM g),
+        |sel AS (SELECT doc_id,
+        |          min(struct_pack(h := h, ni := -i)) OVER
+        |            (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |          count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |        FROM h),
+        |fpd AS (SELECT DISTINCT doc_id, mn.h AS h FROM sel WHERE cnt = 4),
+        |keep AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 100),
+        |fpk AS (SELECT doc_id, h FROM fpd JOIN keep USING (h)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM fpd GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |          FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST((1000*n_shared) // least(sa.n, sb.n) AS BIGINT) AS overlap_permille
+        |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE n_shared >= 2 AND (1000*n_shared) // least(sa.n, sb.n) >= 300
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // replays Dedup.substringDedupStats: 8-word positional grams with
+    // corpus df > 1 mark spans; gaps-and-islands merge via running max
+    // of span ends; integer permille against the doc's word count
+    "q_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS gram
+        |      FROM toks, unnest(generate_series(1, len(w)-7)) u(i)
+        |      WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |spans AS (SELECT doc_id, i AS s, i+7 AS e FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |isl2 AS (SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |merged AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |           FROM isl2 GROUP BY 1, 2),
+        |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(e-s+1) AS BIGINT) AS n_dup_words FROM merged GROUP BY 1)
+        |SELECT p.doc_id, n_dup_spans, n_dup_words,
+        |  CAST((1000*n_dup_words) // len(t.w) AS BIGINT) AS dup_permille
+        |FROM per_doc p JOIN toks t ON p.doc_id = t.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+    // replays Dedup.stratifiedSplit: md5(id)-ordered row_number per
+    // stratum, exact largest-remainder apportionment of 800/100/100
+    // permille (ties by class order), assignment by cumulative bounds
+    "q_split_stratified" ->
+      """WITH ordered AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM documents),
+        |strata AS (SELECT DISTINCT lang, n FROM ordered),
+        |cls AS (SELECT * FROM (VALUES ('train',800,1),('val',100,2),('test',100,3)) c(cls, w, cls_idx)),
+        |quota AS (SELECT lang, cls, cls_idx, (n*w)//1000 AS base, (n*w)%1000 AS rem,
+        |    n - sum((n*w)//1000) OVER (PARTITION BY lang) AS leftover
+        |  FROM strata CROSS JOIN cls),
+        |alloc AS (SELECT lang, cls, cls_idx,
+        |    base + CASE WHEN row_number() OVER (PARTITION BY lang ORDER BY rem DESC, cls_idx) <= leftover
+        |      THEN 1 ELSE 0 END AS n_cls FROM quota),
+        |bounds AS (SELECT lang, cls,
+        |    sum(n_cls) OVER (PARTITION BY lang ORDER BY cls_idx) AS hi,
+        |    sum(n_cls) OVER (PARTITION BY lang ORDER BY cls_idx) - n_cls AS lo FROM alloc)
+        |SELECT o.doc_id, o.lang, b.cls AS split FROM ordered o
+        |JOIN bounds b ON o.lang = b.lang AND o.rn > b.lo AND o.rn <= b.hi
+        |ORDER BY o.doc_id""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |scored AS (

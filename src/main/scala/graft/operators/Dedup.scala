@@ -1084,4 +1084,177 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
   }
+
+  /** Positional (non-distinct) word n-grams: one row per gram START
+    * position — the raw material for winnowing and exact-substring
+    * dedup, where WHERE a gram sits matters as much as what it says.
+    * Documents shorter than n words yield no grams (both consumers
+    * define their outputs over full windows only). */
+  private def positionalGrams(docs: DataFrame, textCol: String,
+                              idCol: String, n: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= n)
+    toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - lit(n - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(col("w"), col("i") + lit(j))): _*)
+          .as("gram"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every positional n-gram, slide a window
+    * of `winW` consecutive hashes, and in each full window select the
+    * minimum hash with RIGHTMOST tie-break (min over (hash, -pos) —
+    * struct ordering is lexicographic in both engines). The guarantee:
+    * any shared run of winW+n-1 words between two documents shares at
+    * least one selected fingerprint, while only ~2/(winW+1) of grams
+    * are kept — position-robust local fingerprinting that survives
+    * insertions/reorders global hashing (SimHash/MinHash over whole
+    * docs) smears away. Output: distinct (doc_id, h).
+    *
+    * Scale: one shuffle by doc_id for the ordered window (per-document
+    * work, bounded by doc length), then a distinct on (doc_id, h) —
+    * the fingerprint set is ~2/(winW+1) of the gram count. */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, winW: Int = 4): DataFrame = {
+    val grams = positionalGrams(docs, textCol, idCol, n)
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, winW - 1)
+    grams
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"),
+        min(struct(col("h"), (-col("i")).as("ni"))).over(win).as("mn"),
+        count(lit(1)).over(win).as("cnt"))
+      .where(col("cnt") === winW)
+      .select(col("doc_id"), col("mn.h").as("h"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: candidates come
+    * from an equi-join on fingerprint hashes (df-capped — a fingerprint
+    * shared by more than maxDf documents is boilerplate, not signal,
+    * and would produce quadratic candidates), scored by shared-count
+    * and by overlap permille against the SMALLER fingerprint set
+    * (containment — robust when a short document is embedded in a long
+    * one). Output: (doc_a, doc_b, n_shared, overlap_permille),
+    * integer-exact. */
+  def winnowNearDup(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, winW: Int = 4, maxDf: Int = 100,
+                    minShared: Long = 2, minPermille: Long = 300): DataFrame = {
+    val fp = winnowFingerprints(docs, textCol, idCol, n, winW)
+    val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val kept = fp.join(
+      fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("h"),
+      "h")
+    val pairs = kept.select(col("doc_id").as("doc_a"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("nfp").as("nb")), "doc_b")
+      .withColumn("overlap_permille",
+        expr("(1000 * n_shared) div least(na, nb)"))
+      .where(col("n_shared") >= minShared &&
+        col("overlap_permille") >= minPermille)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("overlap_permille"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Corpus-level exact-substring duplication stats (the detection half
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every positional l-gram occurring more than once
+    * ANYWHERE in the corpus marks its word span as duplicated; per
+    * document, overlapping/adjacent spans merge (gaps-and-islands over
+    * a running max of span ends) and the merged islands are reported as
+    * (n_dup_spans, n_dup_words, dup_permille). Documents with no
+    * duplicated span are omitted.
+    *
+    * Scale: the gram df pass is a map-side-combined count on gram
+    * hashes; span merging is per-document window work after one shuffle
+    * by doc_id. No all-pairs join exists — duplication is detected
+    * through the gram GROUP BY, not document comparison. */
+  def substringDedupStats(docs: DataFrame, textCol: String, idCol: String,
+                          l: Int = 8): DataFrame = {
+    val grams = positionalGrams(docs, textCol, idCol, l)
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("gram")
+    val spans = grams.join(dup, "gram")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + lit(l - 1)).as("e"))
+    val prevMax = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = spans
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(prevMax), lit(-1)) + lit(1),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(runSum))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + lit(1)).as("n_dup_words"))
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("nw"))
+    perDoc.join(sizes, "doc_id")
+      .withColumn("dup_permille", expr("(1000 * n_dup_words) div nw"))
+      .select(col("doc_id"), col("n_dup_spans"), col("n_dup_words"),
+        col("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified exact split by largest-remainder allocation: within
+    * each stratum, documents are ordered by a deterministic content-free
+    * hash (md5 of the id — reshuffling the fixture file order cannot
+    * move a document between splits) and the per-class counts are the
+    * EXACT largest-remainder apportionment of the stratum size over the
+    * permille weights — floor(n·w/1000) per class plus one for the
+    * largest remainders, ties broken by class order. Unlike the
+    * hash-threshold split (q_split_assign), class sizes here are exact
+    * to the document, which is what eval-set construction needs.
+    *
+    * Scale: one ordered shuffle per stratum for the row_number (at
+    * 100 TB a skewed stratum sorts across tasks — Spark's range-
+    * partitioned sort); the allocation table is strata×classes rows,
+    * broadcast to the assignment join. */
+  def stratifiedSplit(docs: DataFrame, stratumCol: String, idCol: String,
+      classes: Seq[(String, Int)] =
+        Seq(("train", 800), ("val", 100), ("test", 100))): DataFrame = {
+    require(classes.map(_._2).sum == 1000, "class weights must sum to 1000")
+    val s = docs.sparkSession
+    import s.implicits._
+    val ordered = docs
+      .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .withColumn("rn", row_number().over(Window.partitionBy("stratum")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
+    val cls = classes.zipWithIndex
+      .map { case ((c, w), i) => (c, w, i + 1) }.toDF("cls", "w", "cls_idx")
+    val quota = ordered.select("stratum", "n").distinct()
+      .crossJoin(broadcast(cls))
+      .withColumn("base", expr("(n * w) div 1000"))
+      .withColumn("rem", expr("(n * w) % 1000"))
+      .withColumn("leftover",
+        col("n") - sum(col("base")).over(Window.partitionBy("stratum")))
+      .withColumn("rnk", row_number().over(Window.partitionBy("stratum")
+        .orderBy(col("rem").desc, col("cls_idx"))))
+    val bounds = quota
+      .withColumn("n_cls",
+        col("base") + when(col("rnk") <= col("leftover"), 1).otherwise(0))
+      .withColumn("hi", sum(col("n_cls"))
+        .over(Window.partitionBy("stratum").orderBy("cls_idx")))
+      .withColumn("lo", col("hi") - col("n_cls"))
+      .select(col("stratum").as("b_stratum"), col("cls"), col("lo"), col("hi"))
+    ordered.join(broadcast(bounds),
+        col("stratum") === col("b_stratum") &&
+        col("rn") > col("lo") && col("rn") <= col("hi"))
+      .select(col("doc_id"), col("stratum"), col("cls").as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

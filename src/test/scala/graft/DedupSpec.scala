@@ -566,4 +566,63 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs === Set((1L, 2L, 64)))
   }
+
+  test("winnowing guarantee: a shared winW+n-1 word run shares a fingerprint") {
+    // n=3, winW=4: any shared run of 6 words spans a full hash window,
+    // whose selected fingerprint is a function of the run alone — the
+    // SIGMOD'03 detection guarantee. The shared run is embedded at
+    // DIFFERENT positions in otherwise-disjoint documents.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three four five six seven $shared"),
+      (2L, s"$shared red orange yellow green blue indigo violet"),
+      (3L, "entirely disjoint vocabulary nothing matches here at all today")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "text", "doc_id")
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "position-shifted shared run must share a fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    val pairs = Dedup.winnowNearDup(docs, "text", "doc_id",
+        minShared = 1, minPermille = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("substringDedupStats merges overlapping spans and skips unique docs") {
+    // docs 1 and 2 share a 10-word run → 3 overlapping 8-gram spans
+    // each, which must merge into ONE island of 10 words; doc 3 has no
+    // duplicated gram and must be absent
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, s"a b c $run"),
+      (2L, s"$run x y z"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, a, b, c) => d -> ((a, b, c)) }.toMap
+    assert(got.keySet === Set(1L, 2L))
+    val (spans1, words1, permille1) = got(1L)
+    assert(spans1 === 1L && words1 === 10L && permille1 === (1000L * 10 / 13))
+    assert(got(2L) === ((1L, 10L, 1000L * 10 / 13)))
+  }
+
+  test("stratifiedSplit: exact largest-remainder counts, no doc lost") {
+    // 7 docs in one stratum: 800/100/100 → bases 5/0/0, remainders
+    // 600/700/700 → two leftover seats go to val and test (largest
+    // remainders) → 5/1/1
+    val docs = (1L to 7L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val got = Dedup.stratifiedSplit(docs, "lang", "doc_id")
+    assert(got.count() === 7L)
+    val counts = got.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts === Map("train" -> 5L, "val" -> 1L, "test" -> 1L))
+    // determinism: same input → same assignment
+    val a = got.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val b = Dedup.stratifiedSplit(docs, "lang", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a === b)
+  }
 }
