@@ -326,6 +326,17 @@ object SparkEntry {
         Similarity.kmeansCodebook(e, 5, 2))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // product-quantization ADC top-k: 4 subspaces × 16 dims, each with
+    // its own deterministic k-means codebook; query-time scoring is m
+    // broadcast LUT joins over per-vector codes — the searched
+    // representation is 4 codes/vector, never the raw embeddings. The
+    // oracle replays all 4 subspace codebooks, the code assignment, the
+    // LUTs, and the fixed-order ADC sum.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, e.filter(col("id") < 10), 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // int8-quantized two-stage top-k (coarse codes -> exact re-score);
     // the DuckDB oracle replays quantization, dequantized coarse ranking
     // and the full-precision rescore — recall is ALSO property-tested
@@ -1574,6 +1585,67 @@ object SparkEntry {
       |          SELECT *, row_number() OVER (PARTITION BY vec_id
       |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1)""".stripMargin
 
+  /** One product-quantization subspace's oracle CTEs (Scala-generated
+    * SQL, like [[crc64TabCte]]): the [[kmeansAsgCte]] construction on
+    * `v[lo:hi]` — md5-ordered seeds, two assignment+DECIMAL-mean
+    * rounds, final assignment — plus the per-query ADC lookup table
+    * (subspace dot + centroid self-dot). Suffixed `_mi` so four
+    * subspaces coexist in one query. */
+  private def pqSubCte(mi: Int, lo: Int, hi: Int, k: Int): String = {
+    val s = s"_$mi"
+    def asg(srcCent: String, name: String): String =
+      s"""a$name$s AS (SELECT t.vec_id, t.v, c.cluster_id,
+         |       round(list_dot_product(t.v, c.cvec)
+         |         / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+         |     FROM sub$s t CROSS JOIN $srcCent c),
+         |asg$name$s AS (SELECT vec_id, v, cluster_id FROM (
+         |       SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r
+         |       FROM a$name$s) WHERE r = 1)""".stripMargin
+    def mean(name: String): String =
+      s"""px$name$s AS (SELECT cluster_id, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM asg$name$s),
+         |cm$name$s AS (SELECT cluster_id, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+         |     FROM px$name$s GROUP BY cluster_id, pos),
+         |mean$name$s AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm$name$s GROUP BY cluster_id)""".stripMargin
+    s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |cent0$s AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster_id, v AS cvec
+       |           FROM sub$s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |${asg("cent0" + s, "1")},
+       |${mean("1")},
+       |cent1$s AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec FROM cent0$s p LEFT JOIN mean1$s m USING (cluster_id)),
+       |${asg("cent1" + s, "2")},
+       |${mean("2")},
+       |cent$s AS (SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec FROM cent1$s p LEFT JOIN mean2$s m USING (cluster_id)),
+       |${asg("cent" + s, "F")},
+       |codes$s AS (SELECT vec_id, cluster_id AS code$mi FROM asgF$s),
+       |lut$s AS (SELECT q.query_id, c.cluster_id AS code$mi,
+       |     list_dot_product(q.v[$lo:$hi], c.cvec) AS d$mi,
+       |     list_dot_product(c.cvec, c.cvec) AS e$mi
+       |   FROM qv q CROSS JOIN cent$s c)""".stripMargin
+  }
+
+  /** Full PQ-ADC oracle: replays Similarity.pqTopK (m=4, subDim=16,
+    * kSub=5, iters=2, queries vec_id<10, top-3). */
+  private val pqOracle: String = {
+    val subs = (0 until 4).map(mi => pqSubCte(mi, mi * 16 + 1, mi * 16 + 16, 5))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
+       |$subs,
+       |allcodes AS (SELECT c0.vec_id, code0, code1, code2, code3
+       |  FROM codes_0 c0 JOIN codes_1 USING (vec_id) JOIN codes_2 USING (vec_id) JOIN codes_3 USING (vec_id)),
+       |scored AS (SELECT l0.query_id, a.vec_id,
+       |    round((d0+d1+d2+d3) / (q.qn * sqrt(e0+e1+e2+e3)), 9) AS sim
+       |  FROM allcodes a
+       |  JOIN lut_0 l0 USING (code0)
+       |  JOIN lut_1 l1 ON l1.query_id = l0.query_id AND l1.code1 = a.code1
+       |  JOIN lut_2 l2 ON l2.query_id = l0.query_id AND l2.code2 = a.code2
+       |  JOIN lut_3 l3 ON l3.query_id = l0.query_id AND l3.code3 = a.code3
+       |  JOIN qv q ON q.query_id = l0.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+       |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** CRC64 in pure DuckDB SQL — the EXACT algorithm of
     * `functions/Crc64.scala` (reflected ECMA-182 polynomial, init ~0,
     * final complement): the 256-entry lookup table is generated by 8
@@ -1970,6 +2042,10 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    // replays Similarity.pqTopK end-to-end: 4 generated subspace
+    // codebook constructions (seeds, 2 rounds, final codes), ADC LUTs,
+    // fixed-order d0+d1+d2+d3 scoring — see pqSubCte/pqOracle
+    "q_ann_pq" -> pqOracle,
     // the same k-means assignment, then the keep-first drop rule: a
     // vector is dropped iff SOME smaller-id vector in its cluster sits
     // at 9-dp cosine >= 0.4 (deliberately non-transitive — ε-chains

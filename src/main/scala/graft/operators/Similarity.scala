@@ -632,4 +632,76 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cluster_id"),
         when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid, TPAMI 2011),
+    * inner-product/cosine flavor: the embedding splits into `m`
+    * contiguous subspaces of `subDim` dims, each quantized by its own
+    * deterministic [[kmeansCodebook]] (same md5 seeding, 9-dp cosine
+    * assignment, DECIMAL means — the whole construction replays in the
+    * oracle); a corpus vector is stored as m small codes. Query-time
+    * scoring is ASYMMETRIC (ADC): per query, a lookup table of
+    * dot(query_sub, centroid) per (subspace, code) — m·k entries —
+    * is broadcast, and each candidate's approximate cosine is the
+    * FIXED-ORDER sum d0+d1+…+dm-1 against the reconstructed norm
+    * sqrt(e0+…+em-1), so no query-time arithmetic ever touches a raw
+    * corpus vector.
+    *
+    * Scale: this is the memory story brute force can't tell — the
+    * searched representation is m codes/vector (m·log2(k) bits), the
+    * per-query work is m broadcast-LUT hash joins plus one top-k
+    * window, and the full-precision corpus stays at rest. Ties (vectors
+    * sharing all m codes score identically) break by vec_id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, subDim: Int = 16, kSub: Int = 5,
+             iters: Int = 2): DataFrame = {
+    require(m >= 1 && subDim >= 1 && kSub >= 1, "pq shape must be positive")
+    val subCorpus = (0 until m).map { mi =>
+      corpus.select(col("id"), slice(col("vec"), mi * subDim + 1, subDim).as("vec"))
+    }
+    val books = subCorpus.map(sc => kmeansCodebook(sc, kSub, iters))
+    // per-subspace codes: the family assignment kernel (9-dp cosine,
+    // cluster_id tie-break) against the subspace codebook
+    def codesOf(mi: Int): DataFrame = {
+      val cent = books(mi).withColumn("cvn", norm(col("cvec")))
+      subCorpus(mi)
+        .select(col("id"), col("vec"), norm(col("vec")).as("vn"))
+        .join(broadcast(cent))
+        .select(col("id"), col("cluster_id"),
+          round(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn")), 9)
+            .as("csim"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cluster_id"))))
+        .filter(col("r") === 1)
+        .select(col("id"), col("cluster_id").as(s"code$mi"))
+    }
+    val allCodes = (0 until m).map(codesOf).reduce(_.join(_, "id"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    // ADC lookup tables: per (query, subspace, code) the subspace dot
+    // and the centroid self-dot (for the reconstructed norm)
+    val luts = (0 until m).map { mi =>
+      q.select(col("query_id"),
+          slice(col("qv"), mi * subDim + 1, subDim).as("qs"))
+        .crossJoin(broadcast(books(mi)))
+        .select(col("query_id"), col("cluster_id").as(s"code$mi"),
+          dot(col("qs"), col("cvec")).as(s"d$mi"),
+          dot(col("cvec"), col("cvec")).as(s"e$mi"))
+    }
+    val joined = (1 until m).foldLeft(
+      allCodes.join(broadcast(luts(0)), Seq("code0"))) { (acc, mi) =>
+      acc.join(broadcast(luts(mi)), Seq("query_id", s"code$mi"))
+    }
+    // fixed left-to-right sums — deterministic and oracle-mirrored
+    val sumd = (1 until m).foldLeft(col("d0"))((a, mi) => a + col(s"d$mi"))
+    val sume = (1 until m).foldLeft(col("e0"))((a, mi) => a + col(s"e$mi"))
+    joined
+      .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(sumd / (col("qn") * sqrt(sume)), 9).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }

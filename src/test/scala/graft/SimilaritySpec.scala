@@ -341,4 +341,37 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(rerun.toSeq === census.toSeq)
   }
+
+  test("PQ-ADC: self-match ranks first on clustered data; rerun bit-identical") {
+    // the IVF recall fixture: 10 well-separated clusters in 16 dims →
+    // m=4 subspaces of 4 dims. A query's own vector shares all m codes
+    // with itself, so its ADC score is the maximum possible for its
+    // code tuple and (by vec_id tie-break among equal-coded vectors)
+    // the query itself must appear in its top-3.
+    val vecs = (0 until 200).map { i =>
+      val label = i % 10
+      val v = Array.fill(16)(0.0f)
+      v(label) = 10.0f
+      (0 until 16).foreach(j => v(j) += (((i * 31 + j * 7) % 11) - 5) * 0.05f)
+      (i.toLong, v.toSeq, label)
+    }
+    val df = vecs.toDF("id", "vec", "label")
+    val queries = df.filter(col("id") < 10)
+    val top = Similarity.pqTopK(df, queries, 3, m = 4, subDim = 4,
+        kSub = 10, iters = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(top.length === 30)
+    // per query: ranks are 1..3, sims descend, self is present
+    top.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === Seq(1L, 2L, 3L))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-(_: Double)).toSeq)
+      assert(rows.exists(_._2 == q), s"query $q missing its own vector in top-3")
+    }
+    val rerun = Similarity.pqTopK(df, queries, 3, m = 4, subDim = 4,
+        kSub = 10, iters = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rerun.sortBy(r => (r._1, r._4)).toSeq ===
+      top.sortBy(r => (r._1, r._4)).toSeq)
+  }
 }
