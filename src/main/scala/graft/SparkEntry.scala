@@ -983,6 +983,22 @@ object SparkEntry {
           col("est_ndv"), col("exact_ndv"))
         .orderBy(col("lang"))
     }),
+    // grouped HyperLogLog NDV over the same per-language shingle
+    // stream: 1024 integer registers per group (p=10), DECIMAL-exact
+    // register sum, linear-counting small-range correction — the
+    // register STATE (bucket count, Σρ) is gated exactly alongside the
+    // 6-dp estimate, and the exact twin shows the error live
+    "q_hll_ndv" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("lang"),
+        explode(Dedup.shingles(col("text"), 3)).as("t"))
+      val est = Sketches.hllNdvBy(tok, col("lang"), col("t"))
+      val exact = tok.groupBy(col("lang").as("g2"))
+        .agg(countDistinct(col("t")).as("exact_ndv"))
+      est.join(exact, col("g") === col("g2"))
+        .select(col("g").as("lang"), col("n_buckets_used"),
+          col("sum_rho"), col("est_ndv"), col("exact_ndv"))
+        .orderBy(col("lang"))
+    }),
     // count-min-sketch heavy hitters over word-trigram shingles
     // (document frequency): exact top-20 vs the d=4 × w=1024 sketch's
     // upper-bound estimate — est >= exact always, = exact when the
@@ -3105,6 +3121,39 @@ object SparkEntry {
         |  END AS est_ndv,
         |  exact_ndv
         |FROM a JOIN x ON a.lang = x.lang ORDER BY a.lang""".stripMargin,
+    // replays Sketches.hllNdvBy: same salted 60-bit hash, p=10 bucket
+    // split, generated descending-threshold bit-length CASE (no float
+    // log2), ρ capped at 30 so every 2^-ρ register term is exact in
+    // DECIMAL(38,30); α·m² embedded as ONE Scala-computed double
+    // literal on both sides; ln per the family recipe
+    "q_hll_ndv" -> {
+      val m = 1024
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      val bitCase = "CASE " + (50 to 1 by -1)
+        .map(b => s"WHEN (h>>10) >= ${1L << (b - 1)} THEN $b")
+        .mkString(" ") + " ELSE 0 END"
+      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT lang, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT lang, unnest(s) AS t FROM sh),
+        |h AS (SELECT lang, ${duckHash60("'hll:' || t")} AS h FROM tok),
+        |r AS (SELECT lang, h & 1023 AS bucket, least(30, 51 - $bitCase) AS rho FROM h),
+        |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |a AS (SELECT lang, count(*) AS n_buckets_used, CAST(sum(mj) AS BIGINT) AS sum_rho,
+        |        sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
+        |      FROM regs GROUP BY lang),
+        |b AS (SELECT lang, n_buckets_used, sum_rho,
+        |        CAST(s_used + CAST(1024 - n_buckets_used AS DECIMAL(38,30)) AS DOUBLE) AS s,
+        |        1024 - n_buckets_used AS v
+        |      FROM a),
+        |x AS (SELECT lang, count(DISTINCT t) AS exact_ndv FROM tok GROUP BY lang)
+        |SELECT b.lang, n_buckets_used, sum_rho,
+        |  round(CASE WHEN $alphaM2 / s <= 2560.0 AND v > 0
+        |    THEN 1024.0 * ln(1024.0 / v) ELSE $alphaM2 / s END, 6) AS est_ndv,
+        |  exact_ndv
+        |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
+    },
     // count-min: identical d=4 salted bucket hashes; sketch cells are
     // integer counts; estimate = min over the item's 4 cells
     "q_heavy_hitters" ->

@@ -346,4 +346,72 @@ object Sketches {
     survivors.withColumn("rk", row_number().over(win))
       .filter(col("rk") <= n)
   }
+
+  // --------------------------------------------------------- HyperLogLog
+
+  /** Integer bit length of a non-negative long column over at most
+    * `maxBits` bits (bitLen(0) = 0), as ONE flat CASE of descending
+    * power-of-two comparisons — no float log2 anywhere (floor(log2(w))
+    * flips at ulp boundaries and is not portable). The oracle generates
+    * the identical CASE. */
+  private def bitLen(c: Column, maxBits: Int): Column = {
+    // branches are evaluated in order — descending thresholds, so the
+    // FIRST match is the highest set bit
+    val first = when(c >= (1L << (maxBits - 1)), maxBits)
+    (maxBits - 1 to 1 by -1).foldLeft(first) { (acc, b) =>
+      acc.when(c >= (1L << (b - 1)), b)
+    }.otherwise(0)
+  }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) of `key` per group:
+    * the 60-bit md5 hash splits into a p-bit bucket and a (60-p)-bit
+    * suffix whose leading-zero rank (capped at `rhoCap` so the 2^-rho
+    * register terms stay exactly representable in DECIMAL(38,30))
+    * max-folds per bucket. Registers are the whole sketch: m integers
+    * per group, mergeable by max — the canonical 100 TB NDV summary.
+    * Output: (groupCols*, bucket, mj). */
+  def hllRegisters(df: DataFrame, key: Column, group: Column,
+                   p: Int = 10, rhoCap: Int = 30): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4,16]")
+    require(rhoCap >= 1 && rhoCap <= 30, "rhoCap must fit DECIMAL(38,30)")
+    val m = 1 << p
+    val wBits = 60 - p
+    val h = saltedHash60("hll:", key)
+    val w = shiftright(h, p)
+    val rho = least(lit(rhoCap), lit(wBits + 1) - bitLen(w, wBits))
+    df.select(group.as("g"),
+        h.bitwiseAND(lit((m - 1).toLong)).as("bucket"), rho.as("rho"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /** Grouped HyperLogLog NDV estimate: the register sum Σ2^-Mj runs in
+    * DECIMAL(38,30) — every term a power of two with ≤30 fractional
+    * digits, so the sum is EXACT and summation-order-free; empty
+    * buckets contribute 1 each (2^0) as a closed-form count. The final
+    * float steps (α·m²/S, the small-range linear-counting correction
+    * m·ln(m/V) when E ≤ 2.5m and V > 0) follow the family's ln recipe:
+    * one arithmetic shape, 6-dp round, mirrored in the oracle. Output:
+    * (group, n_buckets_used, sum_rho, est_ndv) — the integer register
+    * state is gated exactly, not just the estimate. */
+  def hllNdvBy(df: DataFrame, group: Column, key: Column,
+               p: Int = 10, rhoCap: Int = 30): DataFrame = {
+    val m = 1 << p
+    // embedded as one double literal on both sides — never re-derived
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val regs = hllRegisters(df, key, group, p, rhoCap)
+    regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(col("mj")).as("sum_rho"),
+        sum(pow(lit(0.5), col("mj")).cast("decimal(38,30)")).as("s_used"))
+      .select(col("g"), col("n_buckets_used"), col("sum_rho"),
+        (col("s_used") + (lit(m) - col("n_buckets_used"))
+          .cast("decimal(38,30)")).cast("double").as("s"),
+        (lit(m) - col("n_buckets_used")).as("v"))
+      .select(col("g"), col("n_buckets_used"), col("sum_rho"),
+        round(
+          when(lit(alphaM2) / col("s") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(lit(alphaM2) / col("s")), 6).as("est_ndv"))
+  }
 }

@@ -219,4 +219,38 @@ class SketchesSpec extends SparkTestBase {
     assert(leaky.values.sum < mass - 500000L,
       s"fast path should visibly leak on a sink graph: $leaky vs $mass")
   }
+
+  test("HLL estimate is within 3σ of true NDV and partitioning-invariant") {
+    // m=1024 → standard error ≈ 1.04/√1024 ≈ 3.25%; 3σ ≈ 9.8%
+    val n = 20000
+    val df = (1 to n).map(i => (s"item_$i", i % 7)).toDF("k", "grp")
+    val est = Sketches.hllNdvBy(df, lit("all"), col("k"))
+      .select("est_ndv").as[Double].head()
+    assert(math.abs(est - n) / n <= 0.098, s"est=$est vs $n")
+    val rep = Sketches.hllNdvBy(df.repartition(17), lit("all"), col("k"))
+      .select("est_ndv").as[Double].head()
+    assert(rep === est, "register max-fold must be partitioning-invariant")
+  }
+
+  test("HLL registers merge by max: union sketch == max of part sketches") {
+    val a = (1 to 5000).map(i => s"a_$i").toDF("k")
+    val b = (2500 to 7500).map(i => s"a_$i").toDF("k") // overlaps a
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, col("k"), lit("g"))
+        .select("bucket", "mj").as[(Long, Int)].collect().toMap
+    val ra = regs(a); val rb = regs(b); val ru = regs(a.unionAll(b))
+    val merged = (ra.keySet ++ rb.keySet).map { bkt =>
+      bkt -> math.max(ra.getOrElse(bkt, 0), rb.getOrElse(bkt, 0))
+    }.toMap
+    assert(ru === merged,
+      "union-of-streams registers must equal per-stream register max")
+  }
+
+  test("HLL small-range: NDV below m/3 lands in linear counting and stays accurate") {
+    val df = (1 to 150).map(i => s"x_$i").toDF("k")
+    val row = Sketches.hllNdvBy(df, lit("all"), col("k"))
+      .select("n_buckets_used", "est_ndv").as[(Long, Double)].head()
+    assert(row._1 <= 150)
+    assert(math.abs(row._2 - 150) / 150 <= 0.10, s"est=${row._2}")
+  }
 }
