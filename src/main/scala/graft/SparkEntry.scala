@@ -1099,6 +1099,21 @@ object SparkEntry {
       Graph.triangles(Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2))
         .orderBy(col("a"), col("b"), col("c"))
     }),
+    // synchronous label-propagation communities over the REPEAT-business
+    // cust↔supp graph (pairs co-occurring ≥3 times — the raw bipartite
+    // graph is near-complete and collapses to one community): 3 fixed
+    // rounds, most-frequent neighbor label, smallest-label ties;
+    // per-vertex labels hash-gated against the unrolled oracle replay
+    "q_communities" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+        .select(col("src"), col("dst"))
+      Graph.labelPropagation(e0, 3).orderBy(col("v"))
+    }),
     // argmax/argmin surface: per type, the event holding the extreme
     // value — struct-max with the id as tiebreaker, so ties cannot
     // split the hash between engines
@@ -3210,6 +3225,25 @@ object SparkEntry {
     // integer PageRank, 3 unrolled iterations: micro-unit ranks,
     // contribution = rank // degree, damping in integer arithmetic —
     // bit-equal to the engine's loop regardless of summation order
+    // replays Graph.labelPropagation: symmetrized distinct edges over
+    // the >=3-co-occurrence cust↔supp pairs, 3 unrolled synchronous
+    // rounds of (neighbor-label count → argmax by (c DESC, label))
+    "q_communities" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""n$r AS (SELECT u.src AS v, l.label, count(*) AS c
+           |      FROM und u JOIN l${r - 1} l ON u.dst = l.v GROUP BY 1, 2),
+           |l$r AS (SELECT v, label FROM (
+           |      SELECT *, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS r FROM n$r) WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        |l0 AS (SELECT src AS v, src AS label FROM (SELECT DISTINCT src FROM und)),
+        |$rounds
+        |SELECT v, label FROM l3 ORDER BY v""".stripMargin
+    },
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

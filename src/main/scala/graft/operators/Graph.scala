@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation as repeated join + aggregate — the
@@ -175,5 +176,39 @@ object Graph {
       .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
       .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
         col("t").getItem(2).as("c"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007), fully deterministic: labels start as vertex ids; each
+    * round EVERY vertex simultaneously adopts the most frequent label
+    * among its neighbors, ties broken by smallest label; a FIXED round
+    * count (no data-dependent stopping — same discipline as
+    * [[pageRank]] and the k-means codebook, which is what makes the
+    * unrolled oracle replay possible). Input edges are symmetrized and
+    * de-duplicated, so directionality and multi-edges cannot skew the
+    * neighbor vote.
+    *
+    * Scale: one hash-shuffle join (edges × labels on dst) plus one
+    * partial-aggregated count and a per-vertex argmax window per
+    * round — O(E) per round, no vertex ever holds more than its
+    * neighbor label histogram. Output: (v, label) per vertex. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to rounds) {
+      val neigh = und.join(labels, und("dst") === labels("v"))
+        .select(und("src").as("v"), col("label"))
+      labels = neigh.groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("v")).orderBy(col("c").desc, col("label"))))
+        .filter(col("r") === 1)
+        .select(col("v"), col("label"))
+    }
+    labels
   }
 }

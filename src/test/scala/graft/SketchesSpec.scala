@@ -246,6 +246,34 @@ class SketchesSpec extends SparkTestBase {
       "union-of-streams registers must equal per-stream register max")
   }
 
+  test("label propagation: two planted cliques with one bridge resolve to two communities") {
+    // cliques {1..5} and {11..15}, bridge 5-11: within-clique majority
+    // dominates the single bridge vote, so each clique converges to its
+    // min label and the bridge endpoints stay with their cliques
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet === ((1L to 5L) ++ (11L to 15L)).toSet)
+    assert((1L to 5L).map(labels).toSet.size === 1)
+    assert((11L to 15L).map(labels).toSet.size === 1)
+    assert(labels(1L) !== labels(15L), "cliques must keep distinct labels")
+    // determinism: rerun identical
+    val rerun = Graph.labelPropagation(edges, 3).as[(Long, Long)].collect().toMap
+    assert(rerun === labels)
+  }
+
+  test("label propagation is direction- and multi-edge-invariant") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val noisy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    val a = Graph.labelPropagation(base, 2).as[(Long, Long)].collect().toSet
+    val b = Graph.labelPropagation(noisy, 2).as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("HLL small-range: NDV below m/3 lands in linear counting and stays accurate") {
     val df = (1 to 150).map(i => s"x_$i").toDF("k")
     val row = Sketches.hllNdvBy(df, lit("all"), col("k"))
