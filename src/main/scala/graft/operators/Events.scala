@@ -8,30 +8,32 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 /** Event-stream operators: JSON property extraction, time-window
   * aggregation, and as-of joins over the `events` fixture.
   *
-  * The fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-  * Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — so
-  * the source reads the physical INT64 via an explicit schema and keeps
-  * nanoseconds as a long (`ts_ns`), deriving a micros TimestampType
-  * column (`ts`) for window/watermark operators. All oracle-facing
-  * bucketing uses integer nanosecond arithmetic, which both engines
-  * compute exactly.
+  * The fixture stores `ts` as parquet TIMESTAMP(MICROS) (earlier
+  * generations used TIMESTAMP(NANOS); see [[read]] — the source
+  * follows the logical type). All oracle-facing bucketing uses
+  * integer ns/µs arithmetic derived from `unix_micros`, which both
+  * engines compute exactly.
   */
 object Events {
 
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** events source: ts_ns (long, exact), ts_us (long, integer-truncated
-    * micros — what a µs-resolution engine sees), ts (TimestampType).
-    * All derivations use integer DIV: `col / 1000` would round-trip the
-    * int64 nanos through a double and lose the low bits. */
+  /** events source: ts (TimestampType, the fixture's parquet
+    * TIMESTAMP(MICROS) column read natively), ts_us (long, exact
+    * micros via unix_micros — no float round-trip), ts_ns (long,
+    * ts_us·1000 — the ns-resolution axis every downstream integer
+    * bucket derivation divides; DuckDB's `epoch_ns(ts)` computes the
+    * identical value, so both engines agree bit-for-bit). Earlier
+    * fixture generations annotated the column TIMESTAMP(NANOS); this
+    * reader follows the parquet logical type rather than forcing an
+    * int64 schema, so the unit can never silently shift under it
+    * again. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(schema).parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns DIV 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    spark.read.parquet(s"$dir/events.parquet")
+      // the µs parquet column surfaces as TIMESTAMP_NTZ; every session
+      // in the driver contract runs UTC, so the cast is a pure type
+      // relabel (and unix_micros demands the zoned type)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ts_ns", col("ts_us") * lit(1000L))
 
   /** Typed JSON extraction of the `props` column (`from_json` with an
     * explicit schema — codegen'd Jackson parse, no UDF). */
@@ -243,4 +245,41 @@ object Events {
           transform(
             array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
             x => x.getField("event_type"))).as("seq"))
+
+  /** Robust per-group outlier detection via median absolute deviation
+    * (Hampel's ±k·MAD rule) — the anomaly gate a metrics pipeline
+    * prefers over mean±k·σ because one extreme value cannot drag the
+    * threshold. DISCRETE medians: the value at rank ⌈n/2⌉ in the
+    * (value, id) order — an actual data point, never an interpolated
+    * float average — so both engines pick the identical element and
+    * the k·MAD comparison is IEEE-exact cross-engine (subtraction and
+    * one multiply, no accumulation order anywhere).
+    *
+    * Scale: two per-group sort windows (median, then deviation
+    * median) + one grouped count — groups partition the sort, so this
+    * holds while no single group outgrows a task, the same per-group
+    * contract as every window entry; a 100 TB single-group caller
+    * swaps the rank-pick for the two-phase approx-quantile sketch
+    * ([[graft.operators.Profile]]'s documented kmv swap-in pattern).
+    * Output: (group, n_events, med, mad, n_outliers). */
+  def madOutliers(events: DataFrame, keyCol: String, valCol: String,
+                  idCol: String, k: Int = 3): DataFrame = {
+    val base = events.select(col(keyCol).as("g"), col(valCol).as("v"),
+      col(idCol).as("id"))
+    val n = base.groupBy(col("g")).agg(count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val med = base.withColumn("r", row_number().over(wv)).join(n, Seq("g"))
+      .filter(col("r") === expr("(n_events + 1) div 2"))
+      .select(col("g"), col("v").as("med"))
+    val dev = base.join(med, Seq("g"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val wd = Window.partitionBy(col("g")).orderBy(col("d"), col("id"))
+    val mad = dev.withColumn("r", row_number().over(wd)).join(n, Seq("g"))
+      .filter(col("r") === expr("(n_events + 1) div 2"))
+      .select(col("g"), col("d").as("mad"))
+    dev.join(mad, Seq("g")).join(n, Seq("g"))
+      .groupBy(col("g"), col("n_events"), col("med"), col("mad"))
+      .agg(sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"))
+  }
 }
