@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, Row}
@@ -103,4 +104,38 @@ object Pack {
         md5(array_join(transform(
             array_sort(collect_list(struct(col("doc_id"), col("__text")))),
             s => s.getField("__text")), "\n").cast("binary")).as("packed_md5"))
+
+  /** Deterministic domain-interleaved training order: every document
+    * gets an intra-domain rank in md5(id) order (the reproducible
+    * shuffle every data pipeline uses), and the global training order
+    * is round-robin over domains — round r emits one doc from each
+    * domain that still has ≥ r docs, domains in lexicographic order.
+    * This is the curriculum/ordering-assembly primitive that keeps any
+    * training window domain-balanced instead of streaming one domain
+    * at a time.
+    *
+    * The global position is computed ARITHMETICALLY, not with a global
+    * one-task window: with per-domain counts c_d broadcast (domains
+    * are few; counts are one grouped count), the doc at (rank r,
+    * domain d) sits at position
+    * `Σ_d' min(r−1, c_d') + |{d' < d : c_d' ≥ r}| + 1` — every term a
+    * broadcast-side aggregate, so the only shuffles are the per-domain
+    * rank window and a docs × |domains| broadcast expansion. The
+    * oracle runs the naive global window instead, making the gate
+    * itself the proof that the arithmetic equals the sort. */
+  def interleave(docs: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(groupCol).as("domain"),
+      col(idCol).cast("long").as("doc_id"))
+    val rk = base.withColumn("rk", row_number().over(
+      Window.partitionBy(col("domain"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    val counts = base.groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      .select(col("domain").as("d2"), col("c"))
+    rk.crossJoin(broadcast(counts))
+      .groupBy(col("domain"), col("doc_id"), col("rk"))
+      .agg((sum(least(col("rk") - 1, col("c"))) +
+        sum(when(col("d2") < col("domain") && col("c") >= col("rk"), 1L)
+          .otherwise(0L)) + 1).as("position"))
+      .select(col("position"), col("domain"), col("doc_id"), col("rk"))
+  }
 }

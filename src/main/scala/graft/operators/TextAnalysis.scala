@@ -111,6 +111,108 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** PMI collocation ranking (Church & Hanks 1990): adjacent word
+    * pairs scored by pointwise mutual information — the classic
+    * multi-word-expression extractor a tokenizer/vocab pipeline runs
+    * before merging phrases. Scored by the EXACT integer ratio
+    * `r = (N · c(x,y) · 10^6) div (c(x,·) · c(·,y))` — a monotone
+    * transform of PMI = ln(r) − 6·ln(10) — so the ranking AND the
+    * score column are integers with no float log anywhere and the
+    * oracle replays them bit-for-bit. Marginals are positional (x as
+    * left word, y as right) so Σ_xy p(x,y) = 1 exactly. `minCount`
+    * applies the standard low-frequency cutoff (a 1-occurrence pair
+    * maximizes PMI; every collocation extractor thresholds).
+    *
+    * Scale: one grouped pair count + two grouped marginal counts + a
+    * 1-row broadcast total; the joins run pair-table × vocab-table on
+    * single-word keys, and only ≥minCount pairs reach the scoring
+    * join. The 128-bit-safe DECIMAL(38,0) product keeps
+    * `N · c(x,y) · 10^6` exact to N ~ 1e12 bigrams per corpus. Output:
+    * topK (p, c, n_pair, pmi_ratio_ppm), ties broken (p, c). */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Int, topK: Int): DataFrame = {
+    val withW = docs.select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = withW.select(
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("p"),
+            element_at(col("w"), i + 1).as("c")))).as("pc"))
+      .select(col("pc.p").as("p"), col("pc.c").as("c"))
+    val pair = bg.groupBy(col("p"), col("c")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val leftM = bg.groupBy(col("p")).agg(count(lit(1)).as("n_left"))
+    val rightM = bg.groupBy(col("c")).agg(count(lit(1)).as("n_right"))
+    val total = bg.agg(count(lit(1)).as("n_total"))
+    pair.join(leftM, Seq("p")).join(rightM, Seq("c"))
+      .crossJoin(broadcast(total))
+      .select(col("p"), col("c"), col("n_pair"),
+        expr("(CAST(n_total AS DECIMAL(38,0)) * n_pair * 1000000) div " +
+          "(CAST(n_left AS DECIMAL(38,0)) * n_right)").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("p"), col("c"))
+      .limit(topK)
+  }
+
+  /** SymSpell-style spelling correction (Garbe's symmetric-deletion
+    * matching, the data-cleaning normalizer OCR/web-crawl corpora run
+    * before tokenization), restricted to deletion distance 1: a noisy
+    * token matches vocabulary word v iff it IS v (distance 0) or it is
+    * v minus one character — so the candidate join is a pure EQUI-join
+    * between the noisy stream and a precomputed deletion index of
+    * Σ len(v) short strings, never an edit-distance cross product. The
+    * best candidate is (distance, −count, v)-minimal: exact match
+    * first, then the most frequent vocabulary word, lexicographic tie.
+    *
+    * The noisy stream is a planted fixture derivation (the
+    * [[redactPii]] discipline — both engines replay it): tokens of
+    * length ≥ 3 whose md5(doc_id_pos_w) ends in '0' (1/16) lose the
+    * character at an md5-chosen position; the vocabulary with counts
+    * comes from the clean corpus.
+    *
+    * Scale: the deletion index is vocab-linear (words × length) and
+    * joins on short string keys; the noisy side shuffles once; the
+    * per-(doc,pos) argmin is a bounded window over candidate sets of
+    * at most a few vocabulary words. Unmatched typos survive with a
+    * null correction (left join) — silently dropping unfixable tokens
+    * would corrupt the accounting. Output: (doc_id, pos, typo,
+    * corrected, dist, cand_count). */
+  def spellCorrect(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val h = md5(concat_ws("_", col("doc_id"), col("pos"), col("w")))
+    val noisy = toks.withColumn("h", h)
+      .filter(length(col("w")) >= 3 && substring(col("h"), 32, 1) === "0")
+      .withColumn("dp",
+        (conv(substring(col("h"), 1, 6), 16, 10).cast("long") %
+          length(col("w")).cast("long") + 1L).cast("int"))
+      .select(col("doc_id"), col("pos"),
+        concat(expr("substring(w, 1, dp - 1)"), expr("substring(w, dp + 1)"))
+          .as("typo"))
+    val vocab = toks.groupBy(col("w").as("v")).agg(count(lit(1)).as("cnt"))
+    val dels = vocab
+      .select(col("v"), col("cnt"),
+        explode(sequence(lit(1), length(col("v")))).as("i"))
+      .select(col("v"), col("cnt"),
+        concat(expr("substring(v, 1, i - 1)"), expr("substring(v, i + 1)"))
+          .as("key"))
+      .distinct() // "aa" deletes to "a" twice; one index row is enough
+    val cand = noisy
+      .join(vocab.select(col("v"), col("cnt"), col("v").as("key")),
+        col("typo") === col("key"))
+      .select(col("doc_id"), col("pos"), col("typo"), col("v"), col("cnt"),
+        lit(0).as("dist"))
+      .unionAll(noisy.join(dels, col("typo") === col("key"))
+        .select(col("doc_id"), col("pos"), col("typo"), col("v"), col("cnt"),
+          lit(1).as("dist")))
+    val w = Window.partitionBy(col("doc_id"), col("pos"))
+      .orderBy(col("dist"), col("cnt").desc, col("v"))
+    val best = cand.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("doc_id"), col("pos"), col("v").as("corrected"),
+        col("dist"), col("cnt").as("cand_count"))
+    noisy.join(best, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("typo"), col("corrected"),
+        col("dist"), col("cand_count"))
+  }
+
   /** Character-level Shannon entropy per document — the classic
     * gibberish/boilerplate detector (natural prose sits ~4 bits/char;
     * base64 blobs and aaaa… runs sit far off it in either direction).

@@ -43,6 +43,26 @@ class GraphEventsSpec extends SparkTestBase {
     assert(got7 === expect)
   }
 
+  test("kCore: cycles survive the 2-core peel, pendant tails peel away") {
+    // lollipop: triangle 1-2-3 with tail 3-4-5-6; the tail peels one
+    // vertex per round, the triangle is the 2-core
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCore(g, k = 2, rounds = 3).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    // a pure path has an empty 2-core
+    val path = edges((1L to 9L).map(i => (i - 1, i)): _*)
+    assert(Graph.kCore(path, k = 2, rounds = 5).count() === 0)
+  }
+
+  test("kCore: the q_kcore round count reaches the fixed point on the fixture") {
+    val li = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+    val e = Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2)
+    val r5 = Graph.kCore(e, k = 2, rounds = 5).as[(Long, Long)].collect().toSet
+    val r6 = Graph.kCore(e, k = 2, rounds = 6).as[(Long, Long)].collect().toSet
+    assert(r5.nonEmpty)
+    assert(r5 === r6) // round 6 is a no-op: the entry is the true 2-core
+  }
+
   test("coEdges thins by distinct-group support") {
     val df = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // group 10: pairs (1,2)(1,3)(2,3)

@@ -24,6 +24,47 @@ class TextEventsSpec extends SparkTestBase {
     assert(r === Seq((1L, 1L, d1), (2L, 3L, d2))) // doc 3 has no bigrams
   }
 
+  test("PMI collocations: known ratios, minCount cutoff, ratio ranks bound pairs first") {
+    // corpus: "a b" x5 and "c d" x1 and "a d" x2; bigrams per doc row
+    val docs = Seq.fill(5)("a b").zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((10L, "c d"), (11L, "a d"), (12L, "a d"))
+    val r = TextAnalysis.pmiCollocations(docs.toDF("doc_id", "text"), "text",
+      minCount = 2, topK = 10).as[(String, String, Long, Long)].collect().toSeq
+    // bigrams: (a,b) x5, (c,d) x1 [below minCount], (a,d) x2; N=8
+    // left marginals: a=7, c=1; right: b=5, d=3
+    // ratio(a,b) = 8*5*1e6 / (7*5) = 1142857; ratio(a,d) = 8*2*1e6/(7*3) = 761904
+    assert(r === Seq(("a", "b", 5L, 1142857L), ("a", "d", 2L, 761904L)))
+  }
+
+  test("MAD outliers: discrete medians, Hampel rule flags the planted spike") {
+    // group g: values 1,2,3,4,100 -> med=3 (rank 3),|d|=2,1,0,1,97 -> mad=1
+    // (rank 3 of 0,1,1,2,97); 97 > 3*1 flags exactly the spike
+    val ev = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+      (4L, "g", 4.0), (5L, "g", 100.0)).toDF("event_id", "event_type", "value")
+    val r = Events.madOutliers(ev, "event_type", "value", "event_id")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(r === Seq(("g", 5L, 3.0, 1.0, 1L)))
+  }
+
+  test("interleave: arithmetic positions equal the naive global window; " +
+    "short domains drain out") {
+    // 3 domains of sizes 3/2/1: round 1 emits one doc per domain, round
+    // 2 only from x and y, round 3 only from x
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"),
+      (6L, "z")).toDF("doc_id", "source")
+    val got = graft.operators.Pack.interleave(docs, "source", "doc_id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // the naive form: one global sort over (rk, domain, doc_id)
+    val byDomain = got.groupBy(_._2)
+    assert(byDomain.keySet === Set("x", "y", "z"))
+    val naive = got.sortBy(t => (t._4, t._2, t._3)).zipWithIndex
+      .map { case ((_, d, id, rk), i) => (i + 1L, d, id, rk) }
+    assert(got.toSeq === naive.toSeq)
+    // round-robin property: positions 1..3 cover all three domains
+    assert(got.filter(_._1 <= 3).map(_._2).toSet === Set("x", "y", "z"))
+    assert(got.map(_._1).toSeq === (1L to 6L).toSeq) // a permutation
+  }
+
   test("char entropy: uniform text hits ln(alphabet), runs hit 0") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
     val r = TextAnalysis.charEntropy(docs, "text", "doc_id")
