@@ -430,6 +430,22 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    // PMI collocations: top adjacent word pairs by the exact integer
+    // PMI ratio in ppm (a monotone transform of ln-PMI — no float log
+    // anywhere) — the phrase-merge candidate list a vocab pipeline
+    // extracts before tokenizer training
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "text",
+        minCount = 5, topK = 20)),
+    // SymSpell deletion-neighborhood spelling correction over a
+    // planted 1/16 typo stream (md5-derived, both engines replay the
+    // derivation): candidates come from a pure equi-join against the
+    // vocab deletion index — never an edit-distance cross product —
+    // best = (distance, −count, word); on the fixture corpus every
+    // planted typo recovers its source word
+    "q_spell_correct" -> ((s, dir) =>
+      TextAnalysis.spellCorrect(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"), col("pos"))),
     // char-level Shannon entropy per doc: gibberish/boilerplate signal
     "q_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(docs(s, dir), "text", "doc_id")
@@ -544,6 +560,14 @@ object SparkEntry {
     "q_pack_text" -> ((s, dir) =>
       Pack.packedSequences(docs(s, dir), "text", "doc_id", 4096L)
         .orderBy(col("bin"))),
+    // domain-interleaved training order: round-robin over sources in
+    // md5(id) shuffle order; the engine computes each doc's global
+    // position ARITHMETICALLY from broadcast domain counts (no
+    // one-task global window) while the oracle runs the naive global
+    // sort — the gate is the equality proof
+    "q_interleave" -> ((s, dir) =>
+      Pack.interleave(docs(s, dir), "source", "doc_id")
+        .orderBy(col("position"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -627,7 +651,16 @@ object SparkEntry {
         .select(col("media_id"), col("payload_bytes"),
           round(col("byte_mean"), 6).as("byte_mean"),
           round(col("byte_var"), 6).as("byte_var"))
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+    // perceptual-hash image dedup on the stub kernel: 60-bit positional
+    // byte-bucket pHash (exact integer mean compares), 4×15-bit chunk
+    // pigeonhole candidates, bit_count verify — finds the planted
+    // one-byte-perturbed twins, zero false positives on the fixture
+    "q_phash_neardup" -> ((s, dir) =>
+      Multimodal.phashNearDup(
+          Multimodal.withPlantedTwins(
+            Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet"))))
+        .orderBy(col("media_a"), col("media_b"))))
 
   // §2b: JSON extraction, event-time windows, as-of join, streaming-shaped
   // windowed checksum over `events`.
@@ -1099,6 +1132,17 @@ object SparkEntry {
       Graph.triangles(Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2))
         .orderBy(col("a"), col("b"), col("c"))
     }),
+    // fixed-round k-core peeling over the same co-purchase graph:
+    // 5 rounds of "drop degree<2 vertices and their incident edges"
+    // reach the fixed point at every fixture scale (KCoreSpec pins
+    // round 6 as a no-op), so the entry IS the 2-core — the graph with
+    // its pendant trees pruned away; output (vertex, core degree)
+    "q_kcore" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Graph.kCore(Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2),
+          k = 2, rounds = 5)
+        .orderBy(col("n"))
+    }),
     // synchronous label-propagation communities over the REPEAT-business
     // cust↔supp graph (pairs co-occurring ≥3 times — the raw bipartite
     // graph is near-complete and collapses to one community): 3 fixed
@@ -1124,6 +1168,15 @@ object SparkEntry {
         .select(col("event_type"),
           col("mx.value").as("max_value"), col("mx.event_id").as("max_event_id"),
           col("mn.value").as("min_value"), col("mn.event_id").as("min_event_id"))
+        .orderBy(col("event_type"))),
+    // robust outlier gate: Hampel ±3·MAD per event type over DISCRETE
+    // rank-⌈n/2⌉ medians — medians are actual data points (never an
+    // interpolated average), so the one float multiply+compare is
+    // IEEE-exact in both engines
+    "q_mad_outliers" -> ((s, dir) =>
+      Events.madOutliers(Events.read(s, dir), "event_type", "value",
+          "event_id")
+        .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
     // RANGE window frames (value-based, not row-based): rolling 1-hour
     // sum/count per type over exact integer microsecond bounds — ties
@@ -1297,6 +1350,71 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_orderkey"))
+    }),
+    // Q14-shaped promo revenue share per ship month: broadcast part
+    // dim; revenue held in exact 4-dp integer units (2-dp price × 2-dp
+    // discount), the share a 128-bit-exact integer ppm division —
+    // floats appear only in the final display cast
+    "q_promo_share" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_type"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"),
+          col("p_type"))
+        .groupBy(col("ship_month"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_e4"))
+            .otherwise(0L)).as("pr"),
+          sum(col("rev_e4")).as("tr"))
+        .select(col("ship_month"),
+          expr("CAST((CAST(pr AS DECIMAL(38,0)) * 1000000) div tr AS BIGINT)")
+            .as("promo_ppm"),
+          (col("pr").cast("double") / 10000).as("promo_rev"),
+          (col("tr").cast("double") / 10000).as("total_rev"))
+        .orderBy(col("ship_month"))
+    }),
+    // Q22-shaped "cold customers": balance above the positive-balance
+    // mean (integer-cents threshold via a broadcast 1-row scalar
+    // aggregate) AND no order in the fixture's final year — the
+    // anti-join + scalar-subquery decorrelation showcase
+    "q_cold_customers" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+            .as("bal_c"))
+      val recent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "2000-09-01")
+        .select(col("o_custkey"))
+      val thr = c.filter(col("bal_c") > 0)
+        .agg(expr("sum(bal_c) div count(1)").as("t"))
+      c.crossJoin(broadcast(thr)).filter(col("bal_c") > col("t"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("bal_c")).cast("double") / 100).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+    // Q4-shaped late-shipment counts by order priority: EXISTS
+    // decorrelated to a left-semi join — equi on the order key plus
+    // the non-equi lateness predicate, exact timestamp interval math
+    "q_late_orders" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1995-04-01")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
     }),
     // distributed BPE merge learning (tokenizer training): 3 rounds of
     // corpus-wide most-frequent-adjacent-pair, greedy-left merges on
@@ -2265,6 +2383,54 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PMI ratio replayed in exact integer arithmetic: HUGEINT product
+    // (the twin of Spark's DECIMAL(38,0)) // the marginal product —
+    // both engines truncate the all-positive division identically
+    "q_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |       FROM toks WHERE len(w) >= 2),
+        |bg AS (SELECT w[i] AS p, w[i + 1] AS c FROM ix),
+        |pair AS (SELECT p, c, count(*) AS n_pair FROM bg
+        |         GROUP BY p, c HAVING count(*) >= 5),
+        |lm AS (SELECT p, count(*) AS n_left FROM bg GROUP BY p),
+        |rm AS (SELECT c, count(*) AS n_right FROM bg GROUP BY c),
+        |t AS (SELECT count(*) AS n_total FROM bg)
+        |SELECT p, c, n_pair,
+        |  CAST((CAST(n_total AS HUGEINT) * n_pair * 1000000) //
+        |       (CAST(n_left AS HUGEINT) * n_right) AS BIGINT) AS pmi_ratio_ppm
+        |FROM pair JOIN lm USING (p) JOIN rm USING (c), t
+        |ORDER BY pmi_ratio_ppm DESC, p, c LIMIT 20""".stripMargin,
+    // replays the planted-typo derivation (md5-chosen char deletion on
+    // 1/16 of length>=3 tokens) and the deletion-index match: '0x' hex
+    // parse == Spark's conv(,16,10); substr concatenation deletes the
+    // same character; best candidate by (dist, cnt DESC, v)
+    "q_spell_correct" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+        |tk AS (SELECT doc_id, unnest(generate_series(1, len(wl))) AS i, wl FROM raw),
+        |tok AS (SELECT doc_id, i - 1 AS pos, wl[i] AS w FROM tk),
+        |hs AS (SELECT doc_id, pos, w,
+        |         md5(CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) || '_' || w) AS h
+        |       FROM tok),
+        |noisy AS (SELECT doc_id, pos,
+        |    substr(w, 1, CAST(CAST(('0x' || substr(h, 1, 6)) AS BIGINT) % len(w) AS INT)) ||
+        |    substr(w, CAST(CAST(('0x' || substr(h, 1, 6)) AS BIGINT) % len(w) AS INT) + 2) AS typo
+        |  FROM hs WHERE len(w) >= 3 AND substr(h, 32, 1) = '0'),
+        |vocab AS (SELECT w AS v, count(*) AS cnt FROM tok GROUP BY w),
+        |vd AS (SELECT v, cnt, unnest(generate_series(1, len(v))) AS i FROM vocab),
+        |dels AS (SELECT DISTINCT v, cnt, substr(v, 1, i - 1) || substr(v, i + 1) AS key FROM vd),
+        |cand AS (
+        |  SELECT n.doc_id, n.pos, n.typo, vv.v, vv.cnt, 0 AS dist
+        |  FROM noisy n JOIN vocab vv ON n.typo = vv.v
+        |  UNION ALL
+        |  SELECT n.doc_id, n.pos, n.typo, d.v, d.cnt, 1 AS dist
+        |  FROM noisy n JOIN dels d ON n.typo = d.key),
+        |best AS (SELECT doc_id, pos, v AS corrected, dist, cnt AS cand_count FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+        |      ORDER BY dist, cnt DESC, v) AS r FROM cand) WHERE r = 1)
+        |SELECT n.doc_id, n.pos, n.typo, b.corrected, b.dist, b.cand_count
+        |FROM noisy n LEFT JOIN best b ON n.doc_id = b.doc_id AND n.pos = b.pos
+        |ORDER BY n.doc_id, n.pos""".stripMargin,
     // char entropy: p*ln(p) terms round to 9 dp, DECIMAL sum, abs
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
@@ -2436,6 +2602,16 @@ object SparkEntry {
       """SELECT t, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
+    // the naive form the engine's broadcast-count arithmetic must
+    // equal: one global window over (intra-domain rank, domain)
+    "q_interleave" ->
+      """WITH rk AS (SELECT source AS domain, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY rk, domain, doc_id) AS position,
+        |  domain, doc_id, rk
+        |FROM rk ORDER BY position""".stripMargin,
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, len(w) AS dl FROM d),
@@ -2516,6 +2692,33 @@ object SparkEntry {
         |SELECT media_id, CAST(n AS INT) AS payload_bytes,
         |  round(m1, 6) AS byte_mean, round(m2, 6) AS byte_var
         |FROM v ORDER BY media_id""".stripMargin,
+    // the full pHash pipeline replayed: planted twins, 60 positional
+    // buckets, integer cross-multiply bits, chunk join, bit_count
+    "q_phash_neardup" ->
+      """WITH p0 AS (SELECT vec_id AS media_id,
+        |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
+        |tw AS (SELECT media_id + 1000000 AS media_id, 'z' || substr(pay, 2) AS pay
+        |       FROM p0 WHERE media_id % 10 = 0),
+        |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw),
+        |ix AS (SELECT media_id, pay, unnest(generate_series(1, len(pay))) AS i FROM p),
+        |c AS (SELECT media_id, (i - 1) % 60 AS bk, ord(substr(pay, i, 1)) AS b FROM ix),
+        |bs AS (SELECT media_id, bk, sum(b) AS s, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(s) AS t, sum(cnt) AS n FROM bs GROUP BY 1),
+        |ph AS (SELECT bs.media_id,
+        |         CAST(sum(CASE WHEN bs.s * tot.n > tot.t * bs.cnt
+        |                       THEN CAST(1 AS BIGINT) << CAST(bk AS INT) ELSE 0 END) AS BIGINT) AS phash
+        |       FROM bs JOIN tot ON bs.media_id = tot.media_id GROUP BY bs.media_id),
+        |chunks AS (SELECT media_id, phash, c, (phash >> (c * 15)) & 32767 AS chunk
+        |           FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk HAVING count(*) <= 100),
+        |ck AS (SELECT ch.* FROM chunks ch JOIN keep k ON ch.c = k.c AND ch.chunk = k.chunk),
+        |pairs AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |            a.phash AS pa, b.phash AS pb
+        |          FROM ck a JOIN ck b
+        |          ON a.c = b.c AND a.chunk = b.chunk AND a.media_id < b.media_id)
+        |SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     "q_multimodal_meta" ->
       """WITH m AS (SELECT vec_id, 16 + vec_id % 48 AS width, 16 + vec_id % 32 AS height,
         |                  1 + vec_id % 3 AS channels, 128 AS payload_bytes FROM embeddings)
@@ -3314,6 +3517,29 @@ object SparkEntry {
         |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         |ORDER BY 1, 2, 3""".stripMargin,
+    // the peel replayed round-for-round: each round keeps vertices of
+    // degree >= 2 in the surviving edge set, then the edges both of
+    // whose endpoints survived. Every CTE is MATERIALIZED: each round
+    // references its predecessor 5 times, and DuckDB's default CTE
+    // inlining would re-evaluate e0's self-join 5^rounds times — the
+    // oracle-side mirror of the lineage blowup the engine severs with
+    // per-round localCheckpoint
+    "q_kcore" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""k$r AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+           |     GROUP BY n HAVING count(*) >= 2),
+           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+           |     WHERE a IN (SELECT n FROM k$r) AND b IN (SELECT n FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2),
+        |$rounds
+        |SELECT n, count(*) AS deg
+        |FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
+        |GROUP BY n ORDER BY n""".stripMargin
+    },
     "q_argmax" ->
       """SELECT event_type,
         |  mx.v AS max_value, mx.id AS max_event_id,
@@ -3323,6 +3549,24 @@ object SparkEntry {
         |        min(struct_pack(v := value, id := event_id)) AS mn
         |      FROM events GROUP BY 1)
         |ORDER BY event_type""".stripMargin,
+    // the discrete-median peel replayed: rank ⌈n/2⌉ in (value, id)
+    // order, then the same rank over absolute deviations
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT event_type AS g, value AS v, event_id AS id FROM events),
+        |n AS (SELECT g, count(*) AS n_events FROM base GROUP BY g),
+        |rv AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS r
+        |       FROM base),
+        |med AS (SELECT rv.g, v AS med FROM rv JOIN n USING (g)
+        |        WHERE r = (n_events + 1) // 2),
+        |dev AS (SELECT base.g, id, abs(v - med) AS d FROM base JOIN med USING (g)),
+        |rd AS (SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d, id) AS r
+        |       FROM dev),
+        |mad AS (SELECT rd.g, d AS mad FROM rd JOIN n USING (g)
+        |        WHERE r = (n_events + 1) // 2)
+        |SELECT dev.g AS event_type, n_events, med, mad,
+        |  CAST(sum(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g) JOIN med USING (g) JOIN n USING (g)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS rolling_1h,
@@ -3493,6 +3737,40 @@ object SparkEntry {
         |  o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_promo_share" ->
+      """WITH r AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |         10000 AS BIGINT) AS rev_e4,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month,
+        |  CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS HUGEINT)
+        |        * 1000000) // sum(rev_e4) AS BIGINT) AS promo_ppm,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE) / 10000 AS promo_rev,
+        |  CAST(sum(rev_e4) AS DOUBLE) / 10000 AS total_rev
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cold_customers" ->
+      """WITH bal AS (SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer),
+        |thr AS (SELECT sum(bal_c) // count(*) AS t FROM bal WHERE bal_c > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= '2000-09-01'),
+        |cold AS (SELECT b.* FROM bal b, thr WHERE b.bal_c > thr.t
+        |         AND NOT EXISTS (SELECT 1 FROM recent r
+        |                         WHERE r.o_custkey = b.c_custkey))
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100 AS total_bal
+        |FROM cold GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_above_avg" ->
       """WITH p AS (SELECT p_brand, p_partkey,
         |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents

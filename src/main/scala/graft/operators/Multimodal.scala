@@ -106,6 +106,75 @@ object Multimodal {
       }
     }.toDF(idCol, "payload_bytes", "byte_mean", "byte_var", "byte_skew")
   }
+
+  /** Near-duplicate fixture: the corpus plus a perturbed twin of every
+    * 10th blob (one payload byte replaced, twin id = id + 1e6) — the
+    * re-encoded/re-hosted-copy population an image dedup pass hunts.
+    * Pure column arithmetic on the blob, so the oracle replays the
+    * planting exactly. */
+  def withPlantedTwins(blobs: DataFrame, idCol: String = "media_id",
+                       blobCol: String = "blob"): DataFrame =
+    blobs.unionAll(blobs.filter(col(idCol) % 10 === 0)
+      .select((col(idCol) + 1000000L).as(idCol),
+        concat(substring(col(blobCol), 1, HeaderLen),
+          lit("z").cast("binary"),
+          expr(s"substring($blobCol, ${HeaderLen + 2})")).as(blobCol)))
+
+  /** 60-bit perceptual hash over the stub-decoded payload — the pHash
+    * analog on the sanctioned fake kernel: payload bytes fold into 60
+    * positional buckets (pos mod 60), bit b = 1 iff bucket b's mean
+    * byte value exceeds the payload mean. The comparison is the exact
+    * integer cross-multiply `s·n > t·cnt`, so the hash — like every
+    * multimodal kernel here — is bit-replayable by the oracle; a real
+    * image pipeline swaps the byte buckets for DCT coefficients and
+    * keeps every plan shape. One explode + two grouped sums per blob;
+    * shuffle currency is (media_id, 60 bucket rows), never blobs. */
+  def phash(blobs: DataFrame, idCol: String = "media_id",
+            blobCol: String = "blob"): DataFrame = {
+    val bytes = blobs
+      .select(col(idCol).as("media_id"),
+        expr(s"substring($blobCol, ${HeaderLen + 1})").cast("string").as("pay"))
+      .select(col("media_id"), posexplode(split(col("pay"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("media_id"), (col("pos") % 60).as("bk"), ascii(col("ch")).as("b"))
+    val bs = bytes.groupBy(col("media_id"), col("bk"))
+      .agg(sum(col("b")).as("s"), count(lit(1)).as("cnt"))
+    val tot = bs.groupBy(col("media_id")).agg(sum(col("s")).as("t"),
+      sum(col("cnt")).as("n"))
+    bs.join(tot, Seq("media_id"))
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("s") * col("n") > col("t") * col("cnt"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bk AS INT))"))
+        .otherwise(0L)).as("phash"))
+  }
+
+  /** Hamming near-duplicate pairs over [[phash]] fingerprints via the
+    * [[Dedup.simhashNearDup]] chunk pigeonhole: 4 chunks of 15 bits —
+    * hamming ≤ 3 guarantees at least one identical chunk — candidate
+    * pairs from a chunk equi-join, exact `bit_count(xor)` verify on
+    * candidates only. `maxChunkDf` drops degenerate hot chunks (the
+    * all-black-thumbnail class) before the self-join, the same
+    * linear-occupancy cap as the text-side banded joins. */
+  def phashNearDup(blobs: DataFrame, maxHamming: Int = 3,
+                   maxChunkDf: Int = 100): DataFrame = {
+    val ph = phash(blobs)
+    val chunks = ph.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("(phash >> (c * 15)) & 32767"))
+    val keep = chunks.groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxChunkDf)
+      .select(col("c"), col("chunk"))
+    val ck = chunks.join(keep, Seq("c", "chunk"))
+    val a = ck.select(col("c"), col("chunk"), col("media_id").as("media_a"),
+      col("phash").as("pa"))
+    val b = ck.select(col("c"), col("chunk"), col("media_id").as("media_b"),
+      col("phash").as("pb"))
+    a.join(b, Seq("c", "chunk")).filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("pa"), col("pb")).distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+  }
 }
 
 /** `sample_bytes(blob)` with static (offset, stride, chunk) — the
