@@ -318,4 +318,43 @@ class PlanShapeSpec extends SparkTestBase {
         s"expected single-bucket pruning:\n$p")
     } finally spark.conf.set(key, prev)
   }
+
+  test("q_promo_share: part dim broadcasts; fact-side revenue aggregates partial+final") {
+    val p = plan("q_promo_share")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(p.contains("partial_"), s"revenue must map-side combine:\n$p")
+  }
+
+  test("q_late_orders: the EXISTS decorrelates to a real left-semi join") {
+    val p = plan("q_late_orders")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_interleave: no single-partition global sort window; rank windows partition by domain") {
+    // the whole point of the broadcast-count arithmetic is that the
+    // only Window operators left are the per-domain rank windows —
+    // a global row_number would plan Exchange SinglePartition + Window
+    val p = plan("q_interleave")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p)
+    val single = p.linesIterator.sliding(3).exists(ls =>
+      ls.exists(_.contains("SinglePartition")) && ls.exists(_.contains("Window")))
+    assert(!single, s"found a single-partition window:\n$p")
+  }
+
+  test("round-7 near-dup and correction joins: equi-joins only, no cartesian anywhere") {
+    for (q <- Seq("q_kcore", "q_pmi", "q_spell_correct", "q_phash_neardup",
+        "q_mad_outliers", "q_cold_customers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    // the sanctioned 1-row broadcasts (PMI total, cold-customer
+    // threshold) are BroadcastNestedLoopJoin by construction; the
+    // candidate joins must not be
+    for (q <- Seq("q_spell_correct", "q_phash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
 }
