@@ -46,6 +46,44 @@ class TextEventsSpec extends SparkTestBase {
     assert(r === Seq(("g", 5L, 3.0, 1.0, 1L)))
   }
 
+  test("spellCorrect: every correction is the typo itself (dist 0) or a " +
+    "1-deletion parent of it (dist 1)") {
+    // the planted-typo hash decides which tokens get noised, so build a
+    // corpus large enough that qualifying tokens fire; every token is
+    // vocabulary, so every typo is fixable
+    val docs = (0L to 199L).map(i => (i, "table cable able zz"))
+    val r = TextAnalysis.spellCorrect(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Int, String, String, Int, Long)].collect().toSeq
+    assert(r.nonEmpty) // 1/16 planting fired somewhere in 600 eligible tokens
+    for ((_, _, typo, corrected, dist, _) <- r) {
+      assert(corrected != null, s"unfixable typo in an all-vocab corpus: $typo")
+      val dels = corrected.indices.map(i =>
+        corrected.substring(0, i) + corrected.substring(i + 1))
+      assert(if (dist == 0) corrected == typo else dels.contains(typo),
+        s"$typo -> $corrected (dist $dist)")
+    }
+    // typos shortened from "able" have exactly one deletion parent in
+    // this vocabulary ("able" itself); ties elsewhere break by count
+    // then lexicographic order, pinned by the q_spell_correct oracle
+    val fromAble = r.filter(t => Set("abe", "ale", "abl", "ble")(t._3))
+    for ((_, _, _, corrected, dist, _) <- fromAble)
+      assert(dist == 1 && corrected == "able", fromAble.toString)
+  }
+
+  test("phashNearDup finds planted one-byte twins and nothing else on a tiny corpus") {
+    import graft.operators.Multimodal
+    val emb = (0L until 40L).toDF("vec_id")
+    val corpus = Multimodal.withPlantedTwins(Multimodal.synthesize(emb))
+    val pairs = Multimodal.phashNearDup(corpus)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.nonEmpty)
+    // every reported pair is a planted twin (base id, base id + 1e6)
+    for ((a, b, h) <- pairs) {
+      assert(b == a + 1000000L && a % 10 == 0, s"unexpected pair ($a,$b)")
+      assert(h <= 3)
+    }
+  }
+
   test("interleave: arithmetic positions equal the naive global window; " +
     "short domains drain out") {
     // 3 domains of sizes 3/2/1: round 1 emits one doc per domain, round
