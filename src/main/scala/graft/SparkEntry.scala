@@ -1132,6 +1132,14 @@ object SparkEntry {
       Graph.triangles(Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2))
         .orderBy(col("a"), col("b"), col("c"))
     }),
+    // market-basket frequent triples over order baskets: per-group
+    // combination explode (cubic only in basket size — avg ~4, max ~17
+    // here, the basket-bound contract), one grouped support shuffle
+    "q_itemsets" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Graph.coTriples(li, "l_orderkey", "l_partkey", minGroups = 2)
+        .orderBy(col("x"), col("y"), col("z"))
+    }),
     // fixed-round k-core peeling over the same co-purchase graph:
     // 5 rounds of "drop degree<2 vertices and their incident edges"
     // reach the fixed point at every fixture scale (KCoreSpec pins
@@ -1168,6 +1176,14 @@ object SparkEntry {
         .select(col("event_type"),
           col("mx.value").as("max_value"), col("mx.event_id").as("max_event_id"),
           col("mn.value").as("min_value"), col("mn.event_id").as("min_event_id"))
+        .orderBy(col("event_type"))),
+    // heavy-tail clamp: per-type winsorization at discrete P05/P95
+    // bounds (actual data points, like the MAD medians), clip counts +
+    // the clamped DECIMAL sum
+    "q_winsorize" -> ((s, dir) =>
+      Events.winsorize(Events.read(s, dir), "event_type", "value",
+          "event_id")
+        .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
     // robust outlier gate: Hampel ±3·MAD per event type over DISCRETE
     // rank-⌈n/2⌉ medians — medians are actual data points (never an
@@ -3517,6 +3533,13 @@ object SparkEntry {
         |FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_itemsets" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |tri AS (SELECT a.i AS x, b.i AS y, c.i AS z, count(*) AS support
+        |        FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |                  JOIN gi c ON b.g = c.g AND b.i < c.i
+        |        GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT x, y, z, support FROM tri ORDER BY x, y, z""".stripMargin,
     // the peel replayed round-for-round: each round keeps vertices of
     // degree >= 2 in the surviving edge set, then the edges both of
     // whose endpoints survived. Every CTE is MATERIALIZED: each round
@@ -3549,6 +3572,22 @@ object SparkEntry {
         |        min(struct_pack(v := value, id := event_id)) AS mn
         |      FROM events GROUP BY 1)
         |ORDER BY event_type""".stripMargin,
+    // discrete P05/P95 bounds at ranks ⌈pct·n/100⌉, then the clamp
+    "q_winsorize" ->
+      """WITH base AS (SELECT event_type AS g, value AS v, event_id AS id FROM events),
+        |n AS (SELECT g, count(*) AS n_events FROM base GROUP BY g),
+        |rv AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS r
+        |       FROM base),
+        |lo AS (SELECT rv.g, v AS p_lo FROM rv JOIN n USING (g)
+        |       WHERE r = (5 * n_events + 99) // 100),
+        |hi AS (SELECT rv.g, v AS p_hi FROM rv JOIN n USING (g)
+        |       WHERE r = (95 * n_events + 99) // 100)
+        |SELECT base.g AS event_type, n_events, p_lo, p_hi,
+        |  CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        |  CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        |  CAST(sum(CAST(greatest(least(v, p_hi), p_lo) AS DECIMAL(20,6))) AS DOUBLE) AS winsor_sum
+        |FROM base JOIN lo USING (g) JOIN hi USING (g) JOIN n USING (g)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // the discrete-median peel replayed: rank ⌈n/2⌉ in (value, id)
     // order, then the same rank over absolute deviations
     "q_mad_outliers" ->

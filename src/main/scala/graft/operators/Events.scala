@@ -282,4 +282,35 @@ object Events {
       .agg(sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
         .as("n_outliers"))
   }
+
+  /** Per-group winsorization at discrete percentile bounds — the
+    * heavy-tail clamp a metrics/feature pipeline applies before
+    * aggregation so a single spike cannot own the mean. Bounds are the
+    * values at ranks ⌈loPct·n/100⌉ and ⌈hiPct·n/100⌉ in (value, id)
+    * order — actual data points, the [[madOutliers]] discipline — so
+    * clamping and clip counts replay exactly cross-engine; the
+    * winsorized sum goes through the family-standard DECIMAL(20,6)
+    * fold. Same per-group sort-window scale contract as every window
+    * entry. Output: (group, n_events, p_lo, p_hi, n_clip_low,
+    * n_clip_high, winsor_sum). */
+  def winsorize(events: DataFrame, keyCol: String, valCol: String,
+                idCol: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct < 100)
+    val base = events.select(col(keyCol).as("g"), col(valCol).as("v"),
+      col(idCol).as("id"))
+    val n = base.groupBy(col("g")).agg(count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val ranked = base.withColumn("r", row_number().over(wv)).join(n, Seq("g"))
+    val lo = ranked.filter(col("r") === expr(s"($loPct * n_events + 99) div 100"))
+      .select(col("g"), col("v").as("p_lo"))
+    val hi = ranked.filter(col("r") === expr(s"($hiPct * n_events + 99) div 100"))
+      .select(col("g"), col("v").as("p_hi"))
+    base.join(lo, Seq("g")).join(hi, Seq("g")).join(n, Seq("g"))
+      .groupBy(col("g"), col("n_events"), col("p_lo"), col("p_hi"))
+      .agg(
+        sum(when(col("v") < col("p_lo"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("v") > col("p_hi"), 1L).otherwise(0L)).as("n_clip_high"),
+        sum(greatest(least(col("v"), col("p_hi")), col("p_lo"))
+          .cast("decimal(20,6)")).cast("double").as("winsor_sum"))
+  }
 }

@@ -139,6 +139,28 @@ object Graph {
       .select(col("a"), col("b"))
   }
 
+  /** Frequent triple mining (market-basket level 3): item triples
+    * co-occurring in at least `minGroups` distinct groups. Like
+    * [[coEdges]], the combination explode is per-GROUP — cubic only in
+    * basket size, which order-like baskets bound by contract (avg ~4,
+    * max ~17 on the fixtures; a 100 TB caller with hub baskets caps
+    * basket size upstream or Apriori-prunes through [[coEdges]] first,
+    * since triple support ≤ min pair support) — and the support count
+    * is one grouped shuffle on the triple key. Output: (x, y, z,
+    * support) with x < y < z. */
+  def coTriples(df: DataFrame, groupCol: String, itemCol: String,
+                minGroups: Int): DataFrame = {
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val a = gi.select(col("g"), col("i").as("x"))
+    val b = gi.select(col("g"), col("i").as("y"))
+    val c = gi.select(col("g"), col("i").as("z"))
+    a.join(b, Seq("g")).filter(col("x") < col("y"))
+      .join(c, Seq("g")).filter(col("y") < col("z"))
+      .groupBy(col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minGroups)
+  }
+
   /** Exact triangle enumeration by degree ordering (the MapReduce-classic
     * node-iterator++): orient each undirected edge from its lower-(deg,id)
     * endpoint to the higher, form wedges at the low vertex, and close them

@@ -63,6 +63,20 @@ class GraphEventsSpec extends SparkTestBase {
     assert(r5 === r6) // round 6 is a no-op: the entry is the true 2-core
   }
 
+  test("coTriples counts distinct-group support for ordered triples") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), // {1,2,3,4}
+      (11L, 1L), (11L, 2L), (11L, 3L),            // {1,2,3} -> (1,2,3) sup 2
+      (12L, 2L), (12L, 3L), (12L, 4L)             // {2,3,4} -> (2,3,4) sup 2
+    ).toDF("g", "item")
+    val t1 = graft.operators.Graph.coTriples(df, "g", "item", minGroups = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(t1 === Set((1L, 2L, 3L, 2L), (2L, 3L, 4L, 2L)))
+    val t2 = graft.operators.Graph.coTriples(df, "g", "item", minGroups = 1)
+      .count()
+    assert(t2 === 4) // the 4 distinct triples of group 10 cover groups 11/12's
+  }
+
   test("coEdges thins by distinct-group support") {
     val df = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // group 10: pairs (1,2)(1,3)(2,3)

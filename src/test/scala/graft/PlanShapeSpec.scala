@@ -345,7 +345,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("round-7 near-dup and correction joins: equi-joins only, no cartesian anywhere") {
     for (q <- Seq("q_kcore", "q_pmi", "q_spell_correct", "q_phash_neardup",
-        "q_mad_outliers", "q_cold_customers")) {
+        "q_mad_outliers", "q_cold_customers", "q_itemsets", "q_winsorize")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }

@@ -103,6 +103,17 @@ class TextEventsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq === (1L to 6L).toSeq) // a permutation
   }
 
+  test("winsorize: discrete P-bounds clamp the tails, clip counts exact") {
+    // 1..20 in one group: p_lo = rank ceil(0.05*20)=1 -> 1.0,
+    // p_hi = rank ceil(0.95*20)=19 -> 19.0; one value (20) clips high,
+    // none clip low; winsorized sum = sum(1..19) + 19
+    val ev = (1L to 20L).map(i => (i, "g", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r = Events.winsorize(ev, "event_type", "value", "event_id")
+      .as[(String, Long, Double, Double, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(("g", 20L, 1.0, 19.0, 0L, 1L, (1 to 19).sum + 19.0)))
+  }
+
   test("char entropy: uniform text hits ln(alphabet), runs hit 0") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
     val r = TextAnalysis.charEntropy(docs, "text", "doc_id")
