@@ -64,6 +64,11 @@ object SparkEntry {
     // streaming count-min sketch: constant-size counter-grid state
     // folded across micro-batches; final emission = the batch sketch
     "q_stream_cms" -> ((s, dir) => StreamEntries.streamCms(s, dir)),
+    // continuously-maintained top-k leaderboard (complete-mode sort +
+    // limit over stateful counts); every count split across batches so
+    // the result provably sums across the boundary; oracle = batch
+    // Zipf head
+    "q_stream_topk" -> ((s, dir) => StreamEntries.streamTopK(s, dir)),
     // streaming upsert view (mapGroupsWithState latest-value state):
     // base + split changelog must rebuild dst — q_merge_upsert's twin
     "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
@@ -2951,6 +2956,10 @@ object SparkEntry {
     // the streaming CMS's final state must equal the batch sketch over
     // the whole corpus (micro-batch boundaries can't show through a
     // commutative counter fold)
+    "q_stream_topk" ->
+      """SELECT t, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
     "q_stream_cms" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(

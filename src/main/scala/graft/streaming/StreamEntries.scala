@@ -566,4 +566,43 @@ object StreamEntries {
       .select(col("j").cast("long").as("j"), col("bucket"), col("cnt"))
       .orderBy(col("j"), col("bucket"))
   }
+
+  /** Continuously-maintained top-k ([[org.apache.spark.sql.streaming]]
+    * complete mode — the ONE output mode where Spark permits a sort +
+    * limit on a streaming aggregate): per-token counts held in the
+    * state store, the sink replaced each micro-batch with the current
+    * top 20. Every token's count is SPLIT across the two batches
+    * (⌊c/2⌋ then ⌈c/2⌉), so the final leaderboard provably sums across
+    * the batch boundary — no single batch contains a full count.
+    * Oracle: the batch Zipf-head query (q_token_topk's SQL). The feed
+    * is pre-combined per-token counts (map-side-combine shape), so the
+    * driver ships vocab-sized data, not the corpus. */
+  def streamTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = memoFeed(s"topk:$dir") {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect()
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_topk")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long)]
+      val agg = mem.toDS().toDF("t", "c")
+        .groupBy(col("t")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("t")).limit(20)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        val halves = toks.map { case (t, c) => (t, c / 2, c - c / 2) }
+        mem.addData(halves.collect { case (t, lo, _) if lo > 0 => (t, lo) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(halves.map { case (t, _, hi) => (t, hi) }.toSeq)
+        q.processAllAvailable()
+      }
+    }
+    takeTable(s, name).select(col("t"), col("n"))
+      .orderBy(col("n").desc, col("t"))
+  }
 }

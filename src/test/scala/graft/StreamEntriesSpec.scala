@@ -50,6 +50,16 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_topk equals the batch Zipf head (counts summed across batches)") {
+    val streamed = StreamEntries.streamTopK(spark, dir)
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(20)
+    assert(streamed.count() === 20)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_keyed_checksum equals the batch per-group checksum") {
     val streamed = StreamEntries.streamKeyedChecksum(spark, dir)
     val kv = Events.read(spark, dir)
