@@ -474,6 +474,13 @@ object SparkEntry {
     "q_mix_temperature" -> ((s, dir) =>
       TextAnalysis.mixTemperatureWeights(docs(s, dir), "source", "text")
         .orderBy(col("source"))),
+    // the epoch/repeat plan executing the temperature mix: per source,
+    // full passes + an exact-to-the-document md5-order partial pass
+    // covering the token remainder — upsampling small sources,
+    // truncating large ones, all 64-bit integer
+    "q_mix_epochs" -> ((s, dir) =>
+      TextAnalysis.mixEpochPlan(docs(s, dir), "source", "text", "doc_id")
+        .orderBy(col("source"))),
     // top word-2-gram coverage per doc (Gopher's other repetition
     // signal): most frequent 2-gram, ties lexicographic, coverage in
     // exact integer permille with overlaps counted
@@ -2508,6 +2515,37 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS sq_total FROM sq)
         |SELECT source, n_docs, sum_tokens, s * 1000000 // sq_total AS weight_ppm
         |FROM sq CROSS JOIN tot ORDER BY source""".stripMargin,
+    // the weight CTE verbatim from q_mix_temperature, then the integer
+    // plan arithmetic and the md5-order prefix-sum partial-pass cut
+    "q_mix_epochs" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY source),
+        |sq AS (SELECT *, CAST(floor(sqrt(CAST(sum_tokens AS DOUBLE) * 1000000)) AS BIGINT) AS s
+        |       FROM per),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS sq_total FROM sq),
+        |w AS (SELECT source, n_docs, sum_tokens, s * 1000000 // sq_total AS weight_ppm
+        |      FROM sq CROSS JOIN tot),
+        |b AS (SELECT CAST(sum(sum_tokens) // 2 AS BIGINT) AS budget FROM w),
+        |p2 AS (SELECT w.*, budget * weight_ppm // 1000000 AS target_tokens,
+        |         (budget * weight_ppm // 1000000) // sum_tokens AS full_epochs,
+        |         (budget * weight_ppm // 1000000) % sum_tokens AS rem_tokens
+        |       FROM w, b),
+        |d AS (SELECT source, doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tk FROM documents),
+        |c AS (SELECT source, doc_id, tk,
+        |        COALESCE(SUM(tk) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |      FROM d),
+        |sel AS (SELECT c.source, CAST(count(*) AS BIGINT) AS n_partial_docs,
+        |          CAST(sum(tk) AS BIGINT) AS partial_tokens
+        |        FROM c JOIN p2 ON c.source = p2.source
+        |        WHERE prev < rem_tokens GROUP BY c.source)
+        |SELECT p2.source, n_docs, sum_tokens, weight_ppm, target_tokens, full_epochs,
+        |  COALESCE(n_partial_docs, 0) AS n_partial_docs,
+        |  COALESCE(partial_tokens, 0) AS partial_tokens
+        |FROM p2 LEFT JOIN sel ON p2.source = sel.source ORDER BY 1""".stripMargin,
     // exact-integer coverage: occ * 2 * 1000 // tokens, overlap-counting
     "q_top_ngram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -264,6 +264,54 @@ object TextAnalysis {
         expr("sq * 1000000 DIV sq_total").as("weight_ppm"))
   }
 
+  /** Epoch/repeat sampling plan for a temperature-flattened mix — the
+    * actionable "data recipe" a trainer executes downstream of
+    * [[mixTemperatureWeights]]: with token budget B = total div 2,
+    * each source owes target = B·w_ppm div 10⁶ tokens, delivered as
+    * `target div mass` FULL passes over the source plus a partial pass
+    * that walks documents in md5(id) order until the token remainder
+    * is covered (small sources repeat — upsampling; large sources
+    * truncate — the α=1/2 flattening made concrete). Everything is
+    * 64-bit integer arithmetic; the partial-pass cut is a per-source
+    * prefix-sum window (prev < remainder), so selection is exact to
+    * the document and both engines replay it bit-for-bit.
+    *
+    * Scale: the plan table is |sources| rows (broadcast); the
+    * selection pass is one per-source sort window over doc token
+    * counts — the same window contract as every per-group entry, with
+    * the [[stratifiedSample]] hash-threshold prune the documented
+    * swap-in when a single source outgrows a task. Output: (group,
+    * n_docs, sum_tokens, weight_ppm, target_tokens, full_epochs,
+    * n_partial_docs, partial_tokens). */
+  def mixEpochPlan(docs: DataFrame, groupCol: String, textCol: String,
+                   idCol: String): DataFrame = {
+    val w = mixTemperatureWeights(docs, groupCol, textCol)
+    val budget = w.agg(expr("CAST(sum(sum_tokens) DIV 2 AS BIGINT)").as("budget"))
+    val plan = w.crossJoin(broadcast(budget))
+      .select(col(groupCol), col("n_docs"), col("sum_tokens"),
+        col("weight_ppm"),
+        expr("budget * weight_ppm DIV 1000000").as("target_tokens"))
+      .withColumn("full_epochs", expr("target_tokens DIV sum_tokens"))
+      .withColumn("rem_tokens", expr("target_tokens % sum_tokens"))
+    val toks = docs.select(col(groupCol), col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("tk"))
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sel = toks
+      .withColumn("prev", coalesce(sum(col("tk")).over(win), lit(0L)))
+      .join(plan.select(col(groupCol), col("rem_tokens")), Seq(groupCol))
+      .filter(col("prev") < col("rem_tokens"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_partial_docs"),
+        sum(col("tk")).as("partial_tokens"))
+    plan.join(sel, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("sum_tokens"),
+        col("weight_ppm"), col("target_tokens"), col("full_epochs"),
+        coalesce(col("n_partial_docs"), lit(0L)).as("n_partial_docs"),
+        coalesce(col("partial_tokens"), lit(0L)).as("partial_tokens"))
+  }
+
   /** Top word-n-gram coverage (the other Gopher repetition family
     * member next to [[repetitionRatio]]): per document, the most
     * frequent word n-gram (ties → lexicographically smallest) and the

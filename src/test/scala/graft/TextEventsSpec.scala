@@ -103,6 +103,23 @@ class TextEventsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq === (1L to 6L).toSeq) // a permutation
   }
 
+  test("mixEpochPlan: small sources upsample (full epochs), large ones truncate") {
+    // A: 10 docs x 100 tokens; B: 2 docs x 5 tokens. budget = 505;
+    // sq weights 31622/3162 -> w_A = 909096 ppm, w_B = 90903 ppm;
+    // target_A = 459 (epoch 0 + 5-doc partial of 500 tokens),
+    // target_B = 45 = 4 FULL epochs of B + a 1-doc partial of 5
+    val docs =
+      (1L to 10L).map(i => (i, "A", Seq.fill(100)("w").mkString(" "))) ++
+        Seq((11L, "B", "w w w w w"), (12L, "B", "w w w w w"))
+    val r = TextAnalysis.mixEpochPlan(
+        docs.toDF("doc_id", "source", "text"), "source", "text", "doc_id")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      ("A", 10L, 1000L, 909096L, 459L, 0L, 5L, 500L),
+      ("B", 2L, 10L, 90903L, 45L, 4L, 1L, 5L)))
+  }
+
   test("winsorize: discrete P-bounds clamp the tails, clip counts exact") {
     // 1..20 in one group: p_lo = rank ceil(0.05*20)=1 -> 1.0,
     // p_hi = rank ceil(0.95*20)=19 -> 19.0; one value (20) clips high,
