@@ -237,13 +237,18 @@ object Graph {
     require(k >= 1, "k must be positive")
     require(rounds >= 0, "rounds must be non-negative")
     var e = edges.select(col("a"), col("b")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val keep = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
       e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).localCheckpoint()
+        .select(col("a"), col("b"))
+      // sever every SECOND round: one un-severed round multiplies the
+      // plan by ~5 (tolerable); two compound to ~25 and beyond that
+      // Catalyst analysis, not the data, dominates. Halving the
+      // materializations halves the per-round job overhead.
+      if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
     }
     e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
