@@ -255,28 +255,31 @@ object Events {
     * the k·MAD comparison is IEEE-exact cross-engine (subtraction and
     * one multiply, no accumulation order anywhere).
     *
-    * Scale: two per-group sort windows (median, then deviation
-    * median) + one grouped count — groups partition the sort, so this
-    * holds while no single group outgrows a task, the same per-group
-    * contract as every window entry; a 100 TB single-group caller
-    * swaps the rank-pick for the two-phase approx-quantile sketch
-    * ([[graft.operators.Profile]]'s documented kmv swap-in pattern).
-    * Output: (group, n_events, med, mad, n_outliers). */
+    * Scale: both medians are DISTRIBUTED rank lookups ([[Rank]]'s
+    * two-phase cell-rank — deterministic equi-width buckets, local
+    * rank per (group, bucket) cell, broadcast cumulative offsets), so
+    * the hottest group's sort spreads over `buckets` tasks instead of
+    * funneling through one; with ~5 fixed event types and 100 TB of
+    * rows that spread IS the plan — the old per-group row_number
+    * window was the last one-task-sort hazard in the family. Raise
+    * `buckets` until cells fit a task. Output: (group, n_events, med,
+    * mad, n_outliers). */
   def madOutliers(events: DataFrame, keyCol: String, valCol: String,
-                  idCol: String, k: Int = 3): DataFrame = {
+                  idCol: String, k: Int = 3, buckets: Int = 256): DataFrame = {
     val base = events.select(col(keyCol).as("g"), col(valCol).as("v"),
       col(idCol).as("id"))
     val n = base.groupBy(col("g")).agg(count(lit(1)).as("n_events"))
-    val wv = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
-    val med = base.withColumn("r", row_number().over(wv)).join(n, Seq("g"))
-      .filter(col("r") === expr("(n_events + 1) div 2"))
-      .select(col("g"), col("v").as("med"))
+    def medianOf(df: DataFrame): DataFrame =
+      Rank.cellRank(Rank.valueBuckets(df, "g", "v", "id", buckets),
+          Seq("g"), "__b", Seq(col("v"), col("id")), "r")
+        .join(n, Seq("g"))
+        .filter(col("r") === expr("(n_events + 1) div 2"))
+        .select(col("g"), col("v"))
+    val med = medianOf(base).withColumnRenamed("v", "med")
     val dev = base.join(med, Seq("g"))
       .withColumn("d", abs(col("v") - col("med")))
-    val wd = Window.partitionBy(col("g")).orderBy(col("d"), col("id"))
-    val mad = dev.withColumn("r", row_number().over(wd)).join(n, Seq("g"))
-      .filter(col("r") === expr("(n_events + 1) div 2"))
-      .select(col("g"), col("d").as("mad"))
+    val mad = medianOf(dev.select(col("g"), col("d").as("v"), col("id")))
+      .withColumnRenamed("v", "mad")
     dev.join(mad, Seq("g")).join(n, Seq("g"))
       .groupBy(col("g"), col("n_events"), col("med"), col("mad"))
       .agg(sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
@@ -290,17 +293,21 @@ object Events {
     * order — actual data points, the [[madOutliers]] discipline — so
     * clamping and clip counts replay exactly cross-engine; the
     * winsorized sum goes through the family-standard DECIMAL(20,6)
-    * fold. Same per-group sort-window scale contract as every window
-    * entry. Output: (group, n_events, p_lo, p_hi, n_clip_low,
-    * n_clip_high, winsor_sum). */
+    * fold. Both percentile bounds come off ONE distributed rank pass
+    * ([[Rank.cellRank]] over deterministic equi-width value buckets) —
+    * no single-task per-group sort at any group size; raise `buckets`
+    * until cells fit a task. Output: (group, n_events, p_lo, p_hi,
+    * n_clip_low, n_clip_high, winsor_sum). */
   def winsorize(events: DataFrame, keyCol: String, valCol: String,
-                idCol: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+                idCol: String, loPct: Int = 5, hiPct: Int = 95,
+                buckets: Int = 256): DataFrame = {
     require(0 < loPct && loPct < hiPct && hiPct < 100)
     val base = events.select(col(keyCol).as("g"), col(valCol).as("v"),
       col(idCol).as("id"))
     val n = base.groupBy(col("g")).agg(count(lit(1)).as("n_events"))
-    val wv = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
-    val ranked = base.withColumn("r", row_number().over(wv)).join(n, Seq("g"))
+    val ranked = Rank.cellRank(Rank.valueBuckets(base, "g", "v", "id", buckets),
+        Seq("g"), "__b", Seq(col("v"), col("id")), "r")
+      .join(n, Seq("g"))
     val lo = ranked.filter(col("r") === expr(s"($loPct * n_events + 99) div 100"))
       .select(col("g"), col("v").as("p_lo"))
     val hi = ranked.filter(col("r") === expr(s"($hiPct * n_events + 99) div 100"))

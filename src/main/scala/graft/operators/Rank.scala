@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Two-phase DISTRIBUTED per-group rank statistics — the remedy for the
+  * one-task-per-group sort that `row_number().over(Window.partitionBy(g)
+  * .orderBy(...))` plans: with few, large groups (event types, language
+  * strata, training domains — exactly the curation regime), a plain
+  * per-group window funnels every row of the hottest group through ONE
+  * task, and at 100 TB that task is the job.
+  *
+  * The discipline here is the [[Pack]] prefix-sum one, applied to ranks:
+  *
+  *  1. every row gets a deterministic BUCKET `__b` — a pure function of
+  *     the row's own sort key that coarsens the group's sort order
+  *     (all rows of bucket b sort before all rows of bucket b+1 within
+  *     their group, ties never straddle buckets);
+  *  2. rows rank LOCALLY per (group, bucket) cell — the sort window
+  *     partitions by the pair, so a group's rows spread over `buckets`
+  *     tasks and no task ever sorts more than one cell;
+  *  3. cell sizes aggregate to a (group, bucket, count) table of at most
+  *     groups×buckets rows; per-group cumulative offsets come from a
+  *     window over THAT table (tiny by construction) and broadcast back;
+  *  4. global rank = offset + local rank.
+  *
+  * Because the bucket is computed from DATA (never from
+  * `spark_partition_id()` or a sampled range partitioner), the rank is
+  * reproducible under task retries, DAG recomputation, and AQE re-reads
+  * — both DAG branches (the local ranks and the cell counts) recompute
+  * to identical values, which is what lets the oracle replay the exact
+  * same ranks with a plain SQL window.
+  *
+  * Sizing: a cell holds ~n_g/buckets rows (uniform buckets) and the
+  * offset table holds ≤ groups×buckets rows; at 100 TB a caller raises
+  * `buckets` until cells fit a task — the offset table stays broadcast-
+  * small far beyond that point (1e4 groups × 4096 buckets = 4e7 longs). */
+object Rank {
+
+  /** Global per-group rank from per-cell local ranks + cumulative cell
+    * offsets. `df` must already carry the bucket column `bCol`
+    * (LongType, order-aligned with `order` inside each group: b(x) <
+    * b(y) ⇒ x sorts before y, rows tying on the full `order` key never
+    * split across buckets). Appends `rankCol`; drops the bucket. */
+  def cellRank(df: DataFrame, gCols: Seq[String], bCol: String,
+               order: Seq[Column], rankCol: String): DataFrame = {
+    val cellKeys = (gCols :+ bCol).map(col)
+    // phase 2: one sort per (group, bucket) CELL — a group spreads over
+    // `buckets` tasks instead of funneling through one
+    val local = df.withColumn("__lr",
+      row_number().over(Window.partitionBy(cellKeys: _*).orderBy(order: _*)))
+    // phase 3: cell census (map-side partial agg → groups×buckets rows)
+    // + per-group running offsets over the tiny table only
+    val cnts = df.groupBy(cellKeys: _*).agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy(gCols.map(col): _*).orderBy(col(bCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = cnts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .drop("__cnt")
+    // phase 4: offset + local = global
+    local.join(broadcast(off), gCols :+ bCol)
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__lr", "__off", bCol)
+  }
+
+  /** Deterministic equi-width value buckets per group for NUMERIC sort
+    * keys ordered (v, id): bucket = ⌊(v − min_g) / (max_g − min_g) ·
+    * buckets⌋ clamped to [0, buckets−1] — monotone in v, equal values
+    * share a bucket, and the per-group (min, max) stats are one grouped
+    * aggregation broadcast back. A group whose values are ALL EQUAL
+    * (width 0) would collapse into one cell, so it falls back to
+    * equi-width buckets on the id — within such a group the (v, id)
+    * order IS the id order, so the fallback stays order-aligned.
+    *
+    * Equi-width is distribution-sensitive where a range partitioner
+    * samples: a pathological value pile-up (most rows sharing one
+    * value) concentrates cells. That is the documented trade for
+    * determinism — raise `buckets` for spread, or pre-transform the
+    * value (rank statistics are invariant under any strictly monotone
+    * map). Appends `__b`. */
+  def valueBuckets(df: DataFrame, g: String, v: String, id: String,
+                   buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val stats = df.groupBy(col(g)).agg(
+      min(col(v)).as("__vmin"), max(col(v)).as("__vmax"),
+      min(col(id).cast("double")).as("__imin"),
+      max(col(id).cast("double")).as("__imax"))
+    def width(x: Column, lo: Column, hi: Column): Column =
+      least(lit(buckets - 1L), floor((x - lo) / (hi - lo) * buckets))
+    df.join(broadcast(stats), Seq(g))
+      .withColumn("__b",
+        when(col("__vmax") > col("__vmin"),
+          width(col(v), col("__vmin"), col("__vmax")))
+        .when(col("__imax") > col("__imin"),
+          width(col(id).cast("double"), col("__imin"), col("__imax")))
+        .otherwise(lit(0L)))
+      .drop("__vmin", "__vmax", "__imin", "__imax")
+  }
+
+  /** Bucket for md5-hex sort keys: the first two hex chars as a number
+    * — 256 uniform buckets BY CONSTRUCTION (md5 is uniform), and
+    * lexicographic order of hex strings equals numeric order of the
+    * prefix (0-9 < a-f in ASCII), so the bucket is order-aligned with
+    * any (md5_hex, tiebreak...) sort. The uniform case of
+    * [[valueBuckets]] — no stats pass needed. */
+  def md5Bucket(h: Column): Column =
+    conv(substring(h, 1, 2), 16, 10).cast("long")
+}

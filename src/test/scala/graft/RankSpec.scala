@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Events, Rank}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed two-phase rank ([[graft.operators.Rank]]) — the
+  * replacement for one-task-per-group sort windows. Pins (a) rank
+  * equality with the plain window definition under heavy group skew,
+  * (b) the constant-value fallback, and (c) the plan shape: the data
+  * windows partition by (group, bucket), never by the group alone. */
+class RankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 1 group holds ~90% of rows (the "one hot event type" regime);
+  // deterministic pseudo-values with collisions and negatives
+  private def skewed(n: Int) = (1 to n).map { i =>
+    val g = if (i % 10 == 0) (i % 3 + 1).toString else "hot"
+    (g, ((i * 2654435761L) % 997).toDouble / 7.0 - 50.0, i.toLong)
+  }.toDF("g", "v", "id")
+
+  test("cellRank equals the plain per-group row_number window under skew") {
+    val df = skewed(3000)
+    val got = Rank.cellRank(Rank.valueBuckets(df, "g", "v", "id", 16),
+      Seq("g"), "__b", Seq(col("v"), col("id")), "r")
+    val want = df.withColumn("r", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+    assert(got.select("g", "v", "id", "r").except(want).isEmpty)
+    assert(want.except(got.select("g", "v", "id", "r")).isEmpty)
+  }
+
+  test("constant-value group falls back to id buckets and still ranks by id") {
+    val df = (1 to 500).map(i => ("c", 42.0, i.toLong)).toDF("g", "v", "id")
+      .union(Seq(("d", 1.0, 1L), ("d", 2.0, 2L)).toDF("g", "v", "id"))
+    val got = Rank.cellRank(Rank.valueBuckets(df, "g", "v", "id", 8),
+      Seq("g"), "__b", Seq(col("v"), col("id")), "r")
+    // constant group: rank == id (ids are 1..500 in (v, id) order)
+    assert(got.filter(col("g") === "c" && col("r") =!= col("id")).isEmpty)
+    assert(got.filter(col("g") === "d").select("id", "r")
+      .as[(Long, Long)].collect().sorted.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("madOutliers/winsorize match a driver-side brute force under skew") {
+    val df = skewed(1100)
+    val rows = df.as[(String, Double, Long)].collect()
+    val byG = rows.groupBy(_._1)
+    def medianOf(xs: Seq[(Double, Long)]): Double = {
+      val s = xs.sortBy(identity)
+      s(((s.size + 1) / 2) - 1)._1
+    }
+    val expMad = byG.map { case (g, xs) =>
+      val med = medianOf(xs.map(x => (x._2, x._3)).toSeq)
+      val mad = medianOf(xs.map(x => (math.abs(x._2 - med), x._3)).toSeq)
+      val out = xs.count(x => math.abs(x._2 - med) > 3 * mad)
+      (g, xs.size.toLong, med, mad, out.toLong)
+    }.toSet
+    val gotMad = Events.madOutliers(df, "g", "v", "id", k = 3, buckets = 16)
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    assert(gotMad == expMad)
+
+    val expWin = byG.map { case (g, xs) =>
+      val s = xs.map(x => (x._2, x._3)).toSeq.sorted
+      val n = s.size
+      val lo = s((5 * n + 99) / 100 - 1)._1
+      val hi = s((95 * n + 99) / 100 - 1)._1
+      val clipLo = s.count(_._1 < lo).toLong
+      val clipHi = s.count(_._1 > hi).toLong
+      val wsum = s.map(x => BigDecimal(math.max(math.min(x._1, hi), lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      (g, n.toLong, lo, hi, clipLo, clipHi, wsum)
+    }.toSet
+    val gotWin = Events.winsorize(df, "g", "v", "id", buckets = 16)
+      .as[(String, Long, Double, Double, Long, Long, Double)].collect().toSet
+    assert(gotWin == expWin)
+  }
+
+  test("q_mad_outliers/q_winsorize plans: no row_number window partitioned by the group alone") {
+    for (q <- Seq("q_mad_outliers", "q_winsorize")) {
+      val p = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      val rankWindows = p.linesIterator
+        .filter(l => l.contains("row_number()") && l.contains("windowspecdefinition"))
+        .toSeq
+      assert(rankWindows.nonEmpty, p)
+      rankWindows.foreach(l =>
+        assert(l.contains("__b"), s"$q has a per-group one-task rank window:\n$l"))
+      assert(!p.contains("SinglePartition, Window"), p)
+    }
+  }
+}
