@@ -1219,24 +1219,32 @@ object Dedup {
     * hash-threshold split (q_split_assign), class sizes here are exact
     * to the document, which is what eval-set construction needs.
     *
-    * Scale: one ordered shuffle per stratum for the row_number (at
-    * 100 TB a skewed stratum sorts across tasks — Spark's range-
-    * partitioned sort); the allocation table is strata×classes rows,
-    * broadcast to the assignment join. */
+    * Scale: the per-stratum rank is a DISTRIBUTED two-phase rank
+    * ([[Rank.cellRank]]) — `Window.partitionBy(stratum)` alone would
+    * put each stratum in ONE task (strata are few and large by
+    * construction: languages), so the md5 order key's first byte
+    * buckets every stratum into 256 uniform cells, cells rank locally,
+    * and broadcast cumulative cell counts lift local ranks to global
+    * ones. The allocation table is strata×classes rows, broadcast to
+    * the assignment join. */
   def stratifiedSplit(docs: DataFrame, stratumCol: String, idCol: String,
       classes: Seq[(String, Int)] =
         Seq(("train", 800), ("val", 100), ("test", 100))): DataFrame = {
     require(classes.map(_._2).sum == 1000, "class weights must sum to 1000")
     val s = docs.sparkSession
     import s.implicits._
-    val ordered = docs
+    val hashed = docs
       .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
-      .withColumn("rn", row_number().over(Window.partitionBy("stratum")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("__b", Rank.md5Bucket(col("h")))
+    val counts = hashed.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    val ordered = Rank.cellRank(hashed, Seq("stratum"), "__b",
+        Seq(col("h"), col("doc_id")), "rn")
+      .join(broadcast(counts), Seq("stratum"))
+      .drop("h")
     val cls = classes.zipWithIndex
       .map { case ((c, w), i) => (c, w, i + 1) }.toDF("cls", "w", "cls_idx")
-    val quota = ordered.select("stratum", "n").distinct()
+    val quota = counts
       .crossJoin(broadcast(cls))
       .withColumn("base", expr("(n * w) div 1000"))
       .withColumn("rem", expr("(n * w) % 1000"))

@@ -119,16 +119,22 @@ object Pack {
     * are few; counts are one grouped count), the doc at (rank r,
     * domain d) sits at position
     * `Σ_d' min(r−1, c_d') + |{d' < d : c_d' ≥ r}| + 1` — every term a
-    * broadcast-side aggregate, so the only shuffles are the per-domain
-    * rank window and a docs × |domains| broadcast expansion. The
-    * oracle runs the naive global window instead, making the gate
-    * itself the proof that the arithmetic equals the sort. */
+    * broadcast-side aggregate. The per-domain rank itself is the
+    * DISTRIBUTED two-phase rank ([[Rank.cellRank]] over md5-prefix
+    * buckets): domains are few and large by construction, so a plain
+    * `Window.partitionBy(domain)` would funnel each domain through one
+    * task — the same hazard the global-position arithmetic avoids,
+    * applied one level down. The oracle runs the naive global window
+    * instead, making the gate itself the proof that bucket arithmetic
+    * equals the sort. */
   def interleave(docs: DataFrame, groupCol: String, idCol: String): DataFrame = {
     val base = docs.select(col(groupCol).as("domain"),
       col(idCol).cast("long").as("doc_id"))
-    val rk = base.withColumn("rk", row_number().over(
-      Window.partitionBy(col("domain"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    val rk = Rank.cellRank(
+      base.withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("__b", Rank.md5Bucket(col("h"))),
+      Seq("domain"), "__b", Seq(col("h"), col("doc_id")), "rk")
+      .drop("h")
     val counts = base.groupBy(col("domain")).agg(count(lit(1)).as("c"))
       .select(col("domain").as("d2"), col("c"))
     rk.crossJoin(broadcast(counts))

@@ -74,8 +74,12 @@ class RankSpec extends SparkTestBase {
     assert(gotWin == expWin)
   }
 
-  test("q_mad_outliers/q_winsorize plans: no row_number window partitioned by the group alone") {
-    for (q <- Seq("q_mad_outliers", "q_winsorize")) {
+  test("rank-family plans: no row_number window partitioned by the group alone") {
+    // q_split_stratified's quota apportionment legitimately windows the
+    // strata×classes table (ordered by `rem`) — tiny by construction;
+    // every DATA-side rank window must carry the __b bucket key
+    for (q <- Seq("q_mad_outliers", "q_winsorize", "q_split_stratified",
+        "q_interleave")) {
       val p = SparkEntry.queries(q)(spark, sfSmoke)
         .queryExecution.executedPlan.toString
       val rankWindows = p.linesIterator
@@ -83,7 +87,8 @@ class RankSpec extends SparkTestBase {
         .toSeq
       assert(rankWindows.nonEmpty, p)
       rankWindows.foreach(l =>
-        assert(l.contains("__b"), s"$q has a per-group one-task rank window:\n$l"))
+        assert(l.contains("__b") || l.contains("rem"),
+          s"$q has a per-group one-task rank window:\n$l"))
       assert(!p.contains("SinglePartition, Window"), p)
     }
   }
