@@ -142,15 +142,36 @@ object Graph {
   /** Frequent triple mining (market-basket level 3): item triples
     * co-occurring in at least `minGroups` distinct groups. Like
     * [[coEdges]], the combination explode is per-GROUP — cubic only in
-    * basket size, which order-like baskets bound by contract (avg ~4,
-    * max ~17 on the fixtures; a 100 TB caller with hub baskets caps
-    * basket size upstream or Apriori-prunes through [[coEdges]] first,
-    * since triple support ≤ min pair support) — and the support count
-    * is one grouped shuffle on the triple key. Output: (x, y, z,
-    * support) with x < y < z. */
+    * basket size (avg ~4, max ~17 on the fixtures). A HUB basket makes
+    * that cube the job, so the explode sits behind a VOLUME GUARD
+    * ([[graft.operators.Dedup.editNearDupPrefix]]'s discipline): the
+    * exact triple volume Σ C(cₘ,3) costs one grouped count of the
+    * already-materialized basket frame, and a volume above
+    * `maxTriplesPerGroup`·groups refuses the cube with the remedies
+    * named — cap basket size upstream, or Apriori-prune through
+    * [[coEdges]] first (triple support ≤ min pair support, so items
+    * outside any frequent pair cannot form a frequent triple) —
+    * instead of silently running it. Int.MaxValue disables. The
+    * support count is one grouped shuffle on the triple key. Output:
+    * (x, y, z, support) with x < y < z. */
   def coTriples(df: DataFrame, groupCol: String, itemCol: String,
-                minGroups: Int): DataFrame = {
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+                minGroups: Int, maxTriplesPerGroup: Int = 5000): DataFrame = {
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct().localCheckpoint()
+    if (maxTriplesPerGroup != Int.MaxValue) {
+      val occ = gi.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - lit(1)) * (col("c") - lit(2))),
+          lit(0L)).as("t6"), count(lit(1)).as("ng")).head()
+      val (triples, ng) = (occ.getLong(0) / 6, math.max(occ.getLong(1), 1L))
+      if (triples > maxTriplesPerGroup.toLong * ng)
+        throw new IllegalStateException(
+          s"coTriples: triple volume $triples exceeds $maxTriplesPerGroup/" +
+          s"group over $ng groups — a hub basket makes the per-group " +
+          s"combination explode cubic. Cap basket size upstream, " +
+          s"Apriori-prune through coEdges first (triple support ≤ min " +
+          s"pair support), or raise maxTriplesPerGroup explicitly to " +
+          s"accept the cost.")
+    }
     val a = gi.select(col("g"), col("i").as("x"))
     val b = gi.select(col("g"), col("i").as("y"))
     val c = gi.select(col("g"), col("i").as("z"))

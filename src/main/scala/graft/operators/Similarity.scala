@@ -600,13 +600,22 @@ object Similarity {
     * tighter clusters, or run [[cosineNearDupBlocked]] for the exact
     * frontier). Scale shape: one broadcast-join assignment scan, then a
     * self-join bucketed on cluster_id — cluster occupancy ~n/k keeps
-    * the pair stage linear when k grows with the corpus; ids, vectors
-    * and norms ride the join, never texts.
+    * the pair stage linear ONLY when k grows with the corpus (Σ c² ≈
+    * n²/k at fixed k), so the pair stage sits behind an OCCUPANCY
+    * GUARD ([[graft.operators.Dedup.editNearDupPrefix]]'s discipline):
+    * the exact pair volume Σ c·(c−1)/2 costs one k-row aggregation of
+    * the already-materialized assignment, and a volume above
+    * `maxPairsPerVec`·n refuses the quadratic with the remedy named
+    * (raise k ≈ n / target-occupancy) instead of silently running it.
+    * Int.MaxValue disables. The assignment is localCheckpoint'd — the
+    * guard reads it once and the pair join's two sides plus the final
+    * census reuse it instead of re-running k-means three times.
     *
     * Output census, one row per vector: (vec_id, cluster_id, kept
     * 1|0). */
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
-                    threshold: Double): DataFrame = {
+                    threshold: Double,
+                    maxPairsPerVec: Int = 5000): DataFrame = {
     val cent = kmeansCodebook(corpus, k, iters)
       .withColumn("cvn", norm(col("cvec")))
     val assigned = corpus
@@ -618,6 +627,21 @@ object Similarity {
         Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cluster_id"))))
       .filter(col("r") === 1)
       .select(col("id"), col("cluster_id"), col("vec"), col("vn"))
+      .localCheckpoint()
+    if (maxPairsPerVec != Int.MaxValue) {
+      val occ = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)).as("p2"),
+          coalesce(sum(col("c")), lit(0L)).as("n")).head()
+      val (pairs, n) = (occ.getLong(0) / 2, math.max(occ.getLong(1), 1L))
+      if (pairs > maxPairsPerVec.toLong * n)
+        throw new IllegalStateException(
+          s"semanticDedup: within-cluster pair volume $pairs exceeds " +
+          s"$maxPairsPerVec/vector over $n vectors — at fixed k the " +
+          s"cluster-pair stage is quadratic (Σ c² ≈ n²/k). Raise k with " +
+          s"the corpus (k ≈ n / target cluster occupancy), tighten " +
+          s"clusters with more iters, or raise maxPairsPerVec explicitly " +
+          s"to accept the cost.")
+    }
     val l = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("vec").as("va"), col("vn").as("na"))
     val rr = assigned.select(col("cluster_id"), col("id").as("id_b"),

@@ -77,6 +77,23 @@ class GraphEventsSpec extends SparkTestBase {
     assert(t2 === 4) // the 4 distinct triples of group 10 cover groups 11/12's
   }
 
+  test("coTriples volume guard refuses a planted hub basket and names the remedy") {
+    // one 60-item hub basket → C(60,3)=34220 triples over 3 groups;
+    // guard bound 1000/group refuses, small baskets alone pass it
+    val hub = (1 to 60).map(i => (99L, i.toLong)) ++
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
+    val df = hub.toDF("g", "item")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Graph.coTriples(df, "g", "item", minGroups = 1,
+        maxTriplesPerGroup = 1000)
+    }
+    assert(e.getMessage.contains("Apriori"), e.getMessage)
+    // Int.MaxValue disables; the small-basket remainder passes the bound
+    val small = df.filter($"g" =!= 99L)
+    assert(graft.operators.Graph.coTriples(small, "g", "item", minGroups = 1,
+      maxTriplesPerGroup = 1000).count() == 2)
+  }
+
   test("coEdges thins by distinct-group support") {
     val df = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // group 10: pairs (1,2)(1,3)(2,3)

@@ -374,4 +374,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(rerun.sortBy(r => (r._1, r._4)).toSeq ===
       top.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  test("semanticDedup occupancy guard refuses the fixed-k quadratic and names the remedy") {
+    // 200 vectors, k=1 → one cluster of 200 → 19900 pairs ≈ 99/vector;
+    // the naive-100×-caller simulation: corpus grew, k did not
+    val big = (1 to 200).map(i =>
+      (i.toLong, Seq(1.0f + i * 1e-4f, 0.5f, 0.25f, 0.125f))).toDF("id", "vec")
+    val e = intercept[IllegalStateException] {
+      Similarity.semanticDedup(big, 1, 1, 0.99, maxPairsPerVec = 50)
+    }
+    assert(e.getMessage.contains("Raise k"), e.getMessage)
+    // Int.MaxValue disables the guard — the caller explicitly owns the cost
+    assert(Similarity.semanticDedup(big, 1, 1, 0.99,
+      maxPairsPerVec = Int.MaxValue).count() == 200)
+  }
 }
