@@ -89,6 +89,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // the driver's capture truncates the giant per-query line from the
+    // TAIL, losing the total that follows the map (every round's
+    // BENCH_r*.json has parsed:null) — repeat the headline numbers on a
+    // second short line so any tail capture carries them
+    println(s"""BENCH_TOTAL {"n":${results.size},"total":$total,"n_errors":${errors.distinctBy(_._1).size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

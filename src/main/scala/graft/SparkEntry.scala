@@ -1444,6 +1444,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // the fixture's columns: a supplier's returned-flag lineitem on a
+    // finished multi-supplier order where NO OTHER supplier returned —
+    // EXISTS + NOT EXISTS against the SAME fact table, composed as one
+    // left-semi + one left-anti on the orderkey with the supplier
+    // inequality riding the join condition (equi-keyed, no per-row
+    // subplan); Q4/Q22 proved the single-subquery decorrelations, this
+    // is the both-at-once composition with aggregation on top
+    "q_blocking_suppliers" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      l1.join(l2, col("l_orderkey") === col("ok2") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") &&
+          col("sk3") =!= col("l_suppkey"), "left_anti")
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
     // distributed BPE merge learning (tokenizer training): 3 rounds of
     // corpus-wide most-frequent-adjacent-pair, greedy-left merges on
     // the word-frequency table — per-round cost is vocab-sized, not
@@ -3857,6 +3887,23 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_blocking_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l1.l_orderkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q_above_avg" ->
       """WITH p AS (SELECT p_brand, p_partkey,
         |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents

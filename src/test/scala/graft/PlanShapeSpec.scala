@@ -343,6 +343,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!single, s"found a single-partition window:\n$p")
   }
 
+  test("q_blocking_suppliers: Q21 shape — one left-semi + one left-anti on the fact, equi-joins only") {
+    val p = plan("q_blocking_suppliers")
+    // the EXISTS/NOT EXISTS pair must decorrelate to keyed joins on the
+    // orderkey (the supplier inequality rides the join condition) —
+    // never a per-row subplan or a nested loop over the fact
+    assert(p.linesIterator.count(l => l.contains("LeftSemi")) >= 2, p) // l2 + orders gate
+    assert(p.linesIterator.exists(l => l.contains("LeftAnti")), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+  }
+
   test("round-7 near-dup and correction joins: equi-joins only, no cartesian anywhere") {
     for (q <- Seq("q_kcore", "q_pmi", "q_spell_correct", "q_phash_neardup",
         "q_mad_outliers", "q_cold_customers", "q_itemsets", "q_winsorize")) {
