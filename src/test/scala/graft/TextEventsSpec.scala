@@ -84,6 +84,33 @@ class TextEventsSpec extends SparkTestBase {
     }
   }
 
+  test("local-mean pHash recovers >=49/50 fixture twins, zero false positives") {
+    import graft.operators.Multimodal
+    val corpus = Multimodal.withPlantedTwins(Multimodal.synthesize(
+      spark.read.parquet(s"$sfSmoke/embeddings.parquet")))
+    val pairs = Multimodal.phashNearDup(corpus, local = true)
+      .as[(Long, Long, Int)].collect().toSeq
+    val planted = pairs.filter { case (a, b, _) => b == a + 1000000L && a % 10 == 0 }
+    assert(pairs.size == planted.size,
+      s"false positives: ${pairs.filterNot(planted.contains)}")
+    assert(planted.size >= 49, s"recovered only ${planted.size}/50")
+    // the global-mean variant's documented misses stay recovered-or-honest:
+    // local strictly dominates on the fixture
+    val globalRec = Multimodal.phashNearDup(corpus)
+      .as[(Long, Long, Int)].collect()
+      .count { case (a, b, _) => b == a + 1000000L && a % 10 == 0 }
+    assert(planted.size >= globalRec)
+  }
+
+  test("withPlantedTwins fails fast when corpus ids reach the twin offset") {
+    import graft.operators.Multimodal
+    val emb = Seq(999999L, 1000000L).toDF("vec_id")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.withPlantedTwins(Multimodal.synthesize(emb))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("interleave: arithmetic positions equal the naive global window; " +
     "short domains drain out") {
     // 3 domains of sizes 3/2/1: round 1 emits one doc per domain, round
