@@ -26,14 +26,22 @@ object Events {
     * reader follows the parquet logical type rather than forcing an
     * int64 schema, so the unit can never silently shift under it
     * again. */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    // the µs parquet column surfaces as TIMESTAMP_NTZ; the NTZ →
+    // timestamp cast below is a pure type relabel ONLY under a UTC
+    // session (and unix_micros demands the zoned type). Every entry
+    // point in the driver contract sets UTC — a library caller with a
+    // non-UTC session would get silently shifted ts_us/ts_ns and every
+    // downstream bucket would move, so fail loudly instead
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Events.read requires spark.sql.session.timeZone=UTC (got '$tz') — " +
+      s"the TIMESTAMP_NTZ → timestamp relabel shifts under any other zone")
     spark.read.parquet(s"$dir/events.parquet")
-      // the µs parquet column surfaces as TIMESTAMP_NTZ; every session
-      // in the driver contract runs UTC, so the cast is a pure type
-      // relabel (and unix_micros demands the zoned type)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("ts_ns", col("ts_us") * lit(1000L))
+  }
 
   /** Typed JSON extraction of the `props` column (`from_json` with an
     * explicit schema — codegen'd Jackson parse, no UDF). */

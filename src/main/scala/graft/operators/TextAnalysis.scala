@@ -272,7 +272,9 @@ object TextAnalysis {
     * that walks documents in md5(id) order until the token remainder
     * is covered (small sources repeat — upsampling; large sources
     * truncate — the α=1/2 flattening made concrete). Everything is
-    * 64-bit integer arithmetic; the partial-pass cut is a per-source
+    * exact integer arithmetic — the one product that can outgrow
+    * int64 (budget·w_ppm, past ~9.2e12 corpus tokens) rides
+    * DECIMAL(38,0), good to ~1e31; the partial-pass cut is a per-source
     * prefix-sum window (prev < remainder), so selection is exact to
     * the document and both engines replay it bit-for-bit.
     *
@@ -287,10 +289,16 @@ object TextAnalysis {
                    idCol: String): DataFrame = {
     val w = mixTemperatureWeights(docs, groupCol, textCol)
     val budget = w.agg(expr("CAST(sum(sum_tokens) DIV 2 AS BIGINT)").as("budget"))
+    // budget·weight_ppm through DECIMAL(38,0) (the pmiCollocations
+    // route): in int64 the product overflows past ~9.2e12 total corpus
+    // tokens — Spark with ANSI off would wrap silently while DuckDB
+    // errors, a cross-engine divergence exactly at scale. DECIMAL(38,0)
+    // carries the product exactly to ~1e31 before the integer divide
     val plan = w.crossJoin(broadcast(budget))
       .select(col(groupCol), col("n_docs"), col("sum_tokens"),
         col("weight_ppm"),
-        expr("budget * weight_ppm DIV 1000000").as("target_tokens"))
+        expr("CAST(CAST(budget AS DECIMAL(38,0)) * weight_ppm DIV 1000000 AS BIGINT)")
+          .as("target_tokens"))
       .withColumn("full_epochs", expr("target_tokens DIV sum_tokens"))
       .withColumn("rem_tokens", expr("target_tokens % sum_tokens"))
     val toks = docs.select(col(groupCol), col(idCol).as("doc_id"),
