@@ -253,23 +253,45 @@ object Graph {
     * Input must be the canonical a<b distinct edge list (the
     * [[coEdges]] output shape, like [[triangles]]). Output: (n, deg)
     * — every vertex surviving `rounds` peels with its degree in the
-    * surviving edge set. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * surviving edge set.
+    *
+    * `untilConverged = true` turns `rounds` into a CAP and stops at
+    * the fixed point instead: edges only shrink, so an unchanged edge
+    * count after a peel IS convergence. Detection is the
+    * [[Dedup.nearDupClusters]] changed-count discipline — one count()
+    * per round of the already-materialized edge set, which forces a
+    * checkpoint EVERY round (the fixed-round path's every-second-round
+    * severing measured ~25% faster; that saving is the price of not
+    * having to guess the peel depth). Default stays fixed-round —
+    * that's what the unrolled SQL oracle replays. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            untilConverged: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
     require(rounds >= 0, "rounds must be non-negative")
     var e = edges.select(col("a"), col("b")).localCheckpoint()
-    for (r <- 1 to rounds) {
+    var prevCnt = if (untilConverged) e.count() else -1L
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
       val keep = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
       e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-      // sever every SECOND round: one un-severed round multiplies the
-      // plan by ~5 (tolerable); two compound to ~25 and beyond that
-      // Catalyst analysis, not the data, dominates. Halving the
-      // materializations halves the per-round job overhead.
-      if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
+      if (untilConverged) {
+        e = e.localCheckpoint()
+        val c = e.count()
+        done = c == prevCnt
+        prevCnt = c
+      } else if (r % 2 == 0 || r == rounds) {
+        // sever every SECOND round: one un-severed round multiplies the
+        // plan by ~5 (tolerable); two compound to ~25 and beyond that
+        // Catalyst analysis, not the data, dominates. Halving the
+        // materializations halves the per-round job overhead.
+        e = e.localCheckpoint()
+      }
+      r += 1
     }
     e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -288,23 +310,45 @@ object Graph {
     * Scale: one hash-shuffle join (edges × labels on dst) plus one
     * partial-aggregated count and a per-vertex argmax window per
     * round — O(E) per round, no vertex ever holds more than its
-    * neighbor label histogram. Output: (v, label) per vertex. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    * neighbor label histogram. Output: (v, label) per vertex.
+    *
+    * `untilConverged = true` turns `rounds` into a CAP and stops when
+    * a synchronous round changes no vertex's label (an anti-join
+    * changed-count per round on the checkpointed label frame — the
+    * [[Dedup.nearDupClusters]] discipline). Synchronous LPA can
+    * 2-cycle on bipartite-ish structures (labels oscillate, changed
+    * count never 0) — the cap still bounds those, returning the
+    * round-`rounds` state like the fixed-round contract. Default
+    * stays fixed-round for the unrolled oracle replay. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       untilConverged: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-    for (_ <- 1 to rounds) {
+    if (untilConverged) labels = labels.localCheckpoint()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
       val neigh = und.join(labels, und("dst") === labels("v"))
         .select(und("src").as("v"), col("label"))
-      labels = neigh.groupBy(col("v"), col("label"))
+      val next = neigh.groupBy(col("v"), col("label"))
         .agg(count(lit(1)).as("c"))
         .withColumn("r", row_number().over(
           Window.partitionBy(col("v")).orderBy(col("c").desc, col("label"))))
         .filter(col("r") === 1)
         .select(col("v"), col("label"))
+      if (untilConverged) {
+        val nextM = next.localCheckpoint()
+        val changed = nextM.select(col("v"), col("label"))
+          .join(labels.select(col("v"), col("label")),
+            Seq("v", "label"), "left_anti").count()
+        labels = nextM
+        done = changed == 0
+      } else labels = next
+      r += 1
     }
     labels
   }

@@ -61,6 +61,25 @@ class GraphEventsSpec extends SparkTestBase {
     val r6 = Graph.kCore(e, k = 2, rounds = 6).as[(Long, Long)].collect().toSet
     assert(r5.nonEmpty)
     assert(r5 === r6) // round 6 is a no-op: the entry is the true 2-core
+    // convergence-detected variant: a generous cap stops at the same
+    // fixed point instead of running all 64 peels
+    val conv = Graph.kCore(e, k = 2, rounds = 64, untilConverged = true)
+      .as[(Long, Long)].collect().toSet
+    assert(conv === r5)
+  }
+
+  test("labelPropagation untilConverged equals the fixed-round result at the fixed point") {
+    // two triangles bridged by one edge: LPA converges in a few rounds
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val fixedA = Graph.labelPropagation(e, rounds = 6)
+      .as[(Long, Long)].collect().toSet
+    val fixedB = Graph.labelPropagation(e, rounds = 7)
+      .as[(Long, Long)].collect().toSet
+    assert(fixedA === fixedB) // round 7 is a no-op: true fixed point
+    val conv = Graph.labelPropagation(e, rounds = 64, untilConverged = true)
+      .as[(Long, Long)].collect().toSet
+    assert(conv === fixedA)
   }
 
   test("coTriples counts distinct-group support for ordered triples") {
