@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Retrieval, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -387,7 +387,25 @@ object SparkEntry {
     "q_sparse_cosine" -> ((s, dir) =>
       Similarity.tfidfCosineJoin(docs(s, dir), "text", "doc_id",
           minCos = 0.5, maxDf = Some(100), shingleN = 3)
-        .orderBy(col("doc_a"), col("doc_b"))))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // hybrid retrieval: query-by-document BM25 (integer milli-unit
+    // scores, multi-query shared corpus pass) fused with dense cosine
+    // top-20 by reciprocal-rank fusion — pure integer ppb contributions
+    // `1e9 div (60 + rank)`, so the fused ranking is float-free and the
+    // oracle replays both lists and the fusion end-to-end
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val qt = Retrieval.queryTermsFromDocs(
+        d.filter(col("doc_id") < 5), "text", "doc_id", 4)
+      val lex = Retrieval.bm25Ranks(d, "text", "doc_id", qt, 20,
+          excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(e.filter(col("id") < 5), e, 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), rrfK = 60, topN = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }))
 
   // §2b LLM-pipeline: text analysis over `documents`.
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -629,7 +647,23 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Search(docs(s, dir), "text", "doc_id",
         Seq("spark", "table", "query"), 10)
-        .orderBy(col("score").desc, col("doc_id"))))
+        .orderBy(col("score").desc, col("doc_id"))),
+    // DSIR-shaped data selection (Xie et al. 2023): hashed-unigram
+    // importance weights target/raw in exact integer ppm (DECIMAL(38,0)
+    // product, add-1 smoothing), non-target docs scored by per-token
+    // mean weight, top-quota kept via TakeOrdered — the corpus reduces
+    // to 2×256 bucket counts plus one broadcast-join scoring pass
+    "q_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(docs(s, dir), "text", "doc_id", "lang",
+          targetLang = "en", buckets = 256, quota = 50)
+        .orderBy(col("score_ppm").desc, col("doc_id"))),
+    // Heaps-law vocabulary growth over 10 md5(doc_id)-sliced corpus
+    // fractions: a token's first slice is min(slice), so the cumulative
+    // vocabulary needs two grouped aggs and a 10-row window — no
+    // corpus sort, no per-token rank
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(docs(s, dir), "text", "doc_id", 10)
+        .orderBy(col("slice"))))
 
   // §2b multimodal: binary media blobs with typed metadata; codecs are
   // deterministic stubs, the Spark plumbing (schema, header decode,
@@ -1162,6 +1196,59 @@ object SparkEntry {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       Graph.coTriples(li, "l_orderkey", "l_partkey", minGroups = 2)
         .orderBy(col("x"), col("y"), col("z"))
+    }),
+    // link prediction on the co-purchase graph: common-neighbor count +
+    // Resource Allocation index (Σ 1e6 div deg(z), integer micro-units
+    // — no Adamic-Adar ln) for non-adjacent pairs, top-20; the wedge
+    // join sits behind the coTriples-style Σ C(deg,2) volume guard
+    "q_link_predict" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Graph.linkPredict(
+          Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2), 20)
+        .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
+    }),
+    // TPC-H Q15-shaped top supplier: quarterly revenue per supplier in
+    // exact 4-dp integer units, the maximum as a broadcast 1-row scalar
+    // (the view + scalar-subquery shape), equality survivors joined to
+    // the broadcast supplier dim
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"))
+        .groupBy(col("l_suppkey")).agg(sum(col("rev_e4")).as("total_rev_e4"))
+      val mx = rev.agg(max(col("total_rev_e4")).as("mx"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_e4") === col("mx"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("total_rev_e4").cast("double") / 10000).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H Q17-shaped small-quantity revenue: the correlated
+    // per-part avg-quantity threshold decorrelated to one grouped
+    // aggregate + equi-join back to the detail; the 20%-of-average
+    // filter is the exact integer cross-multiply qty·5·n < Σqty
+    // (quantities are integral), revenue summed in integer cents
+    "q_small_qty" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = lp.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+      lp.join(stats, col("l_partkey") === col("pk"))
+        .filter(col("qty") * lit(5L) * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("price_c")).cast("double") / 100).as("total_price"))
     }),
     // fixed-round k-core peeling over the same co-purchase graph:
     // 5 rounds of "drop degree<2 vertices and their incident edges"
@@ -1909,6 +1996,137 @@ object SparkEntry {
   }.mkString(",\n  ")
 
   private def extensionOracle: Map[String, String] = Map(
+    // replays Retrieval.bm25Ranks (integer milli-unit Okapi, k1=1.2
+    // b=0.75, self-excluded) + the dense cosine top-20 + the integer
+    // ppb reciprocal-rank fusion, end-to-end
+    "q_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |qt AS (SELECT doc_id AS query_id, unnest(list_sort(list_distinct(w))[1:4]) AS t
+        |       FROM d WHERE doc_id < 5),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |tok AS (SELECT d.doc_id, dl.dl, unnest(d.w) AS t
+        |        FROM d JOIN dl ON d.doc_id = dl.doc_id),
+        |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+        |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY doc_id, dl, t),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |         CAST(floor((ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2))
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) * 1000.0 + 0.5) AS BIGINT) AS s_milli
+        |       FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s),
+        |lexagg AS (SELECT q.query_id, sc.doc_id, sum(s_milli) AS score_milli
+        |           FROM sc JOIN qt q ON sc.t = q.t WHERE sc.doc_id <> q.query_id
+        |           GROUP BY 1, 2),
+        |lex AS (SELECT * FROM (SELECT query_id, doc_id,
+        |          row_number() OVER (PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank
+        |        FROM lexagg) WHERE rank <= 20),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |             round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+        |           FROM (SELECT * FROM e WHERE vec_id < 5) q JOIN e c ON q.vec_id <> c.vec_id),
+        |dense AS (SELECT * FROM (SELECT query_id, doc_id,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+        |          FROM scored) WHERE rank <= 20),
+        |contrib AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM lex
+        |            UNION ALL
+        |            SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM dense),
+        |fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_ppb
+        |          FROM contrib GROUP BY 1, 2)
+        |SELECT * FROM (SELECT query_id, doc_id, rrf_ppb,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppb DESC, doc_id) AS rank
+        |FROM fused) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // replays TextAnalysis.dsirSelect: md5-hashed 256-bucket unigram
+    // counts, add-1-smoothed target/raw ratio in exact ppm (HUGEINT ↔
+    // DECIMAL(38,0)), per-token mean weight over non-target docs
+    "q_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |        list_reduce(list_transform(string_split_regex(substr(md5(t), 1, 6), ''),
+        |          ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |          (a, x) -> a * 16 + x) % 256 AS bkt
+        |      FROM tok),
+        |rawc AS (SELECT bkt, count(*) AS rc FROM b GROUP BY bkt),
+        |tgtc AS (SELECT bkt, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bkt),
+        |tot AS (SELECT count(*) AS raw_total,
+        |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_total FROM b),
+        |wts AS (SELECT rawc.bkt,
+        |          CAST(((COALESCE(tc, 0) + 1) * CAST(raw_total + 256 AS HUGEINT) * 1000000)
+        |            // ((rc + 1) * CAST(tgt_total + 256 AS HUGEINT)) AS BIGINT) AS w_ppm
+        |        FROM rawc LEFT JOIN tgtc ON rawc.bkt = tgtc.bkt CROSS JOIN tot)
+        |SELECT doc_id, lang, n_tokens, score_ppm FROM (
+        |  SELECT b.doc_id, b.lang, count(*) AS n_tokens,
+        |    CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm
+        |  FROM b JOIN wts ON b.bkt = wts.bkt WHERE b.lang <> 'en'
+        |  GROUP BY 1, 2)
+        |ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
+    // replays TextAnalysis.vocabGrowth: md5(doc_id) slice assignment,
+    // per-token min-slice, 10-row cumulative window
+    "q_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST((list_reduce(list_transform(string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) * 10) // 256 AS INT) AS slice
+        |  FROM documents),
+        |tok AS (SELECT slice, unnest(string_split(text, ' ')) AS t FROM d),
+        |db AS (SELECT slice, count(*) AS n_docs FROM d GROUP BY slice),
+        |ob AS (SELECT slice, count(*) AS n_tok FROM tok GROUP BY slice),
+        |vb AS (SELECT slice, count(*) AS n_new
+        |       FROM (SELECT t, min(slice) AS slice FROM tok GROUP BY t) GROUP BY slice),
+        |spine AS (SELECT unnest(generate_series(0, 9)) AS slice)
+        |SELECT spine.slice,
+        |  CAST(sum(COALESCE(n_docs, 0)) OVER (ORDER BY spine.slice) AS BIGINT) AS docs_cum,
+        |  CAST(sum(COALESCE(n_tok, 0)) OVER (ORDER BY spine.slice) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY spine.slice) AS BIGINT) AS vocab_cum
+        |FROM spine LEFT JOIN db ON spine.slice = db.slice
+        |  LEFT JOIN ob ON spine.slice = ob.slice
+        |  LEFT JOIN vb ON spine.slice = vb.slice
+        |ORDER BY spine.slice""".stripMargin,
+    // replays Graph.linkPredict over the support-2 co-purchase graph:
+    // symmetrized adjacency, integer micro-unit 1/deg, wedge join,
+    // existing edges anti-joined away, top-20
+    "q_link_predict" ->
+      """WITH e AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2),
+        |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+        |awd AS (SELECT adj.z, adj.n, 1000000 // d AS inv FROM adj JOIN deg ON adj.z = deg.z),
+        |cand AS (SELECT l.n AS a, r.n AS b, count(*) AS cn, CAST(sum(l.inv) AS BIGINT) AS ra_ppm
+        |         FROM awd l JOIN awd r ON l.z = r.z AND l.n < r.n
+        |         GROUP BY 1, 2)
+        |SELECT c.a, c.b, c.cn, c.ra_ppm
+        |FROM cand c LEFT JOIN e ON c.a = e.a AND c.b = e.b
+        |WHERE e.a IS NULL
+        |ORDER BY c.ra_ppm DESC, c.cn DESC, c.a, c.b LIMIT 20""".stripMargin,
+    // replays q_top_supplier: quarterly 4-dp integer revenue per
+    // supplier, max as a scalar, equality join to the dim
+    "q_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |        10000 AS BIGINT)) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_rev_e4) AS mx FROM r)
+        |SELECT s_suppkey, s_name, CAST(total_rev_e4 AS DOUBLE) / 10000 AS total_rev
+        |FROM r CROSS JOIN mx JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e4 = mx.mx
+        |ORDER BY s_suppkey""".stripMargin,
+    // replays q_small_qty: per-part count+sum(qty), integer
+    // cross-multiply threshold qty*5*n < Σqty, cents-exact revenue
+    "q_small_qty" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+        |       FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |st AS (SELECT l_partkey AS pk, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+        |       FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small, CAST(sum(price_c) AS DOUBLE) / 100 AS total_price
+        |FROM li JOIN st ON l_partkey = pk WHERE qty * 5 * n < sq""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,

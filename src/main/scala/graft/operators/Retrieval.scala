@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: multi-query lexical (BM25) ranking, and
+  * reciprocal-rank fusion of heterogeneous rankings — the standard way
+  * a RAG / retrieval pipeline combines a keyword index with a dense
+  * embedding index (Cormack, Clarke & Buettcher, SIGIR'09: RRF
+  * outperforms either list and needs no score calibration, only ranks).
+  *
+  * Scale notes. [[bm25Ranks]] differs from the single-query
+  * `TextAnalysis.bm25Search` in three ways that matter at corpus scale:
+  * (1) MANY queries share one pass — the corpus is tokenized once, term
+  * frequencies are computed once for the union of all query terms
+  * (left-semi join against a broadcast term set, so the explode output
+  * is pruned at the source), and the per-query fan-out happens on the
+  * already-tiny (doc, term, score) frame; (2) per-term scores are
+  * rounded to integer MILLI-units before summation, so the per-query
+  * score is an order-free integer sum — no float summation-order
+  * dependence anywhere, which is also what lets the DuckDB oracle
+  * replay it exactly; (3) ranking is a per-query window over docs that
+  * matched ≥1 query term (not the corpus), bounded by the posting list
+  * sizes, then cut to k.
+  *
+  * [[rrfFuse]] is pure integer arithmetic: each list contributes
+  * `1e9 div (rrfK + rank)` and a document absent from a list simply
+  * contributes nothing (the standard RRF convention). Fusing n lists of
+  * k rows per query costs one grouped sum over ≤ n·k rows per query —
+  * independent of corpus size, so fusion is never the bottleneck.
+  */
+object Retrieval {
+
+  /** Deterministic query-by-document term extraction: the `nTerms`
+    * lexicographically-smallest distinct tokens of each query document.
+    * Output: (query_id, t) — one row per kept term. array_sort +
+    * slice, no window, no shuffle beyond the source read. */
+  def queryTermsFromDocs(docs: DataFrame, textCol: String, idCol: String,
+                         nTerms: Int): DataFrame =
+    docs.select(col(idCol).as("query_id"),
+        explode(slice(array_sort(array_distinct(split(col(textCol), " "))),
+          1, nTerms)).as("t"))
+
+  /** Multi-query BM25 top-k with integer milli-unit scores.
+    * `queryTerms` = (query_id, t). Output: (query_id, doc_id,
+    * score_milli, rank ≤ k), rank ties broken by doc_id. Okapi
+    * parameters k1/b are the classic 1.2/0.75; idf is the
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` always-positive form. With
+    * `excludeSelf` the query id is dropped from its own ranking (the
+    * query-by-document / more-like-this mode, mirroring
+    * `Similarity.bruteForceTopK`'s self-exclusion). */
+  def bm25Ranks(docs: DataFrame, textCol: String, idCol: String,
+                queryTerms: DataFrame, k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                excludeSelf: Boolean = false): DataFrame = {
+    val qt = queryTerms.select(col("query_id"), col("t"))
+    val termSet = qt.select(col("t")).distinct()
+    val withDl = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    // corpus stats: one partial-aggregated pass, broadcast back as 1 row
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // posting lists for the UNION of query terms only: the semi join
+    // against the broadcast term set prunes the token explode before it
+    // shuffles anything
+    val tok = withDl.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+      .join(broadcast(termSet), Seq("t"), "left_semi")
+    val tf = tok.groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // per-(doc, term) Okapi score, rounded HALF-UP to integer
+    // milli-units at the term level: the per-query sum below is then an
+    // order-free integer sum (and exactly replayable by the oracle)
+    val scored = tf
+      .join(broadcast(dfT), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("t"),
+        floor(
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          lit(1000.0) + lit(0.5)).cast("long").as("s_milli"))
+    val perQuery = scored.join(broadcast(qt), Seq("t"))
+    val guarded = if (excludeSelf)
+      perQuery.filter(col("doc_id") =!= col("query_id")) else perQuery
+    val agg = guarded.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_milli")).as("score_milli"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion of any number of (query_id, doc_id, rank)
+    * rankings: fused score = Σ over lists of `1e9 div (rrfK + rank)`
+    * (integer parts-per-billion units — float-free, summation-order
+    * free), docs missing from a list contribute nothing. Output:
+    * (query_id, doc_id, rrf_ppb, rank ≤ topN), ties by doc_id. */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60,
+              topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"CAST(1000000000 div ($rrfK + rank) AS BIGINT)").as("c")))
+    val fused = contribs.reduce(_.unionAll(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_ppb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
+  }
+}

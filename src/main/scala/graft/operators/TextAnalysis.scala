@@ -654,4 +654,104 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"),
         length(col("__c")).as("chunk_len"), md5(col("__c").cast("binary")).as("fp"))
   }
+
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-pool
+    * document by how target-like its hashed-unigram distribution is,
+    * and keep the top `quota`. The published method uses hashed n-gram
+    * bag ratios between a small target corpus and the raw pool; this
+    * implementation keeps the exact same structure — tokens hashed into
+    * `buckets` buckets, add-1-smoothed per-bucket frequency ratio
+    * target/raw — but scores in exact integer parts-per-million (the
+    * bucket weight is the smoothed probability RATIO in ppm; the doc
+    * score is the per-token mean weight) instead of summed float logs,
+    * so both engines agree bit-for-bit. The ppm-ratio score is not the
+    * log-sum (it is a mean-of-ratios rather than a sum-of-log-ratios)
+    * but induces the same "looks like the target" ordering signal and
+    * is float-free.
+    *
+    * Target = documents with `langCol == targetLang` (the stand-in for
+    * a curated high-quality corpus); scored pool = everything else.
+    *
+    * Scale: two grouped bucket counts (one over the target's tokens,
+    * one over all tokens) reduce the corpus to ≤ 2·buckets rows; the
+    * weight table is broadcast back (buckets rows), so scoring is one
+    * map-side join + one grouped integer mean per doc; selection is a
+    * TakeOrdered top-`quota`, never a global sort. The weight product
+    * routes through DECIMAL(38,0) so counts to ~1e12 tokens stay
+    * exact (the [[pmiCollocations]] bound). Output: top-`quota`
+    * (doc_id, lang, n_tokens, score_ppm), ties broken by doc_id. */
+  def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
+                 langCol: String, targetLang: String,
+                 buckets: Int = 256, quota: Int = 50): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("t"))
+      .withColumn("bkt",
+        conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % buckets)
+    val rawC = tok.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+    val tgtC = tok.filter(col("lang") === targetLang)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+    val totals = tok.agg(
+      count(lit(1)).as("raw_total"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_total"))
+    // weight table: buckets rows — add-1 smoothing keeps never-seen
+    // buckets finite and the ratio integer-exact in DECIMAL(38,0)
+    val weights = rawC.join(tgtC, Seq("bkt"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        expr(s"CAST(((coalesce(tc, 0) + 1) * CAST(raw_total + $buckets AS DECIMAL(38,0)) " +
+          s"* 1000000) div ((rc + 1) * CAST(tgt_total + $buckets AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("w_ppm"))
+    tok.filter(col("lang") =!= targetLang)
+      .join(broadcast(weights), Seq("bkt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("CAST(sum(w_ppm) div count(1) AS BIGINT)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(quota)
+  }
+
+  /** Vocabulary-growth / Heaps-law curve: cumulative distinct-token
+    * count (and token volume) over `slices` equal corpus fractions in
+    * content-free md5(doc_id) order — the tokenizer-sizing diagnostic a
+    * corpus report carries ("how fast does the vocabulary still grow at
+    * the corpus tail?"). A token's first slice is min(slice) over its
+    * occurrences, so the cumulative vocabulary at slice s = # tokens
+    * with first-slice ≤ s — two grouped aggregations and a
+    * `slices`-row cumulative window; the corpus is never sorted and no
+    * per-token global rank exists anywhere (the same
+    * threshold-not-rank trick as the stratified-split bounds join).
+    * Output: one row per slice — (slice, docs, tokens_cum, vocab_cum). */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String,
+                  slices: Int = 10): DataFrame = {
+    require(slices >= 1 && slices <= 256, "need 1 <= slices <= 256")
+    val sliced = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .withColumn("slice", expr(s"CAST((__h * $slices) div 256 AS INT)"))
+      .drop("__h")
+    val tok = sliced.select(col("slice"), col("doc_id"),
+      explode(split(col("__t"), " ")).as("t"))
+    val docsBy = sliced.groupBy(col("slice")).agg(count(lit(1)).as("n_docs"))
+    val occBy = tok.groupBy(col("slice")).agg(count(lit(1)).as("n_tok"))
+    val vocabBy = tok.groupBy(col("t")).agg(min(col("slice")).as("slice"))
+      .groupBy(col("slice")).agg(count(lit(1)).as("n_new"))
+    // spine = 0..slices-1 so empty slices still emit a row; the
+    // cumulative window runs over `slices` rows — driver-trivial
+    val spine = docsBy.sparkSession.range(slices.toLong)
+      .select(col("id").cast("int").as("slice"))
+    val w = Window.orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(docsBy, Seq("slice"), "left_outer")
+      .join(occBy, Seq("slice"), "left_outer")
+      .join(vocabBy, Seq("slice"), "left_outer")
+      .select(col("slice"),
+        coalesce(col("n_docs"), lit(0L)).as("nd"),
+        coalesce(col("n_tok"), lit(0L)).as("nt"),
+        coalesce(col("n_new"), lit(0L)).as("nn"))
+      .select(col("slice"), sum(col("nd")).over(w).as("docs_cum"),
+        sum(col("nt")).over(w).as("tokens_cum"),
+        sum(col("nn")).over(w).as("vocab_cum"))
+  }
 }
