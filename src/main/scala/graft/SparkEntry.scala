@@ -75,6 +75,11 @@ object SparkEntry {
     // stateless stream-static enrichment: per-batch broadcast join of
     // the event stream against the customer dim
     "q_stream_static" -> ((s, dir) => StreamEntries.streamStaticJoin(s, dir)),
+    // stream-stream event-time INTERVAL join (ad-attribution shape):
+    // click joins same-user view ≤ 6 h earlier; watermarks on both
+    // sides + the time-range predicate bound the join state, and the
+    // event-time half-split feed proves the cross-batch state join
+    "q_stream_ijoin" -> ((s, dir) => StreamEntries.streamIntervalJoin(s, dir)),
     // watermark eviction gated end-to-end: late-arriving first-half
     // data cannot resurrect closed windows — sink = on-time slice only
     "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)),
@@ -3264,6 +3269,17 @@ object SparkEntry {
       """SELECT event_id, user_id, c_nationkey, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+    // the streaming interval-join sink must equal the batch interval
+    // join over the fed slice (clicks ≤ 6 h after a same-user view)
+    "q_stream_ijoin" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id < 20),
+        |v AS (SELECT user_id, ts AS v_ts FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT v.user_id, CAST(epoch_us(v_ts) AS BIGINT) AS view_ts_us,
+        |       CAST(epoch_us(c_ts) AS BIGINT) AS click_ts_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 6 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     // the streaming as-of sink must equal the batch as-of join over the
     // fed slice: state carries the latest click across the batch split
     "q_stream_asof" ->

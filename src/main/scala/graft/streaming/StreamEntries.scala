@@ -605,4 +605,70 @@ object StreamEntries {
     takeTable(s, name).select(col("t"), col("n"))
       .orderBy(col("n").desc, col("t"))
   }
+
+  /** Stream-stream event-time INTERVAL join — the ad-attribution shape
+    * and the one stream-stream join form the family hadn't proven
+    * ([[StreamDiff]] is a windowed full-outer on a window KEY; this is
+    * the time-RANGE condition): every `click` joins every `view` by
+    * the same user at most 6 hours earlier. Both sides carry
+    * watermarks AND the join predicate bounds event-time distance, so
+    * Spark derives a state-eviction horizon per side — a view leaves
+    * join state once the watermark passes `view.ts + 6 h` — which
+    * is what makes the state bounded at 100 TB (watermark horizon ×
+    * arrival rate), not corpus-sized. Two micro-batches split the feed
+    * BY EVENT TIME, so second-batch clicks matching first-batch views
+    * prove the cross-batch state join; the trailing tick rows advance
+    * both watermarks a day past the data, exercising the eviction path
+    * (StreamEntriesSpec pins the eviction metric on its own query).
+    * Sink = the batch interval join on the slice — the oracle. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (views, clicks) = memoFeed(s"ijoin:$dir") {
+      val e = Events.read(s, dir)
+        .filter(col("user_id") < lit(20L * sliceScale) &&
+          col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, Timestamp, String)].collect().toSeq
+      (e.filter(_._3 == "view").map(r => (r._1, r._2)),
+        e.filter(_._3 == "click").map(r => (r._1, r._2)))
+    }
+    val allTs = (views ++ clicks).map(_._2.getTime)
+    val midMs = (allTs.min + allTs.max) / 2
+    def half(rows: Seq[(Long, Timestamp)], first: Boolean) =
+      rows.filter(r => (r._2.getTime <= midMs) == first)
+    def tick(off: Long) = (-1L, new Timestamp(allTs.max + off))
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_ijoin")
+    withStatePartitions(s, 1) {
+      val vMem = MemoryStream[(Long, Timestamp)]
+      val cMem = MemoryStream[(Long, Timestamp)]
+      val v = vMem.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "1 minute")
+      val c = cMem.toDF.toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
+      val joined = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("v_user").as("user_id"),
+          unix_micros(col("v_ts")).as("view_ts_us"),
+          unix_micros(col("c_ts")).as("click_ts_us"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        // batch 1: first event-time half per side — its matches emit,
+        // its rows land in join state under watermark 0
+        vMem.addData(half(views, first = true))
+        cMem.addData(half(clicks, first = true))
+        q.processAllAvailable()
+        // batch 2: second half + ticks — cross-boundary pairs (a
+        // batch-2 click against a batch-1 view in state) prove the
+        // state join; the ticks then advance both watermarks a day
+        // past the data so the post-batch cleanup evicts expired rows
+        vMem.addData(half(views, first = false) :+ tick(86400000L))
+        cMem.addData(half(clicks, first = false) :+ tick(86400000L))
+      }
+    }
+    takeTable(s, name)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("view_ts_us"), col("click_ts_us"))
+  }
 }

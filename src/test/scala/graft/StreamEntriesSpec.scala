@@ -74,4 +74,65 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("q_stream_ijoin equals the batch interval join on the same slice") {
+    val streamed = StreamEntries.streamIntervalJoin(spark, dir)
+    val e = Events.read(spark, dir)
+      .filter(col("user_id") < lit(20L * scale))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_us").as("click_ts_us"))
+    val batch = v.join(c, col("user_id") === col("cu") &&
+        col("click_ts_us") >= col("view_ts_us") &&
+        col("click_ts_us") <= col("view_ts_us") + lit(6L * 3600L * 1000000L))
+      .select(col("user_id"), col("view_ts_us"), col("click_ts_us"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream-stream interval join state is EVICTED once the watermark passes") {
+    // tiny two-batch feed on a dedicated query so the progress metrics
+    // are observable: batch 1 loads view+click state, batch 2's ticks
+    // advance both watermarks a day past the data — the interval bound
+    // (6 h) plus the 1-minute delay makes every batch-1 row expired, and
+    // the join's state cleanup must REMOVE rows, not hold them forever
+    // (the unbounded-state trap of an unconstrained stream-stream join)
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val cMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val v = vMem.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "1 minute")
+    val c = cMem.toDF.toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
+    val joined = v.join(c,
+      col("v_user") === col("c_user") && col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
+    val q = joined.writeStream.format("memory")
+      .queryName("graft_ijoin_evict").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      vMem.addData(Seq((1L, t0), (2L, t0)))
+      cMem.addData(Seq((1L, new Timestamp(t0.getTime + 60000L))))
+      q.processAllAvailable()
+      val day = 86400000L
+      vMem.addData(Seq((-1L, new Timestamp(t0.getTime + day))))
+      cMem.addData(Seq((-1L, new Timestamp(t0.getTime + day))))
+      q.processAllAvailable()
+      // one more batch so the cleanup driven by the advanced watermark
+      // lands in an observed progress entry
+      vMem.addData(Seq((-2L, new Timestamp(t0.getTime + 2 * day))))
+      cMem.addData(Seq((-2L, new Timestamp(t0.getTime + 2 * day))))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark-driven join state eviction never ran")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_ijoin_evict")
+    }
+  }
 }
