@@ -1255,6 +1255,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           (sum(col("price_c")).cast("double") / 100).as("total_price"))
     }),
+    // TPC-H Q13-shaped order-count distribution: customers LEFT JOINed
+    // to their (priority-filtered) orders so zero-order customers
+    // survive as count 0, then the distribution of customers by order
+    // count — the two-level aggregation whose first groupBy rides the
+    // join's own custkey shuffle
+    "q_order_count_dist" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q11-shaped value concentration: per-part revenue in integer
+    // cents, kept where it exceeds the average part's share — the
+    // HAVING-over-a-global-scalar shape, with the global total and part
+    // count folded into ONE broadcast 1-row aggregate and the
+    // threshold as the exact cross-multiply rev_c * n_parts > total_c
+    "q_value_share" -> ((s, dir) => {
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).as("rev_c"))
+      val tot = rev.agg(sum(col("rev_c")).as("total_c"),
+        count(lit(1)).as("n_parts"))
+      rev.crossJoin(broadcast(tot))
+        .filter(col("rev_c") * col("n_parts") > col("total_c"))
+        .select(col("l_partkey"),
+          (col("rev_c").cast("double") / 100).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+    // TPC-H Q2-shaped correlated-min decorrelation, on the SQL surface:
+    // the suppliers achieving each part's minimum unit price, written
+    // as a correlated scalar subquery and left to Catalyst's
+    // RewriteCorrelatedScalarSubquery — the plan is aggregate +
+    // equi-join, no per-row subplan (PlanShapeSpec pins it); unit price
+    // in integer cents DIV quantity so the equality is exact
+    "q_min_cost_supplier" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .createOrReplaceTempView("graft_li_sql")
+      s.sql("""
+        SELECT l_partkey, l_suppkey, min(unit_c) AS best_unit_c
+        FROM (SELECT l_partkey, l_suppkey,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  DIV CAST(l_quantity AS BIGINT) AS unit_c
+              FROM graft_li_sql) x
+        WHERE unit_c = (SELECT min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                                   DIV CAST(l_quantity AS BIGINT))
+                        FROM graft_li_sql y WHERE y.l_partkey = x.l_partkey)
+        GROUP BY l_partkey, l_suppkey
+        ORDER BY l_partkey, l_suppkey""")
+    }),
     // fixed-round k-core peeling over the same co-purchase graph:
     // 5 rounds of "drop degree<2 vertices and their incident edges"
     // reach the fixed point at every fixture scale (KCoreSpec pins
@@ -1309,6 +1365,20 @@ object SparkEntry {
           "event_id")
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
+    // recency-weighted trending score: one-day half-life decay as exact
+    // powers of two (2^(20 - min(age_days, 20)) per event — integer
+    // weights, no exp/float anywhere), corpus max day as a broadcast
+    // 1-row scalar, one partial-agg pass
+    "q_decayed_counts" -> ((s, dir) =>
+      Events.decayedCounts(Events.read(s, dir), "event_type")
+        .orderBy(col("score").desc, col("event_type"))),
+    // hour-of-day seasonal baseline: cells whose count exceeds 2x the
+    // group's average for that hour across observed days — integer
+    // cross-multiply threshold, baseline re-aggregated from the cell
+    // table (raw events never joined or windowed)
+    "q_seasonal_anomaly" -> ((s, dir) =>
+      Events.seasonalAnomaly(Events.read(s, dir), "event_type")
+        .orderBy(col("event_type"), col("day"), col("hr"))),
     // RANGE window frames (value-based, not row-based): rolling 1-hour
     // sum/count per type over exact integer microsecond bounds — ties
     // are peers, so the frame is order-insensitive and deterministic
@@ -1717,6 +1787,22 @@ object SparkEntry {
     // region, never region bytes; Spark merges triples via the monoid.
     // Same result and oracle as q_checksum.
     "q_kvbin_checksum" -> ((s, dir) => KVSnapshot.srcBinSocketChecksum(s, dir)),
+    // DSv2 WRITE path: the src snapshot flows through the connector's
+    // RequiresDistributionAndOrdering write (Spark plans the
+    // range-partition + sort; executor tasks stream region files;
+    // commit() publishes the _index) into a fresh dir each run — the
+    // write IS the measured work — then reads back through the DSv2
+    // reader; the checksum triple must equal the direct source checksum
+    "q_kvbin_write_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kvwr-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.sources.FixtureStore.deleteRecursively(java.nio.file.Paths.get(tmp))))
+      KVSnapshot.src(s, dir).write
+        .format(classOf[graft.sources.kvbin.KVBinSource].getName)
+        .option("path", tmp).option("ranges", "8").option("api_version", "V1")
+        .mode("overwrite").save()
+      Checksum.of(graft.sources.kvbin.KVBin.read(s, tmp))
+    }),
     // the reference's §3.1 flagship lifecycle end-to-end over wires:
     // src (two-store fleet) and dst (own store) checksummed server-side
     // concurrently, verdict from the pushed triples. Same oracle as
@@ -1745,6 +1831,23 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))),
+    // §2b sources: binaryFile ingest — the multimodal corpus written as
+    // one file per blob (executor-side fan-out, no driver collect), read
+    // back through Spark's binaryFile source; media id re-derived from
+    // the file name, content integrity gated by the XOR of 60-bit md5
+    // hashes over raw bytes (the crc64_xor monoid discipline — order-
+    // free, overflow-free), file-length metadata next to the header
+    "q_binaryfile_ingest" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+          graft.sources.FileFormats.readBinaryFiles(s, dir), "content")
+        .groupBy(col("channels"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("sum_len"),
+          sum(col("payload_bytes").cast("long")).as("sum_payload"),
+          bit_xor(Dedup.md5Hash60(col("content"))).as("xor_sig"),
+          min(col("media_id")).as("min_id"),
+          max(col("media_id")).as("max_id"))
+        .orderBy(col("channels"))),
     // §2b sources: JSONL ingest through the real permissive JSON parser
     // with corrupt-line quarantine — mangled lines (deterministically
     // truncated in the derived fixture) survive as a counted quarantine
@@ -2132,6 +2235,61 @@ object SparkEntry {
         |       FROM li GROUP BY 1)
         |SELECT count(*) AS n_small, CAST(sum(price_c) AS DOUBLE) / 100 AS total_price
         |FROM li JOIN st ON l_partkey = pk WHERE qty * 5 * n < sq""".stripMargin,
+    // replays q_order_count_dist: the priority predicate riding the ON
+    // clause is the same slice as the engine's pre-join filter
+    "q_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // replays q_value_share: integer-cents revenue, one global scalar,
+    // exact cross-multiply threshold
+    "q_value_share" ->
+      """WITH r AS (SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c, count(*) AS n_parts FROM r)
+        |SELECT l_partkey, CAST(rev_c AS DOUBLE) / 100 AS value
+        |FROM r CROSS JOIN t WHERE rev_c * n_parts > total_c
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    // replays q_min_cost_supplier with the subquery decorrelated by
+    // hand (grouped min + equi-join back) — proving the engines agree
+    // on what the correlated form means
+    "q_min_cost_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS unit_c
+        |  FROM lineitem),
+        |m AS (SELECT l_partkey AS pk, min(unit_c) AS mu FROM u GROUP BY 1)
+        |SELECT u.l_partkey, u.l_suppkey, min(u.unit_c) AS best_unit_c
+        |FROM u JOIN m ON u.l_partkey = m.pk AND u.unit_c = m.mu
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // replays q_decayed_counts: power-of-two decay weights in pure
+    // integer shifts, corpus max day as a scalar
+    "q_decayed_counts" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |mx AS (SELECT max(day) AS mxday FROM e)
+        |SELECT event_type, count(*) AS n_events, max(day) AS last_day,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(20 - least(mxday - day, 20) AS INTEGER)) AS BIGINT) AS score
+        |FROM e CROSS JOIN mx
+        |GROUP BY event_type
+        |ORDER BY score DESC, event_type""".stripMargin,
+    // replays q_seasonal_anomaly: cell counts -> per-(type,hour)
+    // baseline -> integer cross-multiply 2x-mean threshold
+    "q_seasonal_anomaly" ->
+      """WITH cells AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS dayi,
+        |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (SELECT event_type AS bg, hr AS bhr, count(*) AS days_seen,
+        |    CAST(sum(n) AS BIGINT) AS total
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT c.event_type, strftime(make_timestamp(c.dayi * 86400000000), '%Y-%m-%d') AS day,
+        |  c.hr, c.n, b.days_seen, b.total
+        |FROM cells c JOIN base b ON c.event_type = b.bg AND c.hr = b.bhr
+        |WHERE c.n * b.days_seen > 2 * b.total
+        |ORDER BY c.event_type, day, hr""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
@@ -3581,6 +3739,12 @@ object SparkEntry {
       """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
         |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes
         |FROM sgn""".stripMargin),
+    // a write-then-read roundtrip must be invisible to the checksum:
+    // q_checksum's SQL verbatim
+    "q_kvbin_write_roundtrip" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
+      """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
+        |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes
+        |FROM sgn""".stripMargin),
     // and the over-the-wire verdict equals the in-engine verdict:
     // q_checksum_verdict's SQL verbatim
     "q_kvbin_verdict" -> (cte + "," + crc64TabCte + ",\n" +
@@ -3614,6 +3778,22 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+    // replays q_binaryfile_ingest by reconstructing each blob string
+    // from the synthesize derivation (ASCII header + 4x md5 payload) —
+    // the 60-bit md5 sum gates every byte of every file's content
+    "q_binaryfile_ingest" ->
+      s"""WITH b AS (SELECT vec_id AS media_id,
+        |    'IMG1' || lpad(CAST(16 + vec_id % 48 AS VARCHAR), 4, '0') ||
+        |    lpad(CAST(16 + vec_id % 32 AS VARCHAR), 4, '0') ||
+        |    CAST(1 + vec_id % 3 AS VARCHAR) ||
+        |    repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS blob
+        |  FROM embeddings)
+        |SELECT 1 + media_id % 3 AS channels, count(*) AS n_files,
+        |  CAST(sum(length(blob)) AS BIGINT) AS sum_len,
+        |  CAST(sum(length(blob) - 13) AS BIGINT) AS sum_payload,
+        |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
+        |  min(media_id) AS min_id, max(media_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY channels""".stripMargin,
     // replays the fixture derivation instead of re-parsing files: lines
     // truncated at doc_id % 100 == 7 always fail the JSON parse (the
     // closing brace is among the five cut characters), so the corrupt

@@ -294,6 +294,61 @@ object Events {
         .as("n_outliers"))
   }
 
+  /** Time-decayed "trending" score per group: each event contributes
+    * 2^(20 − min(age_days, 20)) where age is whole UTC days behind the
+    * corpus max — a one-day half-life, saturating at 20 days so the
+    * weight stays a positive BIGINT power of two. Float-free by
+    * construction (exponential decay is usually exp(−λ·age); with a
+    * power-of-two base and integer day ages the same ranking is exact
+    * integer arithmetic both engines replay bit-for-bit — the
+    * q_mix_temperature / PMI discipline applied to recency weighting).
+    *
+    * Scale: one pass — day index from integer ns division, the corpus
+    * max day as a broadcast 1-row aggregate, then a partial-agg
+    * groupBy. No window, no join wider than 1 row. Output: (group,
+    * n_events, last_day, score) where score = Σ weights. */
+  def decayedCounts(events: DataFrame, keyCol: String): DataFrame = {
+    val withDay = events.withColumn("__day", expr("ts_ns DIV 86400000000000"))
+    val mx = withDay.agg(max(col("__day")).as("__mxday"))
+    withDay.crossJoin(broadcast(mx))
+      .withColumn("__w",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - least(__mxday - __day, CAST(20 AS BIGINT)) AS INT))"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("__day")).as("last_day"),
+        sum(col("__w")).as("score"))
+  }
+
+  /** Seasonal anomaly cells: per (group, UTC day, hour-of-day), flag
+    * the cells whose event count exceeds twice the group's average for
+    * that HOUR across the days it was observed — the hour-of-day
+    * baseline an ops pipeline uses so a nightly batch spike isn't
+    * "anomalous" every night. The threshold is the exact integer
+    * cross-multiply `n · days_seen > 2 · total` (no float mean), so no
+    * boundary cell can flip between engines.
+    *
+    * Scale: cell counts are one partial-agg groupBy over the raw
+    * events; the baseline re-aggregates the CELL table (|groups|·24·
+    * |days| rows, corpus-independent per day) and joins back broadcast
+    * — the raw events are never joined or windowed. Output: anomalous
+    * (group, day, hr, n, days_seen, total) rows. */
+  def seasonalAnomaly(events: DataFrame, keyCol: String): DataFrame = {
+    val cells = events
+      .withColumn("__day", expr("ts_ns DIV 86400000000000"))
+      .withColumn("hr", expr("(ts_ns DIV 3600000000000) % 24").cast("int"))
+      .groupBy(col(keyCol).as("g"), col("__day"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy(col("g").as("bg"), col("hr").as("bhr"))
+      .agg(count(lit(1)).as("days_seen"), sum(col("n")).as("total"))
+    cells.join(broadcast(base),
+        col("g") === col("bg") && col("hr") === col("bhr"))
+      .filter(col("n") * col("days_seen") > lit(2L) * col("total"))
+      .select(col("g").as(keyCol),
+        date_format(timestamp_micros(col("__day") * 86400000000L), "yyyy-MM-dd").as("day"),
+        col("hr"), col("n"), col("days_seen"), col("total"))
+  }
+
   /** Per-group winsorization at discrete percentile bounds — the
     * heavy-tail clamp a metrics/feature pipeline applies before
     * aggregation so a single spike cannot own the mean. Bounds are the

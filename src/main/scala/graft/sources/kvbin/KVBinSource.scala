@@ -60,15 +60,21 @@ object KVBinSource {
     StructField("value", BinaryType, nullable = false)))
 }
 
-class KVBinTable(dir: String) extends Table with SupportsRead {
+class KVBinTable(dir: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"kvbin:$dir"
   override def schema(): StructType = KVBinSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KVBinScanBuilder(dir,
       Option(options.get("api_version")),
       Option(options.get("endpoints")))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KVBinWriteBuilder(dir, info)
 }
 
 /** The statistics a region-index row can answer WITHOUT opening the

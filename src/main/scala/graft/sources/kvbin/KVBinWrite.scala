@@ -1,0 +1,179 @@
+package graft.sources.kvbin
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.util.SerializableConfiguration
+
+/** DSv2 WRITE path for the [[KVBinSource]] connector — the symmetric
+  * half of the read side, so `df.write.format("kvbin")` produces the
+  * same region-file + `_index` layout [[KVBin.write]] builds, but
+  * through Spark's planner-integrated write protocol:
+  *
+  *  - `RequiresDistributionAndOrdering` declares ORDERED distribution
+  *    by `key` plus an ascending in-partition sort — Catalyst plans the
+  *    range-partition + sort exchange itself (the declarative analog of
+  *    `repartitionByRange(...).sortWithinPartitions(...)`), so every
+  *    region file is a contiguous sorted key range by CONSTRUCTION, and
+  *    a caller can never produce an unsorted region. `ranges` option →
+  *    `requiredNumPartitions` (region count ≙ split budget).
+  *  - The task-side [[KVBinDataWriter]] streams records through the
+  *    Hadoop FS API on EXECUTORS (file:// locally, HDFS/object stores
+  *    on a cluster) into an attempt-unique file name, so speculative or
+  *    retried tasks can never collide; only COMMITTED tasks' messages
+  *    (file, min, max, count) reach the driver — bytes never do.
+  *  - `commit()` is the visibility point: it writes the `_index`
+  *    sidecar from the committed messages (the reader's only source of
+  *    truth — uncommitted attempt files are invisible to planning), then
+  *    removes files the new index no longer references. `abort()`
+  *    deletes the attempt files of failed tasks.
+  *
+  * Append mode merges new region entries into the existing index
+  * (regions may then overlap in key range — legal for scans, checksums
+  * and diffs, which treat the table as a KV multiset); overwrite mode
+  * (`SupportsTruncate`) swaps the index wholesale. The api_version
+  * stamp comes from the writer option of the same name. */
+class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val s = info.schema()
+    require(s.length == 2 &&
+        s.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+          Seq(("key", "binary"), ("value", "binary")),
+      s"kvbin writes require schema (key binary, value binary), got $s")
+    new KVBinWrite(dir, doTruncate,
+      Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
+      Option(info.options.get("api_version")).getOrElse("V1"))
+  }
+}
+
+class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
+                 apiVersion: String)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // ordered distribution on key → Spark range-partitions the write, so
+  // partitions are the contiguous, non-overlapping key ranges a region
+  // layout needs; the in-partition sort makes each file internally sorted
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(keyAsc))
+  override def requiredOrdering(): Array[SortOrder] = Array(keyAsc)
+  override def requiredNumPartitions(): Int = ranges
+  private def keyAsc: SortOrder =
+    Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
+
+  override def toBatch: BatchWrite = new KVBinBatchWrite(dir, truncate, apiVersion)
+}
+
+case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
+                              count: Long) extends WriterCommitMessage
+
+class KVBinBatchWrite(dir: String, truncate: Boolean, apiVersion: String)
+    extends BatchWrite {
+
+  // the session hadoop conf is resolved on the DRIVER at job start and
+  // shipped to executors — session-scoped spark.hadoop.* settings and
+  // credentials reach the region writes exactly like the read side
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KVBinWriterFactory(dir, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+    val fresh = messages.collect {
+      case KVBinCommitMessage(f, mn, mx, n) if n > 0 =>
+        (f, KVBin.unhex(mn), KVBin.unhex(mx), n)
+    }.toSeq
+    val old: Seq[(String, Array[Byte], Array[Byte], Long)] =
+      if (truncate || !fs.exists(new Path(dir, KVBin.IndexFile))) Seq.empty
+      else KVBin.readIndex(dir, conf.value)
+    val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
+    val lines = s"#api_version=$apiVersion" +: merged.map { case (f, mn, mx, n) =>
+      s"$f\t${KVBin.hexOf(mn)}\t${KVBin.hexOf(mx)}\t$n"
+    }
+    // the index write is the visibility point: readers plan ONLY from
+    // _index, so attempt files become part of the table here and not
+    // before; after the swap, drop region files the index no longer
+    // references (the old generation under truncate, zero-row attempts)
+    val out = fs.create(new Path(dir, KVBin.IndexFile), true)
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val live = merged.map(_._1).toSet + KVBin.IndexFile
+    fs.listStatus(new Path(dir)).map(_.getPath)
+      .filterNot(p => live.contains(p.getName))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+    messages.collect { case KVBinCommitMessage(f, _, _, _) =>
+      fs.delete(new Path(dir, f), false)
+    }
+  }
+}
+
+class KVBinWriterFactory(dir: String, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KVBinDataWriter(dir, conf, partitionId, taskId)
+}
+
+/** Streams (key, value) records into one attempt-unique region file.
+  * Opens lazily (an empty partition writes no file) and tracks min/max
+  * keys; the declared ordering makes them first/last, and the cheap
+  * per-record compare turns any ordering violation into a loud task
+  * failure instead of a silently unsorted region. */
+class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
+                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val name = f"part-$partitionId%05d-$taskId.kv"
+  private var out: DataOutputStream = _
+  private var minK: Array[Byte] = _
+  private var prevK: Array[Byte] = _
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val k = row.getBinary(0)
+    val v = row.getBinary(1)
+    if (out == null) {
+      val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+      out = new DataOutputStream(new BufferedOutputStream(
+        fs.create(new Path(dir, name), true), 1 << 16))
+      minK = k
+    }
+    require(prevK == null || KVBin.compare(prevK, k) <= 0,
+      s"kvbin write received out-of-order key in partition $partitionId")
+    out.writeInt(k.length); out.write(k)
+    out.writeInt(v.length); out.write(v)
+    prevK = k
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    KVBinCommitMessage(name,
+      if (minK == null) "" else KVBin.hexOf(minK),
+      if (prevK == null) "" else KVBin.hexOf(prevK), n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) {
+      out.close()
+      val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+      fs.delete(new Path(dir, name), false)
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -472,4 +472,56 @@ class KVBinSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
     assert(back === data.map(t => (t._1.toSeq, t._2.toSeq)).toSet)
   }
+
+  private def kvbinFmt = classOf[graft.sources.kvbin.KVBinSource].getName
+
+  test("DSv2 write: overwrite roundtrip is checksum-identical; regions are disjoint sorted ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-w-").toString
+    // the source frame arrives UNSORTED and arbitrarily partitioned —
+    // RequiresDistributionAndOrdering must make Spark plan the
+    // range-partition + sort itself (4 declared ranges)
+    parquetSrc.write.format(kvbinFmt)
+      .option("path", dir).option("ranges", "4").option("api_version", "V2")
+      .mode("overwrite").save()
+    val back = spark.read.format(kvbinFmt)
+      .option("path", dir).option("api_version", "V2").load()
+    val a = Checksum.of(parquetSrc).as[(Long, Long, Long)].head()
+    val b = Checksum.of(back).as[(Long, Long, Long)].head()
+    assert(a === b)
+    assert(a._2 > 0)
+    val idx = KVBin.readIndex(dir, spark.sessionState.newHadoopConf())
+    assert(idx.size === 4, s"expected 4 regions, got ${idx.size}")
+    // contiguous non-overlapping: each region's max key sorts strictly
+    // before the next region's min key (keys are unique in the snapshot)
+    idx.sliding(2).foreach {
+      case Seq(x, y) => assert(KVBin.compare(x._3, y._2) < 0,
+        s"regions overlap: ${x._1} .. ${y._1}")
+      case _ => ()
+    }
+    assert(KVBin.readMeta(dir, spark.sessionState.newHadoopConf())("api_version") === "V2")
+  }
+
+  test("DSv2 write: append merges new regions into the index; truncate swaps the generation") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-a-").toString
+    val half1 = parquetSrc.filter(crc32(col("key")) % 2 === 0)
+    val half2 = parquetSrc.filter(crc32(col("key")) % 2 === 1)
+    half1.write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+      .mode("overwrite").save()
+    half2.write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+      .mode("append").save()
+    val conf = spark.sessionState.newHadoopConf()
+    assert(KVBin.readIndex(dir, conf).size === 4)
+    val back = spark.read.format(kvbinFmt).option("path", dir).load()
+    assert(Checksum.of(back).as[(Long, Long, Long)].head() ===
+      Checksum.of(parquetSrc).as[(Long, Long, Long)].head())
+    // truncate: the new 1-region generation replaces all four files
+    parquetSrc.limit(10).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "1").mode("overwrite").save()
+    assert(KVBin.readIndex(dir, conf).size === 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(files.count(_.endsWith(".kv")) === 1,
+      s"stale region files survived the truncate: ${files.toSeq}")
+    assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 10)
+  }
 }

@@ -245,6 +245,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_min_cost_supplier: the correlated scalar subquery decorrelates to agg + equi-join") {
+    val p = plan("q_min_cost_supplier")
+    // RewriteCorrelatedScalarSubquery must turn the per-part min into a
+    // grouped aggregate joined back on the part key — a per-row subplan
+    // (nested loop / cartesian) here is the 100x-scale-killer
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("q_decayed_counts: scalar max-day broadcasts; one partial-agg pass over events") {
+    val p = plan("q_decayed_counts")
+    // the corpus max day is a 1-row broadcast; the decay groupBy must
+    // partial-aggregate below its exchange (map-side combine)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_seasonal_anomaly: baseline joins back broadcast; raw events never re-joined") {
+    val p = plan("q_seasonal_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q_partition_prune: lang resolves as a PARTITION filter — directory pruning, not row filtering") {
     val p = plan("q_partition_prune")
     // the scan prints its filter buckets on one line:

@@ -508,4 +508,36 @@ class TextEventsSpec extends SparkTestBase {
     // coverage: windows reach the end of every doc
     got.foreach { case (_, lens) => assert(lens.forall(_ > 0)) }
   }
+
+  test("decayedCounts: power-of-two day weights, global max day, 20-day saturation") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // group a: days 2,2,1,0 -> 2^20 + 2^20 + 2^19 + 2^18; group b: day -40
+    // (age 42, saturates at 20) -> weight 1, exercising the floor
+    val ev = Seq(("a", 2L), ("a", 2L), ("a", 1L), ("a", 0L), ("b", -40L))
+      .toDF("event_type", "d").withColumn("ts_ns", col("d") * day)
+    val r = graft.operators.Events.decayedCounts(ev, "event_type")
+      .orderBy("event_type")
+      .select("event_type", "n_events", "last_day", "score")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      ("a", 4L, 2L, (1L << 20) + (1L << 20) + (1L << 19) + (1L << 18)),
+      ("b", 1L, -40L, 1L)))
+  }
+
+  test("seasonalAnomaly: only the cell above 2x its hour-of-day mean is flagged") {
+    import spark.implicits._
+    val hour = 3600000000000L
+    // hour 5: counts 1,1,1,10 over days 0..3 (total 13, 4 days) -> the
+    // 10 is 10*4 > 2*13; hour 6: uniform 2,2 -> nothing flagged
+    val rows =
+      (0 to 2).map(d => ("g", d.toLong * 24 + 5, 1)) ++ Seq(("g", 3L * 24 + 5, 10)) ++
+      (0 to 1).map(d => ("g", d.toLong * 24 + 6, 2))
+    val ev = rows.flatMap { case (g, h, n) => Seq.fill(n)((g, h)) }
+      .toDF("event_type", "h").withColumn("ts_ns", col("h") * hour)
+    val r = graft.operators.Events.seasonalAnomaly(ev, "event_type")
+      .select("event_type", "day", "hr", "n", "days_seen", "total")
+      .as[(String, String, Int, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("g", "1970-01-04", 5, 10L, 4L, 13L)))
+  }
 }
