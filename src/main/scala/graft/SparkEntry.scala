@@ -1311,6 +1311,57 @@ object SparkEntry {
         GROUP BY l_partkey, l_suppkey
         ORDER BY l_partkey, l_suppkey""")
     }),
+    // GNN feature assembly: two-layer GraphSAGE-mean neighbor
+    // aggregation over the co-purchase graph with retail-price-cents
+    // input features — each layer one O(E) equi-join + partial agg,
+    // means in exact integer micro-units
+    "q_gnn_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val feats = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("v"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("f"))
+      Graph.neighborAgg(
+          Graph.coEdges(li, "l_orderkey", "l_partkey", minGroups = 2), feats)
+        .orderBy(col("v"))
+    }),
+    // TPC-H Q7-shaped bilateral trade: revenue between two nations by
+    // ship year, both nation dims broadcast and pre-filtered so the
+    // pair predicate prunes the fact sides inside the joins; revenue
+    // in exact 4-dp integer units
+    "q_nation_trade" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_name").isin("NATION_3", "NATION_9"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // autoregressive training pairs: per user, each event becomes a
+    // (context of the k=3 preceding types, label) example — the
+    // sequence-model pair explode; gated on a user slice so the compare
+    // stays row-light (the window itself runs over the full log)
+    "q_train_pairs" -> ((s, dir) =>
+      Events.trainingPairs(Events.read(s, dir), 3)
+        .filter(col("user_id") < 50)
+        .orderBy(col("user_id"), col("pos"))),
     // fixed-round k-core peeling over the same co-purchase graph:
     // 5 rounds of "drop degree<2 vertices and their incident edges"
     // reach the fixed point at every fixture scale (KCoreSpec pins
@@ -1797,9 +1848,12 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-kvwr-").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         graft.sources.FixtureStore.deleteRecursively(java.nio.file.Paths.get(tmp))))
+      // no `ranges` option: requiredNumPartitions stays 0 and the range
+      // exchange sizes itself from spark.sql.shuffle.partitions — the
+      // region count scales with the cluster, not a constant
       KVSnapshot.src(s, dir).write
         .format(classOf[graft.sources.kvbin.KVBinSource].getName)
-        .option("path", tmp).option("ranges", "8").option("api_version", "V1")
+        .option("path", tmp).option("api_version", "V1")
         .mode("overwrite").save()
       Checksum.of(graft.sources.kvbin.KVBin.read(s, tmp))
     }),
@@ -2209,6 +2263,50 @@ object SparkEntry {
         |FROM cand c LEFT JOIN e ON c.a = e.a AND c.b = e.b
         |WHERE e.a IS NULL
         |ORDER BY c.ra_ppm DESC, c.cn DESC, c.a, c.b LIMIT 20""".stripMargin,
+    // replays q_gnn_agg: same coEdges graph, both SAGE layers as
+    // adjacency joins with exact integer-micro-unit means
+    "q_gnn_agg" ->
+      """WITH e AS MATERIALIZED (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2),
+        |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |f AS (SELECT p_partkey AS v,
+        |        CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS f FROM part),
+        |h1 AS (SELECT z AS v, CAST(sum(f.f) * 1000000 // count(*) AS BIGINT) AS h1_ppm
+        |       FROM adj JOIN f ON adj.n = f.v GROUP BY z),
+        |h2 AS (SELECT z AS v, CAST(sum(h1.h1_ppm) // count(*) AS BIGINT) AS h2_ppm
+        |       FROM adj JOIN h1 ON adj.n = h1.v GROUP BY z)
+        |SELECT f.v, f.f, h1.h1_ppm, h2.h2_ppm
+        |FROM f JOIN h1 ON f.v = h1.v JOIN h2 ON f.v = h2.v ORDER BY f.v""".stripMargin,
+    // replays q_nation_trade: the Q7 join chain with the pair
+    // predicate on both nation dims, 4-dp integer revenue
+    "q_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |      10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey AND sn.n_name IN ('NATION_3', 'NATION_9')
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey AND cn.n_name IN ('NATION_3', 'NATION_9')
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // replays q_train_pairs: same per-user window, concat_ws skipping
+    // the NULL lags of short prefixes in both engines
+    "q_train_pairs" ->
+      """WITH w AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pos,
+        |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS l3,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS l2,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS l1
+        |  FROM events)
+        |SELECT user_id, pos, concat_ws(' ', l3, l2, l1) AS context, event_type AS label
+        |FROM w WHERE pos > 1 AND user_id < 50
+        |ORDER BY user_id, pos""".stripMargin,
     // replays q_top_supplier: quarterly 4-dp integer revenue per
     // supplier, max as a scalar, equality join to the dim
     "q_top_supplier" ->
@@ -3178,7 +3276,10 @@ object SparkEntry {
     "q_phash_neardup" ->
       """WITH p0 AS (SELECT vec_id AS media_id,
         |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
-        |tw AS (SELECT media_id + 1000000 AS media_id, 'z' || substr(pay, 2) AS pay
+        |mxo AS (SELECT CAST('1' || repeat('0', length(CAST(max(media_id) AS VARCHAR)))
+        |            AS BIGINT) AS off FROM p0),
+        |tw AS (SELECT media_id + (SELECT off FROM mxo) AS media_id,
+        |            'z' || substr(pay, 2) AS pay
         |       FROM p0 WHERE media_id % 10 = 0),
         |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw),
         |ix AS (SELECT media_id, pay, unnest(generate_series(1, len(pay))) AS i FROM p),
@@ -3203,7 +3304,10 @@ object SparkEntry {
     "q_phash_neardup_local" ->
       """WITH p0 AS (SELECT vec_id AS media_id,
         |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
-        |tw AS (SELECT media_id + 1000000 AS media_id, 'z' || substr(pay, 2) AS pay
+        |mxo AS (SELECT CAST('1' || repeat('0', length(CAST(max(media_id) AS VARCHAR)))
+        |            AS BIGINT) AS off FROM p0),
+        |tw AS (SELECT media_id + (SELECT off FROM mxo) AS media_id,
+        |            'z' || substr(pay, 2) AS pay
         |       FROM p0 WHERE media_id % 10 = 0),
         |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw),
         |ix AS (SELECT media_id, pay, unnest(generate_series(1, len(pay))) AS i FROM p),

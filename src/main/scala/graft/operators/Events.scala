@@ -254,6 +254,30 @@ object Events {
             array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
             x => x.getField("event_type"))).as("seq"))
 
+  /** Autoregressive next-event training pairs: per user, each event
+    * becomes one (context, label) example where the context is the
+    * `k` most recent preceding event types oldest-first — the
+    * sequence-model training-pair explode a recommender / behavioral-LM
+    * pipeline runs over its event log. Events with NO predecessor drop
+    * out (no empty contexts); shorter-than-k prefixes keep their
+    * partial context, mirroring how packing handles short documents.
+    * Order ties break on event_id so the pair set is deterministic.
+    *
+    * Scale: one window over (user, time) — per-user partitions are
+    * small-and-many (the sessionize contract), so the window
+    * parallelizes by user; no join, no global sort. */
+  def trainingPairs(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val lags = (k to 1 by -1).map(i => lag(col("event_type"), i).over(w))
+    events
+      .withColumn("context", concat_ws(" ", lags: _*))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") > 1)
+      .select(col("user_id"), col("pos"), col("context"),
+        col("event_type").as("label"))
+  }
+
   /** Robust per-group outlier detection via median absolute deviation
     * (Hampel's ±k·MAD rule) — the anomaly gate a metrics pipeline
     * prefers over mean±k·σ because one extreme value cannot drag the

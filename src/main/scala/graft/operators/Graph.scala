@@ -145,32 +145,49 @@ object Graph {
     * basket size (avg ~4, max ~17 on the fixtures). A HUB basket makes
     * that cube the job, so the explode sits behind a VOLUME GUARD
     * ([[graft.operators.Dedup.editNearDupPrefix]]'s discipline): the
-    * exact triple volume Σ C(cₘ,3) costs one grouped count of the
-    * already-materialized basket frame, and a volume above
-    * `maxTriplesPerGroup`·groups refuses the cube with the remedies
-    * named — cap basket size upstream, or Apriori-prune through
-    * [[coEdges]] first (triple support ≤ min pair support, so items
-    * outside any frequent pair cannot form a frequent triple) —
-    * instead of silently running it. Int.MaxValue disables. The
+    * exact triple volume Σ C(cₘ,3) is aggregated IN-PLAN from the same
+    * distinct basket frame the cube reads (one ReusedExchange, no
+    * separate guard job), and a volume above `maxTriplesPerGroup`·groups
+    * fails the job via `assert_true` on the first probe row — before
+    * any join materializes a triple — with the remedies named: cap
+    * basket size upstream, or Apriori-prune through [[coEdges]] first
+    * (triple support ≤ min pair support, so items outside any frequent
+    * pair cannot form a frequent triple). Int.MaxValue disables. The
     * support count is one grouped shuffle on the triple key. Output:
     * (x, y, z, support) with x < y < z. */
   def coTriples(df: DataFrame, groupCol: String, itemCol: String,
                 minGroups: Int, maxTriplesPerGroup: Int = 5000): DataFrame = {
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
-      .distinct().localCheckpoint()
-    if (maxTriplesPerGroup != Int.MaxValue) {
-      val occ = gi.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val gi0 = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .distinct()
+    // The guard is PLAN-INTEGRATED, not a separate driver action: the
+    // exact volume Σ C(c,3) aggregates the same distinct frame the cube
+    // reads, so Catalyst reuses ONE shuffle (ReusedExchange) for guard
+    // and cube alike, and `assert_true` over the broadcast 1-row volume
+    // fails the job on the first probe row — before any join
+    // materializes a triple. (Round-8 measurements: an eager `.head()`
+    // guard action re-ran the distinct and cost ~2× the whole query at
+    // sf0.1 — 1.9→3.5 s — and a localCheckpoint'd frame cost 19 s at
+    // sf1; the in-plan guard pays one mapside re-aggregation, ~zero.)
+    // The price is failure semantics: the refusal surfaces at the first
+    // ACTION on the result, not at the call — same message, wrapped in
+    // Spark's job failure.
+    val gi = if (maxTriplesPerGroup == Int.MaxValue) gi0 else {
+      val occ = gi0.groupBy(col("g")).agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") * (col("c") - lit(1)) * (col("c") - lit(2))),
-          lit(0L)).as("t6"), count(lit(1)).as("ng")).head()
-      val (triples, ng) = (occ.getLong(0) / 6, math.max(occ.getLong(1), 1L))
-      if (triples > maxTriplesPerGroup.toLong * ng)
-        throw new IllegalStateException(
-          s"coTriples: triple volume $triples exceeds $maxTriplesPerGroup/" +
-          s"group over $ng groups — a hub basket makes the per-group " +
-          s"combination explode cubic. Cap basket size upstream, " +
-          s"Apriori-prune through coEdges first (triple support ≤ min " +
-          s"pair support), or raise maxTriplesPerGroup explicitly to " +
-          s"accept the cost.")
+          lit(0L)).as("t6"), count(lit(1)).as("ng"))
+      gi0.crossJoin(broadcast(occ))
+        .filter(assert_true(
+          expr("t6 div 6") <= lit(maxTriplesPerGroup.toLong) * col("ng"),
+          concat(lit("coTriples: triple volume "),
+            expr("CAST(t6 div 6 AS STRING)"),
+            lit(s" exceeds $maxTriplesPerGroup/group over "),
+            col("ng").cast("string"),
+            lit(" groups — a hub basket makes the per-group combination " +
+              "explode cubic. Cap basket size upstream, Apriori-prune " +
+              "through coEdges first (triple support <= min pair " +
+              "support), or raise maxTriplesPerGroup explicitly to " +
+              "accept the cost."))).isNull)
+        .select(col("g"), col("i"))
     }
     val a = gi.select(col("g"), col("i").as("x"))
     val b = gi.select(col("g"), col("i").as("y"))
@@ -404,5 +421,35 @@ object Graph {
     cand.join(e, Seq("a", "b"), "left_anti")
       .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
       .limit(topN)
+  }
+
+  /** GNN-style two-layer neighbor feature aggregation (the GraphSAGE
+    * mean aggregator's data-layer half — what a training pipeline
+    * precomputes per vertex before any model sees the graph): layer 1
+    * is each vertex's mean over its neighbors' input features, layer 2
+    * the mean over its neighbors' layer-1 values — the 2-hop receptive
+    * field. Means are exact integer micro-units (`Σf·1e6 div n`, then
+    * `Σh1 div n` — h1 already carries the 1e6 scale), so both layers
+    * replay bit-for-bit cross-engine with no float accumulation.
+    * Exactness bound: Σ of neighbor features per vertex must stay under
+    * ~9.2e12 (the ·1e6 headroom in a BIGINT) — at larger magnitudes
+    * route the product through DECIMAL(38,0) as pmiCollocations does.
+    *
+    * Scale: each layer is ONE O(E) equi-join against a V-row frame plus
+    * a grouped partial agg — the message-passing shape; depth is a
+    * fixed small constant (the pageRank/LPA contract), never data-
+    * dependent. `edges` (a, b) undirected; `features` (v, f BIGINT).
+    * Output: (v, f, h1_ppm, h2_ppm) for vertices with both hops. */
+  def neighborAgg(edges: DataFrame, features: DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(edges.select(col("b").as("z"), col("a").as("n")))
+    val h1 = adj.join(features.withColumnRenamed("v", "n"), Seq("n"))
+      .groupBy(col("z").as("v"))
+      .agg(expr("CAST(sum(f) * 1000000 div count(1) AS BIGINT)").as("h1_ppm"))
+    val h2 = adj.join(
+        h1.withColumnRenamed("v", "n").withColumnRenamed("h1_ppm", "nh1"), Seq("n"))
+      .groupBy(col("z").as("v"))
+      .agg(expr("CAST(sum(nh1) div count(1) AS BIGINT)").as("h2_ppm"))
+    features.join(h1, Seq("v")).join(h2, Seq("v"))
   }
 }

@@ -107,23 +107,31 @@ object Multimodal {
     }.toDF(idCol, "payload_bytes", "byte_mean", "byte_var", "byte_skew")
   }
 
+  /** Twin-id offset for [[withPlantedTwins]]: the smallest power of 10
+    * strictly above every corpus id — derived by digit count (pure
+    * string arithmetic, `'1' || repeat('0', digits(max))`), so the
+    * DuckDB oracle replays the identical derivation from `max(vec_id)`
+    * at ANY corpus scale and twin ids can never collide with real ids
+    * (the round-8 fix for the fixed 1e6 offset, which a 9e7-id sf1
+    * corpus collided with). */
+  def twinOffset(blobs: DataFrame, idCol: String = "media_id"): Long = {
+    val mx = blobs.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    require(mx >= 0, s"withPlantedTwins: negative $idCol $mx unsupported")
+    ("1" + "0" * mx.toString.length).toLong
+  }
+
   /** Near-duplicate fixture: the corpus plus a perturbed twin of every
-    * 10th blob (one payload byte replaced, twin id = id + 1e6) — the
-    * re-encoded/re-hosted-copy population an image dedup pass hunts.
-    * Pure column arithmetic on the blob, so the oracle replays the
-    * planting exactly. The id-offset derivation requires the corpus
-    * ids to sit BELOW the offset — a corpus with vec_id ≥ 1e6 would
-    * silently collide twin ids with real media ids (the oracle replays
-    * the same derivation, so the gate would stay green while the
-    * zero-false-positive semantics break), hence the fail-fast. */
+    * 10th blob (one payload byte replaced, twin id = id + [[twinOffset]],
+    * the smallest power of 10 above the corpus max — collision-free at
+    * any scale) — the re-encoded/re-hosted-copy population an image
+    * dedup pass hunts. Pure column arithmetic on the blob, so the
+    * oracle replays the planting exactly, including the offset
+    * derivation. */
   def withPlantedTwins(blobs: DataFrame, idCol: String = "media_id",
                        blobCol: String = "blob"): DataFrame = {
-    val mx = blobs.agg(max(col(idCol).cast("long"))).head().getLong(0)
-    require(mx < 1000000L,
-      s"withPlantedTwins: max $idCol = $mx >= 1e6 — twin ids (id + 1e6) " +
-      s"would collide with real media ids; derive twins above max(id) instead")
+    val off = twinOffset(blobs, idCol)
     blobs.unionAll(blobs.filter(col(idCol) % 10 === 0)
-      .select((col(idCol) + 1000000L).as(idCol),
+      .select((col(idCol) + lit(off)).as(idCol),
         concat(substring(col(blobCol), 1, HeaderLen),
           lit("z").cast("binary"),
           expr(s"substring($blobCol, ${HeaderLen + 2})")).as(blobCol)))

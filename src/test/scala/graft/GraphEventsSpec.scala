@@ -102,11 +102,15 @@ class GraphEventsSpec extends SparkTestBase {
     val hub = (1 to 60).map(i => (99L, i.toLong)) ++
       Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
     val df = hub.toDF("g", "item")
-    val e = intercept[IllegalStateException] {
+    // the guard is plan-integrated (assert_true over the broadcast
+    // volume row), so the refusal surfaces at the first ACTION
+    val e = intercept[Throwable] {
       graft.operators.Graph.coTriples(df, "g", "item", minGroups = 1,
-        maxTriplesPerGroup = 1000)
+        maxTriplesPerGroup = 1000).count()
     }
-    assert(e.getMessage.contains("Apriori"), e.getMessage)
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("Apriori"), chain)
     // Int.MaxValue disables; the small-basket remainder passes the bound
     val small = df.filter($"g" =!= 99L)
     assert(graft.operators.Graph.coTriples(small, "g", "item", minGroups = 1,
@@ -194,5 +198,34 @@ class GraphEventsSpec extends SparkTestBase {
     assert(got === Set(
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
       (1L, 0L, 1L)))
+  }
+
+  test("neighborAgg: both SAGE layers take exact integer-micro-unit means on a path") {
+    // path 1-2-3 with features 10, 20, 40:
+    // h1(1)=f(2)=20e6; h1(2)=(10+40)/2=25e6; h1(3)=f(2)=20e6
+    // h2(1)=h1(2)=25e6; h2(2)=(h1(1)+h1(3))/2=20e6; h2(3)=h1(2)=25e6
+    val feats = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("v", "f")
+    val got = Graph.neighborAgg(edges((1L, 2L), (2L, 3L)), feats)
+      .orderBy("v").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, 20000000L, 25000000L),
+      (2L, 20L, 25000000L, 20000000L),
+      (3L, 40L, 20000000L, 25000000L)))
+  }
+
+  test("trainingPairs: oldest-first contexts, partial prefixes kept, no empty context") {
+    val ev = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "b", 1L), (3L, 30L, "c", 1L),
+      (4L, 40L, "d", 1L), (5L, 50L, "e", 1L),
+      (6L, 10L, "x", 2L) // single-event user: no pairs at all
+    ).toDF("event_id", "ts_us", "event_type", "user_id")
+    val got = Events.trainingPairs(ev, 3)
+      .orderBy("user_id", "pos")
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2, "a", "b"),
+      (1L, 3, "a b", "c"),
+      (1L, 4, "a b c", "d"),
+      (1L, 5, "b c d", "e")))
   }
 }

@@ -31,6 +31,20 @@ object SimProfile {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // auto-k semanticDedup (the production path): same inputs as
+    // q_semantic_dedup but k derived from the corpus — occupancy, and
+    // with it the pair-stage cost, should hold flat across SFs
+    import org.apache.spark.sql.functions.col
+    val embd = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    time("semantic_dedup_fixed_k5") {
+      graft.operators.Similarity.semanticDedup(embd, 5, 2, 0.4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("semantic_dedup_auto") {
+      graft.operators.Similarity.semanticDedupAuto(embd, 2, 0.4)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -388,4 +388,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.semanticDedup(big, 1, 1, 0.99,
       maxPairsPerVec = Int.MaxValue).count() == 200)
   }
+
+  test("semanticDedupAuto scales k with the corpus and holds occupancy under the guard") {
+    // 10 direction groups; the 10x corpus must get ~10x the clusters,
+    // and BOTH runs must clear the tight 4x-occupancy guard that a
+    // fixed k would trip on the larger corpus
+    def corpus(n: Int) = (0 until n).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 8) = 10.0f
+      (0 until 8).foreach(j => v(j) += (((i * 31 + j * 7) % 11) - 5) * 0.05f)
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val occ = 40
+    val small = Similarity.semanticDedupAuto(corpus(240), 2, 0.999, occ)
+      .select("cluster_id").distinct().count() // k = ceil(240/40) = 6
+    val big = Similarity.semanticDedupAuto(corpus(2400), 2, 0.999, occ)
+      .select("cluster_id").distinct().count() // k = 60
+    assert(small <= 6, s"small corpus used $small clusters")
+    assert(big > 4 * small,
+      s"k did not scale with the corpus: $small -> $big clusters")
+    // and the fixed-k form on the same 10x corpus DOES trip that guard
+    val e = intercept[IllegalStateException] {
+      Similarity.semanticDedup(corpus(2400), 6, 2, 0.999,
+        maxPairsPerVec = 4 * occ)
+    }
+    assert(e.getMessage.contains("Raise k"), e.getMessage)
+  }
 }

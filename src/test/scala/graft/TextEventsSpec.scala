@@ -73,24 +73,29 @@ class TextEventsSpec extends SparkTestBase {
   test("phashNearDup finds planted one-byte twins and nothing else on a tiny corpus") {
     import graft.operators.Multimodal
     val emb = (0L until 40L).toDF("vec_id")
-    val corpus = Multimodal.withPlantedTwins(Multimodal.synthesize(emb))
+    val synth = Multimodal.synthesize(emb)
+    val off = Multimodal.twinOffset(synth) // max id 39 -> 100
+    assert(off === 100L)
+    val corpus = Multimodal.withPlantedTwins(synth)
     val pairs = Multimodal.phashNearDup(corpus)
       .as[(Long, Long, Int)].collect().toSeq
     assert(pairs.nonEmpty)
-    // every reported pair is a planted twin (base id, base id + 1e6)
+    // every reported pair is a planted twin (base id, base id + offset)
     for ((a, b, h) <- pairs) {
-      assert(b == a + 1000000L && a % 10 == 0, s"unexpected pair ($a,$b)")
+      assert(b == a + off && a % 10 == 0, s"unexpected pair ($a,$b)")
       assert(h <= 3)
     }
   }
 
   test("local-mean pHash recovers >=49/50 fixture twins, zero false positives") {
     import graft.operators.Multimodal
-    val corpus = Multimodal.withPlantedTwins(Multimodal.synthesize(
-      spark.read.parquet(s"$sfSmoke/embeddings.parquet")))
+    val synth = Multimodal.synthesize(
+      spark.read.parquet(s"$sfSmoke/embeddings.parquet"))
+    val off = Multimodal.twinOffset(synth)
+    val corpus = Multimodal.withPlantedTwins(synth)
     val pairs = Multimodal.phashNearDup(corpus, local = true)
       .as[(Long, Long, Int)].collect().toSeq
-    val planted = pairs.filter { case (a, b, _) => b == a + 1000000L && a % 10 == 0 }
+    val planted = pairs.filter { case (a, b, _) => b == a + off && a % 10 == 0 }
     assert(pairs.size == planted.size,
       s"false positives: ${pairs.filterNot(planted.contains)}")
     assert(planted.size >= 49, s"recovered only ${planted.size}/50")
@@ -98,17 +103,21 @@ class TextEventsSpec extends SparkTestBase {
     // local strictly dominates on the fixture
     val globalRec = Multimodal.phashNearDup(corpus)
       .as[(Long, Long, Int)].collect()
-      .count { case (a, b, _) => b == a + 1000000L && a % 10 == 0 }
+      .count { case (a, b, _) => b == a + off && a % 10 == 0 }
     assert(planted.size >= globalRec)
   }
 
-  test("withPlantedTwins fails fast when corpus ids reach the twin offset") {
+  test("withPlantedTwins derives a collision-free offset at any id scale") {
     import graft.operators.Multimodal
-    val emb = Seq(999999L, 1000000L).toDF("vec_id")
-    val e = intercept[IllegalArgumentException] {
-      Multimodal.withPlantedTwins(Multimodal.synthesize(emb))
-    }
-    assert(e.getMessage.contains("collide"), e.getMessage)
+    // ids straddling the old fixed 1e6 offset (the sf1 regression):
+    // max 1000000 has 7 digits -> offset 1e7, twins land at 1e7 + id
+    val emb = Seq(999990L, 1000000L).toDF("vec_id")
+    val synth = Multimodal.synthesize(emb)
+    assert(Multimodal.twinOffset(synth) === 10000000L)
+    val ids = Multimodal.withPlantedTwins(synth)
+      .select("media_id").as[Long].collect().toSeq
+    assert(ids.size === ids.distinct.size, s"twin id collided: $ids")
+    assert(ids.contains(10999990L) && ids.contains(11000000L))
   }
 
   test("interleave: arithmetic positions equal the naive global window; " +
