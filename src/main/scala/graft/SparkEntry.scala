@@ -363,6 +363,17 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), 5, 2, 0.4)
         .orderBy(col("vec_id"))),
+    // the SUBQUADRATIC codebook path (round 8): two-level k1×k2
+    // clustering — coarse broadcast codebook, then k-means trained per
+    // coarse GROUP in parallel with no driver collect — so assignment
+    // costs O(n·√k) instead of flat-k-means' O(n·k) = O(n²/occ) when k
+    // tracks the corpus; same keep-first census, the whole two-level
+    // construction replayed by the oracle. semanticDedupAuto routes
+    // here with k1 ≈ k2 ≈ √(n/occ); measured 1.9× for 10× rows at sf1
+    // where the fixed-k flat form drifts 6.5×
+    "q_semantic_dedup_hier" -> ((s, dir) =>
+      Similarity.semanticDedupHier(emb(s, dir), 3, 4, 2, 0.4)
+        .orderBy(col("vec_id"))),
     // embedding-cosine near-dup pairs, blocked by cluster (no cross join)
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), 0.4)
@@ -2052,6 +2063,61 @@ object SparkEntry {
       |          SELECT *, row_number() OVER (PARTITION BY vec_id
       |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1)""".stripMargin
 
+  /** Two-level codebook oracle CTEs, replaying
+    * [[graft.operators.Similarity.hierAssign]] at k1=3, k2=4, iters=2:
+    * the coarse half is the [[kmeansAsgCte]] construction (md5-ordered
+    * seeds, two DECIMAL-mean rounds, final argmax assignment `casg`);
+    * the fine half trains k-means per coarse GROUP — seeds are each
+    * group's 4 smallest (60-bit md5(id), id) members, each round an
+    * equi-join on coarse + per-vector argmax (csim DESC, j) + component
+    * means grouped (coarse, j, pos), empty cells keeping their previous
+    * centroid. Ends with `hasg(vec_id, v, cluster_id = coarse·4 + j)`. */
+  private def hierAsgCte: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
+    def fineRound(prev: String, r: Int): String =
+      s"""fa$r AS (SELECT t.vec_id, t.v, t.coarse, c.j, ${cos("t.v", "c.cvec")} AS csim
+         |       FROM casg t JOIN $prev c ON t.coarse = c.coarse),
+         |fasg$r AS (SELECT vec_id, v, coarse, j FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS r FROM fa$r) WHERE r = 1),
+         |fpx$r AS (SELECT coarse, j, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM fasg$r),
+         |fcm$r AS (SELECT coarse, j, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+         |       FROM fpx$r GROUP BY coarse, j, pos),
+         |fmean$r AS (SELECT coarse, j, list(m ORDER BY pos) AS cvec FROM fcm$r GROUP BY coarse, j),
+         |fc$r AS (SELECT p.coarse, p.j, coalesce(m.cvec, p.cvec) AS cvec
+         |       FROM $prev p LEFT JOIN fmean$r m USING (coarse, j))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cc0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS coarse, v AS cvec
+       |        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 3),
+       |ca1 AS (SELECT e.vec_id, e.v, c.coarse, ${cos("e.v", "c.cvec")} AS csim FROM e CROSS JOIN cc0 c),
+       |casg1 AS (SELECT vec_id, v, coarse FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, coarse) AS r FROM ca1) WHERE r = 1),
+       |cpx1 AS (SELECT coarse, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM casg1),
+       |ccm1 AS (SELECT coarse, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m FROM cpx1 GROUP BY coarse, pos),
+       |cmean1 AS (SELECT coarse, list(m ORDER BY pos) AS cvec FROM ccm1 GROUP BY coarse),
+       |cc1 AS (SELECT p.coarse, coalesce(m.cvec, p.cvec) AS cvec FROM cc0 p LEFT JOIN cmean1 m USING (coarse)),
+       |ca2 AS (SELECT e.vec_id, e.v, c.coarse, ${cos("e.v", "c.cvec")} AS csim FROM e CROSS JOIN cc1 c),
+       |casg2 AS (SELECT vec_id, v, coarse FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, coarse) AS r FROM ca2) WHERE r = 1),
+       |cpx2 AS (SELECT coarse, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM casg2),
+       |ccm2 AS (SELECT coarse, pos, CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m FROM cpx2 GROUP BY coarse, pos),
+       |cmean2 AS (SELECT coarse, list(m ORDER BY pos) AS cvec FROM ccm2 GROUP BY coarse),
+       |cc AS (SELECT p.coarse, coalesce(m.cvec, p.cvec) AS cvec FROM cc1 p LEFT JOIN cmean2 m USING (coarse)),
+       |ca0 AS (SELECT e.vec_id, e.v, c.coarse, ${cos("e.v", "c.cvec")} AS csim FROM e CROSS JOIN cc c),
+       |casg AS (SELECT vec_id, v, coarse FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, coarse) AS r FROM ca0) WHERE r = 1),
+       |fc0 AS (SELECT coarse, j, v AS cvec FROM (
+       |        SELECT coarse, v, row_number() OVER (PARTITION BY coarse
+       |          ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j
+       |        FROM casg) WHERE j < 4),
+       |${fineRound("fc0", 1)},
+       |${fineRound("fc1", 2)},
+       |faF AS (SELECT t.vec_id, t.v, t.coarse, c.j, ${cos("t.v", "c.cvec")} AS csim
+       |        FROM casg t JOIN fc2 c ON t.coarse = c.coarse),
+       |hasg AS (SELECT vec_id, v, coarse * 4 + j AS cluster_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS r FROM faF) WHERE r = 1)""".stripMargin
+  }
+
   /** One product-quantization subspace's oracle CTEs (Scala-generated
     * SQL, like [[crc64TabCte]]): the [[kmeansAsgCte]] construction on
     * `v[lo:hi]` — md5-ordered seeds, two assignment+DECIMAL-mean
@@ -2756,6 +2822,22 @@ object SparkEntry {
         |SELECT a.vec_id, a.cluster_id,
         |  CAST(CASE WHEN n.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
         |FROM asg a LEFT JOIN near n ON a.vec_id = n.id
+        |ORDER BY vec_id""".stripMargin),
+    // replays Similarity.semanticDedupHier end-to-end: the k1=3 coarse
+    // codebook (the kmeansAsgCte construction), then GROUP-PARALLEL
+    // fine k-means — per-coarse k2=4 seeds by (60-bit md5, id), two
+    // join+argmax+DECIMAL-mean rounds keyed (coarse, j), empty cells
+    // keeping their centroid — and the same keep-first census on
+    // cluster_id = coarse·4 + j
+    "q_semantic_dedup_hier" -> (hierAsgCte +
+      """,
+        |near AS (SELECT DISTINCT b.vec_id AS id
+        |  FROM hasg a JOIN hasg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |    AND round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.4)
+        |SELECT a.vec_id, a.cluster_id,
+        |  CAST(CASE WHEN n.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM hasg a LEFT JOIN near n ON a.vec_id = n.id
         |ORDER BY vec_id""".stripMargin),
     // replays Similarity.quantize + quantizedTopK: per-dim (min, span)
     // over double-cast floats, codes = round((x-lo)/span·255), coarse

@@ -628,6 +628,17 @@ object Similarity {
       .filter(col("r") === 1)
       .select(col("id"), col("cluster_id"), col("vec"), col("vn"))
       .localCheckpoint()
+    dedupCensus(assigned, threshold, maxPairsPerVec)
+  }
+
+  /** The guard + pair + census stage shared by [[semanticDedup]] and
+    * [[semanticDedupHier]]: over a localCheckpoint'd assignment
+    * (id, cluster_id, vec, vn), refuse when the exact within-cluster
+    * pair volume Σ C(c,2) exceeds `maxPairsPerVec`·n (one cheap
+    * aggregation of the materialized frame), else run the
+    * cluster-bucketed self-join and emit the keep-first census. */
+  private def dedupCensus(assigned: DataFrame, threshold: Double,
+                          maxPairsPerVec: Int): DataFrame = {
     if (maxPairsPerVec != Int.MaxValue) {
       val occ = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)).as("p2"),
@@ -657,6 +668,97 @@ object Similarity {
         when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
 
+  /** Two-level (hierarchical) cluster assignment — the SUBQUADRATIC
+    * codebook path. Flat k-means with occupancy-preserving k = n/occ
+    * costs O(n·k) = O(n²/occ) in assignment alone (every vector scores
+    * every centroid), which just moves [[semanticDedup]]'s quadratic
+    * from the pair join into the codebook; splitting k into k1 coarse ×
+    * k2 fine centroids costs O(n·k1 + n·k2) = O(n·√k) when k1 ≈ k2 ≈ √k
+    * — n^1.5 overall, the standard IVF-style two-level recipe.
+    *
+    *  - COARSE: a [[kmeansCodebook]] over k1 centroids (√k stays model-
+    *    sized: ~4k centroids at n=1e9/occ=64, broadcastable), one
+    *    broadcast-join assignment pass.
+    *  - FINE: k-means PER COARSE GROUP, all groups trained in PARALLEL
+    *    with NO driver collect — seeds are each group's k2 smallest
+    *    (md5-60bit(id), id) vectors via a per-group window (bounded:
+    *    coarse groups hold ~occ·k2 = occ·√k rows by construction — a
+    *    253k-row task at n=1e9 — so the window never one-task-sorts an
+    *    unbounded group; a skew-collapsed coarse cluster shows up
+    *    downstream as pair-volume and trips the census guard), then
+    *    `iters` rounds of: equi-join on coarse (k2 candidates each),
+    *    9-dp-cosine argmax with j tie-break, DECIMAL(27,15) component
+    *    means grouped by (coarse, j), empty cells keeping their
+    *    previous centroid. The centroid frame (k rows) localCheckpoints
+    *    per round — model state, bounded, never corpus-sized.
+    *
+    * Every determinism pin of the flat path carries over, so the whole
+    * two-level construction replays in the DuckDB oracle. Output:
+    * (id, cluster_id = coarse·k2 + j, vec, vn). */
+  def hierAssign(corpus: DataFrame, k1: Int, k2: Int, iters: Int): DataFrame = {
+    require(k1 > 0 && k2 > 0 && iters >= 0)
+    val coarseCent = kmeansCodebook(corpus, k1, iters)
+      .withColumnRenamed("cluster_id", "coarse")
+      .withColumn("cvn", norm(col("cvec")))
+    val base = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("v"), norm(col("vec")).as("vn"))
+    val casg = base.join(broadcast(coarseCent))
+      .select(col("id"), col("v"), col("vn"), col("coarse"),
+        round(dot(col("v"), col("cvec")) / (col("vn") * col("cvn")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("coarse"))))
+      .filter(col("r") === 1)
+      .select(col("id"), col("v"), col("vn"), col("coarse"))
+      .localCheckpoint()
+    var cent = casg
+      .withColumn("j", row_number().over(
+        Window.partitionBy(col("coarse"))
+          .orderBy(graft.operators.Dedup.md5Hash60(col("id").cast("string")), col("id"))) - 1)
+      .filter(col("j") < k2)
+      .select(col("coarse"), col("j"), col("v").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cn = cent.withColumn("cvn", norm(col("cvec")))
+      val asg = casg.join(cn, Seq("coarse"))
+        .select(col("id"), col("coarse"), col("j"), col("v"),
+          round(dot(col("v"), col("cvec")) / (col("vn") * col("cvn")), 9).as("csim"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("csim").desc, col("j"))))
+        .filter(col("r") === 1)
+      val means = asg.select(col("coarse"), col("j"), posexplode(col("v")))
+        .groupBy(col("coarse"), col("j"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("coarse"), col("j"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("coarse"), col("j"),
+          transform(col("pm"), x => x.getField("m")).as("mvec"))
+      cent = cent.join(means, Seq("coarse", "j"), "left_outer")
+        .select(col("coarse"), col("j"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    val cn = cent.withColumn("cvn", norm(col("cvec")))
+    casg.join(cn, Seq("coarse"))
+      .select(col("id"), col("coarse"), col("j"), col("v"), col("vn"),
+        round(dot(col("v"), col("cvec")) / (col("vn") * col("cvn")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("j"))))
+      .filter(col("r") === 1)
+      .select(col("id"),
+        (col("coarse") * k2 + col("j")).as("cluster_id"),
+        col("v").as("vec"), col("vn"))
+  }
+
+  /** [[semanticDedup]] over the two-level [[hierAssign]] codebook —
+    * same keep-first census, same occupancy guard, subquadratic
+    * end-to-end. */
+  def semanticDedupHier(corpus: DataFrame, k1: Int, k2: Int, iters: Int,
+                        threshold: Double,
+                        maxPairsPerVec: Int = 5000): DataFrame =
+    dedupCensus(hierAssign(corpus, k1, k2, iters).localCheckpoint(),
+      threshold, maxPairsPerVec)
+
   /** [[semanticDedup]] with k DERIVED from the corpus size — the
     * round-7-verdict remedy made the default path: k = max(minK,
     * ⌈n / targetOccupancy⌉) from one count(), so expected cluster
@@ -679,7 +781,12 @@ object Similarity {
     val n = corpus.count()
     val k = math.max(minK.toLong,
       (n + targetOccupancy - 1) / targetOccupancy).min(Int.MaxValue).toInt
-    semanticDedup(corpus, k, iters, threshold,
+    // route through the TWO-LEVEL codebook: flat assignment at k = n/occ
+    // is itself O(n·k) = O(n²/occ) — deriving k fixes the pair stage but
+    // not the codebook; k1 ≈ k2 ≈ √k makes the whole path O(n^1.5)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(minK, (k + k1 - 1) / k1)
+    semanticDedupHier(corpus, k1, k2, iters, threshold,
       maxPairsPerVec = 4 * targetOccupancy)
   }
 
