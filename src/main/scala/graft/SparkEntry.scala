@@ -363,6 +363,13 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), 5, 2, 0.4)
         .orderBy(col("vec_id"))),
+    // uniform negative sampling for contrastive batches: seeded-hash
+    // draws (md5_60 mod n — no RNG state), one broadcast equi-join
+    // fetch, over-draw-and-filter to true negatives
+    "q_neg_sample" -> ((s, dir) =>
+      Similarity.uniformNegatives(
+          s.read.parquet(s"$dir/embeddings.parquet"), 10, 8)
+        .orderBy(col("query_id"), col("i"))),
     // the SUBQUADRATIC codebook path (round 8): two-level k1×k2
     // clustering — coarse broadcast codebook, then k-means trained per
     // coarse GROUP in parallel with no driver collect — so assignment
@@ -1266,6 +1273,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           (sum(col("price_c")).cast("double") / 100).as("total_price"))
     }),
+    // TPC-H Q19-shaped disjunctive predicate: revenue under an OR of
+    // brand/size/quantity conjunctions spanning BOTH join sides — the
+    // shape that punishes engines which can't evaluate a cross-table
+    // disjunction after a broadcast join without a cartesian detour
+    "q_disjunctive_rev" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+            col("qty").between(10, 20)) ||
+          (col("p_brand") === "Brand#33" && col("p_size").between(1, 35) &&
+            col("qty").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("price_c")).cast("double") / 100).as("revenue"))
+    }),
+    // TPC-H Q16-shaped supplier variety: distinct suppliers per
+    // (brand, size) with a "complaints" exclusion set (negative-balance
+    // suppliers) removed by a broadcast left-anti join BEFORE the
+    // distinct count
+    "q_supplier_variety" -> ((s, dir) => {
+      val bad = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_sk"))
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .filter(col("p_size").isin(1, 5, 9, 14))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
     // TPC-H Q13-shaped order-count distribution: customers LEFT JOINed
     // to their (priority-filtered) orders so zero-order customers
     // survive as count 0, then the distribution of customers by order
@@ -1427,6 +1474,10 @@ object SparkEntry {
           "event_id")
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
+    // top navigation paths: 30-min sessions -> ordered event-type path
+    // string per session -> corpus-wide top-20 by session count
+    "q_event_paths" -> ((s, dir) =>
+      Events.sessionPaths(Events.read(s, dir), 1800000000L, 20)),
     // recency-weighted trending score: one-day half-life decay as exact
     // powers of two (2^(20 - min(age_days, 20)) per event — integer
     // weights, no exp/float anywhere), corpus max day as a broadcast
@@ -2430,6 +2481,53 @@ object SparkEntry {
         |SELECT u.l_partkey, u.l_suppkey, min(u.unit_c) AS best_unit_c
         |FROM u JOIN m ON u.l_partkey = m.pk AND u.unit_c = m.mu
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // replays q_event_paths: same gap rule, same (ts, event_id) order
+    // inside the path fold
+    "q_event_paths" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tu, event_id, event_type FROM events),
+        |b AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL OR tu - lag(tu) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM b),
+        |p AS (SELECT user_id, session_no,
+        |        string_agg(event_type, '>' ORDER BY tu, event_id) AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // replays q_neg_sample: the identical seeded-hash draw and
+    // over-draw-and-filter
+    "q_neg_sample" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id < 10),
+        |cand AS (SELECT query_id, q_label,
+        |           i, ${duckHash60("query_id || '_neg_' || i")} % n.n AS neg_id
+        |         FROM q CROSS JOIN n
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i))
+        |SELECT c.query_id, c.i, c.neg_id, e.label AS neg_label
+        |FROM cand c JOIN embeddings e ON c.neg_id = e.vec_id
+        |WHERE e.label <> c.q_label AND c.neg_id <> c.query_id
+        |ORDER BY query_id, i""".stripMargin,
+    // replays q_disjunctive_rev: the same OR of cross-table
+    // conjunctions, integer cents
+    "q_disjunctive_rev" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |        AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+        |        AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+        |        AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+    // replays q_supplier_variety: anti-join the complaints set, then
+    // grouped distinct-supplier counts
+    "q_supplier_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size IN (1, 5, 9, 14)
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     // replays q_decayed_counts: power-of-two decay weights in pure
     // integer shifts, corpus max day as a scalar
     "q_decayed_counts" ->

@@ -129,6 +129,34 @@ object Events {
         sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
   }
 
+  /** Top navigation paths: sessions cut by the same gap rule as
+    * [[sessionize]], each session reduced to its ordered event-type
+    * path string (ties on ts break by event_id, so the path is
+    * deterministic), then the corpus-wide top-`topN` paths by session
+    * count — the "what do users actually do" primitive behind funnel
+    * design and behavioral-sequence curation.
+    *
+    * Scale: one per-user window (small-and-many partitions — the
+    * sessionize contract), one grouped path fold bounded by session
+    * length, one partial-agg count, and a TakeOrdered — never a global
+    * sort. */
+  def sessionPaths(events: DataFrame, gapUs: Long, topN: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prevTs = lag(col("ts_us"), 1).over(byUser)
+    events
+      .withColumn("__brk",
+        when(prevTs.isNull || (col("ts_us") - prevTs) > gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topN)
+  }
+
   /** As-of join: for each event of type `rightType`, attach the most
     * recent STRICTLY EARLIER event of type `leftType` by the same user
     * (classic trade/quote as-of). Expressed as a union + last-value

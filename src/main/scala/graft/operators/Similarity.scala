@@ -668,6 +668,35 @@ object Similarity {
         when(col("is_dropped").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
 
+  /** Uniform random negative sampling — [[hardNegatives]]' cheap twin
+    * for contrastive-training batch assembly: per query, `k` candidate
+    * ids drawn by a seeded hash (`md5_60("qid_neg_i") mod n` — both
+    * engines replay the draw exactly, no RNG state), then the drawn
+    * vectors fetched by ONE equi-join (the tiny candidate frame
+    * broadcasts into the corpus scan) and filtered to true negatives
+    * (different label, not the query itself) — so a query ends up with
+    * ≤ k negatives, the standard over-draw-and-filter recipe.
+    *
+    * Assumes a DENSE id space (ids 0..n−1, the embeddings fixture's
+    * contract and the common case after any repartition-and-rewrite);
+    * a sparse id space wants a rank-densify pass first — at 100 TB
+    * that is one zipWithIndex-style prefix-sum job, not a sort. */
+  def uniformNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val n = emb.agg(count(lit(1)).as("n"))
+    val cand = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+      .crossJoin(broadcast(n))
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("neg_id",
+        pmod(graft.operators.Dedup.md5Hash60(
+          concat(col("query_id"), lit("_neg_"), col("i"))), col("n")))
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(cand), col("neg_id") === col("vec_id"))
+      .filter(col("label") =!= col("q_label") && col("neg_id") =!= col("query_id"))
+      .select(col("query_id"), col("i"), col("neg_id"),
+        col("label").as("neg_label"))
+  }
+
   /** Two-level (hierarchical) cluster assignment — the SUBQUADRATIC
     * codebook path. Flat k-means with occupancy-preserving k = n/occ
     * costs O(n·k) = O(n²/occ) in assignment alone (every vector scores

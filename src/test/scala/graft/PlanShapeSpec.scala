@@ -271,6 +271,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), p)
   }
 
+  test("q_disjunctive_rev: the cross-table OR splits into per-side pushed disjunctions") {
+    val p = plan("q_disjunctive_rev")
+    // Catalyst must CNF-extract the part-only disjunction (brand/size)
+    // into the part scan's pushed filters, and the lineitem-only
+    // disjunction (quantity tiers) into the fact side's filter — the
+    // Q19 shape; without the split, every lineitem row reaches the join
+    val partScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("p_brand")).getOrElse("")
+    assert(partScan.contains("Or("), s"part scan lost the pushed disjunction:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val factFilter = p.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("l_quantity")).getOrElse("")
+    assert(factFilter.contains("OR"), s"fact side lost the quantity disjunction:\n$p")
+  }
+
+  test("q_event_paths: top paths via TakeOrdered, never a global sort") {
+    val p = plan("q_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_partition_prune: lang resolves as a PARTITION filter — directory pruning, not row filtering") {
     val p = plan("q_partition_prune")
     // the scan prints its filter buckets on one line:
