@@ -69,6 +69,14 @@ object SparkEntry {
     // the result provably sums across the boundary; oracle = batch
     // Zipf head
     "q_stream_topk" -> ((s, dir) => StreamEntries.streamTopK(s, dir)),
+    // continuously-maintained decayed trending scores: pre-combined
+    // (type, day, cnt) cells, power-of-two weights at feed time, one
+    // complete-mode agg; every count split across the batch boundary
+    "q_stream_decay" -> ((s, dir) => StreamEntries.streamDecay(s, dir)),
+    // streaming HLL NDV: per-shard register sketches max-merged in the
+    // state store, estimate over the SINK registers — oracle is the
+    // batch q_hll_ndv SQL verbatim
+    "q_stream_hll" -> ((s, dir) => StreamEntries.streamHll(s, dir)),
     // streaming upsert view (mapGroupsWithState latest-value state):
     // base + split changelog must rebuild dst — q_merge_upsert's twin
     "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
@@ -4173,34 +4181,20 @@ object SparkEntry {
     // log2), ρ capped at 30 so every 2^-ρ register term is exact in
     // DECIMAL(38,30); α·m² embedded as ONE Scala-computed double
     // literal on both sides; ln per the family recipe
-    "q_hll_ndv" -> {
-      val m = 1024
-      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-      val bitCase = "CASE " + (50 to 1 by -1)
-        .map(b => s"WHEN (h>>10) >= ${1L << (b - 1)} THEN $b")
-        .mkString(" ") + " ELSE 0 END"
-      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT lang, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
-        |tok AS (SELECT lang, unnest(s) AS t FROM sh),
-        |h AS (SELECT lang, ${duckHash60("'hll:' || t")} AS h FROM tok),
-        |r AS (SELECT lang, h & 1023 AS bucket, least(30, 51 - $bitCase) AS rho FROM h),
-        |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
-        |a AS (SELECT lang, count(*) AS n_buckets_used, CAST(sum(mj) AS BIGINT) AS sum_rho,
-        |        sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
-        |      FROM regs GROUP BY lang),
-        |b AS (SELECT lang, n_buckets_used, sum_rho,
-        |        CAST(s_used + CAST(1024 - n_buckets_used AS DECIMAL(38,30)) AS DOUBLE) AS s,
-        |        1024 - n_buckets_used AS v
-        |      FROM a),
-        |x AS (SELECT lang, count(DISTINCT t) AS exact_ndv FROM tok GROUP BY lang)
-        |SELECT b.lang, n_buckets_used, sum_rho,
-        |  round(CASE WHEN $alphaM2 / s <= 2560.0 AND v > 0
-        |    THEN 1024.0 * ln(1024.0 / v) ELSE $alphaM2 / s END, 6) AS est_ndv,
-        |  exact_ndv
-        |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
-    },
+    "q_hll_ndv" -> hllNdvOracleSql,
+    // the streaming register merge must be invisible to the estimate:
+    // q_hll_ndv's SQL verbatim
+    "q_stream_hll" -> hllNdvOracleSql,
+    // and the streaming decayed-count fold likewise replays the batch
+    // operator's SQL
+    "q_stream_decay" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |mx AS (SELECT max(day) AS mxday FROM e)
+        |SELECT event_type, count(*) AS n_events, max(day) AS last_day,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(20 - least(mxday - day, 20) AS INTEGER)) AS BIGINT) AS score
+        |FROM e CROSS JOIN mx
+        |GROUP BY event_type
+        |ORDER BY score DESC, event_type""".stripMargin,
     // count-min: identical d=4 salted bucket hashes; sketch cells are
     // integer counts; estimate = min over the item's 4 cells
     "q_heavy_hitters" ->
@@ -4663,6 +4657,37 @@ object SparkEntry {
         |ORDER BY l_returnflag, metric""".stripMargin
   )
 
+
+  /** q_hll_ndv's oracle (shared verbatim by q_stream_hll — the
+    * streaming register merge must be invisible to the estimate). */
+  private lazy val hllNdvOracleSql: String = {
+      val m = 1024
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      val bitCase = "CASE " + (50 to 1 by -1)
+        .map(b => s"WHEN (h>>10) >= ${1L << (b - 1)} THEN $b")
+        .mkString(" ") + " ELSE 0 END"
+      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT lang, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT lang, unnest(s) AS t FROM sh),
+        |h AS (SELECT lang, ${duckHash60("'hll:' || t")} AS h FROM tok),
+        |r AS (SELECT lang, h & 1023 AS bucket, least(30, 51 - $bitCase) AS rho FROM h),
+        |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |a AS (SELECT lang, count(*) AS n_buckets_used, CAST(sum(mj) AS BIGINT) AS sum_rho,
+        |        sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
+        |      FROM regs GROUP BY lang),
+        |b AS (SELECT lang, n_buckets_used, sum_rho,
+        |        CAST(s_used + CAST(1024 - n_buckets_used AS DECIMAL(38,30)) AS DOUBLE) AS s,
+        |        1024 - n_buckets_used AS v
+        |      FROM a),
+        |x AS (SELECT lang, count(DISTINCT t) AS exact_ndv FROM tok GROUP BY lang)
+        |SELECT b.lang, n_buckets_used, sum_rho,
+        |  round(CASE WHEN $alphaM2 / s <= 2560.0 AND v > 0
+        |    THEN 1024.0 * ln(1024.0 / v) ELSE $alphaM2 / s END, 6) AS est_ndv,
+        |  exact_ndv
+        |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
+  }
   /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the
     * expression `e` as input: `substr(md5(e),1,15)` parsed base-16. */
   private def duckHash60(e: String): String =

@@ -395,11 +395,17 @@ object Sketches {
     * (group, n_buckets_used, sum_rho, est_ndv) — the integer register
     * state is gated exactly, not just the estimate. */
   def hllNdvBy(df: DataFrame, group: Column, key: Column,
-               p: Int = 10, rhoCap: Int = 30): DataFrame = {
+               p: Int = 10, rhoCap: Int = 30): DataFrame =
+    hllEstimate(hllRegisters(df, key, group, p, rhoCap), p)
+
+  /** The estimate stage of [[hllNdvBy]] over an explicit register table
+    * (g, bucket, mj) — separated so MERGED registers (per-shard
+    * sketches max-folded elsewhere, e.g. across streaming micro-batches
+    * or cluster snapshots) estimate through the identical arithmetic. */
+  def hllEstimate(regs: DataFrame, p: Int = 10): DataFrame = {
     val m = 1 << p
     // embedded as one double literal on both sides — never re-derived
     val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-    val regs = hllRegisters(df, key, group, p, rhoCap)
     regs.groupBy(col("g"))
       .agg(count(lit(1)).as("n_buckets_used"),
         sum(col("mj")).as("sum_rho"),

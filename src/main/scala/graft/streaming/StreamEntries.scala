@@ -671,4 +671,96 @@ object StreamEntries {
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("view_ts_us"), col("click_ts_us"))
   }
+
+  /** Continuously-maintained decayed "trending" scores: the streaming
+    * twin of `q_decayed_counts`. The feed is pre-combined (type, day,
+    * cnt) cells (map-side-combine shape — state and wire carry
+    * types×days rows, never events); each cell contributes
+    * cnt · 2^(20 − min(refDay − day, 20)) with the reference day a
+    * feed-time constant (the slice's max day — identical to the batch
+    * operator's broadcast scalar because the feed covers the whole
+    * slice). One complete-mode aggregation; every cell's count is
+    * split ⌊c/2⌋/⌈c/2⌉ across two micro-batches so each type's
+    * n_events AND score provably sum across the boundary. Oracle: the
+    * batch q_decayed_counts SQL. */
+  def streamDecay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = memoFeed(s"decay:$dir") {
+      Events.read(s, dir)
+        .groupBy(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect()
+    }
+    val refDay = cells.map(_._2).max
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_decay")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Long)]
+      val agg = mem.toDS().toDF("event_type", "day", "cnt")
+        .withColumn("w", expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(20 - least($refDay - day, CAST(20 AS BIGINT)) AS INT))"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_events"), max(col("day")).as("last_day"),
+          sum(col("cnt") * col("w")).as("score"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        val halves = cells.map { case (t, d, c) => (t, d, c / 2, c - c / 2) }
+        mem.addData(halves.collect { case (t, d, lo, _) if lo > 0 => (t, d, lo) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(halves.map { case (t, d, _, hi) => (t, d, hi) }.toSeq)
+        q.processAllAvailable()
+      }
+    }
+    takeTable(s, name)
+      .select(col("event_type"), col("n_events"), col("last_day"), col("score"))
+      .orderBy(col("score").desc, col("event_type"))
+  }
+
+  /** Streaming HyperLogLog NDV: per-shard REGISTER sketches max-merged
+    * in the state store — the mergeable-sketch streaming shape (the
+    * CMS entry's counter-grid cousin, with max replacing sum). The
+    * feed is two per-half register tables (each half's tokens already
+    * bucket/rho-folded — exactly the per-partition sketches a
+    * distributed job emits), split by token hash so most registers
+    * receive contributions from BOTH batches and the complete-mode
+    * `max(mj)` provably folds across the boundary. After the drain,
+    * the estimate runs over the SINK registers through
+    * [[graft.operators.Sketches.hllEstimate]] — the identical
+    * arithmetic the batch entry uses, so the oracle is q_hll_ndv's SQL
+    * verbatim. */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("t"))
+    val halves = memoFeed(s"hll:$dir") {
+      (0 until 2).map { b =>
+        graft.operators.Sketches.hllRegisters(
+            toks.filter(abs(xxhash64(col("t"))) % 2 === b),
+            col("t"), col("lang"))
+          .as[(String, Long, Int)].collect().toSeq
+      }
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_hll")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Int)]
+      val agg = mem.toDS().toDF("g", "bucket", "mj")
+        .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        halves.foreach { h => mem.addData(h); q.processAllAvailable() }
+      }
+    }
+    val est = graft.operators.Sketches.hllEstimate(
+      takeTable(s, name).select(col("g"), col("bucket"), col("mj")))
+    val exact = toks.groupBy(col("lang").as("g2"))
+      .agg(count_distinct(col("t")).as("exact_ndv"))
+    est.join(exact, col("g") === col("g2"))
+      .select(col("g").as("lang"), col("n_buckets_used"), col("sum_rho"),
+        col("est_ndv"), col("exact_ndv"))
+      .orderBy(col("lang"))
+  }
 }

@@ -135,4 +135,26 @@ class StreamEntriesSpec extends SparkTestBase {
       spark.catalog.dropTempView("graft_ijoin_evict")
     }
   }
+
+  test("q_stream_decay equals the batch decayed counts (scores summed across batches)") {
+    val streamed = StreamEntries.streamDecay(spark, dir)
+    val batch = Events.decayedCounts(Events.read(spark, dir), "event_type")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("q_stream_hll registers max-merge across batches to the batch estimate") {
+    val streamed = StreamEntries.streamHll(spark, dir)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("t"))
+    val est = graft.operators.Sketches.hllNdvBy(toks, col("lang"), col("t"))
+    val exact = toks.groupBy(col("lang").as("g2"))
+      .agg(count_distinct(col("t")).as("exact_ndv"))
+    val batch = est.join(exact, col("g") === col("g2"))
+      .select(col("g").as("lang"), col("n_buckets_used"), col("sum_rho"),
+        col("est_ndv"), col("exact_ndv"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
