@@ -333,6 +333,18 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // ANN rollout gate: recall@3 of the IVF probe against the exact
+    // brute-force top-3, per query, as an exact integer ppm — the eval
+    // composes both operators it grades and costs |queries|·k beyond
+    // them
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 10)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(q, e, 3),
+          Similarity.ivfTopK(e, q, 3, 2), 3)
+        .orderBy(col("query_id"))
+    }),
     // the same IVF probe over the UNSUPERVISED deterministic k-means
     // codebook (md5-seeded init, 2 fixed iterations, decimal-exact
     // means) — the no-label-column path. The DuckDB oracle replays the
@@ -629,6 +641,14 @@ object SparkEntry {
     "q_interleave" -> ((s, dir) =>
       Pack.interleave(docs(s, dir), "source", "doc_id")
         .orderBy(col("position"))),
+    // deterministic content-addressed global corpus shuffle: position
+    // = two-phase distributed rank of (md5('gs_'‖id), id) — 256
+    // md5-prefix cells, local sorts, broadcast offsets; the oracle
+    // runs the naive single-window sort, making the gate the proof
+    // that cell arithmetic equals the global order
+    "q_global_shuffle" -> ((s, dir) =>
+      Pack.globalShuffle(docs(s, dir), "doc_id")
+        .orderBy(col("pos"))),
     // corpus vocabulary: top-20 tokens by frequency (Zipf head)
     "q_token_topk" -> ((s, dir) =>
       docs(s, dir)
@@ -955,6 +975,40 @@ object SparkEntry {
       Profile.tableStats(s.read.parquet(s"$dir/lineitem.parquet"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
         .orderBy(col("column"))),
+    // data-contract validation: six rules over lineitem folded into ONE
+    // partial+final aggregate pass (NULL counts as a violation); two
+    // rules are deliberately tight so the violation counters are
+    // non-trivial
+    "q_expectations" -> ((s, dir) =>
+      Profile.expectations(s.read.parquet(s"$dir/lineitem.parquet"), Seq(
+          "discount_le_10pct" ->
+            (col("l_discount").cast("decimal(4,2)") <= lit(0.10).cast("decimal(4,2)")),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "quantity_lt_45" -> (col("l_quantity") < 45),
+          "quantity_range" -> col("l_quantity").between(1, 50),
+          "ship_after_jun95" -> (col("l_shipdate") >= "1995-06-01")))
+        .orderBy(col("rule"))),
+    // k-anonymity suppression (k=4) over (event_type, hour) quasi-
+    // identifiers: rows in cells smaller than 4 are dropped before
+    // release; the entry reports per-type kept/suppressed counts so
+    // the gate pins exactly which rows survived
+    "q_k_anon" -> ((s, dir) => {
+      val ev = Events.read(s, dir)
+        .withColumn("hr", expr("ts_us DIV 3600000000"))
+        .select(col("event_id"), col("event_type"), col("hr"))
+      val kept = Profile.kAnonFilter(ev, Seq("event_type", "hr"), 4)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          count_distinct(col("hr")).as("n_cells_kept"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_suppressed"),
+          coalesce(col("n_cells_kept"), lit(0L)).as("n_cells_kept"))
+        .orderBy(col("event_type"))
+    }),
     // deterministic-hash-sampled quantiles vs exact: the 1/8 sample is
     // content-addressed (md5 of event_id), so both engines draw the
     // SAME sample and the oracle checks sampled AND exact together
@@ -1062,6 +1116,161 @@ object SparkEntry {
             .otherwise(0L)).as("n_ts_roundtrip_ok"),
           min(expr("dec DIV 1000")).as("min_ts_us"),
           max(expr("dec DIV 1000")).as("max_ts_us"))
+    }),
+    // TPC-H Q5-shaped regional revenue: the 6-table chain where the
+    // CUSTOMER and the SUPPLIER must share a nation — the region→
+    // nation→supplier dims broadcast pre-filtered so pruning happens
+    // inside the joins, and the c_nationkey = s_nationkey predicate
+    // rides the customer join (never a post-join filter over the full
+    // cross of nations); revenue in exact 4-dp integer units. At 100 TB
+    // the only shuffle is lineitem⋈orders on orderkey.
+    "q_regional_revenue" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cus = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    // TPC-H Q6-shaped forecast-revenue delta: the pure scan-side query
+    // — every predicate (ship year, discount band, quantity cap)
+    // reaches the parquet scan as a pushed filter, the aggregate is one
+    // map-side partial over zero joins; the discount band compares in
+    // DECIMAL(4,2) so the double column can't straddle the bound
+    // differently across engines
+    "q_rev_forecast" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").cast("decimal(4,2)")
+            .between(lit(0.03).cast("decimal(4,2)"), lit(0.07).cast("decimal(4,2)")) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          (sum((col("l_extendedprice").cast("decimal(14,2)") *
+            col("l_discount").cast("decimal(4,2)") *
+            lit(10000)).cast("long")).cast("double") / 10000).as("forecast_rev"))),
+    // TPC-H Q8-shaped market share: NATION_1 suppliers' slice of the
+    // AMERICA PROMO market by order year — supplier-nation name rides
+    // a broadcast dim, the consuming-market gate (customer→nation→
+    // region = AMERICA) rides another, and the share is a 128-bit-exact
+    // integer ppm division (the q_promo_share discipline)
+    "q_market_share" -> ((s, dir) => {
+      val amNat = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+            .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cus = s.read.parquet(s"$dir/customer.parquet")
+        .join(broadcast(amNat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val promo = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_1", col("rev_e4"))
+            .otherwise(0L)).as("nat"),
+          sum(col("rev_e4")).as("tot"))
+        .select(col("o_year"),
+          expr("CAST((CAST(nat AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
+            .as("share_ppm"),
+          (col("nat").cast("double") / 10000).as("nation_rev"),
+          (col("tot").cast("double") / 10000).as("market_rev"))
+        .orderBy(col("o_year"))
+    }),
+    // TPC-H Q10-shaped returned-item report: per-customer revenue lost
+    // to 'R' returns in one quarter — the fact side double-filters
+    // (returnflag at the lineitem scan, the quarter at the orders scan)
+    // before the orderkey shuffle join; customer + nation dims broadcast
+    "q_returned_items" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-04-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg((sum(col("rev_e4")).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("c_custkey"))
+    }),
+    // TPC-H Q20-shaped dominant suppliers: suppliers who shipped more
+    // than HALF of some PROMO part's 1996 volume — the per-group
+    // scalar-agg subquery (part totals) re-aggregated from the pair
+    // table itself (one shuffle builds both sides), the >1/2 gate an
+    // exact integer cross-multiply, then a semi-ish broadcast join back
+    // to the supplier dim. Quantities are whole numbers, folded as
+    // BIGINT.
+    "q_excess_parts" -> ((s, dir) => {
+      val promo = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val pair = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      val tot = pair.groupBy(col("l_partkey").as("tp"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("n_supp"))
+      val dom = pair.join(tot, col("l_partkey") === col("tp"))
+        .filter(col("n_supp") > 1 && col("sq") * 2 > col("tq"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated"), sum(col("sq")).as("qty_dominated"))
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(dom, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_dominated"), col("qty_dominated"))
+        .orderBy(col("s_suppkey"))
     }))
 
   // §2b sketch / approximate aggregates + iterative graph compute —
@@ -2887,6 +3096,53 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // replays q_ann_recall: the exact top-3 CTE (q_cosine_topk) LEFT
+    // JOINed against the full IVF replay (q_ann_ivf), hit counts and
+    // the ppm recall as exact integers
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+        |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.vec_id <> c.vec_id),
+        |exact_rk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+        |  WHERE rank <= 3),
+        |px AS (SELECT vec_id, label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+        |cm AS (SELECT label AS cluster_id, pos,
+        |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+        |       FROM px GROUP BY label, pos),
+        |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |           round(list_dot_product(e.v, c.cvec)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |         FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, v, cluster_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 10),
+        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
+        |          round(list_dot_product(q.qv, c.cvec)
+        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |        FROM q CROSS JOIN cent c),
+        |pr AS (SELECT query_id, qv, qn, cluster_id FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY csim DESC, cluster_id) AS r FROM pr0) WHERE r <= 2),
+        |sc AS (SELECT p.query_id, a.vec_id,
+        |         round(list_dot_product(p.qv, a.v)
+        |           / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
+        |       FROM pr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
+        |ivf_rk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 3)
+        |SELECT ex.query_id,
+        |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // 3 AS recall_ppm
+        |FROM exact_rk ex LEFT JOIN ivf_rk iv
+        |  ON ex.query_id = iv.query_id AND ex.vec_id = iv.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays Similarity.kmeansCodebook + the IVF probe end-to-end:
     // seeds = 5 smallest (md5(id), id) vectors; two unrolled
     // assignment/update rounds (9-dp cosine, cluster_id tie-break,
@@ -3379,6 +3635,13 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY rk, domain, doc_id) AS position,
         |  domain, doc_id, rk
         |FROM rk ORDER BY position""".stripMargin,
+    // replays q_global_shuffle with the naive global window the engine
+    // avoids — the gate proves cell-rank arithmetic equals the sort
+    "q_global_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY md5('gs_' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+        |  doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, len(w) AS dl FROM d),
@@ -3832,6 +4095,47 @@ object SparkEntry {
            |  CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    // replays q_expectations: one wide conditional-sum pass, NULL
+    // counted as a violation, unpivoted to one row per rule
+    "q_expectations" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN NOT (CAST(l_discount AS DECIMAL(4,2)) <= CAST(0.10 AS DECIMAL(4,2)))
+        |           OR l_discount IS NULL THEN 1 ELSE 0 END) AS v0,
+        |  sum(CASE WHEN NOT (l_returnflag IN ('A','N','R'))
+        |           OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS v1,
+        |  sum(CASE WHEN NOT (l_extendedprice > 0)
+        |           OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS v2,
+        |  sum(CASE WHEN NOT (l_quantity < 45)
+        |           OR l_quantity IS NULL THEN 1 ELSE 0 END) AS v3,
+        |  sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+        |           OR l_quantity IS NULL THEN 1 ELSE 0 END) AS v4,
+        |  sum(CASE WHEN NOT (l_shipdate >= '1995-06-01')
+        |           OR l_shipdate IS NULL THEN 1 ELSE 0 END) AS v5
+        |FROM lineitem)
+        |SELECT rule, n_rows, n_violations FROM (
+        |  SELECT 'discount_le_10pct' AS rule, n_rows, CAST(v0 AS BIGINT) AS n_violations FROM s
+        |  UNION ALL SELECT 'flag_domain', n_rows, CAST(v1 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'price_positive', n_rows, CAST(v2 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'quantity_lt_45', n_rows, CAST(v3 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'quantity_range', n_rows, CAST(v4 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'ship_after_jun95', n_rows, CAST(v5 AS BIGINT) FROM s)
+        |ORDER BY rule""".stripMargin,
+    // replays q_k_anon: the cell census, the k>=4 row filter, and the
+    // per-type kept/suppressed summary
+    "q_k_anon" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    epoch_us(ts) // 3600000000 AS hr FROM events),
+        |cells AS (SELECT event_type, hr, count(*) AS n FROM ev GROUP BY 1, 2),
+        |kept AS (SELECT ev.* FROM ev JOIN cells USING (event_type, hr)
+        |         WHERE n >= 4),
+        |k AS (SELECT event_type, count(*) AS n_kept,
+        |        count(DISTINCT hr) AS n_cells_kept FROM kept GROUP BY 1),
+        |t AS (SELECT event_type, count(*) AS n_total FROM ev GROUP BY 1)
+        |SELECT t.event_type, n_total,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  n_total - coalesce(n_kept, 0) AS n_suppressed,
+        |  coalesce(n_cells_kept, 0) AS n_cells_kept
+        |FROM t LEFT JOIN k USING (event_type) ORDER BY 1""".stripMargin,
     // same content-addressed 1/8 sample (md5 of event_id) in both
     // engines; quantile_cont ≡ Spark's interpolated percentile
     "q_approx_quantile" ->
@@ -4634,6 +4938,94 @@ object SparkEntry {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+    // replays q_regional_revenue: the Q5 chain with the shared-nation
+    // predicate on the customer join, 4-dp integer revenue
+    "q_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |      10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays q_rev_forecast: the Q6 scan-only aggregate, discount band
+    // compared in DECIMAL(4,2)
+    "q_rev_forecast" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |      CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) AS DOUBLE)
+        |    / 10000 AS forecast_rev
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2))
+        |      BETWEEN CAST(0.03 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+        |  AND l_quantity < 24""".stripMargin,
+    // replays q_market_share: the Q8 chain, share as a 128-bit-exact
+    // integer ppm division (HUGEINT ↔ DECIMAL(38,0))
+    "q_market_share" ->
+      """WITH r AS (SELECT year(o_orderdate) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |         10000 AS BIGINT) AS rev_e4,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA')
+        |SELECT o_year,
+        |  CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_e4 ELSE 0 END)
+        |        AS HUGEINT) * 1000000) // sum(rev_e4) AS BIGINT) AS share_ppm,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_e4 ELSE 0 END)
+        |       AS DOUBLE) / 10000 AS nation_rev,
+        |  CAST(sum(rev_e4) AS DOUBLE) / 10000 AS market_rev
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays q_returned_items: the Q10 chain, returnflag pushed to the
+    // lineitem scan and the quarter to the orders scan
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |      10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY c_custkey""".stripMargin,
+    // replays q_excess_parts: the Q20 decorrelation — the part-total
+    // scalar subquery re-aggregated from the pair table, the half gate
+    // an exact integer cross-multiply
+    "q_excess_parts" ->
+      """WITH pair AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS tp, sum(sq) AS tq, count(*) AS n_supp
+        |        FROM pair GROUP BY 1),
+        |dom AS (SELECT l_suppkey, count(*) AS n_dominated,
+        |    CAST(sum(sq) AS BIGINT) AS qty_dominated
+        |  FROM pair JOIN tot ON l_partkey = tp
+        |  WHERE n_supp > 1 AND sq * 2 > tq
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, n_dominated, qty_dominated
+        |FROM supplier
+        |JOIN dom ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q_above_avg" ->
       """WITH p AS (SELECT p_brand, p_partkey,
         |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents

@@ -144,4 +144,28 @@ object Pack {
           .otherwise(0L)) + 1).as("position"))
       .select(col("position"), col("domain"), col("doc_id"), col("rk"))
   }
+
+  /** Deterministic content-addressed GLOBAL shuffle — "shuffle the
+    * corpus before training" as a reproducible operator. A doc's
+    * position is the rank of `(md5(salt‖id), id)` over the whole
+    * corpus, computed with the two-phase distributed rank
+    * ([[Rank.cellRank]]): md5-prefix buckets are uniform BY
+    * CONSTRUCTION (256 cells of ~n/256 docs each), rows sort locally
+    * per cell, and the 256-row census supplies cumulative offsets — no
+    * single-task global sort at any corpus size, unlike
+    * `row_number().over(Window.orderBy(...))` which plans Exchange
+    * SinglePartition. Content addressing (never `rand()` or a sampled
+    * range partitioner) makes the order stable under retries, AQE
+    * re-reads, and engines — the oracle replays it with a plain
+    * window; a new epoch's reshuffle is just a new salt. Output:
+    * (pos, doc_id), 1-based. */
+  def globalShuffle(docs: DataFrame, idCol: String,
+                    salt: String = "gs_"): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("h", md5(concat(lit(salt), col("doc_id").cast("string"))))
+      .withColumn("__b", Rank.md5Bucket(col("h")))
+      .withColumn("__g", lit(0))
+    Rank.cellRank(base, Seq("__g"), "__b", Seq(col("h"), col("doc_id")), "pos")
+      .select(col("pos"), col("doc_id"))
+  }
 }

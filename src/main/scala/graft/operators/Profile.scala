@@ -67,4 +67,46 @@ object Profile {
           col("min_val"), col("max_val"))
     }
   }
+
+  /** Data-contract validation — "great-expectations" style rule
+    * checking as ONE aggregate pass: every rule is a boolean Column
+    * evaluated per row, a row violates a rule when the predicate is
+    * not TRUE (NULL counts as a violation — an unknown is not a
+    * pass), and all rules fold in the same partial+final aggregate so
+    * the table streams through once no matter how many rules the
+    * contract carries. Output: (rule, n_rows, n_violations), one row
+    * per rule. The rule set is plan-time metadata (a few columns in
+    * one agg), never data — nothing here shuffles more than one row
+    * of counters per partition. */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    val sums = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 0L).otherwise(1L)).as(s"__v$i") }
+    val aggs = count(lit(1)).as("__n") +: sums
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', __v$i" }.mkString(", ")
+    wide.select(col("__n").as("n_rows"),
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_rows"), col("n_violations"))
+  }
+
+  /** Row-level k-anonymity suppression — the PII-risk gate a
+    * training-data release runs before publishing: drop every row
+    * whose quasi-identifier combination occurs fewer than `k` times,
+    * so no released row describes a group smaller than k. One grouped
+    * count builds the cell census, one keyed equi-join applies it —
+    * the census is |cells| rows (bounded by the quasi-identifier
+    * domain, not the data), so AQE broadcasts it when small and the
+    * join stays a shuffle-colocated equi-join when it isn't. Returns
+    * the schema-preserved surviving rows. */
+  def kAnonFilter(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val cells = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__cell_n"))
+      .filter(col("__cell_n") >= k)
+      .select(quasi.map(col): _*)
+    df.join(cells, quasi, "left_semi")
+  }
 }

@@ -890,4 +890,29 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** ANN quality evaluation — recall@k of an approximate top-k result
+    * against the exact brute-force top-k: the metric every index
+    * rollout gates on before the approximate path replaces the exact
+    * one. Both inputs carry (query_id, vec_id) rows, ≤ k per query;
+    * output one row per query: (query_id, n_hits, recall_ppm) with
+    * recall an exact integer ppm division, so the gate has no float
+    * ratio to disagree on. The intersection is a keyed equi-join of
+    * two k-rows-per-query frames — eval cost is |queries|·k,
+    * corpus-size-independent; the expensive parts are the INPUTS,
+    * which is the point: the eval composes the operators it grades.
+    * Queries where the approximate path found nothing still emit a
+    * row (left join from the exact side, which is total by
+    * construction). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = approx.select(col("query_id"), col("vec_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("query_id"), col("vec_id"))
+      .join(hits, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
+  }
 }

@@ -415,4 +415,64 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
     }
   }
+
+  test("q_rev_forecast: Q6 shape — every predicate reaches the parquet scan, no join") {
+    // formatted explain prints PushedFilters untruncated (the one-line
+    // plan string clips the list at 100 chars)
+    val df = SparkEntry.queries("q_rev_forecast")(spark, sfSmoke)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // shipdate band + quantity cap push as native filters; the decimal
+    // discount band stays a post-scan filter (cast wraps the column) —
+    // the scan must still carry the date/quantity prunes
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"), s"shipdate not pushed:\n$p")
+    assert(p.contains("LessThan(l_quantity,24.0)"), s"quantity not pushed:\n$p")
+    assert(!p.contains("Join"), s"Q6 must be scan+agg only:\n$p")
+    assert(p.contains("partial_"), s"aggregate must map-side combine:\n$p")
+  }
+
+  test("round-8 TPC-H shapes: dims broadcast, facts equi-join, no cartesian") {
+    for (q <- Seq("q_regional_revenue", "q_market_share", "q_returned_items",
+        "q_excess_parts")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q dims must broadcast:\n$p")
+    }
+    // Q5's shared-nation predicate must ride the customer join (an
+    // equi-join on (custkey, nationkey) pair), not survive as a
+    // post-join Filter over a nation cross product
+    val q5 = plan("q_regional_revenue")
+    assert(q5.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, q5)
+    // Q10: the returnflag reaches the lineitem scan
+    val q10 = plan("q_returned_items")
+    val scan = q10.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")).getOrElse("")
+    assert(scan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$q10")
+  }
+
+  test("q_global_shuffle: the row-rank window partitions by md5 cell, never one global sort") {
+    // the ONLY single-partition window allowed is the cumulative-offset
+    // pass over the ≤256-row cell CENSUS; the row_number window that
+    // touches every data row must partition by the bucket column
+    val p = plan("q_global_shuffle")
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition")).toSeq
+    assert(rankWindows.nonEmpty, p)
+    rankWindows.foreach(l =>
+      assert(l.contains("__b#"), s"row-rank window not partitioned by cell:\n$l\n$p"))
+  }
+
+  test("q_k_anon: suppression is a real left-semi equi-join against the cell census") {
+    val p = plan("q_k_anon")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_expectations: the whole contract folds into one partial+final aggregate pass") {
+    val p = plan("q_expectations")
+    assert(p.contains("partial_"), s"rules must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"a rule pass must not join:\n$p")
+  }
 }
