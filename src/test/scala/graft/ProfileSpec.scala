@@ -22,4 +22,39 @@ class ProfileSpec extends SparkTestBase {
     assert(s.getString(0) === "s" && s.getLong(2) === 3 && s.getLong(3) === 2 &&
       s.getString(4) === "a" && s.getString(5) === "b")
   }
+
+  test("expectations: per-rule violation counts; NULL is a violation; one row per rule") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Option(5), Option(15), Option(25), None).toDF("v")
+    val out = Profile.expectations(df, Seq(
+        "v_lt_20" -> (col("v") < 20),
+        "v_pos" -> (col("v") > 0)))
+      .orderBy("rule").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "v_lt_20" && out(0).getLong(1) === 4 &&
+      out(0).getLong(2) === 2) // 25 fails, NULL counts as violation
+    assert(out(1).getString(0) === "v_pos" && out(1).getLong(2) === 1) // NULL only
+  }
+
+  test("expectations rejects empty and duplicate rule names") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(1).toDF("v")
+    intercept[IllegalArgumentException] { Profile.expectations(df, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Profile.expectations(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
+  test("kAnonFilter: rows in cells below k drop; schema preserved; k=1 keeps all") {
+    val df = Seq(
+      ("a", 1, "r1"), ("a", 1, "r2"), ("a", 1, "r3"), // cell (a,1): n=3
+      ("a", 2, "r4"), ("b", 1, "r5"), ("b", 1, "r6")) // (a,2): 1, (b,1): 2
+      .toDF("t", "h", "payload")
+    val kept = Profile.kAnonFilter(df, Seq("t", "h"), 2)
+    assert(kept.columns.toSeq === Seq("t", "h", "payload"))
+    assert(kept.select("payload").as[String].collect().sorted.toSeq ===
+      Seq("r1", "r2", "r3", "r5", "r6"))
+    assert(Profile.kAnonFilter(df, Seq("t", "h"), 1).count() === 6)
+    assert(Profile.kAnonFilter(df, Seq("t", "h"), 4).count() === 0)
+  }
 }

@@ -414,4 +414,30 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("Raise k"), e.getMessage)
   }
+
+  test("recallAtK: hand-built overlap; zero-hit queries still emit a row; self vs self = 1") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+                    (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), // 2/3 hit
+                     (2L, 90L), (2L, 91L), (2L, 92L)) // 0/3 hit
+      .toDF("query_id", "vec_id")
+    val out = Similarity.recallAtK(exact, approx, 3)
+      .orderBy("query_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 2 && out(0).getLong(2) === 666666L)
+    assert(out(1).getLong(1) === 0 && out(1).getLong(2) === 0L)
+    // an exact result evaluated against itself recalls 1.0 everywhere
+    val self = Similarity.recallAtK(exact, exact, 3).collect()
+    assert(self.forall(r => r.getLong(2) === 1000000L))
+  }
+
+  test("recallAtK over the fixture: IVF nprobe=C recalls 1.0 (degrades to exact)") {
+    val e = emb
+    val q = e.filter($"id" < 5)
+    val exact = Similarity.bruteForceTopK(q, e, 3)
+    val allProbe = Similarity.ivfTopK(e, q, 3, nprobe = 1000)
+    val r = Similarity.recallAtK(exact, allProbe, 3).collect()
+    assert(r.nonEmpty && r.forall(_.getLong(2) === 1000000L),
+      r.mkString(","))
+  }
 }

@@ -139,6 +139,27 @@ class TextEventsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq === (1L to 6L).toSeq) // a permutation
   }
 
+  test("globalShuffle: cell-rank positions equal the naive global md5 sort; " +
+    "salt re-deals; partitioning-invariant") {
+    val docs = (1L to 97L).map(Tuple1(_)).toDF("doc_id")
+    def naive(salt: String) = (1L to 97L)
+      .map(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$salt$id"), id))
+      .sorted.zipWithIndex.map { case ((_, id), i) => (i + 1L, id) }
+    val got = graft.operators.Pack.globalShuffle(docs, "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === naive("gs_"))
+    // a different salt is a different epoch order (and still a permutation)
+    val ep2 = graft.operators.Pack.globalShuffle(docs, "doc_id", "ep2_")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ep2 === naive("ep2_"))
+    assert(ep2 != got)
+    assert(ep2.map(_._2).sorted === (1L to 97L).toSeq)
+    // reproducible under a different physical partitioning
+    val re = graft.operators.Pack.globalShuffle(docs.repartition(7), "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re === got)
+  }
+
   test("mixEpochPlan: small sources upsample (full epochs), large ones truncate") {
     // A: 10 docs x 100 tokens; B: 2 docs x 5 tokens. budget = 505;
     // sq weights 31622/3162 -> w_A = 909096 ppm, w_B = 90903 ppm;
