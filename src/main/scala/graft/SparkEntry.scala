@@ -93,7 +93,11 @@ object SparkEntry {
     "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)),
     // stateful as-of enrichment: per-user latest-click state joins each
     // purchase across the batch boundary — sink = the batch as-of join
-    "q_stream_asof" -> ((s, dir) => StreamEntries.streamAsof(s, dir)))
+    "q_stream_asof" -> ((s, dir) => StreamEntries.streamAsof(s, dir)),
+    // flatMapGroupsWithState k-anonymity release gate: rows held until
+    // their (type, day) cell reaches k=4, then flushed; the drained
+    // sink equals the batch kAnonFilter of the whole slice
+    "q_stream_k_anon" -> ((s, dir) => StreamEntries.streamKAnon(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3976,6 +3980,18 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 20 AND epoch_us(ts) >= 1705363200000000
         |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    // the streaming release gate's fixed point IS the batch k-anonymity
+    // filter of the fed slice — cells reaching k=4 release all their
+    // rows, smaller cells release none
+    "q_stream_k_anon" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, event_id
+        |  FROM events WHERE user_id < 20),
+        |cells AS (SELECT event_type, day FROM ev
+        |          GROUP BY 1, 2 HAVING count(*) >= 4)
+        |SELECT ev.event_type, ev.day, ev.event_id
+        |FROM ev JOIN cells USING (event_type, day)
+        |ORDER BY 1, 2, 3""".stripMargin,
     // a stateless stream-static join's sink must equal the batch join
     // over the same slice, whatever the micro-batch boundaries
     "q_stream_static" ->

@@ -763,4 +763,42 @@ object StreamEntries {
         col("est_ndv"), col("exact_ndv"))
       .orderBy(col("lang"))
   }
+
+  /** Streaming k-anonymity release gate ([[StreamKAnon]], k=4) over the
+    * user<20·scale event slice keyed by (event_type, day): rows are
+    * HELD in state until their quasi-cell accumulates 4, then flush —
+    * so no released row ever describes a group smaller than k, even
+    * transiently across micro-batches (the guarantee a per-batch
+    * [[graft.operators.Profile.kAnonFilter]] cannot give). The feed
+    * splits by event-id parity into two batches, so many cells cross
+    * the threshold only at the second batch — hitting live buffered
+    * state — yet the drained sink equals the BATCH kAnonFilter of the
+    * whole slice, which is the committed oracle. State per cell is ≤
+    * k−1 buffered ids + a flag: O(cells·k), stream-length-independent. */
+  def streamKAnon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = memoFeed(s"kanon:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
+        .select(col("event_type"), expr("ts_us DIV 86400000000"), col("event_id"))
+        .as[(String, Long, Long)].collect().toSeq
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_kanon")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Long)]
+      val gated = StreamKAnon(
+        mem.toDS().map(r => StreamKAnon.Record(r._1, r._2, r._3)), 4)
+      val q = gated.toDF("event_type", "day", "event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        val (even, odd) = rows.partition(_._3 % 2 == 0)
+        mem.addData(even)
+        q.processAllAvailable()
+        mem.addData(odd) // crossings hit live buffered state
+      }
+    }
+    takeTable(s, name)
+      .orderBy(col("event_type"), col("day"), col("event_id"))
+  }
 }

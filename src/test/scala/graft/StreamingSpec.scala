@@ -145,4 +145,41 @@ class StreamingSpec extends SparkTestBase {
         ("mut", "mismatch"), ("only_src", "src_only"), ("only_dst", "dst_only")))
     } finally q.stop()
   }
+
+  test("k-anon release gate: cells flush only at k, cross-batch; fixed point = batch filter") {
+    import graft.streaming.StreamKAnon
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = StreamKAnon(
+      mem.toDS().map(r => StreamKAnon.Record(r._1, r._2, r._3)), 3)
+    val q = out.toDF("cell", "sub", "id").writeStream.format("memory")
+      .queryName("skanon").outputMode("append").start()
+    try {
+      // batch 1: cell a has 2 rows (below k=3, held), cell b has 3 (flush)
+      mem.addData(("a", 0L, 1L), ("a", 0L, 2L), ("b", 0L, 10L),
+        ("b", 0L, 11L), ("b", 0L, 12L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("skanon").select("id").collect().map(_.getLong(0)).toSet
+      assert(afterB1 === Set(10L, 11L, 12L), s"only cell b may release: $afterB1")
+      // batch 2: cell a's third row arrives -> buffered rows flush with it;
+      // cell c stays below k and never releases
+      mem.addData(("a", 0L, 3L), ("c", 0L, 20L), ("c", 0L, 21L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("skanon").select("id").collect().map(_.getLong(0)).toSet
+      assert(afterB2 === Set(1L, 2L, 3L, 10L, 11L, 12L), afterB2.toString)
+      // batch 3: a released cell passes rows straight through
+      mem.addData(("b", 0L, 13L))
+      q.processAllAvailable()
+      val fin = spark.table("skanon").select("id").collect().map(_.getLong(0)).toSet
+      assert(fin === Set(1L, 2L, 3L, 10L, 11L, 12L, 13L), fin.toString)
+      // fixed point: equals the batch kAnonFilter of everything fed
+      val fed = Seq(("a", 0L, 1L), ("a", 0L, 2L), ("b", 0L, 10L), ("b", 0L, 11L),
+        ("b", 0L, 12L), ("a", 0L, 3L), ("c", 0L, 20L), ("c", 0L, 21L), ("b", 0L, 13L))
+        .toDF("cell", "sub", "id")
+      val batch = graft.operators.Profile.kAnonFilter(fed, Seq("cell", "sub"), 3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(fin === batch)
+    } finally q.stop()
+  }
 }
