@@ -81,6 +81,12 @@ object Profile {
   def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    // rule names are spliced into the stack() SQL string below — gate
+    // them to identifier-ish characters so a quote can't break (or
+    // inject into) the generated expression
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_.\\- ]+"),
+        s"rule name '$name' must be [A-Za-z0-9_.- ] only") }
     val sums = rules.zipWithIndex.map { case ((_, pred), i) =>
       sum(when(pred, 0L).otherwise(1L)).as(s"__v$i") }
     val aggs = count(lit(1)).as("__n") +: sums
@@ -100,7 +106,12 @@ object Profile {
     * the census is |cells| rows (bounded by the quasi-identifier
     * domain, not the data), so AQE broadcasts it when small and the
     * join stays a shuffle-colocated equi-join when it isn't. Returns
-    * the schema-preserved surviving rows. */
+    * the schema-preserved surviving rows.
+    *
+    * Rows with a NULL quasi-identifier are ALWAYS suppressed: the
+    * left-semi equi-join never matches a null key (same as SQL JOIN
+    * USING), and that is the conservative privacy reading — a record
+    * whose group is unknown cannot be shown to sit in a group of ≥ k. */
   def kAnonFilter(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
     require(quasi.nonEmpty && k >= 1, "need quasi columns and k >= 1")
     val cells = df.groupBy(quasi.map(col): _*)

@@ -906,7 +906,11 @@ object Similarity {
     * construction). */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val hits = approx.select(col("query_id"), col("vec_id"))
+    // distinct defends the hit count against a duplicated approx pair
+    // (a left join would double-count it past k); both frames are
+    // |queries|·k rows, so the dedup shuffle is eval-sized, not corpus-
+    // sized
+    val hits = approx.select(col("query_id"), col("vec_id")).distinct()
       .withColumn("__hit", lit(1L))
     exact.select(col("query_id"), col("vec_id"))
       .join(hits, Seq("query_id", "vec_id"), "left_outer")
