@@ -2128,9 +2128,10 @@ object SparkEntry {
     // write IS the measured work — then reads back through the DSv2
     // reader; the checksum triple must equal the direct source checksum
     "q_kvbin_write_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-kvwr-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.sources.FixtureStore.deleteRecursively(java.nio.file.Paths.get(tmp))))
+      // one shared exit hook: the bench invokes this entry 3+ times
+      // (warmup + two passes), and a hook Thread per call would
+      // accumulate for the JVM lifetime
+      val tmp = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvwr-")
       // no `ranges` option: requiredNumPartitions stays 0 and the range
       // exchange sizes itself from spark.sql.shuffle.partitions — the
       // region count scales with the cluster, not a constant

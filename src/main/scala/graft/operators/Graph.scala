@@ -172,9 +172,15 @@ object Graph {
     // ACTION on the result, not at the call — same message, wrapped in
     // Spark's job failure.
     val gi = if (maxTriplesPerGroup == Int.MaxValue) gi0 else {
+      // c·(c−1)·(c−2) folds in DECIMAL(38,0): in BIGINT a single hub
+      // basket of ~2.1M+ distinct items wraps the product past
+      // Long.MaxValue (ANSI off wraps silently), t6 could go negative
+      // and the guard would PASS on exactly the basket it exists to
+      // refuse — the mixEpochPlan overflow discipline applied here
       val occ = gi0.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c") * (col("c") - lit(1)) * (col("c") - lit(2))),
-          lit(0L)).as("t6"), count(lit(1)).as("ng"))
+        .agg(coalesce(sum(col("c").cast("decimal(38,0)") *
+            (col("c") - lit(1)) * (col("c") - lit(2))),
+          lit(0).cast("decimal(38,0)")).as("t6"), count(lit(1)).as("ng"))
       gi0.crossJoin(broadcast(occ))
         .filter(assert_true(
           expr("t6 div 6") <= lit(maxTriplesPerGroup.toLong) * col("ng"),

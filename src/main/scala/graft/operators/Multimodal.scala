@@ -115,7 +115,11 @@ object Multimodal {
     * (the round-8 fix for the fixed 1e6 offset, which a 9e7-id sf1
     * corpus collided with). */
   def twinOffset(blobs: DataFrame, idCol: String = "media_id"): Long = {
-    val mx = blobs.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    val row = blobs.agg(max(col(idCol).cast("long"))).head()
+    // max() over zero rows is NULL — surface it as a readable error
+    // instead of getLong's bare NullPointerException
+    require(!row.isNullAt(0), s"withPlantedTwins: empty corpus (no $idCol)")
+    val mx = row.getLong(0)
     require(mx >= 0, s"withPlantedTwins: negative $idCol $mx unsupported")
     ("1" + "0" * mx.toString.length).toLong
   }

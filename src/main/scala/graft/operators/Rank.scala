@@ -40,9 +40,14 @@ object Rank {
 
   /** Global per-group rank from per-cell local ranks + cumulative cell
     * offsets. `df` must already carry the bucket column `bCol`
-    * (LongType, order-aligned with `order` inside each group: b(x) <
-    * b(y) ⇒ x sorts before y, rows tying on the full `order` key never
-    * split across buckets). Appends `rankCol`; drops the bucket. */
+    * (LongType, NON-NULL, order-aligned with `order` inside each group:
+    * b(x) < b(y) ⇒ x sorts before y, rows tying on the full `order` key
+    * never split across buckets — a NULL bucket would break the
+    * order-alignment contract, and the bucket builders below never
+    * produce one for a rankable row). GROUP keys may be NULL: the
+    * offset join is null-safe, so a NULL group ranks as its own group
+    * exactly like `Window.partitionBy` treats it. Appends `rankCol`;
+    * drops the bucket. */
   def cellRank(df: DataFrame, gCols: Seq[String], bCol: String,
                order: Seq[Column], rankCol: String): DataFrame = {
     val cellKeys = (gCols :+ bCol).map(col)
@@ -58,10 +63,15 @@ object Rank {
     val off = cnts
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .drop("__cnt")
-    // phase 4: offset + local = global
-    local.join(broadcast(off), gCols :+ bCol)
+      .withColumnsRenamed((gCols :+ bCol).map(c => c -> s"__r_$c").toMap)
+    // phase 4: offset + local = global; <=> keeps NULL group keys
+    // (groupBy emitted them as a group — a plain equi-join would
+    // silently drop their rows)
+    val cond = (gCols :+ bCol)
+      .map(c => local(c) <=> off(s"__r_$c")).reduce(_ && _)
+    local.join(broadcast(off), cond)
       .withColumn(rankCol, col("__off") + col("__lr"))
-      .drop("__lr", "__off", bCol)
+      .drop((gCols :+ bCol).map(c => s"__r_$c") ++ Seq("__lr", "__off", bCol): _*)
   }
 
   /** Deterministic equi-width value buckets per group for NUMERIC sort
@@ -82,15 +92,22 @@ object Rank {
   def valueBuckets(df: DataFrame, g: String, v: String, id: String,
                    buckets: Int): DataFrame = {
     require(buckets >= 2, "buckets must be >= 2")
-    val stats = df.groupBy(col(g)).agg(
+    val stats = df.groupBy(col(g).as("__sg")).agg(
       min(col(v)).as("__vmin"), max(col(v)).as("__vmax"),
       min(col(id).cast("double")).as("__imin"),
       max(col(id).cast("double")).as("__imax"))
     def width(x: Column, lo: Column, hi: Column): Column =
       least(lit(buckets - 1L), floor((x - lo) / (hi - lo) * buckets))
-    df.join(broadcast(stats), Seq(g))
+    // <=> keeps a NULL group (it has stats rows like any other group;
+    // a plain equi-join would silently drop its rows before ranking)
+    df.join(broadcast(stats), col(g) <=> col("__sg"))
+      .drop("__sg")
       .withColumn("__b",
-        when(col("__vmax") > col("__vmin"),
+        // NULL values sort first under Spark's ascending (v, id) order,
+        // so they take a bucket below every real one — without this a
+        // NULL v would compute a NULL bucket and fall out of the rank
+        when(col(v).isNull, lit(-1L))
+        .when(col("__vmax") > col("__vmin"),
           width(col(v), col("__vmin"), col("__vmax")))
         .when(col("__imax") > col("__imin"),
           width(col(id).cast("double"), col("__imin"), col("__imax")))

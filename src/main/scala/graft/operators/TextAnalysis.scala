@@ -688,18 +688,21 @@ object TextAnalysis {
         explode(split(col(textCol), " ")).as("t"))
       .withColumn("bkt",
         conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % buckets)
-    val rawC = tok.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
-    val tgtC = tok.filter(col("lang") === targetLang)
-      .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
-    val totals = tok.agg(
-      count(lit(1)).as("raw_total"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_total"))
+    // raw and target bucket counts fold in ONE conditional aggregation
+    // (the corpus streams through tokenization once for the whole model
+    // build), and the corpus totals re-aggregate the ≤`buckets`-row
+    // count table instead of scanning the corpus a third time
+    val counts = tok.groupBy(col("bkt")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tc"))
+    val totals = counts.agg(
+      sum(col("rc")).as("raw_total"), sum(col("tc")).as("tgt_total"))
     // weight table: buckets rows — add-1 smoothing keeps never-seen
     // buckets finite and the ratio integer-exact in DECIMAL(38,0)
-    val weights = rawC.join(tgtC, Seq("bkt"), "left_outer")
+    val weights = counts
       .crossJoin(broadcast(totals))
       .select(col("bkt"),
-        expr(s"CAST(((coalesce(tc, 0) + 1) * CAST(raw_total + $buckets AS DECIMAL(38,0)) " +
+        expr(s"CAST(((tc + 1) * CAST(raw_total + $buckets AS DECIMAL(38,0)) " +
           s"* 1000000) div ((rc + 1) * CAST(tgt_total + $buckets AS DECIMAL(38,0))) " +
           "AS BIGINT)").as("w_ppm"))
     tok.filter(col("lang") =!= targetLang)

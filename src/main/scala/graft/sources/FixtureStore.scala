@@ -34,6 +34,24 @@ private[graft] final class FixtureStore(prefix: String) {
 }
 
 private[graft] object FixtureStore {
+
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      var p = exitDirs.poll()
+      while (p != null) { deleteRecursively(p); p = exitDirs.poll() }
+    }, "graft-tempdir-cleanup"))
+
+  /** A fresh temp directory deleted at JVM exit through ONE shared
+    * shutdown hook — repeat callers (the bench's multi-pass protocol)
+    * enqueue dirs instead of accumulating a hook Thread per call. */
+  def tempDirDeletedAtExit(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    exitDirs.add(p)
+    exitHook
+    p.toString
+  }
+
   def deleteRecursively(p: Path): Unit =
     try {
       val walk = Files.walk(p)

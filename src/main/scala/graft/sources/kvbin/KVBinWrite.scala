@@ -52,12 +52,13 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
       s"kvbin writes require schema (key binary, value binary), got $s")
     new KVBinWrite(dir, doTruncate,
       Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
-      Option(info.options.get("api_version")).getOrElse("V1"))
+      Option(info.options.get("api_version")),
+      info.queryId())
   }
 }
 
 class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
-                 apiVersion: String)
+                 apiVersion: Option[String], queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   // ordered distribution on key → Spark range-partitions the write, so
@@ -70,13 +71,15 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
   private def keyAsc: SortOrder =
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
 
-  override def toBatch: BatchWrite = new KVBinBatchWrite(dir, truncate, apiVersion)
+  override def toBatch: BatchWrite =
+    new KVBinBatchWrite(dir, truncate, apiVersion, queryId)
 }
 
 case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
                               count: Long) extends WriterCommitMessage
 
-class KVBinBatchWrite(dir: String, truncate: Boolean, apiVersion: String)
+class KVBinBatchWrite(dir: String, truncate: Boolean,
+                      apiVersion: Option[String], queryId: String)
     extends BatchWrite {
 
   // the session hadoop conf is resolved on the DRIVER at job start and
@@ -86,7 +89,7 @@ class KVBinBatchWrite(dir: String, truncate: Boolean, apiVersion: String)
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KVBinWriterFactory(dir, conf)
+    new KVBinWriterFactory(dir, conf, KVBinDataWriter.jobTag(queryId))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(dir), conf.value)
@@ -94,22 +97,41 @@ class KVBinBatchWrite(dir: String, truncate: Boolean, apiVersion: String)
       case KVBinCommitMessage(f, mn, mx, n) if n > 0 =>
         (f, KVBin.unhex(mn), KVBin.unhex(mx), n)
     }.toSeq
+    val appending = !truncate && fs.exists(new Path(dir, KVBin.IndexFile))
     val old: Seq[(String, Array[Byte], Array[Byte], Long)] =
-      if (truncate || !fs.exists(new Path(dir, KVBin.IndexFile))) Seq.empty
-      else KVBin.readIndex(dir, conf.value)
-    val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
-    val lines = s"#api_version=$apiVersion" +: merged.map { case (f, mn, mx, n) =>
-      s"$f\t${KVBin.hexOf(mn)}\t${KVBin.hexOf(mx)}\t$n"
+      if (appending) KVBin.readIndex(dir, conf.value) else Seq.empty
+    // append preserves the EXISTING table's metadata: the api_version
+    // stamp must not silently change under an append (the read-side
+    // version gate keys off it), so a conflicting writer option is an
+    // error, not a downgrade; any other `#k=v` meta lines carry over
+    val oldMeta: Map[String, String] =
+      if (appending) KVBin.readMeta(dir, conf.value) else Map.empty
+    val version = (apiVersion, oldMeta.get("api_version")) match {
+      case (Some(w), Some(e)) =>
+        require(w == e, s"kvbin append with api_version=$w onto a $e table " +
+          s"at $dir — rewrite the table (mode overwrite) to change versions")
+        w
+      case (w, e) => w.orElse(e).getOrElse("V1")
     }
+    val meta = oldMeta + ("api_version" -> version)
+    val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
+    val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+      merged.map { case (f, mn, mx, n) =>
+        s"$f\t${KVBin.hexOf(mn)}\t${KVBin.hexOf(mx)}\t$n"
+      }
     // the index write is the visibility point: readers plan ONLY from
     // _index, so attempt files become part of the table here and not
     // before; after the swap, drop region files the index no longer
-    // references (the old generation under truncate, zero-row attempts)
+    // references (the old generation under truncate, zero-row attempts).
+    // The sweep touches ONLY this writer's own naming pattern — a
+    // foreign file in the directory (_SUCCESS marker, sidecar) is not
+    // ours to delete
     val out = fs.create(new Path(dir, KVBin.IndexFile), true)
     out.write(lines.mkString("\n").getBytes("UTF-8"))
     out.close()
     val live = merged.map(_._1).toSet + KVBin.IndexFile
     fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => KVBinDataWriter.RegionFile.matches(p.getName))
       .filterNot(p => live.contains(p.getName))
       .foreach(p => fs.delete(p, false))
   }
@@ -122,22 +144,42 @@ class KVBinBatchWrite(dir: String, truncate: Boolean, apiVersion: String)
   }
 }
 
-class KVBinWriterFactory(dir: String, conf: SerializableConfiguration)
+class KVBinWriterFactory(dir: String, conf: SerializableConfiguration,
+                         jobTag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVBinDataWriter(dir, conf, partitionId, taskId)
+    new KVBinDataWriter(dir, conf, jobTag, partitionId, taskId)
 }
 
-/** Streams (key, value) records into one attempt-unique region file.
-  * Opens lazily (an empty partition writes no file) and tracks min/max
-  * keys; the declared ordering makes them first/last, and the cheap
-  * per-record compare turns any ordering violation into a loud task
-  * failure instead of a silently unsorted region. */
+object KVBinDataWriter {
+  /** The connector's own file-name shapes — the commit sweep deletes
+    * only names this pattern matches: `part-NNNNN.kv` ([[KVBin.write]]),
+    * `part-NNNNN-<task>.kv` (pre-jobTag DSv2 tables on disk), and
+    * `part-NNNNN-<jobTag>-<task>.kv` (current DSv2). A foreign file in
+    * the directory (_SUCCESS marker, sidecar) is not ours to delete. */
+  val RegionFile: scala.util.matching.Regex = "part-\\d{5}(-[0-9a-f]+)*\\.kv".r
+
+  /** Job-unique name component from the DSv2 queryId (a per-write UUID):
+    * taskIds are only unique within one Spark application, so two
+    * applications appending to the same table would otherwise compute
+    * the SAME attempt file name and the second would truncate the
+    * first's LIVE committed region before any commit. */
+  def jobTag(queryId: String): String =
+    f"${queryId.hashCode & 0xffffffffL}%08x"
+}
+
+/** Streams (key, value) records into one attempt-unique region file
+  * (`part-<partition>-<jobTag>-<taskId>.kv` — unique across attempts
+  * AND across writing applications). Opens lazily (an empty partition
+  * writes no file) and tracks min/max keys; the declared ordering makes
+  * them first/last, and the cheap per-record compare turns any ordering
+  * violation into a loud task failure instead of a silently unsorted
+  * region. */
 class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
-                      partitionId: Int, taskId: Long)
+                      jobTag: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val name = f"part-$partitionId%05d-$taskId.kv"
+  private val name = f"part-$partitionId%05d-$jobTag-$taskId.kv"
   private var out: DataOutputStream = _
   private var minK: Array[Byte] = _
   private var prevK: Array[Byte] = _

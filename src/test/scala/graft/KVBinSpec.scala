@@ -524,4 +524,36 @@ class KVBinSpec extends SparkTestBase {
       s"stale region files survived the truncate: ${files.toSeq}")
     assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 10)
   }
+
+  test("DSv2 write: names are job-tagged, append preserves meta, sweep spares foreign files") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-m-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    parquetSrc.write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+      .option("api_version", "V2").mode("overwrite").save()
+    // file names carry the per-write job tag (cross-application
+    // uniqueness: taskIds restart at 0 in a fresh application, so the
+    // bare part-<pid>-<task>.kv shape could truncate a LIVE region)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".kv")).toSeq
+    names.foreach(n => assert(
+      graft.sources.kvbin.KVBinDataWriter.RegionFile.matches(n) &&
+        n.split("-").length == 4, s"un-tagged region name $n"))
+    // a foreign file survives the next commit's sweep
+    val foreign = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    fs.create(foreign, true).close()
+    // append WITHOUT the api_version option: the V2 stamp must carry
+    // over, not silently downgrade to the V1 default
+    parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save()
+    assert(KVBin.readMeta(dir, conf).get("api_version").contains("V2"))
+    assert(fs.exists(foreign), "commit sweep deleted a foreign file")
+    // append with a CONFLICTING version is an error, not a downgrade
+    val e = intercept[Exception] {
+      parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+        .option("api_version", "V1").mode("append").save()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("api_version"),
+      s"unexpected: ${e.getMessage}")
+  }
 }

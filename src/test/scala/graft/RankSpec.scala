@@ -29,6 +29,25 @@ class RankSpec extends SparkTestBase {
     assert(want.except(got.select("g", "v", "id", "r")).isEmpty)
   }
 
+  test("NULL group keys and NULL values rank exactly like the plain window") {
+    // a NULL group is its own partition; a NULL value sorts first
+    // (Spark asc = NULLS FIRST) — both previously fell out of the rank
+    // via the equi-joins; the null-safe join + the -1 null-value bucket
+    // restore window parity
+    val df = Seq(
+      (Option("a"), Option(3.0), 1L), (Option("a"), None, 2L),
+      (Option("a"), Option(1.0), 3L), (None, Option(2.0), 4L),
+      (None, Option(1.0), 5L), (None, None, 6L))
+      .toDF("g", "v", "id")
+    val got = Rank.cellRank(Rank.valueBuckets(df, "g", "v", "id", 4),
+      Seq("g"), "__b", Seq(col("v"), col("id")), "r")
+    val want = df.withColumn("r", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+    assert(got.count() === 6, "no row may drop out of the rank")
+    assert(got.select("g", "v", "id", "r").except(want).isEmpty)
+    assert(want.except(got.select("g", "v", "id", "r")).isEmpty)
+  }
+
   test("constant-value group falls back to id buckets and still ranks by id") {
     val df = (1 to 500).map(i => ("c", 42.0, i.toLong)).toDF("g", "v", "id")
       .union(Seq(("d", 1.0, 1L), ("d", 2.0, 2L)).toDF("g", "v", "id"))
