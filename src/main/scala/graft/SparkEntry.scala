@@ -97,7 +97,11 @@ object SparkEntry {
     // flatMapGroupsWithState k-anonymity release gate: rows held until
     // their (type, day) cell reaches k=4, then flushed; the drained
     // sink equals the batch kAnonFilter of the whole slice
-    "q_stream_k_anon" -> ((s, dir) => StreamEntries.streamKAnon(s, dir)))
+    "q_stream_k_anon" -> ((s, dir) => StreamEntries.streamKAnon(s, dir)),
+    // durable parquet file sink under a _spark_metadata manifest:
+    // read-back sees only committed files, and the aggregate equals
+    // the batch aggregate of the whole fed slice
+    "q_stream_file_sink" -> ((s, dir) => StreamEntries.streamFileSink(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3981,6 +3985,13 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 20 AND epoch_us(ts) >= 1705363200000000
         |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    // the file sink's manifest-committed read-back must equal the
+    // batch aggregate of the fed slice
+    "q_stream_file_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streaming release gate's fixed point IS the batch k-anonymity
     // filter of the fed slice — cells reaching k=4 release all their
     // rows, smaller cells release none

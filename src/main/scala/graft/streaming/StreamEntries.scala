@@ -801,4 +801,43 @@ object StreamEntries {
     takeTable(s, name)
       .orderBy(col("event_type"), col("day"), col("event_id"))
   }
+
+  /** Streaming PARQUET FILE SINK — the durable-sink path the memory
+    * sinks above don't exercise: micro-batches append parquet files
+    * under a `_spark_metadata` transaction log, and a reader of the
+    * directory sees ONLY manifest-committed files (exactly-once at the
+    * file level: a task retry's orphan file is never listed). The feed
+    * splits into two micro-batches, so the sink holds two committed
+    * file generations; the read-back aggregate must equal the batch
+    * aggregate over the whole slice — which is the committed oracle.
+    * The sink dir and checkpoint are per-call temp dirs cleaned at JVM
+    * exit through the shared hook. */
+  def streamFileSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evts = memoFeed(s"fsink:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)].collect().toSeq
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-fsink-")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, String, Double)]
+      val q = mem.toDF.toDF("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append").start() // checkpoint comes from the wrapper conf
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(evts.filter(_._1 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
 }

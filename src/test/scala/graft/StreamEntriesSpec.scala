@@ -157,4 +157,39 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("file sink: manifest-committed read-back equals batch; an orphan file is invisible") {
+    import graft.streaming.StreamEntries
+    val first = StreamEntries.streamFileSink(spark, sfSmoke).collect().toSeq
+    val batch = graft.operators.Events.read(spark, sfSmoke)
+      .filter(col("user_id") < 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(first === batch)
+    // exactly-once at the file level: drop an ORPHAN parquet file (a
+    // simulated failed-task leftover) into a fresh sink dir — the
+    // _spark_metadata manifest must keep it invisible to readers
+    val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-fsink-orphan-")
+    spark.range(5).toDF("event_id")
+      .withColumn("event_type", lit("ORPHAN")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$out/orphan_stage")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val ck = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-fsink-ck-")
+    val q = mem.toDF.toDF("event_id", "event_type", "value")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try { mem.addData((1L, "a", 2.0)); q.processAllAvailable() } finally q.stop()
+    // copy the orphan INTO the sink dir beside the committed files
+    val stage = new java.io.File(s"$out/orphan_stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(stage.toPath,
+      java.nio.file.Paths.get(out, "part-99999-orphan.snappy.parquet"))
+    val seen = spark.read.parquet(out).select("event_type")
+      .as[String].collect().toSeq
+    assert(seen === Seq("a"), s"orphan leaked into the read: $seen")
+  }
 }
