@@ -1250,6 +1250,56 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("c_custkey"))
     }),
+    // TPC-H Q9-shaped product profit: per (supplier nation, order year)
+    // over 'bolt' parts — profit = revenue − retail cost proxy, every
+    // term exact 4-dp integer units; the p_name LIKE filter prunes the
+    // broadcast part dim BEFORE the fact join
+    "q_profit" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(12,2)") * 10000)
+            .cast("long").as("cost_e4"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast("decimal(14,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            lit(10000)).cast("long").as("rev_e4"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg((sum(col("rev_e4") - col("cost_e4") * col("qty"))
+          .cast("double") / 10000).as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+    // TPC-H Q12-shaped shipping-priority classes: per line status, the
+    // count of late-shipped lines from high-priority vs other orders
+    // (the two-way CASE split after the orderkey join; the 30-day
+    // lateness predicate in exact timestamp arithmetic)
+    "q_priority_class" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
     // TPC-H Q20-shaped dominant suppliers: suppliers who shipped more
     // than HALF of some PROMO part's 1996 volume — the per-group
     // scalar-agg subquery (part totals) re-aggregated from the pair
@@ -5032,6 +5082,33 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3 ORDER BY c_custkey""".stripMargin,
+    // replays q_profit: the Q9 chain with the retail-cost proxy, every
+    // term exact 4-dp integers
+    "q_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |        10000 AS BIGINT)
+        |    - CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000 AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // replays q_priority_class: the Q12 two-way CASE split over
+    // late-shipped lines
+    "q_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays q_excess_parts: the Q20 decorrelation — the part-total
     // scalar subquery re-aggregated from the pair table, the half gate
     // an exact integer cross-multiply
