@@ -434,7 +434,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("round-8 TPC-H shapes: dims broadcast, facts equi-join, no cartesian") {
     for (q <- Seq("q_regional_revenue", "q_market_share", "q_returned_items",
-        "q_excess_parts")) {
+        "q_excess_parts", "q_profit", "q_priority_class")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
