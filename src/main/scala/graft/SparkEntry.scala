@@ -101,7 +101,10 @@ object SparkEntry {
     // durable parquet file sink under a _spark_metadata manifest:
     // read-back sees only committed files, and the aggregate equals
     // the batch aggregate of the whole fed slice
-    "q_stream_file_sink" -> ((s, dir) => StreamEntries.streamFileSink(s, dir)))
+    "q_stream_file_sink" -> ((s, dir) => StreamEntries.streamFileSink(s, dir)),
+    // foreachBatch MERGE sink: per micro-batch full-outer merge into a
+    // parquet table generation; final table = dst (the merge identity)
+    "q_stream_foreach_merge" -> ((s, dir) => StreamEntries.streamForeachMerge(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4022,6 +4025,11 @@ object SparkEntry {
     // the merge identity: src + changelog(diff) must equal dst
     "q_merge_upsert" -> (cte +
       "SELECT k AS key, v AS value FROM dst ORDER BY key"),
+    // the foreachBatch merge-sink twin of the same identity
+    "q_stream_foreach_merge" -> (cte +
+      """SELECT k AS key, v AS value FROM dst
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
     // streaming twin of the same identity, on the bounded feed slice
     "q_stream_upsert" -> (cte +
       """SELECT k AS key, v AS value FROM dst

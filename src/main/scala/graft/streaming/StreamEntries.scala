@@ -840,4 +840,74 @@ object StreamEntries {
         sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
   }
+
+  /** `foreachBatch` MERGE sink — the production "MERGE INTO a table
+    * per micro-batch" pattern (the mechanism behind every streaming-
+    * CDC-into-a-lakehouse pipeline): each micro-batch full-outer-merges
+    * its upserts/deletes into the current parquet table GENERATION and
+    * swaps directories, so the table is always a complete consistent
+    * snapshot and the stream never holds row state (the merge reads the
+    * table back instead — the state lives in the TABLE, which is what
+    * distinguishes this from [[StreamUpsert]]'s mapGroupsWithState
+    * view). Batch 1 installs the src snapshot, batch 2 merges the
+    * src→dst changelog; the final table must equal the dst slice — the
+    * same merge identity (and the same committed oracle) as
+    * q_stream_upsert. The dir swap stands in for a transactional table
+    * commit; a production caller points foreachBatch at a real MERGE
+    * INTO. */
+  def streamForeachMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def kv(df: DataFrame): DataFrame =
+      df.filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .select(col("k").as("key"), col("v").as("value"))
+    val srcRows = memoFeed(s"upsert_src:$dir")(
+      kv(KVSnapshot.srcStr(s, dir)).as[(String, String)].collect())
+    val dstRows = memoFeed(s"upsert_dst:$dir")(
+      kv(KVSnapshot.dstStr(s, dir)).as[(String, String)].collect())
+    val base = srcRows.map { case (k, v) => StreamUpsert.Chg(k, v, 0L, "U") }
+    val srcMap = srcRows.toMap
+    val dstMap = dstRows.toMap
+    val chg =
+      dstMap.iterator.collect {
+        case (k, v) if !srcMap.get(k).contains(v) => StreamUpsert.Chg(k, v, 1L, "U")
+      }.toArray ++
+      srcMap.keysIterator.collect {
+        case k if !dstMap.contains(k) => StreamUpsert.Chg(k, null, 1L, "D")
+      }
+    val root = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-fbm-")
+    val tbl = new java.io.File(root, "table")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[StreamUpsert.Chg]
+      val q = mem.toDS().toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val sp = batch.sparkSession
+          // the changelog carries one op per key per batch, so the
+          // merge needs no within-batch last-wins pass
+          val upd = batch.select(col("key"), col("value").as("__nv"), col("op"))
+          val merged =
+            if (!tbl.exists()) upd.filter(col("op") =!= "D")
+              .select(col("key"), col("__nv").as("value"))
+            else sp.read.parquet(tbl.toString)
+              .join(upd, Seq("key"), "full_outer")
+              .filter(col("op").isNull || col("op") =!= "D")
+              .select(col("key"),
+                coalesce(col("__nv"), col("value")).as("value"))
+          val next = new java.io.File(root, s"gen_$batchId")
+          merged.write.mode("overwrite").parquet(next.toString)
+          // generation swap = the "commit"; production uses a
+          // transactional MERGE INTO here
+          graft.sources.FixtureStore.deleteRecursively(tbl.toPath)
+          require(next.renameTo(tbl), s"generation swap failed at batch $batchId")
+        }
+        .start()
+      drain(q) {
+        mem.addData(base.toSeq)
+        q.processAllAvailable()
+        mem.addData(chg.toSeq)
+      }
+    }
+    s.read.parquet(tbl.toString).select(col("key"), col("value"))
+      .orderBy(col("key"))
+  }
 }
