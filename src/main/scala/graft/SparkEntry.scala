@@ -344,6 +344,13 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // topic-balanced sampling: k-means topics (the oracle-replayed
+    // deterministic codebook), then <=20 vectors kept per cluster in
+    // content-addressed md5 order — the per-cluster rank is the
+    // distributed cell rank, never a one-task-per-topic window
+    "q_topic_balance" -> ((s, dir) =>
+      Similarity.topicBalance(emb(s, dir), 5, 2, 20)
+        .orderBy(col("cluster_id"), col("rn"))),
     // ANN rollout gate: recall@3 of the IVF probe against the exact
     // brute-force top-3, per query, as an exact integer ppm — the eval
     // composes both operators it grades and costs |queries|·k beyond
@@ -3233,6 +3240,16 @@ object SparkEntry {
     // codebook constructions (seeds, 2 rounds, final codes), ADC LUTs,
     // fixed-order d0+d1+d2+d3 scoring — see pqSubCte/pqOracle
     "q_ann_pq" -> pqOracle,
+    // the same k-means assignment, then the per-cluster md5-order quota
+    "q_topic_balance" -> (kmeansAsgCte +
+      """,
+        |hk AS (SELECT cluster_id, vec_id,
+        |         md5('tb_' || CAST(vec_id AS VARCHAR)) AS h FROM asg),
+        |rk AS (SELECT cluster_id, vec_id,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |           ORDER BY h, vec_id) AS rn FROM hk)
+        |SELECT cluster_id, vec_id, rn FROM rk WHERE rn <= 20
+        |ORDER BY cluster_id, rn""".stripMargin),
     // the same k-means assignment, then the keep-first drop rule: a
     // vector is dropped iff SOME smaller-id vector in its cluster sits
     // at 9-dp cosine >= 0.4 (deliberately non-transitive — ε-chains

@@ -891,6 +891,46 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Nearest-centroid assignment against an explicit codebook —
+    * (vec_id, cluster_id), the standalone form of the stage every IVF /
+    * semantic-dedup path runs inline: 9-dp rounded cosine with the
+    * cluster_id tie-break (the family kernel), codebook broadcast
+    * (model parameters, not data), one corpus scan. */
+  def assignToCodebook(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+    val cent = codebook.withColumn("cvn", norm(col("cvec")))
+    corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
+        norm(col("vec")).as("cn"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cluster_id"),
+        round(dot(col("cv"), col("cvec")) / (col("cn") * col("cvn")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
+  /** Cluster-balanced ("topic-balanced") corpus sampling — the curation
+    * move that stops one dominant topic from owning the training mix:
+    * k-means topics over embeddings (the deterministic, oracle-replayed
+    * codebook), then at most `quota` vectors kept per cluster, chosen
+    * in the content-addressed (md5('tb_'‖id), id) order so both engines
+    * draw the SAME sample. The per-cluster rank is [[Rank.cellRank]]
+    * over md5-prefix cells — topics are few and large BY CONSTRUCTION,
+    * exactly the regime where a plain per-cluster window would funnel
+    * each topic through one task. Output: kept (cluster_id, vec_id,
+    * rn ≤ quota). */
+  def topicBalance(corpus: DataFrame, k: Int, iters: Int,
+                   quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val asg = assignToCodebook(corpus, kmeansCodebook(corpus, k, iters))
+      .withColumn("h", md5(concat(lit("tb_"), col("vec_id").cast("string"))))
+      .withColumn("__b", Rank.md5Bucket(col("h")))
+    Rank.cellRank(asg, Seq("cluster_id"), "__b",
+        Seq(col("h"), col("vec_id")), "rn")
+      .filter(col("rn") <= quota)
+      .select(col("cluster_id"), col("vec_id"), col("rn"))
+  }
+
   /** ANN quality evaluation — recall@k of an approximate top-k result
     * against the exact brute-force top-k: the metric every index
     * rollout gates on before the approximate path replaces the exact

@@ -415,6 +415,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("Raise k"), e.getMessage)
   }
 
+  test("topicBalance: quota respected per cluster; sample is partitioning-invariant") {
+    val e = emb
+    val got = Similarity.topicBalance(e, 5, 2, 20)
+    val perCluster = got.groupBy("cluster_id").count().collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) <= 20))
+    assert(got.select("vec_id").distinct().count() === got.count(), "a vector kept twice")
+    // content-addressed: the same sample regardless of physical layout
+    val re = Similarity.topicBalance(e.repartition(7), 5, 2, 20)
+    assert(got.exceptAll(re).isEmpty && re.exceptAll(got).isEmpty)
+  }
+
   test("recallAtK: hand-built overlap; zero-hit queries still emit a row; self vs self = 1") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
                     (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "vec_id")
