@@ -124,13 +124,20 @@ object StreamEntries {
     // those into memory writes — worth ~a third of the per-query fixed
     // floor. Production callers set a durable location themselves; this
     // wrapper only drives the bounded verification feeds.
+    // fall back to java.io.tmpdir when /dev/shm is absent (macOS,
+    // restricted containers): the conf must ALWAYS be set — the parquet
+    // file sink refuses to start without an explicit checkpoint
+    // location (useTempCheckpointLocation=false), unlike the memory
+    // sinks the rest of the family uses
     val shm = new java.io.File("/dev/shm")
-    val ckDir =
-      if (shm.isDirectory && shm.canWrite) {
-        val d = java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ck")
-        s.conf.set(ckKey, d.toUri.toString)
-        Some(d)
-      } else None
+    val ckBase =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckDir = {
+      val d = java.nio.file.Files.createTempDirectory(ckBase, "graft_ck")
+      s.conf.set(ckKey, d.toUri.toString)
+      Some(d)
+    }
     try f finally {
       s.conf.set(key, prev)
       prevCk match {
@@ -471,10 +478,16 @@ object StreamEntries {
     * `Diff.diffAsChangelog` produces). The view after the final batch
     * — latest emission per key, tombstones dropped — must equal dst:
     * the streaming twin of q_merge_upsert's inverse identity. */
-  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+  /** The src snapshot + src→dst changelog feed shared by
+    * [[streamUpsert]] and [[streamForeachMerge]] — ONE definition so the
+    * slice bounds and the changelog contract (dst_only → insert,
+    * mismatch → update, src_only → delete; exactly
+    * [[graft.operators.Diff.diffAsChangelog]]'s reading) cannot
+    * desynchronize between the two entries that share its memoized
+    * collects. Returns (base batch, changelog batch). */
+  private def upsertFeed(s: SparkSession, dir: String)
+      : (Seq[StreamUpsert.Chg], Seq[StreamUpsert.Chg]) = {
     import s.implicits._
-    // same bounded key range as streamDiff/streamDedup: the feed is
-    // driver-side test plumbing and must stay O(slice), not O(corpus)
     def kv(df: DataFrame): DataFrame =
       df.filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
         .select(col("k").as("key"), col("v").as("value"))
@@ -483,12 +496,6 @@ object StreamEntries {
     val dstRows = memoFeed(s"upsert_dst:$dir")(
       kv(KVSnapshot.dstStr(s, dir)).as[(String, String)].collect())
     val base = srcRows.map { case (k, v) => StreamUpsert.Chg(k, v, 0L, "U") }
-    // the src→dst changelog, computed driver-side from the two collected
-    // slices with exactly [[graft.operators.Diff.diffAsChangelog]]'s
-    // contract (dst_only →
-    // insert, mismatch → update, src_only → delete, seq=1): the feed is
-    // test plumbing, and a map over the ≤2k-key slice replaces the
-    // full-outer join JOB the old Diff.diff feed launched per bench pass
     val srcMap = srcRows.toMap
     val dstMap = dstRows.toMap
     val chg =
@@ -498,6 +505,12 @@ object StreamEntries {
       srcMap.keysIterator.collect {
         case k if !dstMap.contains(k) => StreamUpsert.Chg(k, null, 1L, "D")
       }
+    (base.toSeq, chg.toSeq)
+  }
+
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, chg) = upsertFeed(s, dir)
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_upsert")
     withStatePartitions(s, 1, noData = false) {
@@ -510,9 +523,9 @@ object StreamEntries {
         // the whole changelog against it — the cross-batch state carry
         // is already proven by the boundary between them (splitting the
         // changelog again bought a third commit, not more coverage)
-        mem.addData(base.toSeq)
+        mem.addData(base)
         q.processAllAvailable()
-        mem.addData(chg.toSeq)
+        mem.addData(chg)
       }
     }
     takeTable(s, name)
@@ -857,23 +870,7 @@ object StreamEntries {
     * INTO. */
   def streamForeachMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def kv(df: DataFrame): DataFrame =
-      df.filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
-        .select(col("k").as("key"), col("v").as("value"))
-    val srcRows = memoFeed(s"upsert_src:$dir")(
-      kv(KVSnapshot.srcStr(s, dir)).as[(String, String)].collect())
-    val dstRows = memoFeed(s"upsert_dst:$dir")(
-      kv(KVSnapshot.dstStr(s, dir)).as[(String, String)].collect())
-    val base = srcRows.map { case (k, v) => StreamUpsert.Chg(k, v, 0L, "U") }
-    val srcMap = srcRows.toMap
-    val dstMap = dstRows.toMap
-    val chg =
-      dstMap.iterator.collect {
-        case (k, v) if !srcMap.get(k).contains(v) => StreamUpsert.Chg(k, v, 1L, "U")
-      }.toArray ++
-      srcMap.keysIterator.collect {
-        case k if !dstMap.contains(k) => StreamUpsert.Chg(k, null, 1L, "D")
-      }
+    val (base, chg) = upsertFeed(s, dir)
     val root = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-fbm-")
     val tbl = new java.io.File(root, "table")
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -902,9 +899,9 @@ object StreamEntries {
         }
         .start()
       drain(q) {
-        mem.addData(base.toSeq)
+        mem.addData(base)
         q.processAllAvailable()
-        mem.addData(chg.toSeq)
+        mem.addData(chg)
       }
     }
     s.read.parquet(tbl.toString).select(col("key"), col("value"))
