@@ -1386,6 +1386,15 @@ object SparkEntry {
     // register sum, linear-counting small-range correction — the
     // register STATE (bucket count, Σρ) is gated exactly alongside the
     // 6-dp estimate, and the exact twin shows the error live
+    // mergeable histogram quantile sketch: per event type, the P500 /
+    // P950 permille brackets from a 1024-counter equi-width sketch —
+    // counters merge by addition, rank targets in exact integers, value
+    // error bounded by range/1024 by construction
+    "q_hist_quantile" -> ((s, dir) =>
+      Sketches.histQuantiles(Events.read(s, dir), col("event_type"),
+          col("value"), 1024, Seq(500, 950))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"), col("q_permille"))),
     "q_hll_ndv" -> ((s, dir) => {
       val tok = docs(s, dir).select(col("lang"),
         explode(Dedup.shingles(col("text"), 3)).as("t"))
@@ -4589,6 +4598,30 @@ object SparkEntry {
     // DECIMAL(38,30); α·m² embedded as ONE Scala-computed double
     // literal on both sides; ln per the family recipe
     "q_hll_ndv" -> hllNdvOracleSql,
+    // replays q_hist_quantile: the same 1024-bucket counters, running
+    // counts over the counter table, positive-operand ceil rank target
+    "q_hist_quantile" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events),
+        |st AS (SELECT g, min(v) AS lo, max(v) AS hi FROM base GROUP BY 1),
+        |cells AS (SELECT b.g,
+        |    CASE WHEN st.hi > st.lo
+        |         THEN least(1023, CAST(floor((b.v - st.lo) / (st.hi - st.lo) * 1024) AS BIGINT))
+        |         ELSE 0 END AS bucket, count(*) AS cnt
+        |  FROM base b JOIN st ON b.g = st.g GROUP BY 1, 2),
+        |run AS (SELECT g, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS hi_rank,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) - cnt AS lo_rank
+        |  FROM cells),
+        |nn AS (SELECT g, count(*) AS n FROM base GROUP BY 1)
+        |SELECT r.g AS event_type, q.q_permille, nn.n, r.bucket,
+        |  round(st.lo + r.bucket * ((st.hi - st.lo) / 1024), 9) AS est_lo,
+        |  round(st.lo + (r.bucket + 1) * ((st.hi - st.lo) / 1024), 9) AS est_hi
+        |FROM run r
+        |JOIN nn ON r.g = nn.g JOIN st ON r.g = st.g
+        |CROSS JOIN (VALUES (500), (950)) AS q(q_permille)
+        |WHERE r.lo_rank < (q.q_permille * nn.n + 999) // 1000
+        |  AND (q.q_permille * nn.n + 999) // 1000 <= r.hi_rank
+        |ORDER BY event_type, q_permille""".stripMargin,
     // the streaming register merge must be invisible to the estimate:
     // q_hll_ndv's SQL verbatim
     "q_stream_hll" -> hllNdvOracleSql,

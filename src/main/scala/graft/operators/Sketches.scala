@@ -420,4 +420,59 @@ object Sketches {
             lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
             .otherwise(lit(alphaM2) / col("s")), 6).as("est_ndv"))
   }
+
+  /** Mergeable QUANTILE sketch — the equi-width histogram form: per
+    * group, `buckets` fixed-width counters over the [min, max] value
+    * range. The counter table IS the sketch: counters MERGE by plain
+    * addition (shards, micro-batches, snapshots), memory is
+    * groups×buckets regardless of row count, and the rank guarantee is
+    * deterministic — the reported bucket's TRUE rank error is zero (the
+    * quantile is bracketed by the bucket edges, value error ≤
+    * range/buckets) rather than probabilistic like GK/KLL, at the price
+    * of needing the (min, max) prepass those sketches avoid. Per
+    * requested permille point: the first bucket where the running count
+    * reaches ⌈q·n/1000⌉, with its [lo, hi) value bracket at 9 dp.
+    * Everything ranks in exact integers; the only floats are the final
+    * edge displays — the same IEEE multiply/divide in both engines.
+    * Scale: one stats pass (broadcast back), one partial-agg counter
+    * pass, then windows over the groups×buckets counter table ONLY.
+    * Output: (g, q_permille, n, bucket, est_lo, est_hi). */
+  def histQuantiles(df: DataFrame, gCol: Column, vCol: Column,
+                    buckets: Int, qPermille: Seq[Int]): DataFrame = {
+    require(buckets >= 2 && qPermille.nonEmpty &&
+      qPermille.forall(q => q > 0 && q <= 1000),
+      "need buckets >= 2 and permille points in (0, 1000]")
+    val base = df.select(gCol.as("g"), vCol.cast("double").as("v"))
+    val stats = base.groupBy(col("g").as("__sg"))
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val cells = base.join(broadcast(stats), col("g") === col("__sg"))
+      .withColumn("bucket",
+        when(col("__hi") > col("__lo"),
+          least(lit(buckets - 1L),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo")) * buckets)))
+        .otherwise(lit(0L)))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // running counts over the groups×buckets table only — never the data
+    val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+    val run = cells
+      .withColumn("hi_rank", sum(col("cnt")).over(w))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt"))
+    val n = base.groupBy(col("g").as("__ng")).agg(count(lit(1)).as("n"))
+    // ceil on POSITIVE operands only — Spark's `div` truncates while
+    // DuckDB's `//` floors, and they agree exactly on non-negatives
+    val qs = qPermille.map(q => (q, s"CAST((($q * n) + 999) div 1000 AS BIGINT)"))
+      .map { case (q, target) =>
+        run.join(broadcast(n), col("g") === col("__ng"))
+          .join(broadcast(stats), col("g") === col("__sg"))
+          .filter(col("lo_rank") < expr(target) &&
+            expr(target) <= col("hi_rank"))
+          .select(col("g"), lit(q).as("q_permille"), col("n"), col("bucket"),
+            round(col("__lo") + col("bucket") *
+              ((col("__hi") - col("__lo")) / buckets), 9).as("est_lo"),
+            round(col("__lo") + (col("bucket") + 1) *
+              ((col("__hi") - col("__lo")) / buckets), 9).as("est_hi"))
+      }
+    qs.reduce(_ unionAll _)
+  }
 }
