@@ -104,7 +104,11 @@ object SparkEntry {
     "q_stream_file_sink" -> ((s, dir) => StreamEntries.streamFileSink(s, dir)),
     // foreachBatch MERGE sink: per micro-batch full-outer merge into a
     // parquet table generation; final table = dst (the merge identity)
-    "q_stream_foreach_merge" -> ((s, dir) => StreamEntries.streamForeachMerge(s, dir)))
+    "q_stream_foreach_merge" -> ((s, dir) => StreamEntries.streamForeachMerge(s, dir)),
+    // streaming histogram-quantile sketch: counters sum across batches
+    // in the state store; sink counters rank through the identical
+    // batch estimate stage
+    "q_stream_hist_quantile" -> ((s, dir) => StreamEntries.streamHistQuantile(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4069,6 +4073,31 @@ object SparkEntry {
         |FROM events
         |WHERE user_id < 20 AND epoch_us(ts) >= 1705363200000000
         |GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    // the streamed sketch's sink counters must rank exactly like the
+    // batch sketch over the whole slice
+    "q_stream_hist_quantile" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 50),
+        |st AS (SELECT g, min(v) AS lo, max(v) AS hi FROM base GROUP BY 1),
+        |cells AS (SELECT b.g,
+        |    CASE WHEN st.hi > st.lo
+        |         THEN least(1023, CAST(floor((b.v - st.lo) / (st.hi - st.lo) * 1024) AS BIGINT))
+        |         ELSE 0 END AS bucket, count(*) AS cnt
+        |  FROM base b JOIN st ON b.g = st.g GROUP BY 1, 2),
+        |run AS (SELECT g, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS hi_rank,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) - cnt AS lo_rank
+        |  FROM cells),
+        |nn AS (SELECT g, count(*) AS n FROM base GROUP BY 1)
+        |SELECT r.g AS event_type, q.q_permille, nn.n, r.bucket,
+        |  round(st.lo + r.bucket * ((st.hi - st.lo) / 1024), 9) AS est_lo,
+        |  round(st.lo + (r.bucket + 1) * ((st.hi - st.lo) / 1024), 9) AS est_hi
+        |FROM run r
+        |JOIN nn ON r.g = nn.g JOIN st ON r.g = st.g
+        |CROSS JOIN (VALUES (500), (950)) AS q(q_permille)
+        |WHERE r.lo_rank < (q.q_permille * nn.n + 999) // 1000
+        |  AND (q.q_permille * nn.n + 999) // 1000 <= r.hi_rank
+        |ORDER BY event_type, q_permille""".stripMargin,
     // the file sink's manifest-committed read-back must equal the
     // batch aggregate of the fed slice
     "q_stream_file_sink" ->

@@ -439,13 +439,22 @@ object Sketches {
     * Output: (g, q_permille, n, bucket, est_lo, est_hi). */
   def histQuantiles(df: DataFrame, gCol: Column, vCol: Column,
                     buckets: Int, qPermille: Seq[Int]): DataFrame = {
-    require(buckets >= 2 && qPermille.nonEmpty &&
-      qPermille.forall(q => q > 0 && q <= 1000),
-      "need buckets >= 2 and permille points in (0, 1000]")
     val base = df.select(gCol.as("g"), vCol.cast("double").as("v"))
-    val stats = base.groupBy(col("g").as("__sg"))
+    val stats = histStats(base)
+    histQuantilesFromCells(histCells(base, stats, buckets), stats,
+      buckets, qPermille)
+  }
+
+  /** Per-group (min, max) value range for the histogram sketch. */
+  def histStats(base: DataFrame): DataFrame =
+    base.groupBy(col("g").as("__sg"))
       .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
-    val cells = base.join(broadcast(stats), col("g") === col("__sg"))
+
+  /** The COUNTER table (g, bucket, cnt) — the sketch itself. Counters
+    * from shards / micro-batches / snapshots built against the SAME
+    * stats merge by plain addition. */
+  def histCells(base: DataFrame, stats: DataFrame, buckets: Int): DataFrame =
+    base.join(broadcast(stats), col("g") === col("__sg"))
       .withColumn("bucket",
         when(col("__hi") > col("__lo"),
           least(lit(buckets - 1L),
@@ -453,12 +462,23 @@ object Sketches {
         .otherwise(lit(0L)))
       .groupBy(col("g"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The estimate stage over an explicit counter table (g, bucket, cnt)
+    * — separated (the [[hllEstimate]] pattern) so MERGED counters, e.g.
+    * summed across streaming micro-batches, rank through the identical
+    * arithmetic. `n` per group is Σ cnt — derived from the sketch, so a
+    * merged sketch needs no side channel. */
+  def histQuantilesFromCells(cells: DataFrame, stats: DataFrame,
+                             buckets: Int, qPermille: Seq[Int]): DataFrame = {
+    require(buckets >= 2 && qPermille.nonEmpty &&
+      qPermille.forall(q => q > 0 && q <= 1000),
+      "need buckets >= 2 and permille points in (0, 1000]")
     // running counts over the groups×buckets table only — never the data
     val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
     val run = cells
       .withColumn("hi_rank", sum(col("cnt")).over(w))
       .withColumn("lo_rank", col("hi_rank") - col("cnt"))
-    val n = base.groupBy(col("g").as("__ng")).agg(count(lit(1)).as("n"))
+    val n = cells.groupBy(col("g").as("__ng")).agg(sum(col("cnt")).as("n"))
     // ceil on POSITIVE operands only — Spark's `div` truncates while
     // DuckDB's `//` floors, and they agree exactly on non-negatives
     val qs = qPermille.map(q => (q, s"CAST((($q * n) + 999) div 1000 AS BIGINT)"))

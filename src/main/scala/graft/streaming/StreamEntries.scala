@@ -907,4 +907,46 @@ object StreamEntries {
     s.read.parquet(tbl.toString).select(col("key"), col("value"))
       .orderBy(col("key"))
   }
+
+  /** Streaming histogram-quantile sketch
+    * ([[graft.operators.Sketches.histCells]] as a streaming
+    * complete-mode aggregation): the counter table lives in the state
+    * store and counters SUM across micro-batches — the sketch's merge
+    * property exercised live, the [[streamCms]] shape with quantile
+    * ranks instead of point counts. The per-group (min, max) stats pin
+    * the bucket geometry batch-side before streaming (a production
+    * pipeline fixes sketch parameters up front, or re-ranges per epoch);
+    * after the drain the sink counters rank through the IDENTICAL
+    * `histQuantilesFromCells` stage the batch entry uses, so the oracle
+    * is the batch sketch SQL over the whole slice. */
+  def streamHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = memoFeed(s"histq:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)].collect().toSeq
+    }
+    val statsDf = graft.operators.Sketches.histStats(
+      rows.map(r => (r._1, r._2)).toDF("g", "v"))
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_histq")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Double, Long)]
+      val cells = graft.operators.Sketches.histCells(
+        mem.toDF.toDF("g", "v", "id").select(col("g"), col("v")),
+        statsDf, 1024)
+      val q = cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(rows.filter(_._3 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    graft.operators.Sketches.histQuantilesFromCells(
+        takeTable(s, name), statsDf, 1024, Seq(500, 950))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"), col("q_permille"))
+  }
 }
