@@ -479,20 +479,24 @@ object Sketches {
       .withColumn("hi_rank", sum(col("cnt")).over(w))
       .withColumn("lo_rank", col("hi_rank") - col("cnt"))
     val n = cells.groupBy(col("g").as("__ng")).agg(sum(col("cnt")).as("n"))
-    // ceil on POSITIVE operands only — Spark's `div` truncates while
-    // DuckDB's `//` floors, and they agree exactly on non-negatives
-    val qs = qPermille.map(q => (q, s"CAST((($q * n) + 999) div 1000 AS BIGINT)"))
-      .map { case (q, target) =>
-        run.join(broadcast(n), col("g") === col("__ng"))
-          .join(broadcast(stats), col("g") === col("__sg"))
-          .filter(col("lo_rank") < expr(target) &&
-            expr(target) <= col("hi_rank"))
-          .select(col("g"), lit(q).as("q_permille"), col("n"), col("bucket"),
-            round(col("__lo") + col("bucket") *
-              ((col("__hi") - col("__lo")) / buckets), 9).as("est_lo"),
-            round(col("__lo") + (col("bucket") + 1) *
-              ((col("__hi") - col("__lo")) / buckets), 9).as("est_hi"))
-      }
-    qs.reduce(_ unionAll _)
+    // ALL requested points ride ONE pass: a broadcast q-row table
+    // cross-joined into the counter walk (a per-point union would
+    // re-aggregate the counters once per point — one full input scan
+    // each for the batch caller). Ceil on POSITIVE operands only —
+    // Spark's `div` truncates while DuckDB's `//` floors, and they
+    // agree exactly on non-negatives.
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val qdf = qPermille.toDF("q_permille")
+    val target = expr("CAST(((q_permille * n) + 999) div 1000 AS BIGINT)")
+    run.join(broadcast(n), col("g") === col("__ng"))
+      .join(broadcast(stats), col("g") === col("__sg"))
+      .crossJoin(broadcast(qdf))
+      .filter(col("lo_rank") < target && target <= col("hi_rank"))
+      .select(col("g"), col("q_permille"), col("n"), col("bucket"),
+        round(col("__lo") + col("bucket") *
+          ((col("__hi") - col("__lo")) / buckets), 9).as("est_lo"),
+        round(col("__lo") + (col("bucket") + 1) *
+          ((col("__hi") - col("__lo")) / buckets), 9).as("est_hi"))
   }
 }
