@@ -142,58 +142,114 @@ object Graph {
   /** Frequent triple mining (market-basket level 3): item triples
     * co-occurring in at least `minGroups` distinct groups. Like
     * [[coEdges]], the combination explode is per-GROUP — cubic only in
-    * basket size (avg ~4, max ~17 on the fixtures). A HUB basket makes
-    * that cube the job, so the explode sits behind a VOLUME GUARD
+    * basket size (avg ~4, max ~17 on the fixtures).
+    *
+    * The DEFAULT route is Apriori-pruned (Agrawal & Srikant 1994, the
+    * level-2→3 monotonicity): a frequent triple's three member pairs
+    * are each frequent, so before the cubic explode a level-2 pass
+    * computes per-group pairs (quadratic, the cheap level), keeps the
+    * globally frequent ones (support ≥ `minGroups` — the SAME floor the
+    * triples use), and thins each basket to the items holding ≥ 2
+    * frequent-pair memberships WITHIN that basket (a triple member
+    * needs two frequent partners co-present). Any group containing a
+    * frequent triple keeps all three members (its member pairs are
+    * globally frequent and co-present there), so the pruned cube's
+    * output — support values included — is bit-identical to the
+    * unpruned one; a hub basket of mostly-unique items (the real-corpus
+    * norm) prunes to nothing and costs C(c,2), not C(c,3).
+    * `aprioriPrune = false` skips the level-2 pass for corpora whose
+    * baskets are known-small (saves one pair shuffle).
+    *
+    * Both explodes sit behind the house VOLUME GUARD
     * ([[graft.operators.Dedup.editNearDupPrefix]]'s discipline): the
-    * exact triple volume Σ C(cₘ,3) is aggregated IN-PLAN from the same
-    * distinct basket frame the cube reads (one ReusedExchange, no
+    * exact volumes — Σ C(c,2) over raw baskets for the pair pass,
+    * Σ C(c',3) over PRUNED baskets for the cube — are aggregated
+    * IN-PLAN from the same frames the joins read (ReusedExchange, no
     * separate guard job), and a volume above `maxTriplesPerGroup`·groups
     * fails the job via `assert_true` on the first probe row — before
-    * any join materializes a triple — with the remedies named: cap
-    * basket size upstream, or Apriori-prune through [[coEdges]] first
-    * (triple support ≤ min pair support, so items outside any frequent
-    * pair cannot form a frequent triple). Int.MaxValue disables. The
-    * support count is one grouped shuffle on the triple key. Output:
-    * (x, y, z, support) with x < y < z. */
+    * any join materializes a pair or triple. A post-prune refusal is
+    * irreducible: the OUTPUT itself is cubic in a surviving hub (every
+    * pair frequent), and no algorithm shrinks its own answer — cap
+    * basket size upstream or raise the bound to accept the cost.
+    * Int.MaxValue disables. The support count is one grouped shuffle on
+    * the triple key. Output: (x, y, z, support) with x < y < z. */
   def coTriples(df: DataFrame, groupCol: String, itemCol: String,
-                minGroups: Int, maxTriplesPerGroup: Int = 5000): DataFrame = {
+                minGroups: Int, maxTriplesPerGroup: Int = 5000,
+                aprioriPrune: Boolean = true): DataFrame = {
     val gi0 = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
       .distinct()
     // The guard is PLAN-INTEGRATED, not a separate driver action: the
-    // exact volume Σ C(c,3) aggregates the same distinct frame the cube
-    // reads, so Catalyst reuses ONE shuffle (ReusedExchange) for guard
-    // and cube alike, and `assert_true` over the broadcast 1-row volume
-    // fails the job on the first probe row — before any join
-    // materializes a triple. (Round-8 measurements: an eager `.head()`
-    // guard action re-ran the distinct and cost ~2× the whole query at
-    // sf0.1 — 1.9→3.5 s — and a localCheckpoint'd frame cost 19 s at
-    // sf1; the in-plan guard pays one mapside re-aggregation, ~zero.)
-    // The price is failure semantics: the refusal surfaces at the first
-    // ACTION on the result, not at the call — same message, wrapped in
-    // Spark's job failure.
-    val gi = if (maxTriplesPerGroup == Int.MaxValue) gi0 else {
-      // c·(c−1)·(c−2) folds in DECIMAL(38,0): in BIGINT a single hub
-      // basket of ~2.1M+ distinct items wraps the product past
-      // Long.MaxValue (ANSI off wraps silently), t6 could go negative
-      // and the guard would PASS on exactly the basket it exists to
-      // refuse — the mixEpochPlan overflow discipline applied here
-      val occ = gi0.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c").cast("decimal(38,0)") *
-            (col("c") - lit(1)) * (col("c") - lit(2))),
-          lit(0).cast("decimal(38,0)")).as("t6"), count(lit(1)).as("ng"))
-      gi0.crossJoin(broadcast(occ))
-        .filter(assert_true(
-          expr("t6 div 6") <= lit(maxTriplesPerGroup.toLong) * col("ng"),
-          concat(lit("coTriples: triple volume "),
-            expr("CAST(t6 div 6 AS STRING)"),
-            lit(s" exceeds $maxTriplesPerGroup/group over "),
-            col("ng").cast("string"),
-            lit(" groups — a hub basket makes the per-group combination " +
-              "explode cubic. Cap basket size upstream, Apriori-prune " +
-              "through coEdges first (triple support <= min pair " +
-              "support), or raise maxTriplesPerGroup explicitly to " +
-              "accept the cost."))).isNull)
-        .select(col("g"), col("i"))
+    // exact volume aggregates the same distinct frame the join reads,
+    // so Catalyst reuses ONE shuffle (ReusedExchange) for guard and
+    // join alike, and `assert_true` over the broadcast 1-row volume
+    // fails the job on the first probe row. (Round-8 measurements: an
+    // eager `.head()` guard action re-ran the distinct and cost ~2× the
+    // whole query at sf0.1 — 1.9→3.5 s — and a localCheckpoint'd frame
+    // cost 19 s at sf1; the in-plan guard pays one mapside
+    // re-aggregation, ~zero.) The price is failure semantics: the
+    // refusal surfaces at the first ACTION on the result, not at the
+    // call — same message, wrapped in Spark's job failure.
+    // `volNum`: Σ c·(c−1)·…·(c−arity+1) folds in DECIMAL(38,0) — in
+    // BIGINT a single hub basket of ~2.1M+ distinct items wraps the
+    // product past Long.MaxValue (under ANSI, the Spark 4 default, the
+    // fold would abort with a job-level overflow error instead of the
+    // guard's own message; decimal keeps the message) — the
+    // mixEpochPlan overflow discipline applied here.
+    def guarded(frame: DataFrame, arity: Int, what: String): DataFrame = {
+      if (maxTriplesPerGroup == Int.MaxValue) frame else {
+        val prod = (0 until arity).map(k =>
+            (col("c") - lit(k)).cast("decimal(38,0)")).reduce(_ * _)
+        val fact = (1 to arity).product
+        val occ = frame.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(prod), lit(0).cast("decimal(38,0)")).as("vn"),
+            count(lit(1)).as("ng"))
+        frame.crossJoin(broadcast(occ))
+          .filter(assert_true(
+            expr(s"vn div $fact") <= lit(maxTriplesPerGroup.toLong) * col("ng"),
+            concat(lit(s"coTriples: $what volume "),
+              expr(s"CAST(vn div $fact AS STRING)"),
+              lit(s" exceeds $maxTriplesPerGroup/group over "),
+              col("ng").cast("string"),
+              lit(" groups — a hub basket makes the per-group " +
+                s"combination explode ${if (arity == 3) "cubic" else "quadratic"}. " +
+                (if (arity == 2)
+                  "The level-2 pass is the prune's own floor — cap " +
+                  "basket size upstream or raise maxTriplesPerGroup " +
+                  "explicitly to accept the cost."
+                else if (aprioriPrune)
+                  "This volume already survived the Apriori level-2 prune " +
+                  "(every hub pair is frequent), so the OUTPUT itself is " +
+                  "cubic — cap basket size upstream or raise " +
+                  "maxTriplesPerGroup explicitly to accept the cost."
+                else
+                  "Cap basket size upstream, Apriori-prune through " +
+                  "coEdges first (triple support <= min pair support), " +
+                  "or raise maxTriplesPerGroup explicitly to accept the " +
+                  "cost.")))).isNull)
+          .select(col("g"), col("i"))
+      }
+    }
+    val gi = if (!aprioriPrune) guarded(gi0, 3, "triple") else {
+      // level-2 pass: per-group pairs — guarded at the SAME bound (a
+      // basket passing C(c,2) ≤ bound is far inside the cube's budget)
+      val gp = guarded(gi0, 2, "Apriori level-2 pair")
+      val pl = gp.select(col("g"), col("i").as("a"))
+      val pr = gp.select(col("g"), col("i").as("b"))
+      val pairsG = pl.join(pr, Seq("g")).filter(col("a") < col("b"))
+      // globally frequent pairs at the triples' own support floor; the
+      // groupBy and the semi-join both shuffle pairsG on (a, b), so
+      // Catalyst reuses one exchange for both consumers
+      val fp = pairsG.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= minGroups)
+        .select(col("a"), col("b"))
+      val fpg = pairsG.join(fp, Seq("a", "b"), "left_semi")
+      // basket thinning: a triple member holds ≥2 frequent-pair
+      // memberships co-present in its basket
+      val thinned = fpg.select(col("g"), col("a").as("i"))
+        .unionAll(fpg.select(col("g"), col("b").as("i")))
+        .groupBy(col("g"), col("i")).agg(count(lit(1)).as("fpc"))
+        .filter(col("fpc") >= 2).select(col("g"), col("i"))
+      guarded(thinned, 3, "post-prune triple")
     }
     val a = gi.select(col("g"), col("i").as("x"))
     val b = gi.select(col("g"), col("i").as("y"))

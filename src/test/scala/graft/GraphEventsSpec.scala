@@ -96,9 +96,34 @@ class GraphEventsSpec extends SparkTestBase {
     assert(t2 === 4) // the 4 distinct triples of group 10 cover groups 11/12's
   }
 
-  test("coTriples volume guard refuses a planted hub basket and names the remedy") {
-    // one 60-item hub basket → C(60,3)=34220 triples over 3 groups;
-    // guard bound 1000/group refuses, small baskets alone pass it
+  test("coTriples Apriori prune answers a planted hub basket exactly") {
+    // one 60-item hub basket whose items co-occur nowhere else: every
+    // hub pair has support 1 < minGroups=2, so the level-2 prune thins
+    // the hub to NOTHING — the C(60,3)=34220 cube (which the guard
+    // bound 1000/group would refuse unpruned) never materializes, and
+    // the small baskets' exact answer comes through
+    val hub = (1 to 60).map(i => (99L, (1000 + i).toLong)) ++
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L))
+    val df = hub.toDF("g", "item")
+    val pruned = graft.operators.Graph.coTriples(df, "g", "item",
+      minGroups = 2, maxTriplesPerGroup = 1000)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pruned === Set((1L, 2L, 3L, 2L)))
+    // the unpruned route on the same data still refuses — the prune,
+    // not the guard bound, is what made the hub tractable
+    val e0 = intercept[Throwable] {
+      graft.operators.Graph.coTriples(df, "g", "item", minGroups = 2,
+        maxTriplesPerGroup = 1000, aprioriPrune = false).count()
+    }
+    val chain0 = Iterator.iterate(e0)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain0.contains("Apriori"), chain0)
+  }
+
+  test("coTriples post-prune guard still refuses the irreducible hub") {
+    // minGroups=1 makes EVERY hub pair frequent — the prune keeps the
+    // hub whole and the output itself is cubic; the post-prune guard
+    // refuses naming that irreducibility (no remedy but capping)
     val hub = (1 to 60).map(i => (99L, i.toLong)) ++
       Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
     val df = hub.toDF("g", "item")
@@ -110,11 +135,30 @@ class GraphEventsSpec extends SparkTestBase {
     }
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(chain.contains("Apriori"), chain)
+    assert(chain.contains("OUTPUT itself is cubic"), chain)
     // Int.MaxValue disables; the small-basket remainder passes the bound
     val small = df.filter($"g" =!= 99L)
     assert(graft.operators.Graph.coTriples(small, "g", "item", minGroups = 1,
       maxTriplesPerGroup = 1000).count() == 2)
+  }
+
+  test("coTriples pruned and unpruned routes agree bit-for-bit") {
+    // baskets with overlapping structure: monotonicity says the pruned
+    // cube loses nothing at the support floor — support values included
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 2L), (12L, 3L), (12L, 4L),
+      (13L, 1L), (13L, 2L), (13L, 3L), (13L, 5L),
+      (14L, 5L), (14L, 6L)
+    ).toDF("g", "item")
+    for (mg <- Seq(1, 2, 3)) {
+      val p = graft.operators.Graph.coTriples(df, "g", "item", minGroups = mg)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val u = graft.operators.Graph.coTriples(df, "g", "item", minGroups = mg,
+        aprioriPrune = false).as[(Long, Long, Long, Long)].collect().toSet
+      assert(p === u, s"minGroups=$mg")
+    }
   }
 
   test("coEdges thins by distinct-group support") {
