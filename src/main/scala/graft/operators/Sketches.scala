@@ -452,9 +452,15 @@ object Sketches {
 
   /** The COUNTER table (g, bucket, cnt) — the sketch itself. Counters
     * from shards / micro-batches / snapshots built against the SAME
-    * stats merge by plain addition. */
+    * stats merge by plain addition. NULL handling matches both engines'
+    * quantile semantics: NULL values are NOT observations (dropped here,
+    * so ranks never count them and bucket ordering can't diverge on the
+    * engines' NULLS FIRST/LAST split), while a NULL GROUP is a real
+    * group — the `<=>` join keeps its sketch (the [[Rank.cellRank]]
+    * null-key discipline). */
   def histCells(base: DataFrame, stats: DataFrame, buckets: Int): DataFrame =
-    base.join(broadcast(stats), col("g") === col("__sg"))
+    base.filter(col("v").isNotNull)
+      .join(broadcast(stats), col("g") <=> col("__sg"))
       .withColumn("bucket",
         when(col("__hi") > col("__lo"),
           least(lit(buckets - 1L),
@@ -489,8 +495,8 @@ object Sketches {
     import spark.implicits._
     val qdf = qPermille.toDF("q_permille")
     val target = expr("CAST(((q_permille * n) + 999) div 1000 AS BIGINT)")
-    run.join(broadcast(n), col("g") === col("__ng"))
-      .join(broadcast(stats), col("g") === col("__sg"))
+    run.join(broadcast(n), col("g") <=> col("__ng"))
+      .join(broadcast(stats), col("g") <=> col("__sg"))
       .crossJoin(broadcast(qdf))
       .filter(col("lo_rank") < target && target <= col("hi_rank"))
       .select(col("g"), col("q_permille"), col("n"), col("bucket"),

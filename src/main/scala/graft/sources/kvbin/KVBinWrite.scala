@@ -36,7 +36,21 @@ import org.apache.spark.util.SerializableConfiguration
   * (regions may then overlap in key range — legal for scans, checksums
   * and diffs, which treat the table as a KV multiset); overwrite mode
   * (`SupportsTruncate`) swaps the index wholesale. The api_version
-  * stamp comes from the writer option of the same name. */
+  * stamp comes from the writer option of the same name.
+  *
+  * CONCURRENCY CONTRACT — single concurrent writer per table. The
+  * jobTag makes attempt FILES collision-free across applications, but
+  * `_index` commit is a read-modify-write with no filesystem-level CAS:
+  * two appenders committing concurrently would each merge against the
+  * same old index, the later swap dropping the earlier's fresh regions
+  * and its sweep deleting their files. Appends DETECT the common case —
+  * the index's (length, modTime) fingerprint is taken when the old
+  * entries are read and re-checked immediately before the swap; a
+  * changed fingerprint fails the commit with the lost-append diagnosis
+  * instead of silently clobbering. This is best-effort narrowing, not a
+  * transaction: serialize writers externally (a real deployment puts a
+  * metastore or a lock service in front — the reference's TiKV placement
+  * driver plays exactly that role for region metadata). */
 class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
@@ -88,6 +102,23 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
+  // (length, modTime) fingerprint of the _index generation this job
+  // plans against, taken at WRITE PLANNING time so the detection window
+  // spans the whole job: an append whose base index changed before the
+  // swap fails loudly instead of dropping the concurrent writer's
+  // regions (see class doc — best-effort, not a transaction)
+  private val baseFingerprint: Option[(Long, Long)] = indexFingerprint()
+
+  private def indexFingerprint(): Option[(Long, Long)] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+    val p = new Path(dir, KVBin.IndexFile)
+    if (truncate || !fs.exists(p)) None
+    else {
+      val st = fs.getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    }
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new KVBinWriterFactory(dir, conf, KVBinDataWriter.jobTag(queryId))
 
@@ -97,7 +128,8 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
       case KVBinCommitMessage(f, mn, mx, n) if n > 0 =>
         (f, KVBin.unhex(mn), KVBin.unhex(mx), n)
     }.toSeq
-    val appending = !truncate && fs.exists(new Path(dir, KVBin.IndexFile))
+    val idxPath = new Path(dir, KVBin.IndexFile)
+    val appending = !truncate && fs.exists(idxPath)
     val old: Seq[(String, Array[Byte], Array[Byte], Long)] =
       if (appending) KVBin.readIndex(dir, conf.value) else Seq.empty
     // append preserves the EXISTING table's metadata: the api_version
@@ -126,7 +158,14 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     // The sweep touches ONLY this writer's own naming pattern — a
     // foreign file in the directory (_SUCCESS marker, sidecar) is not
     // ours to delete
-    val out = fs.create(new Path(dir, KVBin.IndexFile), true)
+    if (!truncate && indexFingerprint() != baseFingerprint)
+      throw new IllegalStateException(
+        s"kvbin append commit at $dir: _index changed since this write " +
+        s"was planned — a concurrent writer committed, and swapping now " +
+        s"would drop its regions from the index and sweep their files. " +
+        s"Serialize writers to this table (single concurrent writer " +
+        s"contract) and re-run the append.")
+    val out = fs.create(idxPath, true)
     out.write(lines.mkString("\n").getBytes("UTF-8"))
     out.close()
     val live = merged.map(_._1).toSet + KVBin.IndexFile
@@ -163,9 +202,20 @@ object KVBinDataWriter {
     * taskIds are only unique within one Spark application, so two
     * applications appending to the same table would otherwise compute
     * the SAME attempt file name and the second would truncate the
-    * first's LIVE committed region before any commit. */
-  def jobTag(queryId: String): String =
-    f"${queryId.hashCode & 0xffffffffL}%08x"
+    * first's LIVE committed region before any commit. The tag embeds
+    * the queryId's FULL hex (a UUID keeps all 122 random bits — a
+    * 32-bit String.hashCode compression would make a silent
+    * cross-application collision merely unlikely instead of
+    * impossible); a non-hex queryId falls back to 64 bits of SHA-256. */
+  def jobTag(queryId: String): String = {
+    val s = queryId.toLowerCase
+    if (s.nonEmpty && s.forall(c => c == '-' ||
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      s.replace("-", "")
+    else java.security.MessageDigest.getInstance("SHA-256")
+      .digest(queryId.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+  }
 }
 
 /** Streams (key, value) records into one attempt-unique region file

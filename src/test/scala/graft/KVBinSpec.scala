@@ -556,4 +556,36 @@ class KVBinSpec extends SparkTestBase {
     assert(e.getMessage != null && e.getMessage.contains("api_version"),
       s"unexpected: ${e.getMessage}")
   }
+
+  test("DSv2 write: jobTag embeds the full queryId hex — no 32-bit compression") {
+    val uuid = "3f2504e0-4f89-11d3-9a0c-0305e82c3301"
+    assert(graft.sources.kvbin.KVBinDataWriter.jobTag(uuid) ===
+      uuid.replace("-", ""))
+    // a non-hex queryId still yields 64 bits of real hash, not hashCode
+    val t = graft.sources.kvbin.KVBinDataWriter.jobTag("not-a-uuid-query")
+    assert(t.length === 16 && t.forall(c => "0123456789abcdef".contains(c)))
+    // both shapes stay inside the sweep's own naming pattern
+    for (tag <- Seq(uuid.replace("-", ""), t))
+      assert(graft.sources.kvbin.KVBinDataWriter.RegionFile
+        .matches(s"part-00000-$tag-17.kv"))
+  }
+
+  test("DSv2 write: append commit detects a concurrently-changed _index and refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-c-").toString
+    parquetSrc.limit(20).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "1").mode("overwrite").save()
+    // plan an append NOW (fingerprint captured at construction)...
+    val bw = new graft.sources.kvbin.KVBinBatchWrite(dir, truncate = false,
+      apiVersion = None, queryId = "deadbeef-0000-0000-0000-000000000001")
+    // ...then a rival writer commits, changing the index generation
+    parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save()
+    val e = intercept[IllegalStateException] {
+      bw.commit(Array(graft.sources.kvbin.KVBinCommitMessage(
+        "part-00000-deadbeef-9.kv", "00", "ff", 1L)))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the rival's commit survives untouched: 1 + 1 regions in the index
+    assert(KVBin.readIndex(dir, spark.sessionState.newHadoopConf()).size === 2)
+  }
 }

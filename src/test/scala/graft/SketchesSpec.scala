@@ -305,4 +305,19 @@ class SketchesSpec extends SparkTestBase {
         128, Seq(500)).select("bucket").as[Long].head()
     assert(whole === reparted)
   }
+
+  test("histQuantiles: NULL group keeps its sketch, NULL values are not observations") {
+    // group NULL has real values; group "a" has NULLs mixed in — the
+    // NULLs must not shift ranks (n counts observations only), and the
+    // NULL group must not silently vanish from the output
+    val df = Seq[(Option[String], Option[Double])](
+      (None, Some(1.0)), (None, Some(2.0)), (None, Some(3.0)), (None, Some(4.0)),
+      (Some("a"), Some(10.0)), (Some("a"), None), (Some("a"), Some(20.0)),
+      (Some("a"), None), (Some("a"), Some(30.0)), (Some("a"), Some(40.0))
+    ).toDF("g", "v")
+    val out = Sketches.histQuantiles(df, col("g"), col("v"), 8, Seq(500))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set(None, Some("a")))
+    assert(out(None) === 4L && out(Some("a")) === 4L) // NULLs not counted in n
+  }
 }
