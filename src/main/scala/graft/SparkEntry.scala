@@ -315,6 +315,13 @@ object SparkEntry {
     // GROUP BY — no document-pair join anywhere.
     "q_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedupStats(docs(s, dir), "text", "doc_id", l = 8)),
+    // the REMOVAL half (what the curation pipeline ships): non-canonical
+    // occurrences of corpus-duplicated 8-grams — canonical = first in
+    // (md5(id), id, position) order — cut as merged islands; survivors'
+    // words re-join. One gram GROUP BY + one doc_id shuffle; the
+    // reconstruction is a per-doc HOF filter, never a word-level join.
+    "q_substring_removal" -> ((s, dir) =>
+      Dedup.substringRemoval(docs(s, dir), "text", "doc_id", l = 8)),
     // stratified largest-remainder split: per-language class counts are
     // the exact 800/100/100-permille apportionment (floor + largest
     // remainders), assignment by content-free md5(id) order — the
@@ -3101,6 +3108,41 @@ object SparkEntry {
         |  CAST((1000*n_dup_words) // len(t.w) AS BIGINT) AS dup_permille
         |FROM per_doc p JOIN toks t ON p.doc_id = t.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+    // replays Dedup.substringRemoval: rank every occurrence of each
+    // duplicated 8-gram in (md5(id), id, position) order, cut rn>1
+    // spans via the same gaps-and-islands merge, keep the surviving
+    // words in position order; fully-cut docs drop out
+    "q_substring_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS gram
+        |      FROM toks, unnest(generate_series(1, len(w)-7)) u(i)
+        |      WHERE len(w) >= 8),
+        |occ AS (SELECT doc_id, i,
+        |        row_number() OVER (PARTITION BY gram
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, i) AS rn,
+        |        count(*) OVER (PARTITION BY gram) AS df
+        |        FROM g),
+        |spans AS (SELECT doc_id, i AS s, i+7 AS e FROM occ WHERE df > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |isl2 AS (SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |merged AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |           FROM isl2 GROUP BY 1, 2),
+        |words AS (SELECT doc_id, j, w[j] AS word
+        |          FROM toks, unnest(generate_series(1, len(w))) u(j)),
+        |kept AS (SELECT wd.doc_id, wd.j, wd.word FROM words wd
+        |         WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |           WHERE m.doc_id = wd.doc_id AND wd.j BETWEEN m.s AND m.e))
+        |SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays Dedup.stratifiedSplit: md5(id)-ordered row_number per
     // stratum, exact largest-remainder apportionment of 800/100/100
     // permille (ties by class order), assignment by cumulative bounds

@@ -1186,17 +1186,7 @@ object Dedup {
       .where(col("c") > 1).select("gram")
     val spans = grams.join(dup, "gram")
       .select(col("doc_id"), col("i").as("s"), (col("i") + lit(l - 1)).as("e"))
-    val prevMax = Window.partitionBy("doc_id").orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val runSum = Window.partitionBy("doc_id").orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val merged = spans
-      .withColumn("brk",
-        when(col("s") > coalesce(max(col("e")).over(prevMax), lit(-1)) + lit(1),
-          lit(1)).otherwise(lit(0)))
-      .withColumn("island", sum(col("brk")).over(runSum))
-      .groupBy("doc_id", "island")
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val merged = mergeSpans(spans)
     val perDoc = merged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + lit(1)).as("n_dup_words"))
@@ -1206,6 +1196,76 @@ object Dedup {
       .withColumn("dup_permille", expr("(1000 * n_dup_words) div nw"))
       .select(col("doc_id"), col("n_dup_spans"), col("n_dup_words"),
         col("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gaps-and-islands merge of per-document word spans (doc_id, s, e):
+    * overlapping or adjacent spans fuse into one island via a running
+    * max of span ends — one shuffle by doc_id, per-document window
+    * work. Shared by the detection ([[substringDedupStats]]) and
+    * removal ([[substringRemoval]]) halves of exact-substring dedup.
+    * Output: (doc_id, island, s, e). */
+  private def mergeSpans(spans: DataFrame): DataFrame = {
+    val prevMax = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spans
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(prevMax), lit(-1)) + lit(1),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(runSum))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+  }
+
+  /** The REMOVAL half of exact-substring dedup (Lee et al. 2022 §3 —
+    * what a curation pipeline actually runs; [[substringDedupStats]] is
+    * the report): every occurrence of a corpus-duplicated l-gram EXCEPT
+    * its canonical first one — first in (md5(doc_id), doc_id, position)
+    * order, the house content-free deterministic order — marks its word
+    * span for cutting; per document the cut spans merge gaps-and-islands
+    * style ([[mergeSpans]]) and the surviving words re-join into the
+    * deduplicated text. Documents entirely consumed by cuts drop out
+    * (an empty text is not a document). Re-running the detection half
+    * on the output reports zero duplicated spans on real corpora —
+    * up to the (astronomically unlikely, and harmless) case of a cut
+    * junction forming a brand-new l-gram that collides with another
+    * document.
+    *
+    * Scale: the canonical-occurrence pass is ONE grouped aggregation on
+    * the gram key (min occurrence struct + count, both map-side
+    * partial); no document-pair join exists anywhere. Span merging
+    * shuffles once by doc_id; the reconstruction is a per-document
+    * higher-order-function filter over the word array against the
+    * collected island list (bounded by the doc's own span count) — no
+    * word-level join. Output: (doc_id, text), the deduplicated corpus. */
+  def substringRemoval(docs: DataFrame, textCol: String, idCol: String,
+                       l: Int = 8): DataFrame = {
+    val grams = positionalGrams(docs, textCol, idCol, l)
+    val keyed = grams.withColumn("k",
+      struct(md5(col("doc_id").cast("string")).as("m"), col("doc_id"),
+        col("i")))
+    // min-struct + count in ONE partial-agg pass: df>1 grams with their
+    // canonical occurrence; df=1 grams never produce a cut
+    val owners = keyed.groupBy(col("gram"))
+      .agg(min(col("k")).as("own"), count(lit(1)).as("df"))
+      .where(col("df") > 1)
+      .select(col("gram"), col("own"))
+    val spans = keyed.join(owners, Seq("gram"))
+      .where(col("k") =!= col("own"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + lit(l - 1)).as("e"))
+    val islands = mergeSpans(spans)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .join(islands, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(zip_with(w, sequence(1, size(w)), (x, j) -> struct(x AS word, j AS j)), " +
+        "p -> cuts IS NULL OR NOT exists(cuts, c -> p.j >= c.s AND p.j <= c.e))"))
+      .where(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        expr("array_join(transform(kept, p -> p.word), ' ')").as("text"))
       .orderBy(col("doc_id"))
   }
 

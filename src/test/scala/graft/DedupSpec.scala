@@ -609,6 +609,29 @@ class DedupSpec extends SparkTestBase {
     assert(got(2L) === ((1L, 10L, 1000L * 10 / 13)))
   }
 
+  test("substringRemoval keeps one canonical copy and the re-run reports zero dup spans") {
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, s"a b c $run"),
+      (2L, s"$run x y z"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+      (4L, run) // entirely a duplicated run — may drop out fully
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRemoval(docs, "text", "doc_id")
+    val m = out.as[(Long, String)].collect().toMap
+    // exactly ONE of docs 1/2/4 keeps the run (the md5-order canonical);
+    // the doc-3 unique text survives untouched
+    assert(m(3L) === "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    val keepers = m.filter(_._2.contains("w1 w2 w3 w4 w5 w6 w7 w8"))
+    assert(keepers.size === 1, s"canonical copies: $keepers")
+    // the curation contract: detection on the OUTPUT finds nothing
+    assert(Dedup.substringDedupStats(out, "text", "doc_id").count() === 0L)
+    // every surviving doc's non-duplicated words survive: doc 1 kept its
+    // prefix or its run, never lost both
+    assert(m(1L).startsWith("a b c"))
+    assert(m(2L).endsWith("x y z"))
+  }
+
   test("stratifiedSplit: exact largest-remainder counts, no doc lost") {
     // 7 docs in one stratum: 800/100/100 → bases 5/0/0, remainders
     // 600/700/700 → two leftover seats go to val and test (largest
