@@ -2270,6 +2270,25 @@ object SparkEntry {
           min(col("media_id")).as("min_id"),
           max(col("media_id")).as("max_id"))
         .orderBy(col("channels"))),
+    // §2b sources: the multimodal corpus through the kvbin ranged
+    // connector — blobs as values keyed by fixed-width id, written via
+    // the DSv2 range-distributed write (sorted region files, _index
+    // commit), read back through the DSv2 reader. Same md5-XOR content
+    // gate and oracle derivation as q_binaryfile_ingest, so the two
+    // ingest paths are provably byte-identical; this one is the
+    // large-media at-rest layout (region-count opens, key-range
+    // pruning), binaryFile the per-object crawler-delivery shape
+    "q_multimodal_kvbin" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+          graft.sources.FileFormats.readKvbinBlobs(s, dir), "blob")
+        .groupBy(col("channels"))
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(length(col("blob")).cast("long")).as("sum_len"),
+          sum(col("payload_bytes").cast("long")).as("sum_payload"),
+          bit_xor(Dedup.md5Hash60(col("blob"))).as("xor_sig"),
+          min(col("media_id")).as("min_id"),
+          max(col("media_id")).as("max_id"))
+        .orderBy(col("channels"))),
     // §2b sources: JSONL ingest through the real permissive JSON parser
     // with corrupt-line quarantine — mangled lines (deterministically
     // truncated in the derived fixture) survive as a counted quarantine
@@ -4568,6 +4587,22 @@ object SparkEntry {
         |    repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS blob
         |  FROM embeddings)
         |SELECT 1 + media_id % 3 AS channels, count(*) AS n_files,
+        |  CAST(sum(length(blob)) AS BIGINT) AS sum_len,
+        |  CAST(sum(length(blob) - 13) AS BIGINT) AS sum_payload,
+        |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
+        |  min(media_id) AS min_id, max(media_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY channels""".stripMargin,
+    // q_multimodal_kvbin shares q_binaryfile_ingest's derivation — the
+    // md5-XOR monoid gates that the kvbin write→read path delivers the
+    // same bytes the per-file path does
+    "q_multimodal_kvbin" ->
+      s"""WITH b AS (SELECT vec_id AS media_id,
+        |    'IMG1' || lpad(CAST(16 + vec_id % 48 AS VARCHAR), 4, '0') ||
+        |    lpad(CAST(16 + vec_id % 32 AS VARCHAR), 4, '0') ||
+        |    CAST(1 + vec_id % 3 AS VARCHAR) ||
+        |    repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS blob
+        |  FROM embeddings)
+        |SELECT 1 + media_id % 3 AS channels, count(*) AS n_blobs,
         |  CAST(sum(length(blob)) AS BIGINT) AS sum_len,
         |  CAST(sum(length(blob) - 13) AS BIGINT) AS sum_payload,
         |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
