@@ -88,6 +88,11 @@ object SparkEntry {
     // sides + the time-range predicate bound the join state, and the
     // event-time half-split feed proves the cross-batch state join
     "q_stream_ijoin" -> ((s, dir) => StreamEntries.streamIntervalJoin(s, dir)),
+    // LEFT OUTER interval join: views that never clicked emit with
+    // nulls — only after the watermark passes their 6 h match horizon
+    // (early emission would contradict a late click; append mode can't
+    // retract). The feed's final tick batch is where they flush.
+    "q_stream_left_ijoin" -> ((s, dir) => StreamEntries.streamIntervalJoinLeft(s, dir)),
     // watermark eviction gated end-to-end: late-arriving first-half
     // data cannot resurrect closed windows — sink = on-time slice only
     "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)),
@@ -4195,6 +4200,19 @@ object SparkEntry {
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 6 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+    // the left-outer streaming sink must equal the batch LEFT join over
+    // the fed slice: unmatched views flush with NULL clicks once the
+    // ticks push the watermark past every horizon. NULL click ordering
+    // pinned via coalesce(-1) on both engines.
+    "q_stream_left_ijoin" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id < 20),
+        |v AS (SELECT user_id, ts AS v_ts FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT v.user_id, CAST(epoch_us(v_ts) AS BIGINT) AS view_ts_us,
+        |       CAST(epoch_us(c_ts) AS BIGINT) AS click_ts_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 6 HOUR
+        |ORDER BY 1, 2, coalesce(CAST(epoch_us(c_ts) AS BIGINT), -1)""".stripMargin,
     // the streaming as-of sink must equal the batch as-of join over the
     // fed slice: state carries the latest click across the batch split
     "q_stream_asof" ->

@@ -685,6 +685,76 @@ object StreamEntries {
       .orderBy(col("user_id"), col("view_ts_us"), col("click_ts_us"))
   }
 
+  /** Stream-stream event-time LEFT OUTER interval join — the
+    * unmatched-side half of [[streamIntervalJoin]]: views that never
+    * clicked emit (view, NULL) — but only once the watermark has passed
+    * their match horizon (`v_ts + 6 h` + delay), because until then a
+    * matching click could still arrive. Early emission would be WRONG
+    * (a later click would contradict the null row — append mode cannot
+    * retract); never emitting would lose the rows the attribution
+    * report exists for. Spark holds unmatched left rows in the join
+    * state and releases them with nulls at eviction, so the feed ends
+    * with TWO tick rounds: the first advances the watermark a day past
+    * the data (computed from batch-2 event times, effective NEXT
+    * batch), the second triggers the batch in which the now-expired
+    * views flush. State stays bounded exactly as the inner form —
+    * horizon × arrival rate per side. Sink = the batch LEFT join on
+    * the slice; null click ordering pinned via coalesce(-1) on both
+    * engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  def streamIntervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (views, clicks) = memoFeed(s"ijoin:$dir") {
+      val e = Events.read(s, dir)
+        .filter(col("user_id") < lit(20L * sliceScale) &&
+          col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, Timestamp, String)].collect().toSeq
+      (e.filter(_._3 == "view").map(r => (r._1, r._2)),
+        e.filter(_._3 == "click").map(r => (r._1, r._2)))
+    }
+    val allTs = (views ++ clicks).map(_._2.getTime)
+    val midMs = (allTs.min + allTs.max) / 2
+    def half(rows: Seq[(Long, Timestamp)], first: Boolean) =
+      rows.filter(r => (r._2.getTime <= midMs) == first)
+    def tick(off: Long) = (-1L, new Timestamp(allTs.max + off))
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_loijoin")
+    withStatePartitions(s, 1) {
+      val vMem = MemoryStream[(Long, Timestamp)]
+      val cMem = MemoryStream[(Long, Timestamp)]
+      val v = vMem.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "1 minute")
+      val c = cMem.toDF.toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
+      val joined = v.join(c,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+        .select(col("v_user").as("user_id"),
+          unix_micros(col("v_ts")).as("view_ts_us"),
+          unix_micros(col("c_ts")).as("click_ts_us"))
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        vMem.addData(half(views, first = true))
+        cMem.addData(half(clicks, first = true))
+        q.processAllAvailable()
+        // batch 2: rest of the data + the watermark-advancing ticks
+        vMem.addData(half(views, first = false) :+ tick(86400000L))
+        cMem.addData(half(clicks, first = false) :+ tick(86400000L))
+        q.processAllAvailable()
+        // batch 3: the post-horizon batch — runs with the advanced
+        // watermark, so every view past its horizon flushes as a null
+        // row HERE and not before (StreamEntriesSpec pins the timing)
+        vMem.addData(Seq(tick(86400000L * 2)))
+        cMem.addData(Seq(tick(86400000L * 2)))
+      }
+    }
+    takeTable(s, name)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("view_ts_us"),
+        coalesce(col("click_ts_us"), lit(-1L)))
+  }
+
   /** Continuously-maintained decayed "trending" scores: the streaming
     * twin of `q_decayed_counts`. The feed is pre-combined (type, day,
     * cnt) cells (map-side-combine shape — state and wire carry

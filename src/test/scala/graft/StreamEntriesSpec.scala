@@ -136,6 +136,58 @@ class StreamEntriesSpec extends SparkTestBase {
     }
   }
 
+  test("left-outer interval join: null rows appear ONLY in the post-horizon batch") {
+    // a view with no click must NOT emit while a matching click could
+    // still arrive (watermark below v_ts + 6 h + delay) — early emission
+    // would contradict a late click and append mode cannot retract — and
+    // MUST emit with nulls once the ticks push the watermark past the
+    // horizon (never emitting would lose the attribution report's rows)
+    import spark.implicits._
+    import java.sql.Timestamp
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val cMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val v = vMem.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "1 minute")
+    val c = cMem.toDF.toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
+    val joined = v.join(c,
+      col("v_user") === col("c_user") && col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
+      "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("graft_loijoin_timing").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      // user 1: view, never clicks; user 2: view + click (matched pair)
+      vMem.addData(Seq((1L, t0), (2L, t0)))
+      cMem.addData(Seq((2L, new Timestamp(t0.getTime + 60000L))))
+      q.processAllAvailable()
+      val after1 = spark.table("graft_loijoin_timing")
+        .select(col("v_user"), col("c_user")).collect()
+      assert(!after1.exists(_.isNullAt(1)),
+        s"null row emitted BEFORE the horizon passed: ${after1.toSeq}")
+      assert(after1.map(_.getLong(0)).toSet === Set(2L))
+      // ticks a day out: watermark (effective next batch) passes every
+      // horizon; the unmatched view must flush with nulls now
+      val day = 86400000L
+      vMem.addData(Seq((-1L, new Timestamp(t0.getTime + day))))
+      cMem.addData(Seq((-1L, new Timestamp(t0.getTime + day))))
+      q.processAllAvailable()
+      vMem.addData(Seq((-2L, new Timestamp(t0.getTime + 2 * day))))
+      cMem.addData(Seq((-2L, new Timestamp(t0.getTime + 2 * day))))
+      q.processAllAvailable()
+      val nulls = spark.table("graft_loijoin_timing")
+        .filter(col("v_user") === 1L)
+        .select(col("v_user"), col("c_user")).collect()
+      assert(nulls.length === 1 && nulls.head.isNullAt(1),
+        s"unmatched view did not flush with nulls post-horizon: ${nulls.toSeq}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_loijoin_timing")
+    }
+  }
+
   test("q_stream_decay equals the batch decayed counts (scores summed across batches)") {
     val streamed = StreamEntries.streamDecay(spark, dir)
     val batch = Events.decayedCounts(Events.read(spark, dir), "event_type")
