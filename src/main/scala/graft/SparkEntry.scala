@@ -110,6 +110,11 @@ object SparkEntry {
     // foreachBatch MERGE sink: per micro-batch full-outer merge into a
     // parquet table generation; final table = dst (the merge identity)
     "q_stream_foreach_merge" -> ((s, dir) => StreamEntries.streamForeachMerge(s, dir)),
+    // foreachBatch merge into a KVBIN generation: per batch, full-outer
+    // merge with the DSv2 read-back, DSv2 overwrite write (sorted
+    // regions, _index swap = commit); dead batches leave only orphan
+    // files _index never references
+    "q_stream_kvbin_sink" -> ((s, dir) => StreamEntries.streamKvbinSink(s, dir)),
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
@@ -4128,6 +4133,12 @@ object SparkEntry {
         |ORDER BY key""".stripMargin),
     // streaming twin of the same identity, on the bounded feed slice
     "q_stream_upsert" -> (cte +
+      """SELECT k AS key, v AS value FROM dst
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
+    // the kvbin-generation merge sink lands the same identity: the
+    // drained DSv2 read-back must equal the dst slice byte-for-byte
+    "q_stream_kvbin_sink" -> (cte +
       """SELECT k AS key, v AS value FROM dst
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),

@@ -978,6 +978,67 @@ object StreamEntries {
       .orderBy(col("key"))
   }
 
+  /** `foreachBatch` merge into a KVBIN table generation — the
+    * [[streamForeachMerge]] pattern pointed at the repo's own DSv2
+    * connector instead of parquet-plus-directory-rename: each
+    * micro-batch full-outer-merges its upserts/deletes with the current
+    * kvbin generation (read through the DSv2 reader, which plans ONLY
+    * from `_index`) and writes the next generation through the DSv2
+    * write in overwrite mode — range-distributed sorted region files,
+    * then the `_index` swap as the commit/visibility point and the
+    * sweep reclaiming the old generation's regions. The streaming
+    * commit-semantics proof the round-8 write path lacked: a batch that
+    * dies mid-write leaves only attempt files `_index` never references
+    * (invisible to every reader — StreamEntriesSpec pins it by planting
+    * an orphan region and KVBinSpec pins abort cleanup), and the safe
+    * read-old-while-writing-new overlap holds because the old regions
+    * are deleted only at the new index's commit, after every read task
+    * finished. Same feed + merge identity (and committed oracle) as
+    * [[streamUpsert]]: the drained read-back must equal the dst slice —
+    * and therefore checksum-equal to the batch
+    * [[graft.operators.Diff.applyChangelog]] result (spec-pinned). */
+  def streamKvbinSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, chg) = upsertFeed(s, dir)
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvsink-")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[StreamUpsert.Chg]
+      val q = mem.toDS().toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          val upd = batch.select(col("key"), col("value").as("__nv"), col("op"))
+          val hasGen = new java.io.File(tbl,
+            graft.sources.kvbin.KVBin.IndexFile).exists()
+          val merged =
+            if (!hasGen) upd.filter(col("op") =!= "D")
+              .select(col("key"), col("__nv").as("value"))
+            else sp.read.format(fmt).option("path", tbl).load()
+              .select(col("key").cast("string").as("key"),
+                col("value").cast("string").as("value"))
+              .join(upd, Seq("key"), "full_outer")
+              .filter(col("op").isNull || col("op") =!= "D")
+              .select(col("key"), coalesce(col("__nv"), col("value")).as("value"))
+          merged
+            .select(col("key").cast("binary").as("key"),
+              col("value").cast("binary").as("value"))
+            .write.format(fmt).option("path", tbl)
+            .mode("overwrite").save()
+        }
+        .start()
+      drain(q) {
+        mem.addData(base)
+        q.processAllAvailable()
+        mem.addData(chg)
+      }
+    }
+    s.read.format(fmt).option("path", tbl).load()
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+      .orderBy(col("key"))
+  }
+
   /** Streaming histogram-quantile sketch
     * ([[graft.operators.Sketches.histCells]] as a streaming
     * complete-mode aggregation): the counter table lives in the state

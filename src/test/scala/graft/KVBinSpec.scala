@@ -588,4 +588,26 @@ class KVBinSpec extends SparkTestBase {
     // the rival's commit survives untouched: 1 + 1 regions in the index
     assert(KVBin.readIndex(dir, spark.sessionState.newHadoopConf()).size === 2)
   }
+
+  test("DSv2 write: orphan regions from a dead batch stay invisible and are swept at the next commit") {
+    // a task/batch that dies mid-write (before abort could run) leaves
+    // attempt files `_index` never references — the streaming kvbin
+    // sink's crash contract: readers plan ONLY from _index, so orphans
+    // contribute nothing, and the NEXT generation's commit sweep
+    // reclaims them (they match the connector's naming pattern and are
+    // absent from the new index)
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-o-").toString
+    parquetSrc.limit(20).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "1").mode("overwrite").save()
+    val before = spark.read.format(kvbinFmt).option("path", dir).load().count()
+    val orphan = java.nio.file.Paths.get(dir, "part-00009-deadbeef-42.kv")
+    java.nio.file.Files.write(orphan, Array.fill[Byte](64)(0x7f))
+    assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === before,
+      "orphan region became visible to planning")
+    parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "1").mode("overwrite").save()
+    assert(!java.nio.file.Files.exists(orphan),
+      "next commit's sweep left the orphan region on disk")
+    assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 5)
+  }
 }

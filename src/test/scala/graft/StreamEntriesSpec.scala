@@ -30,6 +30,23 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_kvbin_sink read-back is checksum-equal to batch applyChangelog") {
+    import org.apache.spark.sql.DataFrame
+    def kv(df: DataFrame) = df
+      .filter(col("k") >= "li_0000000001" && col("k") < StreamEntries.keyUpper)
+      .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+    val src = kv(KVSnapshot.srcStr(spark, dir))
+    val dst = kv(KVSnapshot.dstStr(spark, dir))
+    val batch = Diff.applyChangelog(src, Diff.diffAsChangelog(Diff.diff(src, dst)))
+    val streamed = StreamEntries.streamKvbinSink(spark, dir)
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    val a = Checksum.of(streamed).collect().head
+    val b = Checksum.of(batch).collect().head
+    assert(a === b, s"streamed kvbin generation $a != batch applyChangelog $b")
+    assert(a.getLong(1) > 0)
+  }
+
   test("q_stream_sessions equals batch sessionization (bounds + counts)") {
     val streamed = StreamEntries.streamSessions(spark, dir)
     val batch = Events.sessionize(
