@@ -118,7 +118,12 @@ object SparkEntry {
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
-    "q_stream_hist_quantile" -> ((s, dir) => StreamEntries.streamHistQuantile(s, dir)))
+    "q_stream_hist_quantile" -> ((s, dir) => StreamEntries.streamHistQuantile(s, dir)),
+    // streaming rank-error quantile sketch: per-(group, slot) minimum
+    // registers min-merged in the state store (no stats prepass — slot
+    // geometry is a pure hash function); estimate through the same
+    // slotSampleQuantilesFromCells stage as batch
+    "q_stream_kll_quantile" -> ((s, dir) => StreamEntries.streamSlotQuantile(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1414,6 +1419,18 @@ object SparkEntry {
     "q_hist_quantile" -> ((s, dir) =>
       Sketches.histQuantiles(Events.read(s, dir), col("event_type"),
           col("value"), 1024, Seq(500, 950))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"), col("q_permille"))),
+    // RANK-error quantile sketch (the heavy-tail twin of the histogram
+    // form): per-slot-minimum coordinated sample, k=1024 registers per
+    // group merging by plain min; the reported quantile is the sample's
+    // own order statistic — rank error ~1.6% independent of the value
+    // distribution. Canonical state (a pure function of the row set),
+    // unlike KLL/t-digest whose randomized/order-sensitive compactions
+    // would break the cross-engine gate.
+    "q_kll_quantile" -> ((s, dir) =>
+      Sketches.slotSampleQuantiles(Events.read(s, dir), col("event_type"),
+          col("value"), col("event_id"), 1024, Seq(500, 950))
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"), col("q_permille"))),
     "q_hll_ndv" -> ((s, dir) => {
@@ -4757,6 +4774,13 @@ object SparkEntry {
         |WHERE r.lo_rank < (q.q_permille * nn.n + 999) // 1000
         |  AND (q.q_permille * nn.n + 999) // 1000 <= r.hi_rank
         |ORDER BY event_type, q_permille""".stripMargin,
+    // replays q_kll_quantile: same 60-bit md5 row hash, slot = h % k,
+    // per-slot minimum (hash, value) row, sample order statistic at the
+    // positive-operand ceil rank
+    "q_kll_quantile" -> slotSampleOracleSql(""),
+    // the streaming register merge must fold to the identical sample:
+    // the batch SQL over the fed slice
+    "q_stream_kll_quantile" -> slotSampleOracleSql("WHERE user_id < 50"),
     // the streaming register merge must be invisible to the estimate:
     // q_hll_ndv's SQL verbatim
     "q_stream_hll" -> hllNdvOracleSql,
@@ -5378,6 +5402,27 @@ object SparkEntry {
         |  exact_ndv
         |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
   }
+  /** DuckDB replay of [[graft.operators.Sketches.slotSampleQuantiles]]
+    * over events (k=1024, P500/P950); `where` restricts the fed slice
+    * for the streaming twin. */
+  private def slotSampleOracleSql(where: String): String =
+    s"""WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+      |    ${duckHash60("CAST(event_id AS VARCHAR)")} AS h
+      |  FROM events $where),
+      |cells AS (SELECT g, h % 1024 AS slot, h AS hv, v,
+      |    row_number() OVER (PARTITION BY g, h % 1024 ORDER BY h, v) AS rn1
+      |  FROM base),
+      |cell1 AS (SELECT g, slot, hv, v FROM cells WHERE rn1 = 1),
+      |m AS (SELECT g, count(*) AS m_slots FROM cell1 GROUP BY 1),
+      |ranked AS (SELECT g, v, hv, slot,
+      |    row_number() OVER (PARTITION BY g ORDER BY v, hv, slot) AS rn
+      |  FROM cell1)
+      |SELECT r.g AS event_type, q.q_permille, m.m_slots, r.v AS est_v
+      |FROM ranked r JOIN m ON r.g = m.g
+      |CROSS JOIN (VALUES (500), (950)) AS q(q_permille)
+      |WHERE r.rn = (q.q_permille * m.m_slots + 999) // 1000
+      |ORDER BY event_type, q_permille""".stripMargin
+
   /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the
     * expression `e` as input: `substr(md5(e),1,15)` parsed base-16. */
   private def duckHash60(e: String): String =

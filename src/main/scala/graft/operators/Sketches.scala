@@ -469,6 +469,80 @@ object Sketches {
       .groupBy(col("g"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** RANK-error quantile sketch — the [[histQuantiles]] twin for
+    * heavy-tailed values, where the equi-width histogram's value-error
+    * bound (range/buckets) degrades: a per-slot-minimum coordinated
+    * sample. Each row hashes (by a row id, so duplicate values stay
+    * independent observations) into one of `k` slots; the sketch keeps
+    * per (group, slot) the row with the MINIMUM hash — the KMV/HLL
+    * register discipline applied to quantiles (bottom-1-of-k stochastic
+    * averaging): k registers per group regardless of n, and registers
+    * MERGE by plain min, so shards / micro-batches / snapshots fold
+    * with no order sensitivity. The occupied slots form a near-uniform
+    * row sample; the reported quantile is the sample's own order
+    * statistic, with rank error O(√(q(1−q)/k)) — independent of the
+    * VALUE distribution, which is exactly what the histogram form
+    * cannot offer. (~1.6% standard rank error at k=1024.)
+    *
+    * Why not a literal KLL or t-digest: their compactions are
+    * randomized (KLL) or merge-order-sensitive (t-digest centroids),
+    * which breaks both the cross-engine bit-exact oracle contract and
+    * the shard-merge-invariance gate this library holds every sketch
+    * to. The slot-minimum sample buys canonical state — the sketch is
+    * a pure function of the row SET — at the cost of KLL's tighter
+    * constants per byte.
+    *
+    * Same two-stage split as the histogram ([[hllEstimate]] pattern):
+    * [[slotSampleCells]] is ONE grouped min aggregation (map-side
+    * partial, shuffle carries groups×k rows); the estimate stage
+    * windows over the cell table only. NULL values are not
+    * observations; a NULL group keeps its sketch ([[histCells]]'
+    * discipline). Output: (g, q_permille, m_slots, est_v). */
+  def slotSampleQuantiles(df: DataFrame, gCol: Column, vCol: Column,
+                          idCol: Column, k: Int,
+                          qPermille: Seq[Int]): DataFrame = {
+    val base = df.select(gCol.as("g"), vCol.cast("double").as("v"),
+      idCol.cast("string").as("id"))
+    slotSampleQuantilesFromCells(slotSampleCells(base, k), qPermille)
+  }
+
+  /** The REGISTER table (g, slot, hv, v) — the sketch itself. Cells
+    * from shards / micro-batches built with the same k merge by
+    * re-running the identical min fold ([[slotSampleQuantiles]] doc). */
+  def slotSampleCells(base: DataFrame, k: Int): DataFrame = {
+    require(k >= 16, "need k >= 16 slots")
+    base.filter(col("v").isNotNull)
+      .select(col("g"),
+        graft.operators.Dedup.md5Hash60(col("id")).as("h"), col("v"))
+      .groupBy(col("g"), pmod(col("h"), lit(k.toLong)).as("slot"))
+      .agg(min(struct(col("h").as("hv"), col("v"))).as("mn"))
+      .select(col("g"), col("slot"), col("mn.hv").as("hv"), col("mn.v").as("v"))
+  }
+
+  /** The estimate stage over an explicit register table (g, slot, hv,
+    * v): per group the occupied-slot count m and, per requested
+    * permille point (one broadcast q-table pass, the
+    * [[histQuantilesFromCells]] shape), the sample row at rank
+    * ⌈q·m/1000⌉ in (v, hv, slot) order. Windows run over groups×k rows
+    * ONLY — never the data. */
+  def slotSampleQuantilesFromCells(cells: DataFrame,
+                                   qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q > 0 && q <= 1000),
+      "need permille points in (0, 1000]")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val m = cells.groupBy(col("g").as("__mg")).agg(count(lit(1)).as("m_slots"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("v"), col("hv"), col("slot"))
+    val qdf = qPermille.toDF("q_permille")
+    cells.withColumn("rn", row_number().over(w))
+      .join(broadcast(m), col("g") <=> col("__mg"))
+      .crossJoin(broadcast(qdf))
+      .filter(col("rn") ===
+        expr("CAST(((q_permille * m_slots) + 999) div 1000 AS BIGINT)"))
+      .select(col("g"), col("q_permille"), col("m_slots"), col("v").as("est_v"))
+  }
+
   /** The estimate stage over an explicit counter table (g, bucket, cnt)
     * — separated (the [[hllEstimate]] pattern) so MERGED counters, e.g.
     * summed across streaming micro-batches, rank through the identical

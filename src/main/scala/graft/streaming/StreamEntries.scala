@@ -1080,4 +1080,47 @@ object StreamEntries {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"), col("q_permille"))
   }
+
+  /** Streaming rank-error quantile sketch — the
+    * [[streamHistQuantile]] twin on
+    * [[graft.operators.Sketches.slotSampleCells]]: the state store
+    * holds the per-(group, slot) minimum (hash, value) register and
+    * complete-mode `min(struct)` folds every micro-batch in — the
+    * sketch's merge IS the streaming aggregation (the [[streamHll]]
+    * max-register shape with min replacing max and a carried value).
+    * Unlike the histogram twin it needs NO batch-side stats prepass —
+    * slot geometry is a pure function of the row hash, so the stream
+    * can start before any data exists. After the drain the sink
+    * registers rank through the identical
+    * `slotSampleQuantilesFromCells` stage the batch entry uses; oracle
+    * = the batch SQL over the fed slice. */
+  def streamSlotQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = memoFeed(s"sampq:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)].collect().toSeq
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_sampq")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Double, Long)]
+      val cells = graft.operators.Sketches.slotSampleCells(
+        mem.toDF.toDF("g", "v", "id0")
+          .select(col("g"), col("v"), col("id0").cast("string").as("id")),
+        1024)
+      val q = cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(rows.filter(_._3 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    graft.operators.Sketches.slotSampleQuantilesFromCells(
+        takeTable(s, name), Seq(500, 950))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"), col("q_permille"))
+  }
 }

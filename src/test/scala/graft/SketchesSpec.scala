@@ -306,6 +306,49 @@ class SketchesSpec extends SparkTestBase {
     assert(whole === reparted)
   }
 
+  test("slotSampleQuantiles: rank-error bound holds and shard merges are invisible") {
+    // heavy-tailed values (squared congruential stream): the equi-width
+    // histogram's value brackets degrade here, the sample's RANK error
+    // must not. k=1024 → σ_rank ≈ √(q(1−q)/1024) ≈ 1.6%; the fixture is
+    // deterministic, so the observed error is a fixed number — bound it
+    // at 5% (≈3σ) with room to spare
+    val n = 20000
+    val vals = (1 to n).map { i =>
+      val u = ((i * 2654435761L) % 100003).toDouble / 100003.0
+      ("g", u * u * 1000.0, i.toLong) // quadratic: heavy right tail
+    }
+    val df = vals.toDF("g", "v", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.slotSampleQuantiles(d, col("g"), col("v"), col("id"),
+        1024, Seq(500, 950))
+    val est = run(df).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val sorted = vals.map(_._2).sorted
+    for (q <- Seq(500, 950)) {
+      val trueRank = sorted.count(_ <= est(q)).toDouble / n
+      assert(math.abs(trueRank - q / 1000.0) <= 0.05,
+        s"P$q est=${est(q)} true rank $trueRank")
+    }
+    // merge invariance: registers are a pure function of the row SET —
+    // re-partitioned shards fold to the identical sample and estimates
+    val reparted = run(df.repartition(13)).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(reparted === est)
+    // explicit shard merge: per-shard cell tables unioned then re-folded
+    // through the same min equal the whole-data cells
+    val base = df.select(col("g"), col("v").cast("double").as("v"),
+      col("id").cast("string").as("id"))
+    val whole = Sketches.slotSampleCells(base, 1024)
+    val shards = (0 until 3).map(s =>
+      Sketches.slotSampleCells(base.filter(col("id").cast("long") % 3 === s), 1024))
+    val mergedCells = shards.reduce(_ unionAll _)
+      .groupBy(col("g"), col("slot"))
+      .agg(min(struct(col("hv"), col("v"))).as("mn"))
+      .select(col("g"), col("slot"), col("mn.hv").as("hv"), col("mn.v").as("v"))
+    assert(mergedCells.exceptAll(whole).isEmpty &&
+      whole.exceptAll(mergedCells).isEmpty)
+  }
+
   test("histQuantiles: NULL group keeps its sketch, NULL values are not observations") {
     // group NULL has real values; group "a" has NULLs mixed in — the
     // NULLs must not shift ranks (n counts observations only), and the
