@@ -445,6 +445,14 @@ object SparkEntry {
     "q_semantic_dedup_hier" -> ((s, dir) =>
       Similarity.semanticDedupHier(emb(s, dir), 3, 4, 2, 0.4)
         .orderBy(col("vec_id"))),
+    // the RECOMMENDED production route, now itself hash-gated: k derived
+    // from one count (k = ceil(n/64), split k1 = ceil(sqrt(k)), k2 =
+    // max(2, ceil(k/k1))) so cluster occupancy — and the pair stage —
+    // stays constant as the corpus grows; the oracle derives the same
+    // (k1, k2) from count(*) inside the SQL
+    "q_semantic_dedup_auto" -> ((s, dir) =>
+      Similarity.semanticDedupAuto(emb(s, dir), 2, 0.4)
+        .orderBy(col("vec_id"))),
     // embedding-cosine near-dup pairs, blocked by cluster (no cross join)
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), 0.4)
@@ -2467,15 +2475,21 @@ object SparkEntry {
       |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1)""".stripMargin
 
   /** Two-level codebook oracle CTEs, replaying
-    * [[graft.operators.Similarity.hierAssign]] at k1=3, k2=4, iters=2:
-    * the coarse half is the [[kmeansAsgCte]] construction (md5-ordered
-    * seeds, two DECIMAL-mean rounds, final argmax assignment `casg`);
-    * the fine half trains k-means per coarse GROUP — seeds are each
-    * group's 4 smallest (60-bit md5(id), id) members, each round an
-    * equi-join on coarse + per-vector argmax (csim DESC, j) + component
-    * means grouped (coarse, j, pos), empty cells keeping their previous
-    * centroid. Ends with `hasg(vec_id, v, cluster_id = coarse·4 + j)`. */
-  private def hierAsgCte: String = {
+    * [[graft.operators.Similarity.hierAssign]] at iters=2 with the
+    * codebook split (k1v, k2v) supplied by the `kp` CTE — a pair of
+    * literals for the fixed entry, or the
+    * [[graft.operators.Similarity.semanticDedupAuto]] derivation
+    * (k = ⌈n/occ⌉, k1 = ⌈√k⌉, k2 = max(2, ⌈k/k1⌉)) computed from
+    * count(*) for the auto entry, so the DEFAULT route is itself
+    * hash-gated. The coarse half is the [[kmeansAsgCte]] construction
+    * (md5-ordered seeds, two DECIMAL-mean rounds, final argmax
+    * assignment `casg`); the fine half trains k-means per coarse GROUP
+    * — seeds are each group's k2v smallest (60-bit md5(id), id)
+    * members, each round an equi-join on coarse + per-vector argmax
+    * (csim DESC, j) + component means grouped (coarse, j, pos), empty
+    * cells keeping their previous centroid. Ends with
+    * `hasg(vec_id, v, cluster_id = coarse·k2v + j)`. */
+  private def hierAsgCteWith(kp: String): String = {
     val cos = (a: String, b: String) =>
       s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
     def fineRound(prev: String, r: Int): String =
@@ -2490,8 +2504,10 @@ object SparkEntry {
          |fc$r AS (SELECT p.coarse, p.j, coalesce(m.cvec, p.cvec) AS cvec
          |       FROM $prev p LEFT JOIN fmean$r m USING (coarse, j))""".stripMargin
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |cc0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS coarse, v AS cvec
-       |        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 3),
+       |$kp,
+       |cc0 AS (SELECT rn - 1 AS coarse, v AS cvec FROM (
+       |        SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM e)
+       |        CROSS JOIN kp WHERE rn <= k1v),
        |ca1 AS (SELECT e.vec_id, e.v, c.coarse, ${cos("e.v", "c.cvec")} AS csim FROM e CROSS JOIN cc0 c),
        |casg1 AS (SELECT vec_id, v, coarse FROM (
        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, coarse) AS r FROM ca1) WHERE r = 1),
@@ -2512,14 +2528,27 @@ object SparkEntry {
        |fc0 AS (SELECT coarse, j, v AS cvec FROM (
        |        SELECT coarse, v, row_number() OVER (PARTITION BY coarse
        |          ORDER BY ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS j
-       |        FROM casg) WHERE j < 4),
+       |        FROM casg) CROSS JOIN kp WHERE j < k2v),
        |${fineRound("fc0", 1)},
        |${fineRound("fc1", 2)},
        |faF AS (SELECT t.vec_id, t.v, t.coarse, c.j, ${cos("t.v", "c.cvec")} AS csim
        |        FROM casg t JOIN fc2 c ON t.coarse = c.coarse),
-       |hasg AS (SELECT vec_id, v, coarse * 4 + j AS cluster_id FROM (
-       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS r FROM faF) WHERE r = 1)""".stripMargin
+       |hasg AS (SELECT vec_id, v, coarse * k2v + j AS cluster_id FROM (
+       |        SELECT f.*, kp.k2v, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS r
+       |        FROM faF f CROSS JOIN kp) WHERE r = 1)""".stripMargin
   }
+
+  /** The fixed-(3,4) instantiation (q_semantic_dedup_hier). */
+  private def hierAsgCte: String = hierAsgCteWith(
+    "kp AS (SELECT CAST(3 AS BIGINT) AS k1v, CAST(4 AS BIGINT) AS k2v)")
+
+  /** The AUTO instantiation: (k1v, k2v) derived from count(*) exactly
+    * as [[graft.operators.Similarity.semanticDedupAuto]] derives them
+    * (targetOccupancy 64, minK 2). */
+  private def hierAsgCteAuto: String = hierAsgCteWith(
+    """kn AS (SELECT (count(*) + 63) // 64 AS kv FROM e),
+      |k1c AS (SELECT CAST(ceil(sqrt(CAST(kv AS DOUBLE))) AS BIGINT) AS k1v, kv FROM kn),
+      |kp AS (SELECT k1v, greatest(CAST(2 AS BIGINT), (kv + k1v - 1) // k1v) AS k2v FROM k1c)""".stripMargin)
 
   /** One product-quantization subspace's oracle CTEs (Scala-generated
     * SQL, like [[crc64TabCte]]): the [[kmeansAsgCte]] construction on
@@ -3372,6 +3401,18 @@ object SparkEntry {
     // keeping their centroid — and the same keep-first census on
     // cluster_id = coarse·4 + j
     "q_semantic_dedup_hier" -> (hierAsgCte +
+      """,
+        |near AS (SELECT DISTINCT b.vec_id AS id
+        |  FROM hasg a JOIN hasg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |    AND round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.4)
+        |SELECT a.vec_id, a.cluster_id,
+        |  CAST(CASE WHEN n.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM hasg a LEFT JOIN near n ON a.vec_id = n.id
+        |ORDER BY vec_id""".stripMargin),
+    // the auto route replayed end-to-end, (k1, k2) derived from
+    // count(*) in-SQL — the default path's own hash gate
+    "q_semantic_dedup_auto" -> (hierAsgCteAuto +
       """,
         |near AS (SELECT DISTINCT b.vec_id AS id
         |  FROM hasg a JOIN hasg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
