@@ -18,6 +18,32 @@ class StreamEntriesSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
   private val scale = StreamEntries.sliceScale
 
+  test("stateful entries are provider-invariant: RocksDB state store == default") {
+    // the larger-than-heap state provider a production deployment runs:
+    // the same entries must produce byte-identical sinks whether state
+    // lives in the HDFS-backed in-memory maps (default) or RocksDB.
+    // Representative heavies across the state shapes: stream-stream
+    // join state (inner + left-outer), flatMapGroupsWithState buffers
+    // (k-anon), dropDuplicates key state, and aggregation counters
+    // (histogram sketch)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val entries = Seq("q_stream_ijoin", "q_stream_left_ijoin",
+      "q_stream_k_anon", "q_stream_dedup", "q_stream_hist_quantile")
+    def runAll() = entries.map(q =>
+      q -> SparkEntry.queries(q)(spark, dir).collect().toSeq)
+    val prev = spark.conf.getOption(key)
+    val underRocks =
+      try { spark.conf.set(key, rocks); runAll() }
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    val underDefault = runAll()
+    for (((q, r), (_, d)) <- underRocks.zip(underDefault)) {
+      assert(r.nonEmpty, s"$q produced no rows under RocksDB")
+      assert(r === d, s"$q differs between RocksDB and default state store")
+    }
+  }
+
   test("q_stream_diff equals the batch diff on the same key range") {
     val streamed = StreamEntries.streamDiff(spark, dir)
     val batch = Diff.diff(
