@@ -2546,7 +2546,7 @@ object SparkEntry {
     * as [[graft.operators.Similarity.semanticDedupAuto]] derives them
     * (targetOccupancy 64, minK 2). */
   private def hierAsgCteAuto: String = hierAsgCteWith(
-    """kn AS (SELECT (count(*) + 63) // 64 AS kv FROM e),
+    """kn AS (SELECT greatest(CAST(2 AS BIGINT), (count(*) + 63) // 64) AS kv FROM e),
       |k1c AS (SELECT CAST(ceil(sqrt(CAST(kv AS DOUBLE))) AS BIGINT) AS k1v, kv FROM kn),
       |kp AS (SELECT k1v, greatest(CAST(2 AS BIGINT), (kv + k1v - 1) // k1v) AS k2v FROM k1c)""".stripMargin)
 
@@ -4185,21 +4185,12 @@ object SparkEntry {
     "q_merge_upsert" -> (cte +
       "SELECT k AS key, v AS value FROM dst ORDER BY key"),
     // the foreachBatch merge-sink twin of the same identity
-    "q_stream_foreach_merge" -> (cte +
-      """SELECT k AS key, v AS value FROM dst
-        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
-        |ORDER BY key""".stripMargin),
+    "q_stream_foreach_merge" -> (cte + dstSliceSelect),
     // streaming twin of the same identity, on the bounded feed slice
-    "q_stream_upsert" -> (cte +
-      """SELECT k AS key, v AS value FROM dst
-        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
-        |ORDER BY key""".stripMargin),
+    "q_stream_upsert" -> (cte + dstSliceSelect),
     // the kvbin-generation merge sink lands the same identity: the
     // drained DSv2 read-back must equal the dst slice byte-for-byte
-    "q_stream_kvbin_sink" -> (cte +
-      """SELECT k AS key, v AS value FROM dst
-        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
-        |ORDER BY key""".stripMargin),
+    "q_stream_kvbin_sink" -> (cte + dstSliceSelect),
     // the watermark-drop sink must equal the batch aggregate of the
     // ON-TIME slice alone: the late half contributes nothing
     "q_stream_late_drop" ->
@@ -4666,35 +4657,12 @@ object SparkEntry {
     // replays q_binaryfile_ingest by reconstructing each blob string
     // from the synthesize derivation (ASCII header + 4x md5 payload) —
     // the 60-bit md5 sum gates every byte of every file's content
-    "q_binaryfile_ingest" ->
-      s"""WITH b AS (SELECT vec_id AS media_id,
-        |    'IMG1' || lpad(CAST(16 + vec_id % 48 AS VARCHAR), 4, '0') ||
-        |    lpad(CAST(16 + vec_id % 32 AS VARCHAR), 4, '0') ||
-        |    CAST(1 + vec_id % 3 AS VARCHAR) ||
-        |    repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS blob
-        |  FROM embeddings)
-        |SELECT 1 + media_id % 3 AS channels, count(*) AS n_files,
-        |  CAST(sum(length(blob)) AS BIGINT) AS sum_len,
-        |  CAST(sum(length(blob) - 13) AS BIGINT) AS sum_payload,
-        |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
-        |  min(media_id) AS min_id, max(media_id) AS max_id
-        |FROM b GROUP BY 1 ORDER BY channels""".stripMargin,
-    // q_multimodal_kvbin shares q_binaryfile_ingest's derivation — the
+    "q_binaryfile_ingest" -> blobIngestOracleSql("n_files"),
+    // q_multimodal_kvbin shares q_binaryfile_ingest's ORACLE (one def —
+    // the two 'provably byte-identical' gates cannot drift apart): the
     // md5-XOR monoid gates that the kvbin write→read path delivers the
     // same bytes the per-file path does
-    "q_multimodal_kvbin" ->
-      s"""WITH b AS (SELECT vec_id AS media_id,
-        |    'IMG1' || lpad(CAST(16 + vec_id % 48 AS VARCHAR), 4, '0') ||
-        |    lpad(CAST(16 + vec_id % 32 AS VARCHAR), 4, '0') ||
-        |    CAST(1 + vec_id % 3 AS VARCHAR) ||
-        |    repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS blob
-        |  FROM embeddings)
-        |SELECT 1 + media_id % 3 AS channels, count(*) AS n_blobs,
-        |  CAST(sum(length(blob)) AS BIGINT) AS sum_len,
-        |  CAST(sum(length(blob) - 13) AS BIGINT) AS sum_payload,
-        |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
-        |  min(media_id) AS min_id, max(media_id) AS max_id
-        |FROM b GROUP BY 1 ORDER BY channels""".stripMargin,
+    "q_multimodal_kvbin" -> blobIngestOracleSql("n_blobs"),
     // replays the fixture derivation instead of re-parsing files: lines
     // truncated at doc_id % 100 == 7 always fail the JSON parse (the
     // closing brace is among the five cut characters), so the corrupt
@@ -5443,6 +5411,34 @@ object SparkEntry {
         |  exact_ndv
         |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
   }
+  /** The upsert family's shared oracle tail: the dst slice the three
+    * merge identities (mapGroupsWithState, foreachBatch parquet
+    * generations, kvbin generations) must all rebuild byte-for-byte —
+    * one string, so the slice bounds cannot drift between them. */
+  private val dstSliceSelect: String =
+    """SELECT k AS key, v AS value FROM dst
+      |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+      |ORDER BY key""".stripMargin
+
+  /** DuckDB replay of the synthesized blob corpus + metadata/content
+    * aggregate, shared VERBATIM by q_binaryfile_ingest (per-file
+    * ingest) and q_multimodal_kvbin (kvbin ranged ingest) — only the
+    * count alias differs, so any fix to the synthesize derivation
+    * (header constant, payload repeat) reaches both gates at once. */
+  private def blobIngestOracleSql(countAlias: String): String =
+    s"""WITH b AS (SELECT vec_id AS media_id,
+      |    'IMG1' || lpad(CAST(16 + vec_id % 48 AS VARCHAR), 4, '0') ||
+      |    lpad(CAST(16 + vec_id % 32 AS VARCHAR), 4, '0') ||
+      |    CAST(1 + vec_id % 3 AS VARCHAR) ||
+      |    repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS blob
+      |  FROM embeddings)
+      |SELECT 1 + media_id % 3 AS channels, count(*) AS $countAlias,
+      |  CAST(sum(length(blob)) AS BIGINT) AS sum_len,
+      |  CAST(sum(length(blob) - 13) AS BIGINT) AS sum_payload,
+      |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
+      |  min(media_id) AS min_id, max(media_id) AS max_id
+      |FROM b GROUP BY 1 ORDER BY channels""".stripMargin
+
   /** DuckDB replay of [[graft.operators.Sketches.slotSampleQuantiles]]
     * over events (k=1024, P500/P950); `where` restricts the fed slice
     * for the streaming twin. */

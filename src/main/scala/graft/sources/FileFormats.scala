@@ -116,8 +116,11 @@ object FileFormats {
 
   /** The multimodal corpus through the kvbin ranged connector — the
     * LARGE-MEDIA path [[readBinaryFiles]]' scaladoc points at: blobs as
-    * kvbin VALUES keyed by fixed-width ASCII-decimal media id (12
-    * digits, so unsigned-lex key order IS numeric id order and the
+    * kvbin VALUES keyed by fixed-width ASCII-decimal media id (20
+    * digits — every non-negative BIGINT fits, because Spark's lpad
+    * TRUNCATES overlong strings and a truncated key would silently
+    * collide two blobs; so unsigned-lex key order IS numeric id order
+    * and the
     * DSv2 write's declared range distribution sorts blobs by id into
     * contiguous region files). Reading N blobs then costs
     * region-count file opens against a planner-pruned key range —
@@ -139,7 +142,7 @@ object FileFormats {
       graft.operators.Multimodal.synthesize(
           spark.read.parquet(s"$dir/embeddings.parquet"))
         .select(
-          lpad(col("media_id").cast("string"), 12, "0").cast("binary").as("key"),
+          lpad(col("media_id").cast("string"), 20, "0").cast("binary").as("key"),
           col("blob").as("value"))
         .write.format(classOf[graft.sources.kvbin.KVBinSource].getName)
         .option("path", path).option("api_version", "V1")

@@ -40,17 +40,23 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * CONCURRENCY CONTRACT — single concurrent writer per table. The
   * jobTag makes attempt FILES collision-free across applications, but
-  * `_index` commit is a read-modify-write with no filesystem-level CAS:
-  * two appenders committing concurrently would each merge against the
-  * same old index, the later swap dropping the earlier's fresh regions
-  * and its sweep deleting their files. Appends DETECT the common case —
-  * the index's (length, modTime) fingerprint is taken when the old
-  * entries are read and re-checked immediately before the swap; a
-  * changed fingerprint fails the commit with the lost-append diagnosis
-  * instead of silently clobbering. This is best-effort narrowing, not a
-  * transaction: serialize writers externally (a real deployment puts a
-  * metastore or a lock service in front — the reference's TiKV placement
-  * driver plays exactly that role for region metadata). */
+  * a rival writer is dangerous in TWO ways: its `_index` swap is a
+  * read-modify-write with no filesystem-level CAS (two appenders
+  * merging against the same old index, the later swap dropping the
+  * earlier's regions), and its commit SWEEP deletes every
+  * region-pattern file its new index doesn't reference — INCLUDING
+  * this job's still-uncommitted attempt files. That second hazard is
+  * why the detection fingerprint — the index's (length, modTime) — is
+  * taken at write PLANNING time, not at commit: any rival commit
+  * during this job's whole lifetime may have reclaimed its attempt
+  * files, so an append that observes a changed fingerprint at its
+  * commit point must abort (committing would publish an index naming
+  * swept files), even though its commit-time re-read of the old
+  * entries would have merged the rival's regions correctly. This is
+  * best-effort narrowing, not a transaction: serialize writers
+  * externally (a real deployment puts a metastore or a lock service in
+  * front — the reference's TiKV placement driver plays exactly that
+  * role for region metadata). */
 class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
@@ -206,13 +212,19 @@ object KVBinDataWriter {
     * the queryId's FULL hex (a UUID keeps all 122 random bits — a
     * 32-bit String.hashCode compression would make a silent
     * cross-application collision merely unlikely instead of
-    * impossible); a non-hex queryId falls back to 64 bits of SHA-256. */
-  def jobTag(queryId: String): String = {
-    val s = queryId.toLowerCase
-    if (s.nonEmpty && s.forall(c => c == '-' ||
-        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
-      s.replace("-", "")
-    else java.security.MessageDigest.getInstance("SHA-256")
+    * impossible). Dash-stripping applies ONLY to the canonical
+    * 8-4-4-4-12 UUID shape — stripping dashes from arbitrary dashed-hex
+    * would alias distinct ids ('ab-c' vs 'a-bc') and an all-dash id
+    * would yield an empty tag outside the sweep's naming pattern — and
+    * pure hex passes through; anything else falls back to 64 bits of
+    * SHA-256 (injective inputs aside, still far beyond taskId reuse). */
+  private val UuidShape =
+    "([0-9a-f]{8})-([0-9a-f]{4})-([0-9a-f]{4})-([0-9a-f]{4})-([0-9a-f]{12})".r
+  def jobTag(queryId: String): String = queryId.toLowerCase match {
+    case UuidShape(a, b, c, d, e) => a + b + c + d + e
+    case s if s.nonEmpty &&
+        s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')) => s
+    case _ => java.security.MessageDigest.getInstance("SHA-256")
       .digest(queryId.getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
   }

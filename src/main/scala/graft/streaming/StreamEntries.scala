@@ -634,56 +634,8 @@ object StreamEntries {
     * both watermarks a day past the data, exercising the eviction path
     * (StreamEntriesSpec pins the eviction metric on its own query).
     * Sink = the batch interval join on the slice — the oracle. */
-  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (views, clicks) = memoFeed(s"ijoin:$dir") {
-      val e = Events.read(s, dir)
-        .filter(col("user_id") < lit(20L * sliceScale) &&
-          col("event_type").isin("view", "click"))
-        .select(col("user_id"), col("ts"), col("event_type"))
-        .as[(Long, Timestamp, String)].collect().toSeq
-      (e.filter(_._3 == "view").map(r => (r._1, r._2)),
-        e.filter(_._3 == "click").map(r => (r._1, r._2)))
-    }
-    val allTs = (views ++ clicks).map(_._2.getTime)
-    val midMs = (allTs.min + allTs.max) / 2
-    def half(rows: Seq[(Long, Timestamp)], first: Boolean) =
-      rows.filter(r => (r._2.getTime <= midMs) == first)
-    def tick(off: Long) = (-1L, new Timestamp(allTs.max + off))
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val name = fresh("graft_stream_ijoin")
-    withStatePartitions(s, 1) {
-      val vMem = MemoryStream[(Long, Timestamp)]
-      val cMem = MemoryStream[(Long, Timestamp)]
-      val v = vMem.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "1 minute")
-      val c = cMem.toDF.toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
-      val joined = v.join(c,
-        col("v_user") === col("c_user") &&
-          col("c_ts") >= col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"))
-        .select(col("v_user").as("user_id"),
-          unix_micros(col("v_ts")).as("view_ts_us"),
-          unix_micros(col("c_ts")).as("click_ts_us"))
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      drain(q) {
-        // batch 1: first event-time half per side — its matches emit,
-        // its rows land in join state under watermark 0
-        vMem.addData(half(views, first = true))
-        cMem.addData(half(clicks, first = true))
-        q.processAllAvailable()
-        // batch 2: second half + ticks — cross-boundary pairs (a
-        // batch-2 click against a batch-1 view in state) prove the
-        // state join; the ticks then advance both watermarks a day
-        // past the data so the post-batch cleanup evicts expired rows
-        vMem.addData(half(views, first = false) :+ tick(86400000L))
-        cMem.addData(half(clicks, first = false) :+ tick(86400000L))
-      }
-    }
-    takeTable(s, name)
-      .filter(col("user_id") >= 0)
-      .orderBy(col("user_id"), col("view_ts_us"), col("click_ts_us"))
-  }
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    intervalJoinEntry(s, dir, "inner")
 
   /** Stream-stream event-time LEFT OUTER interval join — the
     * unmatched-side half of [[streamIntervalJoin]]: views that never
@@ -701,8 +653,23 @@ object StreamEntries {
     * horizon × arrival rate per side. Sink = the batch LEFT join on
     * the slice; null click ordering pinned via coalesce(-1) on both
     * engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
-  def streamIntervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+  def streamIntervalJoinLeft(s: SparkSession, dir: String): DataFrame =
+    intervalJoinEntry(s, dir, "left_outer")
+
+  /** The shared interval-join driver behind [[streamIntervalJoin]] and
+    * [[streamIntervalJoinLeft]] — ONE definition of the feed slice,
+    * the event-time half split, the 6 h predicate and the tick
+    * protocol, so the two entries (which share the memoized
+    * `ijoin:<dir>` feed) cannot desynchronize. The left-outer form
+    * differs in exactly: the join type, a THIRD tick batch (the
+    * post-horizon batch where unmatched views flush with nulls — the
+    * watermark advanced by batch 2's ticks takes effect a batch later),
+    * and a null-safe sort (coalesce(-1) — Spark sorts NULLS FIRST,
+    * DuckDB NULLS LAST). */
+  private def intervalJoinEntry(s: SparkSession, dir: String,
+                                joinType: String): DataFrame = {
     import s.implicits._
+    val leftOuter = joinType == "left_outer"
     val (views, clicks) = memoFeed(s"ijoin:$dir") {
       val e = Events.read(s, dir)
         .filter(col("user_id") < lit(20L * sliceScale) &&
@@ -718,7 +685,7 @@ object StreamEntries {
       rows.filter(r => (r._2.getTime <= midMs) == first)
     def tick(off: Long) = (-1L, new Timestamp(allTs.max + off))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val name = fresh("graft_stream_loijoin")
+    val name = fresh(if (leftOuter) "graft_stream_loijoin" else "graft_stream_ijoin")
     withStatePartitions(s, 1) {
       val vMem = MemoryStream[(Long, Timestamp)]
       val cMem = MemoryStream[(Long, Timestamp)]
@@ -728,31 +695,39 @@ object StreamEntries {
         col("v_user") === col("c_user") &&
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
-        "left_outer")
+        joinType)
         .select(col("v_user").as("user_id"),
           unix_micros(col("v_ts")).as("view_ts_us"),
           unix_micros(col("c_ts")).as("click_ts_us"))
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
+        // batch 1: first event-time half per side — its matches emit,
+        // its rows land in join state under watermark 0
         vMem.addData(half(views, first = true))
         cMem.addData(half(clicks, first = true))
         q.processAllAvailable()
-        // batch 2: rest of the data + the watermark-advancing ticks
+        // batch 2: second half + ticks — cross-boundary pairs (a
+        // batch-2 click against a batch-1 view in state) prove the
+        // state join; the ticks then advance both watermarks a day
+        // past the data so the post-batch cleanup evicts expired rows
         vMem.addData(half(views, first = false) :+ tick(86400000L))
         cMem.addData(half(clicks, first = false) :+ tick(86400000L))
-        q.processAllAvailable()
-        // batch 3: the post-horizon batch — runs with the advanced
-        // watermark, so every view past its horizon flushes as a null
-        // row HERE and not before (StreamEntriesSpec pins the timing)
-        vMem.addData(Seq(tick(86400000L * 2)))
-        cMem.addData(Seq(tick(86400000L * 2)))
+        if (leftOuter) {
+          q.processAllAvailable()
+          // batch 3: the post-horizon batch — runs with the advanced
+          // watermark, so every view past its horizon flushes as a null
+          // row HERE and not before (StreamEntriesSpec pins the timing)
+          vMem.addData(Seq(tick(86400000L * 2)))
+          cMem.addData(Seq(tick(86400000L * 2)))
+        }
       }
     }
-    takeTable(s, name)
-      .filter(col("user_id") >= 0)
-      .orderBy(col("user_id"), col("view_ts_us"),
+    val out = takeTable(s, name).filter(col("user_id") >= 0)
+    if (leftOuter)
+      out.orderBy(col("user_id"), col("view_ts_us"),
         coalesce(col("click_ts_us"), lit(-1L)))
+    else out.orderBy(col("user_id"), col("view_ts_us"), col("click_ts_us"))
   }
 
   /** Continuously-maintained decayed "trending" scores: the streaming

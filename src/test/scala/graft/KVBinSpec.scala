@@ -564,6 +564,13 @@ class KVBinSpec extends SparkTestBase {
     // a non-hex queryId still yields 64 bits of real hash, not hashCode
     val t = graft.sources.kvbin.KVBinDataWriter.jobTag("not-a-uuid-query")
     assert(t.length === 16 && t.forall(c => "0123456789abcdef".contains(c)))
+    // dash-stripping applies ONLY to the canonical UUID shape: arbitrary
+    // dashed hex would alias distinct ids ('ab-c' vs 'a-bc'), so both
+    // hash — to DIFFERENT tags — and an all-dash id can't yield an
+    // empty tag outside the sweep pattern
+    val amb = Seq("ab-c", "a-bc", "---")
+      .map(graft.sources.kvbin.KVBinDataWriter.jobTag)
+    assert(amb.distinct.size === 3 && amb.forall(_.length === 16))
     // both shapes stay inside the sweep's own naming pattern
     for (tag <- Seq(uuid.replace("-", ""), t))
       assert(graft.sources.kvbin.KVBinDataWriter.RegionFile
