@@ -93,6 +93,9 @@ object SparkEntry {
     // (early emission would contradict a late click; append mode can't
     // retract). The feed's final tick batch is where they flush.
     "q_stream_left_ijoin" -> ((s, dir) => StreamEntries.streamIntervalJoinLeft(s, dir)),
+    // FULL OUTER interval join: unmatched views AND unmatched clicks
+    // (organic traffic) flush with nulls post-horizon, symmetrically
+    "q_stream_full_ijoin" -> ((s, dir) => StreamEntries.streamIntervalJoinFull(s, dir)),
     // watermark eviction gated end-to-end: late-arriving first-half
     // data cannot resurrect closed windows — sink = on-time slice only
     "q_stream_late_drop" -> ((s, dir) => StreamEntries.streamLateDrop(s, dir)),
@@ -4273,6 +4276,20 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 6 HOUR
         |ORDER BY 1, 2, coalesce(CAST(epoch_us(c_ts) AS BIGINT), -1)""".stripMargin,
+    // the full-outer streaming sink must equal the batch FULL join over
+    // the fed slice; the user key coalesces across sides and BOTH
+    // timestamp columns sort null-safely
+    "q_stream_full_ijoin" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events WHERE user_id < 20),
+        |v AS (SELECT user_id AS v_user, ts AS v_ts FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT coalesce(v_user, c_user) AS user_id,
+        |       CAST(epoch_us(v_ts) AS BIGINT) AS view_ts_us,
+        |       CAST(epoch_us(c_ts) AS BIGINT) AS click_ts_us
+        |FROM v FULL JOIN c ON v_user = c_user
+        |  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 6 HOUR
+        |ORDER BY 1, coalesce(CAST(epoch_us(v_ts) AS BIGINT), -1),
+        |         coalesce(CAST(epoch_us(c_ts) AS BIGINT), -1)""".stripMargin,
     // the streaming as-of sink must equal the batch as-of join over the
     // fed slice: state carries the latest click across the batch split
     "q_stream_asof" ->

@@ -656,20 +656,31 @@ object StreamEntries {
   def streamIntervalJoinLeft(s: SparkSession, dir: String): DataFrame =
     intervalJoinEntry(s, dir, "left_outer")
 
-  /** The shared interval-join driver behind [[streamIntervalJoin]] and
-    * [[streamIntervalJoinLeft]] — ONE definition of the feed slice,
-    * the event-time half split, the 6 h predicate and the tick
-    * protocol, so the two entries (which share the memoized
-    * `ijoin:<dir>` feed) cannot desynchronize. The left-outer form
-    * differs in exactly: the join type, a THIRD tick batch (the
-    * post-horizon batch where unmatched views flush with nulls — the
+  /** Stream-stream FULL OUTER interval join — the last join form of the
+    * family: unmatched views AND unmatched clicks (a click with no
+    * same-user view in its trailing 6 h window — direct/organic traffic
+    * in the attribution reading) each flush with nulls on the other
+    * side once the watermark passes their horizon. Same eviction-driven
+    * emission discipline as the left form, applied symmetrically. */
+  def streamIntervalJoinFull(s: SparkSession, dir: String): DataFrame =
+    intervalJoinEntry(s, dir, "full_outer")
+
+  /** The shared interval-join driver behind [[streamIntervalJoin]],
+    * [[streamIntervalJoinLeft]] and [[streamIntervalJoinFull]] — ONE
+    * definition of the feed slice, the event-time half split, the 6 h
+    * predicate and the tick protocol, so the entries (which share the
+    * memoized `ijoin:<dir>` feed) cannot desynchronize. The outer forms
+    * differ in exactly: the join type, a THIRD tick batch (the
+    * post-horizon batch where unmatched rows flush with nulls — the
     * watermark advanced by batch 2's ticks takes effect a batch later),
-    * and a null-safe sort (coalesce(-1) — Spark sorts NULLS FIRST,
-    * DuckDB NULLS LAST). */
+    * the user key coalesced across sides (full outer), and null-safe
+    * sorts (coalesce(-1) — Spark sorts NULLS FIRST, DuckDB NULLS
+    * LAST). */
   private def intervalJoinEntry(s: SparkSession, dir: String,
                                 joinType: String): DataFrame = {
     import s.implicits._
-    val leftOuter = joinType == "left_outer"
+    val outer = joinType != "inner"
+    val fullOuter = joinType == "full_outer"
     val (views, clicks) = memoFeed(s"ijoin:$dir") {
       val e = Events.read(s, dir)
         .filter(col("user_id") < lit(20L * sliceScale) &&
@@ -685,7 +696,7 @@ object StreamEntries {
       rows.filter(r => (r._2.getTime <= midMs) == first)
     def tick(off: Long) = (-1L, new Timestamp(allTs.max + off))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val name = fresh(if (leftOuter) "graft_stream_loijoin" else "graft_stream_ijoin")
+    val name = fresh(if (outer) s"graft_stream_${joinType}_ijoin" else "graft_stream_ijoin")
     withStatePartitions(s, 1) {
       val vMem = MemoryStream[(Long, Timestamp)]
       val cMem = MemoryStream[(Long, Timestamp)]
@@ -696,7 +707,9 @@ object StreamEntries {
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
         joinType)
-        .select(col("v_user").as("user_id"),
+        .select(
+          (if (fullOuter) coalesce(col("v_user"), col("c_user"))
+           else col("v_user")).as("user_id"),
           unix_micros(col("v_ts")).as("view_ts_us"),
           unix_micros(col("c_ts")).as("click_ts_us"))
       val q = joined.writeStream.format("memory").queryName(name)
@@ -713,19 +726,21 @@ object StreamEntries {
         // past the data so the post-batch cleanup evicts expired rows
         vMem.addData(half(views, first = false) :+ tick(86400000L))
         cMem.addData(half(clicks, first = false) :+ tick(86400000L))
-        if (leftOuter) {
+        if (outer) {
           q.processAllAvailable()
           // batch 3: the post-horizon batch — runs with the advanced
-          // watermark, so every view past its horizon flushes as a null
-          // row HERE and not before (StreamEntriesSpec pins the timing)
+          // watermark, so every unmatched row past its horizon flushes
+          // as a null row HERE and not before (StreamEntriesSpec pins
+          // the timing)
           vMem.addData(Seq(tick(86400000L * 2)))
           cMem.addData(Seq(tick(86400000L * 2)))
         }
       }
     }
     val out = takeTable(s, name).filter(col("user_id") >= 0)
-    if (leftOuter)
-      out.orderBy(col("user_id"), col("view_ts_us"),
+    if (outer)
+      out.orderBy(col("user_id"),
+        coalesce(col("view_ts_us"), lit(-1L)),
         coalesce(col("click_ts_us"), lit(-1L)))
     else out.orderBy(col("user_id"), col("view_ts_us"), col("click_ts_us"))
   }
