@@ -1930,6 +1930,33 @@ object SparkEntry {
           Diff.diff(kvStrSrc(s, dir), kvStrDst(s, dir)),
           k => substring(k, 1, 10))
         .orderBy(col("bucket"))),
+    // incremental view maintenance for an equi-JOIN view (the delta
+    // rule: ΔV = ΔR ⋈ S_new ⊎ R_old ⋈ ΔS — never R_new ⋈ S_new):
+    // orders⋈customer maintained under deterministic deletes (orderkey
+    // %97==1, custkey %89==3) and re-price updates (%97==2 as −1 old /
+    // +1 doubled-cents row). The oracle computes the new join directly,
+    // so the gate IS the delta-rule identity proof; the delta joins
+    // broadcast the |Δ| side
+    "q_ivm_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long").as("price_c"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_nationkey"))
+      val dR = orders.filter(col("o_orderkey") % 97 === 1)
+          .withColumn("m", lit(-1L))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 2)
+          .withColumn("m", lit(-1L)))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 2)
+          .withColumn("price_c", col("price_c") * 2)
+          .withColumn("m", lit(1L)))
+      val dS = cust.filter(col("k") % 89 === 3).withColumn("m", lit(-1L))
+      val sNew = cust.join(dS.select("k"), Seq("k"), "left_anti")
+      val vOld = orders.join(cust, "k").withColumn("n", lit(1L))
+      Diff.maintainJoin(vOld, orders, dR, sNew, dS, "k")
+        .orderBy(col("o_orderkey"))
+    }),
     // TIME TRAVEL: reconstruct the keyspace state at a changelog
     // sequence cutoff — the lakehouse snapshot-isolation replay, as
     // diff→changelog→partial-apply composition. Changes carry a
@@ -5200,6 +5227,20 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // q_ivm_join's gate IS the delta-rule identity: the oracle joins the
+    // NEW relations directly; the engine must reach the same view from
+    // V_old + the two delta joins
+    "q_ivm_join" ->
+      """WITH r_new AS (
+        |  SELECT o_custkey AS k, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      * CASE WHEN o_orderkey % 97 = 2 THEN 2 ELSE 1 END AS price_c
+        |  FROM orders WHERE o_orderkey % 97 <> 1),
+        |s_new AS (SELECT c_custkey AS k, c_nationkey FROM customer
+        |          WHERE c_custkey % 89 <> 3)
+        |SELECT r.k, o_orderkey, price_c, c_nationkey, CAST(1 AS BIGINT) AS n
+        |FROM r_new r JOIN s_new s ON r.k = s.k
+        |ORDER BY o_orderkey""".stripMargin,
     "q_big_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq

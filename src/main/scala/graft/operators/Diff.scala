@@ -196,4 +196,43 @@ object Diff {
         (coalesce(col("bytes"), lit(0L)) + coalesce(col("dbytes"), lit(0L))).as("bytes"))
       .filter(col("n") > 0)
   }
+
+  /** Incremental view maintenance for an EQUI-JOIN view (the classic
+    * counting/delta rule — Blakeley, Larson & Tompa SIGMOD'86; the
+    * single-level DBToaster rule): maintain V = R ⋈ S under signed
+    * delta relations without ever re-joining the full new inputs. The
+    * mixed old/new formulation avoids the ΔR ⋈ ΔS cross term exactly:
+    *
+    *   V_new = V_old ⊎ (ΔR ⋈ S_new) ⊎ (R_old ⋈ ΔS)
+    *
+    * (expand (R+ΔR)⋈(S+ΔS) and fold ΔR⋈(S_old+ΔS) into ΔR⋈S_new).
+    * All frames are BAGS with explicit multiplicity: `vOld` carries
+    * `n ≥ 1` per distinct row, `dR`/`dS` carry `m = ±1` per change
+    * (an update is a −1 old row and a +1 new row); the result is the
+    * new view's census — distinct rows with their net n, rows at
+    * n ≤ 0 gone.
+    *
+    * Scale: the whole point is that the DELTA joins carry the change
+    * rate, not the table — ΔR ⋈ S_new and R_old ⋈ ΔS each broadcast
+    * the |Δ|-sized side into one scan of the other relation, and no
+    * R_new ⋈ S_new shuffle ever happens. The final ⊎ (a group-sum on
+    * the view columns) touches V_old once; at 100 TB that apply step
+    * is a partitioned merge into the STORED view — the same
+    * generation-merge shape as the kvbin streaming sink — while the
+    * delta computation stays |Δ|-sized. `rOld`/`dR` must share a
+    * schema (key + R columns), `sNew`/`dS` likewise (key + S columns);
+    * the view's columns are their union. */
+  def maintainJoin(vOld: DataFrame, rOld: DataFrame, dR: DataFrame,
+                   sNew: DataFrame, dS: DataFrame, key: String): DataFrame = {
+    val viewCols = vOld.columns.filter(_ != "n").map(col).toSeq
+    val dvR = dR.join(sNew, key)
+      .select((viewCols :+ col("m").as("n")): _*)
+    val dvS = rOld.join(dS, key)
+      .select((viewCols :+ col("m").as("n")): _*)
+    vOld.select((viewCols :+ col("n")): _*)
+      .unionByName(dvR).unionByName(dvS)
+      .groupBy(viewCols: _*)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+  }
 }

@@ -182,4 +182,31 @@ class DiffLawsSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSet
     assert(m2 === Set(("bbbb", 1L, 1L)))
   }
+
+  test("IVM join delta rule on true bags: multiplicities add, n<=0 rows vanish") {
+    import spark.implicits._
+    // R is a BAG: key 1 appears twice with the same payload (n folds to
+    // 2 in the view); deltas delete one copy and insert a new S-side
+    // match — the mixed old/new rule must account exactly
+    val rOld = Seq((1L, "r1"), (1L, "r1"), (2L, "r2"), (3L, "r3"))
+      .toDF("k", "rv")
+    val sOld = Seq((1L, "s1"), (2L, "s2"), (4L, "s4")).toDF("k", "sv")
+    // ΔR: remove ONE copy of (1, r1); remove (2, r2); insert (4, r4)
+    val dR = Seq((1L, "r1", -1L), (2L, "r2", -1L), (4L, "r4", 1L))
+      .toDF("k", "rv", "m")
+    // ΔS: delete customer 2 (its R row is also going — both deltas hit)
+    val dS = Seq((2L, "s2", -1L)).toDF("k", "sv", "m")
+    val sNew = Seq((1L, "s1"), (4L, "s4")).toDF("k", "sv")
+    val vOld = rOld.join(sOld, "k").withColumn("n", lit(1L))
+      .groupBy(col("k"), col("rv"), col("sv")).agg(sum(col("n")).as("n"))
+    val got = Diff.maintainJoin(vOld, rOld, dR, sNew, dS, "k")
+      .as[(Long, String, String, Long)].collect().toSet
+    // direct recompute of R_new ⋈ S_new:
+    //   R_new = {(1,r1)×1, (3,r3), (4,r4)}, S_new = {(1,s1), (4,s4)}
+    assert(got === Set((1L, "r1", "s1", 1L), (4L, "r4", "s4", 1L)))
+    // subtlety pinned: (2, r2, s2) must reach n = 1 − 1 (ΔR⋈S_new gives
+    // 0: s2 is gone from S_new) − 1 (R_old⋈ΔS) + ... = exactly 0 via
+    // vOld(1) + dvS(−1); a naive ΔR⋈S_old formulation would have
+    // double-subtracted it to −1 and a missing-term one left it at +1
+  }
 }
