@@ -475,4 +475,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"rules must map-side combine:\n$p")
     assert(!p.contains("Join"), s"a rule pass must not join:\n$p")
   }
+
+  test("round-9 joins: no cartesian in removal / itemsets / IVM-join plans") {
+    // q_substring_removal's canonical pass, q_itemsets' pruned cube and
+    // q_ivm_join's delta joins are all equi-joins on gram/group/key —
+    // a cartesian anywhere is the scale-killer. (The sanctioned 1-row
+    // volume-guard broadcasts are BroadcastNestedLoopJoin by
+    // construction; cartesians are not.)
+    for (q <- Seq("q_substring_removal", "q_itemsets", "q_ivm_join",
+        "q_kll_quantile", "q_semantic_dedup_auto")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
+  test("q_kll_quantile: the register fold is a partial+final grouped min — one data shuffle") {
+    val p = plan("q_kll_quantile")
+    assert(p.contains("partial_min"), s"slot fold must map-side combine:\n$p")
+    // rank windows run over the register table only, never the data:
+    // every window partitions by the group key alone (g), and the only
+    // exchanges are the slot fold + the groups×k register table's
+    assert(p.linesIterator.exists(_.contains("windowspecdefinition")), p)
+  }
+
+  test("q_multimodal_kvbin reads through the kvbin DSv2 scan, not a file-per-row source") {
+    val p = plan("q_multimodal_kvbin")
+    assert(p.toLowerCase.contains("kvbin"), s"expected the kvbin DSv2 scan:\n$p")
+    assert(!p.contains("binaryFile"), p)
+    assert(p.contains("partial_"), s"content gate must map-side combine:\n$p")
+  }
 }
