@@ -265,6 +265,17 @@ object SparkEntry {
           "text", "doc_id", 0.5)
         .orderBy(col("train_id"), col("eval_id"))
     }),
+    // SPAN-level decontamination (the cut, not the flag): every train
+    // 8-gram that appears anywhere in the eval corpus is cut as a
+    // merged island — neither wasting the document (whole-doc drop)
+    // nor shipping the leak. Eval gram set broadcasts into a semi-join
+    // against the train gram stream; train never shuffles for the match
+    "q_decontam_removal" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminationRemoval(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", l = 8)
+    }),
     // corpus-level contamination rate over the deterministic hash
     // split (train = md5 bucket < 90): per held-out doc, the permille
     // of its shingles present anywhere in train — the overlap metric
@@ -3230,6 +3241,42 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY gram) AS df
         |        FROM g),
         |spans AS (SELECT doc_id, i AS s, i+7 AS e FROM occ WHERE df > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM spans),
+        |isl2 AS (SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |merged AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |           FROM isl2 GROUP BY 1, 2),
+        |words AS (SELECT doc_id, j, w[j] AS word
+        |          FROM toks, unnest(generate_series(1, len(w))) u(j)),
+        |kept AS (SELECT wd.doc_id, wd.j, wd.word FROM words wd
+        |         WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |           WHERE m.doc_id = wd.doc_id AND wd.j BETWEEN m.s AND m.e))
+        |SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays Dedup.decontaminationRemoval: train 8-grams present in
+    // the eval gram set mark spans; same island merge and word cut as
+    // q_substring_removal
+    "q_decontam_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 10 <> 0),
+        |g AS (SELECT doc_id, i,
+        |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS gram
+        |      FROM toks, unnest(generate_series(1, len(w)-7)) u(i)
+        |      WHERE len(w) >= 8),
+        |etoks AS (SELECT string_split(text,' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |eg AS (SELECT DISTINCT
+        |        w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |        w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS gram
+        |      FROM etoks, unnest(generate_series(1, len(w)-7)) u(i)
+        |      WHERE len(w) >= 8),
+        |spans AS (SELECT doc_id, i AS s, i+7 AS e FROM g
+        |          WHERE gram IN (SELECT gram FROM eg)),
         |isl AS (SELECT doc_id, s, e,
         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1

@@ -1255,7 +1255,19 @@ object Dedup {
     val spans = keyed.join(owners, Seq("gram"))
       .where(col("k") =!= col("own"))
       .select(col("doc_id"), col("i").as("s"), (col("i") + lit(l - 1)).as("e"))
-    val islands = mergeSpans(spans)
+    cutSpans(docs, textCol, idCol, mergeSpans(spans))
+  }
+
+  /** Cut merged word islands (doc_id, island, s, e) out of each
+    * document's text and re-join the survivors — the apply half shared
+    * by [[substringRemoval]] and [[decontaminationRemoval]]. The
+    * reconstruction is a per-document higher-order-function filter of
+    * the word array against the collected island list (bounded by the
+    * doc's own span count) — no word-level join. Documents entirely
+    * consumed by cuts drop out (an empty text is not a document). */
+  private def cutSpans(docs: DataFrame, textCol: String, idCol: String,
+                       merged: DataFrame): DataFrame = {
+    val islands = merged
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
@@ -1267,6 +1279,35 @@ object Dedup {
       .select(col("doc_id"),
         expr("array_join(transform(kept, p -> p.word), ' ')").as("text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** SPAN-level decontamination — the surgical complement of
+    * [[decontaminate]]'s whole-document flagging: cut from every TRAIN
+    * document each l-gram span that appears ANYWHERE in the EVAL
+    * corpus, keeping the rest of the document (dropping a whole long
+    * document over one leaked benchmark sentence wastes its clean
+    * majority; shipping the sentence leaks the benchmark — the cut is
+    * the curation move that does neither). Overlapping leaked spans
+    * merge gaps-and-islands style and the survivors re-join via
+    * [[cutSpans]]; after the cut, NO train l-gram occurs in eval —
+    * [[contaminationRate]] at the same l reports 0 for every eval doc
+    * against the output (spec-pinned), up to the same astronomically
+    * unlikely cut-junction collision [[substringRemoval]] documents.
+    *
+    * Scale: the eval gram set is orders of magnitude smaller than the
+    * train corpus and broadcasts into a LEFT SEMI join against the
+    * train gram stream ([[decontaminate]]'s asymmetry argument) — the
+    * train corpus is never shuffled for the match; span merging
+    * shuffles train docs once by doc_id. */
+  def decontaminationRemoval(train: DataFrame, eval: DataFrame,
+                             textCol: String, idCol: String,
+                             l: Int = 8): DataFrame = {
+    val tGrams = positionalGrams(train, textCol, idCol, l)
+    val eGrams = positionalGrams(eval, textCol, idCol, l)
+      .select(col("gram")).distinct()
+    val spans = tGrams.join(broadcast(eGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + lit(l - 1)).as("e"))
+    cutSpans(train, textCol, idCol, mergeSpans(spans))
   }
 
   /** Stratified exact split by largest-remainder allocation: within

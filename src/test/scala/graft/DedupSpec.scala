@@ -632,6 +632,25 @@ class DedupSpec extends SparkTestBase {
     assert(m(2L).endsWith("x y z"))
   }
 
+  test("decontaminationRemoval cuts leaked spans; output contaminates at 0") {
+    val leak = "b1 b2 b3 b4 b5 b6 b7 b8" // the benchmark sentence
+    val train = Seq(
+      (1L, s"t1 t2 t3 $leak t4 t5"), // embeds the leak mid-document
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // clean
+      (3L, leak) // IS the leak — drops out entirely
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"q1 q2 $leak q3")).toDF("doc_id", "text")
+    val out = Dedup.decontaminationRemoval(train, eval, "text", "doc_id")
+    val m = out.as[(Long, String)].collect().toMap
+    assert(m === Map(1L -> "t1 t2 t3 t4 t5",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    // the release gate: the cut output contaminates eval at 0 under the
+    // SAME l-gram containment (8-word shingles)
+    val rate = Dedup.contaminationRate(out, eval, "text", "doc_id", n = 8)
+      .select(col("contamination_permille")).as[Long].collect()
+    assert(rate.forall(_ === 0L), rate.toSeq.toString)
+  }
+
   test("stratifiedSplit: exact largest-remainder counts, no doc lost") {
     // 7 docs in one stratum: 800/100/100 → bases 5/0/0, remainders
     // 600/700/700 → two leftover seats go to val and test (largest
