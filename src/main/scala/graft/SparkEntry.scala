@@ -126,7 +126,11 @@ object SparkEntry {
     // registers min-merged in the state store (no stats prepass — slot
     // geometry is a pure hash function); estimate through the same
     // slotSampleQuantilesFromCells stage as batch
-    "q_stream_kll_quantile" -> ((s, dir) => StreamEntries.streamSlotQuantile(s, dir)))
+    "q_stream_kll_quantile" -> ((s, dir) => StreamEntries.streamSlotQuantile(s, dir)),
+    // streaming PSI drift: live counters summed in the state store over
+    // the batch-pinned reference geometry; scored through the same
+    // psiFromCells stage as batch
+    "q_stream_psi_drift" -> ((s, dir) => StreamEntries.streamPsiDrift(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1455,6 +1459,20 @@ object SparkEntry {
           col("value"), col("event_id"), 1024, Seq(500, 950))
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"), col("q_permille"))),
+    // PSI drift monitor: per event type, the live population (users >=
+    // 50) scored against the reference population (users < 50) over the
+    // REFERENCE's 16-bucket geometry, Laplace-smoothed, each bucket one
+    // double chain rounded to 6 dp before a DECIMAL sum (the log-sum
+    // recipe). Counters merge by addition — the streaming twin sums
+    // them in the state store and scores through the same stage.
+    "q_psi_drift" -> ((s, dir) => {
+      val e = Events.read(s, dir)
+      Sketches.psiDrift(e.filter(col("user_id") < 50),
+          e.filter(col("user_id") >= 50),
+          col("event_type"), col("value"), 16)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }),
     "q_hll_ndv" -> ((s, dir) => {
       val tok = docs(s, dir).select(col("lang"),
         explode(Dedup.shingles(col("text"), 3)).as("t"))
@@ -4874,6 +4892,13 @@ object SparkEntry {
         |WHERE r.lo_rank < (q.q_permille * nn.n + 999) // 1000
         |  AND (q.q_permille * nn.n + 999) // 1000 <= r.hi_rank
         |ORDER BY event_type, q_permille""".stripMargin,
+    // replays psiDrift: reference-pinned 16-bucket geometry with the
+    // two-sided clamp, Laplace-smoothed shares, one double chain per
+    // bucket rounded to 6 dp, DECIMAL term sum
+    "q_psi_drift" -> psiOracleSql("user_id >= 50"),
+    // the streaming twin scores state-store-summed live counters
+    // through the identical stage; live slice = the bounded user band
+    "q_stream_psi_drift" -> psiOracleSql("user_id >= 50 AND user_id < 100"),
     // replays q_kll_quantile: same 60-bit md5 row hash, slot = h % k,
     // per-slot minimum (hash, value) row, sample order statistic at the
     // positive-operand ceil rank
@@ -5543,6 +5568,43 @@ object SparkEntry {
       |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
       |  min(media_id) AS min_id, max(media_id) AS max_id
       |FROM b GROUP BY 1 ORDER BY channels""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Sketches.psiDrift]] over
+    * events (16 buckets, reference = users < 50); `liveWhere` selects
+    * the live population (the full complement for the batch entry, the
+    * bounded band for the streaming twin). */
+  private def psiOracleSql(liveWhere: String): String =
+    s"""WITH ref AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      |             FROM events WHERE user_id < 50),
+      |live AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      |         FROM events WHERE $liveWhere),
+      |st AS (SELECT g, min(v) AS lo, max(v) AS hi FROM ref GROUP BY 1),
+      |rcell AS (SELECT b.g,
+      |    CASE WHEN st.hi > st.lo
+      |         THEN greatest(0, least(15, CAST(floor((b.v - st.lo) / (st.hi - st.lo) * 16) AS BIGINT)))
+      |         ELSE 0 END AS bucket, count(*) AS rc
+      |  FROM ref b JOIN st ON b.g = st.g GROUP BY 1, 2),
+      |lcell AS (SELECT b.g,
+      |    CASE WHEN st.hi > st.lo
+      |         THEN greatest(0, least(15, CAST(floor((b.v - st.lo) / (st.hi - st.lo) * 16) AS BIGINT)))
+      |         ELSE 0 END AS bucket, count(*) AS lc
+      |  FROM live b JOIN st ON b.g = st.g GROUP BY 1, 2),
+      |rn AS (SELECT g, CAST(sum(rc) AS BIGINT) AS n_ref FROM rcell GROUP BY 1),
+      |lv AS (SELECT g, CAST(sum(lc) AS BIGINT) AS n_live FROM lcell GROUP BY 1),
+      |j AS (SELECT coalesce(rcell.g, lcell.g) AS g,
+      |        coalesce(rcell.bucket, lcell.bucket) AS bucket,
+      |        coalesce(rc, 0) AS rc, coalesce(lc, 0) AS lc
+      |      FROM rcell FULL JOIN lcell
+      |        ON rcell.g = lcell.g AND rcell.bucket = lcell.bucket),
+      |t AS (SELECT j.g, rn.n_ref, coalesce(lv.n_live, 0) AS n_live,
+      |    round((CAST(rc + 1 AS DOUBLE) / CAST(rn.n_ref + 16 AS DOUBLE)
+      |           - CAST(lc + 1 AS DOUBLE) / CAST(coalesce(lv.n_live, 0) + 16 AS DOUBLE))
+      |      * ln((CAST(rc + 1 AS DOUBLE) / CAST(rn.n_ref + 16 AS DOUBLE))
+      |           / (CAST(lc + 1 AS DOUBLE) / CAST(coalesce(lv.n_live, 0) + 16 AS DOUBLE))), 6) AS term
+      |  FROM j JOIN rn ON j.g = rn.g LEFT JOIN lv ON j.g = lv.g)
+      |SELECT g AS event_type, n_ref, n_live,
+      |  round(CAST(sum(CAST(term AS DECIMAL(20,6))) AS DOUBLE), 6) AS psi
+      |FROM t GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Sketches.slotSampleQuantiles]]
     * over events (k=1024, P500/P950); `where` restricts the fed slice

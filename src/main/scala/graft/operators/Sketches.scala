@@ -469,6 +469,86 @@ object Sketches {
       .groupBy(col("g"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Population Stability Index drift monitor — the production
+    * data/feature-drift alarm (the credit-scoring PSI, standard
+    * monitoring for a pipeline feeding models): per group, the LIVE
+    * value distribution scored against a REFERENCE distribution over
+    * the reference's own bucket geometry,
+    * PSI = Σ_b (p_b − q_b) · ln(p_b / q_b), with Laplace-smoothed
+    * shares p_b = (ref_b + 1)/(n_ref + buckets) (an empty bucket on
+    * either side must not produce ln 0). Rule-of-thumb thresholds:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 act.
+    *
+    * The geometry is pinned by the REFERENCE alone — live values
+    * outside the reference range clamp into the edge buckets (the
+    * two-sided clamp [[histCells]] doesn't need, because there stats
+    * come from the same data). Live-side groups with no reference get
+    * no score: drift is relative to a baseline by definition.
+    *
+    * Cross-engine determinism: counts are exact integers; each
+    * bucket's term does ONE double chain (two IEEE divisions, ln,
+    * multiply — bit-identical on both engines), rounds to 6 dp, and
+    * the per-group sum runs in DECIMAL — the
+    * [[graft.operators.TextAnalysis.unigramLogProb]] log-sum recipe,
+    * so summation order can't bite.
+    *
+    * Same split as the quantile sketches: [[psiCells]] is one grouped
+    * count (map-side partial; the counter table is groups×buckets and
+    * merges by addition — micro-batches sum in the state store, which
+    * is what the streaming twin does), [[psiFromCells]] scores over
+    * counter tables only. Output: (g, n_ref, n_live, psi). */
+  def psiDrift(ref: DataFrame, live: DataFrame, gCol: Column, vCol: Column,
+               buckets: Int): DataFrame = {
+    val rBase = ref.select(gCol.as("g"), vCol.cast("double").as("v"))
+    val lBase = live.select(gCol.as("g"), vCol.cast("double").as("v"))
+    val stats = histStats(rBase.filter(col("v").isNotNull))
+    psiFromCells(psiCells(rBase, stats, buckets),
+      psiCells(lBase, stats, buckets), buckets)
+  }
+
+  /** The drift counter table (g, bucket, cnt) over a PINNED reference
+    * geometry — [[histCells]] with the two-sided clamp live data needs
+    * (values outside the reference range land in the edge buckets). */
+  def psiCells(base: DataFrame, stats: DataFrame, buckets: Int): DataFrame =
+    base.filter(col("v").isNotNull)
+      .join(broadcast(stats), col("g") <=> col("__sg"))
+      .withColumn("bucket",
+        when(col("__hi") > col("__lo"),
+          greatest(lit(0L), least(lit(buckets - 1L),
+            floor((col("v") - col("__lo")) / (col("__hi") - col("__lo")) * buckets))))
+        .otherwise(lit(0L)))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The scoring stage over explicit ref/live counter tables — merged
+    * (e.g. state-store-summed) live counters score through the
+    * identical arithmetic, so the streaming twin shares this stage. */
+  def psiFromCells(refCells: DataFrame, liveCells: DataFrame,
+                   buckets: Int): DataFrame = {
+    require(buckets >= 2, "need buckets >= 2")
+    val rc = refCells.select(col("g"), col("bucket"), col("cnt").as("rc"))
+    val lc = liveCells.select(col("g"), col("bucket"), col("cnt").as("lc"))
+    val rn = rc.groupBy(col("g").as("__rg")).agg(sum(col("rc")).as("n_ref"))
+    val ln_ = lc.groupBy(col("g").as("__lg")).agg(sum(col("lc")).as("n_live"))
+    rc.join(lc, Seq("g", "bucket"), "full_outer")
+      .select(col("g"), col("bucket"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("lc"), lit(0L)).as("lc"))
+      .join(broadcast(rn), col("g") <=> col("__rg"), "inner")
+      .join(broadcast(ln_), col("g") <=> col("__lg"), "left")
+      .select(col("g"), col("n_ref"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        round(
+          ((col("rc") + 1).cast("double") / (col("n_ref") + buckets).cast("double")
+            - (col("lc") + 1).cast("double") / (coalesce(col("n_live"), lit(0L)) + buckets).cast("double"))
+          * log(((col("rc") + 1).cast("double") / (col("n_ref") + buckets).cast("double"))
+            / ((col("lc") + 1).cast("double") / (coalesce(col("n_live"), lit(0L)) + buckets).cast("double"))),
+          6).as("term"))
+      .groupBy(col("g"), col("n_ref"), col("n_live"))
+      .agg(round(sum(col("term").cast("decimal(20,6)")).cast("double"), 6)
+        .as("psi"))
+  }
+
   /** RANK-error quantile sketch — the [[histQuantiles]] twin for
     * heavy-tailed values, where the equi-width histogram's value-error
     * bound (range/buckets) degrades: a per-slot-minimum coordinated

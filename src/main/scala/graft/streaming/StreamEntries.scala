@@ -1071,6 +1071,52 @@ object StreamEntries {
       .orderBy(col("event_type"), col("q_permille"))
   }
 
+  /** Streaming PSI drift monitor — the
+    * [[graft.operators.Sketches.psiDrift]] live side as a streaming
+    * complete-mode counter aggregation: the REFERENCE population's
+    * cells and bucket geometry are computed batch-side (a production
+    * monitor pins its baseline), the LIVE stream's counters accumulate
+    * in the state store (groups×buckets regardless of stream length),
+    * and after the drain the sink counters score through the identical
+    * [[graft.operators.Sketches.psiFromCells]] stage — the drift alarm
+    * a 100 TB ingest pipeline keeps running against every feature
+    * column. Oracle = the batch PSI SQL over the same split. */
+  def streamPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = memoFeed(s"psid:$dir") {
+      // live slice = a bounded user band (widened by sliceScale like
+      // every feed); the reference below is never collected
+      Events.read(s, dir).filter(col("user_id") >= lit(50L) &&
+          col("user_id") < lit(50L + 50L * sliceScale))
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)].collect().toSeq
+    }
+    val refBase = Events.read(s, dir).filter(col("user_id") < lit(50L))
+      .select(col("event_type").as("g"), col("value").cast("double").as("v"))
+    val statsDf = graft.operators.Sketches.histStats(
+      refBase.filter(col("v").isNotNull))
+    val refCells = graft.operators.Sketches.psiCells(refBase, statsDf, 16)
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_psid")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Double, Long)]
+      val cells = graft.operators.Sketches.psiCells(
+        mem.toDF.toDF("g", "v", "id").select(col("g"), col("v")),
+        statsDf, 16)
+      val q = cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(rows.filter(_._3 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    graft.operators.Sketches.psiFromCells(refCells, takeTable(s, name), 16)
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming rank-error quantile sketch — the
     * [[streamHistQuantile]] twin on
     * [[graft.operators.Sketches.slotSampleCells]]: the state store

@@ -349,6 +349,32 @@ class SketchesSpec extends SparkTestBase {
       whole.exceptAll(mergedCells).isEmpty)
   }
 
+  test("psiDrift: self-drift ~0, a shifted population alarms, counters merge invisibly") {
+    val ref = (1 to 4000).map(i =>
+      ("g", ((i * 2654435761L) % 9973).toDouble / 9973.0)).toDF("g", "v")
+    // identical population: PSI must sit at the stable floor
+    val self = Sketches.psiDrift(ref, ref, col("g"), col("v"), 16)
+      .select("psi").as[Double].head()
+    assert(math.abs(self) < 0.01, s"self-PSI $self")
+    // live shifted +0.5 (half the mass clamps into the top bucket):
+    // well past the 0.25 action threshold
+    val shifted = ref.select(col("g"), (col("v") + 0.5).as("v"))
+    val drift = Sketches.psiDrift(ref, shifted, col("g"), col("v"), 16)
+      .select("psi").as[Double].head()
+    assert(drift > 0.25, s"shifted PSI $drift")
+    // counter merge invariance: per-shard live cells summed == whole
+    val base = shifted.select(col("g"), col("v").cast("double").as("v"))
+    val stats = Sketches.histStats(ref.select(col("g").as("g"),
+      col("v").cast("double").as("v")))
+    val whole = Sketches.psiCells(base, stats, 16)
+    val merged = (0 until 3).map(s =>
+        Sketches.psiCells(base.filter(crc32(col("v").cast("string")) % 3 === s),
+          stats, 16))
+      .reduce(_ unionAll _)
+      .groupBy(col("g"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("histQuantiles: NULL group keeps its sketch, NULL values are not observations") {
     // group NULL has real values; group "a" has NULLs mixed in — the
     // NULLs must not shift ranks (n counts observations only), and the
