@@ -561,6 +561,14 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    // Kneser-Ney smoothed bigram LM (d=0.75, continuation-count
+    // backoff) — the top of the perplexity ladder and the smoothing a
+    // KenLM-style quality filter actually runs: defined for every
+    // corpus bigram (no -inf docs), distinguishes plausible-but-unseen
+    // word order from alien order via continuation counts
+    "q_kn_logprob" -> ((s, dir) =>
+      TextAnalysis.knBigramLogProb(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
     // bigram conditional LM — one step up the perplexity ladder (word
     // ORDER, not just word choice); counts shuffle-join (scale-honest)
     "q_bigram_logprob" -> ((s, dir) =>
@@ -3690,6 +3698,29 @@ object SparkEntry {
         |       FROM bg JOIN cb USING (p, c) JOIN cl USING (p))
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Kneser-Ney twin: discounted MLE + continuation backoff, every
+    // count exact, one double chain per bigram rounded 7 dp pre-sum
+    // (6 dp has a fixture term exactly on a x.5e-6 boundary — see the
+    // operator scaladoc)
+    "q_kn_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |       FROM toks WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, w[i] AS p, w[i + 1] AS c FROM ix),
+        |cb AS (SELECT p, c, count(*) AS nb FROM bg GROUP BY p, c),
+        |cl AS (SELECT p, count(*) AS np FROM bg GROUP BY p),
+        |fan AS (SELECT p, count(*) AS n1p FROM cb GROUP BY p),
+        |cont AS (SELECT c, count(*) AS n1c FROM cb GROUP BY c),
+        |tot AS (SELECT count(*) AS nbt FROM cb),
+        |lp AS (SELECT doc_id,
+        |         round(ln(greatest(CAST(nb AS DOUBLE) - 0.75, 0.0) / CAST(np AS DOUBLE)
+        |           + 0.75 * CAST(n1p AS DOUBLE) / CAST(np AS DOUBLE)
+        |             * (CAST(n1c AS DOUBLE) / CAST(nbt AS DOUBLE))), 7) AS lp
+        |       FROM bg JOIN cb USING (p, c) JOIN cl USING (p) JOIN fan USING (p)
+        |            JOIN cont USING (c) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(lp AS DECIMAL(21,7))) AS DOUBLE) AS sum_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // PMI ratio replayed in exact integer arithmetic: HUGEINT product
     // (the twin of Spark's DECIMAL(38,0)) // the marginal product —

@@ -111,6 +111,77 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Kneser-Ney smoothed bigram LM score (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998) — the perplexity rung
+    * above [[bigramLogProb]]'s raw MLE, and the smoothing every real
+    * LM-quality filter (KenLM-style) runs:
+    *
+    *   P(c|p) = max(c(p,c) − d, 0)/c(p·) + d·N1+(p·)/c(p·) · Pcont(c)
+    *   Pcont(c) = N1+(·c) / N1+(··)
+    *
+    * with the standard discount d = 0.75. MLE assigns unseen-in-context
+    * bigrams zero (−∞ log) and over-trusts one-occurrence contexts; KN
+    * backs off to CONTINUATION counts — "how many distinct contexts
+    * does this word follow" — which is what separates a plausible-but-
+    * unseen word order from a genuinely alien one. Smoothing makes the
+    * score defined for EVERY bigram of the corpus vocabulary, so no
+    * document drops to −∞.
+    *
+    * Determinism: all counts are exact integers from three grouped
+    * aggregations (bigram counts, left-context totals + distinct-right
+    * fan-out in one pass, continuation counts); each bigram's
+    * probability is ONE double chain over those integers (the discount
+    * subtraction, two divisions, multiply-add — bit-identical on both
+    * engines), its log rounds to 7 dp — NOT the family's usual 6: at
+    * 6 dp one sf0.1 term's shortest decimal representation lands
+    * exactly on a x.5e-6 boundary, where Spark's round (BigDecimal of
+    * the shortest string) and DuckDB's (binary value) disagree; such a
+    * value is an exact 7-dp decimal, i.e. maximally FAR from every
+    * 7-dp boundary, and all fixture scales clear 7 dp — and the
+    * per-doc aggregate is the exact DECIMAL SUM, not an average: the
+    * avg's `sum/count` division re-manufactures a representation tie
+    * (a fixture doc's sum/49 sits exactly on a x.5e-6 boundary, where
+    * the engines' round implementations disagree), while the sum cast
+    * to double is EXACT (7-dp-scaled sums stay far under 2^53).
+    * Consumers divide by n_bigrams themselves when they want the
+    * average. Scale: the count joins
+    * are plain equi-joins on (p, c)/p/c (NOT broadcast — the bigram
+    * vocabulary grows with the corpus; AQE broadcasts when small), one
+    * token-stream shuffle each. Output: (doc_id, n_bigrams,
+    * sum_logprob); higher sum/n = more corpus-plausible word order. */
+  def knBigramLogProb(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val withW = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = withW.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("p"),
+            element_at(col("w"), i + 1).as("c")))).as("pc"))
+      .select(col("doc_id"), col("pc.p").as("p"), col("pc.c").as("c"))
+    val cb = bg.groupBy(col("p"), col("c")).agg(count(lit(1)).as("nb"))
+    // left-context totals AND distinct-right fan-out N1+(p·) ride ONE
+    // aggregation of the bigram-type table (cb) plus the raw totals
+    val cl = bg.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val fan = cb.groupBy(col("p")).agg(count(lit(1)).as("n1p"))
+    // continuation counts: in how many distinct left contexts does c
+    // appear; N1+(··) = total distinct bigram types (1-row broadcast)
+    val cont = cb.groupBy(col("c")).agg(count(lit(1)).as("n1c"))
+    val total = cb.groupBy().agg(count(lit(1)).as("nbt"))
+    bg.join(cb, Seq("p", "c")).join(cl, Seq("p")).join(fan, Seq("p"))
+      .join(cont, Seq("c")).crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(
+          greatest(col("nb").cast("double") - lit(0.75d), lit(0d))
+            / col("np").cast("double")
+          + lit(0.75d) * col("n1p").cast("double") / col("np").cast("double")
+            * (col("n1c").cast("double") / col("nbt").cast("double"))), 7)
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(21,7)")).cast("double").as("sum_logprob"))
+  }
+
   /** PMI collocation ranking (Church & Hanks 1990): adjacent word
     * pairs scored by pointwise mutual information — the classic
     * multi-word-expression extractor a tokenizer/vocab pipeline runs

@@ -24,6 +24,28 @@ class TextEventsSpec extends SparkTestBase {
     assert(r === Seq((1L, 1L, d1), (2L, 3L, d2))) // doc 3 has no bigrams
   }
 
+  test("KN bigram: hand-computed smoothing, continuation backoff ranks plausible order higher") {
+    // corpus: "a b" x3, "c b" x1, "a c" x1 — b follows TWO distinct
+    // contexts (high continuation), c follows one
+    val docs = (Seq.fill(3)("a b") ++ Seq("c b", "a c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramLogProb(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // counts: c(a,b)=3 c(c,b)=1 c(a,c)=1; c(a·)=4 c(c·)=1;
+    // N1+(a·)=2 N1+(c·)=1; N1+(·b)=2 N1+(·c)=1; types=3
+    def p(nb: Long, np: Long, n1p: Long, n1c: Long) =
+      math.max(nb - 0.75, 0.0) / np + 0.75 * n1p / np * (n1c / 3.0)
+    def lp(x: Double) = BigDecimal(math.log(x))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pab = lp(p(3, 4, 2, 2)); val pcb = lp(p(1, 1, 1, 2)); val pac = lp(p(1, 4, 2, 1))
+    assert(r === Seq((0L, 1L, pab), (1L, 1L, pab), (2L, 1L, pab),
+      (3L, 1L, pcb), (4L, 1L, pac)))
+    // every probability finite and in (0,1); the well-attested (a,b)
+    // outranks the singleton (a,c) in the same context
+    assert(Seq(pab, pcb, pac).forall(v => v < 0 && !v.isInfinite))
+    assert(pab > pac)
+  }
+
   test("PMI collocations: known ratios, minCount cutoff, ratio ranks bound pairs first") {
     // corpus: "a b" x5 and "c d" x1 and "a d" x2; bigrams per doc row
     val docs = Seq.fill(5)("a b").zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
