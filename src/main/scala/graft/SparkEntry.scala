@@ -130,7 +130,8 @@ object SparkEntry {
     // streaming PSI drift: live counters summed in the state store over
     // the batch-pinned reference geometry; scored through the same
     // psiFromCells stage as batch
-    "q_stream_psi_drift" -> ((s, dir) => StreamEntries.streamPsiDrift(s, dir)))
+    "q_stream_psi_drift" -> ((s, dir) => StreamEntries.streamPsiDrift(s, dir)),
+    "q_stream_nb_classify" -> ((s, dir) => StreamEntries.streamNbClassify(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,6 +569,13 @@ object SparkEntry {
     // word order from alien order via continuation counts
     "q_kn_logprob" -> ((s, dir) =>
       TextAnalysis.knBigramLogProb(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+    // multinomial Naive-Bayes language classifier on a deterministic
+    // id-mod 80/20 split — the fastText-class curation filter whose
+    // training is pure counting (and therefore exactly SQL-replayable);
+    // held-out accuracy is the filter's rollout gate
+    "q_nb_classify" -> ((s, dir) =>
+      TextAnalysis.nbClassify(docs(s, dir), "text", "lang", "doc_id")
         .orderBy(col("doc_id"))),
     // bigram conditional LM — one step up the perplexity ladder (word
     // ORDER, not just word choice); counts shuffle-join (scale-honest)
@@ -3722,6 +3730,14 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(CAST(lp AS DECIMAL(21,7))) AS DOUBLE) AS sum_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays nbClassify: train counts on id%5!=0, add-1 smoothed
+    // per-token ln rounded 7 dp, DECIMAL sums, argmax tie-broken by
+    // class name — the score column is the exact DECIMAL total (prior
+    // included) cast to double
+    "q_nb_classify" -> nbOracleSql("",
+      """SELECT b.doc_id, te.lang AS actual, b.pred, b.score,
+        |  CAST(te.lang = b.pred AS BIGINT) AS correct
+        |FROM best b JOIN te USING (doc_id) WHERE rk = 1 ORDER BY doc_id""".stripMargin),
     // PMI ratio replayed in exact integer arithmetic: HUGEINT product
     // (the twin of Spark's DECIMAL(38,0)) // the marginal product —
     // both engines truncate the all-positive division identically
@@ -4930,6 +4946,11 @@ object SparkEntry {
     // the streaming twin scores state-store-summed live counters
     // through the identical stage; live slice = the bounded user band
     "q_stream_psi_drift" -> psiOracleSql("user_id >= 50 AND user_id < 100"),
+    // streaming NB scoring must equal the batch scorer over the fed
+    // slice — same model SQL, streaming output shape (no actual col)
+    "q_stream_nb_classify" -> nbOracleSql(" AND doc_id < 5000",
+      """SELECT doc_id, pred, score FROM best
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin),
     // replays q_kll_quantile: same 60-bit md5 row hash, slot = h % k,
     // per-slot minimum (hash, value) row, sample order statistic at the
     // positive-operand ceil rank
@@ -5599,6 +5620,42 @@ object SparkEntry {
       |  CAST(bit_xor(${duckHash60("blob")}) AS BIGINT) AS xor_sig,
       |  min(media_id) AS min_id, max(media_id) AS max_id
       |FROM b GROUP BY 1 ORDER BY channels""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.TextAnalysis.nbClassify]]'s
+    * train/score split: train counts on `doc_id % 5 != 0`, add-1
+    * smoothed per-token ln rounded 7 dp, DECIMAL sums, argmax
+    * tie-broken by class name. `testExtra` narrows the test split (the
+    * streaming twin's bounded feed slice); `finalSelect` picks the
+    * output shape (batch emits actual/correct, streaming emits the
+    * scorer's raw (doc_id, pred, score)). */
+  private def nbOracleSql(testExtra: String, finalSelect: String): String =
+    s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0$testExtra),
+      |trtok AS (SELECT lang AS l, unnest(string_split(text, ' ')) AS w FROM tr),
+      |cw AS (SELECT l, w, count(*) AS c FROM trtok GROUP BY l, w),
+      |vocab AS (SELECT DISTINCT w FROM cw),
+      |v AS (SELECT count(*) AS v FROM vocab),
+      |cls AS (SELECT l, count(*) AS nl FROM trtok GROUP BY l),
+      |prior AS (SELECT lang AS l, count(*) AS dl FROM tr GROUP BY lang),
+      |nd AS (SELECT count(*) AS nd FROM tr),
+      |ct AS (SELECT cls.l, nl, v.v,
+      |         round(ln(CAST(dl AS DOUBLE) / CAST(nd.nd AS DOUBLE)), 7) AS lprior
+      |       FROM cls JOIN prior USING (l) CROSS JOIN v CROSS JOIN nd),
+      |tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM te),
+      |tev AS (SELECT doc_id, w FROM tetok SEMI JOIN vocab USING (w)),
+      |term AS (SELECT doc_id, ct.l, ct.lprior,
+      |           round(ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) /
+      |             (CAST(nl AS DOUBLE) + CAST(v AS DOUBLE))), 7) AS lp
+      |         FROM tev CROSS JOIN ct
+      |         LEFT JOIN cw ON cw.l = ct.l AND cw.w = tev.w),
+      |ds AS (SELECT doc_id, l, lprior,
+      |         sum(CAST(lp AS DECIMAL(21,7))) AS s
+      |       FROM term GROUP BY doc_id, l, lprior),
+      |sc AS (SELECT doc_id, l, s + CAST(lprior AS DECIMAL(21,7)) AS score FROM ds),
+      |best AS (SELECT doc_id, l AS pred, CAST(score AS DOUBLE) AS score,
+      |           row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY score DESC, l) AS rk FROM sc)
+      |$finalSelect""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Sketches.psiDrift]] over
     * events (16 buckets, reference = users < 50); `liveWhere` selects

@@ -828,4 +828,103 @@ object TextAnalysis {
         sum(col("nt")).over(w).as("tokens_cum"),
         sum(col("nn")).over(w).as("vocab_cum"))
   }
+
+  /** A trained multinomial Naive-Bayes model, all as (unmaterialized)
+    * DataFrames so batch and streaming scorers share the identical
+    * estimate stage: `wordCounts` = (l, w, c) per-class token counts
+    * (grows with vocab × classes — shuffled, never broadcast);
+    * `classTotals` = (l, nl, v, lprior) one row per class carrying the
+    * class token total, the train vocabulary size, and the 7-dp-rounded
+    * log prior (classes are few — broadcast at score time); `vocab` =
+    * the train vocabulary (w) for the OOV semi-join. */
+  final case class NbModel(wordCounts: DataFrame, classTotals: DataFrame,
+                           vocab: DataFrame)
+
+  /** Train a multinomial Naive-Bayes text classifier — the fastText-class
+    * linear filter every corpus-curation pipeline runs (language ID,
+    * quality tiers, domain routing) expressed as pure counting, which is
+    * why it is the one classifier whose training is exactly replayable
+    * in SQL: the "model" is three grouped aggregations (per-class token
+    * counts, per-class totals, class priors) and add-1 smoothing.
+    *
+    * Scale: one pass over the train token stream; `wordCounts` is the
+    * only corpus-sized frame and flows through plain equi-joins. */
+  def nbTrain(train: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val tok = train.select(col(labelCol).as("l"),
+      explode(split(col(textCol), " ")).as("w"))
+    val cw = tok.groupBy(col("l"), col("w")).agg(count(lit(1)).as("c"))
+    val vocab = cw.select(col("w")).distinct()
+    val v = vocab.agg(count(lit(1)).as("v"))
+    val cls = tok.groupBy(col("l")).agg(count(lit(1)).as("nl"))
+    val prior = train.groupBy(col(labelCol).as("l"))
+      .agg(count(lit(1)).as("dl"))
+    val nd = train.agg(count(lit(1)).as("nd"))
+    val classTotals = cls.join(prior, Seq("l"))
+      .crossJoin(broadcast(v)).crossJoin(broadcast(nd))
+      .select(col("l"), col("nl"), col("v"),
+        round(log(col("dl").cast("double") / col("nd").cast("double")), 7)
+          .as("lprior"))
+    NbModel(cw, classTotals, vocab)
+  }
+
+  /** Score documents against a trained [[NbModel]]: for each doc and
+    * class, log P(class) + Σ_tokens log((c(l,w)+1)/(nl+V)), argmax over
+    * classes. Tokens outside the train vocabulary drop (the standard
+    * restrict-to-vocab NB contract) — a doc whose tokens are ALL
+    * out-of-vocabulary emits no row; callers wanting prior-only
+    * fallbacks handle those upstream.
+    *
+    * Determinism: every count is exact; each token's log term is ONE
+    * double chain over integers rounded to 7 dp (the [[knBigramLogProb]]
+    * recipe — 6 dp has known x.5e-N boundary ties in this corpus
+    * family), summed in DECIMAL so order is immaterial; the argmax
+    * tie-breaks by class name, and ties are exact DECIMAL equality, so
+    * both engines pick the same class.
+    *
+    * Scale: vocab semi-join prunes OOV tokens at the source; the token
+    * stream multiplies by the (few) classes via a broadcast of
+    * `classTotals`; the (l, w) count join is a shuffled equi-join
+    * (vocab × classes grows with the corpus); per-doc argmax is a
+    * hash-partitioned window over `classes` rows per doc. Returns
+    * (doc_id, pred, score) — `score` is the exact DECIMAL sum cast to
+    * double (7-dp-scaled sums stay far under 2^53). */
+  def nbScore(test: DataFrame, textCol: String, idCol: String,
+              model: NbModel): DataFrame = {
+    val tetok = test.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .join(model.vocab, Seq("w"), "left_semi")
+    val term = tetok.crossJoin(broadcast(model.classTotals))
+      .join(model.wordCounts, Seq("l", "w"), "left_outer")
+      .select(col("doc_id"), col("l"), col("lprior"),
+        round(log((coalesce(col("c"), lit(0L)).cast("double") + 1.0d) /
+          (col("nl").cast("double") + col("v").cast("double"))), 7).as("lp"))
+    val scored = term.groupBy(col("doc_id"), col("l"), col("lprior"))
+      .agg(sum(col("lp").cast("decimal(21,7)")).as("s"))
+      .select(col("doc_id"), col("l"),
+        (col("s") + col("lprior").cast("decimal(21,7)")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("l"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("l").as("pred"),
+        col("score").cast("double").as("score"))
+  }
+
+  /** End-to-end NB classification eval on a deterministic id-mod split:
+    * train on `id % testMod != 0`, score the rest, emit per-test-doc
+    * (doc_id, actual, pred, score, correct). The held-out accuracy this
+    * yields is the rollout gate for a classifier-based curation filter
+    * (the analogue of [[graft.operators.Similarity]]'s recallAtK for
+    * ANN). */
+  def nbClassify(docs: DataFrame, textCol: String, labelCol: String,
+                 idCol: String, testMod: Int = 5): DataFrame = {
+    require(testMod >= 2, "need testMod >= 2 so the train split is non-empty")
+    val test = docs.filter(col(idCol) % testMod === 0)
+    val model = nbTrain(docs.filter(col(idCol) % testMod =!= 0),
+      textCol, labelCol)
+    nbScore(test, textCol, idCol, model)
+      .join(test.select(col(idCol).as("doc_id"),
+        col(labelCol).as("actual")), Seq("doc_id"))
+      .select(col("doc_id"), col("actual"), col("pred"), col("score"),
+        (col("actual") === col("pred")).cast("long").as("correct"))
+  }
 }

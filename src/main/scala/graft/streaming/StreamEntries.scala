@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Events
+import graft.operators.{Events, TextAnalysis}
 import graft.sources.KVSnapshot
 
 /** Deterministic, driver-checkable entry points for the three stateful
@@ -966,6 +966,54 @@ object StreamEntries {
     }
     s.read.parquet(tbl.toString).select(col("key"), col("value"))
       .orderBy(col("key"))
+  }
+
+  /** Streaming Naive-Bayes scoring — the deploy half of
+    * [[TextAnalysis.nbClassify]]'s train/score split, and the shape a
+    * classifier-based curation filter actually ships as: the model
+    * (trained in batch on the id-mod train split, pinned once with
+    * localCheckpoint — production writes it to a table) scores each
+    * arriving micro-batch of documents through the IDENTICAL
+    * [[TextAnalysis.nbScore]] estimate stage inside `foreachBatch`
+    * (scoring is per-doc stateless, so per-batch batch-plan execution
+    * is semantically exact — no state store, no watermark; the argmax
+    * window runs WITHIN the batch, which always holds whole docs).
+    * Fed in two batches split by doc parity to prove batch-boundary
+    * invariance; the committed oracle replays the batch scorer over
+    * the same slice, so stream == batch is the gate. */
+  def streamNbClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsDf = s.read.parquet(s"$dir/documents.parquet")
+    val m0 = TextAnalysis.nbTrain(
+      docsDf.filter(col("doc_id") % 5 =!= 0), "text", "lang")
+    val model = TextAnalysis.NbModel(m0.wordCounts.localCheckpoint(),
+      m0.classTotals.localCheckpoint(), m0.vocab.localCheckpoint())
+    // bounded feed slice (test split only), scale-widened for bench
+    val feed = memoFeed(s"nbc:$dir") {
+      docsDf.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") < lit(5000L * sliceScale))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+    }
+    val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-nbc-")
+      .toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextAnalysis.nbScore(batch, "text", "doc_id", model)
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(feed.filter(d => (d._1 / 5) % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    s.read.parquet(out).orderBy(col("doc_id"))
   }
 
   /** `foreachBatch` merge into a KVBIN table generation — the

@@ -46,6 +46,33 @@ class TextEventsSpec extends SparkTestBase {
     assert(pab > pac)
   }
 
+  test("NB classify: planted class vocab recovered; OOV-only doc drops; ties break by class name") {
+    // train (id % 5 != 0): 'pos' docs speak good/nice, 'neg' speak
+    // bad/awful; 'both' is a shared token in every doc
+    val docs = Seq(
+      (1L, "good nice both", "pos"), (2L, "good good both", "pos"),
+      (3L, "nice nice both", "pos"), (4L, "good nice both", "pos"),
+      (6L, "bad awful both", "neg"), (7L, "bad bad both", "neg"),
+      (8L, "awful awful both", "neg"), (9L, "bad awful both", "neg"),
+      // test (id % 5 == 0)
+      (0L, "good nice", "pos"), (5L, "bad awful", "neg"),
+      (10L, "zzz qqq", "pos")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.nbClassify(docs, "text", "lang", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "pred", "correct").as[(Long, String, Long)]
+      .collect().toSeq
+    // doc 10 is all-OOV and emits nothing; the others classify right
+    assert(r === Seq((0L, "pos", 1L), (5L, "neg", 1L)))
+
+    // symmetric counts + equal priors → exact DECIMAL score tie →
+    // lexicographically smaller class wins on both engines
+    val tied = Seq((1L, "w", "b_cls"), (2L, "w", "a_cls"),
+      (0L, "w", "b_cls")).toDF("doc_id", "text", "lang")
+    val t = TextAnalysis.nbClassify(tied, "text", "lang", "doc_id")
+      .select("pred").as[String].collect().toSeq
+    assert(t === Seq("a_cls"))
+  }
+
   test("PMI collocations: known ratios, minCount cutoff, ratio ranks bound pairs first") {
     // corpus: "a b" x5 and "c d" x1 and "a d" x2; bigrams per doc row
     val docs = Seq.fill(5)("a b").zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
