@@ -207,6 +207,13 @@ object SparkEntry {
           round(matches.cast("double") / 32.0, 6).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // LSH banding rollout gate: recall/precision (integer ppm) of the
+    // (k=32, bands=16) banded md5-signature candidates against the
+    // exact df-capped Jaccard truth at j >= 0.5 — the number that
+    // licenses replacing the exact join with banding at 100× scale
+    "q_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(docs(s, dir), "text", "doc_id", 0.5, 3, 32, 16,
+        maxDf = jaccardMaxDf)),
     // near-dup clusters: connected components over the verified pair
     // graph; cluster_id = min reachable doc_id (the canonical survivor)
     "q_dedup_clusters" -> ((s, dir) => {
@@ -3030,6 +3037,27 @@ object SparkEntry {
         |       JOIN msig b ON p.doc_b = b.doc_id AND a.i = b.i
         |GROUP BY p.doc_a, p.doc_b, p.jaccard
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // replays lshRecall: same salted md5 signatures, band key = the r=2
+    // components string-joined, banded self-join candidates vs the
+    // exact pruned-Jaccard truth; integer-ppm recall/precision
+    "q_lsh_recall" -> (shingleCtePruned +
+      s""", msig AS (SELECT doc_id, i,
+        |            min(${duckHash60("'mh' || i || '_' || t")}) AS m
+        |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+        |          GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 2 AS band_id, string_agg(m, '_' ORDER BY i) AS bk
+        |         FROM msig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM band a JOIN band b ON a.band_id = b.band_id AND a.bk = b.bk
+        |           AND a.doc_id < b.doc_id),
+        |tp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |nt AS (SELECT count(*) AS n_true FROM tp),
+        |nc AS (SELECT count(*) AS n_cand FROM cand),
+        |nh AS (SELECT count(*) AS n_hit FROM cand SEMI JOIN tp USING (doc_a, doc_b))
+        |SELECT n_true, n_cand, n_hit,
+        |  CASE WHEN n_true > 0 THEN CAST(n_hit * 1000000 // n_true AS BIGINT) END AS recall_ppm,
+        |  CASE WHEN n_cand > 0 THEN CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_ppm
+        |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin),
     // replays deltaJaccardJoin: same shingle construction, tok split
     // new/old on doc_id % 10, corpus-side df cap, sizes from ALL shingles
     "q_dedup_delta" ->

@@ -586,6 +586,58 @@ object Dedup {
     tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** LSH banding-parameter rollout gate — the dedup-family analog of
+    * [[graft.operators.Similarity.recallAtK]]: against the EXACT
+    * df-capped Jaccard truth set (pairs with rounded j >= `threshold`),
+    * measure what the (k, bands) banding of the md5 MinHash signatures
+    * recovers and at what candidate volume. Output is ONE row —
+    * (n_true, n_cand, n_hit, recall_ppm, precision_ppm), integer ppm so
+    * the gate is corpus-size-independent — the number you check before
+    * switching a 100 TB dedup run from exact-join truth to banded
+    * candidates (too few bands silently drops near-dups; too many
+    * explodes candidate volume — this measures BOTH sides of that
+    * trade). Band bucket key = the r signature components joined as a
+    * string (both engines print longs identically), so the bucket
+    * equi-join is exactly replayable; candidate generation is the
+    * banded self-join (never all-pairs), truth comes from the already
+    * df-capped [[jaccardJoin]], and the three counts reduce to 1-row
+    * frames — nothing here is corpus-quadratic beyond what the gated
+    * operators themselves do. */
+  def lshRecall(docs: DataFrame, textCol: String, idCol: String,
+                threshold: Double, n: Int = 3, k: Int = 32,
+                bands: Int = 16, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val truth = jaccardJoin(docs, textCol, idCol, 0.0, n, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val sig = minhashSignatureMd5(docs, textCol, idCol, n, k)
+    val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws("_", (0 until r).map(i => col(s"m${b * r + i}")): _*)): _*)))
+      .toDF("doc_id", "band_id", "bk")
+      .localCheckpoint()
+    val cand = banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_b")),
+        Seq("band_id", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_true > 0 THEN CAST(n_hit * 1000000 div n_true AS BIGINT) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN n_cand > 0 THEN CAST(n_hit * 1000000 div n_cand AS BIGINT) END")
+          .as("precision_ppm"))
+  }
+
   /** SimHash per document: hash each token once, then for every bit
     * position sum +1/-1 contributions across tokens (with multiplicity);
     * bit b of the signature is 1 iff the sum is positive. One explode +

@@ -667,4 +667,26 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(a === b)
   }
+
+  test("lshRecall: identical pair always collides; coarse single-band misses the moderate pair") {
+    import spark.implicits._
+    // (1,2) identical (j=1); (3,4) share shingles {abc,bcd} of 10 (j=0.2)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "a b c d e f g h"), (4L, "a b c d x y z q"))
+      .toDF("doc_id", "text")
+    // coarse banding: ONE band of all 32 components — only identical
+    // signatures collide, so the moderate pair is invisible and recall
+    // is exactly half the truth set
+    val coarse = Dedup.lshRecall(docs, "text", "doc_id", 0.1, 3, 32, 1)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(coarse === ((2L, 1L, 1L, Some(500000L), Some(1000000L))))
+    // fine banding recalls at least the identical pair and never emits
+    // more hits than candidates or truth
+    val fine = Dedup.lshRecall(docs, "text", "doc_id", 0.1, 3, 32, 16)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(fine._1 === 2L && fine._3 >= 1L &&
+      fine._3 <= fine._2 && fine._3 <= fine._1 &&
+      fine._4.exists(_ >= 500000L))
+  }
 }
