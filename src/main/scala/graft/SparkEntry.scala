@@ -437,6 +437,16 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(col("id") < 10), 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // IVF+PQ+refine — the FAISS-IVFPQ-shaped three-stage search: coarse
+    // k-means probe prunes to nprobe=2 clusters, PQ-ADC scores only the
+    // pruned candidates, the top k·overfetch shortlist re-scores in
+    // full precision. The oracle replays coarse codebook, 4 subspace
+    // codebooks, probe, ADC and refine bit-for-bit.
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("id") < 10), 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // int8-quantized two-stage top-k (coarse codes -> exact re-score);
     // the DuckDB oracle replays quantization, dequantized coarse ranking
     // and the full-precision rescore — recall is ALSO property-tested
@@ -2693,6 +2703,44 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF+PQ+refine oracle: the [[kmeansAsgCte]] coarse construction
+    * (ending in `cent`/`asg`), the four [[pqSubCte]] subspace
+    * codebooks+LUTs, the nprobe=2 probe, ADC over pruned candidates,
+    * and the k·overfetch=9 full-precision refine. */
+  private val ivfPqOracle: String = {
+    val subs = (0 until 4).map(mi => pqSubCte(mi, mi * 16 + 1, mi * 16 + 16, 5))
+      .mkString(",\n")
+    s"""$kmeansAsgCte,
+       |qv AS (SELECT vec_id AS query_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 10),
+       |$subs,
+       |allcodes AS (SELECT c0.vec_id, code0, code1, code2, code3
+       |  FROM codes_0 c0 JOIN codes_1 USING (vec_id) JOIN codes_2 USING (vec_id) JOIN codes_3 USING (vec_id)),
+       |cp AS (SELECT q.query_id, c.cluster_id,
+       |         round(list_dot_product(q.v, c.cvec) / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+       |       FROM qv q CROSS JOIN cent c),
+       |qprobe AS (SELECT query_id, cluster_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster_id) AS r FROM cp) WHERE r <= 2),
+       |cand AS (SELECT p.query_id, a.vec_id FROM asg a JOIN qprobe p USING (cluster_id)
+       |         WHERE a.vec_id <> p.query_id),
+       |adc AS (SELECT c.query_id, c.vec_id,
+       |          round((d0+d1+d2+d3) / (q.qn * sqrt(e0+e1+e2+e3)), 9) AS sim
+       |        FROM cand c
+       |        JOIN allcodes a ON a.vec_id = c.vec_id
+       |        JOIN lut_0 l0 ON l0.query_id = c.query_id AND l0.code0 = a.code0
+       |        JOIN lut_1 l1 ON l1.query_id = c.query_id AND l1.code1 = a.code1
+       |        JOIN lut_2 l2 ON l2.query_id = c.query_id AND l2.code2 = a.code2
+       |        JOIN lut_3 l3 ON l3.query_id = c.query_id AND l3.code3 = a.code3
+       |        JOIN qv q ON q.query_id = c.query_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS pr FROM adc) WHERE pr <= 9),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |         round(list_dot_product(qe.v, ce.v) / (qe.qn * sqrt(list_dot_product(ce.v, ce.v))), 9) AS sim
+       |       FROM short s JOIN qv qe ON qe.query_id = s.query_id JOIN e ce ON ce.vec_id = s.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM rr)
+       |SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** CRC64 in pure DuckDB SQL — the EXACT algorithm of
     * `functions/Crc64.scala` (reflected ECMA-182 polynomial, init ~0,
     * final complement): the 256-entry lookup table is generated by 8
@@ -3509,6 +3557,7 @@ object SparkEntry {
     // codebook constructions (seeds, 2 rounds, final codes), ADC LUTs,
     // fixed-order d0+d1+d2+d3 scoring — see pqSubCte/pqOracle
     "q_ann_pq" -> pqOracle,
+    "q_ann_ivf_pq" -> ivfPqOracle,
     // the same k-means assignment, then the per-cluster md5-order quota
     "q_topic_balance" -> (kmeansAsgCte +
       """,

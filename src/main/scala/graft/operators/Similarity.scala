@@ -840,6 +840,22 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, subDim: Int = 16, kSub: Int = 5,
              iters: Int = 2): DataFrame = {
+    val (books, allCodes) = pqBooksAndCodes(corpus, m, subDim, kSub, iters)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val luts = pqLuts(q, books, m, subDim)
+    val joined = (1 until m).foldLeft(
+      allCodes.join(broadcast(luts(0)), Seq("code0"))) { (acc, mi) =>
+      acc.join(broadcast(luts(mi)), Seq("query_id", s"code$mi"))
+    }
+    pqAdcRank(joined, q, m, k)
+  }
+
+  /** Train the m per-subspace codebooks and assign every corpus vector
+    * its m codes — the build half shared by [[pqTopK]] (exhaustive ADC)
+    * and [[ivfPqTopK]] (IVF-pruned ADC). */
+  private def pqBooksAndCodes(corpus: DataFrame, m: Int, subDim: Int,
+                              kSub: Int, iters: Int): (Seq[DataFrame], DataFrame) = {
     require(m >= 1 && subDim >= 1 && kSub >= 1, "pq shape must be positive")
     val subCorpus = (0 until m).map { mi =>
       corpus.select(col("id"), slice(col("vec"), mi * subDim + 1, subDim).as("vec"))
@@ -860,12 +876,15 @@ object Similarity {
         .filter(col("r") === 1)
         .select(col("id"), col("cluster_id").as(s"code$mi"))
     }
-    val allCodes = (0 until m).map(codesOf).reduce(_.join(_, "id"))
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    // ADC lookup tables: per (query, subspace, code) the subspace dot
-    // and the centroid self-dot (for the reconstructed norm)
-    val luts = (0 until m).map { mi =>
+    (books, (0 until m).map(codesOf).reduce(_.join(_, "id")))
+  }
+
+  /** ADC lookup tables: per (query, subspace, code) the subspace dot
+    * and the centroid self-dot (for the reconstructed norm). `q` must
+    * carry (query_id, qv, qn). */
+  private def pqLuts(q: DataFrame, books: Seq[DataFrame], m: Int,
+                     subDim: Int): Seq[DataFrame] =
+    (0 until m).map { mi =>
       q.select(col("query_id"),
           slice(col("qv"), mi * subDim + 1, subDim).as("qs"))
         .crossJoin(broadcast(books(mi)))
@@ -873,17 +892,83 @@ object Similarity {
           dot(col("qs"), col("cvec")).as(s"d$mi"),
           dot(col("cvec"), col("cvec")).as(s"e$mi"))
     }
-    val joined = (1 until m).foldLeft(
-      allCodes.join(broadcast(luts(0)), Seq("code0"))) { (acc, mi) =>
-      acc.join(broadcast(luts(mi)), Seq("query_id", s"code$mi"))
-    }
-    // fixed left-to-right sums — deterministic and oracle-mirrored
+
+  /** The ADC scoring tail: fixed left-to-right d/e sums (deterministic
+    * and oracle-mirrored), reconstructed-norm cosine, per-query top-k. */
+  private def pqAdcRank(joined: DataFrame, q: DataFrame, m: Int,
+                        k: Int): DataFrame = {
     val sumd = (1 until m).foldLeft(col("d0"))((a, mi) => a + col(s"d$mi"))
     val sume = (1 until m).foldLeft(col("e0"))((a, mi) => a + col(s"e$mi"))
     joined
       .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
       .select(col("query_id"), col("id").as("vec_id"),
         round(sumd / (col("qn") * sqrt(sume)), 9).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF+PQ+refine — the three-stage search every production ANN
+    * service (the FAISS `IVFPQ` default) runs at corpus scale, composed
+    * from the repo's own gated stages: (1) the deterministic coarse
+    * k-means codebook prunes the corpus to the `nprobe` clusters
+    * nearest each query (the [[ivfTopKWithCodebook]] probe), (2)
+    * PQ-ADC scores ONLY the pruned candidates through the broadcast
+    * lookup tables — the scanned representation is m codes/vector, the
+    * raw corpus stays at rest, (3) the top `k·overfetch` ADC shortlist
+    * re-scores in full precision and exact order (the
+    * [[quantizedTopK]] refine move, so ADC approximation error can
+    * reorder but only within the shortlist). This variant quantizes
+    * raw vectors, not IVF residuals — the residual refinement changes
+    * the codebook inputs, not the plan shape.
+    *
+    * Scale: stage-1 assignment + probe are broadcast joins; stage-2
+    * candidate volume is corpus·nprobe/kCoarse rows of m codes; stage-3
+    * touches |queries|·k·overfetch raw vectors via a broadcast semi
+    * fetch. Nothing is ever all-pairs. Deterministic end-to-end (9-dp
+    * rounding, vec_id/cluster_id tie-breaks at every rank cut), so the
+    * DuckDB oracle replays coarse codebook, subspace codebooks, probe,
+    * ADC and refine bit-for-bit. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                kCoarse: Int = 5, nprobe: Int = 2, m: Int = 4,
+                subDim: Int = 16, kSub: Int = 5, iters: Int = 2,
+                overfetch: Int = 3): DataFrame = {
+    require(nprobe >= 1 && overfetch >= 1, "nprobe/overfetch must be positive")
+    val coarse = kmeansCodebook(corpus, kCoarse, iters)
+    val assigned = assignToCodebook(corpus, coarse)
+    val (books, allCodes) = pqBooksAndCodes(corpus, m, subDim, kSub, iters)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val luts = pqLuts(q, books, m, subDim)
+    val cent = coarse.withColumn("cvn", norm(col("cvec")))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("cluster_id"),
+        round(dot(col("qv"), col("cvec")) / (col("qn") * col("cvn")), 9).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("cluster_id"))
+    // IVF prune: only codes in probed clusters meet each query's LUTs;
+    // self-match excluded like the IVF entry (a search service never
+    // returns the query itself)
+    val cand = allCodes.join(assigned, col("id") === col("vec_id"))
+      .drop("vec_id")
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("id"))
+    val joined = (0 until m).foldLeft(cand) { (acc, mi) =>
+      acc.join(broadcast(luts(mi)), Seq("query_id", s"code$mi"))
+    }
+    val shortlist = pqAdcRank(joined, q, m, k * overfetch)
+      .select(col("query_id"), col("vec_id"))
+    // full-precision refine over the bounded shortlist
+    val c = corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
+    c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= k)

@@ -167,6 +167,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(cb.map(_._1).toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("IVF-PQ with all clusters probed and corpus-wide overfetch degrades to exact search") {
+    // nprobe = kCoarse disables the IVF prune; overfetch covering the
+    // corpus disables the ADC shortlist cut — what remains is the
+    // full-precision refine, which must equal brute force exactly
+    // (ids, sims AND ranks)
+    val queries = emb.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 3)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val full = Similarity.ivfPqTopK(emb, queries, 3, kCoarse = 5,
+        nprobe = 5, overfetch = 1000)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("k-means-codebook IVF probing all clusters degrades to exact search") {
     val queries = emb.filter(col("id") < 5)
     val exact = Similarity.bruteForceTopK(queries, emb, 3)
