@@ -1071,6 +1071,12 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
+    // join-key skew profile: the topK heaviest keys with exact count,
+    // corpus share (ppm) and the recommended salt factor — the
+    // diagnostic that sizes saltedJoin's knobs BEFORE the 100 TB run
+    "q_skew_profile" -> ((s, dir) =>
+      Skew.skewProfile(Events.read(s, dir), "event_type", topK = 10,
+        partitions = 32)),
     // ANALYZE-style per-column stats (rows/nonnull/ndv/min/max) — the
     // CBO-input profile; exact ndv here so the oracle replays it, with
     // Sketches.kmvDistinct as the documented 100 TB swap-in
@@ -4695,6 +4701,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // replays skewProfile over event_type: exact counts, integer-ppm
+    // share, salt_rec = ceil(cnt·32/total)
+    "q_skew_profile" ->
+      """WITH c AS (SELECT coalesce(CAST(event_type AS VARCHAR), '<null>') AS key,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT key, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_rec
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -79,4 +79,33 @@ object Skew {
       .join(right.join(hot, Seq(key), "left_anti"), Seq(key))
     salted.unionAll(plain)
   }
+
+  /** Join-key skew profile — the diagnostic that SIZES [[saltedJoin]]'s
+    * knobs before a 100 TB run instead of discovering the straggler
+    * task at hour three: the `topK` heaviest keys with their exact
+    * count, corpus share (integer ppm), and `salt_rec` =
+    * ceil(cnt · partitions / total) — the salt factor that spreads THIS
+    * key's rows across reducers no fuller than the average one (1 means
+    * "not worth salting": the key already fits a single reducer's fair
+    * share). One grouped count + a 1-row broadcast total + a top-k —
+    * the profile costs a single shuffle of (key, count) pairs at any
+    * corpus size. NULL keys profile as the literal '<null>' (an
+    * equi-join drops them, but a profiler must SHOW the null pile-up —
+    * it is the most common real-world skew). Output: (key string, cnt,
+    * share_ppm, salt_rec), count-desc, key tie-break. */
+  def skewProfile(df: DataFrame, key: String, topK: Int = 10,
+                  partitions: Int = 32): DataFrame = {
+    require(topK >= 1 && partitions >= 1, "topK/partitions must be positive")
+    val cnt = df
+      .groupBy(coalesce(col(key).cast("string"), lit("<null>")).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        expr("CAST(cnt * 1000000 div total AS BIGINT)").as("share_ppm"),
+        expr(s"CAST((cnt * $partitions + total - 1) div total AS BIGINT)")
+          .as("salt_rec"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
 }

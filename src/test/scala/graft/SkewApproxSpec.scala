@@ -51,6 +51,22 @@ class SkewApproxSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("skewProfile: planted 90% key gets share and ceil salt; nulls surface as <null>") {
+    import spark.implicits._
+    // 90 rows of 'hot', 9 of 'warm', 1 null
+    val df = (Seq.fill(90)(Some("hot")) ++ Seq.fill(9)(Some("warm")) ++ Seq(None))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val r = Skew.skewProfile(df, "k", topK = 2, partitions = 32)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // hot: 900000 ppm, salt = ceil(90*32/100) = 29; warm drops nothing
+    // but ranks second with salt ceil(9*32/100) = 3
+    assert(r === Seq(("hot", 90L, 900000L, 29L), ("warm", 9L, 90000L, 3L)))
+    val all = Skew.skewProfile(df, "k", topK = 10, partitions = 32)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(all.map(_._1) === Seq("hot", "warm", "<null>"))
+    assert(all.last === (("<null>", 1L, 10000L, 1L)))
+  }
+
   test("approx_percentile tracks exact percentiles within 5% of the value range") {
     val ev = graft.operators.Events.read(spark, sfSmoke)
     val r = ev.agg(
