@@ -594,6 +594,11 @@ object SparkEntry {
     "q_nb_classify" -> ((s, dir) =>
       TextAnalysis.nbClassify(docs(s, dir), "text", "lang", "doc_id")
         .orderBy(col("doc_id"))),
+    // calibration of the same classifier: margin-decile buckets with
+    // accuracy ppm — the threshold-setting artifact a filter ships with
+    "q_nb_calibration" -> ((s, dir) =>
+      TextAnalysis.nbCalibration(docs(s, dir), "text", "lang", "doc_id")
+        .orderBy(col("bucket"))),
     // bigram conditional LM — one step up the perplexity ladder (word
     // ORDER, not just word choice); counts shuffle-join (scale-honest)
     "q_bigram_logprob" -> ((s, dir) =>
@@ -3818,9 +3823,26 @@ object SparkEntry {
     // class name — the score column is the exact DECIMAL total (prior
     // included) cast to double
     "q_nb_classify" -> nbOracleSql("",
-      """SELECT b.doc_id, te.lang AS actual, b.pred, b.score,
+      """SELECT b.doc_id, te.lang AS actual, b.pred, CAST(b.score AS DOUBLE) AS score,
         |  CAST(te.lang = b.pred AS BIGINT) AS correct
         |FROM best b JOIN te USING (doc_id) WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+    // score-ranked calibration of the same model: margin (winner −
+    // runner-up, exact DECIMAL) ntile-bucketed, accuracy ppm per bucket
+    "q_nb_calibration" -> nbOracleSql("",
+      """, pair AS (SELECT doc_id,
+        |    max(CASE WHEN rk = 1 THEN score END) AS s1,
+        |    max(CASE WHEN rk = 2 THEN score END) AS s2,
+        |    max(CASE WHEN rk = 1 THEN pred END) AS pred
+        |  FROM best WHERE rk <= 2 GROUP BY doc_id),
+        |j AS (SELECT p.doc_id, p.s1 - coalesce(p.s2, p.s1) AS margin,
+        |        CAST(te.lang = p.pred AS BIGINT) AS correct
+        |      FROM pair p JOIN te USING (doc_id)),
+        |bk AS (SELECT *, ntile(5) OVER (ORDER BY margin, doc_id) AS bucket FROM j)
+        |SELECT bucket, count(*) AS n, CAST(sum(correct) AS BIGINT) AS n_correct,
+        |  CAST(sum(correct) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+        |  CAST(min(margin) AS DOUBLE) AS min_margin,
+        |  CAST(max(margin) AS DOUBLE) AS max_margin
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin),
     // PMI ratio replayed in exact integer arithmetic: HUGEINT product
     // (the twin of Spark's DECIMAL(38,0)) // the marginal product —
     // both engines truncate the all-positive division identically
@@ -5044,7 +5066,7 @@ object SparkEntry {
     // streaming NB scoring must equal the batch scorer over the fed
     // slice — same model SQL, streaming output shape (no actual col)
     "q_stream_nb_classify" -> nbOracleSql(" AND doc_id < 5000",
-      """SELECT doc_id, pred, score FROM best
+      """SELECT doc_id, pred, CAST(score AS DOUBLE) AS score FROM best
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin),
     // replays q_kll_quantile: same 60-bit md5 row hash, slot = h % k,
     // per-slot minimum (hash, value) row, sample order statistic at the
@@ -5747,7 +5769,7 @@ object SparkEntry {
       |         sum(CAST(lp AS DECIMAL(21,7))) AS s
       |       FROM term GROUP BY doc_id, l, lprior),
       |sc AS (SELECT doc_id, l, s + CAST(lprior AS DECIMAL(21,7)) AS score FROM ds),
-      |best AS (SELECT doc_id, l AS pred, CAST(score AS DOUBLE) AS score,
+      |best AS (SELECT doc_id, l AS pred, score,
       |           row_number() OVER (PARTITION BY doc_id
       |             ORDER BY score DESC, l) AS rk FROM sc)
       |$finalSelect""".stripMargin

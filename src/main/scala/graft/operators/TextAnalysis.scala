@@ -890,6 +890,21 @@ object TextAnalysis {
     * double (7-dp-scaled sums stay far under 2^53). */
   def nbScore(test: DataFrame, textCol: String, idCol: String,
               model: NbModel): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("l"))
+    nbScoreAll(test, textCol, idCol, model)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("l").as("pred"),
+        col("score").cast("double").as("score"))
+  }
+
+  /** Per-(doc, class) NB scores BEFORE the argmax, as exact DECIMALs —
+    * the shared estimate stage under [[nbScore]] (argmax) and
+    * [[nbCalibration]] (winner-vs-runner-up margins, which must
+    * subtract in DECIMAL: a double-space subtraction re-manufactures
+    * the representation ties the 7-dp recipe exists to avoid). */
+  def nbScoreAll(test: DataFrame, textCol: String, idCol: String,
+                 model: NbModel): DataFrame = {
     val tetok = test.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
       .join(model.vocab, Seq("w"), "left_semi")
@@ -898,15 +913,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("l"), col("lprior"),
         round(log((coalesce(col("c"), lit(0L)).cast("double") + 1.0d) /
           (col("nl").cast("double") + col("v").cast("double"))), 7).as("lp"))
-    val scored = term.groupBy(col("doc_id"), col("l"), col("lprior"))
+    term.groupBy(col("doc_id"), col("l"), col("lprior"))
       .agg(sum(col("lp").cast("decimal(21,7)")).as("s"))
       .select(col("doc_id"), col("l"),
         (col("s") + col("lprior").cast("decimal(21,7)")).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
+  }
+
+  /** Score-ranked calibration of the NB filter: test docs bucket into
+    * `buckets` equal groups by classification MARGIN (winner score
+    * minus runner-up, the NB confidence signal — subtracted in exact
+    * DECIMAL), and each bucket reports its accuracy in integer ppm.
+    * This is the artifact that turns a classifier into a curation
+    * POLICY: "above which confidence do I trust the filter
+    * unsupervised, below which does it go to review" — without it a
+    * threshold is a guess. The ntile runs over the TEST split only —
+    * an eval artifact bounded by construction (the [[nbClassify]]
+    * id-mod split), not a corpus-sized sort; production calibrates on
+    * a sample for the same reason. Output: (bucket, n, n_correct,
+    * acc_ppm, min_margin, max_margin), margins as doubles cast from
+    * the exact decimals. */
+  def nbCalibration(docs: DataFrame, textCol: String, labelCol: String,
+                    idCol: String, testMod: Int = 5,
+                    buckets: Int = 5): DataFrame = {
+    require(testMod >= 2 && buckets >= 1, "need testMod >= 2, buckets >= 1")
+    val test = docs.filter(col(idCol) % testMod === 0)
+    val model = nbTrain(docs.filter(col(idCol) % testMod =!= 0),
+      textCol, labelCol)
+    val rkw = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("l"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("l").as("pred"),
-        col("score").cast("double").as("score"))
+    val top2 = nbScoreAll(test, textCol, idCol, model)
+      .withColumn("rk", row_number().over(rkw)).filter(col("rk") <= 2)
+    val pair = top2.groupBy(col("doc_id"))
+      .agg(max(when(col("rk") === 1, col("score"))).as("s1"),
+        max(when(col("rk") === 2, col("score"))).as("s2"),
+        max(when(col("rk") === 1, col("l"))).as("pred"))
+    val j = pair
+      .join(test.select(col(idCol).as("doc_id"), col(labelCol).as("actual")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("s1") - coalesce(col("s2"), col("s1"))).as("margin"),
+        (col("actual") === col("pred")).cast("long").as("correct"))
+    val bw = Window.orderBy(col("margin"), col("doc_id"))
+    j.withColumn("bucket", ntile(buckets).over(bw))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"),
+        min(col("margin")).as("mn"), max(col("margin")).as("mx"))
+      .select(col("bucket"), col("n"), col("n_correct"),
+        expr("CAST(n_correct * 1000000 div n AS BIGINT)").as("acc_ppm"),
+        col("mn").cast("double").as("min_margin"),
+        col("mx").cast("double").as("max_margin"))
   }
 
   /** End-to-end NB classification eval on a deterministic id-mod split:

@@ -73,6 +73,33 @@ class TextEventsSpec extends SparkTestBase {
     assert(t === Seq("a_cls"))
   }
 
+  test("NB calibration: buckets partition the test split with contiguous margin ranges") {
+    // 40 docs, 4 classes of 10; test split = id % 5 == 0 (8 docs);
+    // class tokens overlap pairwise so margins vary
+    val docs = (0 until 40).map { i =>
+      val cls = i % 4
+      val t = cls match {
+        case 0 => "alpha beta gamma"
+        case 1 => "beta gamma delta"
+        case 2 => "gamma delta epsilon"
+        case _ => "delta epsilon alpha"
+      }
+      (i.toLong, t, s"c$cls")
+    }.toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.nbCalibration(docs, "text", "lang", "doc_id",
+        testMod = 5, buckets = 4)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._2).sum === 8L)
+    assert(r.forall(b => b._4 === b._3 * 1000000L / b._2))
+    assert(r.forall(b => b._5 <= b._6))
+    // margin ranges are contiguous across buckets (ntile over margin)
+    r.sliding(2).foreach {
+      case Seq(a, b) => assert(a._6 <= b._5 + 1e-12)
+      case _ =>
+    }
+  }
+
   test("PMI collocations: known ratios, minCount cutoff, ratio ranks bound pairs first") {
     // corpus: "a b" x5 and "c d" x1 and "a d" x2; bigrams per doc row
     val docs = Seq.fill(5)("a b").zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
