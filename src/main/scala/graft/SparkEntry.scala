@@ -131,7 +131,8 @@ object SparkEntry {
     // the batch-pinned reference geometry; scored through the same
     // psiFromCells stage as batch
     "q_stream_psi_drift" -> ((s, dir) => StreamEntries.streamPsiDrift(s, dir)),
-    "q_stream_nb_classify" -> ((s, dir) => StreamEntries.streamNbClassify(s, dir)))
+    "q_stream_nb_classify" -> ((s, dir) => StreamEntries.streamNbClassify(s, dir)),
+    "q_stream_decontam_gate" -> ((s, dir) => StreamEntries.streamDecontamGate(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5063,6 +5064,30 @@ object SparkEntry {
     // the streaming twin scores state-store-summed live counters
     // through the identical stage; live slice = the bounded user band
     "q_stream_psi_drift" -> psiOracleSql("user_id >= 50 AND user_id < 100"),
+    // the streaming decontamination gate must keep exactly the batch
+    // filter's survivors over the fed slice: train docs (bounded band)
+    // minus those containment-flagged >= 0.5 against the eval corpus
+    "q_stream_decontam_gate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        |tr AS (SELECT doc_id AS train_id, t FROM tok
+        |       WHERE doc_id % 10 <> 0 AND doc_id < 5000),
+        |ev AS (SELECT doc_id AS eval_id, t FROM tok WHERE doc_id % 10 = 0),
+        |esz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |inter AS (SELECT train_id, eval_id, count(*) AS i
+        |          FROM tr JOIN ev USING (t) GROUP BY 1, 2),
+        |flagged AS (SELECT DISTINCT train_id FROM (
+        |    SELECT train_id,
+        |      round(CAST(i AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS containment
+        |    FROM inter JOIN esz USING (eval_id))
+        |  WHERE containment >= 0.5)
+        |SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND d.doc_id < 5000
+        |  AND d.doc_id NOT IN (SELECT train_id FROM flagged)
+        |ORDER BY d.doc_id""".stripMargin,
     // streaming NB scoring must equal the batch scorer over the fed
     // slice — same model SQL, streaming output shape (no actual col)
     "q_stream_nb_classify" -> nbOracleSql(" AND doc_id < 5000",

@@ -1016,6 +1016,54 @@ object StreamEntries {
     s.read.parquet(out).orderBy(col("doc_id"))
   }
 
+  /** Streaming decontamination release gate — the production guard that
+    * keeps benchmark items OUT of a live training feed: each arriving
+    * micro-batch of candidate train documents is checked against the
+    * static eval corpus ([[graft.operators.Dedup.decontaminate]]'s
+    * containment ≥ 0.5 flag — the eval shingle index is bounded and
+    * broadcast; the batch never shuffles for the match) and only
+    * unflagged docs pass to the sink. Like [[streamNbClassify]] this is
+    * per-doc stateless, so `foreachBatch` batch-plan execution is
+    * semantically exact and batch-boundary-invariant; the committed
+    * oracle replays the batch filter over the fed slice (train slice
+    * minus flagged ids), so stream == batch is the gate. Output: kept
+    * (doc_id, fp = md5(text)). */
+  def streamDecontamGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsDf = s.read.parquet(s"$dir/documents.parquet")
+    val evalDf = docsDf.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val feed = memoFeed(s"dcg:$dir") {
+      docsDf.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") < lit(5000L * sliceScale))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+    }
+    val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-dcg-")
+      .toString
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val flagged = graft.operators.Dedup
+            .decontaminate(batch, evalDf, "text", "doc_id", 0.5)
+            .select(col("train_id").as("doc_id")).distinct()
+          batch.join(flagged, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), md5(col("text")).as("fp"))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(feed.filter(_._1 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    s.read.parquet(out).orderBy(col("doc_id"))
+  }
+
   /** `foreachBatch` merge into a KVBIN table generation — the
     * [[streamForeachMerge]] pattern pointed at the repo's own DSv2
     * connector instead of parquet-plus-directory-rename: each
