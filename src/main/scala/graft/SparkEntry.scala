@@ -208,6 +208,12 @@ object SparkEntry {
           round(matches.cast("double") / 32.0, 6).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // cross-source overlap matrix: per source pair, Jaccard (ppm) of
+    // the sources' distinct shingle sets — the governance check that a
+    // mixing run isn't double-weighting one text arriving under two
+    // source names. Join cost bounded by C(sources, 2) per shingle
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "text", "source")),
     // LSH banding rollout gate: recall/precision (integer ppm) of the
     // (k=32, bands=16) banded md5-signature candidates against the
     // exact df-capped Jaccard truth at j >= 0.5 — the number that
@@ -1076,6 +1082,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
+    }),
+    // pre-flight join-volume estimate: per-key output rows and share
+    // for a type-level event self-join — the many-to-many red-flag
+    // artifact (cnt² products) a planner checks before shuffling
+    "q_join_hotspots" -> ((s, dir) => {
+      val e = Events.read(s, dir)
+      Skew.joinHotspots(e, e, "event_type", topK = 10)
     }),
     // join-key skew profile: the topK heaviest keys with exact count,
     // corpus share (ppm) and the recommended salt factor — the
@@ -3097,6 +3110,23 @@ object SparkEntry {
         |       JOIN msig b ON p.doc_b = b.doc_id AND a.i = b.i
         |GROUP BY p.doc_a, p.doc_b, p.jaccard
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // replays sourceOverlap: distinct (source, shingle) pairs, pairwise
+    // intersection counts, integer-ppm Jaccard (shingle-hash identity
+    // on the Spark side is execution detail — counts must agree)
+    "q_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT source, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(w)-2, 1)),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |st AS (SELECT DISTINCT src, t FROM (
+        |         SELECT source AS src, unnest(s) AS t FROM sh)),
+        |sz AS (SELECT src, count(*) AS n FROM st GROUP BY 1),
+        |inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        |          FROM st a JOIN st b ON a.t = b.t AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  CAST(n_shared * 1000000 // (sa.n + sb.n - n_shared) AS BIGINT) AS jaccard_ppm
+        |FROM inter JOIN sz sa ON src_a = sa.src JOIN sz sb ON src_b = sb.src
+        |ORDER BY jaccard_ppm DESC, src_a, src_b""".stripMargin,
     // replays lshRecall: same salted md5 signatures, band key = the r=2
     // components string-joined, banded self-join candidates vs the
     // exact pruned-Jaccard truth; integer-ppm recall/precision
@@ -4724,6 +4754,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // replays joinHotspots for the event_type self-join: per-key count
+    // products, HUGEINT total (DECIMAL(38,0) twin), integer-ppm share
+    "q_join_hotspots" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |m AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b,
+        |        CAST(cnt AS HUGEINT) * cnt AS out_dec FROM c),
+        |t AS (SELECT sum(out_dec) AS total FROM m)
+        |SELECT key, cnt_a, cnt_b, CAST(out_dec AS BIGINT) AS out_rows,
+        |  CAST((out_dec * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM m CROSS JOIN t
+        |ORDER BY out_rows DESC, key LIMIT 10""".stripMargin,
     // replays skewProfile over event_type: exact counts, integer-ppm
     // share, salt_rec = ceil(cnt·32/total)
     "q_skew_profile" ->

@@ -638,6 +638,41 @@ object Dedup {
           .as("precision_ppm"))
   }
 
+  /** Cross-source overlap matrix — the corpus-governance artifact that
+    * answers "which sources mirror each other" (Common-Crawl dumps vs
+    * their re-packagings, a vendor feed vs the crawl it scraped): for
+    * every source pair, the Jaccard of the sources' DISTINCT shingle
+    * sets, as integer ppm. Before a mixing run this is what stops you
+    * double-weighting the same underlying text because it arrives
+    * under two source names.
+    *
+    * Scale: the corpus reduces to distinct (source, shingle-hash)
+    * pairs; the self-join cost is Σ over shingles of C(df_src, 2) ≤
+    * C(S, 2) per shingle — bounded by the SOURCE count, not the
+    * corpus, so no df cap is needed at any corpus size (sources are
+    * thousands at most; it is document frequency that explodes, and
+    * source-distinctness collapses it). Output: (src_a < src_b,
+    * n_shared, jaccard_ppm), ordered by overlap. */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 3): DataFrame = {
+    val tok = docs.select(col(srcCol).as("src"),
+        explode(shingles(col(textCol), n)).as("t"))
+      .select(col("src"), xxhash64(col("t")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sz = tok.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("h"), col("src").as("src_a"))
+      .join(tok.select(col("h"), col("src").as("src_b")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sz.select(col("src").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sz.select(col("src").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("i").as("n_shared"),
+        expr("CAST(i * 1000000 div (na + nb - i) AS BIGINT)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("src_a"), col("src_b"))
+  }
+
   /** SimHash per document: hash each token once, then for every bit
     * position sum +1/-1 contributions across tokens (with multiplicity);
     * bit b of the signature is 1 iff the sum is positive. One explode +

@@ -93,6 +93,39 @@ object Skew {
     * equi-join drops them, but a profiler must SHOW the null pile-up —
     * it is the most common real-world skew). Output: (key string, cnt,
     * share_ppm, salt_rec), count-desc, key tie-break. */
+  /** Pre-flight join-volume estimate — [[skewProfile]]'s sibling for
+    * the BINARY question: before shuffling two 100 TB sides, how many
+    * rows will `left ⋈ right` on `key` emit, and which keys dominate
+    * the output? Exact per-key counts (two grouped aggregations, an
+    * ndv-sized count join — never the data join itself) give
+    * out_rows(k) = cnt_a·cnt_b and each key's share of the total
+    * output in ppm; a single key owning a large share is the salted /
+    * skew-split signal, a total far above both inputs is the
+    * many-to-many red flag. NULL keys never match an equi-join and are
+    * excluded (the profiler view of the null pile-up is
+    * [[skewProfile]]'s job). The output total sums in DECIMAL(38,0) —
+    * per-key products of two BIGINT counts overflow long exactly when
+    * the join is the disaster this exists to catch. Output: top-`topK`
+    * (key string, cnt_a, cnt_b, out_rows, share_ppm) by out_rows. */
+  def joinHotspots(left: DataFrame, right: DataFrame, key: String,
+                   topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).cast("string").as("key"))
+        .agg(count(lit(1)).as(as))
+    val m = counts(left, "cnt_a").join(counts(right, "cnt_b"), Seq("key"))
+      .select(col("key"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("decimal(38,0)") * col("cnt_b")).as("out_dec"))
+    val tot = m.agg(sum(col("out_dec")).as("total"))
+    m.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt_a"), col("cnt_b"),
+        col("out_dec").cast("long").as("out_rows"),
+        expr("CAST((out_dec * 1000000) div total AS BIGINT)").as("share_ppm"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   def skewProfile(df: DataFrame, key: String, topK: Int = 10,
                   partitions: Int = 32): DataFrame = {
     require(topK >= 1 && partitions >= 1, "topK/partitions must be positive")

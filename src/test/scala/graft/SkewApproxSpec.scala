@@ -67,6 +67,19 @@ class SkewApproxSpec extends SparkTestBase {
     assert(all.last === (("<null>", 1L, 10000L, 1L)))
   }
 
+  test("joinHotspots: exact per-key products, null keys excluded, estimate equals real join size") {
+    import spark.implicits._
+    val l = (Seq.fill(6)(Some("a")) ++ Seq.fill(2)(Some("b")) ++ Seq(None))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val r = (Seq.fill(4)(Some("a")) ++ Seq.fill(5)(Some("c")) ++ Seq(None))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val hs = Skew.joinHotspots(l, r, "k")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // only 'a' matches: 6·4 = 24 rows, 100% of the output; b/c/null gone
+    assert(hs === Seq(("a", 6L, 4L, 24L, 1000000L)))
+    assert(hs.head._4 === l.join(r, Seq("k")).count())
+  }
+
   test("approx_percentile tracks exact percentiles within 5% of the value range") {
     val ev = graft.operators.Events.read(spark, sfSmoke)
     val r = ev.agg(
