@@ -3117,7 +3117,7 @@ object SparkEntry {
       """WITH toks AS (SELECT source, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT source, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |st AS (SELECT DISTINCT src, t FROM (
         |         SELECT source AS src, unnest(s) AS t FROM sh)),
         |sz AS (SELECT src, count(*) AS n FROM st GROUP BY 1),
@@ -4762,10 +4762,11 @@ object SparkEntry {
         |m AS (SELECT key, cnt AS cnt_a, cnt AS cnt_b,
         |        CAST(cnt AS HUGEINT) * cnt AS out_dec FROM c),
         |t AS (SELECT sum(out_dec) AS total FROM m)
-        |SELECT key, cnt_a, cnt_b, CAST(out_dec AS BIGINT) AS out_rows,
+        |SELECT key, cnt_a, cnt_b,
+        |  CAST(least(out_dec, 9223372036854775807) AS BIGINT) AS out_rows,
         |  CAST((out_dec * 1000000) // total AS BIGINT) AS share_ppm
         |FROM m CROSS JOIN t
-        |ORDER BY out_rows DESC, key LIMIT 10""".stripMargin,
+        |ORDER BY out_dec DESC, key LIMIT 10""".stripMargin,
     // replays skewProfile over event_type: exact counts, integer-ppm
     // share, salt_rec = ceil(cnt·32/total)
     "q_skew_profile" ->

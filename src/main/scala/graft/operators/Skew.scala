@@ -80,19 +80,6 @@ object Skew {
     salted.unionAll(plain)
   }
 
-  /** Join-key skew profile — the diagnostic that SIZES [[saltedJoin]]'s
-    * knobs before a 100 TB run instead of discovering the straggler
-    * task at hour three: the `topK` heaviest keys with their exact
-    * count, corpus share (integer ppm), and `salt_rec` =
-    * ceil(cnt · partitions / total) — the salt factor that spreads THIS
-    * key's rows across reducers no fuller than the average one (1 means
-    * "not worth salting": the key already fits a single reducer's fair
-    * share). One grouped count + a 1-row broadcast total + a top-k —
-    * the profile costs a single shuffle of (key, count) pairs at any
-    * corpus size. NULL keys profile as the literal '<null>' (an
-    * equi-join drops them, but a profiler must SHOW the null pile-up —
-    * it is the most common real-world skew). Output: (key string, cnt,
-    * share_ppm, salt_rec), count-desc, key tie-break. */
   /** Pre-flight join-volume estimate — [[skewProfile]]'s sibling for
     * the BINARY question: before shuffling two 100 TB sides, how many
     * rows will `left ⋈ right` on `key` emit, and which keys dominate
@@ -103,10 +90,13 @@ object Skew {
     * skew-split signal, a total far above both inputs is the
     * many-to-many red flag. NULL keys never match an equi-join and are
     * excluded (the profiler view of the null pile-up is
-    * [[skewProfile]]'s job). The output total sums in DECIMAL(38,0) —
-    * per-key products of two BIGINT counts overflow long exactly when
-    * the join is the disaster this exists to catch. Output: top-`topK`
-    * (key string, cnt_a, cnt_b, out_rows, share_ppm) by out_rows. */
+    * [[skewProfile]]'s job). All volume arithmetic — per-key products,
+    * the total, ordering, shares — runs in DECIMAL(38,0): counts
+    * overflow a long product exactly when the join is the disaster
+    * this exists to catch; the reported `out_rows` long saturates at
+    * Long.MaxValue (share_ppm and the ranking stay exact — a saturated
+    * row still tops the list). Output: top-`topK` (key string, cnt_a,
+    * cnt_b, out_rows, share_ppm) by output volume. */
   def joinHotspots(left: DataFrame, right: DataFrame, key: String,
                    topK: Int = 10): DataFrame = {
     require(topK >= 1, "topK must be positive")
@@ -119,18 +109,35 @@ object Skew {
         (col("cnt_a").cast("decimal(38,0)") * col("cnt_b")).as("out_dec"))
     val tot = m.agg(sum(col("out_dec")).as("total"))
     m.crossJoin(broadcast(tot))
-      .select(col("key"), col("cnt_a"), col("cnt_b"),
-        col("out_dec").cast("long").as("out_rows"),
-        expr("CAST((out_dec * 1000000) div total AS BIGINT)").as("share_ppm"))
-      .orderBy(col("out_rows").desc, col("key"))
+      .orderBy(col("out_dec").desc, col("key"))
       .limit(topK)
+      .select(col("key"), col("cnt_a"), col("cnt_b"),
+        least(col("out_dec"), lit(Long.MaxValue).cast("decimal(38,0)"))
+          .cast("long").as("out_rows"),
+        expr("CAST((out_dec * 1000000) div total AS BIGINT)").as("share_ppm"))
   }
 
+  /** Join-key skew profile — the diagnostic that SIZES [[saltedJoin]]'s
+    * knobs before a 100 TB run instead of discovering the straggler
+    * task at hour three: the `topK` heaviest keys with their exact
+    * count, corpus share (integer ppm), and `salt_rec` =
+    * ceil(cnt · partitions / total) — the salt factor that spreads THIS
+    * key's rows across reducers no fuller than the average one (1 means
+    * "not worth salting": the key already fits a single reducer's fair
+    * share). One grouped count + a 1-row broadcast total + a top-k —
+    * the profile costs a single shuffle of (key, count) pairs at any
+    * corpus size. NULL keys profile under the `nullLabel` sentinel (an
+    * equi-join drops them, but a profiler must SHOW the null pile-up —
+    * it is the most common real-world skew); pick a sentinel outside
+    * the key domain if the default literal can legitimately occur as a
+    * value, or the two piles merge. Output: (key string, cnt,
+    * share_ppm, salt_rec), count-desc, key tie-break. */
   def skewProfile(df: DataFrame, key: String, topK: Int = 10,
-                  partitions: Int = 32): DataFrame = {
+                  partitions: Int = 32,
+                  nullLabel: String = "<null>"): DataFrame = {
     require(topK >= 1 && partitions >= 1, "topK/partitions must be positive")
     val cnt = df
-      .groupBy(coalesce(col(key).cast("string"), lit("<null>")).as("key"))
+      .groupBy(coalesce(col(key).cast("string"), lit(nullLabel)).as("key"))
       .agg(count(lit(1)).as("cnt"))
     val tot = cnt.agg(sum(col("cnt")).as("total"))
     cnt.crossJoin(broadcast(tot))

@@ -668,6 +668,18 @@ class DedupSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("sourceOverlap: short docs shingle truncated (not dropped); identical sets score 1e6 ppm") {
+    import spark.implicits._
+    // both sources hold shingle sets {"a b", "x y z"} — including the
+    // sub-n truncated shingle, which must carry overlap signal
+    val docs = Seq((1L, "a b", "s1"), (2L, "a b", "s2"),
+      (3L, "x y z", "s1"), (4L, "x y z", "s2"),
+      (5L, "p q r", "s3")).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r === Seq(("s1", "s2", 2L, 1000000L)))
+  }
+
   test("lshRecall: identical pair always collides; coarse single-band misses the moderate pair") {
     import spark.implicits._
     // (1,2) identical (j=1); (3,4) share shingles {abc,bcd} of 10 (j=0.2)
