@@ -335,6 +335,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("lang"))
     }),
+    // curation-funnel attrition report: the per-stage survival table a
+    // corpus release publishes — token band → quality → repetition →
+    // exact dedup, counted as running conjunctions in ONE pass
+    "q_curation_funnel" -> ((s, dir) =>
+      TextAnalysis.curationFunnel(docs(s, dir), "text", "doc_id")
+        .orderBy(col("stage"))),
     // 60-bit SimHash signatures over the md5-derived token hash — fully
     // oracle-checked (the xxhash64 default stays the in-engine fast
     // path; it has no DuckDB twin and is covered by DedupSpec instead)
@@ -4340,6 +4346,45 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM kept JOIN qual USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // replays curationFunnel: same integer quality ppm, 6-dp repetition
+    // ratio, text-partition dedup keeper, running conjunction sums
+    "q_curation_funnel" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    len(string_split(text,' ')) AS ntok,
+        |    len(list_distinct(string_split(text,' '))) AS ndis,
+        |    len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS nstop,
+        |    round(1.0 - CAST(len(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS DOUBLE)
+        |      / CAST(greatest(len(string_split(text,' '))-2, 1) AS DOUBLE), 6) AS rr
+        |  FROM documents),
+        |q AS (SELECT *,
+        |    floor(CAST(2000000 * (4 * ndis
+        |        + 3 * ntok * (CASE WHEN ntok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |        + 3 * least(3 * nstop, ntok)) + 10 * ntok AS DOUBLE)
+        |      / CAST(2 * 10 * ntok AS DOUBLE)) AS qppm FROM m),
+        |k AS (SELECT doc_id, 1 AS keep FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |f AS (SELECT
+        |    CASE WHEN ntok BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN qppm >= 500000 THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN rr <= 0.2 THEN 1 ELSE 0 END AS f3,
+        |    coalesce(keep, 0) AS keep
+        |  FROM q LEFT JOIN k USING (doc_id)),
+        |a AS (SELECT count(*) AS n0, sum(f1) AS n1, sum(f1*f2) AS n2,
+        |        sum(f1*f2*f3) AS n3, sum(f1*f2*f3*keep) AS n4 FROM f)
+        |SELECT stage, gate, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_cut AS BIGINT) AS n_cut,
+        |  CAST(n_kept * 1000000 // n0 AS BIGINT) AS kept_ppm
+        |FROM (
+        |  SELECT 0 AS stage, 'total' AS gate, n0 AS n_kept, 0 AS n_cut, n0 FROM a
+        |  UNION ALL SELECT 1, 'token_band', n1, n0 - n1, n0 FROM a
+        |  UNION ALL SELECT 2, 'quality', n2, n1 - n2, n0 FROM a
+        |  UNION ALL SELECT 3, 'repetition', n3, n2 - n3, n0 FROM a
+        |  UNION ALL SELECT 4, 'exact_dedup', n4, n3 - n4, n0 FROM a)
+        |ORDER BY stage""".stripMargin,
     // each event contributes to the two 2-day windows whose 1-day-slide
     // starts cover it (UTC day-aligned, like Spark's window())
     "q_event_sliding" ->

@@ -829,6 +829,51 @@ object TextAnalysis {
         sum(col("nn")).over(w).as("vocab_cum"))
   }
 
+  /** Curation-funnel attrition report — the table every corpus release
+    * publishes (the RefinedWeb/Gopher convention): documents flow
+    * through the gate cascade IN ORDER and each stage reports what
+    * survives it cumulatively, so "which gate costs the corpus most"
+    * is visible at a glance instead of buried in per-gate queries.
+    * Stages: token-count band [10, 1000] → composite quality ≥ 0.5
+    * (the exact-ppm form, never the double round-trip) → trigram
+    * repetition ≤ 0.2 → exact-dedup keeper (min doc id per content).
+    *
+    * Scale: the three heuristic flags are one codegen pass over the
+    * corpus; the dedup stage is the [[graft.operators.Dedup]] 16-byte
+    * hash groupBy; the funnel itself aggregates to ONE row of running
+    * conjunction counts and unpivots to 5 — no per-stage rescans.
+    * Output: (stage, gate, n_kept, n_cut, kept_ppm), stage order. */
+  def curationFunnel(docs: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val t = col(textCol)
+    val keepers = docs.groupBy(md5(t).as("__h"))
+      .agg(min(col(idCol)).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("keep"))
+    val flagged = docs
+      .select(col(idCol).as("doc_id"),
+        (tokenCount(t).between(10, 1000)).cast("long").as("f1"),
+        (qualityPpm(t) >= 500000L).cast("long").as("f2"),
+        (repetitionRatio(t) <= 0.2d).cast("long").as("f3"))
+      .join(keepers, Seq("doc_id"), "left_outer")
+      .select(col("f1"), (col("f1") * col("f2")).as("g2"),
+        (col("f1") * col("f2") * col("f3")).as("g3"),
+        (col("f1") * col("f2") * col("f3") * coalesce(col("keep"), lit(0L)))
+          .as("g4"))
+    flagged
+      .agg(count(lit(1)).as("n0"), sum(col("f1")).as("n1"),
+        sum(col("g2")).as("n2"), sum(col("g3")).as("n3"),
+        sum(col("g4")).as("n4"))
+      .select(expr(
+        "stack(5, 0, 'total',       n0, CAST(0 AS BIGINT), " +
+          "1, 'token_band',  n1, n0 - n1, " +
+          "2, 'quality',     n2, n1 - n2, " +
+          "3, 'repetition',  n3, n2 - n3, " +
+          "4, 'exact_dedup', n4, n3 - n4) AS (stage, gate, n_kept, n_cut)"),
+        expr("CAST(n0 AS BIGINT) AS __n0"))
+      .select(col("stage"), col("gate"), col("n_kept"), col("n_cut"),
+        expr("CAST(n_kept * 1000000 div __n0 AS BIGINT)").as("kept_ppm"))
+  }
+
   /** A trained multinomial Naive-Bayes model, all as (unmaterialized)
     * DataFrames so batch and streaming scorers share the identical
     * estimate stage: `wordCounts` = (l, w, c) per-class token counts

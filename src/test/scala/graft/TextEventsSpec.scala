@@ -73,6 +73,28 @@ class TextEventsSpec extends SparkTestBase {
     assert(t === Seq("a_cls"))
   }
 
+  test("curation funnel: monotone survival, per-stage cuts attribute to the right gate") {
+    // good: 1/3 stopwords (quality), all trigrams distinct (repetition)
+    val good = (1 to 10).map(i => s"the x$i y$i").mkString(" ")
+    // rep: passes quality (enough stopwords + distinct unigrams) but
+    // duplicated half-text repeats most trigrams → cut at repetition
+    val half = "the t1 t2 the t3 t4 the t5 t6"
+    val docs = Seq(
+      (1L, good),                 // passes everything
+      (2L, good),                 // exact dup of 1 → cut at dedup
+      (3L, "a b"),                // too short → cut at token_band
+      (4L, s"$half $half"))       // repetitive → cut at repetition
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.curationFunnel(docs, "text", "doc_id")
+      .orderBy("stage")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(r.map(x => (x._2, x._3)) === Seq(("total", 4L), ("token_band", 3L),
+      ("quality", 3L), ("repetition", 2L), ("exact_dedup", 1L)))
+    // n_cut is the delta from the previous stage; kept_ppm of total
+    assert(r.map(_._4) === Seq(0L, 1L, 0L, 1L, 1L))
+    assert(r.last._5 === 250000L)
+  }
+
   test("NB calibration: buckets partition the test split with contiguous margin ranges") {
     // 40 docs, 4 classes of 10; test split = id % 5 == 0 (8 docs);
     // class tokens overlap pairwise so margins vary
