@@ -476,6 +476,12 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), 5, 2, 0.4)
         .orderBy(col("vec_id"))),
+    // per-label mean-pooled embedding prototypes (long form): the
+    // DECIMAL-exact class-centroid build every prototype/bi-encoder
+    // pipeline runs — one posexplode + one partial-aggregated shuffle
+    "q_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(emb(s, dir), "label")
+        .orderBy(col("g"), col("pos"))),
     // uniform negative sampling for contrastive batches: seeded-hash
     // draws (md5_60 mod n — no RNG state), one broadcast equi-join
     // fetch, over-draw-and-filter to true negatives
@@ -3606,6 +3612,21 @@ object SparkEntry {
     // fixed-order d0+d1+d2+d3 scoring — see pqSubCte/pqOracle
     "q_ann_pq" -> pqOracle,
     "q_ann_ivf_pq" -> ivfPqOracle,
+    // replays meanPool: per-(label, dimension) DECIMAL(27,15) sum
+    // divided once as double. The decimal is built from the VALUE'S
+    // SHORTEST STRING (CAST through VARCHAR), because that is what
+    // Spark's double→decimal cast rounds (BigDecimal.valueOf = the
+    // Double.toString repr) — a direct binary-value CAST diverges by
+    // ulps on ~1/3 of cells
+    "q_mean_pool" ->
+      """WITH e AS (SELECT label AS g,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT g, unnest(generate_series(1, len(v))) - 1 AS pos,
+        |         unnest(v) AS x FROM e)
+        |SELECT g, CAST(pos AS INT) AS pos, count(*) AS n,
+        |  CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,15))) AS DOUBLE)
+        |    / count(*) AS centroid
+        |FROM px GROUP BY g, pos ORDER BY g, pos""".stripMargin,
     // the same k-means assignment, then the per-cluster md5-order quota
     "q_topic_balance" -> (kmeansAsgCte +
       """,

@@ -976,6 +976,27 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-group mean-pooled embedding (long form) — the embedding
+    * aggregation every pipeline runs to build class/topic prototypes,
+    * bi-encoder training targets, or per-source style vectors: for
+    * each (group, dimension), the DECIMAL(27,15)-exact mean over the
+    * group's vectors (the [[labelCodebook]] arithmetic, exposed as
+    * rows rather than packed arrays so the result joins/gates like any
+    * frame). One posexplode + one partial-aggregated shuffle of
+    * (group, pos, sum, count) — linear at any corpus size; group count
+    * bounds the output. Output: (g, pos, n, centroid). */
+  def meanPool(corpus: DataFrame, groupCol: String): DataFrame =
+    corpus.select(col(groupCol).as("g"),
+        posexplode(col("vec").cast("array<double>")))
+      .groupBy(col("g"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        // double BEFORE decimal: a raw float→decimal cast rounds the
+        // float's SHORTEST string, not its binary value — engines then
+        // disagree by ulps (caught by this entry's gate; the kmeans
+        // path never exposed it because means feed a 9-dp cosine)
+        (sum(col("col").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("centroid"))
+
   /** Nearest-centroid assignment against an explicit codebook —
     * (vec_id, cluster_id), the standalone form of the stage every IVF /
     * semantic-dedup path runs inline: 9-dp rounded cosine with the
