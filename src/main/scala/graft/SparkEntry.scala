@@ -519,6 +519,11 @@ object SparkEntry {
     "q_cosine_neardup_blocked" -> ((s, dir) =>
       Similarity.cosineNearDupBlocked(emb(s, dir), 0.4, maxBlock = 64)
         .orderBy(col("id_a"), col("id_b"))),
+    // dedup threshold sweep: survivors per tau from ONE verified pair
+    // pass — the release artifact that prices the dedup threshold
+    "q_dedup_sweep" -> ((s, dir) =>
+      Similarity.dedupThresholdSweep(emb(s, dir), Seq(0.4, 0.45, 0.5),
+        maxBlock = 64)),
     // approximate near-dup via sign-random-projection LSH: deterministic
     // ±1 hyperplanes → k sign bits → banded equi-join candidates → exact
     // verify. Band width r=8 is the HIGH-similarity dedup operating point
@@ -3730,6 +3735,24 @@ object SparkEntry {
         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // replays dedupThresholdSweep: the within-label exact pair set at
+    // the loosest tau (blocked == unblocked output by exactness), the
+    // per-doc max smaller-id sim, counts per literal threshold
+    "q_dedup_sweep" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |mp AS (SELECT id_b, max(sim) AS ms FROM p WHERE sim >= 0.4 GROUP BY id_b),
+        |t AS (SELECT unnest([0.4, 0.45, 0.5]) AS tau),
+        |n AS (SELECT count(*) AS n_total FROM e),
+        |d AS (SELECT tau, count(*) AS n_dropped FROM mp CROSS JOIN t
+        |      WHERE ms >= tau GROUP BY tau)
+        |SELECT t.tau, n.n_total, coalesce(d.n_dropped, 0) AS n_dropped,
+        |  n.n_total - coalesce(d.n_dropped, 0) AS n_kept,
+        |  CAST((n.n_total - coalesce(d.n_dropped, 0)) * 1000000 // n.n_total AS BIGINT) AS kept_ppm
+        |FROM t LEFT JOIN d USING (tau) CROSS JOIN n ORDER BY tau""".stripMargin,
     // replays Similarity.srpNearDup end-to-end: the md5-derived ±1
     // hyperplanes, the k=64 sign bits (list_dot_product is bit-exact
     // against the codegen'd sequential-fold kernel), 8-bit band values,

@@ -976,6 +976,39 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Semantic-dedup threshold sweep — the release artifact that turns
+    * a dedup threshold from a guess into a decision: for each τ in
+    * `thresholds`, how much corpus survives keep-first dedup at that
+    * cosine bar. One verified pair pass at the LOOSEST τ feeds every
+    * row — per doc, only max(sim to any smaller-id neighbor) matters,
+    * so the sweep costs one grouped max + a |thresholds|-way literal
+    * explode over it, never a re-dedup per τ. Pairs come from the
+    * exact blocked path ([[cosineNearDupBlocked]]); keep-first rule =
+    * drop v iff some u < v has sim(u,v) ≥ τ (the [[semanticDedup]]
+    * rule on the exact pair set). Output: (tau, n_total, n_dropped,
+    * n_kept, kept_ppm), τ ascending. */
+  def dedupThresholdSweep(corpus: DataFrame, thresholds: Seq[Double],
+                          labelCol: String = "label",
+                          maxBlock: Int = 256): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val pairs = cosineNearDupBlocked(corpus, thresholds.min, labelCol, maxBlock)
+    val maxPrev = pairs.groupBy(col("id_b")).agg(max(col("sim")).as("ms"))
+    val tdf = corpus.sparkSession.range(1)
+      .select(explode(array(thresholds.sorted.map(lit(_)): _*)).as("tau"))
+    val tot = corpus.agg(count(lit(1)).as("n_total"))
+    val drops = maxPrev.crossJoin(broadcast(tdf))
+      .filter(col("ms") >= col("tau"))
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_dropped"))
+    tdf.join(drops, Seq("tau"), "left_outer").crossJoin(broadcast(tot))
+      .select(col("tau"), col("n_total"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .select(col("tau"), col("n_total"), col("n_dropped"),
+        (col("n_total") - col("n_dropped")).as("n_kept"),
+        expr("CAST((n_total - n_dropped) * 1000000 div n_total AS BIGINT)")
+          .as("kept_ppm"))
+      .orderBy(col("tau"))
+  }
+
   /** Per-group mean-pooled embedding (long form) — the embedding
     * aggregation every pipeline runs to build class/topic prototypes,
     * bi-encoder training targets, or per-source style vectors: for

@@ -167,6 +167,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(cb.map(_._1).toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("dedup threshold sweep: known survivors per tau, kept count monotone in tau") {
+    // one label block: v2 duplicates v1 (cos 1), v3 sits at cos ~0.92,
+    // v4 is orthogonal
+    val docs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f, 0f), 0),
+      (3L, Seq(0.9239f, 0.3827f, 0f, 0f), 0),
+      (4L, Seq(0f, 1f, 0f, 0f), 0)).toDF("id", "vec", "label")
+    val r = Similarity.dedupThresholdSweep(docs, Seq(0.5, 0.95))
+      .as[(Double, Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((0.5, 4L, 2L, 2L, 500000L), (0.95, 4L, 1L, 3L, 750000L)))
+  }
+
   test("IVF-PQ with all clusters probed and corpus-wide overfetch degrades to exact search") {
     // nprobe = kCoarse disables the IVF prune; overfetch covering the
     // corpus disables the ADC shortlist cut — what remains is the
