@@ -712,6 +712,16 @@ object SparkEntry {
         .groupBy(col("lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted_lang"))),
+    // classifier-governance confusion matrix: where do the cheap
+    // (stopword) and char-ngram language IDs disagree — the artifact
+    // that decides which docs route to the expensive model
+    "q_langid_confusion" -> ((s, dir) =>
+      docs(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("m_stop"),
+          TextAnalysis.langIdNgram(col("text")).as("m_ngram"))
+        .groupBy(col("m_stop"), col("m_ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("m_stop"), col("m_ngram"))),
     // polynomial rolling-hash content fingerprint per doc
     "q_rollhash" -> ((s, dir) =>
       docs(s, dir)
@@ -4223,6 +4233,30 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    // both argmaxes per doc, joined on doc_id, counted as a confusion
+    // matrix — replays the two lang-ID oracles verbatim
+    "q_langid_confusion" ->
+      s"""WITH a AS (SELECT doc_id,
+        |  $langHits
+        |FROM documents),
+        |pa AS (SELECT doc_id,
+        |  CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
+        |       WHEN en >= greatest(es, fr, zh) THEN 'en'
+        |       WHEN es >= greatest(fr, zh) THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS m_stop FROM a),
+        |b AS (SELECT doc_id,
+        |  $ngramHits
+        |FROM documents),
+        |pb AS (SELECT doc_id,
+        |  CASE WHEN de >= greatest(en, es, fr, zh) THEN 'de'
+        |       WHEN en >= greatest(es, fr, zh) THEN 'en'
+        |       WHEN es >= greatest(fr, zh) THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS m_ngram FROM b)
+        |SELECT m_stop, m_ngram, count(*) AS n
+        |FROM pa JOIN pb USING (doc_id)
+        |GROUP BY m_stop, m_ngram ORDER BY m_stop, m_ngram""".stripMargin,
     "q_rollhash" ->
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(7 AS BIGINT),
