@@ -504,4 +504,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("binaryFile"), p)
     assert(p.contains("partial_"), s"content gate must map-side combine:\n$p")
   }
+
+  test("round-9 continuation: no cartesian anywhere in the new family") {
+    // every join in the NB / LSH-gate / IVF-PQ / profiler / overlap /
+    // funnel / sweep entries is an equi-join on vocab, band key, code,
+    // cluster, count key or doc id — the sanctioned broadcasts of
+    // 1-to-k-row frames (class totals, LUTs, thresholds, totals) plan
+    // as broadcast BNLJ, never cartesian
+    for (q <- Seq("q_nb_classify", "q_nb_calibration", "q_lsh_recall",
+        "q_ann_ivf_pq", "q_skew_profile", "q_join_hotspots",
+        "q_source_overlap", "q_curation_funnel", "q_mean_pool",
+        "q_dedup_sweep", "q_langid_confusion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
+  test("q_nb_classify: OOV prune is a semi-join; scoring aggregates map-side") {
+    val p = plan("q_nb_classify")
+    assert(p.contains("LeftSemi"), s"vocab prune must be a semi-join:\n$p")
+    assert(p.contains("partial_"), s"score sum must map-side combine:\n$p")
+  }
+
+  test("q_ann_ivf_pq: LUT / probe / shortlist joins broadcast — the corpus never shuffles for scoring") {
+    val p = plan("q_ann_ivf_pq")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_skew_profile / q_join_hotspots / q_mean_pool: one partial+final aggregation, no extra corpus pass") {
+    for (q <- Seq("q_skew_profile", "q_join_hotspots", "q_mean_pool")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q must map-side combine:\n$p")
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    }
+  }
 }
