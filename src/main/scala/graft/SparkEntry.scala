@@ -712,6 +712,15 @@ object SparkEntry {
         .groupBy(col("lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted_lang"))),
+    // tokenizer fertility by language: BPE-ish tokens per whitespace
+    // word as integer ppm — the multilingual tokenizer-fairness metric
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir), "text", "lang")
+        .orderBy(col("g"))),
+    // per-source KL from the corpus unigram mix — the reweighting
+    // signal; exact DECIMAL term sums, consumers divide by n_tokens
+    "q_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceKl(docs(s, dir), "text", "source")),
     // classifier-governance confusion matrix: where do the cheap
     // (stopword) and char-ngram language IDs disagree — the artifact
     // that decides which docs route to the expensive model
@@ -4233,6 +4242,31 @@ object SparkEntry {
         |       ELSE 'zh' END AS predicted_lang FROM h)
         |SELECT lang, predicted_lang, count(*) AS n FROM p
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    // replays tokenizerFertility: summed whitespace + regex token
+    // counts per lang, integer-ppm ratio
+    "q_tokenizer_fertility" ->
+      s"""SELECT lang AS g, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |  CAST(sum(len(regexp_extract_all(text, '$bpePat'))) AS BIGINT) AS n_bpe,
+        |  CAST(sum(len(regexp_extract_all(text, '$bpePat'))) * 1000000
+        |    // sum(len(string_split(text, ' '))) AS BIGINT) AS fertility_ppm
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // replays sourceKl: exact source/corpus unigram counts, the double
+    // ratio in the same t1/t2 shape, 7-dp ln, integer-weighted DECIMAL
+    // term sum emitted exactly
+    "q_source_kl" ->
+      """WITH tok AS (SELECT source AS src, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cs AS (SELECT src, w, count(*) AS csw FROM tok GROUP BY src, w),
+        |cc AS (SELECT w, count(*) AS ccw FROM tok GROUP BY w),
+        |ns AS (SELECT src, count(*) AS ns FROM tok GROUP BY src),
+        |nc AS (SELECT count(*) AS nct FROM tok),
+        |term AS (SELECT cs.src, ns.ns,
+        |    CAST(csw AS DECIMAL(21,7)) *
+        |      CAST(round(ln((CAST(csw AS DOUBLE) * CAST(nct AS DOUBLE)) /
+        |        (CAST(ns AS DOUBLE) * CAST(ccw AS DOUBLE))), 7) AS DECIMAL(21,7)) AS t
+        |  FROM cs JOIN cc USING (w) JOIN ns ON cs.src = ns.src CROSS JOIN nc)
+        |SELECT src, ns AS n_tokens, CAST(sum(t) AS DOUBLE) AS kl_sum
+        |FROM term GROUP BY src, ns ORDER BY src""".stripMargin,
     // both argmaxes per doc, joined on doc_id, counted as a confusion
     // matrix — replays the two lang-ID oracles verbatim
     "q_langid_confusion" ->

@@ -829,6 +829,68 @@ object TextAnalysis {
         sum(col("nn")).over(w).as("vocab_cum"))
   }
 
+  /** Tokenizer fertility per group — tokens-per-word by language, THE
+    * multilingual tokenizer-fairness metric (a language with fertility
+    * 3× pays 3× the context budget for the same text; reported by
+    * every tokenizer paper): BPE-ish pre-tokenizer count over
+    * whitespace word count, as exact integer ppm from two summed
+    * counts. One codegen pass + one grouped sum. Output: (g, n_docs,
+    * n_words, n_bpe, fertility_ppm). */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+                         groupCol: String): DataFrame =
+    docs.select(col(groupCol).as("g"),
+        tokenCount(col(textCol)).cast("long").as("nw"),
+        bpeTokenCount(col(textCol)).cast("long").as("nb"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe"))
+      .select(col("g"), col("n_docs"), col("n_words"), col("n_bpe"),
+        expr("CAST(n_bpe * 1000000 div n_words AS BIGINT)")
+          .as("fertility_ppm"))
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the mixture-health metric behind reweighting decisions ("which
+    * source is distributionally farthest from the mix", the
+    * DoReMi-family signal): KL(P_src ‖ P_corpus) =
+    * Σ_w (c_sw / N_s) · ln(c_sw·N_c / (N_s·c_cw)), every count exact,
+    * each log term ONE double chain over integers rounded to 7 dp (the
+    * [[knBigramLogProb]] recipe), weighted by the INTEGER count c_sw
+    * inside an exact DECIMAL sum, divided once by N_s at the end — so
+    * summation order is immaterial and both engines agree bitwise.
+    * Source vocabularies are subsets of the corpus vocabulary by
+    * construction, so no term is ever log(x/0). Scale: one token pass
+    * feeds both count tables; the per-(source, word) join is a plain
+    * equi-join on the word. Output: (src, n_tokens, kl_sum) by src —
+    * kl per token = kl_sum / n_tokens, the consumer's division. */
+  def sourceKl(docs: DataFrame, textCol: String,
+               srcCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("src"),
+      explode(split(col(textCol), " ")).as("w"))
+    val cs = tok.groupBy(col("src"), col("w")).agg(count(lit(1)).as("csw"))
+    val cc = tok.groupBy(col("w")).agg(count(lit(1)).as("ccw"))
+    val ns = tok.groupBy(col("src")).agg(count(lit(1)).as("ns"))
+    val nc = tok.agg(count(lit(1)).as("nct"))
+    cs.join(cc, Seq("w"))
+      .join(broadcast(ns), Seq("src"))
+      .crossJoin(broadcast(nc))
+      .select(col("src"), col("ns"),
+        // ratio in DOUBLE space (t1 = c_sw·N_c, t2 = N_s·c_cw, then one
+        // divide — overflow-free at any corpus size, IEEE-identical in
+        // the oracle's same-shaped expression); the weighted sum stays
+        // the exact DECIMAL total — kl per token is the consumer's one
+        // division (emitting sum/count re-manufactures rounding ties)
+        (col("csw").cast("decimal(21,7)") *
+          round(log((col("csw").cast("double") * col("nct").cast("double")) /
+            (col("ns").cast("double") * col("ccw").cast("double"))), 7)
+            .cast("decimal(21,7)"))
+          .as("term"))
+      .groupBy(col("src"), col("ns"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("src"), col("ns").as("n_tokens"),
+        col("s").cast("double").as("kl_sum"))
+      .orderBy(col("src"))
+  }
+
   /** Curation-funnel attrition report — the table every corpus release
     * publishes (the RefinedWeb/Gopher convention): documents flow
     * through the gate cascade IN ORDER and each stage reports what

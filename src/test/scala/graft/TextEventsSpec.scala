@@ -73,6 +73,30 @@ class TextEventsSpec extends SparkTestBase {
     assert(t === Seq("a_cls"))
   }
 
+  test("tokenizer fertility: punctuation splits inflate the ratio; plain words are 1e6 ppm") {
+    val docs = Seq((1L, "ab cd", "en"), (2L, "a-b x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.tokenizerFertility(docs, "text", "lang")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // de: "a-b x" → bpe tokens a,-,b,x = 4 over 2 words; en: 2 over 2
+    assert(r === Seq(("de", 1L, 2L, 4L, 2000000L), ("en", 1L, 2L, 2L, 1000000L)))
+  }
+
+  test("source KL: single source diverges zero; disjoint vocab scores ln(corpus/source) per token") {
+    val one = Seq((1L, "w1 w2 w3", "s")).toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.sourceKl(one, "text", "source")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r1 === Seq(("s", 3L, 0.0)))
+    // disjoint vocab, equal sizes: every token's ratio = nct/ns = 2
+    val two = Seq((1L, "a a", "sa"), (2L, "b b", "sb"))
+      .toDF("doc_id", "text", "source")
+    val r2 = TextAnalysis.sourceKl(two, "text", "source")
+      .orderBy("src").as[(String, Long, Double)].collect().toSeq
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2 === Seq(("sa", 2L, 2 * ln2), ("sb", 2L, 2 * ln2)))
+  }
+
   test("curation funnel: monotone survival, per-stage cuts attribute to the right gate") {
     // good: 1/3 stopwords (quality), all trigrams distinct (repetition)
     val good = (1 to 10).map(i => s"the x$i y$i").mkString(" ")
