@@ -2413,6 +2413,22 @@ object SparkEntry {
         .mode("overwrite").save()
       Checksum.of(graft.sources.kvbin.KVBin.read(s, tmp))
     }),
+    // region-merge compaction (TiKV region-merge analog): the 32-region
+    // generation rewritten to 4 sorted ranges through the DSv2 write,
+    // index-swap visibility, old regions swept — content gated by the
+    // checksum triple, region count pinned in the output
+    "q_kvbin_compact" -> ((s, dir) => {
+      val tmp = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvcp-")
+      KVSnapshot.src(s, dir).write
+        .format(classOf[graft.sources.kvbin.KVBinSource].getName)
+        .option("path", tmp).option("api_version", "V1")
+        .mode("overwrite").save()
+      graft.sources.kvbin.KVBinCompact.compact(s, tmp, 4)
+      val nRegions = graft.sources.kvbin.KVBin
+        .readIndex(tmp, s.sessionState.newHadoopConf()).size
+      Checksum.of(graft.sources.kvbin.KVBin.read(s, tmp))
+        .withColumn("n_regions", lit(nRegions).cast("long"))
+    }),
     // the reference's §3.1 flagship lifecycle end-to-end over wires:
     // src (two-store fleet) and dst (own store) checksummed server-side
     // concurrently, verdict from the pushed triples. Same oracle as
@@ -5094,6 +5110,13 @@ object SparkEntry {
     "q_kvbin_write_roundtrip" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
       """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
         |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes
+        |FROM sgn""".stripMargin),
+    // compaction must be invisible to content: the roundtrip checksum
+    // triple plus the pinned target region count
+    "q_kvbin_compact" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
+      """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
+        |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes,
+        |  CAST(4 AS BIGINT) AS n_regions
         |FROM sgn""".stripMargin),
     // and the over-the-wire verdict equals the in-engine verdict:
     // q_checksum_verdict's SQL verbatim

@@ -281,3 +281,32 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
 
   override def close(): Unit = ()
 }
+
+/** Region-merge compaction — the connector's analog of TiKV's region
+  * merge (small adjacent regions folded into fewer, PD-directed): the
+  * current table generation is read through the DSv2 reader (planning
+  * only from `_index`) and rewritten through the DSv2 write in
+  * overwrite mode with an explicit `ranges` target, so Catalyst plans
+  * the range-partition + sort exchange and every produced region is a
+  * contiguous sorted range by construction. The `_index` swap at
+  * commit is the visibility point and the sweep reclaims the old
+  * generation's regions — the identical read-old-while-writing-new
+  * overlap the streaming kvbin sink proved (old regions are deleted
+  * only at the new index's commit, after every read task finished).
+  * Content is byte-identical by contract (spec- and oracle-gated via
+  * the checksum triple). Single-concurrent-writer contract applies
+  * (see [[KVBinWriteBuilder]]). */
+object KVBinCompact {
+  def compact(s: org.apache.spark.sql.SparkSession, path: String,
+              targetRegions: Int): Unit = {
+    require(targetRegions >= 1, "targetRegions must be positive")
+    val conf = s.sessionState.newHadoopConf()
+    val api = KVBin.readMeta(path, conf).getOrElse("api_version", "V1")
+    KVBin.read(s, path).write
+      .format(classOf[KVBinSource].getName)
+      .option("path", path)
+      .option("api_version", api)
+      .option("ranges", targetRegions.toString)
+      .mode("overwrite").save()
+  }
+}

@@ -501,6 +501,30 @@ class KVBinSpec extends SparkTestBase {
     assert(KVBin.readMeta(dir, spark.sessionState.newHadoopConf())("api_version") === "V2")
   }
 
+  test("compaction merges regions, keeps content checksum-identical, preserves api_version and range invariants") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-c-").toString
+    parquetSrc.write.format(kvbinFmt)
+      .option("path", dir).option("ranges", "8").option("api_version", "V2")
+      .mode("overwrite").save()
+    val conf = spark.sessionState.newHadoopConf()
+    val before = Checksum.of(KVBin.read(spark, dir)).as[(Long, Long, Long)].head()
+    val oldFiles = KVBin.readIndex(dir, conf).map(_._1).toSet
+    assert(oldFiles.size === 8)
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir, 2)
+    val idx = KVBin.readIndex(dir, conf)
+    assert(idx.size === 2, s"expected 2 regions, got ${idx.size}")
+    // content identical, old generation reclaimed, ranges disjoint,
+    // meta (api_version) carried over by the compactor
+    assert(Checksum.of(KVBin.read(spark, dir)).as[(Long, Long, Long)].head() === before)
+    val left = new java.io.File(dir).list().toSet
+    assert(oldFiles.forall(f => !left.contains(f)), s"old regions not swept: ${oldFiles intersect left}")
+    idx.sliding(2).foreach {
+      case Seq(x, y) => assert(KVBin.compare(x._3, y._2) < 0)
+      case _ => ()
+    }
+    assert(KVBin.readMeta(dir, conf)("api_version") === "V2")
+  }
+
   test("DSv2 write: append merges new regions into the index; truncate swaps the generation") {
     val dir = java.nio.file.Files.createTempDirectory("kvbin-a-").toString
     val half1 = parquetSrc.filter(crc32(col("key")) % 2 === 0)
