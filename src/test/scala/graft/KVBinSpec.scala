@@ -523,6 +523,11 @@ class KVBinSpec extends SparkTestBase {
       case _ => ()
     }
     assert(KVBin.readMeta(dir, conf)("api_version") === "V2")
+    // the same rebalance runs the SPLIT direction: a target above the
+    // current count divides oversized regions, content unchanged
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir, 5)
+    assert(KVBin.readIndex(dir, conf).size === 5)
+    assert(Checksum.of(KVBin.read(spark, dir)).as[(Long, Long, Long)].head() === before)
   }
 
   test("DSv2 write: append merges new regions into the index; truncate swaps the generation") {

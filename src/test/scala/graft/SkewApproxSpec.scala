@@ -80,6 +80,16 @@ class SkewApproxSpec extends SparkTestBase {
     assert(hs.head._4 === l.join(r, Seq("k")).count())
   }
 
+  test("joinHotspots law: total estimated volume equals the real join's row count on seeded random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val l = (0 until 500).map(i => (i.toLong, s"k${rnd.nextInt(23)}")).toDF("id", "k")
+    val r = (0 until 300).map(i => (i.toLong, s"k${rnd.nextInt(31)}")).toDF("id", "k")
+    val est = Skew.joinHotspots(l, r, "k", topK = 1000)
+      .agg(sum(col("out_rows"))).as[Long].head()
+    assert(est === l.join(r, Seq("k")).count())
+  }
+
   test("approx_percentile tracks exact percentiles within 5% of the value range") {
     val ev = graft.operators.Events.read(spark, sfSmoke)
     val r = ev.agg(
