@@ -1132,6 +1132,11 @@ object SparkEntry {
     "q_skew_profile" -> ((s, dir) =>
       Skew.skewProfile(Events.read(s, dir), "event_type", topK = 10,
         partitions = 32)),
+    // in-flight Observation counters: metrics ride the SAME noop-sink
+    // job as the filter pass (zero extra scans), listener-delivered,
+    // re-exposed as a 1-row frame the oracle gates exactly
+    "q_observed_counters" -> ((s, dir) =>
+      Profile.observedCounters(Events.read(s, dir))),
     // ANALYZE-style per-column stats (rows/nonnull/ndv/min/max) — the
     // CBO-input profile; exact ndv here so the oracle replays it, with
     // Sketches.kmvDistinct as the documented 100 TB swap-in
@@ -4927,6 +4932,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the listener-delivered counters must equal the direct aggregate
+    "q_observed_counters" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN value < 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
     // replays joinHotspots for the event_type self-join: per-key count
     // products, HUGEINT total (DECIMAL(38,0) twin), integer-ppm share
     "q_join_hotspots" ->

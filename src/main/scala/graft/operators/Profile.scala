@@ -120,4 +120,35 @@ object Profile {
       .select(quasi.map(col): _*)
     df.join(cells, quasi, "left_semi")
   }
+
+  /** In-flight pipeline counters via Spark's `Observation` API — the
+    * production monitoring shape the `expectations` batch audit can't
+    * give you: metrics collected ON THE SAME JOB that does the real
+    * work (here a filter + `noop`-sink pass standing in for the
+    * pipeline's write), zero extra scans, delivered to the driver by
+    * the listener when the action completes. This is how a 100 TB
+    * curation stage reports "rows in / rows dropped / value total"
+    * without anyone re-reading the input. The observed values are
+    * re-exposed as a 1-row DataFrame so the oracle can gate them
+    * exactly like any query — proving the listener path delivers the
+    * same numbers a direct aggregate computes. All aggregates are
+    * integer/DECIMAL so the gate is exact. */
+  def observedCounters(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    events
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") < 100.0d, 1L).otherwise(0L)).as("n_below"),
+        sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+      .filter(col("value") >= 100.0d)
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("n_below").asInstanceOf[Long],
+      m("sum_value").asInstanceOf[java.math.BigDecimal].toString))
+      .toDF("n_rows", "n_below", "sum_dec")
+      .select(col("n_rows"), col("n_below"),
+        col("sum_dec").cast("decimal(20,6)").cast("double").as("sum_value"))
+  }
 }
