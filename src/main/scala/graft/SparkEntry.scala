@@ -132,7 +132,8 @@ object SparkEntry {
     // psiFromCells stage as batch
     "q_stream_psi_drift" -> ((s, dir) => StreamEntries.streamPsiDrift(s, dir)),
     "q_stream_nb_classify" -> ((s, dir) => StreamEntries.streamNbClassify(s, dir)),
-    "q_stream_decontam_gate" -> ((s, dir) => StreamEntries.streamDecontamGate(s, dir)))
+    "q_stream_decontam_gate" -> ((s, dir) => StreamEntries.streamDecontamGate(s, dir)),
+    "q_stream_observed" -> ((s, dir) => StreamEntries.streamObserved(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1132,6 +1133,27 @@ object SparkEntry {
     "q_skew_profile" -> ((s, dir) =>
       Skew.skewProfile(Events.read(s, dir), "event_type", topK = 10,
         partitions = 32)),
+    // DYNAMIC partition overwrite: the second write replaces ONLY the
+    // partitions it carries (the 'error' slice, values zeroed) and
+    // must leave every other partition intact — static overwrite
+    // semantics would wipe them and fail the gate
+    "q_dynamic_overwrite" -> ((s, dir) => {
+      val tmp = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-dyn-")
+        .toString
+      val e = Events.read(s, dir)
+        .select(col("event_id"), col("value"), col("event_type"))
+      e.write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+      e.filter(col("event_type") === "error")
+        .withColumn("value", lit(0.0d))
+        .write.partitionBy("event_type")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
     // in-flight Observation counters: metrics ride the SAME noop-sink
     // job as the filter pass (zero extra scans), listener-delivered,
     // re-exposed as a 1-row frame the oracle gates exactly
@@ -2567,7 +2589,7 @@ object SparkEntry {
     """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
       |         generate_series(1, greatest(len(w)-2, 1)),
-      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+      |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
       |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
       |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
       |""".stripMargin + tokp +
@@ -3211,7 +3233,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
         |newt AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 = 0),
         |oldt AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 <> 0),
@@ -3233,7 +3255,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
         |tr AS (SELECT doc_id AS train_id, t FROM tok WHERE doc_id % 10 <> 0),
         |ev AS (SELECT doc_id AS eval_id, t FROM tok WHERE doc_id % 10 = 0),
@@ -3252,7 +3274,7 @@ object SparkEntry {
         |toks AS (SELECT doc_id, bucket, string_split(text,' ') AS w FROM b),
         |sh AS (SELECT doc_id, bucket, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT doc_id, bucket, unnest(s) AS t FROM sh),
         |tr AS (SELECT DISTINCT t FROM tok WHERE bucket < 90),
         |ev AS (SELECT doc_id, t FROM tok WHERE bucket >= 90),
@@ -3826,7 +3848,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
         |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
         |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t HAVING count(*) <= 100),
@@ -4030,7 +4052,7 @@ object SparkEntry {
       """WITH m AS (SELECT lang, source,
         |  round(1.0 - CAST(len(list_distinct(list_transform(
         |        generate_series(1, greatest(len(w)-2, 1)),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+        |        i -> array_to_string(w[i:i+2], ' ')))) AS DOUBLE)
         |    / CAST(greatest(len(w)-2, 1) AS DOUBLE), 6) AS rr
         |  FROM (SELECT lang, source, string_split(text,' ') AS w FROM documents))
         |SELECT lang, source, count(*) AS n_docs,
@@ -4767,7 +4789,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |it AS (SELECT unnest(s) AS item FROM sh),
         |hb AS (SELECT item, j,
         |         ${duckHash60("'cms' || j || '_' || item")} % 1024 AS bucket
@@ -4932,6 +4954,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // after the dynamic overwrite the table = all events with the
+    // error partition's values zeroed; any other partition lost to
+    // static-overwrite semantics would change the counts
+    "q_dynamic_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(0 AS DECIMAL(20,6))
+        |           ELSE CAST(value AS DECIMAL(20,6)) END) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // per-batch observed metrics summed over the drain must equal the
+    // batch aggregate of the fed slice; batch count pinned at 2
+    "q_stream_observed" ->
+      """SELECT CAST(2 AS BIGINT) AS n_batches, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id < 50""".stripMargin,
     // the listener-delivered counters must equal the direct aggregate
     "q_observed_counters" ->
       """SELECT count(*) AS n_rows,
@@ -5248,7 +5285,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT lang, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT lang, unnest(s) AS t FROM sh),
         |h AS (SELECT DISTINCT lang, ${duckHash60("'kmv_' || t")} AS h FROM tok),
         |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
@@ -5305,7 +5342,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
         |tr AS (SELECT doc_id AS train_id, t FROM tok
         |       WHERE doc_id % 10 <> 0 AND doc_id < 5000),
@@ -5353,7 +5390,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |it AS (SELECT unnest(s) AS item FROM sh),
         |cnt AS (SELECT item, count(*) AS c FROM it GROUP BY item),
         |hb AS (SELECT item, j,
@@ -5950,7 +5987,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT lang, list_distinct(list_transform(
         |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT lang, unnest(s) AS t FROM sh),
         |h AS (SELECT lang, ${duckHash60("'hll:' || t")} AS h FROM tok),
         |r AS (SELECT lang, h & 1023 AS bucket, least(30, 51 - $bitCase) AS rho FROM h),

@@ -145,8 +145,11 @@ object Profile {
       .filter(col("value") >= 100.0d)
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
-    Seq((m("n_rows").asInstanceOf[Long], m("n_below").asInstanceOf[Long],
-      m("sum_value").asInstanceOf[java.math.BigDecimal].toString))
+    // sums observe as NULL over zero rows — surface them as the same
+    // NULLs the oracle's direct aggregate produces, never an NPE
+    Seq((m("n_rows").asInstanceOf[Long],
+      Option(m("n_below")).map(_.asInstanceOf[Long]),
+      Option(m("sum_value")).map(_.asInstanceOf[java.math.BigDecimal].toString)))
       .toDF("n_rows", "n_below", "sum_dec")
       .select(col("n_rows"), col("n_below"),
         col("sum_dec").cast("decimal(20,6)").cast("double").as("sum_value"))

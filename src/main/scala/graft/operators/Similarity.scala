@@ -106,17 +106,27 @@ object Similarity {
   def labelCodebook(corpus: DataFrame, labelCol: String = "label"): DataFrame =
     meanByCluster(corpus.select(col(labelCol).as("cluster_id"), col("vec")))
 
+  /** The ONE per-(group, pos) DECIMAL(27,15)-exact mean kernel —
+    * [[meanByCluster]] (packed arrays) and [[meanPool]] (long form)
+    * both route through it so the family's mean arithmetic can never
+    * diverge. Input: (g, vec); element values are summed EXACTLY as
+    * given — each caller owns its cast path (see [[meanPool]]'s
+    * shortest-string note). */
+  private def meanLongForm(grouped: DataFrame): DataFrame =
+    grouped.select(col("g"), posexplode(col("vec")))
+      .groupBy(col("g"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("col").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("centroid"))
+
   /** centroid[j] = decimal-exact mean of component j per cluster_id, from
     * a (cluster_id, vec) frame. */
   private[graft] def meanByCluster(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster_id"), posexplode(col("vec")))
-      .groupBy(col("cluster_id"), col("pos"))
-      .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
-        count(lit(1))).as("m"))
-      .groupBy(col("cluster_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cluster_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
+    meanLongForm(assigned.select(col("cluster_id").as("g"), col("vec")))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("pm"))
+      .select(col("g").as("cluster_id"),
+        transform(col("pm"), x => x.getField("centroid")).as("cvec"))
 
   /** Deterministic unsupervised k-means codebook — the IVF default when
     * the corpus has no label column. Every source of k-means
@@ -1019,16 +1029,12 @@ object Similarity {
     * (group, pos, sum, count) — linear at any corpus size; group count
     * bounds the output. Output: (g, pos, n, centroid). */
   def meanPool(corpus: DataFrame, groupCol: String): DataFrame =
-    corpus.select(col(groupCol).as("g"),
-        posexplode(col("vec").cast("array<double>")))
-      .groupBy(col("g"), col("pos"))
-      .agg(count(lit(1)).as("n"),
-        // double BEFORE decimal: a raw float→decimal cast rounds the
-        // float's SHORTEST string, not its binary value — engines then
-        // disagree by ulps (caught by this entry's gate; the kmeans
-        // path never exposed it because means feed a 9-dp cosine)
-        (sum(col("col").cast("decimal(27,15)")).cast("double") /
-          count(lit(1))).as("centroid"))
+    // double BEFORE decimal: a raw float→decimal cast rounds the
+    // float's SHORTEST string, not its binary value — engines then
+    // disagree by ulps (caught by this entry's gate; the kmeans
+    // path never exposed it because means feed a 9-dp cosine)
+    meanLongForm(corpus.select(col(groupCol).as("g"),
+      col("vec").cast("array<double>").as("vec")))
 
   /** Nearest-centroid assignment against an explicit codebook —
     * (vec_id, cluster_id), the standalone form of the stage every IVF /

@@ -908,9 +908,9 @@ object TextAnalysis {
   def curationFunnel(docs: DataFrame, textCol: String,
                      idCol: String): DataFrame = {
     val t = col(textCol)
-    val keepers = docs.groupBy(md5(t).as("__h"))
-      .agg(min(col(idCol)).as("doc_id"))
-      .select(col("doc_id"), lit(1L).as("keep"))
+    // the CANONICAL exact-dedup survivor rule (one definition repo-wide)
+    val keepers = graft.operators.Dedup.exactGroups(docs, textCol, idCol)
+      .select(col("keep_doc_id").as("doc_id"), lit(1L).as("keep"))
     val flagged = docs
       .select(col(idCol).as("doc_id"),
         (tokenCount(t).between(10, 1000)).cast("long").as("f1"),

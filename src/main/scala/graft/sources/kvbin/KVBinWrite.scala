@@ -301,12 +301,31 @@ object KVBinCompact {
               targetRegions: Int): Unit = {
     require(targetRegions >= 1, "targetRegions must be positive")
     val conf = s.sessionState.newHadoopConf()
-    val api = KVBin.readMeta(path, conf).getOrElse("api_version", "V1")
+    val meta0 = KVBin.readMeta(path, conf)
+    val api = meta0.getOrElse("api_version", "V1")
     KVBin.read(s, path).write
       .format(classOf[KVBinSource].getName)
       .option("path", path)
       .option("api_version", api)
       .option("ranges", targetRegions.toString)
       .mode("overwrite").save()
+    // the overwrite commit writes a fresh header carrying only
+    // api_version; re-publish the index with the table's OTHER `#k=v`
+    // meta lines carried over — compaction must be invisible to meta,
+    // not just content (the append path already preserves them, and
+    // the single-concurrent-writer contract covers this rewrite)
+    val extra = meta0 - "api_version"
+    if (extra.nonEmpty) {
+      val fs = FileSystem.get(new java.net.URI(path), conf)
+      val idx = KVBin.readIndex(path, conf)
+      val meta = KVBin.readMeta(path, conf) ++ extra
+      val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+        idx.map { case (f, mn, mx, n) =>
+          s"$f\t${KVBin.hexOf(mn)}\t${KVBin.hexOf(mx)}\t$n"
+        }
+      val out = fs.create(new Path(path, KVBin.IndexFile), true)
+      out.write(lines.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
   }
 }

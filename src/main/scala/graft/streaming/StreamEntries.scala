@@ -1064,6 +1064,57 @@ object StreamEntries {
     s.read.parquet(out).orderBy(col("doc_id"))
   }
 
+  /** Streaming in-flight counters via `Dataset.observe` — the
+    * per-micro-batch monitoring surface a production stream exports to
+    * its metrics system (each batch's observed aggregates arrive in
+    * that batch's QueryProgress, zero extra passes): the event feed
+    * streams through an observed projection into a memory sink, and
+    * the per-batch `observedMetrics` rows are summed driver-side into
+    * totals that must equal the batch aggregate of the whole fed
+    * slice — proving the listener path loses no batch and
+    * double-counts none. Counters are integer/DECIMAL so the gate is
+    * exact. Output: one row (n_batches, n_rows, n_error, sum_value). */
+  def streamObserved(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = memoFeed(s"obs:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)].collect().toSeq
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_obs")
+    val progressRows = withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, String, Double)]
+      val observed = mem.toDF().toDF("event_id", "event_type", "value")
+        .observe("graft_counters",
+          count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_error"),
+          sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+      val q = observed.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(feed.filter(_._1 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_counters")))
+        .map(r => (r.getAs[Long]("n_rows"),
+          Option(r.getAs[Long]("n_error")).getOrElse(0L),
+          Option(r.getAs[java.math.BigDecimal]("sum_value"))
+            .map(_.toString).getOrElse("0")))
+    }
+    takeTable(s, name)  // release the sink; counters are the product
+    progressRows
+      .toDF("n_rows", "n_error", "sum_dec")
+      .agg(count(lit(1)).as("n_batches"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_error")).as("n_error"),
+        sum(col("sum_dec").cast("decimal(20,6)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** `foreachBatch` merge into a KVBIN table generation — the
     * [[streamForeachMerge]] pattern pointed at the repo's own DSv2
     * connector instead of parquet-plus-directory-rename: each

@@ -510,7 +510,20 @@ class KVBinSpec extends SparkTestBase {
     val before = Checksum.of(KVBin.read(spark, dir)).as[(Long, Long, Long)].head()
     val oldFiles = KVBin.readIndex(dir, conf).map(_._1).toSet
     assert(oldFiles.size === 8)
+    // plant an extra meta header line THROUGH the Hadoop FS (a raw
+    // file write would orphan the local FS's sidecar .crc): compaction
+    // must carry it over
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val idxPath = new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile)
+    val cur = {
+      val in = fs.open(idxPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = fs.create(idxPath, true)
+    out.write(s"#note=keepme\n$cur".getBytes("UTF-8"))
+    out.close()
     graft.sources.kvbin.KVBinCompact.compact(spark, dir, 2)
+    assert(KVBin.readMeta(dir, conf).get("note") === Some("keepme"))
     val idx = KVBin.readIndex(dir, conf)
     assert(idx.size === 2, s"expected 2 regions, got ${idx.size}")
     // content identical, old generation reclaimed, ranges disjoint,
