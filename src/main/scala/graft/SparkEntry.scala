@@ -3813,7 +3813,8 @@ object SparkEntry {
         |      WHERE ms >= tau GROUP BY tau)
         |SELECT t.tau, n.n_total, coalesce(d.n_dropped, 0) AS n_dropped,
         |  n.n_total - coalesce(d.n_dropped, 0) AS n_kept,
-        |  CAST((n.n_total - coalesce(d.n_dropped, 0)) * 1000000 // n.n_total AS BIGINT) AS kept_ppm
+        |  CASE WHEN n.n_total > 0 THEN
+        |    CAST((n.n_total - coalesce(d.n_dropped, 0)) * 1000000 // n.n_total AS BIGINT) END AS kept_ppm
         |FROM t LEFT JOIN d USING (tau) CROSS JOIN n ORDER BY tau""".stripMargin,
     // replays Similarity.srpNearDup end-to-end: the md5-derived ±1
     // hyperplanes, the k=64 sign bits (list_dot_product is bit-exact
@@ -4532,7 +4533,7 @@ object SparkEntry {
         |        sum(f1*f2*f3) AS n3, sum(f1*f2*f3*keep) AS n4 FROM f)
         |SELECT stage, gate, CAST(n_kept AS BIGINT) AS n_kept,
         |  CAST(n_cut AS BIGINT) AS n_cut,
-        |  CAST(n_kept * 1000000 // n0 AS BIGINT) AS kept_ppm
+        |  CASE WHEN n0 > 0 THEN CAST(n_kept * 1000000 // n0 AS BIGINT) END AS kept_ppm
         |FROM (
         |  SELECT 0 AS stage, 'total' AS gate, n0 AS n_kept, 0 AS n_cut, n0 FROM a
         |  UNION ALL SELECT 1, 'token_band', n1, n0 - n1, n0 FROM a

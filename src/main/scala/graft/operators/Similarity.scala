@@ -1014,7 +1014,9 @@ object Similarity {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .select(col("tau"), col("n_total"), col("n_dropped"),
         (col("n_total") - col("n_dropped")).as("n_kept"),
-        expr("CAST((n_total - n_dropped) * 1000000 div n_total AS BIGINT)")
+        // empty corpus → NULL ppm, not an ANSI division error
+        expr("CASE WHEN n_total > 0 THEN " +
+          "CAST((n_total - n_dropped) * 1000000 div n_total AS BIGINT) END")
           .as("kept_ppm"))
       .orderBy(col("tau"))
   }

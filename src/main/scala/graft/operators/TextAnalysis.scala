@@ -922,9 +922,11 @@ object TextAnalysis {
         (col("f1") * col("f2") * col("f3") * coalesce(col("keep"), lit(0L)))
           .as("g4"))
     flagged
-      .agg(count(lit(1)).as("n0"), sum(col("f1")).as("n1"),
-        sum(col("g2")).as("n2"), sum(col("g3")).as("n3"),
-        sum(col("g4")).as("n4"))
+      .agg(count(lit(1)).as("n0"),
+        coalesce(sum(col("f1")), lit(0L)).as("n1"),
+        coalesce(sum(col("g2")), lit(0L)).as("n2"),
+        coalesce(sum(col("g3")), lit(0L)).as("n3"),
+        coalesce(sum(col("g4")), lit(0L)).as("n4"))
       .select(expr(
         "stack(5, 0, 'total',       n0, CAST(0 AS BIGINT), " +
           "1, 'token_band',  n1, n0 - n1, " +
@@ -933,7 +935,9 @@ object TextAnalysis {
           "4, 'exact_dedup', n4, n3 - n4) AS (stage, gate, n_kept, n_cut)"),
         expr("CAST(n0 AS BIGINT) AS __n0"))
       .select(col("stage"), col("gate"), col("n_kept"), col("n_cut"),
-        expr("CAST(n_kept * 1000000 div __n0 AS BIGINT)").as("kept_ppm"))
+        // empty corpus → NULL ppm, not an ANSI division error
+        expr("CASE WHEN __n0 > 0 THEN CAST(n_kept * 1000000 div __n0 AS BIGINT) END")
+          .as("kept_ppm"))
   }
 
   /** A trained multinomial Naive-Bayes model, all as (unmaterialized)

@@ -73,6 +73,24 @@ class TextEventsSpec extends SparkTestBase {
     assert(t === Seq("a_cls"))
   }
 
+  test("report ops survive an empty corpus: NULL ppm, no division error, no NPE") {
+    val empty = spark.emptyDataset[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    val f = TextAnalysis.curationFunnel(empty, "text", "doc_id")
+      .select("gate", "n_kept").as[(String, Long)].collect().toSeq
+    assert(f.map(_._2).forall(_ == 0L) && f.size === 5)
+    val emptyVec = spark.emptyDataset[(Long, Seq[Float], Int)]
+      .toDF("id", "vec", "label")
+    val sw = graft.operators.Similarity
+      .dedupThresholdSweep(emptyVec, Seq(0.5))
+      .select("n_total", "n_kept").as[(Long, Long)].collect().toSeq
+    assert(sw === Seq((0L, 0L)))
+    val obs = graft.operators.Profile.observedCounters(
+      spark.emptyDataset[(Long, Double)].toDF("event_id", "value"))
+      .as[(Long, Option[Long], Option[Double])].head()
+    assert(obs === ((0L, None, None)))
+  }
+
   test("tokenizer fertility: punctuation splits inflate the ratio; plain words are 1e6 ppm") {
     val docs = Seq((1L, "ab cd", "en"), (2L, "a-b x", "de"))
       .toDF("doc_id", "text", "lang")
