@@ -209,6 +209,13 @@ object SparkEntry {
           round(matches.cast("double") / 32.0, 6).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // asymmetric containment join: the subsumption pairs symmetric
+    // Jaccard misses (short doc inside long doc) — df-capped inverted
+    // index, normalized by the contained side's set size
+    "q_containment_join" -> ((s, dir) =>
+      Dedup.containmentJoin(docs(s, dir), "text", "doc_id", 0.8, 3,
+          maxDf = jaccardMaxDf)
+        .orderBy(col("container_id"), col("contained_id"))),
     // cross-source overlap matrix: per source pair, Jaccard (ppm) of
     // the sources' distinct shingle sets — the governance check that a
     // mixing run isn't double-weighting one text arriving under two
@@ -3189,6 +3196,19 @@ object SparkEntry {
         |       JOIN msig b ON p.doc_b = b.doc_id AND a.i = b.i
         |GROUP BY p.doc_a, p.doc_b, p.jaccard
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // replays containmentJoin: pruned intersections from the shared
+    // shingle CTE, both directed normalizations, 6-dp round
+    "q_containment_join" -> (shingleCtePruned +
+      """, withsz AS (SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+        |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id),
+        |dirs AS (
+        |  SELECT doc_a AS container_id, doc_b AS contained_id,
+        |    round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment FROM withsz
+        |  UNION ALL
+        |  SELECT doc_b AS container_id, doc_a AS contained_id,
+        |    round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment FROM withsz)
+        |SELECT * FROM dirs WHERE containment >= 0.8
+        |ORDER BY container_id, contained_id""".stripMargin),
     // replays sourceOverlap: distinct (source, shingle) pairs, pairwise
     // intersection counts, integer-ppm Jaccard (shingle-hash identity
     // on the Spark side is execution detail — counts must agree)

@@ -393,6 +393,46 @@ object Dedup {
          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Asymmetric containment join — the subsumption case symmetric
+    * Jaccard structurally misses: a short document embedded verbatim in
+    * a long one (a quoted paragraph, a syndicated article inside a
+    * digest) has Jaccard ≈ |short|/|long| → 0 but containment
+    * |A∩B|/|B| = 1. The within-corpus twin of [[decontaminate]]'s
+    * cross-corpus containment, over the same df-capped inverted index
+    * as [[jaccardJoin]] — intersections from the hashed-shingle
+    * equi-join, normalized by the CONTAINED side's set size, emitted
+    * directionally (container, contained). The canonical consumer
+    * drops contained docs. 6-dp rounding like the family. Output:
+    * (container_id, contained_id, containment ≥ threshold). */
+  def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, n: Int = 3,
+                      maxDf: Int = Int.MaxValue): DataFrame = {
+    val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
+    val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val tok =
+      if (maxDf == Int.MaxValue) tok0
+      else {
+        val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("t"))
+        tok0.join(keep, Seq("t"))
+      }
+    val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
+      .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+    // each unordered pair yields up to two directed rows; a pair of
+    // identical sets emits both directions (mutual containment)
+    val aContainsB = inter.select(col("doc_a").as("container_id"),
+      col("doc_b").as("contained_id"),
+      round(col("i").cast("double") / col("nb").cast("double"), 6).as("containment"))
+    val bContainsA = inter.select(col("doc_b").as("container_id"),
+      col("doc_a").as("contained_id"),
+      round(col("i").cast("double") / col("na").cast("double"), 6).as("containment"))
+    aContainsB.unionAll(bContainsA).filter(col("containment") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every document in
     * a pair gets `cluster_id = min doc_id reachable` — the canonical
     * survivor of its duplicate cluster.

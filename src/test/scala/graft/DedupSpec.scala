@@ -668,6 +668,23 @@ class DedupSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("containmentJoin: embedded short doc flags at 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    val short = "q r s t u v"
+    val long = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 " +
+      short + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")
+    val docs = Seq((1L, long), (2L, short), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentJoin(docs, "text", "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every shingle of the short doc appears in the long one
+    assert(c === Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to Jaccard at any usable threshold
+    val j = Dedup.jaccardJoin(docs, "text", "doc_id", 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(j.isEmpty)
+  }
+
   test("sourceOverlap: short docs shingle truncated (not dropped); identical sets score 1e6 ppm") {
     import spark.implicits._
     // both sources hold shingle sets {"a b", "x y z"} — including the
