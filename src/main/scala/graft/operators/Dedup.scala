@@ -619,8 +619,15 @@ object Dedup {
     * hash-checked against DuckDB, not just its candidates. */
   def minhashSignatureMd5(docs: DataFrame, textCol: String, idCol: String,
                           n: Int, k: Int): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("t"))
+    // repartition by id BEFORE the explode: the k salted md5s per
+    // shingle are the dominant CPU and inherit the INPUT's partitioning
+    // — a single-file corpus would serialize the whole hash build on
+    // one scan task (measured 10.8 s → the shuffle of raw doc rows is
+    // noise next to k×shingles hashes). At cluster scale the input is
+    // already wide and the exchange coalesces away under AQE.
+    val tok = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("t"))
     val mins = (0 until k).map(i =>
       min(md5Hash60(concat(lit(s"mh${i}_"), col("t")))).as(s"m$i"))
     tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
