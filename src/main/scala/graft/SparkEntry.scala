@@ -4549,8 +4549,9 @@ object SparkEntry {
         |    CASE WHEN rr <= 0.2 THEN 1 ELSE 0 END AS f3,
         |    coalesce(keep, 0) AS keep
         |  FROM q LEFT JOIN k USING (doc_id)),
-        |a AS (SELECT count(*) AS n0, sum(f1) AS n1, sum(f1*f2) AS n2,
-        |        sum(f1*f2*f3) AS n3, sum(f1*f2*f3*keep) AS n4 FROM f)
+        |a AS (SELECT count(*) AS n0, coalesce(sum(f1), 0) AS n1,
+        |        coalesce(sum(f1*f2), 0) AS n2, coalesce(sum(f1*f2*f3), 0) AS n3,
+        |        coalesce(sum(f1*f2*f3*keep), 0) AS n4 FROM f)
         |SELECT stage, gate, CAST(n_kept AS BIGINT) AS n_kept,
         |  CAST(n_cut AS BIGINT) AS n_cut,
         |  CASE WHEN n0 > 0 THEN CAST(n_kept * 1000000 // n0 AS BIGINT) END AS kept_ppm

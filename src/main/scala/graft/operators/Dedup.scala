@@ -242,27 +242,46 @@ object Dedup {
     * Int.MaxValue to disable. */
   def jaccardJoin(docs: DataFrame, textCol: String, idCol: String,
                   threshold: Double, n: Int = 3,
-                  maxDf: Int = Int.MaxValue): DataFrame = {
-    def build(): DataFrame = {
-      val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
-      val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val tok =
-        if (maxDf == Int.MaxValue) tok0
-        else {
-          val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
-            .filter(col("df") <= maxDf).select(col("t"))
-          tok0.join(keep, Seq("t"))
-        }
-      val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
-        .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+                  maxDf: Int = Int.MaxValue): DataFrame =
+    cachedPairs(docs, textCol, idCol, n, s"jac:$threshold:$maxDf") { () =>
+      val (inter, sz) = prunedIntersections(docs, textCol, idCol, n, maxDf)
       jaccardFromCounts(inter, sz, threshold)
     }
+
+  /** The df-capped inverted-index intersection build shared by
+    * [[jaccardJoin]] and [[containmentJoin]]: per-doc set sizes keep
+    * EVERY shingle, the candidate self-join prunes shingles with
+    * df > `maxDf` — one definition of that semantics repo-wide.
+    * Returns (inter(doc_a < doc_b, i), sz(doc_id, n_sh)). */
+  private def prunedIntersections(docs: DataFrame, textCol: String,
+                                  idCol: String, n: Int,
+                                  maxDf: Int): (DataFrame, DataFrame) = {
+    val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
+    val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val tok =
+      if (maxDf == Int.MaxValue) tok0
+      else {
+        val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("t"))
+        tok0.join(keep, Seq("t"))
+      }
+    val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
+      .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    (inter, sz)
+  }
+
+  /** [[pairCache]] lookup-or-build for a verified-pair frame keyed by
+    * the canonicalized corpus plan + a parameter `tag` — the caching
+    * policy every pair-producing operator shares. */
+  private def cachedPairs(docs: DataFrame, textCol: String, idCol: String,
+                          n: Int, tag: String)
+                         (build: () => DataFrame): DataFrame = {
     if (!cachingEnabled) return build()
     val session = docs.sparkSession
     val key = ((session, docs.queryExecution.logical.canonicalized, textCol, idCol, n),
-      s"jac:$threshold:$maxDf")
+      tag)
     pairCache.synchronized {
       pairCache.filterInPlace { case (((s, _, _, _, _), _), _) => !s.sparkContext.isStopped }
       pairCache.get(key)
@@ -406,32 +425,22 @@ object Dedup {
     * (container_id, contained_id, containment ≥ threshold). */
   def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, n: Int = 3,
-                      maxDf: Int = Int.MaxValue): DataFrame = {
-    val tok0 = hashedShingleIndex(docs, textCol, idCol, n)
-    val sz = tok0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val tok =
-      if (maxDf == Int.MaxValue) tok0
-      else {
-        val keep = tok0.groupBy(col("t")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("t"))
-        tok0.join(keep, Seq("t"))
-      }
-    val inter = tok.select(col("t"), col("doc_id").as("doc_a"))
-      .join(tok.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-    // each unordered pair yields up to two directed rows; a pair of
-    // identical sets emits both directions (mutual containment)
-    val aContainsB = inter.select(col("doc_a").as("container_id"),
-      col("doc_b").as("contained_id"),
-      round(col("i").cast("double") / col("nb").cast("double"), 6).as("containment"))
-    val bContainsA = inter.select(col("doc_b").as("container_id"),
-      col("doc_a").as("contained_id"),
-      round(col("i").cast("double") / col("na").cast("double"), 6).as("containment"))
-    aContainsB.unionAll(bContainsA).filter(col("containment") >= threshold)
-  }
+                      maxDf: Int = Int.MaxValue): DataFrame =
+    cachedPairs(docs, textCol, idCol, n, s"cont:$threshold:$maxDf") { () =>
+      val (inter0, sz) = prunedIntersections(docs, textCol, idCol, n, maxDf)
+      val inter = inter0
+        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      // each unordered pair yields up to two directed rows; a pair of
+      // identical sets emits both directions (mutual containment)
+      val aContainsB = inter.select(col("doc_a").as("container_id"),
+        col("doc_b").as("contained_id"),
+        round(col("i").cast("double") / col("nb").cast("double"), 6).as("containment"))
+      val bContainsA = inter.select(col("doc_b").as("container_id"),
+        col("doc_a").as("contained_id"),
+        round(col("i").cast("double") / col("na").cast("double"), 6).as("containment"))
+      aContainsB.unionAll(bContainsA).filter(col("containment") >= threshold)
+    }
 
   /** Connected components over a near-dup pair graph: every document in
     * a pair gets `cluster_id = min doc_id reachable` — the canonical

@@ -73,12 +73,14 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
     new KVBinWrite(dir, doTruncate,
       Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
       Option(info.options.get("api_version")),
+      Option(info.options.get("preserve_meta")).exists(_.toBoolean),
       info.queryId())
   }
 }
 
 class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
-                 apiVersion: Option[String], queryId: String)
+                 apiVersion: Option[String], preserveMeta: Boolean,
+                 queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   // ordered distribution on key → Spark range-partitions the write, so
@@ -92,14 +94,15 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
 
   override def toBatch: BatchWrite =
-    new KVBinBatchWrite(dir, truncate, apiVersion, queryId)
+    new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId)
 }
 
 case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
                               count: Long) extends WriterCommitMessage
 
 class KVBinBatchWrite(dir: String, truncate: Boolean,
-                      apiVersion: Option[String], queryId: String)
+                      apiVersion: Option[String], preserveMeta: Boolean,
+                      queryId: String)
     extends BatchWrite {
 
   // the session hadoop conf is resolved on the DRIVER at job start and
@@ -141,11 +144,16 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     // append preserves the EXISTING table's metadata: the api_version
     // stamp must not silently change under an append (the read-side
     // version gate keys off it), so a conflicting writer option is an
-    // error, not a downgrade; any other `#k=v` meta lines carry over
+    // error, not a downgrade; any other `#k=v` meta lines carry over.
+    // An OVERWRITE with `preserve_meta` (the compaction path) also
+    // carries the extra meta lines through its one atomic index swap —
+    // but keeps the overwrite's right to change api_version
+    val keepOldMeta = appending ||
+      (preserveMeta && fs.exists(idxPath))
     val oldMeta: Map[String, String] =
-      if (appending) KVBin.readMeta(dir, conf.value) else Map.empty
+      if (keepOldMeta) KVBin.readMeta(dir, conf.value) else Map.empty
     val version = (apiVersion, oldMeta.get("api_version")) match {
-      case (Some(w), Some(e)) =>
+      case (Some(w), Some(e)) if appending =>
         require(w == e, s"kvbin append with api_version=$w onto a $e table " +
           s"at $dir — rewrite the table (mode overwrite) to change versions")
         w
@@ -301,31 +309,17 @@ object KVBinCompact {
               targetRegions: Int): Unit = {
     require(targetRegions >= 1, "targetRegions must be positive")
     val conf = s.sessionState.newHadoopConf()
-    val meta0 = KVBin.readMeta(path, conf)
-    val api = meta0.getOrElse("api_version", "V1")
+    val api = KVBin.readMeta(path, conf).getOrElse("api_version", "V1")
+    // `preserve_meta` makes the overwrite COMMIT carry the table's
+    // other `#k=v` meta lines through its one atomic index swap —
+    // compaction is invisible to meta as well as content, and there is
+    // no post-commit rewrite that could tear _index on a crash
     KVBin.read(s, path).write
       .format(classOf[KVBinSource].getName)
       .option("path", path)
       .option("api_version", api)
+      .option("preserve_meta", "true")
       .option("ranges", targetRegions.toString)
       .mode("overwrite").save()
-    // the overwrite commit writes a fresh header carrying only
-    // api_version; re-publish the index with the table's OTHER `#k=v`
-    // meta lines carried over — compaction must be invisible to meta,
-    // not just content (the append path already preserves them, and
-    // the single-concurrent-writer contract covers this rewrite)
-    val extra = meta0 - "api_version"
-    if (extra.nonEmpty) {
-      val fs = FileSystem.get(new java.net.URI(path), conf)
-      val idx = KVBin.readIndex(path, conf)
-      val meta = KVBin.readMeta(path, conf) ++ extra
-      val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
-        idx.map { case (f, mn, mx, n) =>
-          s"$f\t${KVBin.hexOf(mn)}\t${KVBin.hexOf(mx)}\t$n"
-        }
-      val out = fs.create(new Path(path, KVBin.IndexFile), true)
-      out.write(lines.mkString("\n").getBytes("UTF-8"))
-      out.close()
-    }
   }
 }

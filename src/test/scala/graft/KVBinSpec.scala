@@ -625,7 +625,8 @@ class KVBinSpec extends SparkTestBase {
       .option("ranges", "1").mode("overwrite").save()
     // plan an append NOW (fingerprint captured at construction)...
     val bw = new graft.sources.kvbin.KVBinBatchWrite(dir, truncate = false,
-      apiVersion = None, queryId = "deadbeef-0000-0000-0000-000000000001")
+      apiVersion = None, preserveMeta = false,
+      queryId = "deadbeef-0000-0000-0000-000000000001")
     // ...then a rival writer commits, changing the index generation
     parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
       .mode("append").save()
