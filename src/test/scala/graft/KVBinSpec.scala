@@ -543,6 +543,34 @@ class KVBinSpec extends SparkTestBase {
     assert(Checksum.of(KVBin.read(spark, dir)).as[(Long, Long, Long)].head() === before)
   }
 
+  test("plain overwrite RESETS extra meta; preserve_meta carries it; append always preserves") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-m2-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    parquetSrc.limit(10).write.format(kvbinFmt)
+      .option("path", dir).option("api_version", "V1").mode("overwrite").save()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val idx = new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile)
+    val cur = {
+      val in = fs.open(idx)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = fs.create(idx, true)
+    out.write(s"#note=keepme\n$cur".getBytes("UTF-8")); out.close()
+    // append: extra meta carries over (existing contract)
+    parquetSrc.limit(3).write.format(kvbinFmt)
+      .option("path", dir).mode("append").save()
+    assert(KVBin.readMeta(dir, conf).get("note") === Some("keepme"))
+    // overwrite with preserve_meta: carried through the atomic commit
+    parquetSrc.limit(5).write.format(kvbinFmt)
+      .option("path", dir).option("preserve_meta", "true")
+      .mode("overwrite").save()
+    assert(KVBin.readMeta(dir, conf).get("note") === Some("keepme"))
+    // plain overwrite: a NEW table generation — extra meta resets
+    parquetSrc.limit(5).write.format(kvbinFmt)
+      .option("path", dir).option("api_version", "V1").mode("overwrite").save()
+    assert(KVBin.readMeta(dir, conf).get("note") === None)
+  }
+
   test("DSv2 write: append merges new regions into the index; truncate swaps the generation") {
     val dir = java.nio.file.Files.createTempDirectory("kvbin-a-").toString
     val half1 = parquetSrc.filter(crc32(col("key")) % 2 === 0)
