@@ -133,7 +133,8 @@ object SparkEntry {
     "q_stream_psi_drift" -> ((s, dir) => StreamEntries.streamPsiDrift(s, dir)),
     "q_stream_nb_classify" -> ((s, dir) => StreamEntries.streamNbClassify(s, dir)),
     "q_stream_decontam_gate" -> ((s, dir) => StreamEntries.streamDecontamGate(s, dir)),
-    "q_stream_observed" -> ((s, dir) => StreamEntries.streamObserved(s, dir)))
+    "q_stream_observed" -> ((s, dir) => StreamEntries.streamObserved(s, dir)),
+    "q_stream_skew_profile" -> ((s, dir) => StreamEntries.streamSkewProfile(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4984,6 +4985,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(0 AS DECIMAL(20,6))
         |           ELSE CAST(value AS DECIMAL(20,6)) END) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the live hot-key monitor's state-store counts score through the
+    // batch profiler stage: the batch profile over the fed slice
+    "q_stream_skew_profile" ->
+      """WITH c AS (SELECT coalesce(CAST(event_type AS VARCHAR), '<null>') AS key,
+        |             count(*) AS cnt
+        |           FROM events WHERE user_id < 50 GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT key, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_rec
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
     // per-batch observed metrics summed over the drain must equal the
     // batch aggregate of the fed slice; batch count pinned at 2
     "q_stream_observed" ->

@@ -139,6 +139,16 @@ object Skew {
     val cnt = df
       .groupBy(coalesce(col(key).cast("string"), lit(nullLabel)).as("key"))
       .agg(count(lit(1)).as("cnt"))
+    profileFromCounts(cnt, topK, partitions)
+  }
+
+  /** The scoring tail of [[skewProfile]] over an explicit (key, cnt)
+    * frame — shared by the batch profiler and the streaming hot-key
+    * monitor (whose counts live in the state store), so both score
+    * through the identical stage. */
+  def profileFromCounts(cnt: DataFrame, topK: Int,
+                        partitions: Int): DataFrame = {
+    require(topK >= 1 && partitions >= 1, "topK/partitions must be positive")
     val tot = cnt.agg(sum(col("cnt")).as("total"))
     cnt.crossJoin(broadcast(tot))
       .select(col("key"), col("cnt"),

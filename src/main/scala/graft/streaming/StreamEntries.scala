@@ -1064,6 +1064,43 @@ object StreamEntries {
     s.read.parquet(out).orderBy(col("doc_id"))
   }
 
+  /** Streaming hot-key monitor — the LIVE twin of
+    * [[graft.operators.Skew.skewProfile]] and the signal a dynamic
+    * salting policy consumes: per-key counts are continuously
+    * maintained in the state store (complete-mode aggregation — ndv-
+    * bounded state, the [[streamTopK]] shape) and the drained latest
+    * counter table scores through the IDENTICAL
+    * [[graft.operators.Skew.profileFromCounts]] stage as the batch
+    * profiler, so "which keys are going hot and what salt do they
+    * need" carries the exact batch semantics mid-stream. Counts split
+    * across both batches, so the result provably sums across the
+    * boundary; oracle = the batch profiler over the fed slice. */
+  def streamSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = memoFeed(s"ssp:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("event_id"), col("event_type"))
+        .as[(Long, String)].collect().toSeq
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_skew")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, String)]
+      val counts = mem.toDF().toDF("event_id", "event_type")
+        .groupBy(coalesce(col("event_type"), lit("<null>")).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        (0 until 2).foreach { b =>
+          mem.addData(feed.filter(_._1 % 2 == b))
+          q.processAllAvailable()
+        }
+      }
+    }
+    graft.operators.Skew.profileFromCounts(takeTable(s, name), 10, 32)
+  }
+
   /** Streaming in-flight counters via `Dataset.observe` — the
     * per-micro-batch monitoring surface a production stream exports to
     * its metrics system (each batch's observed aggregates arrive in
