@@ -448,6 +448,13 @@ object SparkEntry {
         Similarity.kmeansCodebook(e, 5, 2))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // clustering-quality gate: centroid-based (simplified) silhouette
+    // over the same deterministic k-means codebook — per-cluster count
+    // + integer-nano silhouette sum (mean = consumer's division). The
+    // oracle replays the codebook AND the per-vector score arithmetic.
+    "q_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(emb(s, dir), 5, 2)
+        .orderBy(col("cluster_id"))),
     // product-quantization ADC top-k: 4 subspaces × 16 dims, each with
     // its own deterministic k-means codebook; query-time scoring is m
     // broadcast LUT joins over per-vector codes — the searched
@@ -3695,6 +3702,25 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    // replays Similarity.silhouette: the kmeans codebook CTEs end with
+    // asg0 (every vector × centroid 9-dp csim) and asg (the argmax);
+    // own/other split, the IEEE ratio, floor(x*1e9 + 0.5) nanos,
+    // per-cluster BIGINT sum
+    "q_silhouette" -> (kmeansAsgCte +
+      """,
+        |own AS (SELECT a0.vec_id, a.cluster_id, a0.csim AS own_sim
+        |        FROM asg0 a0 JOIN asg a ON a0.vec_id = a.vec_id AND a0.cluster_id = a.cluster_id),
+        |oth AS (SELECT a0.vec_id, max(a0.csim) AS best_other
+        |        FROM asg0 a0 JOIN asg a ON a0.vec_id = a.vec_id AND a0.cluster_id <> a.cluster_id
+        |        GROUP BY a0.vec_id),
+        |pv AS (SELECT o.cluster_id,
+        |         CASE WHEN greatest(1 - o.own_sim, 1 - t.best_other) = 0 THEN 0
+        |              ELSE CAST(floor((o.own_sim - t.best_other)
+        |                     / greatest(1 - o.own_sim, 1 - t.best_other) * 1e9 + 0.5) AS BIGINT)
+        |         END AS sil_nano
+        |       FROM own o JOIN oth t ON o.vec_id = t.vec_id)
+        |SELECT cluster_id, count(*) AS n, CAST(sum(sil_nano) AS BIGINT) AS sum_sil_nano
+        |FROM pv GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
     // replays Similarity.pqTopK end-to-end: 4 generated subspace
     // codebook constructions (seeds, 2 rounds, final codes), ADC LUTs,
     // fixed-order d0+d1+d2+d3 scoring — see pqSubCte/pqOracle

@@ -1106,4 +1106,57 @@ object Similarity {
       .select(col("query_id"), col("n_hits"),
         expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
   }
+
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * gate a topic-model / semantic-dedup rollout reads before trusting
+    * the codebook: per vector, a = cosine distance to its OWN centroid,
+    * b = distance to the nearest OTHER centroid, s = (b−a)/max(a,b)
+    * ∈ [−1, 1] (s ≤ 0 means the vector sits closer to a foreign
+    * centroid than its own — the cluster count is wrong). The classic
+    * all-pairs silhouette is O(n²); the centroid form is the standard
+    * linear surrogate (sklearn's `silhouette_score` sampled cousin) and
+    * the only one that survives 100 TB: one codebook train + ONE corpus
+    * scan against k broadcast centroids + a window over k rows per
+    * vector (uniform by construction — no skew).
+    *
+    * Float discipline: a and b derive from the family's 9-dp-rounded
+    * cosine, the ratio stays in IEEE double (both engines divide the
+    * SAME doubles), and the per-vector score is quantized to integer
+    * nanos via floor(x·1e9 + 0.5) — floor is binary-exact in both
+    * engines, unlike round() whose Spark BigDecimal-of-shortest-string
+    * semantics diverge from DuckDB's binary rounding on boundary
+    * values. Per-cluster output sums those BIGINT nanos (|s| ≤ 1 ⇒
+    * bounded by 1e9·n, no overflow until n ~ 9e9 per cluster); the mean
+    * is the consumer's division, so no float mean re-manufactures ties.
+    * Output: (cluster_id, n, sum_sil_nano). */
+  def silhouette(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k >= 2, "silhouette needs at least 2 clusters")
+    val cent = kmeansCodebook(corpus, k, iters).withColumn("cvn", norm(col("cvec")))
+    val sims = corpus
+      .select(col("id").as("vec_id"), col("vec").as("cv"),
+        norm(col("vec")).as("cn"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cluster_id"),
+        round(dot(col("cv"), col("cvec")) / (col("cn") * col("cvn")), 9).as("csim"))
+    // r=1 is the assignment argmax (csim DESC, cluster_id — the family
+    // tie-break); best_other is the max csim among the k−1 runners-up.
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cluster_id"))
+    val perVec = sims.withColumn("r", row_number().over(w))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("r") === 1, col("cluster_id"))).as("cluster_id"),
+        max(when(col("r") === 1, col("csim"))).as("own_sim"),
+        max(when(col("r") > 1, col("csim"))).as("best_other"))
+      .withColumn("denom",
+        greatest(lit(1.0d) - col("own_sim"), lit(1.0d) - col("best_other")))
+      // denom = 0 ⇔ the vector coincides with both centroids: s := 0
+      // (the sklearn convention), keeping NaN out of the BIGINT cast.
+      .withColumn("sil_nano",
+        when(col("denom") === 0.0d, lit(0L)).otherwise(
+          floor((col("own_sim") - col("best_other")) / col("denom") * 1e9d
+            + 0.5d).cast("long")))
+    perVec.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("sil_nano")).as("sum_sil_nano"))
+  }
 }

@@ -159,6 +159,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(_._2.length == dim))
   }
 
+  test("silhouette: planted tight clusters score near 1, shared-cluster pairs score low") {
+    // 10 well-separated axis clusters, tiny jitter → every vector is
+    // far closer to its own centroid than any other: mean silhouette
+    // per cluster must be > 0.9 (nanos > 9e8)
+    val vecs = (0 until 200).map { i =>
+      val label = i % 10
+      val v = Array.fill(16)(0.0f)
+      v(label) = 10.0f
+      (0 until 16).foreach(j => v(j) += (((i * 31 + j * 7) % 11) - 5) * 0.05f)
+      (i.toLong, v.toSeq)
+    }
+    val good = Similarity.silhouette(vecs.toDF("id", "vec"), 10, 3)
+      .as[(Long, Long, Long)].collect()
+    assert(good.map(_._2).sum === 200L)
+    // md5 seeding may land two seeds in one true cluster, merging two
+    // labels under one centroid — silhouette's whole job is to expose
+    // that: pure (n=20) clusters score ~1, a merged (n=40) one scores
+    // visibly lower
+    val pure = good.filter(_._2 == 20L)
+    assert(pure.nonEmpty)
+    assert(pure.forall { case (_, n, s) => s > n * 900000000L },
+      s"expected tight clusters ~1: ${good.toSeq}")
+    assert(good.filter(_._2 > 20L).forall { case (_, n, s) => s < n * 800000000L },
+      s"a merged cluster must score below the pure ones: ${good.toSeq}")
+    // bounds: |sum_sil_nano| <= 1e9 * n always
+    assert(good.forall { case (_, n, s) => math.abs(s) <= n * 1000000000L })
+    // k=6 over 5 true clusters forces one cluster to split → the split
+    // halves sit near a foreign centroid: some cluster mean drops well
+    // below the tight-fit score (structure mismatch is visible)
+    val five = (0 until 100).map { i =>
+      val label = i % 5
+      val v = Array.fill(8)(0.0f)
+      v(label) = 10.0f
+      v((label + 4) % 8) += (((i * 13) % 7) - 3) * 0.4f
+      (i.toLong, v.toSeq)
+    }
+    val over = Similarity.silhouette(five.toDF("id", "vec"), 6, 3)
+      .as[(Long, Long, Long)].collect()
+    assert(over.map(_._2).sum === 100L)
+    // the split label's halves sit near each other's centroid, scoring
+    // visibly below the intact clusters' ~0.99
+    assert(over.exists(_._2 < 20L), s"k=6 over 5 labels must split one: ${over.toSeq}")
+    val worstMean = over.map { case (_, n, s) => s.toDouble / n / 1e9 }.min
+    val bestMean = over.map { case (_, n, s) => s.toDouble / n / 1e9 }.max
+    assert(worstMean < bestMean - 0.1,
+      s"over-clustered corpus should expose a weak cluster: ${over.toSeq}")
+  }
+
   test("k-means codebook with k exceeding the corpus yields one centroid per vector") {
     val df = (0 until 3).map(i => (i.toLong, Seq.fill(4)(i + 1.0))).toDF("id", "vec")
     val cb = Similarity.kmeansCodebook(df, 10, 2)
