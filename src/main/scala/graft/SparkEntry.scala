@@ -576,6 +576,27 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex, dense), rrfK = 60, topN = 10)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // retrieval rollout gate: MRR + binary-relevance nDCG@10 of the
+    // BM25 ranking against metadata truth (same-lang docs — the weak
+    // label lexical retrieval CAN recover, since same-lang docs share
+    // vocabulary; same-source scores 0 here, which the metric correctly
+    // reports). All metric arithmetic is integer (position gains are
+    // inlined round(1e6/log2(i+1)) constants), so the gate is
+    // hash-exact; eval cost is |queries|·k past the ranking it grades
+    "q_retrieval_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qd = d.filter(col("doc_id") < 5)
+      val qt = Retrieval.queryTermsFromDocs(qd, "text", "doc_id", 4)
+      val ranked = Retrieval.bm25Ranks(d, "text", "doc_id", qt, 10,
+        excludeSelf = true)
+      val truth = d.select(col("doc_id"), col("lang"))
+        .join(broadcast(qd.select(col("doc_id").as("query_id"), col("lang"))),
+          Seq("lang"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.retrievalQuality(ranked, truth, 10)
+        .orderBy(col("query_id"))
     }))
 
   // §2b LLM-pipeline: text analysis over `documents`.
@@ -2946,6 +2967,56 @@ object SparkEntry {
         |SELECT * FROM (SELECT query_id, doc_id, rrf_ppb,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppb DESC, doc_id) AS rank
         |FROM fused) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // replays Retrieval.retrievalQuality over the bm25Ranks replay:
+    // truth = same-lang pairs (self excluded); the gain / ideal-prefix
+    // CASE arms are generated from the SAME Retrieval.ndcgGains
+    // constants the Spark plan inlines, so neither engine evaluates a
+    // log at query time
+    "q_retrieval_quality" -> {
+      val gains = Retrieval.ndcgGains(10)
+      val gc = gains.map { case (i, g) => s"WHEN $i THEN $g" }.mkString(" ")
+      val pc = gains.map(_._2).scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_sort(list_distinct(w))[1:4]) AS t
+         |       FROM d WHERE doc_id < 5),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |tok AS (SELECT d.doc_id, dl.dl, unnest(d.w) AS t
+         |        FROM d JOIN dl ON d.doc_id = dl.doc_id),
+         |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+         |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY doc_id, dl, t),
+         |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |sc AS (SELECT tf.doc_id, tf.t,
+         |         CAST(floor((ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2))
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) * 1000.0 + 0.5) AS BIGINT) AS s_milli
+         |       FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s),
+         |lexagg AS (SELECT q.query_id, sc.doc_id, sum(s_milli) AS score_milli
+         |           FROM sc JOIN qt q ON sc.t = q.t WHERE sc.doc_id <> q.query_id
+         |           GROUP BY 1, 2),
+         |lex AS (SELECT * FROM (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank
+         |        FROM lexagg) WHERE rank <= 10),
+         |tr AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id
+         |       FROM documents q JOIN documents c ON q.lang = c.lang
+         |       WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id),
+         |hits AS (SELECT l.query_id, l.rank,
+         |           CASE WHEN tr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+         |         FROM lex l LEFT JOIN tr ON l.query_id = tr.query_id AND l.doc_id = tr.doc_id),
+         |perq AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+         |           min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |           CAST(sum(CASE WHEN rel = 1 THEN (CASE rank $gc ELSE 0 END) ELSE 0 END) AS BIGINT) AS dcg
+         |         FROM hits GROUP BY query_id),
+         |tot AS (SELECT query_id, count(*) AS n_rel FROM tr GROUP BY query_id)
+         |SELECT p.query_id, p.n_rel_at_k,
+         |  COALESCE(1000000 // first_rel, 0) AS rr_ppm,
+         |  CASE WHEN COALESCE(least(t.n_rel, 10), 0) = 0 THEN 0
+         |       ELSE CAST(p.dcg * 1000000 // (CASE least(t.n_rel, 10) $pc ELSE 0 END) AS BIGINT)
+         |  END AS ndcg_ppm
+         |FROM perq p LEFT JOIN tot t ON p.query_id = t.query_id
+         |ORDER BY p.query_id""".stripMargin
+    },
     // replays TextAnalysis.dsirSelect: md5-hashed 256-bucket unigram
     // counts, add-1-smoothed target/raw ratio in exact ppm (HUGEINT ↔
     // DECIMAL(38,0)), per-token mean weight over non-target docs

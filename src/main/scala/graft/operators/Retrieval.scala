@@ -110,4 +110,67 @@ object Retrieval {
       .orderBy(col("rrf_ppb").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
   }
+
+  /** Binary-relevance nDCG position gains in integer micro-units:
+    * gain(i) = round(1e6 / log2(i + 1)) for ranks 1..k. Positions are
+    * FIXED, so the gains are constants — both the Spark plan and the
+    * Scala-generated DuckDB oracle inline the same literals, making
+    * DCG an order-free integer sum with no transcendental evaluated by
+    * either engine at query time. */
+  def ndcgGains(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i =>
+      i -> math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Retrieval-quality gate — the rollout metric a search / RAG index
+    * change is judged by, the lexical twin of [[Similarity.recallAtK]]:
+    * per query, MRR (reciprocal rank of the first relevant hit) and
+    * binary-relevance nDCG@k, both as exact integer ppm so the gate has
+    * no float ratio to disagree on. `ranked` = (query_id, doc_id,
+    * rank ≤ k) from any ranking operator; `truth` = (query_id, doc_id)
+    * relevant pairs (metadata-derived or editorial). DCG sums the
+    * [[ndcgGains]] constants over relevant positions; IDCG is the
+    * prefix sum at min(total relevant, k) — the ideal ranking's value —
+    * so ndcg_ppm = dcg·1e6 div idcg is pure integer division. Cost:
+    * one broadcast-ready equi-join of two |queries|·k frames plus a
+    * grouped count over `truth` — corpus-size-independent; the
+    * expensive part is the INPUT ranking, which is the point: the eval
+    * composes the operator it grades. Queries with no relevant doc at
+    * all emit ndcg_ppm = 0 (idcg = 0 ⇒ nothing to rank ideally).
+    * Output: (query_id, n_rel_at_k, rr_ppm, ndcg_ppm). */
+  def retrievalQuality(ranked: DataFrame, truth: DataFrame,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val gains = ndcgGains(k)
+    val gain = gains.tail
+      .foldLeft(when(col("rank") === 1, lit(gains.head._2))) {
+        case (acc, (i, g)) => acc.when(col("rank") === i, lit(g))
+      }.otherwise(lit(0L))
+    // distinct defends against a duplicated truth pair double-counting
+    // a position; truth frames are query-scoped, so the dedup shuffle
+    // is eval-sized
+    val t = truth.select(col("query_id"), col("doc_id")).distinct()
+    val hits = ranked.select(col("query_id"), col("doc_id"), col("rank"))
+      .join(t.withColumn("__rel", lit(1L)),
+        Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+    val perQ = hits.groupBy(col("query_id")).agg(
+      sum(col("__rel")).as("n_rel_at_k"),
+      min(when(col("__rel") === 1L, col("rank"))).as("__first"),
+      sum(when(col("__rel") === 1L, gain).otherwise(lit(0L))).as("__dcg"))
+    val totRel = t.groupBy(col("query_id")).agg(count(lit(1)).as("__n_rel"))
+    val prefixes = gains.map(_._2).scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+    val idcg = prefixes.tail
+      .foldLeft(when(col("__m") === 1, lit(prefixes.head._2))) {
+        case (acc, (m, p)) => acc.when(col("__m") === m, lit(p))
+      }.otherwise(lit(0L))
+    perQ.join(totRel, Seq("query_id"), "left_outer")
+      .withColumn("__m", least(coalesce(col("__n_rel"), lit(0L)), lit(k.toLong)))
+      .withColumn("__idcg", idcg)
+      .select(col("query_id"), col("n_rel_at_k"),
+        coalesce(expr("CAST(1000000 div __first AS BIGINT)"), lit(0L)).as("rr_ppm"),
+        when(col("__idcg") > 0L,
+          expr("CAST(__dcg * 1000000 div __idcg AS BIGINT)"))
+          .otherwise(lit(0L)).as("ndcg_ppm"))
+  }
 }

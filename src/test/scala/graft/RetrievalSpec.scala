@@ -142,6 +142,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(preds.intersect(es).isEmpty)
   }
 
+  test("retrievalQuality: hand-computed MRR and nDCG on fixed rankings") {
+    // q1: relevant at ranks 1,2 of 2 total relevant → perfect: both 1e6
+    // q2: relevant at rank 3 only, 1 total relevant → MRR=333333,
+    //     nDCG = gain(3)/gain(1) = 500000/1000000 → 500000 ppm
+    // q3: nothing relevant in corpus → all 0
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2), (2L, 12L, 3),
+      (3L, 10L, 1), (3L, 11L, 2)
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("query_id", "doc_id")
+    val got = Retrieval.retrievalQuality(ranked, truth, 10)
+      .orderBy("query_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val g = Retrieval.ndcgGains(10).toMap
+    val q1Ndcg = (g(1) + g(2)) * 1000000L / (g(1) + g(2))
+    assert(got === Seq(
+      (1L, 2L, 1000000L, q1Ndcg),
+      (2L, 1L, 1000000L / 3L, g(3) * 1000000L / g(1)),
+      (3L, 0L, 0L, 0L)))
+    // gains are strictly decreasing and anchored at 1e6
+    val gs = Retrieval.ndcgGains(10).map(_._2)
+    assert(gs.head === 1000000L && gs === gs.sorted.reverse && gs.distinct === gs)
+  }
+
+  test("retrievalQuality: duplicated truth pairs don't double-count") {
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 10L)).toDF("query_id", "doc_id")
+    val got = Retrieval.retrievalQuality(ranked, truth, 10)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((1L, 1L, 1000000L, 1000000L)))
+  }
+
   test("linkPredict volume guard refuses a planted hub") {
     // star graph: one hub with 40 leaves → C(40,2)=780 wedges over 41
     // nodes; bound of 2/node refuses
