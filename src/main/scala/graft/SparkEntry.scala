@@ -887,6 +887,15 @@ object SparkEntry {
       TextAnalysis.bm25Search(docs(s, dir), "text", "doc_id",
         Seq("spark", "table", "query"), 10)
         .orderBy(col("score").desc, col("doc_id"))),
+    // exact tie-aware ROC-AUC per source of the quality score
+    // predicting lang='en' — the threshold-free filter-discrimination
+    // gate; the corpus collapses to the per-(source, score) class
+    // histogram before the one cumulative window over the bounded
+    // distinct-score spine
+    "q_binary_auc" -> ((s, dir) =>
+      Profile.binaryAuc(docs(s, dir), Seq("source"),
+          TextAnalysis.qualityPpm(col("text")), col("lang") === "en")
+        .orderBy(col("source"))),
     // DSIR-shaped data selection (Xie et al. 2023): hashed-unigram
     // importance weights target/raw in exact integer ppm (DECIMAL(38,0)
     // product, add-1 smoothing), non-target docs scored by per-token
@@ -4281,6 +4290,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p.ppm >= t.thr_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM p JOIN thr t ON p.lang = t.lang
         |GROUP BY p.lang ORDER BY p.lang""".stripMargin,
+    // replays Profile.binaryAuc over the qualityPpm replay: per-score
+    // class histogram, cumulative negatives-below window, the doubled
+    // Mann-Whitney numerator, truncating HUGEINT ppm division
+    "q_binary_auc" ->
+      """WITH m AS (SELECT source, lang = 'en' AS pos,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM documents),
+        |s AS (SELECT source, pos,
+        |  4 * n_distinct_tokens + 3 * n_tokens * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        |    + 3 * least(3 * n_stop, n_tokens) AS num,
+        |  10 * n_tokens AS den FROM m),
+        |p AS (SELECT source, pos,
+        |  CAST(floor(CAST(2000000 * num + den AS DOUBLE) / CAST(2 * den AS DOUBLE)) AS BIGINT) AS ppm
+        |FROM s),
+        |hist AS (SELECT source, ppm AS sc,
+        |           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |           CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |         FROM p GROUP BY 1, 2),
+        |cum AS (SELECT *, COALESCE(CAST(sum(n) OVER (PARTITION BY source ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nless
+        |        FROM hist)
+        |SELECT source, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(p) > 0 AND sum(n) > 0
+        |    THEN CAST(sum(p * (2 * nless + n)) * 1000000 // (2 * sum(p) * sum(n)) AS BIGINT)
+        |  END AS auc_ppm
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "q_oov_rate" ->
       """WITH d AS (SELECT lang, text,
         |  list_reduce(list_transform(

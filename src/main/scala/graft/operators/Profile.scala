@@ -154,4 +154,54 @@ object Profile {
       .select(col("n_rows"), col("n_below"),
         col("sum_dec").cast("decimal(20,6)").cast("double").as("sum_value"))
   }
+
+  /** Exact tie-aware ROC-AUC per group — the discrimination metric a
+    * quality-filter / classifier rollout gates on (the threshold-free
+    * companion of [[graft.operators.TextAnalysis]]'s calibration
+    * table). Mann-Whitney identity: AUC · n_pos · n_neg = Σ over
+    * distinct scores s of [ p_s · N_<(s) + p_s · n_s / 2 ] where p_s /
+    * n_s are positive/negative counts AT s and N_<(s) the negatives
+    * BELOW s — ties contribute the half term, i.e. average rank,
+    * exactly. Doubling keeps it integral; the emitted
+    * `auc_ppm = u2 · 1e6 div (2 · n_pos · n_neg)` is pure integer
+    * division (DECIMAL(38,0) / HUGEINT twins — n_p·n_n overflows
+    * BIGINT near 3e9 rows per group).
+    *
+    * Scale shape: the corpus collapses to the per-(group, score) class
+    * histogram FIRST (one partial+final aggregate), so the only sort —
+    * the cumulative-negatives window — runs over the distinct-score
+    * spine, whose size is bounded by the score's cardinality, not the
+    * corpus: house scores are quantized integers (ppm/milli), so the
+    * spine is ≤ ~1e6 rows per group regardless of corpus size. For an
+    * unquantized double score, quantize first (the metric at 1e-6
+    * resolution is the shipped metric). Output: (group…, n_pos, n_neg,
+    * auc_ppm), auc_ppm NULL when a group lacks both classes (AUC
+    * undefined). */
+  def binaryAuc(df: DataFrame, groupCols: Seq[String],
+                score: org.apache.spark.sql.Column,
+                positive: org.apache.spark.sql.Column): DataFrame = {
+    val g = groupCols.map(col)
+    val hist = df
+      .select((g :+ score.as("__s") :+
+        when(positive, 1L).otherwise(0L).as("__y")): _*)
+      .groupBy((g :+ col("__s")): _*)
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__nless",
+      coalesce(sum(col("__n")).over(w), lit(0L)))
+    cum.groupBy(g: _*)
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum((col("__p") * (lit(2L) * col("__nless") + col("__n")))
+          .cast("decimal(38,0)")).as("__u2"))
+      .select((g :+ col("n_pos") :+ col("n_neg") :+
+        // truncating integral div (matches DuckDB // on HUGEINT); a
+        // decimal cast would HALF_UP-round the quotient instead
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("CAST((__u2 * 1000000) div " +
+            "(CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2) AS BIGINT)"))
+          .as("auc_ppm")): _*)
+  }
 }

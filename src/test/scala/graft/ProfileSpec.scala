@@ -57,4 +57,34 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.kAnonFilter(df, Seq("t", "h"), 1).count() === 6)
     assert(Profile.kAnonFilter(df, Seq("t", "h"), 4).count() === 0)
   }
+
+  test("binaryAuc: separation extremes, ties, one-class NULL, hand case") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // g=perfect: every positive above every negative → 1e6
+      ("perfect", 10L, true), ("perfect", 9L, true),
+      ("perfect", 2L, false), ("perfect", 1L, false),
+      // g=reversed: every positive below every negative → 0
+      ("reversed", 1L, true), ("reversed", 2L, true),
+      ("reversed", 9L, false), ("reversed", 10L, false),
+      // g=ties: all scores equal → 0.5 exactly
+      ("ties", 5L, true), ("ties", 5L, true),
+      ("ties", 5L, false), ("ties", 5L, false),
+      // g=onecls: no negatives → AUC undefined (NULL)
+      ("onecls", 3L, true), ("onecls", 4L, true),
+      // g=hand: pos at {3, 1}, neg at {2, 1}:
+      // pairs (3>2)=1 (3>1)=1 (1<2)=0 (1=1)=0.5 → 2.5/4 = 0.625
+      ("hand", 3L, true), ("hand", 1L, true),
+      ("hand", 2L, false), ("hand", 1L, false)
+    ).toDF("g", "score", "pos")
+    val got = Profile.binaryAuc(df, Seq("g"), col("score"), col("pos"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      ("hand", 2L, 2L, Some(625000L)),
+      ("onecls", 2L, 0L, None),
+      ("perfect", 2L, 2L, Some(1000000L)),
+      ("reversed", 2L, 2L, Some(0L)),
+      ("ties", 2L, 2L, Some(500000L))))
+  }
 }
