@@ -1721,6 +1721,30 @@ object SparkEntry {
           col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
+    // personalized PageRank: teleport mass pinned to a 3-customer seed
+    // cohort — rank = proximity to the cohort (the "suppliers this
+    // cohort effectively buys from" recommendation view); the rank
+    // vector only ever holds reached nodes
+    "q_pagerank_personal" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = edges.filter(pmod(col("src"), lit(2)) === 0)
+        .select(col("src").as("node")).distinct()
+        .orderBy(col("node")).limit(3)
+      Graph.personalizedPageRank(edges, seeds, 3)
+        .select(
+          when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+            .as("node"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
     // general directed-graph PageRank with dangling-mass redistribution:
     // the customer → supplier purchase edges are NOT symmetrized, so
     // every supplier is a sink — each round gathers sink-held mass (one
@@ -5647,6 +5671,31 @@ object SparkEntry {
         |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
         |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
         |  rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    // replays Graph.personalizedPageRank: seed-only teleport (flat
+    // 150000/seed/round), contribution rounds unrolled, all integer
+    "q_pagerank_personal" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 2 = 0 ORDER BY src LIMIT 3),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM seeds),
+        |c1 AS (SELECT e.dst AS node, (85 * sum(r.rank // d.deg)) // 100 AS p
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT node, CAST(sum(p) AS BIGINT) AS rank FROM
+        |       (SELECT * FROM c1 UNION ALL SELECT node, 150000 AS p FROM seeds) GROUP BY node),
+        |c2 AS (SELECT e.dst AS node, (85 * sum(r.rank // d.deg)) // 100 AS p
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT node, CAST(sum(p) AS BIGINT) AS rank FROM
+        |       (SELECT * FROM c2 UNION ALL SELECT node, 150000 AS p FROM seeds) GROUP BY node),
+        |c3 AS (SELECT e.dst AS node, (85 * sum(r.rank // d.deg)) // 100 AS p
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT node, CAST(sum(p) AS BIGINT) AS rank FROM
+        |       (SELECT * FROM c3 UNION ALL SELECT node, 150000 AS p FROM seeds) GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node, rank
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
     // the dangling-redistribution round replayed exactly: per round,
     // dm = Σ rank over out-degree-0 nodes, every node gets

@@ -113,6 +113,42 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank (Haveliwala 2002): the teleport mass lands
+    * ONLY on the seed set, so rank measures proximity-to-seeds — the
+    * recommendation / related-entities form ("suppliers this customer
+    * cohort effectively buys from", "docs near these docs"). Same
+    * integer arithmetic as [[pageRank]] (total mass |S|·1e6, each seed
+    * receives the flat 150000 teleport per round, contributions scaled
+    * 85 div 100), so the DuckDB oracle replays rounds bit-for-bit.
+    *
+    * Scale shape: the rank vector starts |S|-sized and only ever holds
+    * nodes REACHED from the seeds — for local seed sets on a big graph
+    * that is a small frontier, the classic PPR locality win; the edge
+    * side never re-shuffles when `broadcastRanks` holds. Each round is
+    * one grouped contribution sum plus one union+regroup with the
+    * |S|-row teleport frame — the regroup runs over the already
+    * aggregated vector (|reached| rows), not the edges. Nodes with
+    * zero mass are absent from the output (they'd be rank-0 rows). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           broadcastRanks: Boolean = true): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src")
+    val sd = seeds.select(col("node")).distinct()
+    val tel = sd.select(col("node"), lit(150000L).as("p"))
+    var rank = sd.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val r = if (broadcastRanks) broadcast(rank) else rank
+      val contrib = withDeg.join(r, withDeg("src") === r("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node"))
+        .agg(expr("(85 * sum(c)) div 100").as("p"))
+      rank = contrib.select(col("node"), col("p")).unionAll(tel)
+        .groupBy(col("node")).agg(sum(col("p")).as("rank"))
+    }
+    rank
+  }
+
   /** Co-occurrence edge list: nodes are `itemCol` values, an edge joins
     * two items that appear together in at least `minGroups` distinct
     * `groupCol` groups (e.g. parts co-purchased in ≥2 orders). The

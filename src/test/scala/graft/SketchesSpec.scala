@@ -220,6 +220,28 @@ class SketchesSpec extends SparkTestBase {
       s"fast path should visibly leak on a sink graph: $leaky vs $mass")
   }
 
+  test("personalized PageRank: hand-computed chain, mass stays local to seeds") {
+    // chain 1→2→3→4, seed {1}. Unrolled integer rounds:
+    //   r1 = {1:150000, 2:850000}
+    //   r2 = {1:150000, 2:127500, 3:722500}
+    //   r3 = {1:150000, 2:127500, 3:108375, 4:614125}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r3 = Graph.personalizedPageRank(edges, seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 === Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L, 4L -> 614125L))
+    // locality: a disconnected component never acquires mass
+    val twoComp = edges.unionAll(Seq((10L, 11L), (11L, 10L)).toDF("src", "dst"))
+    val loc = Graph.personalizedPageRank(twoComp, seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(!loc.contains(10L) && !loc.contains(11L))
+    assert(loc === r3)
+    // partitioning invariance
+    val rep = Graph.personalizedPageRank(edges.repartition(7), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rep === r3)
+  }
+
   test("HLL estimate is within 3σ of true NDV and partitioning-invariant") {
     // m=1024 → standard error ≈ 1.04/√1024 ≈ 3.25%; 3σ ≈ 9.8%
     val n = 20000
