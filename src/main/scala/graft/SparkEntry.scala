@@ -134,7 +134,10 @@ object SparkEntry {
     "q_stream_nb_classify" -> ((s, dir) => StreamEntries.streamNbClassify(s, dir)),
     "q_stream_decontam_gate" -> ((s, dir) => StreamEntries.streamDecontamGate(s, dir)),
     "q_stream_observed" -> ((s, dir) => StreamEntries.streamObserved(s, dir)),
-    "q_stream_skew_profile" -> ((s, dir) => StreamEntries.streamSkewProfile(s, dir)))
+    "q_stream_skew_profile" -> ((s, dir) => StreamEntries.streamSkewProfile(s, dir)),
+    // streaming LSH near-dup filter: one-long-per-bucket state, rep =
+    // bucket min id; drained result == the batch banding rule
+    "q_stream_lsh_filter" -> ((s, dir) => StreamEntries.streamLshFilter(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5155,6 +5158,26 @@ object SparkEntry {
         |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_rec
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    // replays streamLshFilter as the batch banding rule: md5-MinHash
+    // signatures (k=32), r=2 band keys, flagged iff a smaller-id doc
+    // shares a (band_id, bk) bucket, rep = smallest such
+    "q_stream_lsh_filter" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         generate_series(1, greatest(len(w)-2, 1)),
+         |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
+         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+         |msig AS (SELECT doc_id, i,
+         |            min(${duckHash60("'mh' || i || '_' || t")}) AS m
+         |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+         |          GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 2 AS band_id, string_agg(m, '_' ORDER BY i) AS bk
+         |         FROM msig GROUP BY doc_id, i // 2),
+         |hits AS (SELECT a.doc_id, min(b.doc_id) AS rep
+         |         FROM band a JOIN band b ON a.band_id = b.band_id AND a.bk = b.bk
+         |           AND b.doc_id < a.doc_id
+         |         GROUP BY a.doc_id)
+         |SELECT doc_id, rep FROM hits ORDER BY doc_id""".stripMargin,
     // per-batch observed metrics summed over the drain must equal the
     // batch aggregate of the fed slice; batch count pinned at 2
     "q_stream_observed" ->

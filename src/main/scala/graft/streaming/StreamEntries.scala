@@ -1064,6 +1064,72 @@ object StreamEntries {
     s.read.parquet(out).orderBy(col("doc_id"))
   }
 
+  /** Streaming LSH near-dup filter — the LIVE half of the MinHash-LSH
+    * dedup family: banded md5-MinHash bucket keys stream into a
+    * `flatMapGroupsWithState` keyed BY BUCKET whose whole state is one
+    * long — the smallest doc id seen in that bucket; a document
+    * colliding with an earlier smaller-id doc emits (doc_id, rep).
+    * The feed arrives in ascending doc-id RANGES (a backfill replaying
+    * a corpus in key order) and the group handler processes each
+    * micro-batch's rows in sorted order, so the emitted rep equals the
+    * bucket's global min id — making the drained result EXACTLY the
+    * batch rule "flagged iff a smaller-id doc shares ≥1 band bucket,
+    * rep = the smallest such", which is what the DuckDB oracle replays.
+    * State is one long per distinct bucket — bounded by the corpus's
+    * bucket count, never by pairs (a production stream TTLs dormant
+    * buckets via timeouts; the fixture slice needs none). The
+    * signature/banding stage is the oracle-replayable md5 form
+    * ([[graft.operators.Dedup.minhashSignatureMd5]], k=32, r=2 — the
+    * `lshRecall`-gated banding). Final frame: per flagged doc the
+    * smallest rep across its bands. */
+  def streamLshFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val feed = memoFeed(s"lshf:$dir") {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val sig = graft.operators.Dedup
+        .minhashSignatureMd5(d, "text", "doc_id", 3, 32)
+      sig.select(col("doc_id"),
+          explode(array((0 until 16).map(b =>
+            concat_ws("_", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
+            .as("bucket"))
+        .as[(Long, String)].collect().toSeq
+    }
+    val mid = feed.map(_._1).max / 2
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_lsh")
+    withStatePartitions(s, 4, noData = false) {
+      val mem = MemoryStream[(Long, String)]
+      val hits = mem.toDS()
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out = Seq.newBuilder[(Long, Long)]
+            rows.map(_._1).toArray.sorted.foreach { id =>
+              if (minSeen < id) out += ((id, minSeen))
+              else if (id < minSeen) minSeen = id
+            }
+            state.update(minSeen)
+            out.result().iterator
+        }
+        .toDF("doc_id", "rep")
+      val q = hits.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        mem.addData(feed.filter(_._1 <= mid))
+        q.processAllAvailable()
+        mem.addData(feed.filter(_._1 > mid))
+        q.processAllAvailable()
+      }
+    }
+    takeTable(s, name)
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming hot-key monitor — the LIVE twin of
     * [[graft.operators.Skew.skewProfile]] and the signal a dynamic
     * salting policy consumes: per-key counts are continuously

@@ -14,6 +14,7 @@ import graft.streaming.StreamEntries
   * this suite under SPARK_GRAFT_STREAM_SCALE=N proves the equivalence
   * on the N×-widened state feeds too (the BENCH_SF1 configuration). */
 class StreamEntriesSpec extends SparkTestBase {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private val scale = StreamEntries.sliceScale
@@ -91,6 +92,36 @@ class StreamEntriesSpec extends SparkTestBase {
     // every row was fed 4x; exactly one copy survives
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("q_stream_lsh_filter equals the batch banding rule, with cross-batch hits") {
+    val streamed = StreamEntries.streamLshFilter(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty)
+    // rep is always an earlier (smaller-id) doc
+    assert(streamed.forall { case (d, r) => r < d })
+    // batch rule recomputed in Spark: smallest smaller-id doc sharing
+    // any (band, key) bucket of the same md5 signatures
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sig = graft.operators.Dedup.minhashSignatureMd5(d, "text", "doc_id", 3, 32)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until 16).map(b =>
+        concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)))
+      .toDF("doc_id", "band_id", "bk")
+    val batch = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("rep"))
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed.sorted === batch.sorted)
+    // the state genuinely crosses the micro-batch boundary: at least
+    // one doc fed in batch 2 (id > mid) is flagged against a batch-1 rep
+    val mid = d.agg(max(col("doc_id"))).as[Long].head() / 2
+    assert(streamed.exists { case (dd, r) => dd > mid && r <= mid },
+      s"no cross-batch hit in ${streamed.size} rows")
   }
 
   test("q_stream_topk equals the batch Zipf head (counts summed across batches)") {
