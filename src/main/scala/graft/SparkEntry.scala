@@ -2965,28 +2965,8 @@ object SparkEntry {
     // replays Retrieval.bm25Ranks (integer milli-unit Okapi, k1=1.2
     // b=0.75, self-excluded) + the dense cosine top-20 + the integer
     // ppb reciprocal-rank fusion, end-to-end
-    "q_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |qt AS (SELECT doc_id AS query_id, unnest(list_sort(list_distinct(w))[1:4]) AS t
-        |       FROM d WHERE doc_id < 5),
-        |dl AS (SELECT doc_id, len(w) AS dl FROM d),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-        |tok AS (SELECT d.doc_id, dl.dl, unnest(d.w) AS t
-        |        FROM d JOIN dl ON d.doc_id = dl.doc_id),
-        |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
-        |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY doc_id, dl, t),
-        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-        |sc AS (SELECT tf.doc_id, tf.t,
-        |         CAST(floor((ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2))
-        |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) * 1000.0 + 0.5) AS BIGINT) AS s_milli
-        |       FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s),
-        |lexagg AS (SELECT q.query_id, sc.doc_id, sum(s_milli) AS score_milli
-        |           FROM sc JOIN qt q ON sc.t = q.t WHERE sc.doc_id <> q.query_id
-        |           GROUP BY 1, 2),
-        |lex AS (SELECT * FROM (SELECT query_id, doc_id,
-        |          row_number() OVER (PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank
-        |        FROM lexagg) WHERE rank <= 20),
+    "q_hybrid_rrf" -> (bm25LexCte(20) +
+      """,
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
         |             round(list_dot_product(q.v, c.v) /
@@ -3002,38 +2982,19 @@ object SparkEntry {
         |          FROM contrib GROUP BY 1, 2)
         |SELECT * FROM (SELECT query_id, doc_id, rrf_ppb,
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppb DESC, doc_id) AS rank
-        |FROM fused) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // replays Retrieval.retrievalQuality over the bm25Ranks replay:
+        |FROM fused) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // replays Retrieval.retrievalQuality over the shared bm25LexCte:
     // truth = same-lang pairs (self excluded); the gain / ideal-prefix
     // CASE arms are generated from the SAME Retrieval.ndcgGains
     // constants the Spark plan inlines, so neither engine evaluates a
-    // log at query time
+    // log at query time; FULL JOIN keeps zero-result queries scored 0
     "q_retrieval_quality" -> {
       val gains = Retrieval.ndcgGains(10)
       val gc = gains.map { case (i, g) => s"WHEN $i THEN $g" }.mkString(" ")
       val pc = gains.map(_._2).scanLeft(0L)(_ + _).tail.zipWithIndex
         .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |qt AS (SELECT doc_id AS query_id, unnest(list_sort(list_distinct(w))[1:4]) AS t
-         |       FROM d WHERE doc_id < 5),
-         |dl AS (SELECT doc_id, len(w) AS dl FROM d),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-         |tok AS (SELECT d.doc_id, dl.dl, unnest(d.w) AS t
-         |        FROM d JOIN dl ON d.doc_id = dl.doc_id),
-         |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
-         |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY doc_id, dl, t),
-         |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |sc AS (SELECT tf.doc_id, tf.t,
-         |         CAST(floor((ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2))
-         |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) * 1000.0 + 0.5) AS BIGINT) AS s_milli
-         |       FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s),
-         |lexagg AS (SELECT q.query_id, sc.doc_id, sum(s_milli) AS score_milli
-         |           FROM sc JOIN qt q ON sc.t = q.t WHERE sc.doc_id <> q.query_id
-         |           GROUP BY 1, 2),
-         |lex AS (SELECT * FROM (SELECT query_id, doc_id,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank
-         |        FROM lexagg) WHERE rank <= 10),
+      bm25LexCte(10) +
+      s""",
          |tr AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id
          |       FROM documents q JOIN documents c ON q.lang = c.lang
          |       WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id),
@@ -3045,13 +3006,14 @@ object SparkEntry {
          |           CAST(sum(CASE WHEN rel = 1 THEN (CASE rank $gc ELSE 0 END) ELSE 0 END) AS BIGINT) AS dcg
          |         FROM hits GROUP BY query_id),
          |tot AS (SELECT query_id, count(*) AS n_rel FROM tr GROUP BY query_id)
-         |SELECT p.query_id, p.n_rel_at_k,
+         |SELECT COALESCE(p.query_id, t.query_id) AS query_id,
+         |  COALESCE(p.n_rel_at_k, 0) AS n_rel_at_k,
          |  COALESCE(1000000 // first_rel, 0) AS rr_ppm,
          |  CASE WHEN COALESCE(least(t.n_rel, 10), 0) = 0 THEN 0
-         |       ELSE CAST(p.dcg * 1000000 // (CASE least(t.n_rel, 10) $pc ELSE 0 END) AS BIGINT)
+         |       ELSE CAST(COALESCE(p.dcg, 0) * 1000000 // (CASE least(t.n_rel, 10) $pc ELSE 0 END) AS BIGINT)
          |  END AS ndcg_ppm
-         |FROM perq p LEFT JOIN tot t ON p.query_id = t.query_id
-         |ORDER BY p.query_id""".stripMargin
+         |FROM perq p FULL JOIN tot t ON p.query_id = t.query_id
+         |ORDER BY query_id""".stripMargin
     },
     // replays TextAnalysis.dsirSelect: md5-hashed 256-bucket unigram
     // counts, add-1-smoothed target/raw ratio in exact ppm (HUGEINT ↔
@@ -4342,7 +4304,7 @@ object SparkEntry {
         |        FROM hist)
         |SELECT source, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
         |  CASE WHEN sum(p) > 0 AND sum(n) > 0
-        |    THEN CAST(sum(p * (2 * nless + n)) * 1000000 // (2 * sum(p) * sum(n)) AS BIGINT)
+        |    THEN CAST(sum(CAST(p AS HUGEINT) * (2 * nless + n)) * 1000000 // (2 * sum(p) * sum(n)) AS BIGINT)
         |  END AS auc_ppm
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "q_oov_rate" ->
@@ -6368,6 +6330,35 @@ object SparkEntry {
       |CROSS JOIN (VALUES (500), (950)) AS q(q_permille)
       |WHERE r.rn = (q.q_permille * m.m_slots + 999) // 1000
       |ORDER BY event_type, q_permille""".stripMargin
+
+  /** Shared BM25 lexical-ranking CTEs (replaying
+    * [[graft.operators.Retrieval.bm25Ranks]] for the doc_id < 5
+    * query-by-document set, 4 lexicographic terms, excludeSelf):
+    * ends with `lex(query_id, doc_id, rank ≤ cut)`. One definition so
+    * the Okapi constants (k1=1.2, b=0.75, milli rounding) can never
+    * drift between the oracles that rank through it. */
+  private def bm25LexCte(cut: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |qt AS (SELECT doc_id AS query_id, unnest(list_sort(list_distinct(w))[1:4]) AS t
+       |       FROM d WHERE doc_id < 5),
+       |dl AS (SELECT doc_id, len(w) AS dl FROM d),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |tok AS (SELECT d.doc_id, dl.dl, unnest(d.w) AS t
+       |        FROM d JOIN dl ON d.doc_id = dl.doc_id),
+       |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+       |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY doc_id, dl, t),
+       |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |sc AS (SELECT tf.doc_id, tf.t,
+       |         CAST(floor((ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2))
+       |           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) * 1000.0 + 0.5) AS BIGINT) AS s_milli
+       |       FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s),
+       |lexagg AS (SELECT q.query_id, sc.doc_id, sum(s_milli) AS score_milli
+       |           FROM sc JOIN qt q ON sc.t = q.t WHERE sc.doc_id <> q.query_id
+       |           GROUP BY 1, 2),
+       |lex AS (SELECT * FROM (SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY score_milli DESC, doc_id) AS rank
+       |        FROM lexagg) WHERE rank <= $cut)""".stripMargin
 
   /** DuckDB inline of [[graft.operators.Dedup.md5Hash60]] with the
     * expression `e` as input: `substr(md5(e),1,15)` parsed base-16. */

@@ -194,8 +194,12 @@ object Profile {
       coalesce(sum(col("__n")).over(w), lit(0L)))
     cum.groupBy(g: _*)
       .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
-        sum((col("__p") * (lit(2L) * col("__nless") + col("__n")))
-          .cast("decimal(38,0)")).as("__u2"))
+        // the FACTOR is cast to decimal before the multiply: a heavily
+        // tied score at ~3e9 rows/class makes the single term p·(2·N<+n)
+        // itself exceed BIGINT, so casting only the product would wrap
+        // before the decimal ever saw it
+        sum(col("__p").cast("decimal(38,0)") *
+          (lit(2L) * col("__nless") + col("__n"))).as("__u2"))
       .select((g :+ col("n_pos") :+ col("n_neg") :+
         // truncating integral div (matches DuckDB // on HUGEINT); a
         // decimal cast would HALF_UP-round the quotient instead

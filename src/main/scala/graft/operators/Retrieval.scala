@@ -164,13 +164,18 @@ object Retrieval {
       .foldLeft(when(col("__m") === 1, lit(prefixes.head._2))) {
         case (acc, (m, p)) => acc.when(col("__m") === m, lit(p))
       }.otherwise(lit(0L))
-    perQ.join(totRel, Seq("query_id"), "left_outer")
+    // FULL outer: a query with truth pairs but ZERO ranked rows is the
+    // worst retrieval outcome and must score 0, not vanish — a left
+    // join from `ranked` would silently inflate the averaged gate
+    // after exactly the regression it exists to catch
+    perQ.join(totRel, Seq("query_id"), "full_outer")
       .withColumn("__m", least(coalesce(col("__n_rel"), lit(0L)), lit(k.toLong)))
       .withColumn("__idcg", idcg)
-      .select(col("query_id"), col("n_rel_at_k"),
+      .select(col("query_id"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
         coalesce(expr("CAST(1000000 div __first AS BIGINT)"), lit(0L)).as("rr_ppm"),
         when(col("__idcg") > 0L,
-          expr("CAST(__dcg * 1000000 div __idcg AS BIGINT)"))
+          expr("CAST(coalesce(__dcg, 0L) * 1000000 div __idcg AS BIGINT)"))
           .otherwise(lit(0L)).as("ndcg_ppm"))
   }
 }

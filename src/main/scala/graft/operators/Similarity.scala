@@ -180,30 +180,15 @@ object Similarity {
     * [[kmeansCodebook]] path. */
   def ivfTopKWithCodebook(corpus: DataFrame, queries: DataFrame, k: Int,
                           nprobe: Int, codebook: DataFrame): DataFrame = {
-    // centroid norms hoisted out of the per-(vector, centroid) kernel:
-    // norm is a pure per-array quantity, so precomputing it is
-    // bit-identical and saves an array walk per candidate pair
-    val cent = codebook.withColumn("cvn", norm(col("cvec")))
     // stage 1: assign every corpus vector to its nearest centroid
-    val assigned = corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
-        norm(col("vec")).as("cn"))
-      .join(broadcast(cent))
-      .select(col("vec_id"), col("cv"), col("cn"), col("cluster_id"),
-        round(dot(col("cv"), col("cvec")) / (col("cn") * col("cvn")), 9).as("csim"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
+    val assigned = rankedCentroidSims(corpus, codebook)
       .filter(col("r") === 1)
       .select(col("vec_id"), col("cluster_id"), col("cv"), col("cn"))
     // stage 2: per query, probe the nprobe nearest clusters only
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-        norm(col("vec")).as("qn"))
-      .join(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qn"), col("cluster_id"),
-        round(dot(col("qv"), col("cvec")) / (col("qn") * col("cvn")), 9).as("csim"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster_id"))))
+    val probes = rankedCentroidSims(queries, codebook)
       .filter(col("r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cluster_id"))
+      .select(col("vec_id").as("query_id"), col("cv").as("qv"),
+        col("cn").as("qn"), col("cluster_id"))
     val scored = assigned
       .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -1043,17 +1028,31 @@ object Similarity {
     * semantic-dedup path runs inline: 9-dp rounded cosine with the
     * cluster_id tie-break (the family kernel), codebook broadcast
     * (model parameters, not data), one corpus scan. */
-  def assignToCodebook(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+  def assignToCodebook(corpus: DataFrame, codebook: DataFrame): DataFrame =
+    rankedCentroidSims(corpus, codebook)
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster_id"))
+
+  /** THE centroid-scoring kernel, shared by [[assignToCodebook]],
+    * [[ivfTopKWithCodebook]] (both stages) and [[silhouette]]: every
+    * input vector against every broadcast centroid with the family
+    * 9-dp cosine and the (csim DESC, cluster_id) rank — r = 1 is the
+    * assignment argmax, r ≤ nprobe the probe set. ONE definition so
+    * the rounding and tie-break the DuckDB oracles replay can never
+    * drift between operators. Centroid norms are hoisted out of the
+    * per-(vector, centroid) kernel — norm is a pure per-array quantity,
+    * so precomputing it is bit-identical and saves an array walk per
+    * pair. Output: (vec_id, cv, cn, cluster_id, csim, r). */
+  private def rankedCentroidSims(vectors: DataFrame,
+                                 codebook: DataFrame): DataFrame = {
     val cent = codebook.withColumn("cvn", norm(col("cvec")))
-    corpus.select(col("id").as("vec_id"), col("vec").as("cv"),
+    vectors.select(col("id").as("vec_id"), col("vec").as("cv"),
         norm(col("vec")).as("cn"))
       .join(broadcast(cent))
-      .select(col("vec_id"), col("cluster_id"),
+      .select(col("vec_id"), col("cv"), col("cn"), col("cluster_id"),
         round(dot(col("cv"), col("cvec")) / (col("cn") * col("cvn")), 9).as("csim"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster_id"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("cluster_id"))
   }
 
   /** Cluster-balanced ("topic-balanced") corpus sampling — the curation
@@ -1131,18 +1130,9 @@ object Similarity {
     * Output: (cluster_id, n, sum_sil_nano). */
   def silhouette(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     require(k >= 2, "silhouette needs at least 2 clusters")
-    val cent = kmeansCodebook(corpus, k, iters).withColumn("cvn", norm(col("cvec")))
-    val sims = corpus
-      .select(col("id").as("vec_id"), col("vec").as("cv"),
-        norm(col("vec")).as("cn"))
-      .join(broadcast(cent))
-      .select(col("vec_id"), col("cluster_id"),
-        round(dot(col("cv"), col("cvec")) / (col("cn") * col("cvn")), 9).as("csim"))
-    // r=1 is the assignment argmax (csim DESC, cluster_id — the family
-    // tie-break); best_other is the max csim among the k−1 runners-up.
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cluster_id"))
-    val perVec = sims.withColumn("r", row_number().over(w))
+    // r=1 is the assignment argmax (the shared kernel's tie-break);
+    // best_other is the max csim among the k−1 runners-up.
+    val perVec = rankedCentroidSims(corpus, kmeansCodebook(corpus, k, iters))
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("r") === 1, col("cluster_id"))).as("cluster_id"),

