@@ -539,4 +539,27 @@ class PlanShapeSpec extends SparkTestBase {
       assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
     }
   }
+
+  test("round-9 second session: eval gates broadcast their small sides, no cartesian") {
+    // silhouette: centroids broadcast into the one corpus kernel scan;
+    // retrieval/AUC/PPR: every join is broadcast or key-equi — never a
+    // cartesian (the k-row codebook / 5-query truth / rank vector are
+    // the broadcast sides)
+    for (q <- Seq("q_silhouette", "q_retrieval_quality", "q_binary_auc",
+        "q_pagerank_personal")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    assert(plan("q_silhouette").contains("BroadcastNestedLoopJoin") ||
+      plan("q_silhouette").contains("BroadcastHashJoin"))
+    // binaryAuc: corpus collapses to the score histogram FIRST — a
+    // partial aggregate must precede the window
+    val auc = plan("q_binary_auc")
+    assert(auc.contains("partial_"), auc)
+    assert(auc.contains("Window"), auc)
+    // PPR: the per-round rank vector joins broadcast
+    assert(plan("q_pagerank_personal")
+      .linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      plan("q_pagerank_personal"))
+  }
 }
