@@ -137,7 +137,11 @@ object SparkEntry {
     "q_stream_skew_profile" -> ((s, dir) => StreamEntries.streamSkewProfile(s, dir)),
     // streaming LSH near-dup filter: one-long-per-bucket state, rep =
     // bucket min id; drained result == the batch banding rule
-    "q_stream_lsh_filter" -> ((s, dir) => StreamEntries.streamLshFilter(s, dir)))
+    "q_stream_lsh_filter" -> ((s, dir) => StreamEntries.streamLshFilter(s, dir)),
+    // streaming curation-funnel monitor: stateless gate flags + a
+    // one-boolean-per-fingerprint dedup state, scored through the
+    // identical funnelFromFlags stage as batch
+    "q_stream_funnel" -> ((s, dir) => StreamEntries.streamFunnel(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2653,7 +2657,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (crc64 checksum family) → driver records a rows-only check; those
     * are covered by scalatest/scalacheck property suites instead. */
-  def oracleSql: Map[String, String] = parityOracle ++ extensionOracle
+  def oracleSql: Map[String, String] = {
+    val m = parityOracle ++ extensionOracle
+    // the live funnel monitor drains per-doc flags through the
+    // IDENTICAL funnelFromFlags stage over the same slice — one SQL,
+    // two gates (the q_stream_hll / q_hll_ndv sharing pattern)
+    m + ("q_stream_funnel" -> m("q_curation_funnel"))
+  }
 
   /** df cap for the exact-Jaccard family: shingles present in more than
     * this many documents are dropped from the candidate self-join (set

@@ -921,6 +921,14 @@ object TextAnalysis {
         (col("f1") * col("f2") * col("f3")).as("g3"),
         (col("f1") * col("f2") * col("f3") * coalesce(col("keep"), lit(0L)))
           .as("g4"))
+    funnelFromFlags(flagged)
+  }
+
+  /** The funnel's finishing stage over per-doc running-conjunction
+    * flags (f1, g2, g3, g4) — shared by [[curationFunnel]] and the
+    * streaming twin so the live attrition report carries the exact
+    * batch semantics: one aggregate + the stage/ppm stack. */
+  def funnelFromFlags(flagged: DataFrame): DataFrame =
     flagged
       .agg(count(lit(1)).as("n0"),
         coalesce(sum(col("f1")), lit(0L)).as("n1"),
@@ -938,7 +946,6 @@ object TextAnalysis {
         // empty corpus → NULL ppm, not an ANSI division error
         expr("CASE WHEN __n0 > 0 THEN CAST(n_kept * 1000000 div __n0 AS BIGINT) END")
           .as("kept_ppm"))
-  }
 
   /** A trained multinomial Naive-Bayes model, all as (unmaterialized)
     * DataFrames so batch and streaming scorers share the identical

@@ -1134,6 +1134,73 @@ object StreamEntries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming curation-funnel monitor — the LIVE twin of
+    * [[graft.operators.TextAnalysis.curationFunnel]], the attrition
+    * dashboard a continuously-ingesting curation pipeline watches:
+    * per-doc gate flags (token band / quality / repetition) are
+    * stateless projections a stream computes per record; the exact-dedup
+    * stage is the ONE stateful gate — a `flatMapGroupsWithState` keyed
+    * by the md5 content fingerprint whose state is a single boolean
+    * (seen), so the keeper is the FIRST arrival (= the batch rule's
+    * min doc id under the id-ordered backfill feed, batch rows handled
+    * in sorted order). The drained per-doc running-conjunction flags
+    * score through the IDENTICAL [[TextAnalysis.funnelFromFlags]]
+    * finishing stage as batch, so mid-stream attrition carries exact
+    * batch semantics; the oracle is the batch funnel SQL verbatim.
+    * State: one boolean per distinct fingerprint. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val feed = memoFeed(s"fnl:$dir") {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < lit(5000L * sliceScale))
+      val t = col("text")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(t).between(10, 1000).cast("long").as("f1"),
+          (TextAnalysis.qualityPpm(t) >= 500000L).cast("long").as("f2"),
+          (TextAnalysis.repetitionRatio(t) <= 0.2d).cast("long").as("f3"),
+          md5(t.cast("binary")).as("fp"))
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+    }
+    // split the id-range at a duplicate group's keeper, so the group's
+    // keeper lands in batch 1 and its dup(s) in batch 2 — the dedup
+    // state provably crosses the micro-batch boundary whenever the
+    // corpus has any duplicate at all (fallback: midpoint)
+    val dupLos = feed.groupBy(_._5).values.toSeq
+      .filter(_.size > 1).map(_.map(_._1).min)
+    val mid = if (dupLos.nonEmpty) dupLos.min else feed.map(_._1).max / 2
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_funnel")
+    withStatePartitions(s, 4, noData = false) {
+      val mem = MemoryStream[(Long, Long, Long, Long, String)]
+      val flags = mem.toDS()
+        .groupByKey(_._5)
+        .flatMapGroupsWithState[Boolean, (Long, Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: String, rows: Iterator[(Long, Long, Long, Long, String)],
+           state: GroupState[Boolean]) =>
+            var seen = state.getOption.getOrElse(false)
+            val out = rows.toArray.sortBy(_._1).map {
+              case (_, f1, f2, f3, _) =>
+                val keep = if (!seen) { seen = true; 1L } else 0L
+                (f1, f1 * f2, f1 * f2 * f3, f1 * f2 * f3 * keep)
+            }
+            state.update(seen)
+            out.iterator
+        }
+        .toDF("f1", "g2", "g3", "g4")
+      val q = flags.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        mem.addData(feed.filter(_._1 <= mid))
+        q.processAllAvailable()
+        mem.addData(feed.filter(_._1 > mid))
+        q.processAllAvailable()
+      }
+    }
+    TextAnalysis.funnelFromFlags(takeTable(s, name))
+  }
+
   /** Streaming hot-key monitor — the LIVE twin of
     * [[graft.operators.Skew.skewProfile]] and the signal a dynamic
     * salting policy consumes: per-key counts are continuously

@@ -124,6 +124,35 @@ class StreamEntriesSpec extends SparkTestBase {
       s"no cross-batch hit in ${streamed.size} rows")
   }
 
+  test("q_stream_funnel equals the batch funnel; dedup state crosses the batch boundary") {
+    val streamed = StreamEntries.streamFunnel(spark, dir)
+      .select("stage", "gate", "n_kept", "n_cut", "kept_ppm")
+    val batch = graft.operators.TextAnalysis.curationFunnel(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      .select("stage", "gate", "n_kept", "n_cut", "kept_ppm")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the smallest fixture has no exact duplicates, so the dedup state
+    // there is trivially all-keepers — prove the cross-batch path on a
+    // planted corpus instead: ids 1 and 9 are the SAME text, and the
+    // operator splits the id range at the dup group's keeper (1), so
+    // the keeper arrives in batch 1 and its duplicate in batch 2; the
+    // streamed funnel must still cut it at the exact_dedup stage
+    val planted = graft.sources.FixtureStore
+      .tempDirDeletedAtExit("graft-fnl-spec-").toString
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    (Seq((1L, body), (9L, body)) ++
+      (2L to 8L).map(i => (i, s"$body extra$i")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val got = StreamEntries.streamFunnel(spark, planted)
+      .select("gate", "n_kept", "n_cut")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("total") === ((9L, 0L)))
+    // all 9 pass the stateless gates; the duplicate (id 9, batch 2) is
+    // cut ONLY by the stateful dedup stage whose keeper saw batch 1
+    assert(got("exact_dedup") === ((8L, 1L)), got.toString)
+  }
+
   test("q_stream_topk equals the batch Zipf head (counts summed across batches)") {
     val streamed = StreamEntries.streamTopK(spark, dir)
     val batch = spark.read.parquet(s"$dir/documents.parquet")
