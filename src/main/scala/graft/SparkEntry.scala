@@ -469,6 +469,11 @@ object SparkEntry {
         Similarity.kmeansCodebook(e, 5, 2))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // embedding health gate: per-dim counts of non-finite / zero-norm
+    // vectors + the norm envelope in integer micros — the pre-index
+    // data contract of the ANN family, one aggregate pass
+    "q_vector_health" -> ((s, dir) =>
+      Similarity.vectorHealth(emb(s, dir)).orderBy(col("dim"))),
     // clustering-quality gate: centroid-based (simplified) silhouette
     // over the same deterministic k-means codebook — per-cluster count
     // + integer-nano silhouette sum (mean = consumer's division). The
@@ -3809,6 +3814,27 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    // replays Similarity.vectorHealth: x−x ≠ 0 non-finite classification,
+    // norms excluded for non-finite vectors, floor(x·1e6+0.5) micros
+    "q_vector_health" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id,
+        |        CASE WHEN v IS NULL THEN -1 ELSE len(v) END AS dim,
+        |        CASE WHEN v IS NULL THEN 0
+        |             WHEN len(list_filter(v, x -> x IS NULL OR NOT (x - x = 0.0))) > 0 THEN 1
+        |             ELSE 0 END AS nf
+        |      FROM e),
+        |n AS (SELECT m.vec_id, m.dim, m.nf,
+        |        CASE WHEN m.dim = -1 OR m.nf = 1 THEN NULL
+        |             ELSE sqrt(list_dot_product(e.v, e.v)) END AS nrm
+        |      FROM m JOIN e USING (vec_id))
+        |SELECT dim, count(*) AS n_vecs,
+        |  CAST(sum(nf) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  CAST(floor(min(nrm) * 1000000 + 0.5) AS BIGINT) AS min_norm_micro,
+        |  CAST(floor(max(nrm) * 1000000 + 0.5) AS BIGINT) AS max_norm_micro,
+        |  CAST(sum(CAST(floor(nrm * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_norm_micro
+        |FROM n GROUP BY dim ORDER BY dim""".stripMargin,
     // replays Similarity.silhouette: the kmeans codebook CTEs end with
     // asg0 (every vector × centroid 9-dp csim) and asg (the argmax);
     // own/other split, the IEEE ratio, floor(x*1e9 + 0.5) nanos,

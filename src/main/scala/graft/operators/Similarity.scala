@@ -1106,6 +1106,36 @@ object Similarity {
         expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
   }
 
+  /** Embedding health gate — the data contract an ANN index build
+    * checks BEFORE indexing (the `expectations` of the vector world):
+    * per dimensionality bucket (a ragged corpus is itself a defect —
+    * dim -1 = NULL vector), counts of non-finite vectors (any NaN/±Inf/
+    * NULL element, classified portably via the x−x ≠ 0 identity — no
+    * engine-specific isnan/isinf in the gate) and zero-norm vectors
+    * (cosine against them is undefined), plus the norm envelope
+    * (min/max/sum as integer micros via the binary-exact
+    * floor(x·1e6+0.5), norms of non-finite vectors excluded). One
+    * partial+final aggregate pass; output rows = distinct dims
+    * (healthy corpus: exactly one). */
+  def vectorHealth(corpus: DataFrame): DataFrame = {
+    val v = col("vec")
+    val nonfinite = when(v.isNull, lit(0L))
+      .when(exists(v, x => x.isNull || !((x - x) === lit(0.0f))), lit(1L))
+      .otherwise(lit(0L))
+    val m = corpus.select(
+      when(v.isNull, lit(-1)).otherwise(size(v)).as("dim"),
+      nonfinite.as("__nf"),
+      when(v.isNull || nonfinite === 1L, lit(null))
+        .otherwise(norm(v)).as("__nrm"))
+    m.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__nf")).as("n_nonfinite"),
+        sum(when(col("__nrm") === 0.0d, 1L).otherwise(0L)).as("n_zero_norm"),
+        floor(min(col("__nrm")) * 1e6d + 0.5d).cast("long").as("min_norm_micro"),
+        floor(max(col("__nrm")) * 1e6d + 0.5d).cast("long").as("max_norm_micro"),
+        sum(floor(col("__nrm") * 1e6d + 0.5d).cast("long")).as("sum_norm_micro"))
+  }
+
   /** Simplified (centroid-based) silhouette — the clustering-quality
     * gate a topic-model / semantic-dedup rollout reads before trusting
     * the codebook: per vector, a = cosine distance to its OWN centroid,

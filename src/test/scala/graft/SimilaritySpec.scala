@@ -159,6 +159,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(_._2.length == dim))
   }
 
+  test("vectorHealth: planted NaN/Inf/null/zero/ragged vectors all classified") {
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),              // healthy, norm 5
+      (2L, Some(Seq(0.0f, 0.0f))),              // zero norm
+      (3L, Some(Seq(Float.NaN, 1.0f))),         // NaN
+      (4L, Some(Seq(Float.PositiveInfinity, 1.0f))), // Inf
+      (5L, Some(Seq(1.0f, 0.0f, 0.0f))),        // ragged dim 3, norm 1
+      (6L, None)                                 // NULL vector
+    )
+    val df = rows.toDF("id", "vec")
+    val got = Similarity.vectorHealth(df)
+      .orderBy("dim")
+      .as[(Int, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got === Seq(
+      (-1, 1L, 0L, 0L, None, None, None),
+      (2, 4L, 2L, 1L, Some(0L), Some(5000000L), Some(5000000L)),
+      (3, 1L, 0L, 0L, Some(1000000L), Some(1000000L), Some(1000000L))))
+  }
+
   test("silhouette: planted tight clusters score near 1, shared-cluster pairs score low") {
     // 10 well-separated axis clusters, tiny jitter → every vector is
     // far closer to its own centroid than any other: mean silhouette
