@@ -1021,6 +1021,14 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(Events.read(s, dir), 1800000000L)
         .orderBy(col("user_id"), col("session_no"))),
+    // SCD Type-2 dimension history: per-user event_type run intervals
+    // [valid_from, valid_to) in exact µs, open current run — two
+    // windows over one (user, ts, id) sort, null-safe run collapse
+    "q_scd2" -> ((s, dir) =>
+      Events.scd2(
+          Events.read(s, dir).filter(col("user_id") < 50),
+          "user_id", "event_type", "ts_us", "event_id")
+        .orderBy(col("user_id"), col("valid_from_us"), col("change_id"))),
     // range (interval-containment) join: events joined back into their
     // containing session windows via bin-bucketed equi-join — per-session
     // counts must reproduce q_sessionize's n_events
@@ -4804,6 +4812,20 @@ object SparkEntry {
         |                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // replays Events.scd2: null-safe run collapse over the (user, ts,
+    // id) order, lead() closes each interval, current run stays open
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events WHERE user_id < 50),
+        |w AS (SELECT *,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |      FROM e),
+        |ch AS (SELECT * FROM w WHERE rn = 1 OR NOT (event_type IS NOT DISTINCT FROM prev))
+        |SELECT user_id, event_type AS value, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+        |  event_id AS change_id
+        |FROM ch ORDER BY user_id, valid_from_us, change_id""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts

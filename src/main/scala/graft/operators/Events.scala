@@ -213,6 +213,38 @@ object Events {
       .withColumn("p", col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))))
   }
 
+  /** SCD Type-2 interval history — the warehouse staple that turns a
+    * change log into a queryable dimension: per key, collapse
+    * consecutive runs of the SAME value (null-safe — a NULL value is a
+    * run like any other) and emit one row per run with its
+    * [valid_from, valid_to) µs interval; the current run's valid_to is
+    * NULL (open). Two windows over the SAME (key, ts, id) ordering —
+    * Catalyst reuses one sort — and both partition by the natural key,
+    * so parallelism is the key cardinality and no task ever sees more
+    * than one key's history. The id column breaks equal-timestamp ties
+    * deterministically. Output: (key, value, valid_from_us,
+    * valid_to_us). The as-of lookup this table serves is `valid_from
+    * <= t AND (valid_to IS NULL OR t < valid_to)` — a range-join
+    * ([[graft.operators.RangeJoin]]) or a partition-pruned scan, never
+    * a per-query window. */
+  def scd2(df: DataFrame, keyCol: String, valCol: String,
+           tsUsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(idCol))
+    val changes = df
+      .select(col(keyCol), col(valCol), col(tsUsCol), col(idCol))
+      .withColumn("__prev", lag(col(valCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col(valCol) <=> col("__prev")))
+    changes
+      .withColumn("valid_to_us", lead(col(tsUsCol), 1).over(w))
+      // the change-event id rides along: lineage back to the source
+      // row AND a total ordering for equal-timestamp changes
+      .select(col(keyCol), col(valCol).as("value"),
+        col(tsUsCol).as("valid_from_us"), col("valid_to_us"),
+        col(idCol).as("change_id"))
+  }
+
   /** Gap-filled hourly series per event type: project events onto an
     * exact integer hour index (ts_ns DIV 3.6e12 — no calendar math, no
     * timezone), build the full [min,max] hour spine per type, left-join

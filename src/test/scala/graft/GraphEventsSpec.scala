@@ -272,4 +272,34 @@ class GraphEventsSpec extends SparkTestBase {
       (1L, 4, "a b c", "d"),
       (1L, 5, "b c d", "e")))
   }
+
+  test("scd2: runs collapse null-safely, intervals abut, current run open") {
+    // user 1: A A B B A (runs A[10,30) B[30,50) A[50,∞));
+    // user 2: null null C (null IS a run: null[5,25) C[25,∞))
+    val log = Seq(
+      (1L, Option("A"), 10L, 100L), (1L, Option("A"), 20L, 101L),
+      (1L, Option("B"), 30L, 102L), (1L, Option("B"), 40L, 103L),
+      (1L, Option("A"), 50L, 104L),
+      (2L, Option.empty[String], 5L, 200L), (2L, Option.empty[String], 15L, 201L),
+      (2L, Option("C"), 25L, 202L)
+    ).toDF("user_id", "v", "ts_us", "event_id")
+    val got = Events.scd2(log, "user_id", "v", "ts_us", "event_id")
+      .orderBy("user_id", "valid_from_us")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, Some("A"), 10L, Some(30L), 100L),
+      (1L, Some("B"), 30L, Some(50L), 102L),
+      (1L, Some("A"), 50L, None, 104L),
+      (2L, None, 5L, Some(25L), 200L),
+      (2L, Some("C"), 25L, None, 202L)))
+    // reconstruction: as-of lookup at every source event's ts returns
+    // that event's value (intervals partition the timeline per key)
+    val hist = Events.scd2(log, "user_id", "v", "ts_us", "event_id")
+    val back = log.as("e").join(hist.as("h"),
+        col("e.user_id") === col("h.user_id") &&
+          col("h.valid_from_us") <= col("e.ts_us") &&
+          (col("h.valid_to_us").isNull || col("e.ts_us") < col("h.valid_to_us")))
+    assert(back.count() === log.count())
+    assert(back.filter(!(col("e.v") <=> col("h.value"))).isEmpty)
+  }
 }
