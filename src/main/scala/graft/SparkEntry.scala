@@ -141,7 +141,10 @@ object SparkEntry {
     // streaming curation-funnel monitor: stateless gate flags + a
     // one-boolean-per-fingerprint dedup state, scored through the
     // identical funnelFromFlags stage as batch
-    "q_stream_funnel" -> ((s, dir) => StreamEntries.streamFunnel(s, dir)))
+    "q_stream_funnel" -> ((s, dir) => StreamEntries.streamFunnel(s, dir)),
+    // streaming SCD2: one open run per key in state, closed intervals
+    // emitted as changes arrive — equals batch scd2's closed set
+    "q_stream_scd2" -> ((s, dir) => StreamEntries.streamScd2(s, dir)))
 
   // §2b LLM-pipeline: deduplication family over `documents`.
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4826,6 +4829,22 @@ object SparkEntry {
         |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
         |  event_id AS change_id
         |FROM ch ORDER BY user_id, valid_from_us, change_id""".stripMargin,
+    // the live SCD2 sink = the batch history's CLOSED intervals (the
+    // open run per key lives in the state store, not the sink)
+    "q_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events WHERE user_id < 50),
+        |w AS (SELECT *,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |      FROM e),
+        |ch AS (SELECT * FROM w WHERE rn = 1 OR NOT (event_type IS NOT DISTINCT FROM prev)),
+        |iv AS (SELECT user_id, event_type AS value, ts_us AS valid_from_us,
+        |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+        |         event_id AS change_id
+        |       FROM ch)
+        |SELECT * FROM iv WHERE valid_to_us IS NOT NULL
+        |ORDER BY user_id, valid_from_us, change_id""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts

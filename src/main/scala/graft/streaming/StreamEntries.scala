@@ -1134,6 +1134,72 @@ object StreamEntries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-key run state for [[streamScd2]]: the OPEN interval — its
+    * value (None = a genuine NULL-valued run), start µs and the change
+    * event id that opened it. */
+  final case class ScdRun(v: Option[String], ts: Long, id: Long)
+
+  /** Streaming SCD Type-2 — the LIVE half of
+    * [[graft.operators.Events.scd2]], the shape a CDC pipeline uses to
+    * maintain a dimension's history as changes ARRIVE instead of
+    * rebuilding it nightly: state per natural key is exactly ONE open
+    * run (value, start, opening id); an arriving row whose value
+    * differs null-safely from the open run closes it — emitting the
+    * finished [valid_from, valid_to) interval — and opens the next.
+    * The feed arrives in event-TIME-range micro-batches (a replaying
+    * changelog), rows handled in (ts, id) order within a batch, so the
+    * drained sink equals the batch scd2's CLOSED intervals exactly —
+    * the open run per key lives only in state (a live query reads
+    * history = sink ∪ state, exactly the lambda-free promise). Oracle:
+    * the batch scd2 SQL with `valid_to IS NOT NULL`. */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val feed = memoFeed(s"scd2:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+    }
+    val ts = feed.map(_._3)
+    val tmid = ts.min + (ts.max - ts.min) / 2
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_scd2")
+    withStatePartitions(s, 4, noData = false) {
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val closed = mem.toDS()
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[ScdRun, (Long, Option[String], Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (key: Long, rows: Iterator[(Long, String, Long, Long)],
+           state: GroupState[ScdRun]) =>
+            var run = state.getOption.orNull
+            val out = Seq.newBuilder[(Long, Option[String], Long, Long, Long)]
+            rows.toArray.sortBy(r => (r._3, r._4)).foreach {
+              case (_, v, t, id) =>
+                val ov = Option(v)
+                if (run == null) run = ScdRun(ov, t, id)
+                else if (run.v != ov) {
+                  out += ((key, run.v, run.ts, t, run.id))
+                  run = ScdRun(ov, t, id)
+                }
+            }
+            state.update(run)
+            out.result().iterator
+        }
+        .toDF("user_id", "value", "valid_from_us", "valid_to_us", "change_id")
+      val q = closed.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        mem.addData(feed.filter(_._3 <= tmid))
+        q.processAllAvailable()
+        mem.addData(feed.filter(_._3 > tmid))
+        q.processAllAvailable()
+      }
+    }
+    takeTable(s, name)
+      .orderBy(col("user_id"), col("valid_from_us"), col("change_id"))
+  }
+
   /** Streaming curation-funnel monitor — the LIVE twin of
     * [[graft.operators.TextAnalysis.curationFunnel]], the attrition
     * dashboard a continuously-ingesting curation pipeline watches:

@@ -124,6 +124,24 @@ class StreamEntriesSpec extends SparkTestBase {
       s"no cross-batch hit in ${streamed.size} rows")
   }
 
+  test("q_stream_scd2 equals batch scd2's closed intervals; a run crosses the boundary") {
+    val streamed = StreamEntries.streamScd2(spark, dir)
+    val batch = Events.scd2(
+        Events.read(spark, dir).filter(col("user_id") < lit(50L * scale)),
+        "user_id", "event_type", "ts_us", "event_id")
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "value", "valid_from_us", "valid_to_us", "change_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // at least one interval opened in batch 1 was CLOSED by a batch-2
+    // event — the open-run state genuinely crossed the boundary
+    val ev = Events.read(spark, dir).filter(col("user_id") < lit(50L * scale))
+      .agg(min(col("ts_us")), max(col("ts_us"))).as[(Long, Long)].head()
+    val tmid = ev._1 + (ev._2 - ev._1) / 2
+    assert(streamed.filter(col("valid_from_us") <= tmid &&
+      col("valid_to_us") > tmid).count() > 0)
+  }
+
   test("q_stream_funnel equals the batch funnel; dedup state crosses the batch boundary") {
     val streamed = StreamEntries.streamFunnel(spark, dir)
       .select("stage", "gate", "n_kept", "n_cut", "kept_ppm")
