@@ -472,6 +472,14 @@ object SparkEntry {
         Similarity.kmeansCodebook(e, 5, 2))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // reciprocal kNN pairs: kept only if each ranks in the OTHER's
+    // top-3 (hub suppression); the mutual filter is an |n·k| self-join
+    // over whatever ranking feeds it — brute force here, IVF at scale
+    "q_mutual_knn" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("id") < 200)
+      Similarity.mutualTopK(Similarity.bruteForceTopK(e, e, 3))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
     // embedding health gate: per-dim counts of non-finite / zero-norm
     // vectors + the norm envelope in integer micros — the pre-index
     // data contract of the ANN family, one aggregate pass
@@ -994,7 +1002,20 @@ object SparkEntry {
           Multimodal.withPlantedTwins(
             Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet"))),
           local = true)
-        .orderBy(col("media_a"), col("media_b"))))
+        .orderBy(col("media_a"), col("media_b"))),
+    // media dedup clusters: verified local-pHash pairs closed into
+    // connected components via the SAME pointer-jumping operator the
+    // text dedup family uses — one cluster per twin group
+    "q_phash_clusters" -> ((s, dir) => {
+      val pairs = Multimodal.phashNearDup(
+          Multimodal.withPlantedTwins(
+            Multimodal.synthesize(s.read.parquet(s"$dir/embeddings.parquet"))),
+          local = true)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      Dedup.nearDupClusters(pairs)
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+        .orderBy(col("media_id"))
+    }))
 
   // §2b: JSON extraction, event-time windows, as-of join, streaming-shaped
   // windowed checksum over `events`.
@@ -3825,6 +3846,24 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    // replays mutualTopK over the exact slice ranking: two row_number
+    // windows + the reversed-pair equi-join
+    "q_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 200),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |             round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+        |           FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |rk AS (SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |       FROM scored),
+        |top AS (SELECT * FROM rk WHERE rank <= 3)
+        |SELECT a.query_id AS vec_a, a.vec_id AS vec_b,
+        |  a.rank AS rank_ab, b.rank AS rank_ba, a.sim
+        |FROM top a JOIN top b ON a.query_id = b.vec_id AND a.vec_id = b.query_id
+        |WHERE a.query_id < a.vec_id
+        |ORDER BY vec_a, vec_b""".stripMargin,
     // replays Similarity.vectorHealth: x−x ≠ 0 non-finite classification,
     // norms excluded for non-finite vectors, floor(x·1e6+0.5) micros
     "q_vector_health" ->
@@ -4632,36 +4671,25 @@ object SparkEntry {
         |SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
         |ORDER BY media_a, media_b""".stripMargin,
-    "q_phash_neardup_local" ->
-      """WITH p0 AS (SELECT vec_id AS media_id,
-        |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
-        |mxo AS (SELECT CAST('1' || repeat('0', length(CAST(max(media_id) AS VARCHAR)))
-        |            AS BIGINT) AS off FROM p0),
-        |tw AS (SELECT media_id + (SELECT off FROM mxo) AS media_id,
-        |            'z' || substr(pay, 2) AS pay
-        |       FROM p0 WHERE media_id % 10 = 0),
-        |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw),
-        |ix AS (SELECT media_id, pay, unnest(generate_series(1, len(pay))) AS i FROM p),
-        |c AS (SELECT media_id, (i - 1) % 60 AS bk, ord(substr(pay, i, 1)) AS b FROM ix),
-        |bs AS (SELECT media_id, bk, bk // 15 AS blk, sum(b) AS s, count(*) AS cnt
-        |       FROM c GROUP BY 1, 2, 3),
-        |tot AS (SELECT media_id, blk, sum(s) AS t, sum(cnt) AS n FROM bs GROUP BY 1, 2),
-        |ph AS (SELECT bs.media_id,
-        |         CAST(sum(CASE WHEN bs.s * tot.n > tot.t * bs.cnt
-        |                       THEN CAST(1 AS BIGINT) << CAST(bk AS INT) ELSE 0 END) AS BIGINT) AS phash
-        |       FROM bs JOIN tot ON bs.media_id = tot.media_id AND bs.blk = tot.blk
-        |       GROUP BY bs.media_id),
-        |chunks AS (SELECT media_id, phash, c, (phash >> (c * 15)) & 32767 AS chunk
-        |           FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
-        |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk HAVING count(*) <= 100),
-        |ck AS (SELECT ch.* FROM chunks ch JOIN keep k ON ch.c = k.c AND ch.chunk = k.chunk),
-        |pairs AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-        |            a.phash AS pa, b.phash AS pb
-        |          FROM ck a JOIN ck b
-        |          ON a.c = b.c AND a.chunk = b.chunk AND a.media_id < b.media_id)
+    "q_phash_neardup_local" -> (phashLocalPairsCte +
+      """
         |SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3
-        |ORDER BY media_a, media_b""".stripMargin,
+        |ORDER BY media_a, media_b""".stripMargin),
+    // media dedup clusters: the verified local-pHash pairs closed into
+    // connected components (cluster_id = min reachable media id) — the
+    // same pointer-jumping operator the text family uses
+    "q_phash_clusters" -> (phashLocalPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |fp AS (SELECT media_a, media_b FROM pairs WHERE bit_count(xor(pa, pb)) <= 3),
+        |edges AS (SELECT media_a AS src, media_b AS dst FROM fp
+        |          UNION ALL SELECT media_b, media_a FROM fp),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS media_id, least(a, min(b)) AS cluster_id FROM reach
+        |GROUP BY a ORDER BY media_id""".stripMargin),
     "q_multimodal_meta" ->
       """WITH m AS (SELECT vec_id, 16 + vec_id % 48 AS width, 16 + vec_id % 32 AS height,
         |                  1 + vec_id % 3 AS channels, 128 AS payload_bytes FROM embeddings)
@@ -6435,6 +6463,39 @@ object SparkEntry {
       |CROSS JOIN (VALUES (500), (950)) AS q(q_permille)
       |WHERE r.rn = (q.q_permille * m.m_slots + 999) // 1000
       |ORDER BY event_type, q_permille""".stripMargin
+
+  /** Shared local-mean pHash candidate CTEs (replaying
+    * [[graft.operators.Multimodal.phashNearDup]] with `local = true`
+    * over the planted-twin corpus): ends with `pairs(media_a, media_b,
+    * pa, pb)` — chunk-pigeonhole candidates, hamming NOT yet filtered.
+    * One definition for the near-dup gate and the cluster closure. */
+  private val phashLocalPairsCte: String =
+    """WITH p0 AS (SELECT vec_id AS media_id,
+      |            repeat(md5(CAST(vec_id AS VARCHAR)), 4) AS pay FROM embeddings),
+      |mxo AS (SELECT CAST('1' || repeat('0', length(CAST(max(media_id) AS VARCHAR)))
+      |            AS BIGINT) AS off FROM p0),
+      |tw AS (SELECT media_id + (SELECT off FROM mxo) AS media_id,
+      |            'z' || substr(pay, 2) AS pay
+      |       FROM p0 WHERE media_id % 10 = 0),
+      |p AS (SELECT * FROM p0 UNION ALL SELECT * FROM tw),
+      |ix AS (SELECT media_id, pay, unnest(generate_series(1, len(pay))) AS i FROM p),
+      |c AS (SELECT media_id, (i - 1) % 60 AS bk, ord(substr(pay, i, 1)) AS b FROM ix),
+      |bs AS (SELECT media_id, bk, bk // 15 AS blk, sum(b) AS s, count(*) AS cnt
+      |       FROM c GROUP BY 1, 2, 3),
+      |tot AS (SELECT media_id, blk, sum(s) AS t, sum(cnt) AS n FROM bs GROUP BY 1, 2),
+      |ph AS (SELECT bs.media_id,
+      |         CAST(sum(CASE WHEN bs.s * tot.n > tot.t * bs.cnt
+      |                       THEN CAST(1 AS BIGINT) << CAST(bk AS INT) ELSE 0 END) AS BIGINT) AS phash
+      |       FROM bs JOIN tot ON bs.media_id = tot.media_id AND bs.blk = tot.blk
+      |       GROUP BY bs.media_id),
+      |chunks AS (SELECT media_id, phash, c, (phash >> (c * 15)) & 32767 AS chunk
+      |           FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+      |keep AS (SELECT c, chunk FROM chunks GROUP BY c, chunk HAVING count(*) <= 100),
+      |ck AS (SELECT ch.* FROM chunks ch JOIN keep k ON ch.c = k.c AND ch.chunk = k.chunk),
+      |pairs AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      |            a.phash AS pa, b.phash AS pb
+      |          FROM ck a JOIN ck b
+      |          ON a.c = b.c AND a.chunk = b.chunk AND a.media_id < b.media_id)""".stripMargin
 
   /** Shared BM25 lexical-ranking CTEs (replaying
     * [[graft.operators.Retrieval.bm25Ranks]] for the doc_id < 5

@@ -1106,6 +1106,26 @@ object Similarity {
         expr(s"n_hits * 1000000 div $k").as("recall_ppm"))
   }
 
+  /** Reciprocal (mutual) k-nearest-neighbor pairs — the
+    * high-precision pairing rule entity matching and robust dedup use
+    * when one-directional top-k is too noisy: (a, b) is kept only if
+    * b ranks in a's top k AND a ranks in b's top k (hubs that appear
+    * in everyone's list but reciprocate nothing drop out). Takes ANY
+    * (query_id, vec_id, sim, rank ≤ k) ranking — brute-force on a
+    * slice, IVF/PQ at corpus scale — so the mutual filter itself is
+    * one |n·k|-row self-equi-join, linear in the ranking it filters.
+    * Output: (vec_a < vec_b, rank_ab, rank_ba, sim). */
+  def mutualTopK(ranked: DataFrame): DataFrame = {
+    val fwd = ranked.select(col("query_id"), col("vec_id"),
+      col("rank"), col("sim"))
+    val rev = ranked.select(col("query_id").as("vec_id"),
+      col("vec_id").as("query_id"), col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("query_id", "vec_id"))
+      .filter(col("query_id") < col("vec_id"))
+      .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
+        col("rank").as("rank_ab"), col("rank_ba"), col("sim"))
+  }
+
   /** Embedding health gate — the data contract an ANN index build
     * checks BEFORE indexing (the `expectations` of the vector world):
     * per dimensionality bucket (a ragged corpus is itself a defect —

@@ -159,6 +159,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(_._2.length == dim))
   }
 
+  test("mutualTopK keeps reciprocal pairs and suppresses the hub") {
+    // two tight twin pairs on different axes + a hub vector that leans
+    // toward vector 1: the hub's top-1 is 1, but 1's top-1 is its twin
+    // 2 — so (1, hub) is one-directional and must drop; both twin
+    // pairs are mutual at rank 1
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.02f, 0.0f)),
+      (2L, Seq(1.0f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.02f)),
+      (4L, Seq(0.0f, 1.0f, 0.01f)),
+      (5L, Seq(0.9f, 0.4f, 0.1f)) // the hub
+    ).toDF("id", "vec")
+    val got = Similarity.mutualTopK(Similarity.bruteForceTopK(vecs, vecs, 1))
+      .select("vec_a", "vec_b", "rank_ab", "rank_ba")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1, 1), (3L, 4L, 1, 1)))
+    // at k large enough to see everything, mutual == all pairs: the
+    // filter never invents pairs, only prunes
+    val all = Similarity.mutualTopK(Similarity.bruteForceTopK(vecs, vecs, 4))
+    assert(all.count() === 10L)
+  }
+
   test("vectorHealth: planted NaN/Inf/null/zero/ragged vectors all classified") {
     val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
       (1L, Some(Seq(3.0f, 4.0f))),              // healthy, norm 5

@@ -247,6 +247,26 @@ class TextEventsSpec extends SparkTestBase {
     assert(planted.size >= globalRec)
   }
 
+  test("phash clusters: every twin pair closes into one 2-member cluster") {
+    import graft.operators.{Dedup, Multimodal}
+    val synth = Multimodal.synthesize(
+      spark.read.parquet(s"$sfSmoke/embeddings.parquet"))
+    val off = Multimodal.twinOffset(synth)
+    val pairs = Multimodal.phashNearDup(
+        Multimodal.withPlantedTwins(synth), local = true)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toSeq
+    val byCluster = clusters.groupBy(_._2)
+    // planted structure: twin groups are exactly {base, base + off},
+    // cluster_id = the base (min member)
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).sorted === Seq(cid, cid + off),
+        s"cluster $cid: ${members.map(_._1).sorted}")
+    }
+  }
+
   test("withPlantedTwins derives a collision-free offset at any id scale") {
     import graft.operators.Multimodal
     // ids straddling the old fixed 1e6 offset (the sf1 regression):
