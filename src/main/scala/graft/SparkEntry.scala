@@ -40,6 +40,13 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** THE verified near-dup pair set (exact df-capped Jaccard ≥ 0.5) the
+    * cluster / split / fold entries all consume — one definition so the
+    * assignment families can never disagree on cluster membership. */
+  private def jaccardPairs05(d: DataFrame): DataFrame =
+    Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3, maxDf = jaccardMaxDf)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+      .filter(col("j") >= 0.5)
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
@@ -242,23 +249,15 @@ object SparkEntry {
         maxDf = jaccardMaxDf)),
     // near-dup clusters: connected components over the verified pair
     // graph; cluster_id = min reachable doc_id (the canonical survivor)
-    "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardJoin(docs(s, dir), "text", "doc_id", 0.0, 3,
-          maxDf = jaccardMaxDf)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
-        .filter(col("j") >= 0.5)
-      Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
-    }),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(jaccardPairs05(docs(s, dir))).orderBy(col("doc_id"))),
     // curation keeper rule: per near-dup cluster keep the
     // HIGHEST-quality member (qualityPpm argmax, min-id tiebreak via
     // the (score, −id) struct max), singletons their own cluster —
     // the retention census (keeper, best score, cluster size)
     "q_dedup_best" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3,
-          maxDf = jaccardMaxDf)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
-        .filter(col("j") >= 0.5)
+      val pairs = jaccardPairs05(d)
       val members = d
         .select(col("doc_id"), TextAnalysis.qualityPpm(col("text")).as("score"))
         .join(Dedup.nearDupClusters(pairs), Seq("doc_id"), "left_outer")
@@ -282,11 +281,7 @@ object SparkEntry {
     // training document. Reuses q_dedup_clusters' pair set (cached).
     "q_split_leakfree" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3,
-          maxDf = jaccardMaxDf)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
-        .filter(col("j") >= 0.5)
-      Dedup.leakFreeSplit(d, pairs, "doc_id")
+      Dedup.leakFreeSplit(d, jaccardPairs05(d), "doc_id")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("rep") =!= col("doc_id"), 1)).as("n_dup_members"))
@@ -298,11 +293,7 @@ object SparkEntry {
     // so membership itself is hash-gated
     "q_group_kfold" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3,
-          maxDf = jaccardMaxDf)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
-        .filter(col("j") >= 0.5)
-      Dedup.groupKFold(d, pairs, "doc_id", 5)
+      Dedup.groupKFold(d, jaccardPairs05(d), "doc_id", 5)
         .select(col("doc_id"), col("rep"), col("fold"))
         .orderBy(col("doc_id"))
     }),
@@ -4843,11 +4834,15 @@ object SparkEntry {
         |                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
-    // replays Events.scd2: null-safe run collapse over the (user, ts,
-    // id) order, lead() closes each interval, current run stays open
+    // replays Events.scd2: equal-ts compaction to the max-id change,
+    // then null-safe run collapse over the (user, ts, id) order,
+    // lead() closes each interval, current run stays open
     "q_scd2" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      """WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |           FROM events WHERE user_id < 50),
+        |e AS (SELECT user_id, event_type, ts_us, event_id FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |          ORDER BY event_id DESC) AS cr FROM e0) WHERE cr = 1),
         |w AS (SELECT *,
         |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
@@ -4860,8 +4855,11 @@ object SparkEntry {
     // the live SCD2 sink = the batch history's CLOSED intervals (the
     // open run per key lives in the state store, not the sink)
     "q_stream_scd2" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      """WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |           FROM events WHERE user_id < 50),
+        |e AS (SELECT user_id, event_type, ts_us, event_id FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |          ORDER BY event_id DESC) AS cr FROM e0) WHERE cr = 1),
         |w AS (SELECT *,
         |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn

@@ -819,15 +819,25 @@ object Dedup {
     * One left join against the (small) cluster labels + a projection. */
   def leakFreeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
                     trainPct: Int = 90, validationPct: Int = 5): DataFrame = {
-    val clusters = nearDupClusters(pairs)
-      .select(col("doc_id").as("__cid"), col("cluster_id").as("__clu"))
     val bucket = pmod(md5Hash60(col("rep").cast("string")), lit(100L))
-    docs.join(clusters, docs(idCol) === col("__cid"), "left")
-      .withColumn("rep", coalesce(col("__clu"), docs(idCol)))
+    withClusterRep(docs, pairs, idCol)
       .withColumn("split",
         when(bucket < trainPct, "train")
           .when(bucket < trainPct + validationPct, "validation")
           .otherwise("test"))
+  }
+
+  /** THE cluster-representative attachment, shared by [[leakFreeSplit]]
+    * and [[groupKFold]] so the two assignment families can never
+    * disagree on cluster membership: one left join against the (small)
+    * [[nearDupClusters]] labels, `rep` = cluster min (singletons
+    * represent themselves). */
+  private def withClusterRep(docs: DataFrame, pairs: DataFrame,
+                             idCol: String): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .select(col("doc_id").as("__cid"), col("cluster_id").as("__clu"))
+    docs.join(clusters, docs(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("__clu"), docs(idCol)))
       .drop("__cid", "__clu")
   }
 
@@ -845,14 +855,10 @@ object Dedup {
   def groupKFold(docs: DataFrame, pairs: DataFrame, idCol: String,
                  k: Int): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    val clusters = nearDupClusters(pairs)
-      .select(col("doc_id").as("__cid"), col("cluster_id").as("__clu"))
-    docs.join(clusters, docs(idCol) === col("__cid"), "left")
-      .withColumn("rep", coalesce(col("__clu"), docs(idCol)))
+    withClusterRep(docs, pairs, idCol)
       .withColumn("fold",
         pmod(md5Hash60(concat(lit("fold_"), col("rep").cast("string"))),
           lit(k.toLong)))
-      .drop("__cid", "__clu")
   }
 
   /** Canonical text form for fuzzy-exact dedup: casefold, strip

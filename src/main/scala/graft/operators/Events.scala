@@ -221,18 +221,29 @@ object Events {
     * NULL (open). Two windows over the SAME (key, ts, id) ordering —
     * Catalyst reuses one sort — and both partition by the natural key,
     * so parallelism is the key cardinality and no task ever sees more
-    * than one key's history. The id column breaks equal-timestamp ties
-    * deterministically. Output: (key, value, valid_from_us,
+    * than one key's history. Equal-timestamp changes per key collapse
+    * to the last (max id) — the state at t is the FINAL value at t, so
+    * no zero-width [t, t) interval ever exists and the as-of lookup is
+    * total over the observed timeline. Output: (key, value, valid_from_us,
     * valid_to_us). The as-of lookup this table serves is `valid_from
     * <= t AND (valid_to IS NULL OR t < valid_to)` — a range-join
     * ([[graft.operators.RangeJoin]]) or a partition-pruned scan, never
     * a per-query window. */
   def scd2(df: DataFrame, keyCol: String, valCol: String,
            tsUsCol: String, idCol: String): DataFrame = {
+    // equal-timestamp changes collapse to the LAST (max id) per
+    // (key, ts) FIRST — the state at t is the final value at t. Without
+    // this, two changes at one µs emit a zero-width [t, t) interval the
+    // documented as-of lookup can never return.
+    val perTs = Window.partitionBy(col(keyCol), col(tsUsCol))
+      .orderBy(col(idCol).desc)
+    val compacted = df
+      .select(col(keyCol), col(valCol), col(tsUsCol), col(idCol))
+      .withColumn("__r", row_number().over(perTs))
+      .filter(col("__r") === 1).drop("__r")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsUsCol), col(idCol))
-    val changes = df
-      .select(col(keyCol), col(valCol), col(tsUsCol), col(idCol))
+    val changes = compacted
       .withColumn("__prev", lag(col(valCol), 1).over(w))
       .withColumn("__first", row_number().over(w) === 1)
       .filter(col("__first") || !(col(valCol) <=> col("__prev")))

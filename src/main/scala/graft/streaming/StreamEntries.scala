@@ -1174,7 +1174,16 @@ object StreamEntries {
            state: GroupState[ScdRun]) =>
             var run = state.getOption.orNull
             val out = Seq.newBuilder[(Long, Option[String], Long, Long, Long)]
-            rows.toArray.sortBy(r => (r._3, r._4)).foreach {
+            // the batch operator's equal-ts compaction: keep only the
+            // LAST (max id) change per timestamp — sorted ascending, so
+            // that's the final element of each ts run. Equal-ts rows
+            // can never straddle micro-batches (the feed splits on a ts
+            // bound), so compacting within the batch is the full rule.
+            val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+            val compacted = sorted.indices
+              .filter(i => i == sorted.length - 1 || sorted(i + 1)._3 != sorted(i)._3)
+              .map(sorted)
+            compacted.foreach {
               case (_, v, t, id) =>
                 val ov = Option(v)
                 if (run == null) run = ScdRun(ov, t, id)
@@ -1265,6 +1274,7 @@ object StreamEntries {
       }
     }
     TextAnalysis.funnelFromFlags(takeTable(s, name))
+      .orderBy(col("stage"))
   }
 
   /** Streaming hot-key monitor — the LIVE twin of

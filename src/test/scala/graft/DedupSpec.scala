@@ -273,15 +273,19 @@ class DedupSpec extends SparkTestBase {
       .select(col("doc_id"), col("rep"), col("fold"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again === folded)
-    // fold stream is salted independently of the split's bucket stream:
-    // on a wider id range the two assignments must not be functionally
-    // identical partitions (md5('fold_'||rep) vs md5(rep))
+    // the 'fold_' salt genuinely decorrelates the fold stream from the
+    // split family's unsalted md5(rep) bucket stream: dropping the salt
+    // would make the two assignments identical on EVERY id, so assert
+    // they differ somewhere (and folds still cover the full range)
     val wide = (1L to 200L).map(i => (i, s"doc $i unique tokens ${i * 7}"))
       .toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val f200 = Dedup.groupKFold(wide, noPairs, "doc_id", 3)
-      .select(col("fold")).as[Long].collect()
-    assert(f200.distinct.sorted === Seq(0L, 1L, 2L))
+      .select(col("fold"),
+        pmod(Dedup.md5Hash60(col("rep").cast("string")), lit(3L)).as("unsalted"))
+    assert(f200.filter(col("fold") =!= col("unsalted")).count() > 0,
+      "fold stream must not equal the unsalted bucket stream")
+    assert(f200.select("fold").distinct().count() === 3)
   }
 
   test("canonicalGroups merges case/punctuation/whitespace variants") {

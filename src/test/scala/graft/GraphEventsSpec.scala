@@ -292,6 +292,18 @@ class GraphEventsSpec extends SparkTestBase {
       (1L, Some("A"), 50L, None, 104L),
       (2L, None, 5L, Some(25L), 200L),
       (2L, Some("C"), 25L, None, 202L)))
+    // equal-timestamp changes collapse to the LAST (max id): no
+    // zero-width [t, t) interval, the state at t is the final value
+    val ties = Seq(
+      (7L, Option("A"), 10L, 300L), (7L, Option("B"), 10L, 301L),
+      (7L, Option("C"), 20L, 302L)
+    ).toDF("user_id", "v", "ts_us", "event_id")
+    val tied = Events.scd2(ties, "user_id", "v", "ts_us", "event_id")
+      .orderBy("valid_from_us")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(tied === Seq(
+      (7L, Some("B"), 10L, Some(20L), 301L),
+      (7L, Some("C"), 20L, None, 302L)))
     // reconstruction: as-of lookup at every source event's ts returns
     // that event's value (intervals partition the timeline per key)
     val hist = Events.scd2(log, "user_id", "v", "ts_us", "event_id")

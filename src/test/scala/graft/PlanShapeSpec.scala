@@ -545,21 +545,22 @@ class PlanShapeSpec extends SparkTestBase {
     // retrieval/AUC/PPR: every join is broadcast or key-equi — never a
     // cartesian (the k-row codebook / 5-query truth / rank vector are
     // the broadcast sides)
-    for (q <- Seq("q_silhouette", "q_retrieval_quality", "q_binary_auc",
-        "q_pagerank_personal")) {
-      val p = plan(q)
+    // bind each plan ONCE — building these plans runs real jobs
+    // (k-means training, PageRank rounds with localCheckpoints)
+    val sil = plan("q_silhouette")
+    val ret = plan("q_retrieval_quality")
+    val auc = plan("q_binary_auc")
+    val ppr = plan("q_pagerank_personal")
+    for ((q, p) <- Seq("q_silhouette" -> sil, "q_retrieval_quality" -> ret,
+        "q_binary_auc" -> auc, "q_pagerank_personal" -> ppr))
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
-    }
-    assert(plan("q_silhouette").contains("BroadcastNestedLoopJoin") ||
-      plan("q_silhouette").contains("BroadcastHashJoin"))
+    assert(sil.contains("BroadcastNestedLoopJoin") ||
+      sil.contains("BroadcastHashJoin"))
     // binaryAuc: corpus collapses to the score histogram FIRST — a
     // partial aggregate must precede the window
-    val auc = plan("q_binary_auc")
     assert(auc.contains("partial_"), auc)
     assert(auc.contains("Window"), auc)
     // PPR: the per-round rank vector joins broadcast
-    assert(plan("q_pagerank_personal")
-      .linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
-      plan("q_pagerank_personal"))
+    assert(ppr.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, ppr)
   }
 }
