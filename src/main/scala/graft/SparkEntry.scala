@@ -463,6 +463,16 @@ object SparkEntry {
         Similarity.kmeansCodebook(e, 5, 2))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the no-model text→vector bridge: feature-hashed (±1 signed count)
+    // doc vectors fed straight into the exact cosine top-k — planted
+    // near-dups surface at ≈0.99 without any embedding model
+    "q_hashed_vectors_topk" -> ((s, dir) => {
+      val v = TextAnalysis.hashedDocVectors(docs(s, dir), "text", "doc_id")
+        .filter(Similarity.norm(col("vec")) > 0.0d)
+        .select(col("doc_id").as("id"), col("vec"))
+      Similarity.bruteForceTopK(v.filter(col("id") < 5), v, 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // reciprocal kNN pairs: kept only if each ranks in the OTHER's
     // top-3 (hub suppression); the mutual filter is an |n·k| self-join
     // over whatever ranking feeds it — brute force here, IVF at scale
@@ -3837,6 +3847,32 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    // replays hashedDocVectors + the exact cosine: salted md5 dims and
+    // sign hashes, signed-count components, 0..63 spine assembly,
+    // zero-norm filter, the standard ranked-cosine tail
+    "q_hashed_vectors_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         |cm AS (SELECT doc_id,
+         |         ${duckHash60("'fh_' || t")} % 64 AS pos,
+         |         CASE WHEN ${duckHash60("'fs_' || t")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |       FROM tk),
+         |comp AS (SELECT doc_id, pos, CAST(sum(sgn) AS BIGINT) AS w FROM cm GROUP BY 1, 2),
+         |spine AS (SELECT d.doc_id, s.pos FROM (SELECT DISTINCT doc_id FROM comp) d
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) s),
+         |vecs AS (SELECT sp.doc_id,
+         |           list(CAST(coalesce(c.w, 0) AS DOUBLE) ORDER BY sp.pos) AS v
+         |         FROM spine sp LEFT JOIN comp c ON sp.doc_id = c.doc_id AND sp.pos = c.pos
+         |         GROUP BY sp.doc_id),
+         |nz AS (SELECT * FROM vecs WHERE list_dot_product(v, v) > 0),
+         |scored AS (SELECT q.doc_id AS query_id, c.doc_id AS vec_id,
+         |             round(list_dot_product(q.v, c.v) /
+         |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+         |           FROM (SELECT * FROM nz WHERE doc_id < 5) q JOIN nz c ON q.doc_id <> c.doc_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     // replays mutualTopK over the exact slice ranking: two row_number
     // windows + the reversed-pair equi-join
     "q_mutual_knn" ->

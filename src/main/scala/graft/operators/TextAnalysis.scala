@@ -924,6 +924,40 @@ object TextAnalysis {
     funnelFromFlags(flagged)
   }
 
+  /** Feature-hashed document vectors — the hashing trick (Weinberger
+    * et al., ICML'09): every token hashes to one of `dims` components
+    * (md5-salted, so the oracle replays it) with an independent ±1
+    * sign hash, and the component is the SIGNED token count — integer
+    * exact, so the assembled vector is bit-identical cross-engine and
+    * the cosine over it is the usual IEEE ratio of exact integers.
+    * This is the no-model text→vector bridge: the output feeds every
+    * vector operator (bruteForceTopK, IVF, semanticDedup, silhouette)
+    * without an embedding model in the loop, and on this corpus it
+    * surfaces the planted near-dups at cosine ≈ 0.99. One token
+    * explode + two grouped aggregates; docs with no tokens produce no
+    * vector (nothing to hash), zero vectors are the caller's
+    * [[graft.operators.Similarity.vectorHealth]] gate. Output:
+    * (doc_id, vec array<double> of length `dims`). */
+  def hashedDocVectors(docs: DataFrame, textCol: String, idCol: String,
+                       dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val md5h = graft.operators.Dedup.md5Hash60 _
+    val comp = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"),
+        pmod(md5h(concat(lit("fh_"), col("t"))), lit(dims.toLong)).as("pos"),
+        when(pmod(md5h(concat(lit("fs_"), col("t"))), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("sgn")).as("w"))
+    comp.groupBy(col("doc_id")).agg(
+      array((0 until dims).map(i =>
+        coalesce(max(when(col("pos") === i, col("w"))), lit(0L))
+          .cast("double")): _*).as("vec"))
+  }
+
   /** The funnel's finishing stage over per-doc running-conjunction
     * flags (f1, g2, g3, g4) — shared by [[curationFunnel]] and the
     * streaming twin so the live attrition report carries the exact

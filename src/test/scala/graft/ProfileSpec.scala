@@ -58,6 +58,30 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.kAnonFilter(df, Seq("t", "h"), 4).count() === 0)
   }
 
+  test("binaryAuc equals brute-force pair counting on 20 seeded random datasets") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 5 + rnd.nextInt(40)
+      // small score domain forces heavy ties — the case the rank-sum
+      // half-credit arithmetic must get exactly right
+      val data = (1 to n).map(_ => (rnd.nextInt(6).toLong, rnd.nextBoolean()))
+      val pos = data.filter(_._2).map(_._1)
+      val neg = data.filterNot(_._2).map(_._1)
+      val expected =
+        if (pos.isEmpty || neg.isEmpty) None
+        else {
+          val u2 = (for (p <- pos; q <- neg) yield
+            if (p > q) 2L else if (p == q) 1L else 0L).sum
+          Some(u2 * 1000000L / (2L * pos.size * neg.size))
+        }
+      val got = Profile.binaryAuc(data.toDF("score", "y"), Seq.empty,
+          col("score"), col("y"))
+        .select("auc_ppm").as[Option[Long]].head()
+      assert(got === expected, s"trial $trial: n=$n pos=${pos.size}")
+    }
+  }
+
   test("binaryAuc: separation extremes, ties, one-class NULL, hand case") {
     import org.apache.spark.sql.functions.col
     val df = Seq(

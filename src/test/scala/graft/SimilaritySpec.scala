@@ -159,6 +159,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(_._2.length == dim))
   }
 
+  test("hashedDocVectors: integer components, near-dups surface at high cosine") {
+    import graft.operators.TextAnalysis
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val v = TextAnalysis.hashedDocVectors(d, "text", "doc_id")
+    // components are exact signed counts — every value a whole double
+    val frac = v.select(explode(col("vec")).as("x"))
+      .filter(col("x") =!= expr("CAST(CAST(x AS BIGINT) AS DOUBLE)")).count()
+    assert(frac === 0L)
+    // dims fixed at 64, one vector per non-empty doc
+    assert(v.select(size(col("vec"))).distinct().as[Int].collect().toSeq === Seq(64))
+    // the planted near-dup structure survives the 64-dim projection:
+    // some query doc's nearest hashed neighbor sits at cosine > 0.9
+    val nz = v.filter(Similarity.norm(col("vec")) > 0.0d)
+      .select(col("doc_id").as("id"), col("vec"))
+    val top1 = Similarity.bruteForceTopK(nz.filter(col("id") < 5), nz, 1)
+      .select("sim").as[Double].collect()
+    assert(top1.exists(_ > 0.9), top1.toSeq.toString)
+    // rerun is bit-identical (pure hashing, no rand)
+    val again = TextAnalysis.hashedDocVectors(d, "text", "doc_id")
+    assert(v.exceptAll(again).isEmpty && again.exceptAll(v).isEmpty)
+  }
+
   test("mutualTopK keeps reciprocal pairs and suppresses the hub") {
     // two tight twin pairs on different axes + a hub vector that leans
     // toward vector 1: the hub's top-1 is 1, but 1's top-1 is its twin
