@@ -1042,6 +1042,12 @@ object SparkEntry {
     "q_asof_forward" -> ((s, dir) =>
       Events.asofJoin(Events.read(s, dir), "click", "purchase",
         direction = "forward").orderBy(col("event_id"))),
+    // last-touch attribution: each purchase's value credited to the
+    // campaign (k mod 10) of the user's most recent click; touchless
+    // purchases report under 'unattributed' so revenue is conserved
+    "q_attribution" -> ((s, dir) =>
+      Events.attribution(Events.read(s, dir), "click", "purchase")
+        .orderBy(col("campaign"))),
     // gap-based sessionization (30-minute idle gap)
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(Events.read(s, dir), 1800000000L)
@@ -4860,6 +4866,24 @@ object SparkEntry {
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us FROM w
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // the as-of join + campaign fetch + DECIMAL revenue roll-up;
+    // null-asof purchases land in 'unattributed'
+    "q_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |           FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS asof_event_id
+        |  FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |conv AS (SELECT event_id, asof_event_id, value FROM w WHERE event_type = 'purchase'),
+        |tch AS (SELECT event_id AS asof_event_id,
+        |          CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 10 AS campaign
+        |        FROM t WHERE event_type = 'click')
+        |SELECT coalesce(CAST(tch.campaign AS VARCHAR), 'unattributed') AS campaign,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(CAST(conv.value AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        |FROM conv LEFT JOIN tch USING (asof_event_id)
+        |GROUP BY 1 ORDER BY campaign""".stripMargin,
     "q_asof_forward" ->
       """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
         |           FROM events WHERE event_type IN ('click','purchase')),

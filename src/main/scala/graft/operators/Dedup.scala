@@ -642,6 +642,25 @@ object Dedup {
     tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Analytic LSH banding chooser — the config derivation that turns a
+    * target similarity threshold into (bands, rowsPerBand) BEFORE the
+    * empirical [[lshRecall]] gate confirms it: the banding S-curve's
+    * inflection sits at t(b, r) ≈ (1/b)^(1/r) (Leskovec–Rajaraman–
+    * Ullman ch.3), so pick the divisor pair of k whose threshold lands
+    * nearest `tau`, breaking ties toward MORE bands (higher recall at
+    * the same candidate budget is the safer default for dedup, where a
+    * missed near-dup is worse than a wasted verification). Driver-side
+    * integer arithmetic over the ≤ d(k) divisors — nothing distributed
+    * to tune. */
+  def lshParams(k: Int, tau: Double): (Int, Int) = {
+    require(k > 0, "k must be positive")
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0, 1)")
+    val best = (1 to k).filter(k % _ == 0)
+      .map { b => (b, k / b, math.pow(1.0 / b, 1.0 / (k / b))) }
+      .minBy { case (b, _, t) => (math.abs(t - tau), -b) }
+    (best._1, best._2)
+  }
+
   /** LSH banding-parameter rollout gate — the dedup-family analog of
     * [[graft.operators.Similarity.recallAtK]]: against the EXACT
     * df-capped Jaccard truth set (pairs with rounded j >= `threshold`),

@@ -192,6 +192,36 @@ object Events {
         col("asof_event_id"), col("asof_ts_us"))
   }
 
+  /** Last-touch attribution report — the marketing-analytics staple
+    * built from the as-of join: every conversion's revenue is credited
+    * to the campaign of the user's most recent `touchType` event (here
+    * campaign = the touch's JSON k mod 10 — the fixture's stand-in for
+    * a campaign tag); conversions with NO prior touch report under
+    * 'unattributed' instead of silently dropping, so the report's
+    * revenue total always equals the conversion table's. Shapes: the
+    * as-of is the family's one-shuffle window; the campaign fetch is a
+    * touch-keyed equi-join; the report is a partial+final aggregate
+    * over the (tiny) campaign key. Revenue sums in DECIMAL and casts
+    * to double once (the house float recipe). */
+  def attribution(events: DataFrame, touchType: String,
+                  convType: String): DataFrame = {
+    val conv = asofJoin(events, touchType, convType)
+    val touches = withProps(events)
+      .filter(col("event_type") === touchType)
+      .select(col("event_id").as("asof_event_id"),
+        pmod(col("k"), lit(10L)).as("campaign"))
+    val convVal = events.filter(col("event_type") === convType)
+      .select(col("event_id"), col("value"))
+    conv.join(convVal, Seq("event_id"))
+      .join(touches, Seq("asof_event_id"), "left_outer")
+      .groupBy(coalesce(col("campaign").cast("string"), lit("unattributed"))
+        .as("campaign"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(20,6)")).as("__rev"))
+      .select(col("campaign"), col("n_conversions"),
+        col("__rev").cast("double").as("revenue"))
+  }
+
   /** Markov transition matrix over per-user event streams: for each
     * ordered pair of consecutive events by the same user, count the
     * (prev_type → event_type) transition and its conditional

@@ -256,6 +256,27 @@ class DedupSpec extends SparkTestBase {
     assert(Seq(4L, 5L, 6L).forall(i => byDoc(i)._2 === i))
   }
 
+  test("lshParams: thresholds bracket tau, monotone in tau, divisor-exact") {
+    // k=32: every returned pair divides k and its S-curve threshold is
+    // the nearest achievable to tau
+    for (tau <- Seq(0.2, 0.35, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.lshParams(32, tau)
+      assert(b * r === 32)
+      val t = math.pow(1.0 / b, 1.0 / r)
+      // no other divisor pair is strictly closer
+      val closer = (1 to 32).filter(32 % _ == 0).exists { b2 =>
+        math.abs(math.pow(1.0 / b2, 1.0 / (32 / b2)) - tau) <
+          math.abs(t - tau) - 1e-12
+      }
+      assert(!closer, s"tau=$tau chose ($b,$r) t=$t")
+    }
+    // lower tau → at least as many bands (recall pressure)
+    val bands = Seq(0.2, 0.4, 0.6, 0.8).map(t => Dedup.lshParams(32, t)._1)
+    assert(bands === bands.sorted.reverse, bands.toString)
+    // the entry family's shipped (k=32, bands=16) is what tau≈0.25 derives
+    assert(Dedup.lshParams(32, 0.25) === ((16, 2)))
+  }
+
   test("groupKFold: co-cluster docs share a fold; folds in range; partition exact") {
     val pairs = Dedup.jaccardJoin(corpus, "text", "doc_id", 0.5, 3)
       .select(col("doc_a"), col("doc_b"))

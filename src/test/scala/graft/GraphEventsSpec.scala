@@ -273,6 +273,28 @@ class GraphEventsSpec extends SparkTestBase {
       (1L, 5, "b c d", "e")))
   }
 
+  test("attribution: last touch wins, touchless purchases unattributed, revenue conserved") {
+    val ev = Seq(
+      (1L, 1L, 10L, "click", 0.0, "{\"k\": 3}"),
+      (2L, 1L, 20L, "click", 0.0, "{\"k\": 7}"),
+      (3L, 1L, 30L, "purchase", 5.0, "{\"k\": 0}"),
+      (4L, 2L, 5L, "purchase", 2.0, "{\"k\": 0}")
+    ).toDF("event_id", "user_id", "ts_us", "event_type", "value", "props")
+    val got = Events.attribution(ev, "click", "purchase")
+      .orderBy("campaign")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("7", 1L, 5.0), ("unattributed", 1L, 2.0)))
+    // fixture-level conservation: the report's revenue total equals the
+    // purchase table's, whatever the attribution split
+    val fix = Events.read(spark, sfSmoke)
+    val rep = Events.attribution(fix, "click", "purchase")
+      .agg(sum(col("revenue"))).as[Double].head()
+    val direct = fix.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(20,6)")).cast("double"))
+      .as[Double].head()
+    assert(math.abs(rep - direct) < 1e-6, s"$rep vs $direct")
+  }
+
   test("scd2: runs collapse null-safely, intervals abut, current run open") {
     // user 1: A A B B A (runs A[10,30) B[30,50) A[50,∞));
     // user 2: null null C (null IS a run: null[5,25) C[25,∞))
