@@ -31,7 +31,11 @@ class StreamEntriesSpec extends SparkTestBase {
     val rocks = "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider"
     val entries = Seq("q_stream_ijoin", "q_stream_left_ijoin",
-      "q_stream_k_anon", "q_stream_dedup", "q_stream_hist_quantile")
+      "q_stream_k_anon", "q_stream_dedup", "q_stream_hist_quantile",
+      // second session's flatMapGroupsWithState shapes: per-bucket min
+      // (LSH filter), per-fingerprint boolean (funnel), per-key open
+      // run (SCD2)
+      "q_stream_lsh_filter", "q_stream_funnel", "q_stream_scd2")
     def runAll() = entries.map(q =>
       q -> SparkEntry.queries(q)(spark, dir).collect().toSeq)
     val prev = spark.conf.getOption(key)
