@@ -639,6 +639,12 @@ object SparkEntry {
 
   // §2b LLM-pipeline: text analysis over `documents`.
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // χ² feature selection: terms associated with a language at the 5%
+    // critical value, exact integer ppm — the vocabulary a
+    // lang-specific quality filter or classifier should look at first
+    "q_chi2_terms" -> ((s, dir) =>
+      TextAnalysis.chi2Terms(docs(s, dir), "text", "lang", "doc_id")
+        .orderBy(col("label"), col("chi2_ppm").desc, col("term"))),
     // corpus stats per (lang, source): docs, chars, ws + BPE-ish tokens
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"), col("source"))
@@ -1023,6 +1029,20 @@ object SparkEntry {
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_stats" -> ((s, dir) =>
       Events.jsonStats(Events.read(s, dir)).orderBy(col("event_type"))),
+    // per-series OLS metric-drift trend; coefficients emitted as exact
+    // num/den digit strings (one partial-agg pass, zero float folds) —
+    // epoch0 = 2024-01-01 UTC, the fixture's first day
+    "q_linear_trend" -> ((s, dir) =>
+      Events.linearTrend(Events.read(s, dir), "event_type", "value",
+          epoch0Sec = 1704067200L)
+        .orderBy(col("event_type"))),
+    // Kaplan–Meier time-to-first-high-value-event survival curve (log
+    // domain, 6-dp-quantized per-day terms): users as subjects,
+    // right-censored at their last event — the churn/engagement curve
+    // with the censoring a naive "avg days to event" silently fakes
+    "q_survival" -> ((s, dir) =>
+      Events.kmSurvival(Events.read(s, dir), col("value") > 150.0)
+        .orderBy(col("day"))),
     "q_event_daily" -> ((s, dir) =>
       Events.dailyAgg(Events.read(s, dir)).orderBy(col("day"), col("event_type"))),
     // ordered view -> click -> purchase conversion funnel on per-user
@@ -1785,6 +1805,32 @@ object SparkEntry {
             .as("node"),
           col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+    // HITS on the DIRECTED customer→supplier purchase graph: hubs =
+    // broad buyers, authorities = widely-bought-from suppliers — the
+    // two rankings a bipartite influence analysis wants, integer-exact
+    // (q_pagerank discipline). Top-20 per side via two independent
+    // global TakeOrdered heads — never a one-task per-side window sort
+    "q_hits" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val scored = Graph.hits(edges, 2)
+        .select(col("side"),
+          when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+            .as("node"),
+          col("score"))
+      val top = (side: String) => scored.filter(col("side") === side)
+        .orderBy(col("score").desc, col("node")).limit(20)
+      top("authority").unionAll(top("hub"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
+            .orderBy(col("score").desc, col("node"))))
+        .orderBy(col("side"), col("rk"))
     }),
     // personalized PageRank: teleport mass pinned to a 3-customer seed
     // cohort — rank = proximity to the cohort (the "suppliers this
@@ -3030,6 +3076,91 @@ object SparkEntry {
   }.mkString(",\n  ")
 
   private def extensionOracle: Map[String, String] = Map(
+    // replays Events.linearTrend: integerized (x, yq), five DECIMAL(38,0)
+    // OLS sums, closed-form num/den emitted as digit strings
+    "q_linear_trend" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq
+        |  FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(yq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * yq) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+        |  CAST(sy * sxx - sx * sxy AS VARCHAR) AS icept_num
+        |FROM s ORDER BY event_type""".stripMargin,
+    // replays Events.kmSurvival: per-user first qualifying event,
+    // day-granular risk sets, 6-dp-quantized ln terms, NULL once S=0
+    "q_survival" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |             min(CASE WHEN value > 150.0 THEN epoch_us(ts) END) AS te
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT (coalesce(te, t1) - t0) // 86400000000 AS dur,
+        |        CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
+        |pts AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS n_event,
+        |               CAST(count(*) - sum(ev) AS BIGINT) AS n_cens FROM d GROUP BY dur),
+        |rs AS (SELECT dur, n_event, n_cens,
+        |         CAST(sum(n_event + n_cens) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk FROM pts),
+        |lg AS (SELECT dur, n_event, n_cens, at_risk,
+        |         CASE WHEN n_event = 0 OR at_risk = n_event THEN CAST(0 AS DECIMAL(20,6))
+        |              ELSE CAST(round(ln(CAST(at_risk - n_event AS DOUBLE) / CAST(at_risk AS DOUBLE)), 6) AS DECIMAL(20,6)) END AS l6,
+        |         CASE WHEN at_risk = n_event THEN 1 ELSE 0 END AS hit0 FROM rs),
+        |s AS (SELECT dur, n_event, n_cens, at_risk,
+        |        CAST(sum(l6) OVER (ORDER BY dur) AS DECIMAL(20,6)) AS ls,
+        |        CAST(sum(hit0) OVER (ORDER BY dur) AS BIGINT) AS z FROM lg)
+        |SELECT dur AS day, n_event, n_cens, at_risk,
+        |  CASE WHEN z > 0 THEN NULL ELSE CAST(ls AS DOUBLE) END AS log_survival
+        |FROM s ORDER BY day""".stripMargin,
+    // replays TextAnalysis.chi2Terms: distinct (doc, term) presence,
+    // one-vs-rest 2×2 counts, DECIMAL(38,0) products, floor-ppm gate
+    "q_chi2_terms" ->
+      """WITH td AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |nl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+        |a AS (SELECT w, lang, count(*) AS a FROM td GROUP BY w, lang),
+        |ta AS (SELECT w, sum(a) AS ta FROM a GROUP BY w),
+        |cells AS (
+        |  SELECT a.lang, a.w, a.a, ta.ta - a.a AS b, nl.nl - a.a AS c,
+        |         n.n - nl.nl - (ta.ta - a.a) AS d, n.n AS n, nl.nl AS nl, ta.ta AS ta
+        |  FROM a JOIN ta USING (w) JOIN nl USING (lang) CROSS JOIN n),
+        |x AS (
+        |  -- HUGEINT division: DuckDB's // on DECIMALs rounds the decimal
+        |  -- quotient before flooring; HUGEINT // is the exact floor Spark's
+        |  -- decimal `div` (divideToIntegralValue) computes
+        |  SELECT lang, w, a,
+        |    CAST(CAST(CAST(n AS HUGEINT) *
+        |          (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) *
+        |          (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) * 1000000 AS HUGEINT)
+        |      // CAST(CAST(ta AS HUGEINT) * (n - ta) * nl * (n - nl) AS HUGEINT) AS BIGINT) AS chi2_ppm
+        |  FROM cells WHERE a >= 5 AND ta < n AND nl < n)
+        |SELECT lang AS label, w AS term, a AS df_in, chi2_ppm
+        |FROM x WHERE chi2_ppm >= 3841459
+        |ORDER BY label, chi2_ppm DESC, term""".stripMargin,
+    // replays Graph.hits: 2 integer power-iteration rounds with
+    // max-renormalization, unrolled (the q_pagerank oracle discipline)
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT e.dst AS node, sum(h.h) AS s FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+        |a1 AS (SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM a1r) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT e.src AS node, sum(a.a) AS s FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+        |h1 AS (SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM h1r) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT e.dst AS node, sum(h.h) AS s FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+        |a2 AS (SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM a2r) AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT e.src AS node, sum(a.a) AS s FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+        |h2 AS (SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM h2r) AS BIGINT) AS h FROM h2r),
+        |u AS (SELECT 'authority' AS side, 's' || CAST((node - 1) // 2 AS VARCHAR) AS node, a AS score FROM a2
+        |      UNION ALL
+        |      SELECT 'hub' AS side, 'c' || CAST(node // 2 AS VARCHAR) AS node, h AS score FROM h2),
+        |rk AS (SELECT side, node, score,
+        |       row_number() OVER (PARTITION BY side ORDER BY score DESC, node) AS rk FROM u)
+        |SELECT side, node, score, rk FROM rk WHERE rk <= 20 ORDER BY side, rk""".stripMargin,
     // replays Retrieval.bm25Ranks (integer milli-unit Okapi, k1=1.2
     // b=0.75, self-excluded) + the dense cosine top-20 + the integer
     // ppb reciprocal-rank fusion, end-to-end

@@ -508,4 +508,93 @@ object Events {
         sum(greatest(least(col("v"), col("p_hi")), col("p_lo"))
           .cast("decimal(20,6)")).cast("double").as("winsor_sum"))
   }
+
+  /** Per-group ordinary-least-squares trend of `valCol` against event
+    * time — the metric-drift regression an ops pipeline fits per
+    * series. Emits the EXACT rational coefficients as (numerator,
+    * denominator) digit strings instead of a divided float: slope =
+    * slope_num/slope_den, intercept-at-epoch0 = icept_num/slope_den.
+    * Inputs are integerized first (x = whole seconds since `epoch0Sec`,
+    * y quantized to micro-units via floor(v·1e6 + 0.5) — the binary-
+    * exact cross-engine rounding), then the five OLS sums fold in
+    * DECIMAL(38,0), so no accumulation order or division rounding can
+    * differ between engines; consumers divide at whatever precision
+    * they need. Pick `epoch0Sec` near the data's start: the closed-form
+    * numerators carry Σy·Σx² ≈ n²·ȳ·x̄² which must stay under 38
+    * digits — a corpus-distant epoch inflates x̄ for no information.
+    *
+    * Scale: one partial-agg groupBy pass over the events, nothing
+    * else — the cheapest possible shape. Output: (group, n_events,
+    * slope_num, slope_den, icept_num). */
+  def linearTrend(events: DataFrame, keyCol: String, valCol: String,
+                  epoch0Sec: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = events.select(col(keyCol).as("g"),
+      (expr("ts_us div 1000000") - lit(epoch0Sec)).as("x"),
+      expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+    val s = pts.groupBy(col("g")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).cast(dec).as("sx"),
+      sum(col("yq").cast(dec)).cast(dec).as("sy"),
+      sum(col("x").cast(dec) * col("yq")).cast(dec).as("sxy"),
+      sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
+    s.select(col("g").as(keyCol), col("n").cast("long").as("n_events"),
+      (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast(dec).cast("string").as("slope_num"),
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast(dec).cast("string").as("slope_den"),
+      (col("sy") * col("sxx") - col("sx") * col("sxy"))
+        .cast(dec).cast("string").as("icept_num"))
+  }
+
+  /** Kaplan–Meier survival curve for time-to-first qualifying event:
+    * per user, duration (whole days) from their first event to their
+    * first event satisfying `eventPred`, right-censored at their last
+    * event when none qualifies. The curve is emitted in LOG domain —
+    * log S(t) = Σ_{tᵢ≤t} ln(1 − dᵢ/nᵢ) with each per-day term
+    * ln((nᵢ−dᵢ)/nᵢ) rounded to 6 dp before a DECIMAL(20,6) cumulative
+    * sum (the q_unigram_logprob discipline: one transcendental per
+    * term, quantized pre-sum, so both engines' doubles agree
+    * bit-for-bit). Once the risk set is exhausted by events
+    * (S(t) = 0), log-survival is NULL from that day on.
+    *
+    * Scale: the per-user reduction is one partial-agg groupBy over the
+    * raw events; everything after runs on the DAY-GRANULAR points
+    * table (|distinct durations| rows — bounded by the corpus span in
+    * days, corpus-size-independent), so the unpartitioned windows over
+    * it are deliberate, not a hazard. Output: (day, n_event, n_cens,
+    * at_risk, log_survival). */
+  def kmSurvival(events: DataFrame, eventPred: Column): DataFrame = {
+    val u = events.groupBy(col("user_id")).agg(
+      min(col("ts_us")).as("t0"),
+      max(col("ts_us")).as("t1"),
+      min(when(eventPred, col("ts_us"))).as("te"))
+    val d = u.select(
+      expr("(coalesce(te, t1) - t0) div 86400000000").as("dur"),
+      when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))
+    val pts = d.groupBy(col("dur")).agg(
+      sum(col("ev")).as("n_event"),
+      (count(lit(1)) - sum(col("ev"))).as("n_cens"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs = pts.withColumn("at_risk",
+      sum(col("n_event") + col("n_cens")).over(wDesc))
+    val lg = rs
+      .withColumn("l6",
+        when(col("n_event") === 0 || col("at_risk") === col("n_event"),
+          lit(0).cast("decimal(20,6)"))
+          .otherwise(round(log((col("at_risk") - col("n_event"))
+            .cast("double") / col("at_risk").cast("double")), 6)
+            .cast("decimal(20,6)")))
+      .withColumn("hit0",
+        when(col("at_risk") === col("n_event"), 1L).otherwise(0L))
+    lg.withColumn("ls", sum(col("l6")).over(wAsc).cast("decimal(20,6)"))
+      .withColumn("z", sum(col("hit0")).over(wAsc))
+      .select(col("dur").as("day"), col("n_event"), col("n_cens"),
+        col("at_risk"),
+        when(col("z") > 0, lit(null).cast("double"))
+          .otherwise(col("ls").cast("double")).as("log_survival"))
+  }
 }

@@ -553,4 +553,50 @@ object Graph {
       .agg(expr("CAST(sum(nh1) div count(1) AS BIGINT)").as("h2_ppm"))
     features.join(h1, Seq("v")).join(h2, Seq("v"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — on a bipartite src→dst graph the two scores are the two
+    * natural rankings (e.g. customers as hubs, suppliers as
+    * authorities). Integer power iteration in the [[pageRank]]
+    * discipline: hubs start at 1e6; each round computes raw authority
+    * mass a(v) = Σ_{u→v} h(u), renormalizes to micro-units of the
+    * round's MAX via `(s·1e6) div max` (all masses positive, so the
+    * truncating div is floor in both engines), then the hub half-step
+    * h(u) = Σ_{u→v} a(v) renormalized the same way — so the unrolled-
+    * CTE oracle replays every round bit-for-bit. max-normalization
+    * (not L2) keeps the iteration integer-exact; the fixed point's
+    * RANKING is the same, which is what the scores are for.
+    *
+    * Scale: per round, two O(E) equi-joins against broadcast score
+    * vectors plus grouped partial aggs, and the round max rides a
+    * broadcast 1-row aggregate — never a driver action. `iters` is
+    * small and fixed (plan depth grows linearly — the pageRank
+    * contract; callers wanting >8 rounds should checkpoint). Scores
+    * stay ≤ 1e6 so Σ over any in-degree < 9.2e12 in BIGINT. Output:
+    * (side ∈ hub|authority, node, score) — every src node gets a hub
+    * row, every dst node an authority row. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "hits needs at least one round")
+    val e = edges.select(col("src"), col("dst"))
+    var hub = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hb = broadcast(hub)
+      val ar = e.join(hb, e("src") === hb("node"))
+        .groupBy(col("dst").as("n2")).agg(sum(col("h")).as("s"))
+      val amax = ar.agg(max(col("s")).as("mx"))
+      auth = ar.crossJoin(broadcast(amax))
+        .select(col("n2").as("node"), expr("(s * 1000000) div mx").as("a"))
+      val ab = broadcast(auth)
+      val hr = e.join(ab, e("dst") === ab("node"))
+        .groupBy(e("src").as("n2")).agg(sum(col("a")).as("s"))
+      val hmax = hr.agg(max(col("s")).as("mx"))
+      hub = hr.crossJoin(broadcast(hmax))
+        .select(col("n2").as("node"), expr("(s * 1000000) div mx").as("h"))
+    }
+    hub.select(lit("hub").as("side"), col("node"), col("h").as("score"))
+      .unionAll(auth.select(lit("authority").as("side"), col("node"),
+        col("a").as("score")))
+  }
 }

@@ -1134,4 +1134,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("actual"), col("pred"), col("score"),
         (col("actual") === col("pred")).cast("long").as("correct"))
   }
+
+  /** χ²-based term–label association (the classic feature-selection
+    * statistic; Yang & Pedersen 1997): for every (label, term) with
+    * document frequency ≥ `minDf` inside the label, the one-vs-rest
+    * 2×2 contingency χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over
+    * DISTINCT (doc, term) presence. Emitted as exact integer ppm —
+    * numerator and denominator are pure count products folded in
+    * DECIMAL(38,0) (every factor cast BEFORE multiplying), and the
+    * final `(num·1e6) div den` truncating division is floor on the
+    * non-negative numerator in both engines — so selection against
+    * `thresholdPpm` can never flip on a rounding boundary. The default
+    * threshold is the χ²₁ 5% critical value (3.841459).
+    *
+    * Scale: one distinct-presence explode (the [[unigramLogProb]]
+    * token pass), then counts at (term, label) / term / label
+    * granularity — vocabulary-sized frames joined with the label and
+    * corpus totals broadcast. No pair joins, no windows. Headroom:
+    * N·(ad−bc)²·1e6 ≤ N⁵·1e6 must fit 38 digits → N ≤ ~2.5e6 docs per
+    * chi2 run; beyond that, drop the ·1e6 onto the denominator side or
+    * sample. Output: (label, term, df_in, chi2_ppm). */
+  def chi2Terms(docs: DataFrame, textCol: String, labelCol: String,
+                idCol: String, minDf: Long = 5,
+                thresholdPpm: Long = 3841459L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val td = docs.select(col(idCol).as("doc_id"), col(labelCol).as("lbl"),
+      explode(split(col(textCol), " ")).as("w")).distinct()
+    val n = docs.groupBy().agg(count(lit(1)).as("n"))
+    val nl = docs.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val a = td.groupBy(col("w"), col("lbl")).agg(count(lit(1)).as("a"))
+    val ta = a.groupBy(col("w")).agg(sum(col("a")).as("ta"))
+    a.join(ta, Seq("w")).join(broadcast(nl), Seq("lbl")).crossJoin(broadcast(n))
+      .select(col("lbl"), col("w"), col("a"),
+        (col("ta") - col("a")).as("b"), (col("nl") - col("a")).as("c"),
+        (col("n") - col("nl") - (col("ta") - col("a"))).as("d"),
+        col("n"), col("nl"), col("ta"))
+      // a term present in EVERY doc (ta = n), or a single-label corpus
+      // (nl = n), zeroes the denominator — both carry no information
+      // for selection, so exclude them instead of dividing by zero
+      .filter(col("a") >= minDf && col("ta") < col("n") &&
+        col("nl") < col("n"))
+      .withColumn("num", col("n").cast(dec) *
+        ((col("a").cast(dec) * col("d") - col("b").cast(dec) * col("c")) *
+         (col("a").cast(dec) * col("d") - col("b").cast(dec) * col("c"))) *
+        lit(1000000L))
+      .withColumn("den", col("ta").cast(dec) * (col("n") - col("ta")) *
+        col("nl") * (col("n") - col("nl")))
+      .withColumn("chi2_ppm", expr("CAST(num div den AS BIGINT)"))
+      .filter(col("chi2_ppm") >= thresholdPpm)
+      .select(col("lbl").as("label"), col("w").as("term"),
+        col("a").as("df_in"), col("chi2_ppm"))
+  }
 }

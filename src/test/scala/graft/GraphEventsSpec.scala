@@ -336,4 +336,89 @@ class GraphEventsSpec extends SparkTestBase {
     assert(back.count() === log.count())
     assert(back.filter(!(col("e.v") <=> col("h.value"))).isEmpty)
   }
+
+  test("hits: integer rounds match a plain-Scala replay; max node scores 1e6") {
+    // bipartite: customers 0,2,4 → suppliers 1,3; 0 buys from both,
+    // 2 and 4 only from 1 — supplier 1 is the authority, 0 the hub
+    val e = Seq((0L, 1L), (0L, 3L), (2L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.hits(e, 2).as[(String, Long, Long)].collect()
+      .map { case (s, n, v) => (s, n) -> v }.toMap
+    // replay the exact integer iteration
+    val edges = Seq((0L, 1L), (0L, 3L), (2L, 1L), (4L, 1L))
+    var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val ar = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => h(x._1)).sum }
+      val amx = ar.values.max
+      a = ar.map { case (k, v) => k -> (v * 1000000L) / amx }
+      val hr = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(x => a(x._2)).sum }
+      val hmx = hr.values.max
+      h = hr.map { case (k, v) => k -> (v * 1000000L) / hmx }
+    }
+    assert(got === (h.map { case (k, v) => ("hub", k) -> v } ++
+      a.map { case (k, v) => ("authority", k) -> v }))
+    assert(got(("authority", 1L)) === 1000000L)
+    assert(got(("hub", 0L)) === 1000000L)
+    assert(got(("authority", 3L)) < got(("authority", 1L)))
+  }
+
+  test("linearTrend: exact rational slope/intercept on a perfect line") {
+    // v = 2·x + 1 at x ∈ {0,1,2,3} seconds past epoch0 → slope 2e6
+    // micro-units/sec, intercept-at-epoch0 1e6 micro-units, EXACTLY
+    val epoch0 = 1000L
+    val ev = Seq((0L, 1.0), (1L, 3.0), (2L, 5.0), (3L, 7.0))
+      .toDF("xoff", "value")
+      .select(((col("xoff") + epoch0) * 1000000L).as("ts_us"),
+        col("value"), lit("m").as("g"))
+    val r = Events.linearTrend(ev, "g", "value", epoch0)
+      .as[(String, Long, String, String, String)].collect().head
+    val (_, n, sn, sd, in) = r
+    assert(n === 4L)
+    assert(BigInt(sn) === BigInt(sd) * 2000000L) // slope = 2e6/1
+    assert(BigInt(in) === BigInt(sd) * 1000000L) // icept = 1e6/1
+  }
+
+  test("kmSurvival: risk sets, censoring, and S=0 tail match hand computation") {
+    // 3 users event at day 0,1,1; 1 censored at day 2; 1 event day 3
+    // at_risk: d0=5, d1=4, d2=2(cens), d3=1 → S hits 0 at d3 → NULL
+    def u(id: Long, days: Seq[(Long, Double)]) =
+      days.map { case (d, v) => (id, d * 86400000000L, v) }
+    val ev = (u(1, Seq((0L, 200.0))) ++                     // event day 0
+      u(2, Seq((0L, 1.0), (1L, 200.0))) ++                  // event day 1
+      u(3, Seq((0L, 1.0), (1L, 200.0))) ++                  // event day 1
+      u(4, Seq((0L, 1.0), (2L, 1.0))) ++                    // censored day 2
+      u(5, Seq((0L, 1.0), (3L, 200.0))))                    // event day 3
+      .toDF("user_id", "ts_us", "value")
+    val got = Events.kmSurvival(ev, col("value") > 150.0)
+      .orderBy("day")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    def l6(num: Long, den: Long): BigDecimal = BigDecimal(
+      (math.log(num.toDouble / den.toDouble) * 1e6).round, 6)
+    val s1 = l6(4, 5); val s2 = s1 + l6(2, 4)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ===
+      Seq((0L, 1L, 0L, 5L), (1L, 2L, 0L, 4L), (2L, 0L, 1L, 2L),
+        (3L, 1L, 0L, 1L)))
+    assert(got(0)._5 === Some(s1.toDouble))
+    assert(got(1)._5 === Some(s2.toDouble))
+    assert(got(2)._5 === Some(s2.toDouble)) // censor-only day: flat
+    assert(got(3)._5 === None)              // risk set exhausted: S=0
+  }
+
+  test("chi2Terms: perfect association scores N, universal terms excluded") {
+    val docs = ((0 until 10).map(i => (i.toLong, "A", "zebra common")) ++
+      (10 until 20).map(i => (i.toLong, "B", "yak common")))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis
+      .chi2Terms(docs, "text", "lang", "doc_id", minDf = 5,
+        thresholdPpm = 3841459L)
+      .as[(String, String, Long, Long)].collect().toSet
+    // χ² for a perfectly separating term on a balanced 2-label corpus
+    // is exactly N = 20 → 20e6 ppm; 'common' (ta = n) must be excluded
+    // rather than divide by zero
+    assert(got === Set(("A", "zebra", 10L, 20000000L),
+      ("B", "yak", 10L, 20000000L)))
+  }
 }
