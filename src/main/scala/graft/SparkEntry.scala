@@ -80,6 +80,9 @@ object SparkEntry {
     // (type, day, cnt) cells, power-of-two weights at feed time, one
     // complete-mode agg; every count split across the batch boundary
     "q_stream_decay" -> ((s, dir) => StreamEntries.streamDecay(s, dir)),
+    // continuously-maintained OLS trend: the five decimal sums live in
+    // the state store; exact num/den coefficients at every micro-batch
+    "q_stream_trend" -> ((s, dir) => StreamEntries.streamTrend(s, dir)),
     // streaming HLL NDV: per-shard register sketches max-merged in the
     // state store, estimate over the SINK registers — oracle is the
     // batch q_hll_ndv SQL verbatim
@@ -5884,6 +5887,24 @@ object SparkEntry {
         |FROM e CROSS JOIN mx
         |GROUP BY event_type
         |ORDER BY score DESC, event_type""".stripMargin,
+    // the streaming OLS fold replays the batch q_linear_trend SQL on
+    // the bounded user slice (committed oracle = scale-1 bounds)
+    "q_stream_trend" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq
+        |  FROM events WHERE user_id < 100),
+        |s AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(yq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * yq) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+        |  CAST(sy * sxx - sx * sxy AS VARCHAR) AS icept_num
+        |FROM s ORDER BY event_type""".stripMargin,
     // count-min: identical d=4 salted bucket hashes; sketch cells are
     // integer counts; estimate = min over the item's 4 cells
     "q_heavy_hitters" ->

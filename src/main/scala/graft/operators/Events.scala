@@ -527,18 +527,30 @@ object Events {
     * else — the cheapest possible shape. Output: (group, n_events,
     * slope_num, slope_den, icept_num). */
   def linearTrend(events: DataFrame, keyCol: String, valCol: String,
-                  epoch0Sec: Long): DataFrame = {
-    val dec = "decimal(38,0)"
-    val pts = events.select(col(keyCol).as("g"),
+                  epoch0Sec: Long): DataFrame =
+    trendFromPoints(trendPoints(events, keyCol, valCol, epoch0Sec), keyCol)
+
+  /** [[linearTrend]] stage 1: the integerized (g, x, yq) points —
+    * split out so the streaming twin can feed the IDENTICAL points
+    * through the same sum/projection stage. */
+  def trendPoints(events: DataFrame, keyCol: String, valCol: String,
+                  epoch0Sec: Long): DataFrame =
+    events.select(col(keyCol).as("g"),
       (expr("ts_us div 1000000") - lit(epoch0Sec)).as("x"),
       expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+
+  /** [[linearTrend]] stage 2: five DECIMAL(38,0) sums (one partial-agg
+    * pass; in streaming complete mode the same sums fold in the state
+    * store) + the closed-form num/den projection. */
+  def trendFromPoints(pts: DataFrame, outKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val s = pts.groupBy(col("g")).agg(
       count(lit(1)).cast(dec).as("n"),
       sum(col("x").cast(dec)).cast(dec).as("sx"),
       sum(col("yq").cast(dec)).cast(dec).as("sy"),
       sum(col("x").cast(dec) * col("yq")).cast(dec).as("sxy"),
       sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
-    s.select(col("g").as(keyCol), col("n").cast("long").as("n_events"),
+    s.select(col("g").as(outKey), col("n").cast("long").as("n_events"),
       (col("n") * col("sxy") - col("sx") * col("sy"))
         .cast(dec).cast("string").as("slope_num"),
       (col("n") * col("sxx") - col("sx") * col("sx"))

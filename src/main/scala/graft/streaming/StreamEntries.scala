@@ -790,6 +790,44 @@ object StreamEntries {
       .orderBy(col("score").desc, col("event_type"))
   }
 
+  /** Continuously-maintained OLS trend: the five DECIMAL(38,0) sums of
+    * [[Events.trendFromPoints]] fold in the state store (complete
+    * mode), the num/den projection runs on every micro-batch's output
+    * — a live metric-drift monitor whose coefficients are EXACT
+    * rationals at every instant. The feed is the batch operator's own
+    * integerized points on a bounded user slice, split by x parity so
+    * every series' sums provably fold across the batch boundary (no
+    * single batch contains a full sum). Oracle: the batch
+    * q_linear_trend SQL on the same slice. */
+  def streamTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = memoFeed(s"trend:$dir") {
+      Events.trendPoints(
+        Events.read(s, dir).filter(col("user_id") < lit(100L * sliceScale)),
+        "event_type", "value", 1704067200L)
+        .as[(String, Long, Long)].collect()
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_trend")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Long)]
+      val agg = Events.trendFromPoints(mem.toDS().toDF("g", "x", "yq"),
+        "event_type")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        mem.addData(pts.filter(_._2 % 2 == 0).toSeq)
+        q.processAllAvailable()
+        mem.addData(pts.filter(_._2 % 2 != 0).toSeq)
+        q.processAllAvailable()
+      }
+    }
+    takeTable(s, name)
+      .select(col("event_type"), col("n_events"), col("slope_num"),
+        col("slope_den"), col("icept_num"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming HyperLogLog NDV: per-shard REGISTER sketches max-merged
     * in the state store — the mergeable-sketch streaming shape (the
     * CMS entry's counter-grid cousin, with max replacing sum). The

@@ -320,6 +320,15 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_trend equals the batch OLS trend on the slice (sums fold across batches)") {
+    val streamed = StreamEntries.streamTrend(spark, dir)
+    val batch = Events.linearTrend(
+      Events.read(spark, dir).filter(col("user_id") < lit(100L * scale)),
+      "event_type", "value", 1704067200L)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_hll registers max-merge across batches to the batch estimate") {
     val streamed = StreamEntries.streamHll(spark, dir)
     val toks = spark.read.parquet(s"$dir/documents.parquet")
