@@ -83,6 +83,9 @@ object SparkEntry {
     // continuously-maintained OLS trend: the five decimal sums live in
     // the state store; exact num/den coefficients at every micro-batch
     "q_stream_trend" -> ((s, dir) => StreamEntries.streamTrend(s, dir)),
+    // live Kaplan–Meier: per-user spans (3 longs each) in the state
+    // store, curve through the identical batch stage after the drain
+    "q_stream_survival" -> ((s, dir) => StreamEntries.streamSurvival(s, dir)),
     // streaming HLL NDV: per-shard register sketches max-merged in the
     // state store, estimate over the SINK registers — oracle is the
     // batch q_hll_ndv SQL verbatim
@@ -1046,6 +1049,30 @@ object SparkEntry {
     "q_survival" -> ((s, dir) =>
       Events.kmSurvival(Events.read(s, dir), col("value") > 150.0)
         .orderBy(col("day"))),
+    // top-5 trend-residual outliers per series: exact integer-micro
+    // residuals against the series' own OLS fit (floor-division
+    // quantization identical in both engines), top-k via the bounded-
+    // heap two-phase — the oracle runs the UNREDUCED per-series window
+    // rank, so the gate proves the reduction invisible
+    "q_trend_outliers" -> ((s, dir) =>
+      Events.trendOutliers(Events.read(s, dir), "event_type", "value",
+          "event_id", epoch0Sec = 1704067200L, k = 5)
+        .withColumnRenamed("g", "event_type")
+        .withColumnRenamed("id", "event_id")
+        .orderBy(col("event_type"), col("rk"))),
+    // Benford first-digit audit per event type: digits from the integer
+    // micro-unit string, observed shares exact ppm, expectations as
+    // shared literal constants — the fabricated-data / unit-mix alarm
+    "q_benford" -> ((s, dir) =>
+      Events.benford(Events.read(s, dir), "event_type", "value")
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"), col("digit"))),
+    // two-sample KS drift between the view and purchase value
+    // distributions over the centi-unit spine — exact cross-multiply
+    // CDF comparison, one summary row
+    "q_ks_drift" -> ((s, dir) =>
+      Events.ksDrift(Events.read(s, dir), "event_type", "value",
+        "view", "purchase")),
     "q_event_daily" -> ((s, dir) =>
       Events.dailyAgg(Events.read(s, dir)).orderBy(col("day"), col("event_type"))),
     // ordered view -> click -> purchase conversion funnel on per-user
@@ -3103,6 +3130,89 @@ object SparkEntry {
       """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
         |             min(CASE WHEN value > 150.0 THEN epoch_us(ts) END) AS te
         |           FROM events GROUP BY user_id),
+        |d AS (SELECT (coalesce(te, t1) - t0) // 86400000000 AS dur,
+        |        CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
+        |pts AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS n_event,
+        |               CAST(count(*) - sum(ev) AS BIGINT) AS n_cens FROM d GROUP BY dur),
+        |rs AS (SELECT dur, n_event, n_cens,
+        |         CAST(sum(n_event + n_cens) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk FROM pts),
+        |lg AS (SELECT dur, n_event, n_cens, at_risk,
+        |         CASE WHEN n_event = 0 OR at_risk = n_event THEN CAST(0 AS DECIMAL(20,6))
+        |              ELSE CAST(round(ln(CAST(at_risk - n_event AS DOUBLE) / CAST(at_risk AS DOUBLE)), 6) AS DECIMAL(20,6)) END AS l6,
+        |         CASE WHEN at_risk = n_event THEN 1 ELSE 0 END AS hit0 FROM rs),
+        |s AS (SELECT dur, n_event, n_cens, at_risk,
+        |        CAST(sum(l6) OVER (ORDER BY dur) AS DECIMAL(20,6)) AS ls,
+        |        CAST(sum(hit0) OVER (ORDER BY dur) AS BIGINT) AS z FROM lg)
+        |SELECT dur AS day, n_event, n_cens, at_risk,
+        |  CASE WHEN z > 0 THEN NULL ELSE CAST(ls AS DOUBLE) END AS log_survival
+        |FROM s ORDER BY day""".stripMargin,
+    // replays Events.trendOutliers with the UNREDUCED per-series window
+    // rank — the gate proves the bounded-heap reduction invisible; the
+    // floor-division fitted value uses the same pmod construction
+    "q_trend_outliers" ->
+      """WITH pts AS (SELECT event_type AS g, event_id AS id,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq
+        |  FROM events),
+        |s AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(yq) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * yq) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM pts GROUP BY g),
+        |cf AS (SELECT g, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+        |         sy * sxx - sx * sxy AS icept
+        |       FROM s WHERE n * sxx - sx * sx <> 0),
+        |fn AS (SELECT p.g, p.id, p.x, p.yq, c.num * p.x + c.icept AS fn, c.den
+        |       FROM pts p JOIN cf c USING (g)),
+        |r AS (SELECT g, id, x, yq,
+        |        yq - CAST((fn - ((fn % den) + den) % den) // den AS BIGINT) AS resid
+        |      FROM fn),
+        |rk AS (SELECT g, id, x, yq, resid,
+        |         row_number() OVER (PARTITION BY g ORDER BY abs(resid) DESC, id) AS rk
+        |       FROM r)
+        |SELECT g AS event_type, rk, id AS event_id, x, yq, resid
+        |FROM rk WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+    // replays Events.benford: integer-string first digits, exact ppm
+    // shares, literal Benford expectations shared by value
+    "q_benford" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq FROM events),
+        |dd AS (SELECT g, CAST(substr(CAST(yq AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |       FROM d WHERE yq > 0),
+        |pd AS (SELECT g, digit, count(*) AS n_obs FROM dd GROUP BY g, digit),
+        |t AS (SELECT g, count(*) AS n FROM dd GROUP BY g),
+        |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT pd.g AS event_type, pd.digit, n_obs,
+        |  n_obs * 1000000 // n AS obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |  abs(n_obs * 1000000 // n - exp_ppm) AS dev_ppm
+        |FROM pd JOIN t USING (g) JOIN e USING (digit)
+        |ORDER BY event_type, digit""".stripMargin,
+    // replays Events.ksDrift: centi-unit bins, integer cross-multiply
+    // CDF gap, max row by (gap, bin)
+    "q_ks_drift" ->
+      """WITH b AS (SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS b
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |cells AS (SELECT b, sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS ca,
+        |                 sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |          FROM b GROUP BY b),
+        |cum AS (SELECT b, sum(ca) OVER (ORDER BY b) AS cuma,
+        |               sum(cb) OVER (ORDER BY b) AS cumb FROM cells),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM cells)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST((abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) * 1000000)
+        |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm,
+        |  b AS at_bin
+        |FROM cum CROSS JOIN t
+        |WHERE na > 0 AND nb > 0
+        |ORDER BY abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) DESC, b
+        |LIMIT 1""".stripMargin,
+    // the live KM drains per-user spans from the state store through
+    // the identical curve stage — oracle = the batch KM on the slice
+    "q_stream_survival" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |             min(CASE WHEN value > 150.0 THEN epoch_us(ts) END) AS te
+        |           FROM events WHERE user_id < 100 GROUP BY user_id),
         |d AS (SELECT (coalesce(te, t1) - t0) // 86400000000 AS dur,
         |        CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
         |pts AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS n_event,

@@ -544,19 +544,141 @@ object Events {
     * store) + the closed-form num/den projection. */
   def trendFromPoints(pts: DataFrame, outKey: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val s = pts.groupBy(col("g")).agg(
-      count(lit(1)).cast(dec).as("n"),
-      sum(col("x").cast(dec)).cast(dec).as("sx"),
-      sum(col("yq").cast(dec)).cast(dec).as("sy"),
-      sum(col("x").cast(dec) * col("yq")).cast(dec).as("sxy"),
-      sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
-    s.select(col("g").as(outKey), col("n").cast("long").as("n_events"),
-      (col("n") * col("sxy") - col("sx") * col("sy"))
-        .cast(dec).cast("string").as("slope_num"),
-      (col("n") * col("sxx") - col("sx") * col("sx"))
-        .cast(dec).cast("string").as("slope_den"),
-      (col("sy") * col("sxx") - col("sx") * col("sxy"))
-        .cast(dec).cast("string").as("icept_num"))
+    trendCoeffs(pts).select(
+      col("g").as(outKey), col("n").cast("long").as("n_events"),
+      col("num").cast(dec).cast("string").as("slope_num"),
+      col("den").cast(dec).cast("string").as("slope_den"),
+      col("icept").cast(dec).cast("string").as("icept_num"))
+  }
+
+  /** The OLS closed-form coefficients as DECIMAL columns
+    * (g, n, num, den, icept) — slope = num/den, intercept-at-epoch0 =
+    * icept/den. Shared by [[trendFromPoints]] (digit-string emission)
+    * and [[trendOutliers]] (residual arithmetic). */
+  def trendCoeffs(pts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    pts.groupBy(col("g")).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).cast(dec).as("sx"),
+        sum(col("yq").cast(dec)).cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("yq")).cast(dec).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
+      .select(col("g"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec).as("den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast(dec).as("icept"))
+  }
+
+  /** Top-k trend-residual outliers per series: the events farthest from
+    * their series' own OLS fit — the "which points broke the trend"
+    * follow-up to [[linearTrend]]. The fitted value is quantized to
+    * micro-units by an EXACT floor division — `(fn − pmod(fn, den)) div
+    * den`, which both engines compute identically for either sign of
+    * `fn` (pmod is non-negative, the remaining division is exact) —
+    * so residual = yq − fitted is a plain BIGINT and the top-k cut can
+    * never straddle an engine rounding difference. Degenerate series
+    * (den = 0: fewer than 2 distinct x) carry no trend and are
+    * excluded.
+    *
+    * Scale: coefficients are one partial-agg pass folded to a
+    * groups-row frame (broadcast back); the per-series top-k is
+    * [[Rank.groupedTopK]]'s bounded-heap two-phase — no
+    * one-task-per-series sort at any series size. Output: (group, rk,
+    * id, x, yq, resid). */
+  def trendOutliers(events: DataFrame, keyCol: String, valCol: String,
+                    idCol: String, epoch0Sec: Long, k: Int = 5): DataFrame = {
+    val pts = events.select(col(keyCol).as("g"), col(idCol).as("id"),
+      (expr("ts_us div 1000000") - lit(epoch0Sec)).as("x"),
+      expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+    val cf = trendCoeffs(pts.drop("id")).filter(col("den") =!= 0)
+      .select(col("g").as("__cg"), col("num"), col("den"), col("icept"))
+    val resid = pts.join(broadcast(cf), col("g") === col("__cg"))
+      .withColumn("__fn", col("num") * col("x") + col("icept"))
+      .withColumn("fitted_q",
+        expr("CAST((__fn - pmod(__fn, den)) div den AS BIGINT)"))
+      .select(col("g"), col("id"), col("x"), col("yq"),
+        (col("yq") - col("fitted_q")).as("resid"))
+    Rank.groupedTopK(resid, col("g"), col("id"), abs(col("resid")), k)
+      .select(col("g"), col("id").as("__ti"), col("rk"))
+      .join(resid.withColumnRenamed("id", "__ti"), Seq("g", "__ti"))
+      .select(col("g"), col("rk"), col("__ti").as("id"), col("x"),
+        col("yq"), col("resid"))
+  }
+
+  /** Benford first-significant-digit audit per group — the classic
+    * fabricated-data / unit-mix alarm for positive, scale-spanning
+    * measures. Digits come from the INTEGER micro-unit quantization
+    * (first char of the BIGINT's decimal string — no float log10
+    * anywhere), observed shares are exact integer ppm
+    * (`n_d·1e6 div n`), and the Benford expectations ride as literal
+    * ppm constants (round(log10(1+1/d)·1e6) — shared between engines
+    * by VALUE). Non-positive values carry no leading digit and are
+    * excluded. One partial-agg pass + a 9-row-per-group reshape.
+    * Output: (group, digit, n_obs, obs_ppm, exp_ppm, dev_ppm). */
+  def benford(events: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val digits = events
+      .select(col(keyCol).as("g"),
+        expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+      .filter(col("yq") > 0)
+      .withColumn("digit",
+        substring(col("yq").cast("string"), 1, 1).cast("int"))
+    val perDigit = digits.groupBy(col("g"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val totals = digits.groupBy(col("g").as("__tg"))
+      .agg(count(lit(1)).as("__n"))
+    val expCol = expPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, p).otherwise(acc) }
+    perDigit.join(broadcast(totals), col("g") === col("__tg"))
+      .select(col("g"), col("digit"), col("n_obs"),
+        expr("n_obs * 1000000 div __n").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the value
+    * distributions of two groups, over a CENTI-UNIT binned spine:
+    * D = max over bins of |F_a − F_b| computed as the exact integer
+    * cross-multiply `|cumA·nB − cumB·nA|` (the q_binary_auc
+    * discipline — no per-bin float division anywhere), reported in ppm
+    * with one final DECIMAL floor division. Binning to cents makes the
+    * statistic exactly the KS of the binned distributions — the
+    * spine is value-range-bounded (≤ range·100 rows), so the
+    * unpartitioned cum window is corpus-size-independent BY
+    * CONSTRUCTION, not an accident of test scale. The bin itself is
+    * `floor(v·100)` — one IEEE multiply + floor, bit-identical in both
+    * engines. Output: one row (n_a, n_b, ks_ppm, at_bin) where at_bin
+    * is the smallest bin attaining the max. */
+  def ksDrift(events: DataFrame, keyCol: String, valCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val binned = events
+      .filter(col(keyCol) === groupA || col(keyCol) === groupB)
+      .select(col(keyCol).as("g"),
+        expr(s"CAST(floor($valCol * 100D) AS BIGINT)").as("b"))
+    val cells = binned.groupBy(col("b")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(totals))
+      // an absent sample has no CDF — emit nothing rather than divide
+      // by zero
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("diff", abs(col("cuma").cast(dec) * col("nb") -
+        col("cumb").cast(dec) * col("na")).cast(dec))
+      .orderBy(col("diff").desc, col("b"))
+      .limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        expr(s"CAST((CAST(diff AS $dec) * 1000000) div (CAST(na AS $dec) * nb) AS BIGINT)")
+          .as("ks_ppm"),
+        col("b").as("at_bin"))
   }
 
   /** Kaplan–Meier survival curve for time-to-first qualifying event:
@@ -576,11 +698,23 @@ object Events {
     * days, corpus-size-independent), so the unpartitioned windows over
     * it are deliberate, not a hazard. Output: (day, n_event, n_cens,
     * at_risk, log_survival). */
-  def kmSurvival(events: DataFrame, eventPred: Column): DataFrame = {
-    val u = events.groupBy(col("user_id")).agg(
+  def kmSurvival(events: DataFrame, eventPred: Column): DataFrame =
+    kmFromSpans(userSpans(events, eventPred))
+
+  /** [[kmSurvival]] stage 1: the per-user observation span — first
+    * event, last event, first QUALIFYING event (null if none). One
+    * partial-agg pass; in streaming complete mode the same three
+    * reductions (min/max/conditional-min) fold per user in the state
+    * store, so the live twin drains this exact frame. */
+  def userSpans(events: DataFrame, eventPred: Column): DataFrame =
+    events.groupBy(col("user_id")).agg(
       min(col("ts_us")).as("t0"),
       max(col("ts_us")).as("t1"),
       min(when(eventPred, col("ts_us"))).as("te"))
+
+  /** [[kmSurvival]] stage 2: durations, day-granular risk sets, and
+    * the 6-dp-quantized log-survival cumsum, over the spans frame. */
+  def kmFromSpans(u: DataFrame): DataFrame = {
     val d = u.select(
       expr("(coalesce(te, t1) - t0) div 86400000000").as("dur"),
       when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))

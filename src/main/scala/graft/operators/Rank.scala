@@ -123,4 +123,45 @@ object Rank {
     * [[valueBuckets]] — no stats pass needed. */
   def md5Bucket(h: Column): Column =
     conv(substring(h, 1, 2), 16, 10).cast("long")
+
+  /** Exact per-group top-n by (value desc, id asc) WITHOUT a
+    * one-task-per-group sort — the generic reduction
+    * [[Sketches.groupedPrioritySample]] instantiates for priorities:
+    * phase 1 keeps a bounded n-element heap per group per partition
+    * (mapPartitions — constant task memory, multiset semantics, guarded
+    * insert), phase 2 ranks the ≤ partitions·groups·n survivors with
+    * the exact window. The hottest group's rows spread over every
+    * partition in phase 1; phase 2's window runs on a survivor table
+    * whose size is independent of corpus size. Output:
+    * (g, id, v, rk ≤ n), deterministic. */
+  def groupedTopK(df: DataFrame, gCol: Column, idCol: Column,
+                  vCol: Column, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(gCol.cast("string").as("g"),
+        idCol.cast("long").as("id"), vCol.cast("long").as("v"))
+      .as[(String, Long, Long)]
+    // rank key: smaller (−v, id) = better; the queue's head is the
+    // WORST survivor so eviction is O(log n) and a loser costs one
+    // comparison
+    val pqOrd = Ordering.by[(Long, Long), (Long, Long)] {
+      case (id, v) => (-v, id) }
+    val survivors = base.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (g, id, v) =>
+        val q = heaps.getOrElseUpdate(g,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long)](pqOrd))
+        val t = (id, v)
+        if (q.size < n) q.enqueue(t)
+        else if (pqOrd.lt(t, q.head)) { q.dequeue(); q.enqueue(t) }
+      }
+      heaps.iterator.flatMap { case (g, q) =>
+        q.iterator.map { case (id, v) => (g, id, v) }
+      }
+    }.toDF("g", "id", "v")
+    val win = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    survivors.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= n)
+  }
 }

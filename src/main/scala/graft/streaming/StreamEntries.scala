@@ -828,6 +828,45 @@ object StreamEntries {
       .orderBy(col("event_type"))
   }
 
+  /** Live Kaplan–Meier: the per-user span frame ([[Events.userSpans]]'
+    * min/max/conditional-min) folds per user in the state store
+    * (complete mode — state is 3 longs per user, bounded by the user
+    * slice, never event-count-shaped), then the drained spans run
+    * through the IDENTICAL [[Events.kmFromSpans]] curve stage as batch
+    * (the q_stream_hist_quantile pattern: state holds the mergeable
+    * frame, the estimate is shared code). The feed splits by TIME, so
+    * a user's span provably EXTENDS across the batch boundary — batch
+    * 2 events move t1/te of users whose state batch 1 created. Oracle:
+    * the batch q_survival SQL on the user slice. */
+  def streamSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = memoFeed(s"survival:$dir") {
+      Events.read(s, dir).filter(col("user_id") < lit(100L * sliceScale))
+        .select(col("user_id"), col("ts_us"), col("value"))
+        .as[(Long, Long, Double)].collect()
+    }
+    val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_survival")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val spans = Events.userSpans(
+        mem.toDS().toDF("user_id", "ts_us", "value"),
+        col("value") > 150.0)
+      val q = spans.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        mem.addData(rows.filter(_._2 <= mid).toSeq)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._2 > mid).toSeq)
+        q.processAllAvailable()
+      }
+    }
+    Events.kmFromSpans(takeTable(s, name)
+        .select(col("user_id"), col("t0"), col("t1"), col("te")))
+      .orderBy(col("day"))
+  }
+
   /** Streaming HyperLogLog NDV: per-shard REGISTER sketches max-merged
     * in the state store — the mergeable-sketch streaming shape (the
     * CMS entry's counter-grid cousin, with max replacing sum). The

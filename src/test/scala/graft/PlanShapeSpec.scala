@@ -563,4 +563,26 @@ class PlanShapeSpec extends SparkTestBase {
     // PPR: the per-round rank vector joins broadcast
     assert(ppr.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, ppr)
   }
+
+  test("round-9 third session: trend is one agg pass; chi2/HITS broadcast, no cartesian") {
+    val trend = plan("q_linear_trend")
+    val chi2 = plan("q_chi2_terms")
+    val hits = plan("q_hits")
+    val surv = plan("q_survival")
+    // trend: the five sums map-side combine — ONE corpus pass, no join
+    assert(trend.contains("partial_"), trend)
+    assert(!trend.contains("Join"), s"trend must not join:\n$trend")
+    // chi2: label/corpus totals broadcast into the vocab-sized frame;
+    // the only joins are equi (term) or 1-row broadcast (N)
+    assert(!chi2.contains("CartesianProduct"), chi2)
+    assert(chi2.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1, chi2)
+    // HITS: score vectors broadcast into the edge scans each round (2
+    // rounds × 2 half-steps); round maxes are 1-row broadcast folds
+    assert(!hits.contains("CartesianProduct"), hits)
+    assert(hits.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, hits)
+    // survival: the corpus collapses to per-user rows in a partial agg
+    // BEFORE the day-granular windows
+    assert(surv.contains("partial_"), surv)
+    assert(surv.contains("Window"), surv)
+  }
 }

@@ -111,4 +111,77 @@ class RankSpec extends SparkTestBase {
       assert(!p.contains("SinglePartition, Window"), p)
     }
   }
+
+  test("groupedTopK equals the plain per-group window top-n under skew") {
+    val df = skewed(3000).select(col("g"),
+      col("id"), (col("v") * 1000).cast("long").as("vi"))
+    val got = Rank.groupedTopK(df, col("g"), col("id"), col("vi"), 7)
+      .select(col("g"), col("id"), col("v"), col("rk"))
+      .as[(String, Long, Long, Int)].collect().toSet
+    val expect = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("vi").desc, col("id"))))
+      .filter(col("rk") <= 7)
+      .select(col("g"), col("id"), col("vi"), col("rk"))
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(got === expect)
+    // partition-layout invariance: a different input layout, same top-n
+    val got2 = Rank.groupedTopK(df.repartition(7, col("id")),
+        col("g"), col("id"), col("vi"), 7)
+      .select(col("g"), col("id"), col("v"), col("rk"))
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(got2 === expect)
+  }
+
+  test("trendOutliers recovers a planted spike; floor quantization handles negatives") {
+    // series on the exact line v = x micro-trend, one planted spike at
+    // x=50 and one planted dip at x=75 — the two largest |residuals|
+    val ev = ((0L until 100L).map(x => (x, x.toDouble + 100.0)) :+
+      (50L, 400.0) :+ (75L, -100.0))
+      .zipWithIndex.map { case ((x, v), i) =>
+        (i.toLong + 1000, x * 1000000L, v, "s") }
+      .toDF("event_id", "ts_us", "value", "event_type")
+    val got = Events.trendOutliers(ev, "event_type", "value", "event_id",
+        epoch0Sec = 0L, k = 2)
+      .orderBy(col("rk"))
+      .select(col("x"), col("resid")).as[(Long, Long)].collect()
+    assert(got.length === 2)
+    // rank 1 = the dip at x=75 (residual ≈ −275 units, the largest
+    // magnitude), rank 2 = the spike at x=50 (≈ +250) — sign survives
+    // the abs ranking
+    assert(got(0)._1 === 75L && got(0)._2 < 0)
+    assert(got(1)._1 === 50L && got(1)._2 > 0)
+  }
+
+  test("ksDrift: identical samples score 0; disjoint samples score 1e6") {
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("event_id", "event_type", "value")
+    val same = ev((1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))))
+    val r1 = Events.ksDrift(same, "event_type", "value", "a", "b")
+      .select(col("ks_ppm")).as[Long].collect()
+    assert(r1.toSeq === Seq(0L))
+    val apart = ev((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i.toDouble + 1000.0)))
+    val r2 = Events.ksDrift(apart, "event_type", "value", "a", "b")
+      .select(col("ks_ppm"), col("at_bin")).as[(Long, Long)].collect()
+    assert(r2.head._1 === 1000000L)
+  }
+
+  test("benford: exact ppm shares on a hand fixture, non-positive values dropped") {
+    // 30 values with first digits 1×15, 2×9, 3×6 (micro-quantized),
+    // plus a zero and a negative that must not count
+    val rows = (Seq.fill(15)(1.23) ++ Seq.fill(9)(25.0) ++
+      Seq.fill(6)(0.3) ++ Seq(0.0, -5.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+    val got = Events.benford(rows, "event_type", "value")
+      .select(col("digit"), col("n_obs"), col("obs_ppm"), col("exp_ppm"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1, 15L, 500000L, 301030L),
+      (2, 9L, 300000L, 176091L),
+      (3, 6L, 200000L, 124939L)))
+  }
 }

@@ -320,6 +320,15 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_survival equals the batch KM curve on the slice (spans extend across batches)") {
+    val streamed = StreamEntries.streamSurvival(spark, dir)
+    val batch = Events.kmSurvival(
+      Events.read(spark, dir).filter(col("user_id") < lit(100L * scale)),
+      col("value") > 150.0)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_trend equals the batch OLS trend on the slice (sums fold across batches)") {
     val streamed = StreamEntries.streamTrend(spark, dir)
     val batch = Events.linearTrend(
