@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Retrieval, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Rank, Retrieval, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -1839,27 +1839,23 @@ object SparkEntry {
     // HITS on the DIRECTED customer→supplier purchase graph: hubs =
     // broad buyers, authorities = widely-bought-from suppliers — the
     // two rankings a bipartite influence analysis wants, integer-exact
-    // (q_pagerank discipline). Top-20 per side via two independent
-    // global TakeOrdered heads — never a one-task per-side window sort
+    // (q_pagerank discipline). Top-20 per side in ONE pass over the
+    // score union via the bounded-heap grouped top-k (ties by NUMERIC
+    // node — the oracle ranks identically); labels decoded on 40 rows
     "q_hits" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val scored = Graph.hits(edges, 2)
-        .select(col("side"),
-          when(pmod(col("node"), lit(2)) === 0,
-            concat(lit("c"), expr("node div 2").cast("string")))
-            .otherwise(concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+      Rank.groupedTopK(Graph.hits(edges, 2), col("side"), col("node"),
+          col("score"), 20)
+        .select(col("g").as("side"),
+          when(pmod(col("id"), lit(2)) === 0,
+            concat(lit("c"), expr("id div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("(id - 1) div 2").cast("string")))
             .as("node"),
-          col("score"))
-      val top = (side: String) => scored.filter(col("side") === side)
-        .orderBy(col("score").desc, col("node")).limit(20)
-      top("authority").unionAll(top("hub"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
-            .orderBy(col("score").desc, col("node"))))
+          col("v").as("score"), col("rk"))
         .orderBy(col("side"), col("rk"))
     }),
     // personalized PageRank: teleport mass pinned to a 3-customer seed
@@ -3268,12 +3264,16 @@ object SparkEntry {
         |a2 AS (SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM a2r) AS BIGINT) AS a FROM a2r),
         |h2r AS (SELECT e.src AS node, sum(a.a) AS s FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
         |h2 AS (SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM h2r) AS BIGINT) AS h FROM h2r),
-        |u AS (SELECT 'authority' AS side, 's' || CAST((node - 1) // 2 AS VARCHAR) AS node, a AS score FROM a2
+        |u AS (SELECT 'authority' AS side, node, a AS score FROM a2
         |      UNION ALL
-        |      SELECT 'hub' AS side, 'c' || CAST(node // 2 AS VARCHAR) AS node, h AS score FROM h2),
+        |      SELECT 'hub' AS side, node, h AS score FROM h2),
         |rk AS (SELECT side, node, score,
         |       row_number() OVER (PARTITION BY side ORDER BY score DESC, node) AS rk FROM u)
-        |SELECT side, node, score, rk FROM rk WHERE rk <= 20 ORDER BY side, rk""".stripMargin,
+        |SELECT side,
+        |  CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |       ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+        |  score, rk
+        |FROM rk WHERE rk <= 20 ORDER BY side, rk""".stripMargin,
     // replays Retrieval.bm25Ranks (integer milli-unit Okapi, k1=1.2
     // b=0.75, self-excluded) + the dense cosine top-20 + the integer
     // ppb reciprocal-rank fusion, end-to-end

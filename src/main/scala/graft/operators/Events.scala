@@ -530,14 +530,26 @@ object Events {
                   epoch0Sec: Long): DataFrame =
     trendFromPoints(trendPoints(events, keyCol, valCol, epoch0Sec), keyCol)
 
+  /** Binary-exact micro-unit quantization — floor(v·1e6 + 0.5) as
+    * BIGINT, the one rounding both engines compute bit-identically.
+    * EVERY value-quantizing operator in this family must route through
+    * this single definition (trend, outliers, Benford): the
+    * cross-engine oracles rely on all call sites quantizing
+    * identically. */
+  private def microQuant(valCol: String): Column =
+    expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)")
+
+  /** Whole seconds since `epoch0Sec` — the trend family's shared x. */
+  private def epochX(epoch0Sec: Long): Column =
+    expr("ts_us div 1000000") - lit(epoch0Sec)
+
   /** [[linearTrend]] stage 1: the integerized (g, x, yq) points —
     * split out so the streaming twin can feed the IDENTICAL points
     * through the same sum/projection stage. */
   def trendPoints(events: DataFrame, keyCol: String, valCol: String,
                   epoch0Sec: Long): DataFrame =
-    events.select(col(keyCol).as("g"),
-      (expr("ts_us div 1000000") - lit(epoch0Sec)).as("x"),
-      expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+    events.select(col(keyCol).as("g"), epochX(epoch0Sec).as("x"),
+      microQuant(valCol).as("yq"))
 
   /** [[linearTrend]] stage 2: five DECIMAL(38,0) sums (one partial-agg
     * pass; in streaming complete mode the same sums fold in the state
@@ -588,19 +600,22 @@ object Events {
   def trendOutliers(events: DataFrame, keyCol: String, valCol: String,
                     idCol: String, epoch0Sec: Long, k: Int = 5): DataFrame = {
     val pts = events.select(col(keyCol).as("g"), col(idCol).as("id"),
-      (expr("ts_us div 1000000") - lit(epoch0Sec)).as("x"),
-      expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+      epochX(epoch0Sec).as("x"), microQuant(valCol).as("yq"))
     val cf = trendCoeffs(pts.drop("id")).filter(col("den") =!= 0)
       .select(col("g").as("__cg"), col("num"), col("den"), col("icept"))
     val resid = pts.join(broadcast(cf), col("g") === col("__cg"))
       .withColumn("__fn", col("num") * col("x") + col("icept"))
       .withColumn("fitted_q",
         expr("CAST((__fn - pmod(__fn, den)) div den AS BIGINT)"))
-      .select(col("g"), col("id"), col("x"), col("yq"),
-        (col("yq") - col("fitted_q")).as("resid"))
-    Rank.groupedTopK(resid, col("g"), col("id"), abs(col("resid")), k)
-      .select(col("g"), col("id").as("__ti"), col("rk"))
-      .join(resid.withColumnRenamed("id", "__ti"), Seq("g", "__ti"))
+      .select(col("g"), col("id"), (col("yq") - col("fitted_q")).as("resid"))
+    // the signed residual rides the heap as payload (ranked by |resid|),
+    // so the join-back only recovers (x, yq) against the SCAN-side pts
+    // projection — the coefficient aggregation pass runs exactly once
+    Rank.groupedTopK(resid, col("g"), col("id"), abs(col("resid")), k,
+        payload = col("resid"))
+      .select(col("g"), col("id").as("__ti"), col("pl").as("resid"),
+        col("rk"))
+      .join(pts.withColumnRenamed("id", "__ti"), Seq("g", "__ti"))
       .select(col("g"), col("rk"), col("__ti").as("id"), col("x"),
         col("yq"), col("resid"))
   }
@@ -620,8 +635,7 @@ object Events {
       4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
       9 -> 45757L)
     val digits = events
-      .select(col(keyCol).as("g"),
-        expr(s"CAST(floor($valCol * 1000000 + 0.5D) AS BIGINT)").as("yq"))
+      .select(col(keyCol).as("g"), microQuant(valCol).as("yq"))
       .filter(col("yq") > 0)
       .withColumn("digit",
         substring(col("yq").cast("string"), 1, 1).cast("int"))

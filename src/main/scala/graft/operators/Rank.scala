@@ -126,40 +126,60 @@ object Rank {
 
   /** Exact per-group top-n by (value desc, id asc) WITHOUT a
     * one-task-per-group sort — the generic reduction
-    * [[Sketches.groupedPrioritySample]] instantiates for priorities:
+    * [[Sketches.groupedPrioritySample]] routes its priorities through:
     * phase 1 keeps a bounded n-element heap per group per partition
     * (mapPartitions — constant task memory, multiset semantics, guarded
     * insert), phase 2 ranks the ≤ partitions·groups·n survivors with
     * the exact window. The hottest group's rows spread over every
     * partition in phase 1; phase 2's window runs on a survivor table
-    * whose size is independent of corpus size. Output:
-    * (g, id, v, rk ≤ n), deterministic. */
+    * whose size is independent of corpus size. `payload` rides the
+    * heap untouched (a caller's side value — e.g. a signed residual
+    * ranked by its absolute value — survives without a join-back over
+    * the input lineage). id and v must already be integral: a cast
+    * from string/fractional would silently alias or null ids, so the
+    * contract is enforced, not papered over. Output:
+    * (g, id, v, pl, rk ≤ n), deterministic. */
   def groupedTopK(df: DataFrame, gCol: Column, idCol: Column,
-                  vCol: Column, n: Int): DataFrame = {
+                  vCol: Column, n: Int,
+                  payload: Column = lit(0L)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(gCol.cast("string").as("g"),
-        idCol.cast("long").as("id"), vCol.cast("long").as("v"))
-      .as[(String, Long, Long)]
+    val projected = df.select(gCol.cast("string").as("g"),
+      idCol.as("id"), vCol.as("v"), payload.as("pl"))
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      for (c <- Seq("id", "v", "pl")) {
+        val dt = projected.schema(c).dataType
+        require(integral.contains(dt),
+          s"groupedTopK requires integral $c, got $dt — a long cast from " +
+          "string/fractional would silently alias or null values")
+      }
+    }
+    val base = projected.select(col("g"), col("id").cast("long"),
+        col("v").cast("long"), col("pl").cast("long"))
+      .as[(String, Long, Long, Long)]
     // rank key: smaller (−v, id) = better; the queue's head is the
     // WORST survivor so eviction is O(log n) and a loser costs one
-    // comparison
-    val pqOrd = Ordering.by[(Long, Long), (Long, Long)] {
-      case (id, v) => (-v, id) }
+    // comparison. (−v, id) not (…)-with-payload: payload is cargo,
+    // never a tie-break
+    val pqOrd = Ordering.by[(Long, Long, Long), (Long, Long)] {
+      case (id, v, _) => (-v, id) }
     val survivors = base.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
-      it.foreach { case (g, id, v) =>
+        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long, Long)]]
+      it.foreach { case (g, id, v, pl) =>
         val q = heaps.getOrElseUpdate(g,
-          scala.collection.mutable.PriorityQueue.empty[(Long, Long)](pqOrd))
-        val t = (id, v)
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](pqOrd))
+        val t = (id, v, pl)
         if (q.size < n) q.enqueue(t)
         else if (pqOrd.lt(t, q.head)) { q.dequeue(); q.enqueue(t) }
       }
       heaps.iterator.flatMap { case (g, q) =>
-        q.iterator.map { case (id, v) => (g, id, v) }
+        q.iterator.map { case (id, v, pl) => (g, id, v, pl) }
       }
-    }.toDF("g", "id", "v")
+    }.toDF("g", "id", "v", "pl")
     val win = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
     survivors.withColumn("rk", row_number().over(win))
       .filter(col("rk") <= n)

@@ -318,33 +318,13 @@ object Sketches {
       .withColumn("h", saltedHash60("ps_", col("id")))
       .withColumn("p", expr("(w * 1048576) div ((h div 1099511627776) + 1)"))
       .select(col("g"), col("id"), col("w"), col("p"))
-      .as[(String, Long, Long, Long)]
-    // rank key: smaller (−p, id) = better. The bound is a PriorityQueue
-    // with the WORST element at the head — MULTISET semantics (a
-    // duplicate (key, weight) row survives as two rows, exactly as the
-    // window form ranks it; a TreeSet would collapse equal tuples and
-    // make the output partition-layout-dependent) and a guarded insert
-    // (rows that can't beat the current worst cost one comparison, not
-    // an insert+evict rebalance).
-    val pqOrd = Ordering.by[(Long, Long, Long), (Long, Long)](t => (-t._3, t._1))
-    val survivors = base.mapPartitions { it =>
-      val heaps = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long, Long)]]
-      it.foreach { case (g, id, w, p) =>
-        val q = heaps.getOrElseUpdate(g,
-          scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](pqOrd))
-        val t = (id, w, p)
-        if (q.size < n) q.enqueue(t)
-        else if (pqOrd.lt(t, q.head)) { q.dequeue(); q.enqueue(t) }
-      }
-      heaps.iterator.flatMap { case (g, q) =>
-        q.iterator.map { case (id, w, p) => (g, id, w, p) }
-      }
-    }.toDF("g", "id", "w", "p")
-    val win = Window.partitionBy(col("g"))
-      .orderBy(col("p").desc, col("id"))
-    survivors.withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= n)
+    // the bounded-heap two-phase reduction is [[Rank.groupedTopK]]
+    // (multiset semantics, guarded insert, worst-at-head eviction) —
+    // priorities rank, the weight rides as payload
+    Rank.groupedTopK(base, col("g"), col("id"), col("p"), n,
+        payload = col("w"))
+      .select(col("g"), col("id"), col("pl").as("w"), col("v").as("p"),
+        col("rk"))
   }
 
   // --------------------------------------------------------- HyperLogLog
