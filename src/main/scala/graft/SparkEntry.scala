@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Profile, RangeJoin, Rank, Retrieval, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Pca, Profile, RangeJoin, Rank, Retrieval, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -90,6 +90,8 @@ object SparkEntry {
     // state store, estimate over the SINK registers — oracle is the
     // batch q_hll_ndv SQL verbatim
     "q_stream_hll" -> ((s, dir) => StreamEntries.streamHll(s, dir)),
+    "q_stream_bitmap_distinct" -> ((s, dir) =>
+      StreamEntries.streamBitmapDistinct(s, dir)),
     // streaming upsert view (mapGroupsWithState latest-value state):
     // base + split changelog must rebuild dst — q_merge_upsert's twin
     "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
@@ -542,6 +544,20 @@ object SparkEntry {
     "q_mean_pool" -> ((s, dir) =>
       Similarity.meanPool(emb(s, dir), "label")
         .orderBy(col("g"), col("pos"))),
+    // PCA in the 100 TB shape: ONE partial-agg pass builds the 7×7
+    // homogeneous Gram (shuffle = 49 rows/task), the driver solves the
+    // bounded 6×6 scatter with integer-exact power iteration (6 fixed
+    // rounds, BigInt truncating division == the oracle's HUGEINT //),
+    // and projection is a map-only zip_with dot against the broadcast
+    // component — pc1 = n·(q·v) − Σsᵢvᵢ, the exact image of n(q−μ)·v.
+    // The quality-feature scatter is ~2000:1 dominant, so 6 rounds hit
+    // the true eigenvector (PcaSpec pins the fixed point and Σpc1 = 0)
+    "q_pca_project" -> ((s, dir) =>
+      Pca.project(Pca.docFeatures(docs(s, dir))).orderBy(col("id"))),
+    // the solved component itself: 6 loadings at 1e6 scale + explained
+    // variance ppm — the D-row artifact from the SAME bounded solve
+    "q_pca_components" -> ((s, dir) =>
+      Pca.components(Pca.docFeatures(docs(s, dir))).orderBy(col("i"))),
     // uniform negative sampling for contrastive batches: seeded-hash
     // draws (md5_60 mod n — no RNG state), one broadcast equi-join
     // fetch, over-draw-and-filter to true negatives
@@ -1765,6 +1781,15 @@ object SparkEntry {
           col("sum_rho"), col("est_ndv"), col("exact_ndv"))
         .orderBy(col("lang"))
     }),
+    // EXACT grouped NDV through block-sparse bitmaps: one shuffle of
+    // 64-bit block words (bit_or partial agg combines map-side — up to
+    // 64× fewer shuffled rows than count_distinct's per-(g,id) dedup
+    // for dense id domains), one popcount fold. Oracle is the plain
+    // count(DISTINCT) — the gate is the bitmap-equals-naive proof
+    "q_bitmap_distinct" -> ((s, dir) =>
+      Sketches.bitmapDistinct(
+        s.read.parquet(s"$dir/events.parquet"),
+        col("event_type"), col("user_id")).orderBy(col("g"))),
     // count-min-sketch heavy hitters over word-trigram shingles
     // (document frequency): exact top-20 vs the d=4 × w=1024 sketch's
     // upper-bound estimate — est >= exact always, = exact when the
@@ -2834,6 +2859,38 @@ object SparkEntry {
       |          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
       |        FROM votes GROUP BY doc_id)
       |""".stripMargin
+
+  /** PCA oracle chain shared by q_pca_project / q_pca_components:
+    * replays Pca exactly — BIGINT doc quality features, homogeneous
+    * Gram split into p/s/nn, exact scatter c = n·p − s·sᵀ in
+    * DECIMAL(38,0), then 6 unrolled power-iteration rounds whose
+    * renormalizing division routes through HUGEINT `//` (truncation
+    * toward zero == BigInt `/`; DECIMAL `//` in DuckDB is REAL division
+    * and silently rounds). MATERIALIZED hints keep DuckDB from inlining
+    * the chain (inlined, the plan doubles per round). Ends with
+    * v6(i, v) plus q/s/c/nn in scope. */
+  private val pcaCte: String = {
+    val rounds = (0 until 6).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT c.i, sum(c.cij * v.v) AS w FROM c JOIN v$r v ON c.j = v.i GROUP BY 1),
+         |v${r + 1} AS MATERIALIZED (SELECT i, CAST(CAST(w * 1000000 AS HUGEINT) // (SELECT CAST(max(abs(w)) AS HUGEINT) FROM w$r) AS DECIMAL(38,0)) AS v FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    """WITH f AS (SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS f0,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS f1,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS f2,
+      |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS f3,
+      |  CAST(list_max(list_transform(string_split(text,' '), t -> length(t))) AS BIGINT) AS f4,
+      |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS f5
+      |FROM documents),
+      |q AS MATERIALIZED (SELECT doc_id, unnest(generate_series(0,5)) AS i, unnest([f0,f1,f2,f3,f4,f5]) AS qx FROM f),
+      |nn AS (SELECT count(*) AS n FROM f),
+      |s AS (SELECT i, sum(qx)::DECIMAL(38,0) AS si FROM q GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.qx*b.qx)::DECIMAL(38,0) AS pij FROM q a JOIN q b USING (doc_id) GROUP BY 1,2),
+      |c AS MATERIALIZED (SELECT p.i, p.j, (SELECT n FROM nn)*pij - sa.si*sb.si AS cij
+      |      FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i),
+      |v0 AS MATERIALIZED (SELECT i, 1000000::DECIMAL(38,0) AS v FROM range(6) t(i)),
+      |""".stripMargin + rounds
+  }
 
   /** Deterministic k-means assignment CTE, shared by q_ann_kmeans and
     * q_semantic_dedup: replays Similarity.kmeansCodebook (seeds = 5
@@ -4201,6 +4258,23 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,15))) AS DOUBLE)
         |    / count(*) AS centroid
         |FROM px GROUP BY g, pos ORDER BY g, pos""".stripMargin,
+    // the full integer PCA replay: Gram → scatter → 6 power-iteration
+    // rounds → map-side projection n·(q·v) − Σsᵢvᵢ
+    "q_pca_project" -> (pcaCte +
+      """,
+        |sv AS (SELECT sum(s.si * v.v) AS sv FROM s JOIN v6 v ON s.i = v.i),
+        |pr AS (SELECT q.doc_id, sum(q.qx * v.v) AS praw FROM q JOIN v6 v ON q.i = v.i GROUP BY 1)
+        |SELECT doc_id AS id, CAST((SELECT n FROM nn) * praw - (SELECT sv FROM sv) AS DECIMAL(38,0)) AS pc1
+        |FROM pr ORDER BY id""".stripMargin),
+    // the solved loadings + explained-variance ppm (v'Cv·1e6 over
+    // tr(C)·v'v, HUGEINT-truncated like every division in the chain)
+    "q_pca_components" -> (pcaCte +
+      """
+        |SELECT CAST(v.i AS INT) AS i, CAST(v.v AS BIGINT) AS v,
+        |  CAST(CAST((SELECT sum(va.v * c.cij * vb.v)
+        |             FROM c JOIN v6 va ON c.i = va.i JOIN v6 vb ON c.j = vb.i) * 1000000 AS HUGEINT)
+        |    // CAST((SELECT sum(cij) FROM c WHERE i = j) * (SELECT sum(v*v) FROM v6) AS HUGEINT) AS BIGINT) AS evr_ppm
+        |FROM v6 v ORDER BY i""".stripMargin),
     // the same k-means assignment, then the per-cluster md5-order quota
     "q_topic_balance" -> (kmeansAsgCte +
       """,
@@ -5917,6 +5991,11 @@ object SparkEntry {
     // DECIMAL(38,30); α·m² embedded as ONE Scala-computed double
     // literal on both sides; ln per the family recipe
     "q_hll_ndv" -> hllNdvOracleSql,
+    // the bitmap route must equal the naive distinct — the gate IS the
+    // optimization-equals-plain proof
+    "q_bitmap_distinct" ->
+      """SELECT event_type AS g, count(DISTINCT user_id) AS ndv
+        |FROM events GROUP BY 1 ORDER BY g""".stripMargin,
     // replays q_hist_quantile: the same 1024-bucket counters, running
     // counts over the counter table, positive-operand ceil rank target
     "q_hist_quantile" ->
@@ -5987,6 +6066,11 @@ object SparkEntry {
     // the streaming register merge must be invisible to the estimate:
     // q_hll_ndv's SQL verbatim
     "q_stream_hll" -> hllNdvOracleSql,
+    // exact distinct over the bounded user slice — the word state in
+    // the store must reproduce the batch distinct bit for bit
+    "q_stream_bitmap_distinct" ->
+      """SELECT event_type AS g, count(DISTINCT user_id) AS ndv
+        |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY g""".stripMargin,
     // and the streaming decayed-count fold likewise replays the batch
     // operator's SQL
     "q_stream_decay" ->

@@ -914,6 +914,41 @@ object StreamEntries {
       .orderBy(col("lang"))
   }
 
+  /** Streaming EXACT distinct count through the block-sparse bitmap
+    * ([[graft.operators.Sketches.bitmapWords]]): the state store holds
+    * one 64-bit word per populated (group, block) — `bit_or` folds new
+    * rows into the word in state, exactly the HLL register shape but
+    * lossless — and the popcount estimate runs through the SAME
+    * [[graft.operators.Sketches.bitmapEstimate]] stage as batch. The
+    * feed splits by event parity so both halves touch the same blocks
+    * and the cross-batch OR in the store is actually exercised; the
+    * oracle is the plain count(DISTINCT) over the slice. */
+  def streamBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val halves = memoFeed(s"bitmap:$dir") {
+      val rows = Events.read(s, dir)
+        .filter(col("user_id") < lit(50L * sliceScale))
+        .select(col("event_type"), col("user_id"), col("event_id"))
+        .as[(String, Long, Long)].collect().toSeq
+      (0 until 2).map(b => rows.filter(_._3 % 2 == b))
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_bitmap")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Long)]
+      val words = graft.operators.Sketches.bitmapWords(
+        mem.toDS().toDF("g", "id", "eid"), col("g"), col("id"))
+      val q = words.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        halves.foreach { h => mem.addData(h); q.processAllAvailable() }
+      }
+    }
+    graft.operators.Sketches.bitmapEstimate(
+        takeTable(s, name).select(col("g"), col("blk"), col("w")))
+      .orderBy(col("g"))
+  }
+
   /** Streaming k-anonymity release gate ([[StreamKAnon]], k=4) over the
     * user<20·scale event slice keyed by (event_type, day): rows are
     * HELD in state until their quasi-cell accumulates 4, then flush —
