@@ -15,7 +15,14 @@ import graft.streaming.{StreamEntries, WindowedChecksum}
   * driver sorts columns by name, then hashes values). Double-typed
   * aggregates go through exact DECIMAL arithmetic and only cast the
   * final result to DOUBLE, so Spark's and DuckDB's summation order
-  * can't produce differing bits. */
+  * can't produce differing bits.
+  *
+  * NEVER emit a raw DECIMAL output column: the driver's hash
+  * canonicalizes parquet DECIMAL differently from DuckDB decimal, so a
+  * value-identical DECIMAL column still hash-mismatches (round-9
+  * q_pca_project). DECIMAL is for intermediate exactness only — cast
+  * the final column to BIGINT (when it provably fits int64) or DOUBLE
+  * or STRING on BOTH sides. OracleConventionSpec pins this repo-wide. */
 object SparkEntry {
 
   private val cte = KVSnapshot.duckdbCte
@@ -554,10 +561,14 @@ object SparkEntry {
     // the true eigenvector (PcaSpec pins the fixed point and Σpc1 = 0)
     "q_pca_project" -> ((s, dir) =>
       Pca.project(Pca.docFeatures(docs(s, dir))).orderBy(col("id"))),
-    // the solved component itself: 6 loadings at 1e6 scale + explained
-    // variance ppm — the D-row artifact from the SAME bounded solve
+    // the solved components, k=2 via rank-1 deflation: PC1 is the size
+    // factor, PC2 the quality residual — 12 loadings at 1e6 scale +
+    // explained-variance ppm vs the ORIGINAL scatter, all from the
+    // SAME bounded (D+1)² Gram (zero extra data passes; the deflated
+    // iteration runs 80 fixed rounds, past the measured fixed point)
     "q_pca_components" -> ((s, dir) =>
-      Pca.components(Pca.docFeatures(docs(s, dir))).orderBy(col("i"))),
+      Pca.components(Pca.docFeatures(docs(s, dir)))
+        .orderBy(col("comp"), col("i"))),
     // uniform negative sampling for contrastive batches: seeded-hash
     // draws (md5_60 mod n — no RNG state), one broadcast equi-join
     // fetch, over-draw-and-filter to true negatives
@@ -2892,6 +2903,31 @@ object SparkEntry {
       |""".stripMargin + rounds
   }
 
+  /** Deflation extension of [[pcaCte]]: λ = ⌊v'Cv // v'v⌋ (HUGEINT),
+    * C₂ = C − ⌊λ·vᵢ·vⱼ // v'v⌋ per cell (the per-cell truncation keeps
+    * every intermediate ≲1e33 — the textbook C·(v'v)² form overflows
+    * HUGEINT at sf1), then 80 unrolled power rounds over c2 (fixed
+    * point measured at round 26/22/35 across the three SFs, 69 on the
+    * PcaSpec fixture; fixed
+    * rounds keep the chain a pure function). Ends with u80(i, v). */
+  private val pcaDeflateCte: String = {
+    val rounds2 = (0 until 80).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT c.i, sum(c.cij * v.v) AS w FROM c2 c JOIN u$r v ON c.j = v.i GROUP BY 1),
+         |u${r + 1} AS MATERIALIZED (SELECT i, CAST(CAST(w * 1000000 AS HUGEINT) // (SELECT CAST(max(abs(w)) AS HUGEINT) FROM x$r) AS DECIMAL(38,0)) AS v FROM x$r)""".stripMargin
+    }.mkString(",\n")
+    """,
+      |vv1 AS (SELECT CAST(sum(v*v) AS HUGEINT) AS vv FROM v6),
+      |lam AS (SELECT CAST(CAST((SELECT sum(va.v * c.cij * vb.v)
+      |           FROM c JOIN v6 va ON c.i = va.i JOIN v6 vb ON c.j = vb.i) AS HUGEINT)
+      |         // (SELECT vv FROM vv1) AS DECIMAL(38,0)) AS lam),
+      |c2 AS MATERIALIZED (SELECT c.i, c.j,
+      |      c.cij - CAST(CAST((SELECT lam FROM lam) * va.v * vb.v AS HUGEINT)
+      |        // (SELECT vv FROM vv1) AS DECIMAL(38,0)) AS cij
+      |      FROM c JOIN v6 va ON c.i = va.i JOIN v6 vb ON c.j = vb.i),
+      |u0 AS MATERIALIZED (SELECT i, 1000000::DECIMAL(38,0) AS v FROM range(6) t(i)),
+      |""".stripMargin + rounds2
+  }
+
   /** Deterministic k-means assignment CTE, shared by q_ann_kmeans and
     * q_semantic_dedup: replays Similarity.kmeansCodebook (seeds = 5
     * smallest (md5(id), id) vectors; two unrolled assignment/update
@@ -4264,17 +4300,24 @@ object SparkEntry {
       """,
         |sv AS (SELECT sum(s.si * v.v) AS sv FROM s JOIN v6 v ON s.i = v.i),
         |pr AS (SELECT q.doc_id, sum(q.qx * v.v) AS praw FROM q JOIN v6 v ON q.i = v.i GROUP BY 1)
-        |SELECT doc_id AS id, CAST((SELECT n FROM nn) * praw - (SELECT sv FROM sv) AS DECIMAL(38,0)) AS pc1
+        |SELECT doc_id AS id, CAST((SELECT n FROM nn) * praw - (SELECT sv FROM sv) AS BIGINT) AS pc1
         |FROM pr ORDER BY id""".stripMargin),
-    // the solved loadings + explained-variance ppm (v'Cv·1e6 over
-    // tr(C)·v'v, HUGEINT-truncated like every division in the chain)
-    "q_pca_components" -> (pcaCte +
+    // the solved loadings k=2 (deflation) + explained-variance ppm vs
+    // the ORIGINAL scatter (v'Cv·1e6 over tr(C)·v'v, HUGEINT-truncated
+    // like every division in the chain)
+    "q_pca_components" -> (pcaCte + pcaDeflateCte +
       """
-        |SELECT CAST(v.i AS INT) AS i, CAST(v.v AS BIGINT) AS v,
+        |SELECT 0 AS comp, CAST(v.i AS INT) AS i, CAST(v.v AS BIGINT) AS v,
         |  CAST(CAST((SELECT sum(va.v * c.cij * vb.v)
         |             FROM c JOIN v6 va ON c.i = va.i JOIN v6 vb ON c.j = vb.i) * 1000000 AS HUGEINT)
         |    // CAST((SELECT sum(cij) FROM c WHERE i = j) * (SELECT sum(v*v) FROM v6) AS HUGEINT) AS BIGINT) AS evr_ppm
-        |FROM v6 v ORDER BY i""".stripMargin),
+        |FROM v6 v
+        |UNION ALL
+        |SELECT 1 AS comp, CAST(u.i AS INT) AS i, CAST(u.v AS BIGINT) AS v,
+        |  CAST(CAST((SELECT sum(va.v * c.cij * vb.v)
+        |             FROM c JOIN u80 va ON c.i = va.i JOIN u80 vb ON c.j = vb.i) * 1000000 AS HUGEINT)
+        |    // CAST((SELECT sum(cij) FROM c WHERE i = j) * (SELECT sum(v*v) FROM u80) AS HUGEINT) AS BIGINT) AS evr_ppm
+        |FROM u80 u ORDER BY comp, i""".stripMargin),
     // the same k-means assignment, then the per-cluster md5-order quota
     "q_topic_balance" -> (kmeansAsgCte +
       """,

@@ -67,13 +67,11 @@ object Pca {
       .agg(sum(col("c.x")).as("pij"))
   }
 
-  /** Driver-side exact eigen-solve over the bounded Gram collect
-    * ((D+1)² rows — the sanctioned bounded-collect shape, like k-means
-    * centroids). Returns (v: D components at 1e6 scale, sv = Σᵢ Sᵢvᵢ,
-    * n, evrPpm = v'Cv·10⁶ / (tr(C)·v'v) — explained-variance ratio).
-    * All BigInt; division truncates toward zero on both engines. */
-  def solve(feats: DataFrame, dim: Int, rounds: Int)
-      : (Array[BigInt], BigInt, Long, Long) = {
+  /** Exact centered scatter from the bounded Gram collect ((D+1)² rows
+    * — the sanctioned bounded-collect shape, like k-means centroids):
+    * (C = n·Σxxᵀ − (Σx)(Σx)ᵀ, S = Σx, n), all BigInt. */
+  private def scatterOf(feats: DataFrame, dim: Int)
+      : (Array[Array[BigInt]], Array[BigInt], BigInt) = {
     val cells = gram(feats, dim).collect()
     val p = Array.ofDim[BigInt](dim + 1, dim + 1)
     cells.foreach { r =>
@@ -81,25 +79,61 @@ object Pca {
     }
     val n = p(dim)(dim)
     val s = Array.tabulate(dim)(i => p(i)(dim))
-    val c = Array.tabulate(dim, dim)((i, j) => n * p(i)(j) - s(i) * s(j))
+    (Array.tabulate(dim, dim)((i, j) => n * p(i)(j) - s(i) * s(j)), s, n)
+  }
+
+  /** Fixed-round power iteration at 1e6 scale. BigInt / truncates
+    * toward zero — the contract the oracle's HUGEINT // replays
+    * (never DuckDB's DECIMAL //, which is REAL division; DuckDB
+    * integer // also truncates toward zero, verified on negatives). */
+  private def powerIter(c: Array[Array[BigInt]], dim: Int, rounds: Int)
+      : Array[BigInt] = {
     val scale = BigInt(1000000)
     var v = Array.fill(dim)(scale)
     for (_ <- 1 to rounds) {
       val w = Array.tabulate(dim)(i =>
         (0 until dim).map(j => c(i)(j) * v(j)).sum)
       val m = w.map(_.abs).max
-      // BigInt / truncates toward zero — the contract the oracle's
-      // HUGEINT // replays (never DuckDB's DECIMAL //, which is real
-      // division)
       v = w.map(x => x * scale / m)
     }
-    val sv = (0 until dim).map(i => s(i) * v(i)).sum
+    v
+  }
+
+  /** v'Cv·10⁶ / (tr(C)·v'v) — explained-variance ppm of component v
+    * against scatter c (always the ORIGINAL scatter, so deflated
+    * components report their true share). */
+  private def evrPpm(c: Array[Array[BigInt]], v: Array[BigInt], dim: Int)
+      : BigInt = {
     val num = (0 until dim).flatMap(i =>
       (0 until dim).map(j => v(i) * c(i)(j) * v(j))).sum
     val tr = (0 until dim).map(i => c(i)(i)).sum
     val vv = v.map(x => x * x).sum
-    val evr = if (tr == 0) BigInt(0) else num * 1000000 / (tr * vv)
-    (v, sv, n.toLong, evr.toLong)
+    if (tr == 0) BigInt(0) else num * 1000000 / (tr * vv)
+  }
+
+  /** Rank-1 deflation, exactly and overflow-safely: λ = ⌊v'Cv / v'v⌋,
+    * C₂(i,j) = C(i,j) − ⌊λ·vᵢ·vⱼ / v'v⌋ — per-cell truncation keeps
+    * every intermediate under HUGEINT's 1.7e38 at sf1 (λ·vᵢ·vⱼ ≲ 1e33)
+    * where the textbook C·(v'v)² − (v'Cv)·vvᵀ form overflows. The
+    * residual v'C₂v is O(truncation) ≈ 0, so the next power iteration
+    * converges to the second eigenvector. */
+  private def deflate(c: Array[Array[BigInt]], v: Array[BigInt], dim: Int)
+      : Array[Array[BigInt]] = {
+    val vv = v.map(x => x * x).sum
+    val num = (0 until dim).flatMap(i =>
+      (0 until dim).map(j => v(i) * c(i)(j) * v(j))).sum
+    val lam = num / vv
+    Array.tabulate(dim, dim)((i, j) => c(i)(j) - lam * v(i) * v(j) / vv)
+  }
+
+  /** Driver-side exact eigen-solve. Returns (v: D components at 1e6
+    * scale, sv = Σᵢ Sᵢvᵢ, n, evrPpm). */
+  def solve(feats: DataFrame, dim: Int, rounds: Int)
+      : (Array[BigInt], BigInt, Long, Long) = {
+    val (c, s, n) = scatterOf(feats, dim)
+    val v = powerIter(c, dim, rounds)
+    val sv = (0 until dim).map(i => s(i) * v(i)).sum
+    (v, sv, n.toLong, evrPpm(c, v, dim).toLong)
   }
 
   /** PC1 projection per row: pc1 = n·(q·v) − Σᵢ Sᵢvᵢ — the exact
@@ -111,20 +145,38 @@ object Pca {
     val vlit = array(v.map(x => lit(x.toLong)): _*)
     val praw = aggregate(
       zip_with(col("q"), vlit, (x, w) => x * w), lit(0L), (a, b) => a + b)
+    // Emit BIGINT, never DECIMAL: the driver's hash canonicalizes
+    // parquet DECIMAL differently from DuckDB decimal, and pc1 fits
+    // int64 at every SF (n·(q·v) ≤ n·6·maxFeature·1e6 ≪ 2^63).
     feats.select(col("id"),
       (lit(n).cast(DecimalType(38, 0)) * praw - lit(sv.toLong))
-        .cast(DecimalType(38, 0)).as("pc1"))
+        .cast("long").as("pc1"))
   }
 
-  /** The solved component itself: (i, loading at 1e6 scale, explained
-    * variance ppm) — the D-row artifact a feature-health dashboard
-    * reads. Same bounded solve; no second data pass at all. */
-  def components(feats: DataFrame, dim: Int = 6, rounds: Int = 6)
-      : DataFrame = {
+  /** The solved components: (comp, i, loading at 1e6 scale, explained
+    * variance ppm vs the ORIGINAL scatter) — the k·D-row artifact a
+    * feature-health dashboard reads. PC1 alone is the corpus size
+    * factor; the quality signal lives in PC2+, found by rank-1
+    * deflation and re-iteration over the same bounded driver frame —
+    * still zero extra data passes. Deflated components get more rounds
+    * (`rounds2`, default 80): the residual eigengap λ₂/λ₃ is small, so
+    * the fixed point arrives later (measured: round 26/22/35 at
+    * sf0.001/0.01/0.1); rounds stay FIXED (never data-dependent) so
+    * the oracle replays the identical chain converged or not. */
+  def components(feats: DataFrame, dim: Int = 6, rounds: Int = 6,
+                 k: Int = 2, rounds2: Int = 80): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
-    val (v, _, _, evr) = solve(feats, dim, rounds)
-    v.zipWithIndex.map { case (x, i) => (i, x.toLong, evr) }
-      .toSeq.toDF("i", "v", "evr_ppm")
+    val (c0, _, _) = scatterOf(feats, dim)
+    val rows = Iterator.iterate((c0, 0)) { case (c, m) =>
+        (deflate(c, powerIter(c, dim, if (m == 0) rounds else rounds2), dim),
+          m + 1)
+      }.take(k).map { case (c, m) =>
+        val v = powerIter(c, dim, if (m == 0) rounds else rounds2)
+        (m, v, evrPpm(c0, v, dim).toLong)
+      }.toSeq
+    rows.flatMap { case (m, v, evr) =>
+      v.zipWithIndex.map { case (x, i) => (m, i, x.toLong, evr) }
+    }.toDF("comp", "i", "v", "evr_ppm")
   }
 }

@@ -40,11 +40,37 @@ class PcaSpec extends SparkTestBase {
 
   test("projection is exactly centered (Σ pc1 = 0) and partitioning-invariant") {
     val feats = Pca.docFeatures(fixtureDocs)
-    val total = Pca.project(feats).agg(sum(col("pc1"))).head().getDecimal(0)
-    assert(total.signum === 0, s"n·Σ(q·v) − n·Σsᵢvᵢ must cancel, got $total")
+    val proj = Pca.project(feats)
+    assert(proj.schema("pc1").dataType.typeName === "long",
+      "output must be BIGINT, never DECIMAL (driver-hash convention)")
+    val total = Pca.project(feats).agg(sum(col("pc1"))).head().getLong(0)
+    assert(total === 0L, s"n·Σ(q·v) − n·Σsᵢvᵢ must cancel, got $total")
     val a = Pca.project(feats).orderBy("id").collect().toSeq
     val b = Pca.project(feats.repartition(13)).orderBy("id").collect().toSeq
     assert(a === b)
+  }
+
+  test("deflated PC2 reaches its fixed point and is near-orthogonal to PC1") {
+    val feats = Pca.docFeatures(fixtureDocs)
+    def comps(r2: Int): Map[Int, Seq[Long]] =
+      Pca.components(feats, rounds2 = r2).orderBy("comp", "i")
+        .as[(Int, Int, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3) }
+    val at80 = comps(80)
+    // fixture fixed point is round 69 — one extra round moves nothing
+    assert(at80 === comps(81))
+    val v1 = at80(0).map(BigInt(_))
+    val v2 = at80(1).map(BigInt(_))
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum.abs
+    val n1 = v1.map(x => x * x).sum
+    val n2 = v2.map(x => x * x).sum
+    // truncation-deflated orthogonality: |v1·v2| ≤ 10% of |v1||v2| on
+    // the fixture (real corpora measure ~1e-3)
+    assert(dot * dot * 100 < n1 * n2, s"dot=$dot n1=$n1 n2=$n2")
+    // PC2 explains less than PC1 and both report vs the original scatter
+    val evr = Pca.components(feats).select("comp", "evr_ppm").distinct()
+      .as[(Int, Long)].collect().toMap
+    assert(evr(0) > 900000 && evr(1) < evr(0) && evr(1) > 0, evr.toString)
   }
 
   test("bitmap distinct equals naive count_distinct, negatives included") {
