@@ -95,7 +95,15 @@ object Bench {
     val errJson = errors.distinctBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only a 2000-char tail of this line, so ~200 of
+    // the per-query times vanished from round-9's record — persist the
+    // FULL map to a file too (kept out of the tail-captured stdout)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     // the driver's capture truncates the giant per-query line from the
     // TAIL, losing the total that follows the map (every round's
     // BENCH_r*.json has parsed:null) — repeat the headline numbers on a

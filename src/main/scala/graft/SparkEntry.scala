@@ -93,6 +93,9 @@ object SparkEntry {
     // live Kaplan–Meier: per-user spans (3 longs each) in the state
     // store, curve through the identical batch stage after the drain
     "q_stream_survival" -> ((s, dir) => StreamEntries.streamSurvival(s, dir)),
+    // incrementally-maintained PCA: the 49 Gram sums fold in the state
+    // store (complete mode), identical driver eigen-solve as batch
+    "q_stream_pca" -> ((s, dir) => StreamEntries.streamPca(s, dir)),
     // streaming HLL NDV: per-shard register sketches max-merged in the
     // state store, estimate over the SINK registers — oracle is the
     // batch q_hll_ndv SQL verbatim
@@ -2814,7 +2817,10 @@ object SparkEntry {
     // the live funnel monitor drains per-doc flags through the
     // IDENTICAL funnelFromFlags stage over the same slice — one SQL,
     // two gates (the q_stream_hll / q_hll_ndv sharing pattern)
-    m + ("q_stream_funnel" -> m("q_curation_funnel"))
+    m + ("q_stream_funnel" -> m("q_curation_funnel")) +
+      // the streaming PCA folds the identical Gram monoid, then the
+      // identical driver solve — one SQL, two gates
+      ("q_stream_pca" -> m("q_pca_components"))
   }
 
   /** df cap for the exact-Jaccard family: shingles present in more than

@@ -69,10 +69,13 @@ object Pca {
 
   /** Exact centered scatter from the bounded Gram collect ((D+1)² rows
     * — the sanctioned bounded-collect shape, like k-means centroids):
-    * (C = n·Σxxᵀ − (Σx)(Σx)ᵀ, S = Σx, n), all BigInt. */
-  private def scatterOf(feats: DataFrame, dim: Int)
+    * (C = n·Σxxᵀ − (Σx)(Σx)ᵀ, S = Σx, n), all BigInt. Takes the Gram
+    * as a FRAME (i, j, pij) so the streaming twin can hand in the
+    * state-store-folded cells — the Gram is a sum monoid, the same
+    * applyDelta discipline as the incremental checksum. */
+  private[graft] def scatterFromGram(gramDf: DataFrame, dim: Int)
       : (Array[Array[BigInt]], Array[BigInt], BigInt) = {
-    val cells = gram(feats, dim).collect()
+    val cells = gramDf.collect()
     val p = Array.ofDim[BigInt](dim + 1, dim + 1)
     cells.foreach { r =>
       p(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
@@ -81,6 +84,10 @@ object Pca {
     val s = Array.tabulate(dim)(i => p(i)(dim))
     (Array.tabulate(dim, dim)((i, j) => n * p(i)(j) - s(i) * s(j)), s, n)
   }
+
+  private def scatterOf(feats: DataFrame, dim: Int)
+      : (Array[Array[BigInt]], Array[BigInt], BigInt) =
+    scatterFromGram(gram(feats, dim), dim)
 
   /** Fixed-round power iteration at 1e6 scale. BigInt / truncates
     * toward zero — the contract the oracle's HUGEINT // replays
@@ -164,10 +171,16 @@ object Pca {
     * sf0.001/0.01/0.1); rounds stay FIXED (never data-dependent) so
     * the oracle replays the identical chain converged or not. */
   def components(feats: DataFrame, dim: Int = 6, rounds: Int = 6,
-                 k: Int = 2, rounds2: Int = 80): DataFrame = {
-    val spark = feats.sparkSession
+                 k: Int = 2, rounds2: Int = 80): DataFrame =
+    componentsFromGram(gram(feats, dim), dim, rounds, k, rounds2)
+
+  /** Same solve over an already-aggregated Gram frame — the streaming
+    * twin's entry point (its (D+1)² sums fold in the state store). */
+  def componentsFromGram(gramDf: DataFrame, dim: Int = 6, rounds: Int = 6,
+                         k: Int = 2, rounds2: Int = 80): DataFrame = {
+    val spark = gramDf.sparkSession
     import spark.implicits._
-    val (c0, _, _) = scatterOf(feats, dim)
+    val (c0, _, _) = scatterFromGram(gramDf, dim)
     val rows = Iterator.iterate((c0, 0)) { case (c, m) =>
         (deflate(c, powerIter(c, dim, if (m == 0) rounds else rounds2), dim),
           m + 1)

@@ -216,21 +216,67 @@ object Sketches {
 
   // ------------------------------------------------- Bloom-filtered join
 
-  /** Builds the m-bit Bloom bitmap of a (small) key set: `numHashes`
-    * md5-salted bit positions per key, OR-folded into `m/64` longs on
-    * the driver. The collect is bounded by the BITMAP size premise
-    * (positions are distinct-ed first, so at most `m` rows arrive),
-    * not by the dim cardinality. */
-  def bloomBits(dim: DataFrame, key: Column, m: Int, numHashes: Int): Array[Long] = {
+  /** Typed OR-fold of Bloom bit positions into the m/64-word bitmap —
+    * a Catalyst partial+final aggregate, so each task folds its
+    * positions into ONE local buffer and the shuffle carries one
+    * m/64-long array per partition (for m = 8192: 128 longs), never a
+    * row per position. This is the build shape that survives a
+    * billion-key dim side; the driver receives exactly one row. */
+  private final class BloomWordsAgg(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](m / 64)
+    def reduce(b: Array[Long], p: Long): Array[Long] = {
+      b((p >>> 6).toInt) |= 1L << (p & 63); b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The one-row (words: array<bigint>) bitmap frame — exposed so the
+    * plan shape (partial+final ObjectHashAggregate, no per-position
+    * shuffle, no distinct) can be pinned by PlanShapeSpec. */
+  def bloomWordsDf(dim: DataFrame, key: Column, m: Int, numHashes: Int): DataFrame = {
     require(m % 64 == 0, s"m must be a multiple of 64, got $m")
     val spark = dim.sparkSession
     import spark.implicits._
-    val pos = dim.select(explode(array((0 until numHashes).map(j =>
+    dim.select(explode(array((0 until numHashes).map(j =>
         pmod(saltedHash60(s"bloom${j}_", key), lit(m.toLong))): _*)).as("p"))
-      .distinct().as[Long].collect()
-    val bits = new Array[Long](m / 64)
-    pos.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64))
-    bits
+      .as[Long]
+      .select(new BloomWordsAgg(m).toColumn.name("words")).toDF()
+  }
+
+  /** Builds the m-bit Bloom bitmap of a key set: `numHashes` md5-salted
+    * bit positions per key, OR-folded distributed by [[BloomWordsAgg]]
+    * (partial+final; the only driver transfer is the single finished
+    * m/64-word row — no position collect, no distinct shuffle).
+    *
+    * FPP-vs-bits contract: expected false-positive rate is
+    * (1 − e^(−k·n/m))^k for n distinct keys — size with [[bloomParams]]
+    * (m ≈ −n·ln(fpp)/ln²2, k ≈ (m/n)·ln 2). FPP only costs join work
+    * (positives die in the join); correctness never depends on it. */
+  def bloomBits(dim: DataFrame, key: Column, m: Int, numHashes: Int): Array[Long] =
+    bloomWordsDf(dim, key, m, numHashes).head().getSeq[Long](0).toArray
+
+  /** Expected false-positive probability of an (m, k) Bloom filter
+    * holding n distinct keys. */
+  def bloomFpp(n: Long, m: Int, k: Int): Double =
+    math.pow(1 - math.exp(-k.toDouble * n / m), k)
+
+  /** Smallest 64-aligned (m, k) meeting a target FPP for n keys —
+    * m = ⌈−n·ln(fpp)/ln²2⌉ rounded up to a word, k = round((m/n)·ln 2),
+    * the standard optimum. */
+  def bloomParams(n: Long, fpp: Double): (Int, Int) = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
+    val ln2 = math.log(2)
+    val mRaw = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = (((mRaw + 63) / 64) * 64).toInt
+    (m, math.max(1, math.round(m.toDouble / n * ln2).toInt))
   }
 
   /** Membership predicate against a literal bitmap: all `numHashes`

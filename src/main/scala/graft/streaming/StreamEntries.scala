@@ -828,6 +828,41 @@ object StreamEntries {
       .orderBy(col("event_type"))
   }
 
+  /** Incrementally-maintained PCA: the (D+1)² homogeneous Gram is a sum
+    * monoid (the checksum-applyDelta discipline), so [[Pca.gram]]'s
+    * DECIMAL(38,0) cells fold in the state store under complete mode —
+    * state is 49 rows regardless of corpus size — and the drained frame
+    * runs through the IDENTICAL driver eigen-solve as batch
+    * ([[Pca.componentsFromGram]]: power iteration + rank-1 deflation,
+    * k=2). The feed splits by doc_id parity so every Gram cell's sum
+    * provably folds across the micro-batch boundary (no single batch
+    * holds a full cell). Proves model-fit statistics maintain
+    * incrementally beyond regression's five sums. Oracle: the batch
+    * q_pca_components SQL. */
+  def streamPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = memoFeed(s"pca:$dir") {
+      graft.operators.Pca.docFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .as[(Long, Seq[Long])].collect()
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_pca")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(Long, Seq[Long])]
+      val agg = graft.operators.Pca.gram(mem.toDS().toDF("id", "q"), 6)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        mem.addData(feats.filter(_._1 % 2 == 0).toSeq)
+        q.processAllAvailable()
+        mem.addData(feats.filter(_._1 % 2 != 0).toSeq)
+        q.processAllAvailable()
+      }
+    }
+    graft.operators.Pca.componentsFromGram(takeTable(s, name))
+      .orderBy(col("comp"), col("i"))
+  }
+
   /** Live Kaplan–Meier: the per-user span frame ([[Events.userSpans]]'
     * min/max/conditional-min) folds per user in the state store
     * (complete mode — state is 3 longs per user, bounded by the user

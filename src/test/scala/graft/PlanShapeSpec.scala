@@ -149,6 +149,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(filterIdx >= 0, s"bloom membership filter not found:\n$p")
   }
 
+  test("Bloom bitmap build: partial+final OR-fold, one buffer per partition, no distinct/collect") {
+    val dim = spark.read.parquet(s"$sfSmoke/supplier.parquet")
+    val p = graft.operators.Sketches.bloomWordsDf(
+      dim, org.apache.spark.sql.functions.col("s_suppkey"), 8192, 3)
+      .queryExecution.executedPlan.toString
+    // typed OR-aggregator: map-side partial, SinglePartition exchange of
+    // one m/64-word buffer per task, final merge — never a per-position
+    // row shuffle and never a distinct
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("hashpartitioning"), s"per-position shuffle crept in:\n$p")
+    assert(!p.contains("CollectLimit"), p)
+  }
+
   test("q_priority_sample: distributed top-k (TakeOrdered), no global sort+collect") {
     val p = plan("q_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -102,6 +102,42 @@ class SketchesSpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("Bloom join equals the plain join at ANY FPP (tiny bitmap included)") {
+    val fact = (1 to 5000).map(i => (i % 500, i)).toDF("fk", "payload")
+    val dim = (0 until 500 by 25).map(k => (k, s"d$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name").as[(Int, Int, String)].collect().sorted.toSeq
+    // m=64 with 20 keys × 3 hashes ≈ saturated bitmap → FPP near 1:
+    // correctness must not depend on bitmap sizing, only cost does
+    for ((m, k) <- Seq((64, 3), (128, 1), (8192, 5))) {
+      val got = Sketches.bloomFilteredJoin(fact, "fk", dim, "dk", m, k)
+        .select("fk", "payload", "name").as[(Int, Int, String)].collect().sorted.toSeq
+      assert(got === plain, s"m=$m k=$k")
+    }
+  }
+
+  test("distributed bitmap build equals the naive driver OR-fold; params honor the FPP contract") {
+    val dim = (1 to 400).map(k => (s"key$k", k)).toDF("dk", "x")
+    val m = 2048; val k = 3
+    val agged = Sketches.bloomBits(dim, col("dk"), m, k)
+    val naive = {
+      val pos = dim.select(explode(array((0 until k).map(j =>
+          pmod(graft.operators.Dedup.md5Hash60(concat(lit(s"bloom${j}_"), col("dk"))),
+            lit(m.toLong))): _*)).as("p"))
+        .as[Long].collect()
+      val bits = new Array[Long](m / 64)
+      pos.foreach(p => bits((p / 64).toInt) |= 1L << (p % 64))
+      bits
+    }
+    assert(agged.toSeq === naive.toSeq)
+    // partitioning invariance: the OR-monoid merge is order-free
+    assert(Sketches.bloomBits(dim.repartition(7), col("dk"), m, k).toSeq
+      === agged.toSeq)
+    val (m2, k2) = Sketches.bloomParams(1000000, 0.01)
+    assert(m2 % 64 === 0 && Sketches.bloomFpp(1000000, m2, k2) <= 0.011,
+      s"m=$m2 k=$k2 fpp=${Sketches.bloomFpp(1000000, m2, k2)}")
+  }
+
   test("Bloom pre-filter actually prunes non-matching rows") {
     val dim = (1 to 20).map(k => (k, k)).toDF("dk", "x")
     val bits = Sketches.bloomBits(dim, col("dk"), 8192, 3)

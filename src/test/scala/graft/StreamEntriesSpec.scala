@@ -338,6 +338,14 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_pca equals the batch eigen-solve (Gram sums fold across batches)") {
+    val streamed = StreamEntries.streamPca(spark, dir)
+    val batch = graft.operators.Pca.components(
+      graft.operators.Pca.docFeatures(spark.read.parquet(s"$dir/documents.parquet")))
+    assert(streamed.count() === 12)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_hll registers max-merge across batches to the batch estimate") {
     val streamed = StreamEntries.streamHll(spark, dir)
     val toks = spark.read.parquet(s"$dir/documents.parquet")
