@@ -2701,6 +2701,20 @@ object SparkEntry {
       Checksum.of(graft.sources.kvbin.KVBin.read(s, tmp))
         .withColumn("n_regions", lit(nRegions).cast("long"))
     }),
+    // Iceberg/Delta-style DATA SKIPPING over the kvbin connector: the
+    // orders table Z-order-clustered on (price_k, cust) with per-region
+    // min/max of both stats stamped in the _index sidecar; the
+    // conjunctive range predicate prunes regions at PLANNING time
+    // (KVBinSpec pins regions-opened < total) and the reader
+    // row-filters the survivors from the same spec — fully consumed
+    // pushdown, no Spark-side residual filter
+    "q_kvbin_skip" -> ((s, dir) => {
+      val path = Layout.kvbinSkipTable(s, dir)
+      graft.sources.kvbin.KVBin.read(s, path)
+        .filter(col("price_k").between(100L, 160L) && col("cust") < 200L)
+        .select(upper(hex(col("key"))).as("key_hex"), col("price_k"), col("cust"))
+        .orderBy(col("key_hex"))
+    }),
     // the reference's §3.1 flagship lifecycle end-to-end over wires:
     // src (two-store fleet) and dst (own store) checksummed server-side
     // concurrently, verdict from the pushed triples. Same oracle as
@@ -5902,6 +5916,17 @@ object SparkEntry {
         |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes,
         |  CAST(4 AS BIGINT) AS n_regions
         |FROM sgn""".stripMargin),
+    // data skipping is execution strategy only (region pruning + the
+    // same spec-derived row filter) — the oracle is the plain
+    // conjunctive range scan over the orders parquet the layout encodes
+    "q_kvbin_skip" ->
+      """SELECT upper(hex(printf('ok_%010d', o_orderkey))) AS key_hex,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+        |  o_custkey AS cust
+        |FROM orders
+        |WHERE floor(o_totalprice / 1000) BETWEEN 100 AND 160
+        |  AND o_custkey < 200
+        |ORDER BY key_hex""".stripMargin,
     // and the over-the-wire verdict equals the in-engine verdict:
     // q_checksum_verdict's SQL verbatim
     "q_kvbin_verdict" -> (cte + "," + crc64TabCte + ",\n" +

@@ -118,6 +118,34 @@ object Layout {
     s.read.parquet(path)
   }
 
+  /** The orders table written once per JVM as a STATS-BEARING kvbin
+    * layout — the Delta/Iceberg data-skipping analog over the house
+    * connector. Value bytes carry two fixed-width BE64 fields
+    * (`price_k` = ⌊o_totalprice/1000⌋ at offset 0, `cust` = o_custkey
+    * at offset 8) that the index sidecar summarizes per region
+    * (`#stats=` header + min/max pairs), and the placement CLUSTERS by
+    * the Morton key of the two stats ([[zorder2]], 16 bits each) so
+    * every region is a compact box in (price_k, cust) space — the
+    * property that makes per-region min/max tight enough for a
+    * conjunctive range predicate on EITHER column to skip most regions
+    * at planning time (KVBinSpec pins regions-opened < total). Keys
+    * stay sorted within each region, so in-region key scoping is
+    * untouched; cross-region key ranges may overlap (the documented
+    * Z-order trade). */
+  def kvbinSkipTable(s: SparkSession, dir: String): String =
+    store(s"$dir/kvbin_skip", "kvskip") { p =>
+      val priceK = floor(col("o_totalprice") / 1000.0).cast("long")
+      val be64 = (c: Column) => unhex(lpad(hex(c), 16, "0"))
+      val kv = s.read.parquet(s"$dir/orders.parquet").select(
+        encode(format_string("ok_%010d", col("o_orderkey")), "UTF-8").as("key"),
+        concat(be64(priceK), be64(col("o_custkey"))).as("value"),
+        zorder2(least(priceK, lit(65535L)),
+          least(col("o_custkey"), lit(65535L)), 16).as("__cluster"))
+      graft.sources.kvbin.KVBin.write(kv, p, 32, "V1",
+        Seq("price_k" -> "v_be64@0", "cust" -> "v_be64@8"))
+      ()
+    }
+
   /** A KV snapshot written as a BUCKETED parquet table —
     * `bucketBy(buckets, k)` + `sortBy(k)` — and read back through the
     * catalog (bucket metadata lives there). Two snapshots bucketed with

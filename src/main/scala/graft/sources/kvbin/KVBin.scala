@@ -31,9 +31,30 @@ object KVBin {
   /** Write a binary (key, value) frame as `numRanges` contiguous region
     * files + index, stamped with the cluster API version (`#api_version=`
     * header line in the index — the source-side half of the reference's
-    * version gate, `utils/utils.go:13-26`). Returns the index entries. */
+    * version gate, `utils/utils.go:13-26`). Returns the index entries.
+    *
+    * Data skipping (the Delta/Iceberg stats analog over the house
+    * connector): `stats` declares named long-valued record statistics
+    * as [[KVBinStat]] specs (e.g. `("price_k", "v_be64@0")`). The
+    * writer folds each region's per-stat min/max into the SAME pass
+    * that streams the bytes, stamps the spec list as a `#stats=` index
+    * header, and appends `min\tmax` per stat to each region line — the
+    * reader then exposes each stat as a virtual LONG column and prunes
+    * whole regions on conjunctive range predicates before opening any.
+    *
+    * Layout: if `kv` carries a `__cluster` column (e.g.
+    * [[graft.operators.Layout.zorder2]] of two quantized stats), the
+    * range partitioning uses IT instead of the key — regions become
+    * compact boxes in stat space (Z-order clustering), which is what
+    * makes the stat min/max TIGHT enough to skip on either dimension.
+    * Rows stay key-sorted WITHIN each region (the reader's in-region
+    * range scoping relies on it); only cross-region placement changes,
+    * so key-range pruning degrades gracefully (boxes overlap in key
+    * space) while stat pruning becomes sharp. */
   def write(kv: DataFrame, dir: String, numRanges: Int,
-            apiVersion: String = "V1"): Seq[(String, Array[Byte], Array[Byte], Long)] = {
+            apiVersion: String = "V1",
+            stats: Seq[(String, String)] = Nil)
+      : Seq[(String, Array[Byte], Array[Byte], Long)] = {
     val spark = kv.sparkSession
     import spark.implicits._
     // the session's hadoop conf (session-scoped spark.hadoop.* settings,
@@ -44,10 +65,14 @@ object KVBin {
       spark.sessionState.newHadoopConf())
     val fs = FileSystem.get(new java.net.URI(dir), sconf.value)
     fs.mkdirs(new Path(dir))
+    val clusterCol =
+      if (kv.columns.contains("__cluster")) col("__cluster") else col("key")
+    val specs = stats.map(_._2)
     val index = kv
-      .select(col("key"), col("value"))
-      .repartitionByRange(numRanges, col("key"))
+      .select(col("key"), col("value"), clusterCol.as("__c"))
+      .repartitionByRange(numRanges, col("__c"))
       .sortWithinPartitions(col("key"))
+      .select(col("key"), col("value"))
       .as[(Array[Byte], Array[Byte])]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -60,26 +85,40 @@ object KVBin {
           var minK: Array[Byte] = null
           var maxK: Array[Byte] = null
           var n = 0L
+          val sMin = Array.fill(specs.size)(Long.MaxValue)
+          val sMax = Array.fill(specs.size)(Long.MinValue)
           it.foreach { case (k, v) =>
             out.writeInt(k.length); out.write(k)
             out.writeInt(v.length); out.write(v)
             if (minK == null) minK = k
-            maxK = k
+            if (maxK == null || compare(k, maxK) > 0) maxK = k
+            var i = 0
+            while (i < specs.size) {
+              val x = KVBinStat.eval(specs(i), k, v)
+              if (x < sMin(i)) sMin(i) = x
+              if (x > sMax(i)) sMax(i) = x
+              i += 1
+            }
             n += 1
           }
           out.close()
-          Iterator.single((name, minK, maxK, n))
+          Iterator.single((name, minK, maxK, n, sMin.toSeq, sMax.toSeq))
         }
       }
       .collect()
       .toSeq
-    val lines = s"#api_version=$apiVersion" +: index.map { case (f, mn, mx, n) =>
-      s"$f\t${hexOf(mn)}\t${hexOf(mx)}\t$n"
+    val header = Seq(s"#api_version=$apiVersion") ++
+      (if (stats.isEmpty) Nil
+       else Seq(s"#stats=${stats.map { case (n, sp) => s"$n:$sp" }.mkString(",")}"))
+    val lines = header ++ index.map { case (f, mn, mx, n, lo, hi) =>
+      (Seq(f, hexOf(mn), hexOf(mx), n.toString) ++
+        lo.zip(hi).flatMap { case (a, b) => Seq(a.toString, b.toString) })
+        .mkString("\t")
     }
     val out = fs.create(new Path(dir, IndexFile), true)
     out.write(lines.mkString("\n").getBytes("UTF-8"))
     out.close()
-    index
+    index.map { case (f, mn, mx, n, _, _) => (f, mn, mx, n) }
   }
 
   def hexOf(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
@@ -103,10 +142,39 @@ object KVBin {
       val meta = if (meta0.contains("api_version")) meta0
                  else meta0 + ("api_version" -> "V1")
       val entries = lines.filterNot(_.startsWith("#")).map { line =>
-        val Array(f, mn, mx, n) = line.split("\t")
-        (f, unhex(mn), unhex(mx), n.toLong)
+        // ≥4 fields; stats-bearing indexes append min/max pairs, which
+        // [[statRanges]] parses — plain consumers ignore them
+        val a = line.split("\t")
+        (a(0), unhex(a(1)), unhex(a(2)), a(3).toLong)
       }
       (meta, entries)
+    } finally in.close()
+  }
+
+  /** Declared record statistics from the `#stats=` header:
+    * (name, spec) in stamped order; empty when the index has none. */
+  def statDefs(meta: Map[String, String]): Seq[(String, String)] =
+    meta.get("stats").toSeq.flatMap(_.split(",").toSeq.map { s =>
+      val Array(n, sp) = s.split(":", 2); (n, sp)
+    })
+
+  /** Per-region stat [min, max] ranges, file → pairs in header order.
+    * Regions whose line lacks the pairs (e.g. rewritten by a
+    * stats-unaware compaction that preserved the header) map to Nil —
+    * consumers must treat that as "unknown, cannot prune"; the virtual
+    * columns themselves still evaluate from the spec. */
+  def statRanges(dir: String, conf: Configuration): Map[String, Seq[(Long, Long)]] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new Path(dir, IndexFile)), "UTF-8"))
+    try {
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+          val a = line.split("\t")
+          a(0) -> a.drop(4).grouped(2).collect {
+            case Array(lo, hi) => (lo.toLong, hi.toLong)
+          }.toSeq
+        }.toMap
     } finally in.close()
   }
 
@@ -153,4 +221,24 @@ object KVBin {
   /** Convenience: read a kvbin dir through the DSv2 connector. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[KVBinSource].getName).option("path", dir).load()
+}
+
+/** Record-statistic specs — the deterministic long-valued functions of
+  * a (key, value) record that the index sidecar summarizes per region
+  * and the reader exposes as virtual columns. Deliberately tiny — a
+  * spec must be evaluable on executors from the record bytes alone:
+  *  - `vlen` / `klen` — value / key byte length;
+  *  - `v_be64@N` — big-endian signed int64 at byte offset N of the
+  *    value (the fixed-width header-field shape). */
+object KVBinStat {
+  def eval(spec: String, k: Array[Byte], v: Array[Byte]): Long = spec match {
+    case "vlen" => v.length.toLong
+    case "klen" => k.length.toLong
+    case s if s.startsWith("v_be64@") =>
+      val off = s.stripPrefix("v_be64@").toInt
+      require(v.length >= off + 8,
+        s"kvbin stat $spec needs ${off + 8} value bytes, record has ${v.length}")
+      java.nio.ByteBuffer.wrap(v, off, 8).getLong
+    case other => throw new IllegalArgumentException(s"unknown kvbin stat spec: $other")
+  }
 }

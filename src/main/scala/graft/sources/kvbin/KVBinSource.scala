@@ -48,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class KVBinSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KVBinSource.schema
+    KVBinSource.schemaFor(options.get("path"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new KVBinTable(properties.get("path"))
@@ -58,19 +58,40 @@ object KVBinSource {
   val schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
     StructField("value", BinaryType, nullable = false)))
+
+  /** Declared record stats of an existing source dir, from the index
+    * `#stats=` header — Nil for plain dirs, unreadable dirs (a write
+    * target that doesn't exist yet), or non-file clients. */
+  def statDefs(dir: String): Seq[(String, String)] =
+    try {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()
+      KVBin.statDefs(KVBin.readMeta(dir, conf))
+    } catch { case _: Exception => Nil }
+
+  /** (key, value) plus one non-null virtual LONG column per declared
+    * stat — the Delta/Iceberg data-skipping surface: filter on a stat
+    * column and planning prunes regions from the index min/max before
+    * any region file opens. */
+  def schemaFor(dir: String): StructType =
+    StructType(schema.fields ++ statDefs(dir).map { case (n, _) =>
+      StructField(n, LongType, nullable = false)
+    })
 }
 
 class KVBinTable(dir: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private lazy val statDefs = KVBinSource.statDefs(dir)
   override def name(): String = s"kvbin:$dir"
-  override def schema(): StructType = KVBinSource.schema
+  override def schema(): StructType = KVBinSource.schemaFor(dir)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KVBinScanBuilder(dir,
       Option(options.get("api_version")),
-      Option(options.get("endpoints")))
+      Option(options.get("endpoints")),
+      statDefs)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -101,14 +122,25 @@ object KVBinAgg {
   * index (partial pushdown: one row per region, Spark folds the
   * final merge — sum of counts, min of mins, max of maxes). */
 class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
-                       endpoints: Option[String] = None) extends ScanBuilder
+                       endpoints: Option[String] = None,
+                       statDefs: Seq[(String, String)] = Nil) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var startKey: Array[Byte] = null  // inclusive
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
   private var pushed: Array[Filter] = Array.empty
-  private var requiredSchema: StructType = KVBinSource.schema
+  private var requiredSchema: StructType = KVBinSource.schemaFor(dir)
+  // inclusive [lo, hi] bound per declared stat column (strict long
+  // bounds fold exactly: > v ≡ ≥ v+1) — region-prunes from the index
+  // min/max AND row-filters in the reader, so the filter is consumed
+  private val statLo = scala.collection.mutable.Map.empty[String, Long]
+  private val statHi = scala.collection.mutable.Map.empty[String, Long]
+  private def statNames = statDefs.map(_._1).toSet
+  private def tightLo(c: String, v: Long): Unit =
+    statLo.updateWith(c)(o => Some(o.fold(v)(math.max(_, v))))
+  private def tightHi(c: String, v: Long): Unit =
+    statHi.updateWith(c)(o => Some(o.fold(v)(math.min(_, v))))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -132,11 +164,27 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
       case LessThanOrEqual("key", v: Array[Byte]) => tighterEnd(v, inclusive = true); true
       case EqualTo("key", v: Array[Byte]) =>
         tighterStart(v); tighterEnd(v, inclusive = true); true
+      case GreaterThanOrEqual(c, v: Long) if statNames(c) => tightLo(c, v); true
+      case GreaterThan(c, v: Long) if statNames(c) && v < Long.MaxValue =>
+        tightLo(c, v + 1); true
+      case LessThanOrEqual(c, v: Long) if statNames(c) => tightHi(c, v); true
+      case LessThan(c, v: Long) if statNames(c) && v > Long.MinValue =>
+        tightHi(c, v - 1); true
+      case EqualTo(c, v: Long) if statNames(c) =>
+        tightLo(c, v); tightHi(c, v); true
       case _ => false
     }
     pushed = accepted
     rejected
   }
+
+  /** (name order index, spec, lo, hi) per bounded stat. */
+  private def statBounds: Seq[StatBound] =
+    statDefs.zipWithIndex.collect {
+      case ((n, spec), i) if statLo.contains(n) || statHi.contains(n) =>
+        StatBound(i, n, spec,
+          statLo.getOrElse(n, Long.MinValue), statHi.getOrElse(n, Long.MaxValue))
+    }
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -148,6 +196,7 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
     * columns are non-nullable. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (startKey != null || endKey != null || endInclusive != null) return false
+    if (statLo.nonEmpty || statHi.nonEmpty) return false
     if (aggregation.groupByExpressions.nonEmpty) return false
     def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
@@ -186,15 +235,21 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
 
   override def build(): Scan =
     new KVBinScan(dir, startKey, endKey, endInclusive, requiredSchema,
-      expectedApiVersion, endpoints, aggCols, limit)
+      expectedApiVersion, endpoints, aggCols, limit, statDefs, statBounds)
 }
+
+/** One pushed stat-range predicate: stat `name` (index `i` in the
+  * header order, evaluated by `spec`) must land in [lo, hi]. */
+case class StatBound(i: Int, name: String, spec: String, lo: Long, hi: Long)
 
 class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
                 endIncl: Array[Byte], required: StructType,
                 expectedApiVersion: Option[String] = None,
                 endpoints: Option[String] = None,
                 agg: Option[Seq[KVBinAgg]] = None,
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                statDefs: Seq[(String, String)] = Nil,
+                statBounds: Seq[StatBound] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   /** The session's hadoop configuration, shipped to readers —
@@ -219,7 +274,10 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     def h(b: Array[Byte]) = if (b == null) "∅" else KVBin.hexOf(b)
     s"KVBinScan(dir=$dir, start=${h(start)}, end=${h(end)}, endIncl=${h(endIncl)}" +
       endpoints.map(e => s", endpoints=$e").getOrElse("") +
-      agg.map(cs => s", PushedAggregates=[${cs.mkString(", ")}]").getOrElse("") + ")"
+      agg.map(cs => s", PushedAggregates=[${cs.mkString(", ")}]").getOrElse("") +
+      (if (statBounds.isEmpty) ""
+       else s", PushedStatRanges=[${statBounds.map(b =>
+         s"${b.name} in [${b.lo},${b.hi}]").mkString(", ")}]") + ")"
   }
 
   /** One region-metadata fetch per scan, shared by partition planning
@@ -253,7 +311,14 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     (end == null || KVBin.compare(r.minKey, end) < 0) &&
     (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0) &&
     runtimeKeys.forall(_.exists(k =>
-      KVBin.compare(k, r.minKey) >= 0 && KVBin.compare(k, r.maxKey) <= 0))
+      KVBin.compare(k, r.minKey) >= 0 && KVBin.compare(k, r.maxKey) <= 0)) &&
+    // stats skipping: drop the region when its index [min,max] box
+    // misses a pushed stat range; a region without stamped ranges
+    // (stats-unaware rewrite, network client) is never skipped — the
+    // reader still row-filters, so skipping is purely an optimization
+    statBounds.forall(b => !r.stats.isDefinedAt(b.i) || {
+      val (mn, mx) = r.stats(b.i); mx >= b.lo && mn <= b.hi
+    })
   }
 
   /** Region-index statistics for Catalyst's cost model: EXACT row count
@@ -309,7 +374,8 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
       case None =>
         prunedRegions.map { r =>
           KVBinInputPartition(client, r.id, start, end, endIncl,
-            required.fieldNames, limit.getOrElse(-1)): InputPartition
+            required.fieldNames, limit.getOrElse(-1),
+            statDefs.toMap, statBounds): InputPartition
         }.toArray
     }
   }
@@ -320,7 +386,9 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
 
 case class KVBinInputPartition(client: RegionClient, regionId: String,
     start: Array[Byte], end: Array[Byte], endIncl: Array[Byte],
-    columns: Array[String], limit: Int = -1)
+    columns: Array[String], limit: Int = -1,
+    statSpecs: Map[String, String] = Map.empty,
+    statBounds: Seq[StatBound] = Nil)
   extends InputPartition
 
 /** One region's pushed-aggregate row, fully resolved at planning time
@@ -376,9 +444,15 @@ class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[Inter
         val pastEnd = (p.end != null && KVBin.compare(k, p.end) >= 0) ||
           (p.endIncl != null && KVBin.compare(k, p.endIncl) > 0)
         if (pastEnd) return false // sorted file: nothing further can match
-        current = rec
-        emitted += 1
-        return true
+        // pushed stat ranges: stats are NOT key-ordered, so an
+        // out-of-range record is skipped, never a stop
+        if (p.statBounds.forall { b =>
+          val x = KVBinStat.eval(b.spec, k, rec._2); x >= b.lo && x <= b.hi
+        }) {
+          current = rec
+          emitted += 1
+          return true
+        }
       }
     }
     false
@@ -389,7 +463,10 @@ class KVBinPartitionReader(p: KVBinInputPartition) extends PartitionReader[Inter
       p.columns(i) match {
         case "key" => current._1
         case "value" => current._2
-        case other => throw new IllegalArgumentException(s"unknown kvbin column: $other")
+        case other => p.statSpecs.get(other) match {
+          case Some(spec) => KVBinStat.eval(spec, current._1, current._2)
+          case None => throw new IllegalArgumentException(s"unknown kvbin column: $other")
+        }
       }
     })
 

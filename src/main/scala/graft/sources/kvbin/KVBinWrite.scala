@@ -313,8 +313,16 @@ object KVBinCompact {
     // `preserve_meta` makes the overwrite COMMIT carry the table's
     // other `#k=v` meta lines through its one atomic index swap —
     // compaction is invisible to meta as well as content, and there is
-    // no post-commit rewrite that could tear _index on a crash
-    KVBin.read(s, path).write
+    // no post-commit rewrite that could tear _index on a crash.
+    // A stats-bearing dir: select the physical (key, value) pair — the
+    // virtual stat columns re-derive from the preserved `#stats=` spec
+    // after the rewrite; only the per-region min/max RANGES drop (the
+    // compacted lines carry none), so skipping degrades to row
+    // filtering until a stats-aware rewrite restamps them
+    KVBin.read(s, path)
+      .select(org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col("value"))
+      .write
       .format(classOf[KVBinSource].getName)
       .option("path", path)
       .option("api_version", api)

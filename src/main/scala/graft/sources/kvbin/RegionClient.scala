@@ -9,7 +9,8 @@ import org.apache.spark.util.SerializableConfiguration
   * client cannot cheaply know it (in-memory test clients); consumers
   * fall back to a per-record estimate. */
 case class RegionInfo(id: String, minKey: Array[Byte], maxKey: Array[Byte],
-                      nKeys: Long, bytes: Long = -1L)
+                      nKeys: Long, bytes: Long = -1L,
+                      stats: Seq[(Long, Long)] = Nil)
 
 /** The connector's live-source seam — everything [[KVBinScan]] needs
   * from "the cluster", and nothing else:
@@ -86,10 +87,13 @@ class FileRegionClient(dir: String, conf: SerializableConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(st => st.getPath.getName -> st.getLen).toMap
   }
+  @transient private lazy val ranges: Map[String, Seq[(Long, Long)]] =
+    if (all._1.contains("stats")) KVBin.statRanges(dir, conf.value) else Map.empty
   override def clusterMeta(): Map[String, String] = all._1
   override def listRegions(): Seq[RegionInfo] =
     all._2.map { case (f, mn, mx, n) =>
-      RegionInfo(f, mn, mx, n, fileLens.getOrElse(f, -1L))
+      RegionInfo(f, mn, mx, n, fileLens.getOrElse(f, -1L),
+        ranges.getOrElse(f, Nil))
     }
   override def scanRegion(regionId: String): Iterator[(Array[Byte], Array[Byte])] =
     KVBin.readFile(dir, regionId, conf.value)

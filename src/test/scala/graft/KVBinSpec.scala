@@ -34,6 +34,39 @@ class KVBinSpec extends SparkTestBase {
     assert(narrow < full, s"narrow range should prune: narrow=$narrow full=$full")
   }
 
+  test("stats skipping: conjunctive stat predicate prunes regions at planning; rows exact") {
+    def partitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: BatchScanExec => b.inputPartitions.size
+      }.sum
+    val path = graft.operators.Layout.kvbinSkipTable(spark, sfSmoke)
+    val tbl = KVBin.read(spark, path)
+    // virtual stat columns from the #stats header
+    assert(tbl.columns.toSeq === Seq("key", "value", "price_k", "cust"))
+    val full = partitions(tbl)
+    val pred = col("price_k").between(100L, 160L) && col("cust") < 200L
+    val skipped = partitions(tbl.filter(pred))
+    assert(full > 4, s"fixture must split into many regions, got $full")
+    assert(skipped < full,
+      s"two-column predicate must skip regions: opened=$skipped of $full")
+    // pruning must be exact: the stat filter is CONSUMED (no residual),
+    // yet the result equals the parquet-side reference
+    val got = tbl.filter(pred)
+      .select(col("key").cast("string"), col("price_k"), col("cust"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val ref = spark.read.parquet(s"$sfSmoke/orders.parquet")
+      .select(format_string("ok_%010d", col("o_orderkey")).as("k"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("p"),
+        col("o_custkey").as("c"))
+      .filter(col("p").between(100L, 160L) && col("c") < 200L)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got === ref)
+    assert(got.nonEmpty)
+    // a single-column predicate on the SECOND stat also skips — the
+    // Z-order layout keeps both dimensions clustered
+    assert(partitions(tbl.filter(col("cust") < 50L)) < full)
+  }
+
   test("pushed range filter returns exactly the [start,end) rows") {
     val lo = "li_0000000100".getBytes("UTF-8")
     val hi = "li_0000000300".getBytes("UTF-8")
