@@ -60,6 +60,12 @@ object SparkEntry {
   /** BPE-ish pre-tokenizer pattern, shared by Spark + oracle SQL. */
   private val bpePat = TextAnalysis.bpeTokenPattern
 
+  /** Blocklist fixture phrases (q_blocklist), mirrored verbatim in the
+    * oracle's VALUES list — multi-word so the anchor-and-verify split
+    * is actually exercised. */
+  private val blocklistPhrases = Seq("table scan", "slow filter",
+    "batch window spark", "key agg row", "the line sort")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++
     dedupQueries ++ similarityQueries ++ textQueries ++ multimodalQueries ++
@@ -499,6 +505,15 @@ object SparkEntry {
       Similarity.mutualTopK(Similarity.bruteForceTopK(e, e, 3))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+    // margin-based bitext candidate mining (Artetxe-Schwenk ratio
+    // margin, the LASER/CCMatrix construction rule): cross-side pairs
+    // (even vs odd ids) scored with the 1e-9-unit integer cosine, both
+    // directions ranked, margin_q = c·2k·1e6 DIV (Σₖa + Σₖb) in exact
+    // integer arithmetic; top-50 candidates. The pair stage is
+    // pluggable — brute baseline here, ANN candidates at scale
+    "q_bitext_margin" -> ((s, dir) =>
+      Similarity.marginMining(Similarity.bitextPairs(emb(s, dir)), 4)
+        .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(50)),
     // embedding health gate: per-dim counts of non-finite / zero-norm
     // vectors + the norm envelope in integer micros — the pre-index
     // data contract of the ANN family, one aggregate pass
@@ -797,6 +812,13 @@ object SparkEntry {
     "q_top_ngram" -> ((s, dir) =>
       TextAnalysis.topNgramCoverage(docs(s, dir), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    // multi-phrase blocklist scan (the toxicity/boilerplate list gate):
+    // anchor-and-verify — tokens join the broadcast first-word map,
+    // only anchored positions verify the full window against the doc's
+    // token array; overlapping matches count, hit docs only
+    "q_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistHits(docs(s, dir), "text", "doc_id",
+        blocklistPhrases).orderBy(col("doc_id"))),
     // dedicated math-function gate (the §2b row previously only "rode"
     // other queries): exact integer ops summed as BIGINT, and the one
     // genuinely floating function (ln) 9-dp-rounded per row then
@@ -4254,6 +4276,27 @@ object SparkEntry {
         |FROM top a JOIN top b ON a.query_id = b.vec_id AND a.vec_id = b.query_id
         |WHERE a.query_id < a.vec_id
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // replays the Artetxe-Schwenk margin in exact integer arithmetic:
+    // 1e-9-unit floor-quantized cosines, both-direction k=4 sums,
+    // margin_q via truncating // — the pair stage replayed plain
+    "q_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |             vec_id % 2 = 0 AS a FROM embeddings),
+        |pair AS (SELECT x.vec_id AS qa, y.vec_id AS qb,
+        |           CAST(floor(list_dot_product(x.v, y.v)
+        |             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |             * 1000000000 + 0.5) AS BIGINT) AS c
+        |         FROM e x JOIN e y ON x.a AND NOT y.a),
+        |r AS (SELECT qa, qb, c,
+        |        row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS ra,
+        |        row_number() OVER (PARTITION BY qb ORDER BY c DESC, qa) AS rb
+        |      FROM pair),
+        |sa AS (SELECT qa, sum(c) AS s FROM r WHERE ra <= 4 GROUP BY qa),
+        |sb AS (SELECT qb, sum(c) AS s FROM r WHERE rb <= 4 GROUP BY qb)
+        |SELECT r.qa, r.qb, CAST((r.c * 8 * 1000000) // (sa.s + sb.s) AS BIGINT) AS margin_q
+        |FROM r JOIN sa ON r.qa = sa.qa JOIN sb ON r.qb = sb.qb
+        |WHERE r.ra <= 4 AND r.c > 0 AND sa.s + sb.s > 0
+        |ORDER BY margin_q DESC, r.qa, r.qb LIMIT 50""".stripMargin,
     // replays Similarity.vectorHealth: x−x ≠ 0 non-finite classification,
     // norms excluded for non-finite vectors, floor(x·1e6+0.5) micros
     "q_vector_health" ->
@@ -4776,6 +4819,20 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY occ DESC, g) AS r FROM c)
         |SELECT doc_id, g AS top_gram, occ, occ * 2 * 1000 // total AS coverage_permille
         |FROM r WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    // blocklist replayed PLAIN (every position × every phrase, the
+    // unoptimized quadratic) — the anchor-and-verify split must be
+    // invisible; overlapping start positions count
+    "q_blocklist" -> {
+      val vals = blocklistPhrases
+        .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
+      s"""WITH ph(p, l) AS (VALUES $vals),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+        |m AS (SELECT doc_id, p FROM pos JOIN ph ON i + l - 1 <= len(ws)
+        |        AND array_to_string(ws[i:i+l-1], ' ') = p)
+        |SELECT doc_id, count(*) AS n_hits, count(DISTINCT p) AS n_phrases
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits

@@ -1126,6 +1126,54 @@ object Similarity {
         col("rank").as("rank_ab"), col("rank_ba"), col("sim"))
   }
 
+  /** Cross-side scored pairs for margin mining — the brute-force
+    * baseline stage: side A = even ids, side B = odd ids (the
+    * deterministic stand-in for two corpora/languages), every A×B pair
+    * scored with the cosine floor-quantized to integer 1e-9 units
+    * (the binary-exact cross-engine recipe — no round()). Quadratic by
+    * construction, like [[bruteForceTopK]]: the margin stage below
+    * takes ANY (qa, qb, c) frame, so the corpus-scale path feeds it
+    * IVF/PQ or SRP-banded candidates instead. */
+  def bitextPairs(corpus: DataFrame): DataFrame = {
+    val a = corpus.filter(col("id") % 2 === 0)
+      .select(col("id").as("qa"), col("vec").as("va"), norm(col("vec")).as("na"))
+    val b = corpus.filter(col("id") % 2 =!= 0)
+      .select(col("id").as("qb"), col("vec").as("vb"), norm(col("vec")).as("nb"))
+    b.join(broadcast(a), lit(true))
+      .select(col("qa"), col("qb"),
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+          * lit(1e9d) + lit(0.5d)).cast("long").as("c"))
+  }
+
+  /** Margin-based bitext candidate mining (the Artetxe & Schwenk
+    * ratio-margin rule behind LASER/CCMatrix corpus construction): a
+    * cross-side pair (x, y) scores margin = cos(x,y) / ((avgₖNN(x) +
+    * avgₖNN(y)) / 2) — a pair is a translation candidate when it is
+    * much closer than each side's usual neighborhood, which kills the
+    * hub vectors plain top-1 cosine mis-pairs. Exact integer
+    * arithmetic end-to-end: cosines arrive as 1e-9-unit longs, the two
+    * k-NN sums are integer sums, and margin_q = ⌊c·2k·10⁶ / (Σₖa +
+    * Σₖb)⌋ via truncating DIV — bit-replayable by the oracle. Takes
+    * ANY scored pair frame ([[bitextPairs]] baseline, ANN candidates
+    * at scale), ranks both directions (two shuffles of the pair frame,
+    * linear in it), and emits forward-top-k candidates with positive
+    * cosine. */
+  def marginMining(pairs: DataFrame, k: Int = 4): DataFrame = {
+    val wa = Window.partitionBy(col("qa")).orderBy(col("c").desc, col("qb"))
+    val wb = Window.partitionBy(col("qb")).orderBy(col("c").desc, col("qa"))
+    val r = pairs.withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+    val sa = r.filter(col("ra") <= k).groupBy(col("qa"))
+      .agg(sum(col("c")).as("sa"))
+    val sb = r.filter(col("rb") <= k).groupBy(col("qb"))
+      .agg(sum(col("c")).as("sb"))
+    r.filter(col("ra") <= k && col("c") > 0)
+      .join(sa, Seq("qa")).join(sb, Seq("qb"))
+      .filter(col("sa") + col("sb") > 0)
+      .select(col("qa"), col("qb"),
+        expr(s"(c * ${2L * k} * 1000000L) DIV (sa + sb)").as("margin_q"))
+  }
+
   /** Embedding health gate — the data contract an ANN index build
     * checks BEFORE indexing (the `expectations` of the vector world):
     * per dimensionality bucket (a ragged corpus is itself a defect —

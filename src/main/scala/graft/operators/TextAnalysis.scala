@@ -1186,4 +1186,41 @@ object TextAnalysis {
       .select(col("lbl").as("label"), col("w").as("term"),
         col("a").as("df_in"), col("chi2_ppm"))
   }
+
+  /** Multi-phrase blocklist scan — the curation staple every corpus
+    * release runs (toxicity / NSFW / boilerplate phrase lists), in the
+    * anchor-and-verify shape that scales to large lists: one token
+    * explode ANCHORS candidate positions by joining each token against
+    * the broadcast map of phrase FIRST words (an Aho-Corasick-style
+    * prefix gate — a doc with no anchor word costs one hash probe per
+    * token, never |phrases| scans), then only anchor-bearing positions
+    * re-join their doc's token array and verify the full window with
+    * one codegen'd slice+join compare. Overlapping occurrences count
+    * (every matching start position is a hit). Output: one row per doc
+    * with ≥1 verified hit — (doc_id, n_hits, n_phrases). The verify
+    * re-join shuffles anchors + docs by doc id; carrying the token
+    * array THROUGH the explode instead would duplicate every document
+    * per token, which is strictly worse at corpus scale. */
+  def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+      "blocklist needs non-empty phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.map { p =>
+      val ws = p.split(" "); (ws.head, p, ws.length)
+    }.toDF("w0", "p", "l")
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val anchors = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "w")))
+      .join(broadcast(ph), col("w") === col("w0"))
+      .select(col("doc_id"), col("i"), col("p"), col("l"))
+    anchors.join(base, Seq("doc_id"))
+      .filter(col("i") + col("l") <= size(col("ws")) &&
+        array_join(slice(col("ws"), col("i") + 1, col("l")), " ") === col("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("p")).as("n_phrases"))
+  }
 }

@@ -592,4 +592,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.nonEmpty && r.forall(_.getLong(2) === 1000000L),
       r.mkString(","))
   }
+
+  test("margin mining: a planted translation pair tops the ranking; hubs are suppressed") {
+    // side A (even) / side B (odd). Pair (8, 9) is a near-exact match
+    // in a direction nothing else occupies — margin rewards "much
+    // closer than each side's usual neighborhood", so the ISOLATED
+    // mutual pair must beat absolutely-high cosines sitting in dense
+    // neighborhoods (0/1/6 crowd each other). Vector 3 is a HUB nearly
+    // equidistant to every A vector — plain top-cosine would pair it
+    // everywhere, the ratio margin must not.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)), (4L, v(0.7, 0.7, 0, 0)),
+      (6L, v(0.9, 0.1, 0.1, 0)), (8L, v(0, 0, 0.05, 1)),
+      (1L, v(0.99, 0.01, 0, 0)),
+      (3L, v(0.55, 0.55, 0.55, 0.55)),     // hub: similar to everything
+      (5L, v(0, 0.2, 0.95, 0)), (7L, v(0.3, 0.8, 0.1, 0)),
+      (9L, v(0, 0, 0.1, 0.99)))            // ≈ vector 8 — the planted pair
+    val df = rows.toDF("id", "vec")
+    val m = Similarity.marginMining(Similarity.bitextPairs(df), 2)
+      .orderBy($"margin_q".desc, $"qa", $"qb")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m.head._1 === 8L && m.head._2 === 9L, m.take(3).toString)
+    // the hub's best margin stays below the planted pair's: its own
+    // top-k sum is high, so the ratio discounts it
+    val hubBest = m.filter(_._2 == 3L).map(_._3).maxOption.getOrElse(0L)
+    assert(hubBest < m.head._3, s"hub margin $hubBest vs ${m.head._3}")
+    // candidates are forward-top-k only, positive cosine only
+    assert(m.forall(_._3 > 0))
+  }
+
+  test("margin mining is partitioning-invariant and exact-integer stable") {
+    val e = emb.filter($"id" < 60)
+    val a = Similarity.marginMining(Similarity.bitextPairs(e), 4)
+      .orderBy($"qa", $"qb").as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.marginMining(Similarity.bitextPairs(e.repartition(7)), 4)
+      .orderBy($"qa", $"qb").as[(Long, Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

@@ -730,4 +730,30 @@ class TextEventsSpec extends SparkTestBase {
       .as[(String, String, Int, Long, Long, Long)].collect().toSeq
     assert(r === Seq(("g", "1970-01-04", 5, 10L, 4L, 13L)))
   }
+
+  test("blocklist: anchor-and-verify equals naive phrase counting, overlaps included") {
+    val docs = Seq(
+      (1L, "a a a b"),            // "a a" matches at 2 start positions
+      (2L, "x y z"),              // no hits
+      (3L, "b c d b c"),          // "b c" twice, "b c d" once
+      (4L, "a"),                  // anchor word but window too short
+      (5L, "c d b c d")           // cross-phrase mix
+    ).toDF("doc_id", "text")
+    val phrases = Seq("a a", "b c", "b c d")
+    val got = TextAnalysis.blocklistHits(docs, "text", "doc_id", phrases)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // naive reference: every start position × every phrase
+    val naive = Seq(1L -> "a a a b", 3L -> "b c d b c", 5L -> "c d b c d")
+      .map { case (id, t) =>
+        val ws = t.split(" ")
+        val hits = for {
+          p <- phrases; pw = p.split(" ")
+          i <- 0 to ws.length - pw.length
+          if ws.slice(i, i + pw.length).sameElements(pw)
+        } yield p
+        (id, hits.size.toLong, hits.distinct.size.toLong)
+      }
+    assert(got === naive)
+    assert(got.map(_._1) === Seq(1L, 3L, 5L), "docs 2 and 4 must not appear")
+  }
 }
