@@ -181,11 +181,13 @@ object Pca {
     val spark = gramDf.sparkSession
     import spark.implicits._
     val (c0, _, _) = scatterFromGram(gramDf, dim)
-    val rows = Iterator.iterate((c0, 0)) { case (c, m) =>
-        (deflate(c, powerIter(c, dim, if (m == 0) rounds else rounds2), dim),
-          m + 1)
-      }.take(k).map { case (c, m) =>
-        val v = powerIter(c, dim, if (m == 0) rounds else rounds2)
+    // thread (scatter, solved v) so each component's power iteration
+    // runs exactly once — the solve both emits and feeds the deflation
+    val rows = Iterator.iterate((c0, powerIter(c0, dim, rounds), 0)) {
+        case (c, v, m) =>
+          val c2 = deflate(c, v, dim)
+          (c2, powerIter(c2, dim, rounds2), m + 1)
+      }.take(k).map { case (_, v, m) =>
         (m, v, evrPpm(c0, v, dim).toLong)
       }.toSeq
     rows.flatMap { case (m, v, evr) =>

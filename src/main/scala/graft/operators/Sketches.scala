@@ -275,7 +275,14 @@ object Sketches {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n>0, 0<fpp<1; got n=$n fpp=$fpp")
     val ln2 = math.log(2)
     val mRaw = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
-    val m = (((mRaw + 63) / 64) * 64).toInt
+    val mAligned = ((mRaw + 63) / 64) * 64
+    // a wrapped Int here would SILENTLY deliver a far worse FPP (or a
+    // negative array size) — refuse loudly and name the remedy
+    require(mAligned <= Int.MaxValue - 63,
+      s"bloomParams(n=$n, fpp=$fpp) needs m=$mAligned bits > Int.MaxValue — " +
+        "partition the key space and build one filter per partition, or " +
+        "accept a higher fpp")
+    val m = mAligned.toInt
     (m, math.max(1, math.round(m.toDouble / n * ln2).toInt))
   }
 

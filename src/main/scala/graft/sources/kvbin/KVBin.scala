@@ -65,6 +65,7 @@ object KVBin {
       spark.sessionState.newHadoopConf())
     val fs = FileSystem.get(new java.net.URI(dir), sconf.value)
     fs.mkdirs(new Path(dir))
+    KVBinStat.validate(stats)
     val clusterCol =
       if (kv.columns.contains("__cluster")) col("__cluster") else col("key")
     val specs = stats.map(_._2)
@@ -87,11 +88,12 @@ object KVBin {
           var n = 0L
           val sMin = Array.fill(specs.size)(Long.MaxValue)
           val sMax = Array.fill(specs.size)(Long.MinValue)
+          // sortWithinPartitions(key) above makes first/last = min/max
           it.foreach { case (k, v) =>
             out.writeInt(k.length); out.write(k)
             out.writeInt(v.length); out.write(v)
             if (minK == null) minK = k
-            if (maxK == null || compare(k, maxK) > 0) maxK = k
+            maxK = k
             var i = 0
             while (i < specs.size) {
               val x = KVBinStat.eval(specs(i), k, v)
@@ -231,6 +233,23 @@ object KVBin {
   *  - `v_be64@N` — big-endian signed int64 at byte offset N of the
   *    value (the fixed-width header-field shape). */
 object KVBinStat {
+  /** Writer-side contract check: names must be distinct, identifier-
+    * shaped, and disjoint from the physical (key, value) columns — a
+    * stat named "value" would stamp a duplicate-column schema and the
+    * reader's column dispatch would shadow it; format metacharacters
+    * (tab, colon, comma) would corrupt the index grammar. Specs must
+    * parse NOW, not at first read. */
+  def validate(stats: Seq[(String, String)]): Unit = {
+    val names = stats.map(_._1)
+    require(names.distinct == names, s"duplicate kvbin stat names: $names")
+    names.foreach(n => require(
+      n != "key" && n != "value" && n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid kvbin stat name '$n' (identifier shape, not key/value)"))
+    stats.foreach { case (_, sp) => require(
+      sp == "vlen" || sp == "klen" || sp.matches("v_be64@\\d+"),
+      s"unknown kvbin stat spec: $sp") }
+  }
+
   def eval(spec: String, k: Array[Byte], v: Array[Byte]): Long = spec match {
     case "vlen" => v.length.toLong
     case "klen" => k.length.toLong

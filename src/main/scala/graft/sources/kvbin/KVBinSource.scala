@@ -60,30 +60,40 @@ object KVBinSource {
     StructField("value", BinaryType, nullable = false)))
 
   /** Declared record stats of an existing source dir, from the index
-    * `#stats=` header — Nil for plain dirs, unreadable dirs (a write
-    * target that doesn't exist yet), or non-file clients. */
+    * `#stats=` header — Nil for plain dirs and for dirs with no index
+    * yet (a write target). Only the missing-index case is swallowed: a
+    * transient FS failure or a malformed header must FAIL the query
+    * loudly, not silently degrade the table to a 2-column schema that a
+    * later stat-column reference then blames. */
   def statDefs(dir: String): Seq[(String, String)] =
     try {
       val conf = org.apache.spark.sql.SparkSession.active
         .sessionState.newHadoopConf()
       KVBin.statDefs(KVBin.readMeta(dir, conf))
-    } catch { case _: Exception => Nil }
+    } catch {
+      case _: java.io.FileNotFoundException => Nil
+      case _: java.net.URISyntaxException => Nil
+    }
 
   /** (key, value) plus one non-null virtual LONG column per declared
     * stat — the Delta/Iceberg data-skipping surface: filter on a stat
     * column and planning prunes regions from the index min/max before
     * any region file opens. */
-  def schemaFor(dir: String): StructType =
-    StructType(schema.fields ++ statDefs(dir).map { case (n, _) =>
+  def schemaOf(statDefs: Seq[(String, String)]): StructType =
+    StructType(schema.fields ++ statDefs.map { case (n, _) =>
       StructField(n, LongType, nullable = false)
     })
+
+  def schemaFor(dir: String): StructType = schemaOf(statDefs(dir))
 }
 
 class KVBinTable(dir: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  // ONE index read per table instance: Spark consults schema() several
+  // times while planning, and each schemaFor(dir) would re-open _index
   private lazy val statDefs = KVBinSource.statDefs(dir)
   override def name(): String = s"kvbin:$dir"
-  override def schema(): StructType = KVBinSource.schemaFor(dir)
+  override def schema(): StructType = KVBinSource.schemaOf(statDefs)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -130,7 +140,7 @@ class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
   private var endKey: Array[Byte] = null    // exclusive
   private var endInclusive: Array[Byte] = null
   private var pushed: Array[Filter] = Array.empty
-  private var requiredSchema: StructType = KVBinSource.schemaFor(dir)
+  private var requiredSchema: StructType = KVBinSource.schemaOf(statDefs)
   // inclusive [lo, hi] bound per declared stat column (strict long
   // bounds fold exactly: > v ≡ ≥ v+1) — region-prunes from the index
   // min/max AND row-filters in the reader, so the filter is consumed

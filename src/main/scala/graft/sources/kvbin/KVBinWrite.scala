@@ -66,21 +66,49 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
 
   override def build(): Write = {
     val s = info.schema()
-    require(s.length == 2 &&
-        s.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+    val declared = KVBinSource.statDefs(dir)
+    require(s.length >= 2 &&
+        s.fields.take(2).map(f => (f.name, f.dataType.typeName)).toSeq ==
           Seq(("key", "binary"), ("value", "binary")),
-      s"kvbin writes require schema (key binary, value binary), got $s")
+      s"kvbin writes require schema (key binary, value binary [, stat long ...]), got $s")
+    // a stats-bearing TABLE's V2 write resolution supplies the virtual
+    // stat columns too (byName needs every table column) — accept and
+    // IGNORE them: stats are a pure function of the record bytes, so
+    // the writer re-derives them from the spec rather than trusting
+    // (or requiring) caller-provided values
+    val declaredNames = declared.map(_._1).toSet
+    s.fields.drop(2).foreach(f => require(
+      declaredNames(f.name) && f.dataType.typeName == "long",
+      s"kvbin write got unexpected column ${f.name}: ${f.dataType.typeName} " +
+        s"(declared stats: ${declared.map(_._1).mkString(",")})"))
+    // stats to stamp: the writer option wins; otherwise a preserved /
+    // appended table keeps stamping its own declared specs (compaction
+    // RESTAMPS per-region ranges instead of dropping them)
+    val optStats = Option(info.options.get("stats")).map(KVBinWrite.parseStats)
+    val keepsMeta = !doTruncate ||
+      Option(info.options.get("preserve_meta")).exists(_.toBoolean)
+    val stats = optStats.getOrElse(if (keepsMeta) declared else Nil)
+    KVBinStat.validate(stats)
     new KVBinWrite(dir, doTruncate,
       Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
       Option(info.options.get("api_version")),
       Option(info.options.get("preserve_meta")).exists(_.toBoolean),
-      info.queryId())
+      info.queryId(), stats)
   }
+}
+
+object KVBinWrite {
+  /** Writer `stats` option: `name:spec[,name:spec...]`, same grammar as
+    * the `#stats=` index header. */
+  def parseStats(s: String): Seq[(String, String)] =
+    s.split(",").toSeq.filter(_.nonEmpty).map { e =>
+      val Array(n, sp) = e.split(":", 2); (n, sp)
+    }
 }
 
 class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
                  apiVersion: Option[String], preserveMeta: Boolean,
-                 queryId: String)
+                 queryId: String, stats: Seq[(String, String)] = Nil)
     extends Write with RequiresDistributionAndOrdering {
 
   // ordered distribution on key → Spark range-partitions the write, so
@@ -94,15 +122,16 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
 
   override def toBatch: BatchWrite =
-    new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId)
+    new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId, stats)
 }
 
 case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
-                              count: Long) extends WriterCommitMessage
+                              count: Long, statLo: Seq[Long] = Nil,
+                              statHi: Seq[Long] = Nil) extends WriterCommitMessage
 
 class KVBinBatchWrite(dir: String, truncate: Boolean,
                       apiVersion: Option[String], preserveMeta: Boolean,
-                      queryId: String)
+                      queryId: String, stats: Seq[(String, String)] = Nil)
     extends BatchWrite {
 
   // the session hadoop conf is resolved on the DRIVER at job start and
@@ -129,18 +158,26 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KVBinWriterFactory(dir, conf, KVBinDataWriter.jobTag(queryId))
+    new KVBinWriterFactory(dir, conf, KVBinDataWriter.jobTag(queryId),
+      stats.map(_._2))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(dir), conf.value)
     val fresh = messages.collect {
-      case KVBinCommitMessage(f, mn, mx, n) if n > 0 =>
-        (f, KVBin.unhex(mn), KVBin.unhex(mx), n)
+      case KVBinCommitMessage(f, mn, mx, n, lo, hi) if n > 0 =>
+        (f, KVBin.unhex(mn), KVBin.unhex(mx), n, lo, hi)
     }.toSeq
     val idxPath = new Path(dir, KVBin.IndexFile)
     val appending = !truncate && fs.exists(idxPath)
-    val old: Seq[(String, Array[Byte], Array[Byte], Long)] =
-      if (appending) KVBin.readIndex(dir, conf.value) else Seq.empty
+    // old entries keep their stamped stat ranges through the merge
+    val oldRanges: Map[String, Seq[(Long, Long)]] =
+      if (appending && stats.nonEmpty) KVBin.statRanges(dir, conf.value)
+      else Map.empty
+    val old: Seq[(String, Array[Byte], Array[Byte], Long, Seq[Long], Seq[Long])] =
+      if (appending) KVBin.readIndex(dir, conf.value).map { case (f, mn, mx, n) =>
+        val r = oldRanges.getOrElse(f, Nil)
+        (f, mn, mx, n, r.map(_._1), r.map(_._2))
+      } else Seq.empty
     // append preserves the EXISTING table's metadata: the api_version
     // stamp must not silently change under an append (the read-side
     // version gate keys off it), so a conflicting writer option is an
@@ -159,11 +196,23 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
         w
       case (w, e) => w.orElse(e).getOrElse("V1")
     }
-    val meta = oldMeta + ("api_version" -> version)
+    // an append onto a stats-declaring table must not change the spec
+    // list out from under the readers (same rule as api_version)
+    oldMeta.get("stats").filter(_ => appending && stats.nonEmpty).foreach { e =>
+      val w = stats.map { case (n2, sp) => s"$n2:$sp" }.mkString(",")
+      require(w == e, s"kvbin append with stats=$w onto a stats=$e table " +
+        s"at $dir — rewrite the table (mode overwrite) to change stats")
+    }
+    val meta = oldMeta + ("api_version" -> version) ++
+      (if (stats.nonEmpty)
+         Map("stats" -> stats.map { case (n2, sp) => s"$n2:$sp" }.mkString(","))
+       else Map.empty)
     val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
     val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
-      merged.map { case (f, mn, mx, n) =>
-        s"$f\t${KVBin.hexOf(mn)}\t${KVBin.hexOf(mx)}\t$n"
+      merged.map { case (f, mn, mx, n, lo, hi) =>
+        (Seq(f, KVBin.hexOf(mn), KVBin.hexOf(mx), n.toString) ++
+          lo.zip(hi).flatMap { case (a, b) => Seq(a.toString, b.toString) })
+          .mkString("\t")
       }
     // the index write is the visibility point: readers plan ONLY from
     // _index, so attempt files become part of the table here and not
@@ -191,17 +240,17 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(dir), conf.value)
-    messages.collect { case KVBinCommitMessage(f, _, _, _) =>
-      fs.delete(new Path(dir, f), false)
+    messages.collect { case m: KVBinCommitMessage =>
+      fs.delete(new Path(dir, m.file), false)
     }
   }
 }
 
 class KVBinWriterFactory(dir: String, conf: SerializableConfiguration,
-                         jobTag: String)
+                         jobTag: String, statSpecs: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVBinDataWriter(dir, conf, jobTag, partitionId, taskId)
+    new KVBinDataWriter(dir, conf, jobTag, partitionId, taskId, statSpecs)
 }
 
 object KVBinDataWriter {
@@ -246,7 +295,8 @@ object KVBinDataWriter {
   * violation into a loud task failure instead of a silently unsorted
   * region. */
 class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
-                      jobTag: String, partitionId: Int, taskId: Long)
+                      jobTag: String, partitionId: Int, taskId: Long,
+                      statSpecs: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val name = f"part-$partitionId%05d-$jobTag-$taskId.kv"
@@ -254,6 +304,11 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
   private var minK: Array[Byte] = _
   private var prevK: Array[Byte] = _
   private var n = 0L
+  // per-region stat min/max, re-DERIVED from the record bytes (never
+  // read from caller-supplied columns) — the ranges a stats table's
+  // rewrite restamps so data skipping survives compaction
+  private val sLo = Array.fill(statSpecs.size)(Long.MaxValue)
+  private val sHi = Array.fill(statSpecs.size)(Long.MinValue)
 
   override def write(row: InternalRow): Unit = {
     val k = row.getBinary(0)
@@ -268,6 +323,13 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
       s"kvbin write received out-of-order key in partition $partitionId")
     out.writeInt(k.length); out.write(k)
     out.writeInt(v.length); out.write(v)
+    var i = 0
+    while (i < statSpecs.size) {
+      val x = KVBinStat.eval(statSpecs(i), k, v)
+      if (x < sLo(i)) sLo(i) = x
+      if (x > sHi(i)) sHi(i) = x
+      i += 1
+    }
     prevK = k
     n += 1
   }
@@ -276,7 +338,8 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
     if (out != null) out.close()
     KVBinCommitMessage(name,
       if (minK == null) "" else KVBin.hexOf(minK),
-      if (prevK == null) "" else KVBin.hexOf(prevK), n)
+      if (prevK == null) "" else KVBin.hexOf(prevK), n,
+      sLo.toSeq, sHi.toSeq)
   }
 
   override def abort(): Unit = {
@@ -314,15 +377,13 @@ object KVBinCompact {
     // other `#k=v` meta lines through its one atomic index swap —
     // compaction is invisible to meta as well as content, and there is
     // no post-commit rewrite that could tear _index on a crash.
-    // A stats-bearing dir: select the physical (key, value) pair — the
-    // virtual stat columns re-derive from the preserved `#stats=` spec
-    // after the rewrite; only the per-region min/max RANGES drop (the
-    // compacted lines carry none), so skipping degrades to row
-    // filtering until a stats-aware rewrite restamps them
-    KVBin.read(s, path)
-      .select(org.apache.spark.sql.functions.col("key"),
-        org.apache.spark.sql.functions.col("value"))
-      .write
+    // A stats-bearing dir compacts losslessly: the V2 byName write
+    // resolution needs every table column (so the read's virtual stat
+    // columns flow through — the writer ignores their values), and the
+    // preserved `#stats=` specs make the write RESTAMP each new
+    // region's min/max from the record bytes, so data skipping
+    // survives the rewrite with fresh, tighter-or-equal ranges
+    KVBin.read(s, path).write
       .format(classOf[KVBinSource].getName)
       .option("path", path)
       .option("api_version", api)

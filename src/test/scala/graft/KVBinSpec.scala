@@ -67,6 +67,33 @@ class KVBinSpec extends SparkTestBase {
     assert(partitions(tbl.filter(col("cust") < 50L)) < full)
   }
 
+  test("compacting a stats dir is lossless: specs preserved, ranges restamped, rows identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kvstat-").toString
+    val kv = (1 to 400).map { i =>
+      val v = java.nio.ByteBuffer.allocate(8).putLong(i % 37L).array()
+      (f"sk_$i%04d".getBytes("UTF-8"), v)
+    }.toDF("key", "value")
+    KVBin.write(kv, dir, 8, "V1", Seq("m37" -> "v_be64@0"))
+    val before = KVBin.read(spark, dir)
+      .select(col("key").cast("string"), col("m37"))
+      .as[(String, Long)].collect().sorted.toSeq
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir, 3)
+    val conf = spark.sessionState.newHadoopConf()
+    // spec header survived the swap; every compacted region line
+    // carries a RESTAMPED [min,max] pair (not dropped)
+    assert(KVBin.statDefs(KVBin.readMeta(dir, conf)) === Seq(("m37", "v_be64@0")))
+    val ranges = KVBin.statRanges(dir, conf)
+    assert(ranges.size === 3 && ranges.values.forall(_.size == 1), ranges)
+    assert(ranges.values.forall { case Seq((lo, hi)) => lo >= 0 && hi <= 36 && lo <= hi })
+    val after = KVBin.read(spark, dir)
+      .select(col("key").cast("string"), col("m37"))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(after === before)
+    // the virtual column still filters exactly post-compaction
+    assert(KVBin.read(spark, dir).filter(col("m37") === 5L).count()
+      === before.count(_._2 == 5L))
+  }
+
   test("pushed range filter returns exactly the [start,end) rows") {
     val lo = "li_0000000100".getBytes("UTF-8")
     val hi = "li_0000000300".getBytes("UTF-8")
