@@ -108,6 +108,10 @@ object SparkEntry {
     "q_stream_hll" -> ((s, dir) => StreamEntries.streamHll(s, dir)),
     "q_stream_bitmap_distinct" -> ((s, dir) =>
       StreamEntries.streamBitmapDistinct(s, dir)),
+    // live cross-source overlap: the SAME state-folded HLL registers,
+    // pair-priced through the identical union-merge estimate as batch
+    "q_stream_hll_overlap" -> ((s, dir) =>
+      StreamEntries.streamHllOverlap(s, dir)),
     // streaming upsert view (mapGroupsWithState latest-value state):
     // base + split changelog must rebuild dst — q_merge_upsert's twin
     "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
@@ -1817,6 +1821,18 @@ object SparkEntry {
           col("sum_rho"), col("est_ndv"), col("exact_ndv"))
         .orderBy(col("lang"))
     }),
+    // pairwise lang-pair trigram-set OVERLAP from the SAME sketches:
+    // register max-merge builds each pair's union sketch with no second
+    // data pass, inclusion–exclusion prices the intersection, and the
+    // exact token-join twin rides along so the estimate's error is a
+    // gated, visible column — the cross-source contamination scan at
+    // sketch cost
+    "q_hll_overlap" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("lang"),
+        explode(Dedup.shingles(col("text"), 3)).as("t"))
+      Sketches.hllOverlap(tok, col("lang"), col("t"))
+        .orderBy(col("ga"), col("gb"))
+    }),
     // EXACT grouped NDV through block-sparse bitmaps: one shuffle of
     // 64-bit block words (bit_or partial agg combines map-side — up to
     // 64× fewer shuffled rows than count_distinct's per-(g,id) dedup
@@ -2856,7 +2872,10 @@ object SparkEntry {
     m + ("q_stream_funnel" -> m("q_curation_funnel")) +
       // the streaming PCA folds the identical Gram monoid, then the
       // identical driver solve — one SQL, two gates
-      ("q_stream_pca" -> m("q_pca_components"))
+      ("q_stream_pca" -> m("q_pca_components")) +
+      // the live overlap monitor drains the same max-folded registers
+      // into the identical pair estimate — one SQL, two gates
+      ("q_stream_hll_overlap" -> m("q_hll_overlap"))
   }
 
   /** df cap for the exact-Jaccard family: shingles present in more than
@@ -6122,6 +6141,7 @@ object SparkEntry {
     // DECIMAL(38,30); α·m² embedded as ONE Scala-computed double
     // literal on both sides; ln per the family recipe
     "q_hll_ndv" -> hllNdvOracleSql,
+    "q_hll_overlap" -> hllOverlapOracleSql,
     // the bitmap route must equal the naive distinct — the gate IS the
     // optimization-equals-plain proof
     "q_bitmap_distinct" ->
@@ -6877,6 +6897,61 @@ object SparkEntry {
         |  exact_ndv
         |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
   }
+  /** Replays [[graft.operators.Sketches.hllOverlap]] over the q_hll_ndv
+    * token derivation: per-lang registers, pair union by register max,
+    * the shared estimate arithmetic, inclusion–exclusion as the RAW
+    * IEEE difference of the 6-dp estimates (no re-round), exact twin
+    * from a distinct-pair token join. */
+  private lazy val hllOverlapOracleSql: String = {
+    val m = 1024
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val bitCase = "CASE " + (50 to 1 by -1)
+      .map(b => s"WHEN (h>>10) >= ${1L << (b - 1)} THEN $b")
+      .mkString(" ") + " ELSE 0 END"
+    def est(src: String) =
+      s"""round(CASE WHEN $alphaM2 / s <= 2560.0 AND v > 0
+         |    THEN 1024.0 * ln(1024.0 / v)
+         |    ELSE $alphaM2 / s END, 6)""".stripMargin
+    s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT lang, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(w)-2, 1)),
+      |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
+      |tok AS (SELECT lang, unnest(s) AS t FROM sh),
+      |h AS (SELECT lang, ${duckHash60("'hll:' || t")} AS h FROM tok),
+      |r AS (SELECT lang, h & 1023 AS bucket, least(30, 51 - $bitCase) AS rho FROM h),
+      |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+      |gp AS (SELECT a.lang AS ga, b.lang AS gb
+      |       FROM (SELECT DISTINCT lang FROM regs) a, (SELECT DISTINCT lang FROM regs) b
+      |       WHERE a.lang < b.lang),
+      |uregs AS (SELECT ga, gb, bucket, max(mj) AS mj
+      |          FROM regs JOIN gp ON regs.lang = gp.ga OR regs.lang = gp.gb
+      |          GROUP BY 1, 2, 3),
+      |pere AS (SELECT lang, CAST(s_used + CAST(1024 - nb AS DECIMAL(38,30)) AS DOUBLE) AS s,
+      |           1024 - nb AS v FROM (
+      |           SELECT lang, count(*) AS nb,
+      |             sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
+      |           FROM regs GROUP BY lang)),
+      |pest AS (SELECT lang, ${est("pere")} AS e FROM pere),
+      |uest0 AS (SELECT ga, gb, CAST(s_used + CAST(1024 - nb AS DECIMAL(38,30)) AS DOUBLE) AS s,
+      |            1024 - nb AS v FROM (
+      |            SELECT ga, gb, count(*) AS nb,
+      |              sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
+      |            FROM uregs GROUP BY ga, gb)),
+      |uest AS (SELECT ga, gb, ${est("uest0")} AS e FROM uest0),
+      |ex AS (SELECT a.ga, a.gb, count(DISTINCT a.t) AS exact_overlap FROM
+      |        (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.ga) a
+      |        JOIN (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.gb) b
+      |        ON a.ga = b.ga AND a.gb = b.gb AND a.t = b.t
+      |        GROUP BY a.ga, a.gb)
+      |SELECT gp.ga, gp.gb, pa.e AS est_a, pb.e AS est_b, u.e AS est_union,
+      |  pa.e + pb.e - u.e AS est_overlap,
+      |  COALESCE(ex.exact_overlap, 0) AS exact_overlap
+      |FROM gp JOIN pest pa ON gp.ga = pa.lang JOIN pest pb ON gp.gb = pb.lang
+      |  JOIN uest u ON gp.ga = u.ga AND gp.gb = u.gb
+      |  LEFT JOIN ex ON gp.ga = ex.ga AND gp.gb = ex.gb
+      |ORDER BY gp.ga, gp.gb""".stripMargin
+  }
+
   /** The upsert family's shared oracle tail: the dst slice the three
     * merge identities (mapGroupsWithState, foreachBatch parquet
     * generations, kvbin generations) must all rebuild byte-for-byte —

@@ -454,6 +454,64 @@ object Sketches {
             .otherwise(lit(alphaM2) / col("s")), 6).as("est_ndv"))
   }
 
+  /** Pairwise set-OVERLAP estimates from HLL sketches — the
+    * cross-source contamination/coverage scan at sketch cost: register
+    * max-merge gives each pair's UNION sketch without touching the
+    * data again (the same merge that folds shards/micro-batches), and
+    * inclusion–exclusion |A∩B| ≈ E(A) + E(B) − E(A∪B) prices every
+    * pair from |G|·m register rows instead of a per-pair key join.
+    * The exact twin rides along (one distinct-pair token join — drop
+    * it when the key space is the thing you can't afford), so the
+    * estimate's error is visible in the gated output. est_overlap is
+    * the raw IEEE difference of the three 6-dp-rounded estimates — no
+    * re-rounding, so both engines emit the identical double. Output:
+    * (ga < gb, est_a, est_b, est_union, est_overlap, exact_overlap). */
+  def hllOverlap(df: DataFrame, group: Column, key: Column,
+                 p: Int = 10, rhoCap: Int = 30): DataFrame = {
+    val keyed = df.select(group.as("g"), key.as("t"))
+    hllOverlapFromRegisters(
+      hllRegisters(keyed, col("t"), col("g"), p, rhoCap), keyed, p)
+  }
+
+  /** The pair/estimate stage of [[hllOverlap]] over an explicit
+    * register table (g, bucket, mj) — separated so MERGED registers
+    * (state-store-folded micro-batch sketches, per-shard snapshots)
+    * price overlaps through the identical arithmetic. `keyed` (g, t)
+    * feeds only the exact twin column. */
+  def hllOverlapFromRegisters(regs: DataFrame, keyed: DataFrame,
+                              p: Int = 10): DataFrame = {
+    val per = hllEstimate(regs, p).select(col("g"), col("est_ndv"))
+    val gl = regs.select(col("g")).distinct()
+    val gp = gl.select(col("g").as("ga"))
+      .crossJoin(gl.select(col("g").as("gb"))).filter(col("ga") < col("gb"))
+    // every register row feeds each pair its group participates in —
+    // |G|−1 replicas per row, broadcast pair list, then the max-merge
+    val u = regs.join(broadcast(gp),
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("bucket")).agg(max(col("mj")).as("mj"))
+    val estU = hllEstimate(
+        u.select(concat_ws("|", col("ga"), col("gb")).as("g"),
+          col("bucket"), col("mj")), p)
+      .select(col("g").as("gu"), col("est_ndv").as("est_union"))
+    val exact = keyed.distinct()
+    val ex = exact.join(broadcast(gp), col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("t"))
+      .join(exact.select(col("g").as("g2"), col("t").as("t2")),
+        col("g2") === col("gb") && col("t") === col("t2"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count_distinct(col("t")).as("exact_overlap"))
+    gp.join(estU, concat_ws("|", col("ga"), col("gb")) === col("gu"))
+      .join(per.select(col("g").as("g_a"), col("est_ndv").as("est_a")),
+        col("ga") === col("g_a"))
+      .join(per.select(col("g").as("g_b"), col("est_ndv").as("est_b")),
+        col("gb") === col("g_b"))
+      .join(ex, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   // ------------------------------------------------------ exact bitmaps
 
   /** Block-sparse bitmap WORDS (g, blk, w): each 64-bit word records

@@ -949,6 +949,46 @@ object StreamEntries {
       .orderBy(col("lang"))
   }
 
+  /** Streaming cross-source overlap from the SAME live sketches: the
+    * state store max-folds per-(group, bucket) HLL registers exactly
+    * like [[streamHll]], and the drained register table prices every
+    * group pair through the IDENTICAL
+    * [[graft.operators.Sketches.hllOverlapFromRegisters]] union-merge +
+    * inclusion–exclusion stage as batch — a live contamination monitor
+    * whose per-pair cost never re-touches the stream. Oracle: the
+    * batch q_hll_overlap SQL (the same feed reaches the same
+    * registers, register merge is order-free). */
+  def streamHllOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("t"))
+    val halves = memoFeed(s"hll:$dir") {
+      (0 until 2).map { b =>
+        graft.operators.Sketches.hllRegisters(
+            toks.filter(abs(xxhash64(col("t"))) % 2 === b),
+            col("t"), col("lang"))
+          .as[(String, Long, Int)].collect().toSeq
+      }
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_hll_overlap")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Int)]
+      val agg = mem.toDS().toDF("g", "bucket", "mj")
+        .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        halves.foreach { h => mem.addData(h); q.processAllAvailable() }
+      }
+    }
+    graft.operators.Sketches.hllOverlapFromRegisters(
+        takeTable(s, name).select(col("g"), col("bucket"), col("mj")),
+        toks.select(col("lang").as("g"), col("t")))
+      .orderBy(col("ga"), col("gb"))
+  }
+
   /** Streaming EXACT distinct count through the block-sparse bitmap
     * ([[graft.operators.Sketches.bitmapWords]]): the state store holds
     * one 64-bit word per populated (group, block) — `bit_or` folds new

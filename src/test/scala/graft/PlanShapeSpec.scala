@@ -149,6 +149,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(filterIdx >= 0, s"bloom membership filter not found:\n$p")
   }
 
+  test("round-10 additions: blocklist anchors broadcast; margin/overlap pair joins never cartesian over data") {
+    for (q <- Seq("q_blocklist", "q_bitext_margin", "q_hll_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // the phrase map joins the token explode as a BROADCAST hash join —
+    // a shuffled phrase join would defeat the anchor gate's point
+    val bl = plan("q_blocklist")
+    assert(bl.contains("BroadcastHashJoin"), bl)
+    // q_kvbin_skip: the stat predicate is CONSUMED by the source (prune
+    // + in-reader filter) — no Spark-side Filter over the scan remains
+    val sk = plan("q_kvbin_skip")
+    assert(sk.contains("PushedStatRanges"), sk)
+  }
+
   test("Bloom bitmap build: partial+final OR-fold, one buffer per partition, no distinct/collect") {
     val dim = spark.read.parquet(s"$sfSmoke/supplier.parquet")
     val p = graft.operators.Sketches.bloomWordsDf(

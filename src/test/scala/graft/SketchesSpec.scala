@@ -102,6 +102,32 @@ class SketchesSpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("hllOverlap: inclusion-exclusion tracks the exact overlap; unions commute with sharding") {
+    val rows =
+      (1 to 3000).map(i => ("a", s"k$i")) ++
+      (2001 to 5000).map(i => ("b", s"k$i")) ++   // |a∩b| = 1000
+      (1 to 500).map(i => ("c", s"z$i"))           // disjoint from both
+    val df = rows.toDF("g", "t")
+    val got = Sketches.hllOverlap(df, col("g"), col("t"))
+      .orderBy("ga", "gb")
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = got.head
+    assert(ab._7 === 1000L, "exact twin")
+    // p=10 standard error ~3.25%; inclusion-exclusion compounds three
+    // estimates — allow 15% of the union's scale
+    assert(math.abs(ab._6 - 1000.0) < 750.0, ab.toString)
+    // disjoint pairs: estimate near zero relative to set sizes
+    got.tail.foreach(r => assert(r._7 === 0L && math.abs(r._6) < 500.0, r.toString))
+    // partitioning invariance: the register max-merge is order-free
+    val re = Sketches.hllOverlap(df.repartition(13), col("g"), col("t"))
+      .orderBy("ga", "gb")
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(re === got)
+  }
+
   test("Bloom join equals the plain join at ANY FPP (tiny bitmap included)") {
     val fact = (1 to 5000).map(i => (i % 500, i)).toDF("fk", "payload")
     val dim = (0 until 500 by 25).map(k => (k, s"d$k")).toDF("dk", "name")
