@@ -514,9 +514,12 @@ object SparkEntry {
     // (even vs odd ids) scored with the 1e-9-unit integer cosine, both
     // directions ranked, margin_q = c·2k·1e6 DIV (Σₖa + Σₖb) in exact
     // integer arithmetic; top-50 candidates. The pair stage is
-    // pluggable — brute baseline here, ANN candidates at scale
+    // pluggable — brute baseline on a CORPUS-CAPPED slice here (the
+    // guard refuses the unguarded quadratic; ANN candidates are the
+    // scale path), the margin stage itself linear in whatever feeds it
     "q_bitext_margin" -> ((s, dir) =>
-      Similarity.marginMining(Similarity.bitextPairs(emb(s, dir)), 4)
+      Similarity.marginMining(
+          Similarity.bitextPairs(emb(s, dir).filter(col("id") < 5000)), 4)
         .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(50)),
     // embedding health gate: per-dim counts of non-finite / zero-norm
     // vectors + the norm envelope in integer micros — the pre-index
@@ -4300,7 +4303,7 @@ object SparkEntry {
     // margin_q via truncating // — the pair stage replayed plain
     "q_bitext_margin" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |             vec_id % 2 = 0 AS a FROM embeddings),
+        |             vec_id % 2 = 0 AS a FROM embeddings WHERE vec_id < 5000),
         |pair AS (SELECT x.vec_id AS qa, y.vec_id AS qb,
         |           CAST(floor(list_dot_product(x.v, y.v)
         |             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
@@ -6908,7 +6911,8 @@ object SparkEntry {
     val bitCase = "CASE " + (50 to 1 by -1)
       .map(b => s"WHEN (h>>10) >= ${1L << (b - 1)} THEN $b")
       .mkString(" ") + " ELSE 0 END"
-    def est(src: String) =
+    // binds to whichever s/v the ENCLOSING SELECT's FROM provides
+    val est =
       s"""round(CASE WHEN $alphaM2 / s <= 2560.0 AND v > 0
          |    THEN 1024.0 * ln(1024.0 / v)
          |    ELSE $alphaM2 / s END, 6)""".stripMargin
@@ -6931,13 +6935,13 @@ object SparkEntry {
       |           SELECT lang, count(*) AS nb,
       |             sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
       |           FROM regs GROUP BY lang)),
-      |pest AS (SELECT lang, ${est("pere")} AS e FROM pere),
+      |pest AS (SELECT lang, $est AS e FROM pere),
       |uest0 AS (SELECT ga, gb, CAST(s_used + CAST(1024 - nb AS DECIMAL(38,30)) AS DOUBLE) AS s,
       |            1024 - nb AS v FROM (
       |            SELECT ga, gb, count(*) AS nb,
       |              sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
       |            FROM uregs GROUP BY ga, gb)),
-      |uest AS (SELECT ga, gb, ${est("uest0")} AS e FROM uest0),
+      |uest AS (SELECT ga, gb, $est AS e FROM uest0),
       |ex AS (SELECT a.ga, a.gb, count(DISTINCT a.t) AS exact_overlap FROM
       |        (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.ga) a
       |        JOIN (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.gb) b

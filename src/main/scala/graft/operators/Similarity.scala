@@ -1133,13 +1133,30 @@ object Similarity {
     * (the binary-exact cross-engine recipe — no round()). Quadratic by
     * construction, like [[bruteForceTopK]]: the margin stage below
     * takes ANY (qa, qb, c) frame, so the corpus-scale path feeds it
-    * IVF/PQ or SRP-banded candidates instead. */
-  def bitextPairs(corpus: DataFrame): DataFrame = {
+    * IVF/PQ or SRP-banded candidates instead — and this baseline
+    * REFUSES loudly past `maxPairs` (in-plan `assert_true` over the
+    * broadcast 1-row volume, the coTriples guard discipline: the
+    * refusal names the ANN remedy instead of silently burning a
+    * quadratic at corpus scale; measured 17.5× for 10× rows unguarded
+    * at sf1). */
+  def bitextPairs(corpus: DataFrame, maxPairs: Long = 100000000L): DataFrame = {
     val a = corpus.filter(col("id") % 2 === 0)
       .select(col("id").as("qa"), col("vec").as("va"), norm(col("vec")).as("na"))
     val b = corpus.filter(col("id") % 2 =!= 0)
       .select(col("id").as("qb"), col("vec").as("vb"), norm(col("vec")).as("nb"))
+    // DECIMAL product: two ~1e10-row sides would overflow a long
+    val vol = a.agg(count(lit(1)).cast("decimal(38,0)").as("__na"))
+      .crossJoin(b.agg(count(lit(1)).cast("decimal(38,0)").as("__nb")))
+      .select((col("__na") * col("__nb")).as("__np"))
     b.join(broadcast(a), lit(true))
+      .crossJoin(broadcast(vol))
+      .filter(assert_true(
+        col("__np") <= lit(maxPairs).cast("decimal(38,0)"),
+        concat(lit("bitextPairs: "), col("__np").cast("string"),
+          lit(s" cross-side pairs exceed maxPairs=$maxPairs — feed " +
+            "marginMining an ANN candidate ranking (ivfTopK / ivfPqTopK " +
+            "/ srpTopK) instead of the brute pair stage, or raise " +
+            "maxPairs to accept the quadratic cost"))).isNull)
       .select(col("qa"), col("qb"),
         floor(dot(col("va"), col("vb")) / (col("na") * col("nb"))
           * lit(1e9d) + lit(0.5d)).cast("long").as("c"))

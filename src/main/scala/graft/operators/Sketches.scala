@@ -481,18 +481,26 @@ object Sketches {
   def hllOverlapFromRegisters(regs: DataFrame, keyed: DataFrame,
                               p: Int = 10): DataFrame = {
     val per = hllEstimate(regs, p).select(col("g"), col("est_ndv"))
+    // broadcast BOTH the group-list cross (|G| rows — an un-hinted
+    // non-equi join over a corpus-descended aggregate can fall back to
+    // CartesianProduct once size estimates grow) and the pair frame
     val gl = regs.select(col("g")).distinct()
     val gp = gl.select(col("g").as("ga"))
-      .crossJoin(gl.select(col("g").as("gb"))).filter(col("ga") < col("gb"))
+      .crossJoin(broadcast(gl.select(col("g").as("gb"))))
+      .filter(col("ga") < col("gb"))
     // every register row feeds each pair its group participates in —
     // |G|−1 replicas per row, broadcast pair list, then the max-merge
     val u = regs.join(broadcast(gp),
         col("g") === col("ga") || col("g") === col("gb"))
       .groupBy(col("ga"), col("gb"), col("bucket")).agg(max(col("mj")).as("mj"))
+    // the union estimate keys by the (ga, gb) STRUCT — a delimiter
+    // concat would collide for group names containing the delimiter
+    // and silently merge two pairs' registers
     val estU = hllEstimate(
-        u.select(concat_ws("|", col("ga"), col("gb")).as("g"),
+        u.select(struct(col("ga"), col("gb")).as("g"),
           col("bucket"), col("mj")), p)
-      .select(col("g").as("gu"), col("est_ndv").as("est_union"))
+      .select(col("g.ga").as("ga"), col("g.gb").as("gb"),
+        col("est_ndv").as("est_union"))
     val exact = keyed.distinct()
     val ex = exact.join(broadcast(gp), col("g") === col("ga"))
       .select(col("ga"), col("gb"), col("t"))
@@ -500,7 +508,7 @@ object Sketches {
         col("g2") === col("gb") && col("t") === col("t2"))
       .groupBy(col("ga"), col("gb"))
       .agg(count_distinct(col("t")).as("exact_overlap"))
-    gp.join(estU, concat_ws("|", col("ga"), col("gb")) === col("gu"))
+    gp.join(estU, Seq("ga", "gb"))
       .join(per.select(col("g").as("g_a"), col("est_ndv").as("est_a")),
         col("ga") === col("g_a"))
       .join(per.select(col("g").as("g_b"), col("est_ndv").as("est_b")),

@@ -914,21 +914,30 @@ object StreamEntries {
     * [[graft.operators.Sketches.hllEstimate]] — the identical
     * arithmetic the batch entry uses, so the oracle is q_hll_ndv's SQL
     * verbatim. */
-  def streamHll(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    def toks = s.read.parquet(s"$dir/documents.parquet")
+  /** The per-lang trigram token frame both HLL stream entries consume. */
+  private def hllToks(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"),
         explode(graft.operators.Dedup.shingles(col("text"), 3)).as("t"))
+
+  /** ONE feed builder + drain for the HLL stream family (streamHll,
+    * streamHllOverlap): per-half register collects fed through a
+    * complete-mode max-fold in the state store, drained as the merged
+    * register table (g, bucket, mj). Shared so the two entries can
+    * never diverge in derivation while riding the same memoFeed key. */
+  private def drainedHllRegisters(s: SparkSession, dir: String,
+                                  prefix: String): DataFrame = {
+    import s.implicits._
     val halves = memoFeed(s"hll:$dir") {
       (0 until 2).map { b =>
         graft.operators.Sketches.hllRegisters(
-            toks.filter(abs(xxhash64(col("t"))) % 2 === b),
+            hllToks(s, dir).filter(abs(xxhash64(col("t"))) % 2 === b),
             col("t"), col("lang"))
           .as[(String, Long, Int)].collect().toSeq
       }
     }
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val name = fresh("graft_stream_hll")
+    val name = fresh(prefix)
     withStatePartitions(s, 1, noData = false) {
       val mem = MemoryStream[(String, Long, Int)]
       val agg = mem.toDS().toDF("g", "bucket", "mj")
@@ -939,9 +948,13 @@ object StreamEntries {
         halves.foreach { h => mem.addData(h); q.processAllAvailable() }
       }
     }
+    takeTable(s, name).select(col("g"), col("bucket"), col("mj"))
+  }
+
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
     val est = graft.operators.Sketches.hllEstimate(
-      takeTable(s, name).select(col("g"), col("bucket"), col("mj")))
-    val exact = toks.groupBy(col("lang").as("g2"))
+      drainedHllRegisters(s, dir, "graft_stream_hll"))
+    val exact = hllToks(s, dir).groupBy(col("lang").as("g2"))
       .agg(count_distinct(col("t")).as("exact_ndv"))
     est.join(exact, col("g") === col("g2"))
       .select(col("g").as("lang"), col("n_buckets_used"), col("sum_rho"),
@@ -958,36 +971,11 @@ object StreamEntries {
     * whose per-pair cost never re-touches the stream. Oracle: the
     * batch q_hll_overlap SQL (the same feed reaches the same
     * registers, register merge is order-free). */
-  def streamHllOverlap(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    def toks = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("lang"),
-        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("t"))
-    val halves = memoFeed(s"hll:$dir") {
-      (0 until 2).map { b =>
-        graft.operators.Sketches.hllRegisters(
-            toks.filter(abs(xxhash64(col("t"))) % 2 === b),
-            col("t"), col("lang"))
-          .as[(String, Long, Int)].collect().toSeq
-      }
-    }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val name = fresh("graft_stream_hll_overlap")
-    withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Int)]
-      val agg = mem.toDS().toDF("g", "bucket", "mj")
-        .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      drain(q) {
-        halves.foreach { h => mem.addData(h); q.processAllAvailable() }
-      }
-    }
+  def streamHllOverlap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.hllOverlapFromRegisters(
-        takeTable(s, name).select(col("g"), col("bucket"), col("mj")),
-        toks.select(col("lang").as("g"), col("t")))
+        drainedHllRegisters(s, dir, "graft_stream_hll_overlap"),
+        hllToks(s, dir).select(col("lang").as("g"), col("t")))
       .orderBy(col("ga"), col("gb"))
-  }
 
   /** Streaming EXACT distinct count through the block-sparse bitmap
     * ([[graft.operators.Sketches.bitmapWords]]): the state store holds

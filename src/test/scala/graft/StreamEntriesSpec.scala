@@ -346,6 +346,16 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_hll_overlap equals the batch pair overlap (same registers, same estimate)") {
+    val streamed = StreamEntries.streamHllOverlap(spark, dir)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(graft.operators.Dedup.shingles(col("text"), 3)).as("t"))
+    val batch = graft.operators.Sketches.hllOverlap(toks, col("lang"), col("t"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_hll registers max-merge across batches to the batch estimate") {
     val streamed = StreamEntries.streamHll(spark, dir)
     val toks = spark.read.parquet(s"$dir/documents.parquet")
