@@ -60,10 +60,11 @@ object SparkEntry {
   /** BPE-ish pre-tokenizer pattern, shared by Spark + oracle SQL. */
   private val bpePat = TextAnalysis.bpeTokenPattern
 
-  /** Blocklist fixture phrases (q_blocklist), mirrored verbatim in the
-    * oracle's VALUES list — multi-word so the anchor-and-verify split
-    * is actually exercised. */
-  private val blocklistPhrases = Seq("table scan", "slow filter",
+  /** Blocklist fixture phrases (q_blocklist / q_blocklist_phrases and
+    * the streaming monitor), mirrored verbatim in the oracle's VALUES
+    * list — multi-word so the anchor-and-verify split is actually
+    * exercised. */
+  private[graft] val blocklistPhrases = Seq("table scan", "slow filter",
     "batch window spark", "key agg row", "the line sort")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -112,6 +113,11 @@ object SparkEntry {
     // pair-priced through the identical union-merge estimate as batch
     "q_stream_hll_overlap" -> ((s, dir) =>
       StreamEntries.streamHllOverlap(s, dir)),
+    // live blocklist monitor: per-phrase counters fold across batches
+    // from pre-combined (phrase, doc, hits) cells — state is
+    // |phrases|-keyed, silent phrases stay visible at zero
+    "q_stream_blocklist" -> ((s, dir) =>
+      StreamEntries.streamBlocklist(s, dir)),
     // streaming upsert view (mapGroupsWithState latest-value state):
     // base + split changelog must rebuild dst — q_merge_upsert's twin
     "q_stream_upsert" -> ((s, dir) => StreamEntries.streamUpsert(s, dir)),
@@ -584,6 +590,9 @@ object SparkEntry {
     // component — pc1 = n·(q·v) − Σsᵢvᵢ, the exact image of n(q−μ)·v.
     // The quality-feature scatter is ~2000:1 dominant, so 6 rounds hit
     // the true eigenvector (PcaSpec pins the fixed point and Σpc1 = 0)
+    // projection now emits BOTH components: pc1 the size factor, pc2
+    // the deflated quality residual a curation filter thresholds —
+    // still one map-only pass, two broadcast-literal dot products
     "q_pca_project" -> ((s, dir) =>
       Pca.project(Pca.docFeatures(docs(s, dir))).orderBy(col("id"))),
     // the solved components, k=2 via rank-1 deflation: PC1 is the size
@@ -826,6 +835,12 @@ object SparkEntry {
     "q_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistHits(docs(s, dir), "text", "doc_id",
         blocklistPhrases).orderBy(col("doc_id"))),
+    // the per-PHRASE half of the same verified match stream: which
+    // list entries fire and how broadly, silent entries at zero — the
+    // dead-weight report a list curator reads
+    "q_blocklist_phrases" -> ((s, dir) =>
+      TextAnalysis.blocklistPhraseStats(docs(s, dir), "text", "doc_id",
+        blocklistPhrases).orderBy(col("p"))),
     // dedicated math-function gate (the §2b row previously only "rode"
     // other queries): exact integer ops summed as BIGINT, and the one
     // genuinely floating function (ln) 9-dp-rounded per row then
@@ -2878,7 +2893,10 @@ object SparkEntry {
       ("q_stream_pca" -> m("q_pca_components")) +
       // the live overlap monitor drains the same max-folded registers
       // into the identical pair estimate — one SQL, two gates
-      ("q_stream_hll_overlap" -> m("q_hll_overlap"))
+      ("q_stream_hll_overlap" -> m("q_hll_overlap")) +
+      // the live blocklist monitor folds the identical verified-match
+      // cells — one SQL, two gates
+      ("q_stream_blocklist" -> m("q_blocklist_phrases"))
   }
 
   /** df cap for the exact-Jaccard family: shingles present in more than
@@ -4381,12 +4399,16 @@ object SparkEntry {
         |FROM px GROUP BY g, pos ORDER BY g, pos""".stripMargin,
     // the full integer PCA replay: Gram → scatter → 6 power-iteration
     // rounds → map-side projection n·(q·v) − Σsᵢvᵢ
-    "q_pca_project" -> (pcaCte +
+    "q_pca_project" -> (pcaCte + pcaDeflateCte +
       """,
         |sv AS (SELECT sum(s.si * v.v) AS sv FROM s JOIN v6 v ON s.i = v.i),
-        |pr AS (SELECT q.doc_id, sum(q.qx * v.v) AS praw FROM q JOIN v6 v ON q.i = v.i GROUP BY 1)
-        |SELECT doc_id AS id, CAST((SELECT n FROM nn) * praw - (SELECT sv FROM sv) AS BIGINT) AS pc1
-        |FROM pr ORDER BY id""".stripMargin),
+        |pr AS (SELECT q.doc_id, sum(q.qx * v.v) AS praw FROM q JOIN v6 v ON q.i = v.i GROUP BY 1),
+        |sv2 AS (SELECT sum(s.si * v.v) AS sv FROM s JOIN u80 v ON s.i = v.i),
+        |pr2 AS (SELECT q.doc_id, sum(q.qx * v.v) AS praw FROM q JOIN u80 v ON q.i = v.i GROUP BY 1)
+        |SELECT pr.doc_id AS id,
+        |  CAST((SELECT n FROM nn) * pr.praw - (SELECT sv FROM sv) AS BIGINT) AS pc1,
+        |  CAST((SELECT n FROM nn) * pr2.praw - (SELECT sv FROM sv2) AS BIGINT) AS pc2
+        |FROM pr JOIN pr2 ON pr.doc_id = pr2.doc_id ORDER BY id""".stripMargin),
     // the solved loadings k=2 (deflation) + explained-variance ppm vs
     // the ORIGINAL scatter (v'Cv·1e6 over tr(C)·v'v, HUGEINT-truncated
     // like every division in the chain)
@@ -4854,6 +4876,19 @@ object SparkEntry {
         |        AND array_to_string(ws[i:i+l-1], ' ') = p)
         |SELECT doc_id, count(*) AS n_hits, count(DISTINCT p) AS n_phrases
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // the per-phrase half, silent phrases included at zero via the
+    // VALUES-list left join
+    "q_blocklist_phrases" -> {
+      val vals = blocklistPhrases
+        .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
+      s"""WITH ph(p, l) AS (VALUES $vals),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+        |m AS (SELECT doc_id, p FROM pos JOIN ph ON i + l - 1 <= len(ws)
+        |        AND array_to_string(ws[i:i+l-1], ' ') = p)
+        |SELECT ph.p, count(DISTINCT m.doc_id) AS n_docs, count(m.p) AS n_hits
+        |FROM ph LEFT JOIN m ON ph.p = m.p GROUP BY ph.p ORDER BY ph.p""".stripMargin
     },
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,

@@ -143,21 +143,34 @@ object Pca {
     (v, sv, n.toLong, evrPpm(c, v, dim).toLong)
   }
 
-  /** PC1 projection per row: pc1 = n·(q·v) − Σᵢ Sᵢvᵢ — the exact
-    * integer image of n·(q − μ)·v. Map-only: the component vector is a
-    * broadcast literal, the dot product a codegen'd `zip_with` +
-    * `aggregate`, so stage 2 adds zero shuffles. */
-  def project(feats: DataFrame, dim: Int = 6, rounds: Int = 6): DataFrame = {
-    val (v, sv, n, _) = solve(feats, dim, rounds)
-    val vlit = array(v.map(x => lit(x.toLong)): _*)
-    val praw = aggregate(
-      zip_with(col("q"), vlit, (x, w) => x * w), lit(0L), (a, b) => a + b)
-    // Emit BIGINT, never DECIMAL: the driver's hash canonicalizes
-    // parquet DECIMAL differently from DuckDB decimal, and pc1 fits
-    // int64 at every SF (n·(q·v) ≤ n·6·maxFeature·1e6 ≪ 2^63).
-    feats.select(col("id"),
-      (lit(n).cast(DecimalType(38, 0)) * praw - lit(sv.toLong))
-        .cast("long").as("pc1"))
+  /** Per-row projection onto the top-k components: pcₘ = n·(q·vₘ) −
+    * Σᵢ Sᵢvₘᵢ — the exact integer image of n·(q − μ)·vₘ. PC1 is the
+    * size factor; PC2 (the deflated component) is the per-document
+    * QUALITY residual a curation filter thresholds. Map-only: every
+    * component vector is a broadcast literal, each dot product a
+    * codegen'd `zip_with` + `aggregate`, so the projection pass adds
+    * zero shuffles however many components are emitted.
+    *
+    * Emits BIGINT, never DECIMAL: the driver's hash canonicalizes
+    * parquet DECIMAL differently from DuckDB decimal, and every pcₘ
+    * fits int64 at every SF (n·(q·v) ≤ n·6·maxFeature·1e6 ≪ 2^63). */
+  def project(feats: DataFrame, dim: Int = 6, rounds: Int = 6,
+              k: Int = 2, rounds2: Int = 80): DataFrame = {
+    val (c0, s0, n) = scatterOf(feats, dim)
+    val comps = Iterator.iterate((c0, powerIter(c0, dim, rounds), 0)) {
+        case (c, v, m) =>
+          val c2 = deflate(c, v, dim)
+          (c2, powerIter(c2, dim, rounds2), m + 1)
+      }.take(k).map(_._2).toSeq
+    val pcCols = comps.zipWithIndex.map { case (v, m) =>
+      val sv = (0 until dim).map(i => s0(i) * v(i)).sum
+      val vlit = array(v.map(x => lit(x.toLong)): _*)
+      val praw = aggregate(
+        zip_with(col("q"), vlit, (x, w) => x * w), lit(0L), (a, b) => a + b)
+      (lit(n.toLong).cast(DecimalType(38, 0)) * praw - lit(sv.toLong))
+        .cast("long").as(s"pc${m + 1}")
+    }
+    feats.select(col("id") +: pcCols: _*)
   }
 
   /** The solved components: (comp, i, loading at 1e6 scale, explained

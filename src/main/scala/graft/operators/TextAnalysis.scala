@@ -1202,7 +1202,18 @@ object TextAnalysis {
     * array THROUGH the explode instead would duplicate every document
     * per token, which is strictly worse at corpus scale. */
   def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
-                    phrases: Seq[String]): DataFrame = {
+                    phrases: Seq[String]): DataFrame =
+    verifiedBlocklistMatches(docs, textCol, idCol, phrases)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("p")).as("n_phrases"))
+
+  /** The verified (doc_id, p) match stream [[blocklistHits]] and
+    * [[blocklistPhraseStats]] aggregate — one anchor-and-verify
+    * definition so the two reports can never disagree on what counts
+    * as a hit. */
+  def verifiedBlocklistMatches(docs: DataFrame, textCol: String,
+                               idCol: String, phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
       "blocklist needs non-empty phrases")
     val spark = docs.sparkSession
@@ -1219,8 +1230,26 @@ object TextAnalysis {
     anchors.join(base, Seq("doc_id"))
       .filter(col("i") + col("l") <= size(col("ws")) &&
         array_join(slice(col("ws"), col("i") + 1, col("l")), " ") === col("p"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"),
-        count_distinct(col("p")).as("n_phrases"))
+      .select(col("doc_id"), col("p"))
+  }
+
+  /** Per-PHRASE blocklist report — which list entries actually fire,
+    * and how broadly: (p, n_docs, n_hits), EVERY phrase present (zero
+    * rows for silent entries — the artifact that tells a list curator
+    * which patterns are dead weight). Same verified match stream as
+    * [[blocklistHits]], one aggregate + a broadcast right-join against
+    * the phrase list. */
+  def blocklistPhraseStats(docs: DataFrame, textCol: String,
+                           idCol: String, phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val agg = verifiedBlocklistMatches(docs, textCol, idCol, phrases)
+      .groupBy(col("p"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+    phrases.toDF("p").join(agg, Seq("p"), "left")
+      .select(col("p"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 }

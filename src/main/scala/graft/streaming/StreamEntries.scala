@@ -977,6 +977,50 @@ object StreamEntries {
         hllToks(s, dir).select(col("lang").as("g"), col("t")))
       .orderBy(col("ga"), col("gb"))
 
+  /** Live blocklist monitor — per-PHRASE hit/doc counters maintained
+    * continuously (the moderation dashboard a deployed curation list
+    * feeds): the feed is pre-combined (phrase, doc, hits) cells from
+    * the IDENTICAL [[graft.operators.TextAnalysis.verifiedBlocklistMatches]]
+    * stage as batch (the streamDecay pre-combined-cells shape — state
+    * and wire carry |phrases|-keyed rows, never token positions), split
+    * by doc parity so every phrase's counters provably fold across the
+    * micro-batch boundary. Silent phrases emit zero rows via the
+    * phrase-list left join — the dead-weight signal survives live.
+    * Oracle: the batch q_blocklist_phrases SQL. */
+  def streamBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = memoFeed(s"blocklist:$dir") {
+      graft.operators.TextAnalysis.verifiedBlocklistMatches(
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+          graft.SparkEntry.blocklistPhrases)
+        .groupBy(col("p"), col("doc_id")).agg(count(lit(1)).as("hits"))
+        .as[(String, Long, Long)].collect()
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_blocklist")
+    withStatePartitions(s, 1, noData = false) {
+      val mem = MemoryStream[(String, Long, Long)]
+      // (p, doc) cells are unique, so the streaming count(1) IS the
+      // distinct-doc count and the sums fold exactly across batches
+      val agg = mem.toDS().toDF("p", "doc_id", "hits")
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_hits"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        mem.addData(cells.filter(_._2 % 2 == 0).toSeq)
+        q.processAllAvailable()
+        mem.addData(cells.filter(_._2 % 2 != 0).toSeq)
+        q.processAllAvailable()
+      }
+    }
+    graft.SparkEntry.blocklistPhrases.toDF("p")
+      .join(takeTable(s, name), Seq("p"), "left")
+      .select(col("p"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("p"))
+  }
+
   /** Streaming EXACT distinct count through the block-sparse bitmap
     * ([[graft.operators.Sketches.bitmapWords]]): the state store holds
     * one 64-bit word per populated (group, block) — `bit_or` folds new

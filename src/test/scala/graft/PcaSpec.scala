@@ -41,10 +41,13 @@ class PcaSpec extends SparkTestBase {
   test("projection is exactly centered (Σ pc1 = 0) and partitioning-invariant") {
     val feats = Pca.docFeatures(fixtureDocs)
     val proj = Pca.project(feats)
-    assert(proj.schema("pc1").dataType.typeName === "long",
-      "output must be BIGINT, never DECIMAL (driver-hash convention)")
-    val total = Pca.project(feats).agg(sum(col("pc1"))).head().getLong(0)
-    assert(total === 0L, s"n·Σ(q·v) − n·Σsᵢvᵢ must cancel, got $total")
+    for (c <- Seq("pc1", "pc2"))
+      assert(proj.schema(c).dataType.typeName === "long",
+        "output must be BIGINT, never DECIMAL (driver-hash convention)")
+    val totals = Pca.project(feats)
+      .agg(sum(col("pc1")), sum(col("pc2"))).head()
+    assert(totals.getLong(0) === 0L && totals.getLong(1) === 0L,
+      s"n·Σ(q·v) − n·Σsᵢvᵢ must cancel for EVERY component, got $totals")
     val a = Pca.project(feats).orderBy("id").collect().toSeq
     val b = Pca.project(feats.repartition(13)).orderBy("id").collect().toSeq
     assert(a === b)
