@@ -4866,30 +4866,18 @@ object SparkEntry {
     // blocklist replayed PLAIN (every position × every phrase, the
     // unoptimized quadratic) — the anchor-and-verify split must be
     // invisible; overlapping start positions count
-    "q_blocklist" -> {
-      val vals = blocklistPhrases
-        .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
-      s"""WITH ph(p, l) AS (VALUES $vals),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
-        |m AS (SELECT doc_id, p FROM pos JOIN ph ON i + l - 1 <= len(ws)
-        |        AND array_to_string(ws[i:i+l-1], ' ') = p)
+    "q_blocklist" -> (blocklistMatchCte +
+      """
         |SELECT doc_id, count(*) AS n_hits, count(DISTINCT p) AS n_phrases
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // the per-phrase half, silent phrases included at zero via the
-    // VALUES-list left join
-    "q_blocklist_phrases" -> {
-      val vals = blocklistPhrases
-        .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
-      s"""WITH ph(p, l) AS (VALUES $vals),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
-        |m AS (SELECT doc_id, p FROM pos JOIN ph ON i + l - 1 <= len(ws)
-        |        AND array_to_string(ws[i:i+l-1], ' ') = p)
+    // VALUES-list left join — the SAME match chain, so the two gates
+    // can never disagree on what counts as a hit (mirrors the Scala
+    // side's shared verifiedBlocklistMatches)
+    "q_blocklist_phrases" -> (blocklistMatchCte +
+      """
         |SELECT ph.p, count(DISTINCT m.doc_id) AS n_docs, count(m.p) AS n_hits
-        |FROM ph LEFT JOIN m ON ph.p = m.p GROUP BY ph.p ORDER BY ph.p""".stripMargin
-    },
+        |FROM ph LEFT JOIN m ON ph.p = m.p GROUP BY ph.p ORDER BY ph.p""".stripMargin),
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits
@@ -6935,6 +6923,21 @@ object SparkEntry {
         |  exact_ndv
         |FROM b JOIN x ON b.lang = x.lang ORDER BY b.lang""".stripMargin
   }
+  /** The ONE oracle replay of
+    * [[graft.operators.TextAnalysis.verifiedBlocklistMatches]] (plain
+    * position × phrase, overlapping starts counted), shared by
+    * q_blocklist and q_blocklist_phrases — ends with ph(p, l) and
+    * m(doc_id, p) in scope. */
+  private lazy val blocklistMatchCte: String = {
+    val vals = blocklistPhrases
+      .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
+    s"""WITH ph(p, l) AS (VALUES $vals),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+      |m AS (SELECT doc_id, p FROM pos JOIN ph ON i + l - 1 <= len(ws)
+      |        AND array_to_string(ws[i:i+l-1], ' ') = p)""".stripMargin
+  }
+
   /** Replays [[graft.operators.Sketches.hllOverlap]] over the q_hll_ndv
     * token derivation: per-lang registers, pair union by register max,
     * the shared estimate arithmetic, inclusion–exclusion as the RAW

@@ -154,22 +154,29 @@ object Pca {
     * Emits BIGINT, never DECIMAL: the driver's hash canonicalizes
     * parquet DECIMAL differently from DuckDB decimal, and every pcₘ
     * fits int64 at every SF (n·(q·v) ≤ n·6·maxFeature·1e6 ≪ 2^63). */
+  /** The top-k component chain — ONE definition of the
+    * solve-deflate-resolve sequence so [[project]]'s scores and
+    * [[componentsFromGram]]'s loadings can never drift apart. */
+  private def topComponents(c0: Array[Array[BigInt]], dim: Int,
+                            rounds: Int, k: Int, rounds2: Int)
+      : Seq[Array[BigInt]] =
+    Iterator.iterate((c0, powerIter(c0, dim, rounds))) { case (c, v) =>
+      val c2 = deflate(c, v, dim)
+      (c2, powerIter(c2, dim, rounds2))
+    }.take(k).map(_._2).toSeq
+
   def project(feats: DataFrame, dim: Int = 6, rounds: Int = 6,
               k: Int = 2, rounds2: Int = 80): DataFrame = {
     val (c0, s0, n) = scatterOf(feats, dim)
-    val comps = Iterator.iterate((c0, powerIter(c0, dim, rounds), 0)) {
-        case (c, v, m) =>
-          val c2 = deflate(c, v, dim)
-          (c2, powerIter(c2, dim, rounds2), m + 1)
-      }.take(k).map(_._2).toSeq
-    val pcCols = comps.zipWithIndex.map { case (v, m) =>
-      val sv = (0 until dim).map(i => s0(i) * v(i)).sum
-      val vlit = array(v.map(x => lit(x.toLong)): _*)
-      val praw = aggregate(
-        zip_with(col("q"), vlit, (x, w) => x * w), lit(0L), (a, b) => a + b)
-      (lit(n.toLong).cast(DecimalType(38, 0)) * praw - lit(sv.toLong))
-        .cast("long").as(s"pc${m + 1}")
-    }
+    val pcCols = topComponents(c0, dim, rounds, k, rounds2)
+      .zipWithIndex.map { case (v, m) =>
+        val sv = (0 until dim).map(i => s0(i) * v(i)).sum
+        val vlit = array(v.map(x => lit(x.toLong)): _*)
+        val praw = aggregate(
+          zip_with(col("q"), vlit, (x, w) => x * w), lit(0L), (a, b) => a + b)
+        (lit(n.toLong).cast(DecimalType(38, 0)) * praw - lit(sv.toLong))
+          .cast("long").as(s"pc${m + 1}")
+      }
     feats.select(col("id") +: pcCols: _*)
   }
 
@@ -194,17 +201,10 @@ object Pca {
     val spark = gramDf.sparkSession
     import spark.implicits._
     val (c0, _, _) = scatterFromGram(gramDf, dim)
-    // thread (scatter, solved v) so each component's power iteration
-    // runs exactly once — the solve both emits and feeds the deflation
-    val rows = Iterator.iterate((c0, powerIter(c0, dim, rounds), 0)) {
-        case (c, v, m) =>
-          val c2 = deflate(c, v, dim)
-          (c2, powerIter(c2, dim, rounds2), m + 1)
-      }.take(k).map { case (_, v, m) =>
-        (m, v, evrPpm(c0, v, dim).toLong)
-      }.toSeq
-    rows.flatMap { case (m, v, evr) =>
-      v.zipWithIndex.map { case (x, i) => (m, i, x.toLong, evr) }
-    }.toDF("comp", "i", "v", "evr_ppm")
+    topComponents(c0, dim, rounds, k, rounds2).zipWithIndex
+      .flatMap { case (v, m) =>
+        val evr = evrPpm(c0, v, dim).toLong
+        v.zipWithIndex.map { case (x, i) => (m, i, x.toLong, evr) }
+      }.toDF("comp", "i", "v", "evr_ppm")
   }
 }

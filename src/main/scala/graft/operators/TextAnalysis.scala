@@ -1216,6 +1216,10 @@ object TextAnalysis {
                                idCol: String, phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
       "blocklist needs non-empty phrases")
+    // a duplicated phrase would double-count hits here while a GROUP BY
+    // oracle folds it into one row — structurally different results
+    require(phrases.distinct == phrases,
+      s"blocklist phrases must be distinct: $phrases")
     val spark = docs.sparkSession
     import spark.implicits._
     val ph = phrases.map { p =>

@@ -990,9 +990,14 @@ object StreamEntries {
   def streamBlocklist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cells = memoFeed(s"blocklist:$dir") {
+      // doc slice bound (memoFeed's bounded-feed contract): hit volume
+      // is corpus-linear, so cap the fed docs like every sibling entry
+      // — a no-op at the gated SFs (≤5000 docs), a constant slice at
+      // sf1 where ids stride
       graft.operators.TextAnalysis.verifiedBlocklistMatches(
-          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
-          graft.SparkEntry.blocklistPhrases)
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") < lit(5000L * sliceScale)),
+          "text", "doc_id", graft.SparkEntry.blocklistPhrases)
         .groupBy(col("p"), col("doc_id")).agg(count(lit(1)).as("hits"))
         .as[(String, Long, Long)].collect()
     }

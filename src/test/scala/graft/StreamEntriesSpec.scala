@@ -346,6 +346,16 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_blocklist equals the batch per-phrase report (counters fold across batches)") {
+    val streamed = StreamEntries.streamBlocklist(spark, dir)
+    val batch = graft.operators.TextAnalysis.blocklistPhraseStats(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < lit(5000L * scale)),
+      "text", "doc_id", SparkEntry.blocklistPhrases)
+    assert(streamed.count() === SparkEntry.blocklistPhrases.size.toLong)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("q_stream_hll_overlap equals the batch pair overlap (same registers, same estimate)") {
     val streamed = StreamEntries.streamHllOverlap(spark, dir)
     val toks = spark.read.parquet(s"$dir/documents.parquet")
