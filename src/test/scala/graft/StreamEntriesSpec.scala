@@ -35,7 +35,10 @@ class StreamEntriesSpec extends SparkTestBase {
       // second session's flatMapGroupsWithState shapes: per-bucket min
       // (LSH filter), per-fingerprint boolean (funnel), per-key open
       // run (SCD2)
-      "q_stream_lsh_filter", "q_stream_funnel", "q_stream_scd2")
+      "q_stream_lsh_filter", "q_stream_funnel", "q_stream_scd2",
+      // round 10's complete-mode monoid folds: the 49-cell Gram, the
+      // per-(group, bucket) register max, the per-phrase counters
+      "q_stream_pca", "q_stream_hll_overlap", "q_stream_blocklist")
     def runAll() = entries.map(q =>
       q -> SparkEntry.queries(q)(spark, dir).collect().toSeq)
     val prev = spark.conf.getOption(key)
