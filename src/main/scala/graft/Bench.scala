@@ -100,10 +100,17 @@ object Bench {
     // the driver keeps only a 2000-char tail of this line, so ~200 of
     // the per-query times vanished from round-9's record — persist the
     // FULL map to a file too (kept out of the tail-captured stdout)
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
-    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    // best-effort: results are already on stdout, so an unwritable
+    // target/ (read-only CWD, container FS) must not fail the bench
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"graft bench: could not persist per-query map: $e")
+    }
     // the driver's capture truncates the giant per-query line from the
     // TAIL, losing the total that follows the map (every round's
     // BENCH_r*.json has parsed:null) — repeat the headline numbers on a

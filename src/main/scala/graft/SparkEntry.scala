@@ -2895,8 +2895,15 @@ object SparkEntry {
       // into the identical pair estimate — one SQL, two gates
       ("q_stream_hll_overlap" -> m("q_hll_overlap")) +
       // the live blocklist monitor folds the identical verified-match
-      // cells — one SQL, two gates
-      ("q_stream_blocklist" -> m("q_blocklist_phrases"))
+      // cells, but its feed is bounded at doc_id < 5000·sliceScale like
+      // every sibling entry — the oracle replays the scale-1 bound
+      // (doc_id < 5000) rather than reusing the unbounded batch SQL, so
+      // the gate stays honest at any gated SF instead of silently
+      // relying on the fixtures' ids staying under the cap
+      ("q_stream_blocklist" -> (blocklistMatchCteBounded("doc_id < 5000") +
+        """
+          |SELECT ph.p, count(DISTINCT m.doc_id) AS n_docs, count(m.p) AS n_hits
+          |FROM ph LEFT JOIN m ON ph.p = m.p GROUP BY ph.p ORDER BY ph.p""".stripMargin))
   }
 
   /** df cap for the exact-Jaccard family: shingles present in more than
@@ -6928,11 +6935,16 @@ object SparkEntry {
     * position × phrase, overlapping starts counted), shared by
     * q_blocklist and q_blocklist_phrases — ends with ph(p, l) and
     * m(doc_id, p) in scope. */
-  private lazy val blocklistMatchCte: String = {
+  private lazy val blocklistMatchCte: String = blocklistMatchCteBounded("TRUE")
+
+  /** [[blocklistMatchCte]] over a bounded doc slice — the streaming
+    * twin's oracle replays its feed cap here instead of borrowing the
+    * unbounded batch SQL. */
+  private def blocklistMatchCteBounded(where: String): String = {
     val vals = blocklistPhrases
       .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
     s"""WITH ph(p, l) AS (VALUES $vals),
-      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE $where),
       |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
       |m AS (SELECT doc_id, p FROM pos JOIN ph ON i + l - 1 <= len(ws)
       |        AND array_to_string(ws[i:i+l-1], ' ') = p)""".stripMargin

@@ -1198,9 +1198,11 @@ object TextAnalysis {
     * one codegen'd slice+join compare. Overlapping occurrences count
     * (every matching start position is a hit). Output: one row per doc
     * with ≥1 verified hit — (doc_id, n_hits, n_phrases). The verify
-    * re-join shuffles anchors + docs by doc id; carrying the token
-    * array THROUGH the explode instead would duplicate every document
-    * per token, which is strictly worse at corpus scale. */
+    * re-join shuffles anchors + docs by doc id and ships each doc's
+    * token array ONCE (anchors fold to a per-doc array first); carrying
+    * the array THROUGH the explode would duplicate every document per
+    * token, and joining per ANCHOR row would duplicate it per anchor —
+    * both strictly worse at corpus scale. */
   def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
                     phrases: Seq[String]): DataFrame =
     verifiedBlocklistMatches(docs, textCol, idCol, phrases)
@@ -1213,7 +1215,8 @@ object TextAnalysis {
     * definition so the two reports can never disagree on what counts
     * as a hit. */
   def verifiedBlocklistMatches(docs: DataFrame, textCol: String,
-                               idCol: String, phrases: Seq[String]): DataFrame = {
+                               idCol: String, phrases: Seq[String],
+                               broadcastPhrases: Boolean = true): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
       "blocklist needs non-empty phrases")
     // a duplicated phrase would double-count hits here while a GROUP BY
@@ -1222,19 +1225,40 @@ object TextAnalysis {
       s"blocklist phrases must be distinct: $phrases")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ph = phrases.map { p =>
+    // the driver-side phrase list broadcasts by default (it IS small —
+    // it came in as a Seq). A million-phrase list arriving as a TABLE
+    // uses the same chain with broadcastPhrases=false: the anchor stage
+    // becomes a shuffle join of tokens against the phrase first-word
+    // frame (bucket both on the word for a co-located join), and
+    // everything downstream is unchanged — the escape is a hint, not a
+    // different operator
+    val ph0 = phrases.map { p =>
       val ws = p.split(" "); (ws.head, p, ws.length)
     }.toDF("w0", "p", "l")
+    val ph = if (broadcastPhrases) broadcast(ph0) else ph0
     val base = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ws"))
     val anchors = base
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "w")))
-      .join(broadcast(ph), col("w") === col("w0"))
+      .join(ph, col("w") === col("w0"))
       .select(col("doc_id"), col("i"), col("p"), col("l"))
-    anchors.join(base, Seq("doc_id"))
-      .filter(col("i") + col("l") <= size(col("ws")) &&
-        array_join(slice(col("ws"), col("i") + 1, col("l")), " ") === col("p"))
-      .select(col("doc_id"), col("p"))
+    // anchors fold to ONE array row per doc before the verify re-join,
+    // so each doc's token array is shipped and joined exactly once —
+    // an adversarial list whose first words are stopword-frequent
+    // ("the …") makes anchor volume ≈ token volume, and a per-anchor
+    // join would materialize ~|tokens| copies of full documents. The
+    // per-doc anchor array is bounded by the doc's own token count
+    // (same O(doc) envelope as `ws` itself). Every anchor then
+    // verifies its window with one HOF filter over that single copy.
+    val perDoc = anchors.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("i"), col("p"), col("l"))).as("anch"))
+    perDoc.join(base, Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(filter(col("anch"), a =>
+          a.getField("i") + a.getField("l") <= size(col("ws")) &&
+            array_join(slice(col("ws"), a.getField("i") + lit(1),
+              a.getField("l")), " ") === a.getField("p"))).as("m"))
+      .select(col("doc_id"), col("m").getField("p").as("p"))
   }
 
   /** Per-PHRASE blocklist report — which list entries actually fire,

@@ -331,8 +331,10 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     })
   }
 
-  /** Region-index statistics for Catalyst's cost model: EXACT row count
-    * (the index stores per-region counts) and the serialized byte size
+  /** Region-index statistics for Catalyst's cost model: row count
+    * (exact from the index's per-region counts when only whole regions
+    * prune; an upper bound once stat bounds row-filter inside
+    * survivors) and the serialized byte size
     * (region file lengths — PD's approximate_size analog; falls back to
     * 64 B/record when a client can't supply sizes). RANGE-pruned: a
     * pushed key range shrinks the estimate to the surviving regions, so
@@ -342,6 +344,11 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
     * "unknown = huge" and every kvbin join would shuffle. */
   override def estimateStatistics(): Statistics = {
     val regions = prunedRegions
+    // EXACT only while nothing row-filters inside surviving regions: a
+    // pushed stat bound drops rows the region index can't see, so the
+    // per-region counts become an upper bound — still the right number
+    // to feed the cost model (over-estimates never flip a safe
+    // broadcast into an OOM), but not reported as exact
     val rows = if (agg.isDefined) regions.size.toLong else regions.map(_.nKeys).sum
     val bytes =
       if (agg.isDefined) math.max(32L * regions.size, 1L)

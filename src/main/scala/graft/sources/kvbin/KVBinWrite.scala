@@ -197,11 +197,24 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
       case (w, e) => w.orElse(e).getOrElse("V1")
     }
     // an append onto a stats-declaring table must not change the spec
-    // list out from under the readers (same rule as api_version)
-    oldMeta.get("stats").filter(_ => appending && stats.nonEmpty).foreach { e =>
+    // list out from under the readers (same rule as api_version) — and
+    // appending stats onto a stats-LESS table is equally an error at
+    // WRITE time: the commit would stamp a #stats header over old
+    // region lines that carry no min/max pairs, and old records that
+    // don't satisfy a spec (e.g. value shorter than a v_be64 offset)
+    // would only fail later, inside the reader's KVBinStat.eval
+    if (appending && stats.nonEmpty) {
       val w = stats.map { case (n2, sp) => s"$n2:$sp" }.mkString(",")
-      require(w == e, s"kvbin append with stats=$w onto a stats=$e table " +
-        s"at $dir — rewrite the table (mode overwrite) to change stats")
+      oldMeta.get("stats") match {
+        case Some(e) =>
+          require(w == e, s"kvbin append with stats=$w onto a stats=$e table " +
+            s"at $dir — rewrite the table (mode overwrite) to change stats")
+        case None => throw new IllegalArgumentException(
+          s"kvbin append with stats=$w onto a table at $dir that declares " +
+          s"no stats — existing regions have no stamped ranges and their " +
+          s"records were never validated against the specs; rewrite the " +
+          s"table (mode overwrite) to introduce stats")
+      }
     }
     val meta = oldMeta + ("api_version" -> version) ++
       (if (stats.nonEmpty)

@@ -164,6 +164,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sk.contains("PushedStatRanges"), sk)
   }
 
+  test("blocklist verify join ships one doc copy per doc: anchors fold to an array before the re-join") {
+    val p = plan("q_blocklist")
+    // the per-doc anchor fold (collect_list keyed by doc_id) must sit
+    // BELOW the doc_id verify join — joining raw anchor rows instead
+    // would duplicate each doc's token array once per anchor, which a
+    // stopword-anchored phrase list turns into ~|tokens| doc copies
+    val lines = p.linesIterator.toSeq
+    val foldIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("collect_list"))
+    assert(foldIdx >= 0, s"per-doc anchor fold missing:\n$p")
+    // the window verify is a HOF filter over the single shipped copy,
+    // after the join — no per-anchor Filter over a joined row stream
+    assert(p.contains("filter(anch"), s"HOF window verify missing:\n$p")
+  }
+
   test("Bloom bitmap build: partial+final OR-fold, one buffer per partition, no distinct/collect") {
     val dim = spark.read.parquet(s"$sfSmoke/supplier.parquet")
     val p = graft.operators.Sketches.bloomWordsDf(

@@ -756,4 +756,45 @@ class TextEventsSpec extends SparkTestBase {
     assert(got === naive)
     assert(got.map(_._1) === Seq(1L, 3L, 5L), "docs 2 and 4 must not appear")
   }
+
+  test("blocklist stress: stopword-anchored list — verify join sees one row per doc, not per anchor") {
+    // adversarial list: the phrase's first word is every doc's most
+    // frequent token, so anchor volume ≈ token volume. The old
+    // per-anchor verify join materialized one copy of each doc's token
+    // array per anchor (here 50 copies/doc); the folded shape ships one.
+    val docs = (0L until 40L).map { id =>
+      (id, (Seq.fill(50)("the") ++ Seq("quick", "fox")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val phrases = Seq("the quick", "the the the")
+    val anchors = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === "the")
+    val anchorVolume = anchors.count()           // 50 anchors × 40 docs
+    val verifyRows = anchors.select("doc_id").distinct().count() // 1/doc
+    assert(anchorVolume === 2000L && verifyRows === 40L,
+      s"stress fixture drifted: $anchorVolume anchors, $verifyRows docs")
+    // correctness under anchor pressure: "the quick" fires once per doc
+    // (position 50), "the the the" at 48 overlapping starts per doc
+    val got = TextAnalysis.blocklistHits(docs, "text", "doc_id", phrases)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === (0L until 40L).map(id => (id, 49L, 2L)))
+  }
+
+  test("blocklist: non-broadcast phrase route (million-phrase escape) matches the broadcast default") {
+    val docs = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "b c d b c"))
+      .toDF("doc_id", "text")
+    val phrases = Seq("a a", "b c", "b c d")
+    def rows(bc: Boolean) =
+      TextAnalysis.verifiedBlocklistMatches(docs, "text", "doc_id", phrases, bc)
+        .orderBy("doc_id", "p").as[(Long, String)].collect().toSeq
+    assert(rows(bc = false) === rows(bc = true))
+    // and the escape really does drop the broadcast hint on the anchor
+    // join (the analyzed plan carries hints verbatim; the optimizer may
+    // still CHOOSE broadcast for a tiny list — the point is that a
+    // million-phrase table is no longer forced through the driver)
+    def analyzed(bc: Boolean) = TextAnalysis.verifiedBlocklistMatches(
+      docs, "text", "doc_id", phrases, bc).queryExecution.analyzed.toString
+    assert(analyzed(true).contains("ResolvedHint"), analyzed(true))
+    assert(!analyzed(false).contains("ResolvedHint"), analyzed(false))
+  }
 }
