@@ -527,6 +527,17 @@ object SparkEntry {
       Similarity.marginMining(
           Similarity.bitextPairs(emb(s, dir).filter(col("id") < 5000)), 4)
         .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(50)),
+    // the ANN-fed margin path — the 100 TB bitext story the brute
+    // stage's guard names: SRP band signatures on both sides, DISTINCT
+    // cross-side band-collision pairs (≈3.5% of A×B on the fixtures,
+    // corpus-linear at fixed collision rate), the identical integer
+    // cosine on survivors, the identical margin stage. UNCAPPED corpus
+    // (no id < 5000 slice): the candidate stage is the thing that makes
+    // the cap unnecessary. Oracle replays planes → bits → bands →
+    // candidates → cosine → margin end-to-end
+    "q_bitext_margin_ann" -> ((s, dir) =>
+      Similarity.marginMining(Similarity.bitextPairsSrp(emb(s, dir)), 4)
+        .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(50)),
     // embedding health gate: per-dim counts of non-finite / zero-norm
     // vectors + the norm envelope in integer micros — the pre-index
     // data contract of the ANN family, one aggregate pass
@@ -4334,6 +4345,43 @@ object SparkEntry {
         |             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
         |             * 1000000000 + 0.5) AS BIGINT) AS c
         |         FROM e x JOIN e y ON x.a AND NOT y.a),
+        |r AS (SELECT qa, qb, c,
+        |        row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS ra,
+        |        row_number() OVER (PARTITION BY qb ORDER BY c DESC, qa) AS rb
+        |      FROM pair),
+        |sa AS (SELECT qa, sum(c) AS s FROM r WHERE ra <= 4 GROUP BY qa),
+        |sb AS (SELECT qb, sum(c) AS s FROM r WHERE rb <= 4 GROUP BY qb)
+        |SELECT r.qa, r.qb, CAST((r.c * 8 * 1000000) // (sa.s + sb.s) AS BIGINT) AS margin_q
+        |FROM r JOIN sa ON r.qa = sa.qa JOIN sb ON r.qb = sb.qb
+        |WHERE r.ra <= 4 AND r.c > 0 AND sa.s + sb.s > 0
+        |ORDER BY margin_q DESC, r.qa, r.qb LIMIT 50""".stripMargin,
+    // the ANN-fed margin replay: the q_srp_neardup plane/bit/band CTEs,
+    // cross-side (even × odd) DISTINCT band-collision candidates, the
+    // same 1e-9-unit floor-quantized cosine on survivors, the same
+    // both-direction k=4 margin arithmetic — candidate derivation and
+    // margin are BOTH hash-gated
+    "q_bitext_margin_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, list(CASE WHEN substring(md5('srp_' || j || '_' || d), 1, 1) >= '8'
+        |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS p
+        |  FROM generate_series(0, 63) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
+        |  GROUP BY j),
+        |bits AS (
+        |  SELECT e.vec_id, pl.j, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
+        |  FROM e CROSS JOIN planes pl),
+        |bands AS (
+        |  SELECT vec_id, j // 8 AS band_id, sum(b * (1 << (j % 8))) AS band_val
+        |  FROM bits GROUP BY vec_id, j // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |pair AS (SELECT cd.qa, cd.qb,
+        |           CAST(floor(list_dot_product(x.v, y.v)
+        |             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |             * 1000000000 + 0.5) AS BIGINT) AS c
+        |         FROM cand cd JOIN e x ON cd.qa = x.vec_id JOIN e y ON cd.qb = y.vec_id),
         |r AS (SELECT qa, qb, c,
         |        row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS ra,
         |        row_number() OVER (PARTITION BY qb ORDER BY c DESC, qa) AS rb

@@ -297,7 +297,30 @@ object Similarity {
     * end-to-end: the DuckDB oracle replays planes → bits → bands →
     * candidates → verification bit-for-bit. */
   def srpNearDup(corpus: DataFrame, threshold: Double,
-                 k: Int = 64, bands: Int = 8): DataFrame = {
+                 k: Int = 64, bands: Int = 8): DataFrame =
+    srpBanded(corpus, k, bands) match {
+      case None =>
+        corpus.sparkSession.emptyDataFrame
+          .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("sim"))
+      case Some(banded) =>
+        val cand = banded.select(col("band_id"), col("band_val"), col("id").as("id_a"))
+          .join(banded.select(col("band_id"), col("band_val"), col("id").as("id_b")),
+            Seq("band_id", "band_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+        verifyPairs(cand, corpus, threshold)
+    }
+
+  /** The (id, band_id, band_val) SRP signature frame — the shared
+    * candidate-generation core of [[srpNearDup]] (same-side near-dup
+    * self-join) and [[bitextPairsSrp]] (cross-side bitext candidates):
+    * k sign bits over the deterministic ±1 hyperplanes, split into
+    * `bands` band values. Materialized once (localCheckpoint) so the
+    * bucket join doesn't recompute the k dot products per side — same
+    * lesson as the MinHash banded frame. None for an empty corpus (no
+    * row to read the plane width from). */
+  private def srpBanded(corpus: DataFrame, k: Int, bands: Int): Option[DataFrame] = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     require(r <= 62, "band width must fit a long's bit weights")
@@ -305,9 +328,7 @@ object Similarity {
     // the plane width is read from one row. A vector of a DIFFERENT
     // length dots to null against every plane and can never pair.
     val headRow = corpus.select(size(col("vec")).as("d")).head(1)
-    if (headRow.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("sim"))
+    if (headRow.isEmpty) return None
     val dim = headRow(0).getInt(0)
     val planes = srpPlanes(k, dim)
     val bitCols = planes.zipWithIndex.map { case (p, j) =>
@@ -318,21 +339,49 @@ object Similarity {
       (0 until r).map(jj => col(s"__b${i * r + jj}") * lit(1L << jj))
         .reduce(_ + _).as(s"__band$i")
     }
-    // materialized once (localCheckpoint) so the bucket self-join doesn't
-    // recompute the k dot products per side — same lesson as the MinHash
-    // banded frame
-    val banded = withBits
+    Some(withBits
       .select(col("id"), posexplode(array(bandVals: _*)))
       .toDF("id", "band_id", "band_val")
-      .localCheckpoint()
-    val cand = banded.select(col("band_id"), col("band_val"), col("id").as("id_a"))
-      .join(banded.select(col("band_id"), col("band_val"), col("id").as("id_b")),
-        Seq("band_id", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    verifyPairs(cand, corpus, threshold)
+      .localCheckpoint())
   }
+
+  /** ANN-fed cross-side candidate pairs for [[marginMining]] — the
+    * corpus-scale path [[bitextPairs]]'s guard names as the remedy:
+    * both sides get the [[srpNearDup]] band signature, and candidates
+    * are the DISTINCT cross-side pairs (even id side A × odd id side B)
+    * sharing any band value — a banded equi-join whose volume is
+    * corpus-linear at a fixed collision rate (measured 3.5% of A×B on
+    * the fixture embeddings), never the A×B cross. Survivors score
+    * with the IDENTICAL 1e-9-unit integer cosine as the brute stage,
+    * so [[marginMining]] is the unchanged downstream and margins agree
+    * EXACTLY with the brute path restricted to the candidate set
+    * (SimilaritySpec pins both). Recall < 1 against the full-cross
+    * margin is inherent to LSH candidates — the documented trade that
+    * makes corpus-scale bitext mining affordable (the CCMatrix
+    * FAISS-candidates shape), and the reason the brute stage stays the
+    * gated baseline while this is the scale path. */
+  def bitextPairsSrp(corpus: DataFrame, k: Int = 64, bands: Int = 8): DataFrame =
+    srpBanded(corpus, k, bands) match {
+      case None =>
+        corpus.sparkSession.emptyDataFrame
+          .select(lit(0L).as("qa"), lit(0L).as("qb"), lit(0L).as("c"))
+      case Some(banded) =>
+        val a = banded.filter(col("id") % 2 === 0)
+          .select(col("band_id"), col("band_val"), col("id").as("qa"))
+        val b = banded.filter(col("id") % 2 =!= 0)
+          .select(col("band_id"), col("band_val"), col("id").as("qb"))
+        val cand = a.join(b, Seq("band_id", "band_val"))
+          .select(col("qa"), col("qb")).distinct()
+        val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+        cand
+          .join(v.select(col("id").as("qa"), col("vec").as("va"),
+            col("nrm").as("na")), Seq("qa"))
+          .join(v.select(col("id").as("qb"), col("vec").as("vb"),
+            col("nrm").as("nb")), Seq("qb"))
+          .select(col("qa"), col("qb"),
+            floor(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+              * lit(1e9d) + lit(0.5d)).cast("long").as("c"))
+    }
 
   /** Full-precision verification of an (id_a, id_b) candidate-pair
     * frame: join both sides' vectors + precomputed norms, emit
@@ -1154,9 +1203,10 @@ object Similarity {
         col("__np") <= lit(maxPairs).cast("decimal(38,0)"),
         concat(lit("bitextPairs: "), col("__np").cast("string"),
           lit(s" cross-side pairs exceed maxPairs=$maxPairs — feed " +
-            "marginMining an ANN candidate ranking (ivfTopK / ivfPqTopK " +
-            "/ srpTopK) instead of the brute pair stage, or raise " +
-            "maxPairs to accept the quadratic cost"))).isNull)
+            "marginMining the SRP-banded candidate stage (bitextPairsSrp, " +
+            "the gated scale path) or an IVF/PQ candidate ranking instead " +
+            "of the brute pair stage, or raise maxPairs to accept the " +
+            "quadratic cost"))).isNull)
       .select(col("qa"), col("qb"),
         floor(dot(col("va"), col("vb")) / (col("na") * col("nb"))
           * lit(1e9d) + lit(0.5d)).cast("long").as("c"))

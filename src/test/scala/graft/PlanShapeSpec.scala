@@ -150,10 +150,16 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("round-10 additions: blocklist anchors broadcast; margin/overlap pair joins never cartesian over data") {
-    for (q <- Seq("q_blocklist", "q_bitext_margin", "q_hll_overlap")) {
+    for (q <- Seq("q_blocklist", "q_bitext_margin", "q_bitext_margin_ann",
+        "q_hll_overlap")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
+    // the ANN margin path must be ALL equi-joins — the brute entry's
+    // broadcast cross stage (a legitimate BNLJ over the capped slice)
+    // is exactly what the banded candidate join replaces
+    assert(!plan("q_bitext_margin_ann").contains("BroadcastNestedLoopJoin"),
+      plan("q_bitext_margin_ann"))
     // the phrase map joins the token explode as a BROADCAST hash join —
     // a shuffled phrase join would defeat the anchor gate's point
     val bl = plan("q_blocklist")

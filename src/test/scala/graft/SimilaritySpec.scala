@@ -631,4 +631,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("ANN bitext candidates: strict subset of brute pairs with identical integer cosines; margins agree on the candidate restriction") {
+    val e = emb.filter($"id" < 200)
+    val brute = Similarity.bitextPairs(e)
+      .as[(Long, Long, Long)].collect()
+      .map { case (qa, qb, c) => ((qa, qb), c) }.toMap
+    val ann = Similarity.bitextPairsSrp(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ann.nonEmpty && ann.size < brute.size,
+      s"ann ${ann.size} vs brute ${brute.size}")
+    // every ANN candidate is a brute pair with the SAME integer cosine
+    // — the candidate stage can only SELECT pairs, never re-score them
+    ann.foreach { case (qa, qb, c) =>
+      assert(brute.get((qa, qb)).contains(c), s"($qa,$qb): ann c=$c brute=${brute.get((qa, qb))}")
+    }
+    // and the margin stage applied to the brute frame RESTRICTED to the
+    // ANN candidate set reproduces the ANN margins exactly — the two
+    // paths differ only in which pairs the candidate stage admits
+    val candSet = ann.map { case (qa, qb, _) => (qa, qb) }.toSet
+    val restricted = Similarity.marginMining(
+        Similarity.bitextPairs(e).filter(r =>
+          candSet.contains((r.getLong(0), r.getLong(1)))), 4)
+      .orderBy($"qa", $"qb").as[(Long, Long, Long)].collect().toSeq
+    val viaAnn = Similarity.marginMining(Similarity.bitextPairsSrp(e), 4)
+      .orderBy($"qa", $"qb").as[(Long, Long, Long)].collect().toSeq
+    assert(restricted === viaAnn)
+  }
 }
