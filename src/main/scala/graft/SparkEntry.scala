@@ -1862,6 +1862,18 @@ object SparkEntry {
       Sketches.hllOverlap(tok, col("lang"), col("t"))
         .orderBy(col("ga"), col("gb"))
     }),
+    // register-ONLY overlap pricing — the 100 TB contract made literal:
+    // the register table is materialized once (localCheckpoint, |G|·m
+    // rows) and the whole pair/estimate stage runs off it; the final
+    // plan contains NO corpus scan at all (PlanShapeSpec pins zero
+    // FileScans). The exact twin stays in q_hll_overlap, where the
+    // estimate error is the visible gated column
+    "q_hll_overlap_sketch" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("lang").as("g"),
+        explode(Dedup.shingles(col("text"), 3)).as("t"))
+      val regs = Sketches.hllRegisters(tok, col("t"), col("g")).localCheckpoint()
+      Sketches.hllOverlapEstimates(regs).orderBy(col("ga"), col("gb"))
+    }),
     // EXACT grouped NDV through block-sparse bitmaps: one shuffle of
     // 64-bit block words (bit_or partial agg combines map-side — up to
     // 64× fewer shuffled rows than count_distinct's per-(g,id) dedup
@@ -6223,6 +6235,7 @@ object SparkEntry {
     // literal on both sides; ln per the family recipe
     "q_hll_ndv" -> hllNdvOracleSql,
     "q_hll_overlap" -> hllOverlapOracleSql,
+    "q_hll_overlap_sketch" -> hllOverlapOracle(withExact = false),
     // the bitmap route must equal the naive distinct — the gate IS the
     // optimization-equals-plain proof
     "q_bitmap_distinct" ->
@@ -7003,7 +7016,13 @@ object SparkEntry {
     * the shared estimate arithmetic, inclusion–exclusion as the RAW
     * IEEE difference of the 6-dp estimates (no re-round), exact twin
     * from a distinct-pair token join. */
-  private lazy val hllOverlapOracleSql: String = {
+  private lazy val hllOverlapOracleSql: String = hllOverlapOracle(withExact = true)
+
+  /** The register-only sibling — q_hll_overlap_sketch replays the same
+    * construction minus the exact-twin join (the Spark plan it gates
+    * never re-touches the token table; the oracle, which only checks
+    * VALUES, may of course rebuild registers from tokens). */
+  private def hllOverlapOracle(withExact: Boolean): String = {
     val m = 1024
     val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
     val bitCase = "CASE " + (50 to 1 by -1)
@@ -7039,19 +7058,28 @@ object SparkEntry {
       |            SELECT ga, gb, count(*) AS nb,
       |              sum(CAST(pow(0.5, mj) AS DECIMAL(38,30))) AS s_used
       |            FROM uregs GROUP BY ga, gb)),
-      |uest AS (SELECT ga, gb, $est AS e FROM uest0),
-      |ex AS (SELECT a.ga, a.gb, count(DISTINCT a.t) AS exact_overlap FROM
-      |        (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.ga) a
-      |        JOIN (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.gb) b
-      |        ON a.ga = b.ga AND a.gb = b.gb AND a.t = b.t
-      |        GROUP BY a.ga, a.gb)
-      |SELECT gp.ga, gp.gb, pa.e AS est_a, pb.e AS est_b, u.e AS est_union,
-      |  pa.e + pb.e - u.e AS est_overlap,
-      |  COALESCE(ex.exact_overlap, 0) AS exact_overlap
-      |FROM gp JOIN pest pa ON gp.ga = pa.lang JOIN pest pb ON gp.gb = pb.lang
-      |  JOIN uest u ON gp.ga = u.ga AND gp.gb = u.gb
-      |  LEFT JOIN ex ON gp.ga = ex.ga AND gp.gb = ex.gb
-      |ORDER BY gp.ga, gp.gb""".stripMargin
+      |uest AS (SELECT ga, gb, $est AS e FROM uest0)""".stripMargin +
+    (if (withExact)
+      """,
+        |ex AS (SELECT a.ga, a.gb, count(DISTINCT a.t) AS exact_overlap FROM
+        |        (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.ga) a
+        |        JOIN (SELECT gp.ga, gp.gb, tok.t FROM tok JOIN gp ON tok.lang = gp.gb) b
+        |        ON a.ga = b.ga AND a.gb = b.gb AND a.t = b.t
+        |        GROUP BY a.ga, a.gb)
+        |SELECT gp.ga, gp.gb, pa.e AS est_a, pb.e AS est_b, u.e AS est_union,
+        |  pa.e + pb.e - u.e AS est_overlap,
+        |  COALESCE(ex.exact_overlap, 0) AS exact_overlap
+        |FROM gp JOIN pest pa ON gp.ga = pa.lang JOIN pest pb ON gp.gb = pb.lang
+        |  JOIN uest u ON gp.ga = u.ga AND gp.gb = u.gb
+        |  LEFT JOIN ex ON gp.ga = ex.ga AND gp.gb = ex.gb
+        |ORDER BY gp.ga, gp.gb""".stripMargin
+    else
+      """
+        |SELECT gp.ga, gp.gb, pa.e AS est_a, pb.e AS est_b, u.e AS est_union,
+        |  pa.e + pb.e - u.e AS est_overlap
+        |FROM gp JOIN pest pa ON gp.ga = pa.lang JOIN pest pb ON gp.gb = pb.lang
+        |  JOIN uest u ON gp.ga = u.ga AND gp.gb = u.gb
+        |ORDER BY gp.ga, gp.gb""".stripMargin)
   }
 
   /** The upsert family's shared oracle tail: the dst slice the three

@@ -480,6 +480,36 @@ object Sketches {
     * feeds only the exact twin column. */
   def hllOverlapFromRegisters(regs: DataFrame, keyed: DataFrame,
                               p: Int = 10): DataFrame = {
+    val gl = regs.select(col("g")).distinct()
+    val gp = gl.select(col("g").as("ga"))
+      .crossJoin(broadcast(gl.select(col("g").as("gb"))))
+      .filter(col("ga") < col("gb"))
+    val exact = keyed.distinct()
+    val ex = exact.join(broadcast(gp), col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("t"))
+      .join(exact.select(col("g").as("g2"), col("t").as("t2")),
+        col("g2") === col("gb") && col("t") === col("t2"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count_distinct(col("t")).as("exact_overlap"))
+    hllOverlapEstimates(regs, p)
+      .join(ex, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
+  /** Register-ONLY pairwise overlap pricing — the stage that makes the
+    * sketch worth carrying at 100 TB: everything here reads the |G|·m
+    * register table alone, so once the registers are built (one corpus
+    * scan, or a max-merge of persisted shards — see
+    * [[hllOverlapFromRegisters]]'s callers) every pair is priced
+    * WITHOUT re-touching the token table. Checkpoint the register
+    * frame before calling (the gated entry does) and the resulting
+    * plan contains no corpus scan at all — PlanShapeSpec pins it.
+    * Output: (ga < gb, est_a, est_b, est_union, est_overlap); the
+    * exact-twin column rides only on [[hllOverlapFromRegisters]],
+    * whose gate keeps the estimate error visible. */
+  def hllOverlapEstimates(regs: DataFrame, p: Int = 10): DataFrame = {
     val per = hllEstimate(regs, p).select(col("g"), col("est_ndv"))
     // broadcast BOTH the group-list cross (|G| rows — an un-hinted
     // non-equi join over a corpus-descended aggregate can fall back to
@@ -501,23 +531,14 @@ object Sketches {
           col("bucket"), col("mj")), p)
       .select(col("g.ga").as("ga"), col("g.gb").as("gb"),
         col("est_ndv").as("est_union"))
-    val exact = keyed.distinct()
-    val ex = exact.join(broadcast(gp), col("g") === col("ga"))
-      .select(col("ga"), col("gb"), col("t"))
-      .join(exact.select(col("g").as("g2"), col("t").as("t2")),
-        col("g2") === col("gb") && col("t") === col("t2"))
-      .groupBy(col("ga"), col("gb"))
-      .agg(count_distinct(col("t")).as("exact_overlap"))
     gp.join(estU, Seq("ga", "gb"))
       .join(per.select(col("g").as("g_a"), col("est_ndv").as("est_a")),
         col("ga") === col("g_a"))
       .join(per.select(col("g").as("g_b"), col("est_ndv").as("est_b")),
         col("gb") === col("g_b"))
-      .join(ex, Seq("ga", "gb"), "left")
       .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
         col("est_union"),
-        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
-        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
   }
 
   // ------------------------------------------------------ exact bitmaps

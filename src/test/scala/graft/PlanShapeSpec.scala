@@ -170,6 +170,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(sk.contains("PushedStatRanges"), sk)
   }
 
+  test("q_hll_overlap_sketch: pair pricing never re-touches the token table — zero file scans after the register build") {
+    val p = plan("q_hll_overlap_sketch")
+    // the registers are materialized once (localCheckpoint); every
+    // branch of the pair/estimate stage must read THAT |G|·m-row frame,
+    // so the plan may contain only ExistingRDD scans — a FileScan here
+    // means a corpus re-read crept back into the sketch path
+    assert(!p.contains("FileScan"), s"corpus re-scan in the sketch path:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("blocklist verify join ships one doc copy per doc: anchors fold to an array before the re-join") {
     val p = plan("q_blocklist")
     // the per-doc anchor fold (collect_list keyed by doc_id) must sit
