@@ -159,6 +159,7 @@ object SparkEntry {
     // regions, _index swap = commit); dead batches leave only orphan
     // files _index never references
     "q_stream_kvbin_sink" -> ((s, dir) => StreamEntries.streamKvbinSink(s, dir)),
+    "q_stream_kvbin_scan" -> ((s, dir) => StreamEntries.streamKvbinScan(s, dir)),
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
@@ -5556,6 +5557,13 @@ object SparkEntry {
     // the kvbin-generation merge sink lands the same identity: the
     // drained DSv2 read-back must equal the dst slice byte-for-byte
     "q_stream_kvbin_sink" -> (cte + dstSliceSelect),
+    // the kvbin streaming SOURCE: two generations (base write + one
+    // append) tailed as micro-batches must drain to exactly the src
+    // slice — the same rows the batch scan of the final table reads
+    "q_stream_kvbin_scan" -> (cte +
+      """SELECT k AS key, v AS value FROM src
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
     // the watermark-drop sink must equal the batch aggregate of the
     // ON-TIME slice alone: the late half contributes nothing
     "q_stream_late_drop" ->

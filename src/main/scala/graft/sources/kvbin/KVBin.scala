@@ -117,10 +117,58 @@ object KVBin {
         lo.zip(hi).flatMap { case (a, b) => Seq(a.toString, b.toString) })
         .mkString("\t")
     }
-    val out = fs.create(new Path(dir, IndexFile), true)
-    out.write(lines.mkString("\n").getBytes("UTF-8"))
-    out.close()
+    writeIndexAtomic(dir, sconf.value, lines.mkString("\n"))
     index.map { case (f, mn, mx, n, _, _) => (f, mn, mx, n) }
+  }
+
+  /** Atomically replace `dir/_index`: write a temp sibling, then
+    * FileContext.rename(OVERWRITE). `fs.create(path, overwrite=true)`
+    * TRUNCATES in place — a reader racing the rewrite (the streaming
+    * tail's latestOffset poll, a concurrent batch planner) would see an
+    * empty or partial index and silently plan "no regions"; the rename
+    * swap guarantees every reader sees the old or the new index, whole.
+    * The temp file is cleaned up on failure; it never matches the
+    * writer's region-file pattern, so commit sweeps ignore it. */
+  def writeIndexAtomic(dir: String, conf: Configuration, content: String): Unit = {
+    val uri = new java.net.URI(dir)
+    val tmpName = s"$IndexFile.tmp-${java.util.UUID.randomUUID().toString}"
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // POSIX rename(2) is the only genuinely atomic overwrite the
+      // local FS offers: Hadoop's FileContext rename(OVERWRITE) is
+      // delete-then-rename here (a reader in the window sees NO index),
+      // and the FileSystem-level local FS shadows files with .crc
+      // sidecars a raw rename would leave stale. java.nio writes no
+      // sidecar; drop any stale one a pre-atomic writer left behind.
+      val base = java.nio.file.Paths.get(
+        if (uri.getScheme == null) dir else uri.getPath)
+      val tmp = base.resolve(tmpName)
+      var renamed = false
+      try {
+        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, base.resolve(IndexFile),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        renamed = true
+        java.nio.file.Files.deleteIfExists(base.resolve(s".$IndexFile.crc"))
+      } finally if (!renamed) java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      // cluster filesystems: FileContext rename with OVERWRITE is the
+      // supported atomic primitive (HDFS performs it server-side)
+      import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
+      val fs = FileSystem.get(uri, conf)
+      val fc = FileContext.getFileContext(fs.getUri, conf)
+      val tmp = fs.makeQualified(new Path(dir, tmpName))
+      var renamed = false
+      try {
+        val out = fc.create(tmp,
+          java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+        fc.rename(tmp, fs.makeQualified(new Path(dir, IndexFile)),
+          Options.Rename.OVERWRITE)
+        renamed = true
+      } finally if (!renamed) fc.delete(tmp, false)
+    }
   }
 
   def hexOf(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString

@@ -96,6 +96,7 @@ class KVBinTable(dir: String) extends Table with SupportsRead
   override def schema(): StructType = KVBinSource.schemaOf(statDefs)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KVBinScanBuilder(dir,
@@ -399,6 +400,139 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KVBinReaderFactory()
+
+  /** The streaming half of the connector (SURVEY §2a rows 1-2 made
+    * continuous): the stream TAILS the region index — regions present
+    * at query start form the first micro-batch, and every committed
+    * append's new regions become the next one, so the "continuous
+    * compare" entries consume the house format live instead of a
+    * parquet/MemoryStream stand-in. See [[KVBinMicroBatchStream]] for
+    * the offset contract. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(agg.isEmpty,
+      "kvbin streaming does not support pushed aggregates — aggregate " +
+      "the stream Spark-side (stateful aggregation), where results can " +
+      "fold across micro-batches")
+    require(limit.isEmpty,
+      "kvbin streaming ignores limits — apply them per micro-batch " +
+      "Spark-side if head-of-stream sampling is really intended")
+    new KVBinMicroBatchStream(dir, start, end, endIncl, required,
+      expectedApiVersion, endpoints, statDefs, statBounds, conf)
+  }
+}
+
+/** Streaming offset = the SET of region files already emitted,
+  * serialized as a sorted JSON array of file names. Region files are
+  * immutable once committed and appends only add index lines, so
+  * "everything in the index minus the offset set" is exactly the new
+  * data — a positional/count offset would break on append, because the
+  * committed index is re-sorted by min key. At PD scale the production
+  * analog is the monotonic region-epoch watermark (offsets then carry
+  * one number, not a name list); the file-backed format has no epoch
+  * stamp, so the explicit set is the honest offset and is bounded by
+  * the region count. The table must be APPEND-ONLY while tailed: a
+  * compaction mid-stream renames regions and the renamed files would
+  * re-emit (the same contract as Spark's file source over rewritten
+  * files). */
+case class KVBinStreamOffset(regions: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    regions.sorted.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+}
+
+object KVBinStreamOffset {
+  def fromJson(json: String): KVBinStreamOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"bad kvbin offset: $json")
+    val inner = t.substring(1, t.length - 1).trim
+    KVBinStreamOffset(
+      if (inner.isEmpty) Nil
+      else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
+
+/** Tails a kvbin table as micro-batches. Each poll re-reads the region
+  * index through a FRESH [[RegionClient]] (the scan-time client caches
+  * the index for plan stability — a tailing source must see appends);
+  * pushed key ranges and stat bounds prune each batch's NEW regions
+  * exactly like the batch scan, and pruned-away regions still enter
+  * the offset so they are never re-considered. The API-version gate
+  * runs on every poll: an append cannot change the stamp (the writer
+  * refuses), but a table REPLACED under the stream with a different
+  * version must kill the query, not feed it mixed-version bytes. */
+class KVBinMicroBatchStream(dir: String, start: Array[Byte],
+    end: Array[Byte], endIncl: Array[Byte], required: StructType,
+    expectedApiVersion: Option[String], endpoints: Option[String],
+    statDefs: Seq[(String, String)], statBounds: Seq[StatBound],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def connect(): RegionClient =
+    RegionClient.connect(dir, endpoints, conf)
+
+  /** Every region id this stream instance has ever listed — the
+    * append-only watchdog: the index swap is atomic (writeIndexAtomic),
+    * so a poll can never see a TRUNCATED index, but a compaction or
+    * overwrite legitimately commits an index with previously-seen
+    * regions GONE. Tailing such a table would silently re-emit the
+    * rewritten rows under new file names; fail loudly instead. */
+  @volatile private var everSeen: Set[String] = Set.empty
+
+  override def initialOffset(): Offset = KVBinStreamOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    val client = connect()
+    val sourceVersion = client.clusterMeta()("api_version")
+    expectedApiVersion.filter(_ != sourceVersion).foreach { e =>
+      throw new IllegalStateException(
+        s"kvbin api version mismatch: source $dir is $sourceVersion, " +
+        s"stream expects $e")
+    }
+    val now = client.listRegions().map(_.id)
+    val vanished = everSeen -- now
+    if (vanished.nonEmpty)
+      throw new IllegalStateException(
+        s"kvbin stream over $dir: regions ${vanished.toSeq.sorted.mkString(", ")} " +
+        "disappeared from the index — the table was compacted or " +
+        "overwritten while tailed. The streaming source requires an " +
+        "append-only table; restart the stream from a fresh checkpoint " +
+        "to adopt the rewritten generation.")
+    everSeen ++= now
+    KVBinStreamOffset(now.sorted)
+  }
+
+  override def planInputPartitions(startO: Offset, endO: Offset)
+      : Array[InputPartition] = {
+    val seen = startO.asInstanceOf[KVBinStreamOffset].regions.toSet
+    val target = endO.asInstanceOf[KVBinStreamOffset].regions.toSet
+    val client = connect()
+    client.listRegions()
+      // only this batch's regions: the fresh index read may already be
+      // AHEAD of endO (another append landed) — those wait their turn
+      .filter(r => target.contains(r.id) && !seen.contains(r.id))
+      // the same planning-time pruning as the batch scan: key range +
+      // stat min/max (a region without stamped ranges never skips)
+      .filter { r =>
+        (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
+        (end == null || KVBin.compare(r.minKey, end) < 0) &&
+        (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0) &&
+        statBounds.forall(b => !r.stats.isDefinedAt(b.i) || {
+          val (mn, mx) = r.stats(b.i); mx >= b.lo && mn <= b.hi
+        })
+      }
+      .map(r => KVBinInputPartition(client, r.id, start, end, endIncl,
+        required.fieldNames, -1, statDefs.toMap, statBounds): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KVBinReaderFactory()
+  override def deserializeOffset(json: String): Offset =
+    KVBinStreamOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class KVBinInputPartition(client: RegionClient, regionId: String,

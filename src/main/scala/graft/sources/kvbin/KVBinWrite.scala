@@ -241,9 +241,10 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
         s"would drop its regions from the index and sweep their files. " +
         s"Serialize writers to this table (single concurrent writer " +
         s"contract) and re-run the append.")
-    val out = fs.create(idxPath, true)
-    out.write(lines.mkString("\n").getBytes("UTF-8"))
-    out.close()
+    // atomic swap (tmp + rename-overwrite): a racing reader — including
+    // the streaming tail polling latestOffset — must see the previous
+    // or the new index whole, never a truncated in-place rewrite
+    KVBin.writeIndexAtomic(dir, conf.value, lines.mkString("\n"))
     val live = merged.map(_._1).toSet + KVBin.IndexFile
     fs.listStatus(new Path(dir)).map(_.getPath)
       .filter(p => KVBinDataWriter.RegionFile.matches(p.getName))

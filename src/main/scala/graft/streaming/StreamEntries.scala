@@ -1650,6 +1650,65 @@ object StreamEntries {
       .orderBy(col("key"))
   }
 
+  /** Live kvbin SOURCE — the read half of the connector loop whose sink
+    * half is [[streamKvbinSink]]: `readStream` over the house format
+    * TAILS the region index ([[graft.sources.kvbin.KVBinMicroBatchStream]]),
+    * so regions committed by the stats-aware batch writer become
+    * micro-batches and the "continuous compare" story enters through
+    * kvbin itself, not a parquet/MemoryStream stand-in. The entry
+    * writes the src slice's first key half as the base generation
+    * (micro-batch 1 = the regions present at query start), then
+    * APPENDS the second half while the query runs (micro-batch 2 = the
+    * appended regions ONLY — the offset set proves the first
+    * generation is not re-read; KVBinSpec pins per-batch input rows).
+    * Sink = plain append passthrough; after the drain the sink must be
+    * byte-identical to the batch scan of the final table, which is the
+    * src-slice oracle. */
+  def streamKvbinScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvscan-")
+    val rows = memoFeed(s"kvscan:$dir") {
+      KVSnapshot.srcStr(s, dir)
+        .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .as[(String, String)].collect()
+    }
+    val mid = f"li_${1000L * sliceScale}%010d"
+    def writeWave(wave: Seq[(String, String)], mode: String): Unit =
+      wave.toSeq.toDF("key", "value")
+        .select(col("key").cast("binary").as("key"),
+          col("value").cast("binary").as("value"))
+        .write.format(fmt).option("path", tbl)
+        .option("api_version", "V1").mode(mode).save()
+    val (w1, w2) = rows.toSeq.partition(_._1 < mid)
+    writeWave(w1, "overwrite")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_kvbin_scan")
+    withStatePartitions(s, 1, noData = false) {
+      val q = s.readStream.format(fmt).option("path", tbl).load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        q.processAllAvailable() // batch 1: the base generation's regions
+        writeWave(w2, "append") // batch 2: only the appended regions
+      }
+      // per-batch tape for KVBinSpec's no-re-read pin: (batchId,
+      // numInputRows) of every non-empty micro-batch, in order
+      lastKvbinScanBatches = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0).map(p => (p.batchId, p.numInputRows))
+    }
+    takeTable(s, name).orderBy(col("key"))
+  }
+
+  /** Spec-probe: batch tape of the latest [[streamKvbinScan]] run —
+    * (batchId, numInputRows) per non-empty micro-batch. The offset
+    * contract's observable: the append generation must arrive as its
+    * OWN batch whose row count is exactly the appended rows (nothing
+    * from the base generation re-read). */
+  @volatile private[graft] var lastKvbinScanBatches: Seq[(Long, Long)] = Nil
+
   /** Streaming histogram-quantile sketch
     * ([[graft.operators.Sketches.histCells]] as a streaming
     * complete-mode aggregation): the counter table lives in the state

@@ -748,4 +748,84 @@ class KVBinSpec extends SparkTestBase {
       "next commit's sweep left the orphan region on disk")
     assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 5)
   }
+
+  // ---- streaming source (micro-batch tail of the region index) ----
+
+  test("streaming offset JSON roundtrips; order-insensitive set semantics") {
+    import graft.sources.kvbin.KVBinStreamOffset
+    val o = KVBinStreamOffset(Seq("b.kv", "a.kv"))
+    assert(KVBinStreamOffset.fromJson(o.json()).regions.toSet === Set("a.kv", "b.kv"))
+    // serialization sorts: checkpointed offsets compare stably across
+    // restarts regardless of index listing order
+    assert(o.json() === KVBinStreamOffset(Seq("a.kv", "b.kv")).json())
+    assert(KVBinStreamOffset.fromJson(KVBinStreamOffset(Nil).json()).regions.isEmpty)
+  }
+
+  test("micro-batch planning emits only NEW regions; key range prunes per batch") {
+    import graft.sources.kvbin.{KVBinMicroBatchStream, KVBinStreamOffset}
+    import org.apache.spark.util.SerializableConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-s-").toString
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir).option("ranges", "3")
+        .mode(mode).save()
+    write(hi = false, "overwrite")
+    def stream(start: Array[Byte], end: Array[Byte]) = new KVBinMicroBatchStream(
+      dir, start, end, null,
+      new org.apache.spark.sql.types.StructType()
+        .add("key", "binary").add("value", "binary"),
+      None, None, Nil, Nil, conf)
+    val tail = stream(null, null)
+    val o0 = tail.initialOffset()
+    val o1 = tail.latestOffset()
+    val b1 = tail.planInputPartitions(
+      o0, o1)
+    assert(b1.length === 3, s"base generation should plan its 3 regions, got ${b1.length}")
+    // nothing new → empty batch, not a re-read
+    val o1b = tail.latestOffset()
+    assert(tail.planInputPartitions(o1,
+      o1b).isEmpty)
+    write(hi = true, "append")
+    val o2 = tail.latestOffset()
+    val b2 = tail.planInputPartitions(
+      o1, o2)
+    assert(b2.length === 3,
+      s"append batch must contain ONLY the 3 new regions, got ${b2.length}")
+    // a pushed key range prunes the appended batch's regions exactly like
+    // the batch scan: the low half's range matches none of the new regions
+    val pruned = stream("li_0000000000".getBytes("UTF-8"),
+        "li_0000000100".getBytes("UTF-8"))
+      .planInputPartitions(
+        o1, o2)
+    assert(pruned.isEmpty,
+      s"key range below the appended regions must prune all, got ${pruned.length}")
+  }
+
+  test("streaming tail refuses a compacted table (append-only watchdog) and a version swap") {
+    import graft.sources.kvbin.KVBinMicroBatchStream
+    import org.apache.spark.util.SerializableConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-w-").toString
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    parquetSrc.limit(200).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "4").mode("overwrite").save()
+    val tail = new KVBinMicroBatchStream(dir, null, null, null,
+      new org.apache.spark.sql.types.StructType()
+        .add("key", "binary").add("value", "binary"),
+      None, None, Nil, Nil, conf)
+    tail.latestOffset() // adopt the 4-region generation
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir, targetRegions = 1)
+    val e = intercept[IllegalStateException](tail.latestOffset())
+    assert(e.getMessage.contains("append-only"),
+      s"compaction mid-tail must fail loudly, got: ${e.getMessage}")
+    // a fresh tail with a version expectation against a V1 table dies on
+    // the FIRST poll — the gate runs per poll, not once at plan time
+    val gated = new KVBinMicroBatchStream(dir, null, null, null,
+      new org.apache.spark.sql.types.StructType()
+        .add("key", "binary").add("value", "binary"),
+      Some("V2"), None, Nil, Nil, conf)
+    val g = intercept[IllegalStateException](gated.latestOffset())
+    assert(g.getMessage.contains("api version mismatch"))
+  }
 }

@@ -38,7 +38,11 @@ class StreamEntriesSpec extends SparkTestBase {
       "q_stream_lsh_filter", "q_stream_funnel", "q_stream_scd2",
       // round 10's complete-mode monoid folds: the 49-cell Gram, the
       // per-(group, bucket) register max, the per-phrase counters
-      "q_stream_pca", "q_stream_hll_overlap", "q_stream_blocklist")
+      "q_stream_pca", "q_stream_hll_overlap", "q_stream_blocklist",
+      // round 11's kvbin SOURCE tail: stateless passthrough — the row
+      // pins that the source's offset bookkeeping (which batches exist
+      // and what they contain) is state-store-provider-independent
+      "q_stream_kvbin_scan")
     def runAll() = entries.map(q =>
       q -> SparkEntry.queries(q)(spark, dir).collect().toSeq)
     val prev = spark.conf.getOption(key)
@@ -79,6 +83,27 @@ class StreamEntriesSpec extends SparkTestBase {
     val b = Checksum.of(batch).collect().head
     assert(a === b, s"streamed kvbin generation $a != batch applyChangelog $b")
     assert(a.getLong(1) > 0)
+  }
+
+  test("q_stream_kvbin_scan drains to the batch scan; the append is its OWN batch, nothing re-read") {
+    val streamed = StreamEntries.streamKvbinScan(spark, dir)
+    val batch = KVSnapshot.srcStr(spark, dir)
+      .select(col("k").as("key"), col("v").as("value"))
+      .filter(col("key") >= "li_0000000001" && col("key") < StreamEntries.keyUpper)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "drained kvbin tail != batch scan of the final table")
+    // the offset contract's observable: exactly two non-empty batches
+    // (base generation, then the appended regions), whose input rows
+    // partition the slice — the append batch re-reads NOTHING
+    val tape = StreamEntries.lastKvbinScanBatches
+    assert(tape.size === 2, s"expected base + append micro-batches, got $tape")
+    assert(tape(0)._1 < tape(1)._1)
+    assert(tape.map(_._2).sum === batch.count(),
+      s"batches must cover the slice exactly once: $tape")
+    val mid = f"li_${1000L * StreamEntries.sliceScale}%010d"
+    assert(tape(1)._2 === batch.filter(col("key") >= mid).count(),
+      s"append batch must carry exactly the second wave's rows: $tape")
   }
 
   test("q_stream_sessions equals batch sessionization (bounds + counts)") {
