@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Checksum, CodecExpr}
-import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Pca, Profile, RangeJoin, Rank, Retrieval, Scan, Similarity, Skew, Sketches, Skyline, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Diff, Events, Gate, Graph, Layout, Multimodal, Pack, Pca, Profile, RangeJoin, Rank, Retrieval, Scan, Similarity, Skew, Sketches, SketchStore, Skyline, TextAnalysis}
 import graft.sources.KVSnapshot
 import graft.streaming.{StreamEntries, WindowedChecksum}
 
@@ -1884,6 +1884,53 @@ object SparkEntry {
       Sketches.bitmapDistinct(
         s.read.parquet(s"$dir/events.parquet"),
         col("event_type"), col("user_id")).orderBy(col("g"))),
+    // cross-RUN sketch persistence (SketchStore): two waves (even/odd
+    // doc_id halves) each build registers from THEIR slice only and
+    // persist them through kvbin (wave 2 appends — atomic _index swap);
+    // the re-read max-merge then estimates through the identical
+    // hllEstimate stage. max is a monoid over per-(g,bucket) cells, so
+    // the merged state IS the one-shot build — the oracle is the plain
+    // q_hll_ndv replay, making roundtrip+merge a proved identity
+    "q_sketch_persist" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("lang").as("g"),
+        explode(Dedup.shingles(col("text"), 3)).as("t"), col("doc_id"))
+      val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-skp-")
+      Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+        SketchStore.writeWave(
+          Sketches.hllRegisters(
+            tok.filter(pmod(col("doc_id"), lit(2)) === i), col("t"), col("g"))
+            .select(col("g"), col("bucket").as("slot"), col("mj").as("v")),
+          tbl, s"wave$i", mode)
+      }
+      val regs = SketchStore.readMerged(s, tbl, max)
+        .select(col("g"), col("slot").as("bucket"), col("v").as("mj"))
+      val exact = tok.groupBy(col("g").as("g2"))
+        .agg(countDistinct(col("t")).as("exact_ndv"))
+      Sketches.hllEstimate(regs).join(exact, col("g") === col("g2"))
+        .select(col("g").as("lang"), col("n_buckets_used"),
+          col("sum_rho"), col("est_ndv"), col("exact_ndv"))
+        .orderBy(col("lang"))
+    }),
+    // the exact-bitmap twin of q_sketch_persist: block words persist
+    // per wave (even/odd user halves), OR-merge on re-read, popcount
+    // through the identical bitmapEstimate stage; oracle = the plain
+    // count(DISTINCT), same as q_bitmap_distinct
+    "q_bitmap_persist" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-bmp-")
+      Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+        SketchStore.writeWave(
+          Sketches.bitmapWords(
+            ev.filter(pmod(col("user_id"), lit(2)) === i),
+            col("event_type"), col("user_id"))
+            .select(col("g"), col("blk").as("slot"), col("w").as("v")),
+          tbl, s"wave$i", mode)
+      }
+      Sketches.bitmapEstimate(
+          SketchStore.readMerged(s, tbl, c => bit_or(c))
+            .select(col("g"), col("v").as("w")))
+        .orderBy(col("g"))
+    }),
     // count-min-sketch heavy hitters over word-trigram shingles
     // (document frequency): exact top-20 vs the d=4 × w=1024 sketch's
     // upper-bound estimate — est >= exact always, = exact when the
@@ -6247,6 +6294,14 @@ object SparkEntry {
     // the bitmap route must equal the naive distinct — the gate IS the
     // optimization-equals-plain proof
     "q_bitmap_distinct" ->
+      """SELECT event_type AS g, count(DISTINCT user_id) AS ndv
+        |FROM events GROUP BY 1 ORDER BY g""".stripMargin,
+    // persisted-and-merged sketches must equal the ONE-SHOT builds:
+    // kvbin roundtrip + max-merge of the two waves' registers replays
+    // the unpartitioned q_hll_ndv SQL; OR-merged block words replay the
+    // plain count(DISTINCT) — the merge laws leave no seam to hide in
+    "q_sketch_persist" -> hllNdvOracleSql,
+    "q_bitmap_persist" ->
       """SELECT event_type AS g, count(DISTINCT user_id) AS ndv
         |FROM events GROUP BY 1 ORDER BY g""".stripMargin,
     // replays q_hist_quantile: the same 1024-bucket counters, running

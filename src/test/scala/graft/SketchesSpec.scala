@@ -473,4 +473,56 @@ class SketchesSpec extends SparkTestBase {
     assert(out.keySet === Set(None, Some("a")))
     assert(out(None) === 4L && out(Some("a")) === 4L) // NULLs not counted in n
   }
+
+  test("SketchStore: persisted-and-merged cells ARE the one-shot build (HLL + bitmap)") {
+    import graft.operators.SketchStore
+    val ev = spark.read.parquet(s"$sfSmoke/events.parquet")
+    // HLL: two waves over disjoint halves, kvbin roundtrip, max-merge
+    val hllTbl = java.nio.file.Files.createTempDirectory("graft-skp-t").toString
+    Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+      SketchStore.writeWave(
+        Sketches.hllRegisters(ev.filter(pmod(col("user_id"), lit(2)) === i),
+            col("user_id"), col("event_type"))
+          .select(col("g"), col("bucket").as("slot"), col("mj").as("v")),
+        hllTbl, s"w$i", mode)
+    }
+    val merged = SketchStore.readMerged(spark, hllTbl, max)
+      .select(col("g"), col("slot").as("bucket"), col("v").as("mj"))
+    val oneShot = Sketches.hllRegisters(ev, col("user_id"), col("event_type"))
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+      "kvbin-persisted max-merged registers differ from the one-shot build")
+    // bitmap: same waves, OR-merge; negative-safe via signed BE64
+    val bmTbl = java.nio.file.Files.createTempDirectory("graft-bmp-t").toString
+    Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+      SketchStore.writeWave(
+        Sketches.bitmapWords(ev.filter(pmod(col("user_id"), lit(2)) === i),
+            col("event_type"), col("user_id"))
+          .select(col("g"), col("blk").as("slot"), col("w").as("v")),
+        bmTbl, s"w$i", mode)
+    }
+    val mergedW = SketchStore.readMerged(spark, bmTbl, c => bit_or(c))
+      .select(col("g"), col("slot").as("blk"), col("v").as("w"))
+    val oneShotW = Sketches.bitmapWords(ev, col("event_type"), col("user_id"))
+    assert(mergedW.exceptAll(oneShotW).isEmpty && oneShotW.exceptAll(mergedW).isEmpty,
+      "kvbin-persisted OR-merged words differ from the one-shot build")
+    // a bit-63 word (negative long) survives the BE64 value roundtrip
+    val neg = Seq(("g1", 0L, java.lang.Long.MIN_VALUE | 5L)).toDF("g", "slot", "v")
+    val negTbl = java.nio.file.Files.createTempDirectory("graft-neg-t").toString
+    SketchStore.writeWave(neg, negTbl, "w0", "overwrite")
+    assert(SketchStore.readMerged(spark, negTbl, max)
+      .select("v").as[Long].head() === (java.lang.Long.MIN_VALUE | 5L))
+  }
+
+  test("SketchStore refuses a group key that would corrupt the key encoding") {
+    import graft.operators.SketchStore
+    val bad = Seq(("a/b", 1L, 1L)).toDF("g", "slot", "v")
+    val tbl = java.nio.file.Files.createTempDirectory("graft-bad-t").toString
+    val e = intercept[Exception] {
+      SketchStore.writeWave(bad, tbl, "w0", "overwrite")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("'/'-free")), chain(e).mkString(" | "))
+  }
 }
