@@ -7,11 +7,14 @@
 #
 #   tools/bench_isolated.sh [q_a,q_b,...] [outfile]
 #
-# Defaults: the three stream-stream interval joins (the round-9 suspect
-# family) at sf0.1, writing target/bench_isolated.json.
+# Defaults: the five slowest in-suite queries of the round-10 full map
+# (q_lsh_recall, q_edit_neardup_prefix, q_ann_ivf_pq, q_hits,
+# q_pagerank_dangling) at sf0.1, writing target/bench_isolated.json —
+# one command keeps contention-vs-plan adjudication current. Pass the
+# old stream-join trio (or anything else) explicitly to re-check it.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ONLY="${1:-q_stream_ijoin,q_stream_left_ijoin,q_stream_full_ijoin}"
+ONLY="${1:-q_lsh_recall,q_edit_neardup_prefix,q_ann_ivf_pq,q_hits,q_pagerank_dangling}"
 OUT="${2:-target/bench_isolated.json}"
 SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_BENCH_OUT="$OUT" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -E "^BENCH_TOTAL|^\{\"metric\"" || true
