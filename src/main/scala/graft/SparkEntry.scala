@@ -160,6 +160,12 @@ object SparkEntry {
     // files _index never references
     "q_stream_kvbin_sink" -> ((s, dir) => StreamEntries.streamKvbinSink(s, dir)),
     "q_stream_kvbin_scan" -> ((s, dir) => StreamEntries.streamKvbinScan(s, dir)),
+    // continuous compare over the connector end-to-end: the kvbin tail
+    // folds per-bucket crc64/kvs/bytes in the state store (|buckets|
+    // triples, not rows), the mid-drain append arrives as its own
+    // micro-batch, and the final state verdicts against the static dst
+    // kvbin table's batch digests
+    "q_stream_kvbin_verdict" -> ((s, dir) => StreamEntries.streamKvbinVerdict(s, dir)),
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
@@ -5611,6 +5617,26 @@ object SparkEntry {
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),
+    // the live verdict replays both sides' per-bucket digests from the
+    // parquet slices: state-store-folded src micro-batches must equal
+    // the plain batch digest, bucket by bucket, against dst
+    "q_stream_kvbin_verdict" -> (cte + "," + crc64TabCte + ",\n" +
+      """ss AS (SELECT k, v FROM src
+        |       WHERE k >= 'li_0000000001' AND k < 'li_0000002000'),
+        |ds AS (SELECT k, v FROM dst
+        |       WHERE k >= 'li_0000000001' AND k < 'li_0000002000'),
+        |""".stripMargin +
+      crcRows("ssg", "ss") + ",\n" + crcRows("dsg", "ds") + "\n" +
+      """SELECT COALESCE(s.bucket, d.bucket) AS bucket,
+        |  s.c AS src_crc64_xor, s.n AS src_total_kvs, s.b AS src_total_bytes,
+        |  d.c AS dst_crc64_xor, d.n AS dst_total_kvs, d.b AS dst_total_bytes,
+        |  COALESCE(s.c = d.c AND s.n = d.n AND s.b = d.b, FALSE) AS matches
+        |FROM (SELECT substr(k, 1, 10) AS bucket, bit_xor(crc) AS c, count(*) AS n,
+        |        CAST(sum(length(k) + length(v)) AS BIGINT) AS b FROM ssg GROUP BY 1) s
+        |FULL JOIN (SELECT substr(k, 1, 10) AS bucket, bit_xor(crc) AS c, count(*) AS n,
+        |        CAST(sum(length(k) + length(v)) AS BIGINT) AS b FROM dsg GROUP BY 1) d
+        |  ON s.bucket = d.bucket
+        |ORDER BY bucket""".stripMargin),
     // the watermark-drop sink must equal the batch aggregate of the
     // ON-TIME slice alone: the late half contributes nothing
     "q_stream_late_drop" ->

@@ -1709,6 +1709,79 @@ object StreamEntries {
     * from the base generation re-read). */
   @volatile private[graft] var lastKvbinScanBatches: Seq[(Long, Long)] = Nil
 
+  /** CONTINUOUS COMPARE over the house connector end-to-end — the
+    * reference's flagship verdict (`checksum/checksum.go:83-91`,
+    * src-vs-dst per-range digests) with the src side LIVE: the kvbin
+    * tail ([[streamKvbinScan]]'s source) feeds a complete-mode
+    * per-bucket checksum aggregation (crc64-XOR / count / bytes — the
+    * same monoid the batch [[graft.functions.Checksum.byBucket]]
+    * folds, so state is |buckets| triples, not rows), a mid-drain
+    * append delivers the second src generation as its own micro-batch,
+    * and the final state joins the STATIC dst kvbin table's batch
+    * digests for a per-bucket verdict. At 100 TB this is the
+    * continuous re-verification loop: each appended region costs one
+    * micro-batch over ITS rows; the dst side re-reads nothing. */
+  def streamKvbinVerdict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    def slice(df: DataFrame): DataFrame =
+      df.filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .select(col("k").cast("binary").as("key"),
+          col("v").cast("binary").as("value"))
+    // src rows arrive as two kvbin generations (the streamKvbinScan
+    // feed memo is shared — same slice, same waves)
+    val rows = memoFeed(s"kvscan:$dir") {
+      KVSnapshot.srcStr(s, dir)
+        .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .as[(String, String)].collect()
+    }
+    val mid = f"li_${1000L * sliceScale}%010d"
+    val srcTbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvv-src-")
+    val dstTbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvv-dst-")
+    def writeWave(wave: Seq[(String, String)], mode: String): Unit =
+      wave.toSeq.toDF("key", "value")
+        .select(col("key").cast("binary").as("key"),
+          col("value").cast("binary").as("value"))
+        .write.format(fmt).option("path", srcTbl)
+        .option("api_version", "V1").mode(mode).save()
+    val (w1, w2) = rows.toSeq.partition(_._1 < mid)
+    writeWave(w1, "overwrite")
+    slice(KVSnapshot.dstStr(s, dir)).write.format(fmt)
+      .option("path", dstTbl).option("api_version", "V1")
+      .mode("overwrite").save()
+    val bucketOf = substring(col("key").cast("string"), 1, 10)
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_kvbin_verdict")
+    withStatePartitions(s, 1, noData = false) {
+      val q = graft.functions.Checksum.byBucket(
+          s.readStream.format(fmt).option("path", srcTbl).load(), bucketOf)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      drain(q) {
+        q.processAllAvailable() // batch 1: base generation digests
+        writeWave(w2, "append") // batch 2: appended regions fold in
+      }
+    }
+    val srcB = takeTable(s, name).select(col("bucket"),
+      col("crc64_xor").as("src_crc64_xor"),
+      col("total_kvs").as("src_total_kvs"),
+      col("total_bytes").as("src_total_bytes"))
+    val dstB = graft.functions.Checksum.byBucket(
+        s.read.format(fmt).option("path", dstTbl).load(), bucketOf)
+      .select(col("bucket"), col("crc64_xor").as("dst_crc64_xor"),
+        col("total_kvs").as("dst_total_kvs"),
+        col("total_bytes").as("dst_total_bytes"))
+    srcB.join(dstB, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("src_crc64_xor"), col("src_total_kvs"),
+        col("src_total_bytes"), col("dst_crc64_xor"),
+        col("dst_total_kvs"), col("dst_total_bytes"),
+        coalesce(col("src_crc64_xor") === col("dst_crc64_xor") &&
+          col("src_total_kvs") === col("dst_total_kvs") &&
+          col("src_total_bytes") === col("dst_total_bytes"),
+          lit(false)).as("matches"))
+      .orderBy(col("bucket"))
+  }
+
   /** Streaming histogram-quantile sketch
     * ([[graft.operators.Sketches.histCells]] as a streaming
     * complete-mode aggregation): the counter table lives in the state

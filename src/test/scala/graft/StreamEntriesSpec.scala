@@ -41,8 +41,10 @@ class StreamEntriesSpec extends SparkTestBase {
       "q_stream_pca", "q_stream_hll_overlap", "q_stream_blocklist",
       // round 11's kvbin SOURCE tail: stateless passthrough — the row
       // pins that the source's offset bookkeeping (which batches exist
-      // and what they contain) is state-store-provider-independent
-      "q_stream_kvbin_scan")
+      // and what they contain) is state-store-provider-independent —
+      // and the live verdict, whose per-bucket digest triples fold in
+      // the state store across the append's micro-batch
+      "q_stream_kvbin_scan", "q_stream_kvbin_verdict")
     def runAll() = entries.map(q =>
       q -> SparkEntry.queries(q)(spark, dir).collect().toSeq)
     val prev = spark.conf.getOption(key)
@@ -104,6 +106,30 @@ class StreamEntriesSpec extends SparkTestBase {
     val mid = f"li_${1000L * StreamEntries.sliceScale}%010d"
     assert(tape(1)._2 === batch.filter(col("key") >= mid).count(),
       s"append batch must carry exactly the second wave's rows: $tape")
+  }
+
+  test("q_stream_kvbin_verdict equals the batch per-bucket verdict on the same slices") {
+    import org.apache.spark.sql.DataFrame
+    def slice(df: DataFrame) = df
+      .filter(col("k") >= "li_0000000001" && col("k") < StreamEntries.keyUpper)
+      .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+    val bucketOf = substring(col("key").cast("string"), 1, 10)
+    def b(df: DataFrame, p: String) =
+      Checksum.byBucket(slice(df), bucketOf).select(col("bucket"),
+        col("crc64_xor").as(s"${p}_crc64_xor"),
+        col("total_kvs").as(s"${p}_total_kvs"),
+        col("total_bytes").as(s"${p}_total_bytes"))
+    val batch = b(KVSnapshot.srcStr(spark, dir), "src")
+      .join(b(KVSnapshot.dstStr(spark, dir), "dst"), Seq("bucket"), "full_outer")
+      .select(col("*"),
+        coalesce(col("src_crc64_xor") === col("dst_crc64_xor") &&
+          col("src_total_kvs") === col("dst_total_kvs") &&
+          col("src_total_bytes") === col("dst_total_bytes"),
+          lit(false)).as("matches"))
+    val streamed = StreamEntries.streamKvbinVerdict(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "live kvbin verdict != batch per-bucket verdict")
   }
 
   test("q_stream_sessions equals batch sessionization (bounds + counts)") {
