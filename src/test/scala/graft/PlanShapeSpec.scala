@@ -646,4 +646,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(surv.contains("partial_"), surv)
     assert(surv.contains("Window"), surv)
   }
+
+  test("q_bitmap_persist: the estimate prices from persisted kvbin cells alone — no corpus re-scan") {
+    val p = plan("q_bitmap_persist")
+    // the waves scanned events while WRITING; the returned estimate
+    // plan must read only the persisted cell table through the kvbin
+    // DSv2 scan (a parquet FileScan here = the persistence didn't
+    // actually carry the state)
+    assert(!p.contains("FileScan parquet"), s"corpus re-scan in the persisted path:\n$p")
+    assert(p.contains("BatchScan"), p)
+    // the cross-wave fold is a real partial+final aggregate
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_stream_kvbin_verdict: the final verdict joins bucket digests — no cartesian, dst via kvbin scan") {
+    val p = plan("q_stream_kvbin_verdict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // dst digests come from the kvbin DSv2 scan (the house connector),
+    // not a parquet detour
+    assert(p.contains("BatchScan"), p)
+    assert(!p.contains("FileScan parquet"), p)
+  }
 }
