@@ -102,7 +102,16 @@ class KVBinTable(dir: String) extends Table with SupportsRead
     new KVBinScanBuilder(dir,
       Option(options.get("api_version")),
       Option(options.get("endpoints")),
-      statDefs)
+      statDefs,
+      // source-side key scope (hex, end exclusive): the STREAMING
+      // escape — Spark's V2 pushdown rule does not visit micro-batch
+      // relations (measured: a readStream key-range filter leaves
+      // numInputRows at the full table), so a scoped tail declares its
+      // range as reader options and the region pruning the batch path
+      // gets from pushed filters applies to every micro-batch too.
+      // Batch reads may also use them; pushed filters tighten further.
+      Option(options.get("start_key_hex")).map(KVBin.unhex),
+      Option(options.get("end_key_hex")).map(KVBin.unhex))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -134,11 +143,13 @@ object KVBinAgg {
   * final merge — sum of counts, min of mins, max of maxes). */
 class KVBinScanBuilder(dir: String, expectedApiVersion: Option[String] = None,
                        endpoints: Option[String] = None,
-                       statDefs: Seq[(String, String)] = Nil) extends ScanBuilder
+                       statDefs: Seq[(String, String)] = Nil,
+                       scopeStart: Option[Array[Byte]] = None,
+                       scopeEnd: Option[Array[Byte]] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
-  private var startKey: Array[Byte] = null  // inclusive
-  private var endKey: Array[Byte] = null    // exclusive
+  private var startKey: Array[Byte] = scopeStart.orNull  // inclusive
+  private var endKey: Array[Byte] = scopeEnd.orNull      // exclusive
   private var endInclusive: Array[Byte] = null
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = KVBinSource.schemaOf(statDefs)

@@ -803,6 +803,47 @@ class KVBinSpec extends SparkTestBase {
       s"key range below the appended regions must prune all, got ${pruned.length}")
   }
 
+  test("scope options bound the STREAMING tail at the source (no streaming pushdown in Spark)") {
+    // Spark's V2ScanRelationPushDown does not visit micro-batch
+    // relations: a readStream .filter stays Spark-side and every batch
+    // inputs the whole table (measured before adding the options).
+    // start_key_hex/end_key_hex give the tail the same source-side
+    // region pruning + in-reader scoping the batch path gets from
+    // pushed filters.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-sc-").toString
+    parquetSrc.write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "6").mode("overwrite").save()
+    val lo = "li_0000000001".getBytes("UTF-8")
+    val hi = "li_0000000050".getBytes("UTF-8")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = spark.readStream.format(kvbinFmt).option("path", dir)
+      .option("start_key_hex", KVBin.hexOf(lo))
+      .option("end_key_hex", KVBin.hexOf(hi))
+      .load()
+      .writeStream.format("memory").queryName("kvbin_scoped_tail")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val expected = KVSnapshot.rangeFilter(binSrc, lo, hi)
+      .select(col("key").cast("string")).as[String].collect().sorted.toSeq
+    val got = spark.table("kvbin_scoped_tail")
+      .select(col("key").cast("string")).as[String].collect().sorted.toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the scope was applied AT THE SOURCE: the micro-batch read exactly
+    // the scoped rows, not the full table
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows === expected.size.toLong,
+      s"tail read $inputRows rows for a ${expected.size}-row scope — " +
+      "the range did not reach the source")
+    spark.catalog.dropTempView("kvbin_scoped_tail")
+    // the same options scope a BATCH read too (pushed filters tighten)
+    assert(spark.read.format(kvbinFmt).option("path", dir)
+      .option("start_key_hex", KVBin.hexOf(lo))
+      .option("end_key_hex", KVBin.hexOf(hi)).load().count()
+      === expected.size.toLong)
+  }
+
   test("streaming tail refuses a compacted table (append-only watchdog) and a version swap") {
     import graft.sources.kvbin.KVBinMicroBatchStream
     import org.apache.spark.util.SerializableConfiguration
