@@ -844,6 +844,42 @@ class KVBinSpec extends SparkTestBase {
       === expected.size.toLong)
   }
 
+  test("streaming tail restarts from the checkpointed offset: the base generation is not re-emitted") {
+    // the production restart path: offsets serialize into the
+    // checkpoint (deserializeOffset), a NEW query instance resumes
+    // from them, and regions appended while the stream was DOWN arrive
+    // as the first batch of the restarted run — exactly once, through
+    // the file sink's manifest
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-r-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kvbin-r-ck-").toString
+    val out = java.nio.file.Files.createTempDirectory("kvbin-r-out-").toString
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+        .mode(mode).save()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format(kvbinFmt).option("path", dir).load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(hi = false, "overwrite")
+    runOnce()                    // run 1 drains the base generation, stops
+    write(hi = true, "append")   // append lands while the stream is DOWN
+    runOnce()                    // run 2 resumes from the checkpoint
+    val got = spark.read.parquet(out)
+      .select(col("key")).as[String].collect().sorted.toSeq
+    val expected = parquetSrc
+      .select(col("key").cast("string")).as[String].collect().sorted.toSeq
+    assert(got === expected,
+      "restarted tail must emit base + appended rows exactly once")
+  }
+
   test("streaming tail refuses a compacted table (append-only watchdog) and a version swap") {
     import graft.sources.kvbin.KVBinMicroBatchStream
     import org.apache.spark.util.SerializableConfiguration
