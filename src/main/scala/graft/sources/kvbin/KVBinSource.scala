@@ -519,7 +519,24 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
     val seen = startO.asInstanceOf[KVBinStreamOffset].regions.toSet
     val target = endO.asInstanceOf[KVBinStreamOffset].regions.toSet
     val client = connect()
-    client.listRegions()
+    val regions = client.listRegions()
+    // the RESTART half of the append-only watchdog: everSeen only
+    // guards one instance's lifetime, but a checkpointed offset can
+    // name regions a compaction removed while the stream was DOWN —
+    // planning "index minus seen" against the rewritten index would
+    // silently re-emit every rewritten row under its new file name.
+    // (endO always derives from a live listRegions, so only the START
+    // offset can be stale.)
+    val vanishedSeen = seen -- regions.map(_.id)
+    if (vanishedSeen.nonEmpty)
+      throw new IllegalStateException(
+        s"kvbin stream over $dir: checkpointed offset names regions " +
+        s"${vanishedSeen.toSeq.sorted.mkString(", ")} that are gone from " +
+        "the index — the table was compacted or overwritten while the " +
+        "stream was down. The streaming source requires an append-only " +
+        "table; restart from a fresh checkpoint to adopt the rewritten " +
+        "generation.")
+    regions
       // only this batch's regions: the fresh index read may already be
       // AHEAD of endO (another append landed) — those wait their turn
       .filter(r => target.contains(r.id) && !seen.contains(r.id))

@@ -878,6 +878,27 @@ class KVBinSpec extends SparkTestBase {
       .select(col("key").cast("string")).as[String].collect().sorted.toSeq
     assert(got === expected,
       "restarted tail must emit base + appended rows exactly once")
+    // a compaction while the stream is DOWN invalidates the checkpoint:
+    // the restarted run must die loudly (planning "index minus seen"
+    // against the rewritten index would re-emit every row under its
+    // new region name), not silently duplicate
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir, targetRegions = 1)
+    parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save() // new data so the restart has a batch to plan
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(kvbinFmt).option("path", dir).load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("compacted or overwritten while the stream was down")),
+      chain(e).mkString(" | "))
   }
 
   test("streaming tail refuses a compacted table (append-only watchdog) and a version swap") {
