@@ -1945,6 +1945,29 @@ object SparkEntry {
       Sketches.cmsHeavyHitters(
         docs(s, dir).select(explode(Dedup.shingles(col("text"), 3)).as("item")),
         col("item"), d = 4, w = 1024, topK = 20)),
+    // the THIRD persisted sketch family (after HLL max and bitmap OR):
+    // per-wave CMS grids written through kvbin (g = hash row j,
+    // slot = bucket, v = count) SUM-merge on re-read — counts are
+    // additive over any doc partition, so the merged grid IS the
+    // one-shot sketch and the gate replays q_heavy_hitters verbatim
+    "q_cms_persist" -> ((s, dir) => {
+      val it = docs(s, dir).select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("item"))
+      val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-cmsp-")
+      Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+        SketchStore.writeWave(
+          Sketches.cmsSketch(
+            it.filter(pmod(col("doc_id"), lit(2)) === i), col("item"), 4, 1024)
+            .select(col("j").cast("long").as("g"),
+              col("bucket").as("slot"), col("cnt").as("v")),
+          tbl, s"wave$i", mode)
+      }
+      val cms = SketchStore.readMerged(s, tbl, sum)
+        .select(col("g").cast("int").as("j"), col("slot").as("bucket"),
+          col("v").as("cnt"))
+      Sketches.cmsHeavyHittersFromSketch(cms, it.select(col("item")),
+        d = 4, w = 1024, topK = 20)
+    }),
     // Bloom-runtime-filtered fact-dim join: lineitem pruned by the
     // nation-0 suppliers' 8192-bit filter BEFORE the join; result is
     // provably the plain join (no false negatives), which is exactly
@@ -6435,23 +6458,11 @@ object SparkEntry {
         |FROM s ORDER BY event_type""".stripMargin,
     // count-min: identical d=4 salted bucket hashes; sketch cells are
     // integer counts; estimate = min over the item's 4 cells
-    "q_heavy_hitters" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |         generate_series(1, greatest(len(w)-2, 1)),
-        |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
-        |it AS (SELECT unnest(s) AS item FROM sh),
-        |cnt AS (SELECT item, count(*) AS c FROM it GROUP BY item),
-        |hb AS (SELECT item, j,
-        |         ${duckHash60("'cms' || j || '_' || item")} % 1024 AS bucket
-        |       FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
-        |cms AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
-        |        FROM hb JOIN cnt USING (item) GROUP BY j, bucket),
-        |topk AS (SELECT item, c AS exact_cnt FROM cnt
-        |         ORDER BY c DESC, item LIMIT 20)
-        |SELECT item, exact_cnt, min(cnt) AS cms_est
-        |FROM topk JOIN hb USING (item) JOIN cms USING (j, bucket)
-        |GROUP BY item, exact_cnt ORDER BY exact_cnt DESC, item""".stripMargin,
+    "q_heavy_hitters" -> cmsHeavyOracleSql,
+    // persisted-and-summed CMS grids must equal the one-shot sketch:
+    // counts are additive over any partition of the rows, so the
+    // merged grid prices heavy hitters through the identical SQL
+    "q_cms_persist" -> cmsHeavyOracleSql,
     // Bloom pre-filter is execution strategy only (zero false
     // negatives; positives die in the join) — the oracle is the plain
     // fact-dim join the operator must exactly reproduce
@@ -7052,6 +7063,28 @@ object SparkEntry {
 
   /** q_hll_ndv's oracle (shared verbatim by q_stream_hll — the
     * streaming register merge must be invisible to the estimate). */
+  /** The ONE replay of the CMS heavy-hitter estimate (d=4 × w=1024,
+    * per-doc-distinct trigram shingles), shared by q_heavy_hitters and
+    * q_cms_persist — the persisted/merged grid is the one-shot grid by
+    * count additivity, so both gates replay identical SQL. */
+  private lazy val cmsHeavyOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(w)-2, 1)),
+      |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
+      |it AS (SELECT unnest(s) AS item FROM sh),
+      |cnt AS (SELECT item, count(*) AS c FROM it GROUP BY item),
+      |hb AS (SELECT item, j,
+      |         ${duckHash60("'cms' || j || '_' || item")} % 1024 AS bucket
+      |       FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+      |cms AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+      |        FROM hb JOIN cnt USING (item) GROUP BY j, bucket),
+      |topk AS (SELECT item, c AS exact_cnt FROM cnt
+      |         ORDER BY c DESC, item LIMIT 20)
+      |SELECT item, exact_cnt, min(cnt) AS cms_est
+      |FROM topk JOIN hb USING (item) JOIN cms USING (j, bucket)
+      |GROUP BY item, exact_cnt ORDER BY exact_cnt DESC, item""".stripMargin
+
   private lazy val hllNdvOracleSql: String = {
       val m = 1024
       val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m

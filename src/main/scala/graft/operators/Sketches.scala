@@ -200,7 +200,18 @@ object Sketches {
   def cmsHeavyHitters(items: DataFrame, itemCol: Column, d: Int, w: Int,
                       topK: Int): DataFrame = {
     val it = items.select(itemCol.as("item"))
-    val cms = cmsSketch(it, col("item"), d, w)
+    cmsHeavyHittersFromSketch(cmsSketch(it, col("item"), d, w), it, d, w, topK)
+  }
+
+  /** The estimate stage of [[cmsHeavyHitters]] over an explicit counter
+    * grid (j, bucket, cnt) — separated so MERGED sketches (per-wave
+    * counters sum-folded elsewhere: counts are additive over any
+    * partition of the rows, so Σ wave grids ≡ the one-shot grid) price
+    * heavy hitters through the identical arithmetic. `items` feeds
+    * only the exact-top-k twin column. */
+  def cmsHeavyHittersFromSketch(cms: DataFrame, items: DataFrame,
+                                d: Int, w: Int, topK: Int): DataFrame = {
+    val it = items.select(col("item"))
     val exact = it.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("item")).limit(topK)
     exact

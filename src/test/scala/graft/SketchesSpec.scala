@@ -505,6 +505,22 @@ class SketchesSpec extends SparkTestBase {
     val oneShotW = Sketches.bitmapWords(ev, col("event_type"), col("user_id"))
     assert(mergedW.exceptAll(oneShotW).isEmpty && oneShotW.exceptAll(mergedW).isEmpty,
       "kvbin-persisted OR-merged words differ from the one-shot build")
+    // CMS: same waves, SUM-merge (counts additive over any partition)
+    val cmsTbl = java.nio.file.Files.createTempDirectory("graft-cms-t").toString
+    Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+      SketchStore.writeWave(
+        Sketches.cmsSketch(ev.filter(pmod(col("user_id"), lit(2)) === i),
+            col("event_type"), 4, 256)
+          .select(col("j").cast("long").as("g"),
+            col("bucket").as("slot"), col("cnt").as("v")),
+        cmsTbl, s"w$i", mode)
+    }
+    val mergedC = SketchStore.readMerged(spark, cmsTbl, sum)
+      .select(col("g").cast("int").as("j"), col("slot").as("bucket"),
+        col("v").as("cnt"))
+    val oneShotC = Sketches.cmsSketch(ev, col("event_type"), 4, 256)
+    assert(mergedC.exceptAll(oneShotC).isEmpty && oneShotC.exceptAll(mergedC).isEmpty,
+      "kvbin-persisted sum-merged CMS grid differs from the one-shot build")
     // a bit-63 word (negative long) survives the BE64 value roundtrip
     val neg = Seq(("g1", 0L, java.lang.Long.MIN_VALUE | 5L)).toDF("g", "slot", "v")
     val negTbl = java.nio.file.Files.createTempDirectory("graft-neg-t").toString
