@@ -350,8 +350,13 @@ object Similarity {
     * both sides get the [[srpNearDup]] band signature, and candidates
     * are the DISTINCT cross-side pairs (even id side A × odd id side B)
     * sharing any band value — a banded equi-join whose volume is
-    * corpus-linear at a fixed collision rate (measured 3.5% of A×B on
-    * the fixture embeddings), never the A×B cross. Survivors score
+    * Σ_buckets |A_b|·|B_b|, never the A×B cross (measured 3.5% of A×B
+    * on the fixture embeddings; 3.5× runtime for 10× corpus in
+    * BENCH_SF1). At FIXED band width that sum grows superlinearly as
+    * buckets fill: the scale knob is r = k/bands bits per band —
+    * grow it with log₂(corpus) to hold per-bucket occupancy (and so
+    * pairs-per-row) constant, the standard LSH depth/recall trade.
+    * Survivors score
     * with the IDENTICAL 1e-9-unit integer cosine as the brute stage,
     * so [[marginMining]] is the unchanged downstream and margins agree
     * EXACTLY with the brute path restricted to the candidate set
