@@ -166,6 +166,10 @@ object SparkEntry {
     // micro-batch, and the final state verdicts against the static dst
     // kvbin table's batch digests
     "q_stream_kvbin_verdict" -> ((s, dir) => StreamEntries.streamKvbinVerdict(s, dir)),
+    // the scoped tail: start/end_key_hex reader options bound the
+    // stream AT THE SOURCE (Spark never pushes filters into
+    // micro-batch relations) — drained rows = exactly the scoped half
+    "q_stream_kvbin_scoped" -> ((s, dir) => StreamEntries.streamKvbinScoped(s, dir)),
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
@@ -5639,6 +5643,12 @@ object SparkEntry {
     "q_stream_kvbin_scan" -> (cte +
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
+    // the scoped tail drains exactly the option-bounded half (committed
+    // oracle replays the scale-1 scope, like the sliced siblings)
+    "q_stream_kvbin_scoped" -> (cte +
+      """SELECT k AS key, v AS value FROM src
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000001000'
         |ORDER BY key""".stripMargin),
     // the live verdict replays both sides' per-bucket digests from the
     // parquet slices: state-store-folded src micro-batches must equal

@@ -1660,7 +1660,8 @@ object StreamEntries {
     * (micro-batch 1 = the regions present at query start), then
     * APPENDS the second half while the query runs (micro-batch 2 = the
     * appended regions ONLY — the offset set proves the first
-    * generation is not re-read; KVBinSpec pins per-batch input rows).
+    * generation is not re-read; StreamEntriesSpec pins the per-batch
+    * input-row tape).
     * Sink = plain append passthrough; after the drain the sink must be
     * byte-identical to the batch scan of the final table, which is the
     * src-slice oracle. */
@@ -1708,6 +1709,48 @@ object StreamEntries {
     * OWN batch whose row count is exactly the appended rows (nothing
     * from the base generation re-read). */
   @volatile private[graft] var lastKvbinScanBatches: Seq[(Long, Long)] = Nil
+
+  /** The SCOPED tail — the `start_key_hex`/`end_key_hex` reader
+    * options gated end-to-end: Spark's V2 pushdown rule never visits
+    * micro-batch relations (a readStream .filter leaves every batch
+    * inputting the whole table), so a production tail that wants one
+    * key range declares it as reader options and gets the batch path's
+    * region pruning + in-reader bounds on every poll. The entry tails
+    * the full src-slice table under a scope covering only the FIRST
+    * half; the drain must equal exactly that half — rows outside the
+    * scope never enter a micro-batch (KVBinSpec pins numInputRows). */
+  def streamKvbinScoped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvsc-")
+    val rows = memoFeed(s"kvscan:$dir") {
+      KVSnapshot.srcStr(s, dir)
+        .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .as[(String, String)].collect()
+    }
+    rows.toSeq.toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+      .write.format(fmt).option("path", tbl).option("ranges", "4")
+      .option("api_version", "V1").mode("overwrite").save()
+    val mid = f"li_${1000L * sliceScale}%010d"
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_kvbin_scoped")
+    withStatePartitions(s, 1, noData = false) {
+      val q = s.readStream.format(fmt).option("path", tbl)
+        .option("start_key_hex",
+          graft.sources.kvbin.KVBin.hexOf("li_0000000001".getBytes("UTF-8")))
+        .option("end_key_hex",
+          graft.sources.kvbin.KVBin.hexOf(mid.getBytes("UTF-8")))
+        .load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q)(())
+    }
+    takeTable(s, name).orderBy(col("key"))
+  }
 
   /** CONTINUOUS COMPARE over the house connector end-to-end — the
     * reference's flagship verdict (`checksum/checksum.go:83-91`,
