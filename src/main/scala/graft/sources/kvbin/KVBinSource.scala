@@ -536,6 +536,17 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
         "stream was down. The streaming source requires an append-only " +
         "table; restart from a fresh checkpoint to adopt the rewritten " +
         "generation.")
+    // and the batch's OWN due set: a compaction racing the
+    // latestOffset→plan window would silently drop its regions from
+    // this batch (they're in target but no longer in the index) — an
+    // under-delivered batch the next poll's watchdog can't repair
+    val missingDue = (target -- seen) -- regions.map(_.id).toSet
+    if (missingDue.nonEmpty)
+      throw new IllegalStateException(
+        s"kvbin stream over $dir: regions ${missingDue.toSeq.sorted.mkString(", ")} " +
+        "were committed to this micro-batch's offset range but vanished " +
+        "before planning — a compaction/overwrite raced the poll. " +
+        "Append-only contract violated; restart from a fresh checkpoint.")
     regions
       // only this batch's regions: the fresh index read may already be
       // AHEAD of endO (another append landed) — those wait their turn
