@@ -40,6 +40,24 @@ object SketchStore {
                 mode: String): Unit = {
     require(!wave.contains("/") && wave.nonEmpty,
       s"wave id must be non-empty and '/'-free, got '$wave'")
+    // a RE-appended wave id double-counts under the sum law (and
+    // silently no-ops under max/or — same cells twice): the region
+    // index's min keys carry the wave prefix, so the check is one
+    // driver-side index read, no region opens
+    if (mode == "append") {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()
+      val existing = scala.util.Try(
+          graft.sources.kvbin.KVBin.readIndex(table, conf)).toOption
+        .getOrElse(Nil)
+        .map { case (_, mn, _, _) =>
+          new String(mn, "UTF-8").takeWhile(_ != '/') }.toSet
+      require(!existing.contains(wave),
+        s"SketchStore: wave '$wave' already persisted in $table — " +
+        "appending it again would double-count sum-merged cells. Use a " +
+        "fresh wave id per run (waves present: " +
+        s"${existing.toSeq.sorted.mkString(", ")})")
+    }
     val gStr = col("g").cast("string")
     // empty-string rider: evaluates per row, raises on a violating one
     val gate = when(gStr.contains("/") || col("slot") < 0,

@@ -70,18 +70,38 @@ class KVBinServer(dir: String, conf: Configuration,
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   private val closed = new AtomicBoolean(false)
-  // the directory is immutable for the server's lifetime (META/REGIONS
-  // already assume it): read the index sidecar once, not per SCAN —
-  // a full N-region table scan must not cost N index reads
-  private lazy val index = KVBin.readAll(dir, conf)
-  private lazy val ownedRegions = index._2.filter(r => owns(r._1))
-  // serialized region sizes (file lengths), shipped in the REGIONS
-  // reply the way PD ships approximate_size — one listStatus, cached
-  private lazy val regionLens: Map[String, Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(st => st.getPath.getName -> st.getLen).toMap
-  }
+  // the index cache is FINGERPRINT-guarded (length + mtime of _index):
+  // a store node serves the CURRENT region set — what lets a streaming
+  // tail poll REGIONS over the wire and see appends land — while
+  // between commits every META/REGIONS/SCAN answers from the cache (a
+  // full N-region table scan must not cost N index reads). The atomic
+  // _index swap (writeIndexAtomic) guarantees a re-read never sees a
+  // half-written sidecar.
+  private val idxLock = new Object
+  private var idxFp: (Long, Long) = null
+  private var idxCache: (Map[String, String],
+    Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long]) = null
+  private def current(): (Map[String, String],
+      Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long]) =
+    idxLock.synchronized {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+      val st = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile))
+      val fp = (st.getLen, st.getModificationTime)
+      if (idxFp != fp) {
+        val all = KVBin.readAll(dir, conf)
+        // serialized region sizes (file lengths) ride the REGIONS reply
+        // the way PD ships approximate_size — one listStatus per commit
+        val lens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .map(s0 => s0.getPath.getName -> s0.getLen).toMap
+        idxCache = (all._1, all._2.filter(r => owns(r._1)), lens)
+        idxFp = fp
+      }
+      idxCache
+    }
+  private def index = { val c = current(); (c._1, c._2) }
+  private def ownedRegions = current()._2
+  private def regionLens: Map[String, Long] = current()._3
 
   /** Served SCAN / CHECKSUM request counts (spec observables). */
   val scanRequests = new java.util.concurrent.atomic.AtomicLong

@@ -844,6 +844,46 @@ class KVBinSpec extends SparkTestBase {
       === expected.size.toLong)
   }
 
+  test("the streaming tail runs over the wire: a socket-served append becomes a micro-batch") {
+    // the live-cluster shape end-to-end: the tail polls REGIONS over
+    // the loopback socket, the server's fingerprint-guarded index cache
+    // serves the CURRENT region set, and regions appended AFTER the
+    // server started arrive as their own micro-batch — every region
+    // byte flowing through SCAN, none through the filesystem
+    import graft.sources.kvbin.KVBinServer
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-nt-").toString
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+        .mode(mode).save()
+    write(hi = false, "overwrite")
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val q = spark.readStream.format(kvbinFmt).option("path", dir)
+        .option("endpoints", server.address).load()
+        .select(col("key").cast("string").as("key"))
+        .writeStream.format("memory").queryName("kvbin_wire_tail")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()          // batch 1: base generation
+        write(hi = true, "append")       // lands while the server runs
+        q.processAllAvailable()          // batch 2: the appended regions
+      } finally q.stop()
+      val got = spark.table("kvbin_wire_tail")
+        .select("key").as[String].collect().sorted.toSeq
+      val expected = parquetSrc.select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      assert(got === expected,
+        "socket-served tail must drain base + appended generations")
+      // every region streamed exactly once, over the wire
+      assert(server.scanRequests.get() === 4L,
+        s"expected 4 SCANs (2 regions × 2 generations), got ${server.scanRequests.get()}")
+      spark.catalog.dropTempView("kvbin_wire_tail")
+    } finally server.close()
+  }
+
   test("streaming tail restarts from the checkpointed offset: the base generation is not re-emitted") {
     // the production restart path: offsets serialize into the
     // checkpoint (deserializeOffset), a NEW query instance resumes

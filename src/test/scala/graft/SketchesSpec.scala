@@ -541,4 +541,20 @@ class SketchesSpec extends SparkTestBase {
         .flatMap(x => Option(x.getMessage)).toSeq
     assert(chain(e).exists(_.contains("'/'-free")), chain(e).mkString(" | "))
   }
+
+  test("SketchStore refuses re-appending an existing wave id (sum law would double-count)") {
+    import graft.operators.SketchStore
+    val cells = Seq(("g1", 1L, 3L), ("g1", 2L, 5L)).toDF("g", "slot", "v")
+    val tbl = java.nio.file.Files.createTempDirectory("graft-dup-t").toString
+    SketchStore.writeWave(cells, tbl, "w0", "overwrite")
+    SketchStore.writeWave(cells, tbl, "w1", "append")
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.writeWave(cells, tbl, "w1", "append")
+    }
+    assert(e.getMessage.contains("double-count"), e.getMessage)
+    // a fresh id still appends fine
+    SketchStore.writeWave(cells, tbl, "w2", "append")
+    assert(SketchStore.readMerged(spark, tbl, sum)
+      .agg(sum("v")).as[Long].head() === 3L * 8)
+  }
 }
