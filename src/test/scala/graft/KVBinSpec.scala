@@ -884,6 +884,49 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("the streaming tail unions a two-store FLEET: per-owner scans, appends visible to both") {
+    // the multi-endpoint shape made continuous: each poll unions both
+    // stores' REGIONS answers, each region streams from its OWNER, and
+    // an append committed mid-tail reaches the next batch through both
+    // servers' fingerprint-guarded caches
+    import graft.sources.kvbin.KVBinServer
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-ft-").toString
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+        .mode(mode).save()
+    write(hi = false, "overwrite")
+    // DSv2 region names carry the full job-tag hex — parity by hashCode
+    def parity(id: String) = id.hashCode & 1
+    val conf = spark.sessionState.newHadoopConf()
+    val even = new KVBinServer(dir, conf, parity(_) == 0)
+    val odd = new KVBinServer(dir, conf, parity(_) == 1)
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val q = spark.readStream.format(kvbinFmt).option("path", dir)
+        .option("endpoints", s"${even.address},${odd.address}").load()
+        .select(col("key").cast("string").as("key"))
+        .writeStream.format("memory").queryName("kvbin_fleet_tail")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        write(hi = true, "append")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("kvbin_fleet_tail")
+        .select("key").as[String].collect().sorted.toSeq
+      val expected = parquetSrc.select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      assert(got === expected, "fleet tail must drain both generations once")
+      // every region streamed from its owner exactly once
+      val regions = KVBin.readIndex(dir, conf).map(_._1)
+      assert(even.scanRequests.get() === regions.count(parity(_) == 0).toLong)
+      assert(odd.scanRequests.get() === regions.count(parity(_) == 1).toLong)
+      spark.catalog.dropTempView("kvbin_fleet_tail")
+    } finally { even.close(); odd.close() }
+  }
+
   test("streaming tail restarts from the checkpointed offset: the base generation is not re-emitted") {
     // the production restart path: offsets serialize into the
     // checkpoint (deserializeOffset), a NEW query instance resumes
