@@ -478,6 +478,34 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("id") < 10), 3, 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the PERSISTED-index run — build-once / search-many across runs:
+    // run 1 materializes the coarse codebook and writes it through
+    // kvbin as bit-exact cells (g = cluster, slot = dimension, v =
+    // IEEE-754 long bits; k·D cells — model parameters, the sanctioned
+    // bounded collect); run 2 re-reads the index and searches with it.
+    // The roundtrip is bit-identical, so results — and the oracle —
+    // are exactly q_ann_ivf's. At 100 TB this is the index lifecycle:
+    // the corpus-sized build happens once, every later run pays only
+    // the k·D cell read
+    "q_ann_ivf_persist" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-annp-")
+      val cb = Similarity.labelCodebook(e).as[(Long, Seq[Double])].collect()
+      SketchStore.writeWave(
+        cb.toSeq.flatMap { case (cid, cv) => cv.zipWithIndex.map { case (c, j) =>
+          (cid.toString, j.toLong, java.lang.Double.doubleToLongBits(c)) } }
+          .toDF("g", "slot", "v"),
+        tbl, "build", "overwrite")
+      val cells = SketchStore.readMerged(s, tbl, max)
+        .as[(String, Long, Long)].collect()
+      val restored = cells.groupBy(_._1).toSeq.map { case (g, cs) =>
+        (g.toLong, cs.sortBy(_._2).map(c =>
+          java.lang.Double.longBitsToDouble(c._3)).toSeq) }
+      Similarity.ivfTopKWithCodebook(e, e.filter(col("id") < 10), 3, 2,
+          restored.toDF("cluster_id", "cvec"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // topic-balanced sampling: k-means topics (the oracle-replayed
     // deterministic codebook), then <=20 vectors kept per cluster in
     // content-addressed md5 order — the per-cluster rank is the
@@ -4281,38 +4309,11 @@ object SparkEntry {
     // centroids, every corpus vector assigned to its nearest centroid
     // (9-dp cosine, cluster_id tie-break), per-query probe of the 2
     // nearest clusters, full-precision rescore within probed clusters
-    "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |px AS (SELECT vec_id, label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
-        |cm AS (SELECT label AS cluster_id, pos,
-        |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
-        |       FROM px GROUP BY label, pos),
-        |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
-        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
-        |           round(list_dot_product(e.v, c.cvec)
-        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |         FROM e CROSS JOIN cent c),
-        |asg AS (SELECT vec_id, v, cluster_id FROM (
-        |          SELECT *, row_number() OVER (PARTITION BY vec_id
-        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-        |      FROM e WHERE vec_id < 10),
-        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
-        |          round(list_dot_product(q.qv, c.cvec)
-        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |        FROM q CROSS JOIN cent c),
-        |pr AS (SELECT query_id, qv, qn, cluster_id FROM (
-        |         SELECT *, row_number() OVER (PARTITION BY query_id
-        |           ORDER BY csim DESC, cluster_id) AS r FROM pr0) WHERE r <= 2),
-        |sc AS (SELECT p.query_id, a.vec_id,
-        |         round(list_dot_product(p.qv, a.v)
-        |           / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
-        |       FROM pr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
-        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
-    // replays q_ann_recall: the exact top-3 CTE (q_cosine_topk) LEFT
+    "q_ann_ivf" -> annIvfOracleSql,
+    // the persisted-index run is BIT-EXACT (codebook cells roundtrip
+    // as IEEE-754 long bits), so its gate replays q_ann_ivf verbatim
+    "q_ann_ivf_persist" -> annIvfOracleSql,
+        // replays q_ann_recall: the exact top-3 CTE (q_cosine_topk) LEFT
     // JOINed against the full IVF replay (q_ann_ivf), hit counts and
     // the ppm recall as exact integers
     "q_ann_recall" ->
@@ -7073,6 +7074,42 @@ object SparkEntry {
 
   /** q_hll_ndv's oracle (shared verbatim by q_stream_hll — the
     * streaming register merge must be invisible to the estimate). */
+  /** The ONE replay of the deterministic IVF pipeline (label
+    * codebook from DECIMAL(27,15)-exact means, 9-dp cosine, nprobe=2,
+    * k=3), shared by q_ann_ivf and q_ann_ivf_persist — the persisted
+    * codebook roundtrips bit-exactly, so both gates replay one SQL. */
+  private lazy val annIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT vec_id, label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+        |cm AS (SELECT label AS cluster_id, pos,
+        |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+        |       FROM px GROUP BY label, pos),
+        |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |           round(list_dot_product(e.v, c.cvec)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |         FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, v, cluster_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 10),
+        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
+        |          round(list_dot_product(q.qv, c.cvec)
+        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |        FROM q CROSS JOIN cent c),
+        |pr AS (SELECT query_id, qv, qn, cluster_id FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY query_id
+        |           ORDER BY csim DESC, cluster_id) AS r FROM pr0) WHERE r <= 2),
+        |sc AS (SELECT p.query_id, a.vec_id,
+        |         round(list_dot_product(p.qv, a.v)
+        |           / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
+        |       FROM pr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
+
   /** The ONE replay of the CMS heavy-hitter estimate (d=4 × w=1024,
     * per-doc-distinct trigram shingles), shared by q_heavy_hitters and
     * q_cms_persist — the persisted/merged grid is the one-shot grid by

@@ -658,4 +658,33 @@ class SimilaritySpec extends SparkTestBase {
       .orderBy($"qa", $"qb").as[(Long, Long, Long)].collect().toSeq
     assert(restricted === viaAnn)
   }
+
+  test("persisted IVF codebook roundtrips BIT-exactly: search results identical") {
+    import graft.operators.SketchStore
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val cb = Similarity.labelCodebook(e).as[(Long, Seq[Double])].collect()
+    val tbl = java.nio.file.Files.createTempDirectory("graft-annp-t").toString
+    SketchStore.writeWave(
+      cb.toSeq.flatMap { case (cid, cv) => cv.zipWithIndex.map { case (c, j) =>
+        (cid.toString, j.toLong, java.lang.Double.doubleToLongBits(c)) } }
+        .toDF("g", "slot", "v"),
+      tbl, "build", "overwrite")
+    val back = SketchStore.readMerged(spark, tbl, max)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (g, cs) =>
+        (g.toLong, cs.sortBy(_._2).map(c =>
+          java.lang.Double.longBitsToDouble(c._3)).toSeq) }
+      .sortBy(_._1)
+    // IEEE bits identical per (cluster, dimension) — not just close
+    assert(back === cb.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) })
+    val q = e.filter(col("id") < 10)
+    val fresh = Similarity.ivfTopK(e, q, 3, 2)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val persisted = Similarity.ivfTopKWithCodebook(e, q, 3, 2,
+        back.toDF("cluster_id", "cvec"))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(persisted === fresh,
+      "search through the persisted index must equal the fresh-build search")
+  }
 }
