@@ -170,6 +170,10 @@ object SparkEntry {
     // stream AT THE SOURCE (Spark never pushes filters into
     // micro-batch relations) — drained rows = exactly the scoped half
     "q_stream_kvbin_scoped" -> ((s, dir) => StreamEntries.streamKvbinScoped(s, dir)),
+    // live kvbin-to-kvbin replication: the tail's micro-batches append
+    // as generations of a second table; the replica's batch read must
+    // equal the source slice row for row
+    "q_stream_kvbin_replicate" -> ((s, dir) => StreamEntries.streamKvbinReplicate(s, dir)),
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
@@ -5642,6 +5646,12 @@ object SparkEntry {
     // append) tailed as micro-batches must drain to exactly the src
     // slice — the same rows the batch scan of the final table reads
     "q_stream_kvbin_scan" -> (cte +
+      """SELECT k AS key, v AS value FROM src
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
+    // the replica equals the source slice — same rows the tail emitted,
+    // landed as B's generations and read back through the batch scan
+    "q_stream_kvbin_replicate" -> (cte +
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),

@@ -1752,6 +1752,58 @@ object StreamEntries {
     takeTable(s, name).orderBy(col("key"))
   }
 
+  /** Live kvbin→kvbin REPLICATION — the full connector loop in one
+    * pipeline: the tail ([[streamKvbinScan]]'s source) reads table A's
+    * generations as micro-batches and a foreachBatch APPEND lands each
+    * batch as a new generation of table B (append-only replication —
+    * the simplest CDC shape: every emitted row is an upsert of a key A
+    * committed once). After the drain, the batch DSv2 read of B must
+    * equal the batch read of A row for row — the replica-verification
+    * identity the reference exists to check, here produced AND
+    * consumed by the house connector live. Each appended A-generation
+    * costs one micro-batch over ITS rows and one B-append of the same
+    * volume; neither table is ever rescanned. */
+  def streamKvbinReplicate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val srcTbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvr-a-")
+    val dstTbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvr-b-")
+    val rows = memoFeed(s"kvscan:$dir") {
+      KVSnapshot.srcStr(s, dir)
+        .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .as[(String, String)].collect()
+    }
+    val mid = f"li_${1000L * sliceScale}%010d"
+    def writeWave(wave: Seq[(String, String)], mode: String): Unit =
+      wave.toSeq.toDF("key", "value")
+        .select(col("key").cast("binary").as("key"),
+          col("value").cast("binary").as("value"))
+        .write.format(fmt).option("path", srcTbl)
+        .option("api_version", "V1").mode(mode).save()
+    val (w1, w2) = rows.toSeq.partition(_._1 < mid)
+    writeWave(w1, "overwrite")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withStatePartitions(s, 1, noData = false) {
+      val q = s.readStream.format(fmt).option("path", srcTbl).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val mode = if (new java.io.File(dstTbl,
+            graft.sources.kvbin.KVBin.IndexFile).exists()) "append" else "overwrite"
+          batch.write.format(fmt).option("path", dstTbl)
+            .option("api_version", "V1").mode(mode).save()
+        }
+        .start()
+      drain(q) {
+        q.processAllAvailable() // replicate the base generation
+        writeWave(w2, "append") // the appended generation follows
+      }
+    }
+    s.read.format(fmt).option("path", dstTbl).load()
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+      .orderBy(col("key"))
+  }
+
   /** CONTINUOUS COMPARE over the house connector end-to-end — the
     * reference's flagship verdict (`checksum/checksum.go:83-91`,
     * src-vs-dst per-range digests) with the src side LIVE: the kvbin

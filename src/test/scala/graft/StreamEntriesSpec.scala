@@ -132,6 +132,19 @@ class StreamEntriesSpec extends SparkTestBase {
       "live kvbin verdict != batch per-bucket verdict")
   }
 
+  test("q_stream_kvbin_replicate: the replica is checksum-identical to the source slice") {
+    val replica = StreamEntries.streamKvbinReplicate(spark, dir)
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    val source = KVSnapshot.srcStr(spark, dir)
+      .filter(col("k") >= "li_0000000001" && col("k") < StreamEntries.keyUpper)
+      .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+    val a = Checksum.of(replica).collect().head
+    val b = Checksum.of(source).collect().head
+    assert(a === b, s"replica digest $a != source digest $b")
+    assert(a.getLong(1) > 0)
+  }
+
   test("q_stream_sessions equals batch sessionization (bounds + counts)") {
     val streamed = StreamEntries.streamSessions(spark, dir)
     val batch = Events.sessionize(
