@@ -542,6 +542,23 @@ class SketchesSpec extends SparkTestBase {
     assert(chain(e).exists(_.contains("'/'-free")), chain(e).mkString(" | "))
   }
 
+  test("SketchStore: an EMPTY wave is a no-op generation, not a failure") {
+    // the nightly-run reality: a wave with no new data must commit
+    // cleanly (empty generation) and leave the merged state unchanged —
+    // a pipeline that crashes on a quiet day is not a pipeline
+    import graft.operators.SketchStore
+    val tbl = java.nio.file.Files.createTempDirectory("graft-empty-t").toString
+    val cells = Seq(("g1", 1L, 3L)).toDF("g", "slot", "v")
+    SketchStore.writeWave(cells, tbl, "w0", "overwrite")
+    SketchStore.writeWave(cells.filter(lit(false)), tbl, "w1", "append")
+    assert(SketchStore.readMerged(spark, tbl, max)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("g1", 1L, 3L)))
+    // an empty FIRST run reads back as zero cells, not an error
+    val tbl2 = java.nio.file.Files.createTempDirectory("graft-empty2-t").toString
+    SketchStore.writeWave(cells.filter(lit(false)), tbl2, "w0", "overwrite")
+    assert(SketchStore.readMerged(spark, tbl2, max).count() === 0L)
+  }
+
   test("SketchStore refuses re-appending an existing wave id (sum law would double-count)") {
     import graft.operators.SketchStore
     val cells = Seq(("g1", 1L, 3L), ("g1", 2L, 5L)).toDF("g", "slot", "v")
