@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Cross-RUN sketch persistence through the house kvbin connector —
   * the incremental corpus-monitor contract: a nightly run builds its
-  * wave's sketch cells (HLL registers, bitmap block words) and APPENDS
-  * them to a kvbin table; any later run re-reads every persisted wave
-  * and folds cells with the sketch's merge law (max for HLL, bit_or
-  * for bitmaps), so the estimate stages ([[Sketches.hllEstimate]],
-  * [[Sketches.hllOverlapEstimates]], [[Sketches.bitmapEstimate]]) are
-  * oblivious to how many runs produced the state. Because both merges
-  * are idempotent-commutative monoids over per-(g, slot) cells, the
+  * wave's sketch cells (HLL registers, bitmap block words, CMS
+  * counters) and APPENDS them to a kvbin table; any later run re-reads
+  * every persisted wave and folds cells with the sketch's merge law
+  * (max for HLL, bit_or for bitmaps, sum for CMS), so the estimate
+  * stages ([[Sketches.hllEstimate]], [[Sketches.hllOverlapEstimates]],
+  * [[Sketches.bitmapEstimate]], [[Sketches.cmsHeavyHittersFromSketch]])
+  * are oblivious to how many runs produced the state. Because the
+  * merges are commutative monoids over per-(g, slot) cells, the
   * merged table is EXACTLY the one-shot build over the union of the
   * waves' inputs — the gated entries' oracles are the plain one-shot
   * replays, making the persistence roundtrip + merge a proved
-  * identity, not a best-effort approximation.
+  * identity, not a best-effort approximation. The cells need not be
+  * sketches at all: q_ann_ivf_persist stores an IVF codebook's
+  * IEEE-754 long bits as single-wave cells, turning the store into a
+  * bit-exact model-parameter registry.
   *
   * At 100 TB the payoff is the re-scan this avoids: each wave scans
   * only ITS slice once; the persisted state is |G|·m cells (KBs per
