@@ -63,10 +63,15 @@ object SketchStore {
         s"${existing.toSeq.sorted.mkString(", ")})")
     }
     val gStr = col("g").cast("string")
-    // empty-string rider: evaluates per row, raises on a violating one
-    val gate = when(gStr.contains("/") || col("slot") < 0,
-      raise_error(concat(lit("SketchStore: g must be '/'-free and " +
-        "slot non-negative, got g="), gStr))).otherwise(lit(""))
+    // empty-string rider: evaluates per row, raises on a violating one.
+    // Null g / null slot must trip the SAME loud gate — a null would
+    // otherwise make the when() condition null, fall to otherwise(), and
+    // hand the kvbin writer a silently-null key
+    val gate = when(gStr.isNull || col("slot").isNull ||
+        gStr.contains("/") || col("slot") < 0,
+      raise_error(concat(lit("SketchStore: g must be non-null and " +
+        "'/'-free, slot non-null and non-negative, got g="),
+        coalesce(gStr, lit("NULL"))))).otherwise(lit(""))
     // once the table declares the `cell` stat, V2 byName resolution
     // demands the virtual column in the input too — the writer ignores
     // its values (stats re-derive from the record bytes), so ship the

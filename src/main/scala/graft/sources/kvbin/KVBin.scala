@@ -109,7 +109,15 @@ object KVBin {
       }
       .collect()
       .toSeq
-    val header = Seq(s"#api_version=$apiVersion") ++
+    // generation stamping (the O(1) streaming-offset contract): a fresh
+    // table starts at generation 1 with every region born in it; the
+    // table_id pins the table's identity so a checkpointed epoch offset
+    // can detect a wholesale replacement (same role the name set played)
+    val header = Seq(s"#api_version=$apiVersion",
+      "#generation=1",
+      s"#table_id=${java.util.UUID.randomUUID().toString}") ++
+      (if (index.isEmpty) Nil
+       else Seq(s"#gen.1=${index.map(_._1).mkString(",")}")) ++
       (if (stats.isEmpty) Nil
        else Seq(s"#stats=${stats.map { case (n, sp) => s"$n:$sp" }.mkString(",")}"))
     val lines = header ++ index.map { case (f, mn, mx, n, lo, hi) =>
@@ -128,7 +136,17 @@ object KVBin {
     * empty or partial index and silently plan "no regions"; the rename
     * swap guarantees every reader sees the old or the new index, whole.
     * The temp file is cleaned up on failure; it never matches the
-    * writer's region-file pattern, so commit sweeps ignore it. */
+    * writer's region-file pattern, so commit sweeps ignore it.
+    *
+    * Two sidecar disciplines make the swap safe for CACHED readers too:
+    * any stale `.crc` sidecar is dropped BEFORE the rename (a
+    * ChecksumFileSystem reader in the delete→rename window then skips
+    * verification for the old content rather than failing the NEW
+    * content against the OLD crc), and the committed index's mtime is
+    * forced STRICTLY ABOVE the previous generation's — two swaps inside
+    * the filesystem's mtime granularity with equal byte length would
+    * otherwise leave a (length, mtime)-fingerprinted cache (the
+    * [[KVBinServer]] index cache) stale until the next commit. */
   def writeIndexAtomic(dir: String, conf: Configuration, content: String): Unit = {
     val uri = new java.net.URI(dir)
     val tmpName = s"$IndexFile.tmp-${java.util.UUID.randomUUID().toString}"
@@ -141,15 +159,24 @@ object KVBin {
       // sidecar; drop any stale one a pre-atomic writer left behind.
       val base = java.nio.file.Paths.get(
         if (uri.getScheme == null) dir else uri.getPath)
+      val idx = base.resolve(IndexFile)
+      val prevMtime: Option[Long] =
+        try Some(java.nio.file.Files.getLastModifiedTime(idx).toMillis)
+        catch { case _: java.io.IOException => None }
       val tmp = base.resolve(tmpName)
       var renamed = false
       try {
         java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp, base.resolve(IndexFile),
+        java.nio.file.Files.deleteIfExists(base.resolve(s".$IndexFile.crc"))
+        java.nio.file.Files.move(tmp, idx,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         renamed = true
-        java.nio.file.Files.deleteIfExists(base.resolve(s".$IndexFile.crc"))
+        prevMtime.foreach { p =>
+          if (java.nio.file.Files.getLastModifiedTime(idx).toMillis <= p)
+            java.nio.file.Files.setLastModifiedTime(idx,
+              java.nio.file.attribute.FileTime.fromMillis(p + 1))
+        }
       } finally if (!renamed) java.nio.file.Files.deleteIfExists(tmp)
     } else {
       // cluster filesystems: FileContext rename with OVERWRITE is the
@@ -157,6 +184,10 @@ object KVBin {
       import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
       val fs = FileSystem.get(uri, conf)
       val fc = FileContext.getFileContext(fs.getUri, conf)
+      val idx = fs.makeQualified(new Path(dir, IndexFile))
+      val prevMtime: Option[Long] =
+        try Some(fs.getFileStatus(idx).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
       val tmp = fs.makeQualified(new Path(dir, tmpName))
       var renamed = false
       try {
@@ -164,9 +195,13 @@ object KVBin {
           java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
         out.write(content.getBytes("UTF-8"))
         out.close()
-        fc.rename(tmp, fs.makeQualified(new Path(dir, IndexFile)),
-          Options.Rename.OVERWRITE)
+        fs.delete(new Path(dir, s".$IndexFile.crc"), false)
+        fc.rename(tmp, idx, Options.Rename.OVERWRITE)
         renamed = true
+        prevMtime.foreach { p =>
+          if (fs.getFileStatus(idx).getModificationTime <= p)
+            fs.setTimes(idx, p + 1, -1)
+        }
       } finally if (!renamed) fc.delete(tmp, false)
     }
   }
@@ -200,6 +235,20 @@ object KVBin {
       (meta, entries)
     } finally in.close()
   }
+
+  /** Birth generation per region file, from the `#gen.<g>=f1,f2,...`
+    * meta keys each commit stamps: a fresh table is generation 1, every
+    * append bumps the counter and tags ITS files, and a compaction
+    * re-tags the rewrite with the fold point (`#compacted_through`).
+    * Region file names are writer-generated (`part-...kv` — no commas),
+    * so the comma-joined value is unambiguous. Empty for unstamped
+    * legacy tables. */
+  def regionGenerations(meta: Map[String, String]): Map[String, Long] =
+    meta.toSeq.flatMap { case (k, v) =>
+      if (!k.startsWith("gen.")) Nil
+      else v.split(",").toSeq.filter(_.nonEmpty)
+        .map(_ -> k.stripPrefix("gen.").toLong)
+    }.toMap
 
   /** Declared record statistics from the `#stats=` header:
     * (name, spec) in stamped order; empty when the index has none. */

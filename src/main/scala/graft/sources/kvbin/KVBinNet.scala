@@ -76,7 +76,10 @@ class KVBinServer(dir: String, conf: Configuration,
   // between commits every META/REGIONS/SCAN answers from the cache (a
   // full N-region table scan must not cost N index reads). The atomic
   // _index swap (writeIndexAtomic) guarantees a re-read never sees a
-  // half-written sidecar.
+  // half-written sidecar, and the SAME swap enforces strictly-increasing
+  // index mtimes, so two commits landing within the filesystem's mtime
+  // granularity with equal byte length can never leave this fingerprint
+  // stale — a wire-tailed stream always sees the newest commit.
   private val idxLock = new Object
   private var idxFp: (Long, Long) = null
   private var idxCache: (Map[String, String],

@@ -433,23 +433,28 @@ class KVBinScan(dir: String, start: Array[Byte], end: Array[Byte],
   }
 }
 
-/** Streaming offset = the SET of region files already emitted,
-  * serialized as a sorted JSON array of file names. Region files are
-  * immutable once committed and appends only add index lines, so
-  * "everything in the index minus the offset set" is exactly the new
-  * data — a positional/count offset would break on append, because the
-  * committed index is re-sorted by min key. At PD scale the production
-  * analog is the monotonic region-epoch watermark (offsets then carry
-  * one number, not a name list); the file-backed format has no epoch
-  * stamp, so the explicit set is the honest offset and is bounded by
-  * the region count. The table must be APPEND-ONLY while tailed: a
-  * compaction mid-stream renames regions and the renamed files would
-  * re-emit (the same contract as Spark's file source over rewritten
-  * files). */
+/** LEGACY streaming offset for UNSTAMPED tables = the SET of region
+  * files already emitted, serialized as a sorted JSON array of file
+  * names. Region files are immutable once committed and appends only
+  * add index lines, so "everything in the index minus the offset set"
+  * is exactly the new data. O(regions) checkpoint state, growing for
+  * the stream's life — which is why stamped tables (every table this
+  * writer has produced since the `#generation=` header landed) use
+  * [[KVBinGenOffset]] instead: one long, bounded forever. This form
+  * survives only for tables written before the stamp existed; such a
+  * table must be APPEND-ONLY while tailed (a compaction renames
+  * regions and the renamed files would re-emit — the same contract as
+  * Spark's file source over rewritten files). */
 case class KVBinStreamOffset(regions: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
+  override def json(): String = {
+    // the roundtrip below hand-splits on ',' and strips quotes — a name
+    // carrying either would corrupt checkpointed offsets on restart;
+    // writer-generated names never do, so enforce it at serialization
+    regions.foreach(r => require(!r.contains(",") && !r.contains("\""),
+      s"kvbin offset region name contains ',' or '\"': $r"))
     regions.sorted.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+  }
 }
 
 object KVBinStreamOffset {
@@ -463,15 +468,70 @@ object KVBinStreamOffset {
   }
 }
 
+/** Generation-epoch streaming offset for STAMPED tables: "every region
+  * born in generation ≤ `gen` of table `tableId` has been emitted."
+  * ONE long of checkpoint state per micro-batch regardless of how many
+  * regions (or years of appends) the table accumulates — the
+  * production-shaped watermark the name-set offset only approximated.
+  * The `tableId` pins table identity: a plain overwrite mints a new id,
+  * so a checkpoint from the replaced table fails loudly instead of
+  * silently continuing over unrelated data (the detection the name set
+  * used to provide via vanished file names). */
+case class KVBinGenOffset(tableId: String, gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    require(tableId.nonEmpty && tableId.matches("[0-9a-fA-F-]+"),
+      s"kvbin table_id must be hex-dash shaped for the offset roundtrip, got '$tableId'")
+    s"""{"tid":"$tableId","gen":$gen}"""
+  }
+}
+
+object KVBinOffsets {
+  private val GenShape = """\{"tid":"([0-9a-fA-F-]+)","gen":(-?\d+)\}""".r
+  /** Checkpoint JSON → offset: `[...]` is the legacy name set, `{...}`
+    * the generation epoch — both shapes deserialize forever, so a
+    * checkpoint written by either era restarts cleanly. */
+  def fromJson(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    json.trim match {
+      case t if t.startsWith("[") => KVBinStreamOffset.fromJson(t)
+      case GenShape(tid, g) => KVBinGenOffset(tid, g.toLong)
+      case other => throw new IllegalArgumentException(s"bad kvbin offset: $other")
+    }
+}
+
 /** Tails a kvbin table as micro-batches. Each poll re-reads the region
   * index through a FRESH [[RegionClient]] (the scan-time client caches
   * the index for plan stability — a tailing source must see appends);
   * pushed key ranges and stat bounds prune each batch's NEW regions
-  * exactly like the batch scan, and pruned-away regions still enter
+  * exactly like the batch scan, and pruned-away regions still advance
   * the offset so they are never re-considered. The API-version gate
   * runs on every poll: an append cannot change the stamp (the writer
   * refuses), but a table REPLACED under the stream with a different
-  * version must kill the query, not feed it mixed-version bytes. */
+  * version must kill the query, not feed it mixed-version bytes.
+  *
+  * OFFSET CONTRACT. Stamped tables (any table this writer produced
+  * since the `#generation=` header landed) tail on [[KVBinGenOffset]]:
+  * the checkpoint carries one (table_id, generation) pair forever, a
+  * batch is "regions born in (startGen, endGen]", and a COMPACTION
+  * (preserve_meta rewrite, which stamps `#compacted_through=g` and
+  * re-tags the rewritten regions with birth generation g) is ADOPTED
+  * without re-emission by any tail whose checkpoint already drained
+  * generation ≥ g — the long-lived-monitor shape: compact nightly under
+  * a running tail, checkpoint stays one long. A compaction that folds
+  * UNDRAINED generations (compacted_through > the checkpoint's
+  * generation) still refuses loudly: the fold mixed unemitted rows into
+  * regions the tail would skip. Unstamped legacy tables keep the
+  * name-set offset and its strict append-only watchdog. A checkpoint of
+  * either shape deserializes forever; a legacy checkpoint over a table
+  * that has since been stamped transitions in one batch (emit stamped
+  * regions minus the named set, checkpoint the epoch).
+  *
+  * One operational caveat at any scale: adoption is a PLANNING-time
+  * contract. A micro-batch already EXECUTING when the compaction's
+  * commit sweep reclaims the old generation's files fails its tasks
+  * loudly (file vanished) and the query dies rather than mis-reads — a
+  * production deployment defers the sweep by one poll interval to close
+  * that window; the sandbox keeps the loud failure. */
 class KVBinMicroBatchStream(dir: String, start: Array[Byte],
     end: Array[Byte], endIncl: Array[Byte], required: StructType,
     expectedApiVersion: Option[String], endpoints: Option[String],
@@ -484,83 +544,198 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
     RegionClient.connect(dir, endpoints, conf)
 
   /** Every region id this stream instance has ever listed — the
-    * append-only watchdog: the index swap is atomic (writeIndexAtomic),
-    * so a poll can never see a TRUNCATED index, but a compaction or
-    * overwrite legitimately commits an index with previously-seen
-    * regions GONE. Tailing such a table would silently re-emit the
-    * rewritten rows under new file names; fail loudly instead. */
+    * LEGACY append-only watchdog (unstamped tables only): the index
+    * swap is atomic (writeIndexAtomic), so a poll can never see a
+    * TRUNCATED index, but a compaction or overwrite legitimately
+    * commits an index with previously-seen regions GONE. Tailing such a
+    * table would silently re-emit the rewritten rows under new file
+    * names; fail loudly instead. */
   @volatile private var everSeen: Set[String] = Set.empty
+  /** Epoch watchdog state: last (table_id, generation) this instance
+    * polled. A changed id or a decreased counter is a replaced table. */
+  @volatile private var lastTid: String = null
+  @volatile private var lastGen: Long = -1L
 
   override def initialOffset(): Offset = KVBinStreamOffset(Nil)
 
   override def latestOffset(): Offset = {
     val client = connect()
-    val sourceVersion = client.clusterMeta()("api_version")
+    val meta = client.clusterMeta()
+    val sourceVersion = meta("api_version")
     expectedApiVersion.filter(_ != sourceVersion).foreach { e =>
       throw new IllegalStateException(
         s"kvbin api version mismatch: source $dir is $sourceVersion, " +
         s"stream expects $e")
     }
-    val now = client.listRegions().map(_.id)
-    val vanished = everSeen -- now
-    if (vanished.nonEmpty)
-      throw new IllegalStateException(
-        s"kvbin stream over $dir: regions ${vanished.toSeq.sorted.mkString(", ")} " +
-        "disappeared from the index — the table was compacted or " +
-        "overwritten while tailed. The streaming source requires an " +
-        "append-only table; restart the stream from a fresh checkpoint " +
-        "to adopt the rewritten generation.")
-    everSeen ++= now
-    KVBinStreamOffset(now.sorted)
+    (meta.get("generation"), meta.get("table_id")) match {
+      case (Some(g0), Some(tid)) =>
+        val g = g0.toLong
+        if (everSeen.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: an unstamped table this stream was " +
+            "tailing was replaced by a generation-stamped one — the " +
+            "name-set offsets cannot be reconciled with the new table. " +
+            "Restart from a fresh checkpoint.")
+        if (lastTid != null && tid != lastTid)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: table_id changed ($lastTid -> $tid) " +
+            "— the table was overwritten while tailed. Restart from a " +
+            "fresh checkpoint to tail the new table.")
+        if (lastGen >= 0 && g < lastGen)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: generation moved backwards " +
+            s"($lastGen -> $g) — the table was replaced while tailed. " +
+            "Restart from a fresh checkpoint.")
+        lastTid = tid; lastGen = g
+        KVBinGenOffset(tid, g)
+      case _ =>
+        if (lastTid != null)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: the generation stamp vanished — the " +
+            "stamped table this stream was tailing was replaced by an " +
+            "unstamped one. Restart from a fresh checkpoint.")
+        val now = client.listRegions().map(_.id)
+        val vanished = everSeen -- now
+        if (vanished.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: regions ${vanished.toSeq.sorted.mkString(", ")} " +
+            "disappeared from the index — the table was compacted or " +
+            "overwritten while tailed. The streaming source requires an " +
+            "append-only table; restart the stream from a fresh checkpoint " +
+            "to adopt the rewritten generation.")
+        everSeen ++= now
+        KVBinStreamOffset(now.sorted)
+    }
   }
+
+  /** Key-range + stat pruning, identical to the batch scan (a region
+    * without stamped stat ranges never skips). */
+  private def scopePrune(regions: Seq[RegionInfo]): Seq[RegionInfo] =
+    regions.filter { r =>
+      (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
+      (end == null || KVBin.compare(r.minKey, end) < 0) &&
+      (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0) &&
+      statBounds.forall(b => !r.stats.isDefinedAt(b.i) || {
+        val (mn, mx) = r.stats(b.i); mx >= b.lo && mn <= b.hi
+      })
+    }
 
   override def planInputPartitions(startO: Offset, endO: Offset)
       : Array[InputPartition] = {
-    val seen = startO.asInstanceOf[KVBinStreamOffset].regions.toSet
-    val target = endO.asInstanceOf[KVBinStreamOffset].regions.toSet
     val client = connect()
+    val meta = client.clusterMeta()
     val regions = client.listRegions()
-    // the RESTART half of the append-only watchdog: everSeen only
-    // guards one instance's lifetime, but a checkpointed offset can
-    // name regions a compaction removed while the stream was DOWN —
-    // planning "index minus seen" against the rewritten index would
-    // silently re-emit every rewritten row under its new file name.
-    // (endO always derives from a live listRegions, so only the START
-    // offset can be stale.)
-    val vanishedSeen = seen -- regions.map(_.id)
-    if (vanishedSeen.nonEmpty)
-      throw new IllegalStateException(
-        s"kvbin stream over $dir: checkpointed offset names regions " +
-        s"${vanishedSeen.toSeq.sorted.mkString(", ")} that are gone from " +
-        "the index — the table was compacted or overwritten while the " +
-        "stream was down. The streaming source requires an append-only " +
-        "table; restart from a fresh checkpoint to adopt the rewritten " +
-        "generation.")
-    // and the batch's OWN due set: a compaction racing the
-    // latestOffset→plan window would silently drop its regions from
-    // this batch (they're in target but no longer in the index) — an
-    // under-delivered batch the next poll's watchdog can't repair
-    val missingDue = (target -- seen) -- regions.map(_.id).toSet
-    if (missingDue.nonEmpty)
-      throw new IllegalStateException(
-        s"kvbin stream over $dir: regions ${missingDue.toSeq.sorted.mkString(", ")} " +
-        "were committed to this micro-batch's offset range but vanished " +
-        "before planning — a compaction/overwrite raced the poll. " +
-        "Append-only contract violated; restart from a fresh checkpoint.")
-    regions
-      // only this batch's regions: the fresh index read may already be
-      // AHEAD of endO (another append landed) — those wait their turn
-      .filter(r => target.contains(r.id) && !seen.contains(r.id))
-      // the same planning-time pruning as the batch scan: key range +
-      // stat min/max (a region without stamped ranges never skips)
-      .filter { r =>
-        (start == null || KVBin.compare(r.maxKey, start) >= 0) &&
-        (end == null || KVBin.compare(r.minKey, end) < 0) &&
-        (endIncl == null || KVBin.compare(r.minKey, endIncl) <= 0) &&
-        statBounds.forall(b => !r.stats.isDefinedAt(b.i) || {
-          val (mn, mx) = r.stats(b.i); mx >= b.lo && mn <= b.hi
-        })
-      }
+    val due: Seq[RegionInfo] = (startO, endO) match {
+      case (s: KVBinGenOffset, e: KVBinGenOffset) =>
+        val tid = meta.getOrElse("table_id",
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: checkpointed epoch offset, but the " +
+            "table carries no table_id — it was replaced by an unstamped " +
+            "table while the stream was down. Restart from a fresh checkpoint."))
+        if (s.tableId != tid || e.tableId != tid)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: checkpointed offset belongs to " +
+            s"table_id ${s.tableId}, the table on disk is $tid — the table " +
+            "was overwritten while the stream was down. Restart from a " +
+            "fresh checkpoint to tail the new table.")
+        if (e.gen < s.gen)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: offset generations moved backwards " +
+            s"(${s.gen} -> ${e.gen}) — the table was replaced while tailed.")
+        val gens = KVBin.regionGenerations(meta)
+        val unstamped = regions.map(_.id).filterNot(gens.contains)
+        if (unstamped.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
+            "carry no birth generation on a stamped table — the index was " +
+            "edited outside the writer. Cannot tail safely.")
+        // the compaction-adoption gate: a preserve_meta rewrite re-tags
+        // its output with the fold point g and stamps compacted_through=g.
+        // A checkpoint that drained ≥ g skips the rewrite naturally
+        // (birth gen ≤ startGen); one that didn't must refuse — the fold
+        // mixed rows this tail never emitted into regions it would skip
+        val ct = meta.get("compacted_through").map(_.toLong).getOrElse(0L)
+        if (ct > s.gen)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: the table was compacted through " +
+            s"generation $ct but this checkpoint only drained generation " +
+            s"${s.gen} — undrained generations were folded into the " +
+            "rewrite. Restart from a fresh checkpoint to adopt the " +
+            "rewritten table.")
+        // the batch's own due set must be fully present: a rewrite racing
+        // the latestOffset→plan window would under-deliver silently
+        val expected = gens.collect {
+          case (f, g) if g > s.gen && g <= e.gen => f }.toSet
+        val missing = expected -- regions.map(_.id).toSet
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: regions ${missing.toSeq.sorted.mkString(", ")} " +
+            "were committed to this micro-batch's generation range but " +
+            "vanished before planning — a rewrite raced the poll. Restart " +
+            "from a fresh checkpoint.")
+        regions.filter(r => { val g = gens(r.id); g > s.gen && g <= e.gen })
+      case (s: KVBinStreamOffset, e: KVBinGenOffset) =>
+        // transition batch: a legacy name-set checkpoint (or the initial
+        // empty offset) over a stamped table — emit everything born
+        // through e.gen except the already-named regions; from here on
+        // the checkpoint is the epoch
+        val gens = KVBin.regionGenerations(meta)
+        val unstamped = regions.map(_.id).filterNot(gens.contains)
+        if (unstamped.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
+            "carry no birth generation on a stamped table — the index was " +
+            "edited outside the writer. Cannot tail safely.")
+        val seen = s.regions.toSet
+        val vanishedSeen = seen -- regions.map(_.id)
+        if (vanishedSeen.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: checkpointed offset names regions " +
+            s"${vanishedSeen.toSeq.sorted.mkString(", ")} that are gone from " +
+            "the index — the table was compacted or overwritten while the " +
+            "stream was down. Restart from a fresh checkpoint to adopt " +
+            "the rewritten generation.")
+        regions.filter(r => gens(r.id) <= e.gen && !seen.contains(r.id))
+      case (_: KVBinGenOffset, _: KVBinStreamOffset) =>
+        throw new IllegalStateException(
+          s"kvbin stream over $dir: the generation stamp vanished between " +
+          "polls — the stamped table this stream was tailing was replaced " +
+          "by an unstamped one. Restart from a fresh checkpoint.")
+      case (so: KVBinStreamOffset, eo: KVBinStreamOffset) =>
+        val seen = so.regions.toSet
+        val target = eo.regions.toSet
+        // the RESTART half of the legacy append-only watchdog: everSeen
+        // only guards one instance's lifetime, but a checkpointed offset
+        // can name regions a compaction removed while the stream was
+        // DOWN — planning "index minus seen" against the rewritten index
+        // would silently re-emit every rewritten row under its new name.
+        // (endO always derives from a live poll, so only the START
+        // offset can be stale.)
+        val vanishedSeen = seen -- regions.map(_.id)
+        if (vanishedSeen.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: checkpointed offset names regions " +
+            s"${vanishedSeen.toSeq.sorted.mkString(", ")} that are gone from " +
+            "the index — the table was compacted or overwritten while the " +
+            "stream was down. The streaming source requires an append-only " +
+            "table; restart from a fresh checkpoint to adopt the rewritten " +
+            "generation.")
+        // and the batch's OWN due set: a compaction racing the
+        // latestOffset→plan window would silently drop its regions from
+        // this batch (they're in target but no longer in the index) — an
+        // under-delivered batch the next poll's watchdog can't repair
+        val missingDue = (target -- seen) -- regions.map(_.id).toSet
+        if (missingDue.nonEmpty)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: regions ${missingDue.toSeq.sorted.mkString(", ")} " +
+            "were committed to this micro-batch's offset range but vanished " +
+            "before planning — a compaction/overwrite raced the poll. " +
+            "Append-only contract violated; restart from a fresh checkpoint.")
+        // only this batch's regions: the fresh index read may already be
+        // AHEAD of endO (another append landed) — those wait their turn
+        regions.filter(r => target.contains(r.id) && !seen.contains(r.id))
+    }
+    scopePrune(due)
       .map(r => KVBinInputPartition(client, r.id, start, end, endIncl,
         required.fieldNames, -1, statDefs.toMap, statBounds): InputPartition)
       .toArray
@@ -569,7 +744,7 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
   override def createReaderFactory(): PartitionReaderFactory =
     new KVBinReaderFactory()
   override def deserializeOffset(json: String): Offset =
-    KVBinStreamOffset.fromJson(json)
+    KVBinOffsets.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

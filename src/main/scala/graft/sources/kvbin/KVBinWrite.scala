@@ -216,10 +216,50 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
           s"table (mode overwrite) to introduce stats")
       }
     }
-    val meta = oldMeta + ("api_version" -> version) ++
+    // generation stamping — the bookkeeping behind the O(1) streaming
+    // offset (KVBinGenOffset): an append onto a STAMPED table bumps the
+    // monotonic counter and tags its fresh files with the new birth
+    // generation; an append onto an unstamped legacy table stays
+    // unstamped (old regions' birth generations are unknowable, and a
+    // half-stamped table would silently drop them from epoch tails). A
+    // preserve_meta OVERWRITE is the compaction path — a rewrite of the
+    // SAME content — so the rewritten regions carry the fold point as
+    // their birth generation and `compacted_through` records it: a tail
+    // whose checkpoint drained ≥ that generation adopts the rewrite
+    // without re-emission, one that didn't refuses loudly. A plain
+    // overwrite is a NEW table: generation restarts at 1 under a fresh
+    // table_id, which is what lets an epoch checkpoint detect the
+    // replacement (the role the name set played for legacy tables).
+    val freshFiles = fresh.map(_._1)
+    val isGenKey = (k: String) =>
+      k == "generation" || k == "compacted_through" || k.startsWith("gen.")
+    val genMeta: Map[String, String] =
+      if (appending) oldMeta.get("generation") match {
+        case Some(g0) if freshFiles.nonEmpty =>
+          val g = g0.toLong + 1
+          Map("generation" -> g.toString,
+              s"gen.$g" -> freshFiles.mkString(","))
+        case _ => Map.empty // zero-row append, or legacy table stays legacy
+      } else if (preserveMeta && oldMeta.contains("generation")) {
+        val g = oldMeta("generation")
+        Map("generation" -> g, "compacted_through" -> g) ++
+          (if (freshFiles.nonEmpty) Map(s"gen.$g" -> freshFiles.mkString(","))
+           else Map.empty)
+      } else {
+        Map("generation" -> "1",
+            "table_id" -> java.util.UUID.randomUUID().toString) ++
+          (if (freshFiles.nonEmpty) Map("gen.1" -> freshFiles.mkString(","))
+           else Map.empty)
+      }
+    // a preserving overwrite replaces the file population wholesale —
+    // stale per-generation file lists must not survive the swap
+    val baseMeta =
+      if (appending) oldMeta
+      else oldMeta.filterNot { case (k, _) => isGenKey(k) }
+    val meta = baseMeta + ("api_version" -> version) ++
       (if (stats.nonEmpty)
          Map("stats" -> stats.map { case (n2, sp) => s"$n2:$sp" }.mkString(","))
-       else Map.empty)
+       else Map.empty) ++ genMeta
     val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
     val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
       merged.map { case (f, mn, mx, n, lo, hi) =>

@@ -1786,9 +1786,13 @@ object StreamEntries {
     withStatePartitions(s, 1, noData = false) {
       val q = s.readStream.format(fmt).option("path", srcTbl).load()
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val mode = if (new java.io.File(dstTbl,
-            graft.sources.kvbin.KVBin.IndexFile).exists()) "append" else "overwrite"
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // batchId decides the mode, not a filesystem existence probe:
+          // foreachBatch is at-least-once, so a RETRY of batch 0 must
+          // overwrite again (idempotent) rather than append a duplicate
+          // generation — and a java.io.File probe only works for local
+          // paths anyway
+          val mode = if (batchId == 0L) "overwrite" else "append"
           batch.write.format(fmt).option("path", dstTbl)
             .option("api_version", "V1").mode(mode).save()
         }

@@ -752,13 +752,65 @@ class KVBinSpec extends SparkTestBase {
   // ---- streaming source (micro-batch tail of the region index) ----
 
   test("streaming offset JSON roundtrips; order-insensitive set semantics") {
-    import graft.sources.kvbin.KVBinStreamOffset
+    import graft.sources.kvbin.{KVBinGenOffset, KVBinOffsets, KVBinStreamOffset}
     val o = KVBinStreamOffset(Seq("b.kv", "a.kv"))
     assert(KVBinStreamOffset.fromJson(o.json()).regions.toSet === Set("a.kv", "b.kv"))
     // serialization sorts: checkpointed offsets compare stably across
     // restarts regardless of index listing order
     assert(o.json() === KVBinStreamOffset(Seq("a.kv", "b.kv")).json())
     assert(KVBinStreamOffset.fromJson(KVBinStreamOffset(Nil).json()).regions.isEmpty)
+    // a region name carrying the JSON delimiters would corrupt the
+    // checkpoint roundtrip — refused at serialization, not on restart
+    intercept[IllegalArgumentException](KVBinStreamOffset(Seq("a,b.kv")).json())
+    intercept[IllegalArgumentException](KVBinStreamOffset(Seq("a\"b.kv")).json())
+    // the epoch form: one (table_id, generation) pair, O(1) forever
+    val g = KVBinGenOffset("3f2504e0-4f89-11d3-9a0c-0305e82c3301", 42L)
+    assert(KVBinOffsets.fromJson(g.json()) === g)
+    // both shapes deserialize through the shared entry point — a
+    // checkpoint written by either era restarts cleanly
+    assert(KVBinOffsets.fromJson(o.json()) ===
+      KVBinStreamOffset(Seq("a.kv", "b.kv")))
+    intercept[IllegalArgumentException](KVBinOffsets.fromJson("nonsense"))
+    // a non-hex table_id cannot serialize (the hand parser's contract)
+    intercept[IllegalArgumentException](KVBinGenOffset("bad\"id", 1L).json())
+  }
+
+  test("epoch offsets: checkpoint state is ONE pair regardless of generations (vs the name set's O(regions))") {
+    import graft.sources.kvbin.{KVBinGenOffset, KVBinMicroBatchStream, KVBinStreamOffset}
+    import org.apache.spark.util.SerializableConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-eo-").toString
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    parquetSrc.limit(40).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "2").mode("overwrite").save()
+    val tail = new KVBinMicroBatchStream(dir, null, null, null,
+      new org.apache.spark.sql.types.StructType()
+        .add("key", "binary").add("value", "binary"),
+      None, None, Nil, Nil, conf)
+    val o1 = tail.latestOffset().asInstanceOf[KVBinGenOffset]
+    assert(o1.gen === 1L)
+    val len1 = o1.json().length
+    // ten appends: ten generations, twenty more regions
+    for (i <- 1 to 10)
+      parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+        .option("ranges", "2").mode("append").save()
+    val o11 = tail.latestOffset().asInstanceOf[KVBinGenOffset]
+    assert(o11.gen === 11L)
+    assert(o11.tableId === o1.tableId)
+    // the checkpoint write is the SAME size after 10 generations — the
+    // name-set form over the same table would carry all 22 region names
+    assert(o11.json().length <= len1 + 1,
+      s"epoch offset grew: ${o1.json()} -> ${o11.json()}")
+    val conf2 = spark.sessionState.newHadoopConf()
+    val nameSet = KVBinStreamOffset(KVBin.readIndex(dir, conf2).map(_._1))
+    assert(nameSet.json().length > 10 * o11.json().length,
+      s"name-set offset should dwarf the epoch form: " +
+      s"${nameSet.json().length} vs ${o11.json().length}")
+    // and the batch between the two epochs plans exactly the regions
+    // born in generations 2..11, none from the base generation
+    val expectedDue = KVBin
+      .regionGenerations(KVBin.readMeta(dir, conf2)).count(_._2 > 1L)
+    assert(expectedDue >= 10)
+    assert(tail.planInputPartitions(o1, o11).length === expectedDue)
   }
 
   test("micro-batch planning emits only NEW regions; key range prunes per batch") {
@@ -961,13 +1013,26 @@ class KVBinSpec extends SparkTestBase {
       .select(col("key").cast("string")).as[String].collect().sorted.toSeq
     assert(got === expected,
       "restarted tail must emit base + appended rows exactly once")
-    // a compaction while the stream is DOWN invalidates the checkpoint:
-    // the restarted run must die loudly (planning "index minus seen"
-    // against the rewritten index would re-emit every row under its
-    // new region name), not silently duplicate
+    // a compaction of FULLY-DRAINED generations while the stream is
+    // DOWN is adopted on restart: the checkpoint's epoch (gen 2) is ≥
+    // compacted_through, the rewritten regions carry birth generation 2
+    // (already emitted), and only the post-compaction append is new —
+    // exactly once, no re-emission of the rewritten rows
     graft.sources.kvbin.KVBinCompact.compact(spark, dir, targetRegions = 1)
     parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
-      .mode("append").save() // new data so the restart has a batch to plan
+      .mode("append").save() // new data: the restart has one batch to plan
+    runOnce()                    // run 3 adopts the compaction
+    val got3 = spark.read.parquet(out)
+      .select(col("key")).as[String].collect().sorted.toSeq
+    val expected3 = (expected ++ parquetSrc.limit(5)
+      .select(col("key").cast("string")).as[String].collect()).sorted
+    assert(got3 === expected3,
+      "restart over a fully-drained compaction must emit ONLY the new append")
+    // a PLAIN overwrite while the stream is down is a NEW table (fresh
+    // table_id): the restarted run must die loudly, not silently
+    // continue the old checkpoint over unrelated data
+    parquetSrc.limit(7).write.format(kvbinFmt).option("path", dir)
+      .mode("overwrite").save()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       val q = spark.readStream.format(kvbinFmt).option("path", dir).load()
         .select(col("key").cast("string").as("key"),
@@ -980,26 +1045,71 @@ class KVBinSpec extends SparkTestBase {
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
         .flatMap(x => Option(x.getMessage)).toSeq
-    assert(chain(e).exists(_.contains("compacted or overwritten while the stream was down")),
+    assert(chain(e).exists(_.contains("overwritten while the stream was down")),
       chain(e).mkString(" | "))
   }
 
-  test("streaming tail refuses a compacted table (append-only watchdog) and a version swap") {
-    import graft.sources.kvbin.KVBinMicroBatchStream
+  test("a compaction folding UNDRAINED generations refuses on restart; drained ones adopt") {
+    import graft.sources.kvbin.{KVBinGenOffset, KVBinMicroBatchStream}
+    import org.apache.spark.util.SerializableConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-cu-").toString
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    parquetSrc.limit(100).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "4").mode("overwrite").save()
+    parquetSrc.limit(30).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save() // generation 2
+    def stream() = new KVBinMicroBatchStream(dir, null, null, null,
+      new org.apache.spark.sql.types.StructType()
+        .add("key", "binary").add("value", "binary"),
+      None, None, Nil, Nil, conf)
+    val tid = stream().latestOffset().asInstanceOf[KVBinGenOffset].tableId
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir, targetRegions = 2)
+    // checkpoint drained only generation 1 → the compaction (through
+    // gen 2) folded rows this tail never emitted into regions it would
+    // skip — refuse loudly
+    val undrained = intercept[IllegalStateException] {
+      stream().planInputPartitions(
+        KVBinGenOffset(tid, 1L), KVBinGenOffset(tid, 2L))
+    }
+    assert(undrained.getMessage.contains("compacted through"),
+      undrained.getMessage)
+    // checkpoint drained generation 2 (everything) → the rewrite is
+    // invisible: empty due set, no error, offset unchanged
+    assert(stream().planInputPartitions(
+      KVBinGenOffset(tid, 2L), KVBinGenOffset(tid, 2L)).isEmpty)
+    // and the post-compaction poll reports the SAME epoch — compaction
+    // moved no watermark (content-identical rewrite)
+    assert(stream().latestOffset() === KVBinGenOffset(tid, 2L))
+  }
+
+  test("stamped tail ADOPTS a drained mid-tail compaction; version gate and legacy append-only watchdog still refuse") {
+    import graft.sources.kvbin.{KVBinGenOffset, KVBinMicroBatchStream, KVBinStreamOffset}
     import org.apache.spark.util.SerializableConfiguration
     val dir = java.nio.file.Files.createTempDirectory("kvbin-w-").toString
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     parquetSrc.limit(200).write.format(kvbinFmt).option("path", dir)
       .option("ranges", "4").mode("overwrite").save()
-    val tail = new KVBinMicroBatchStream(dir, null, null, null,
+    def stream(d: String) = new KVBinMicroBatchStream(d, null, null, null,
       new org.apache.spark.sql.types.StructType()
         .add("key", "binary").add("value", "binary"),
       None, None, Nil, Nil, conf)
-    tail.latestOffset() // adopt the 4-region generation
+    val tail = stream(dir)
+    val o1 = tail.latestOffset()
+    assert(tail.planInputPartitions(tail.initialOffset(), o1).length === 4)
+    // compaction of the fully-drained generation MID-TAIL: the epoch is
+    // unchanged (content-identical rewrite), the next poll succeeds, and
+    // the batch between the epochs is empty — no re-emission, no refusal
     graft.sources.kvbin.KVBinCompact.compact(spark, dir, targetRegions = 1)
-    val e = intercept[IllegalStateException](tail.latestOffset())
-    assert(e.getMessage.contains("append-only"),
-      s"compaction mid-tail must fail loudly, got: ${e.getMessage}")
+    val o2 = tail.latestOffset()
+    assert(o2 === o1, "a content-identical compaction must not move the epoch")
+    assert(tail.planInputPartitions(o1, o2).isEmpty)
+    // and the tail keeps going: a post-compaction append is the next batch
+    parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save()
+    val o3 = tail.latestOffset()
+    assert(o3.asInstanceOf[KVBinGenOffset].gen ===
+      o1.asInstanceOf[KVBinGenOffset].gen + 1)
+    assert(tail.planInputPartitions(o2, o3).nonEmpty)
     // a fresh tail with a version expectation against a V1 table dies on
     // the FIRST poll — the gate runs per poll, not once at plan time
     val gated = new KVBinMicroBatchStream(dir, null, null, null,
@@ -1008,5 +1118,50 @@ class KVBinSpec extends SparkTestBase {
       Some("V2"), None, Nil, Nil, conf)
     val g = intercept[IllegalStateException](gated.latestOffset())
     assert(g.getMessage.contains("api version mismatch"))
+    // LEGACY (unstamped) table: the strict name-set append-only watchdog
+    // survives for tables written before the generation stamp existed
+    val dir2 = java.nio.file.Files.createTempDirectory("kvbin-w2-").toString
+    parquetSrc.limit(50).write.format(kvbinFmt).option("path", dir2)
+      .option("ranges", "2").mode("overwrite").save()
+    stripStamps(dir2)
+    val ltail = stream(dir2)
+    val lo = ltail.latestOffset()
+    assert(lo.isInstanceOf[KVBinStreamOffset],
+      "an unstamped table must tail on the name-set offset")
+    // the table is rewritten under the tail (names vanish, still unstamped)
+    parquetSrc.limit(10).write.format(kvbinFmt).option("path", dir2)
+      .option("ranges", "1").mode("overwrite").save()
+    stripStamps(dir2)
+    val e = intercept[IllegalStateException](ltail.latestOffset())
+    assert(e.getMessage.contains("append-only"),
+      s"rewrite under a legacy tail must fail loudly, got: ${e.getMessage}")
+    // a legacy tail whose table gets STAMPED under it (e.g. by a
+    // compaction, which stamps) also refuses — name sets and epochs
+    // cannot be reconciled mid-stream
+    val dir3 = java.nio.file.Files.createTempDirectory("kvbin-w3-").toString
+    parquetSrc.limit(50).write.format(kvbinFmt).option("path", dir3)
+      .option("ranges", "2").mode("overwrite").save()
+    stripStamps(dir3)
+    val ltail3 = stream(dir3)
+    ltail3.latestOffset()
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir3, targetRegions = 1)
+    val e3 = intercept[IllegalStateException](ltail3.latestOffset())
+    assert(e3.getMessage.contains("generation-stamped"), e3.getMessage)
+  }
+
+  /** Rewrite `dir/_index` without the generation bookkeeping — the
+    * shape every table written BEFORE the `#generation=` stamp landed
+    * has on disk; lets the legacy name-set offset path stay testable. */
+  private def stripStamps(dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val idx = new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile)
+    val in = fs.open(idx)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val kept = lines.filterNot(l => l.startsWith("#generation=") ||
+      l.startsWith("#table_id=") || l.startsWith("#gen.") ||
+      l.startsWith("#compacted_through="))
+    KVBin.writeIndexAtomic(dir, conf, kept.mkString("\n"))
   }
 }
