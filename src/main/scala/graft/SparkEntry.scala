@@ -576,11 +576,23 @@ object SparkEntry {
     // corpus-linear at fixed collision rate), the identical integer
     // cosine on survivors, the identical margin stage. UNCAPPED corpus
     // (no id < 5000 slice): the candidate stage is the thing that makes
-    // the cap unnecessary. Oracle replays planes → bits → bands →
+    // the cap unnecessary. Band width is CHOSEN from the corpus count
+    // (srpBandsFor: smallest divisor-of-64 width with 2^r ≥ n/16, the
+    // occupancy-held banding that keeps candidate volume near-linear as
+    // corpora grow). Oracle replays chooser → planes → bits → bands →
     // candidates → cosine → margin end-to-end
     "q_bitext_margin_ann" -> ((s, dir) =>
-      Similarity.marginMining(Similarity.bitextPairsSrp(emb(s, dir)), 4)
+      Similarity.marginMining(Similarity.bitextPairsSrpAuto(emb(s, dir)), 4)
         .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(50)),
+    // the SRP candidate stage's ROLLOUT GATE (the lshRecall analog):
+    // on the corpus-capped slice where the brute stage is affordable,
+    // how many of the brute margin top-50 survive as band-collision
+    // candidates under the auto-chosen banding — the documented
+    // recall-<1-vs-brute trade as a recorded, oracle-gated number
+    // (near-random synthetic embeddings put it in the 16–34% range at
+    // these SFs; clustered real corpora collide far more)
+    "q_bitext_srp_recall" -> ((s, dir) =>
+      Similarity.bitextSrpRecall(emb(s, dir).filter(col("id") < 5000))),
     // embedding health gate: per-dim counts of non-finite / zero-norm
     // vectors + the norm envelope in integer micros — the pre-index
     // data contract of the ANN family, one aggregate pass
@@ -4457,9 +4469,13 @@ object SparkEntry {
     // cross-side (even × odd) DISTINCT band-collision candidates, the
     // same 1e-9-unit floor-quantized cosine on survivors, the same
     // both-direction k=4 margin arithmetic — candidate derivation and
-    // margin are BOTH hash-gated
+    // margin are BOTH hash-gated. The rb CTE replays srpBandsFor:
+    // smallest divisor-of-64 band width with pow(2,r) ≥ n/16 (same IEEE
+    // predicate both engines), widest width as the too-big fallback
     "q_bitext_margin_ann" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |rb AS (SELECT coalesce((SELECT min(d) FROM (VALUES (1),(2),(4),(8),(16),(32)) t(d)
+        |         WHERE pow(2, d) >= (SELECT count(*) FROM e) / 16.0), 32) AS r),
         |planes AS (
         |  SELECT j, list(CASE WHEN substring(md5('srp_' || j || '_' || d), 1, 1) >= '8'
         |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS p
@@ -4469,8 +4485,9 @@ object SparkEntry {
         |  SELECT e.vec_id, pl.j, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
         |  FROM e CROSS JOIN planes pl),
         |bands AS (
-        |  SELECT vec_id, j // 8 AS band_id, sum(b * (1 << (j % 8))) AS band_val
-        |  FROM bits GROUP BY vec_id, j // 8),
+        |  SELECT vec_id, j // (SELECT r FROM rb) AS band_id,
+        |         sum(b * (CAST(1 AS BIGINT) << (j % (SELECT r FROM rb)))) AS band_val
+        |  FROM bits GROUP BY vec_id, j // (SELECT r FROM rb)),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -4490,6 +4507,52 @@ object SparkEntry {
         |FROM r JOIN sa ON r.qa = sa.qa JOIN sb ON r.qb = sb.qb
         |WHERE r.ra <= 4 AND r.c > 0 AND sa.s + sb.s > 0
         |ORDER BY margin_q DESC, r.qa, r.qb LIMIT 50""".stripMargin,
+    // the SRP rollout gate's replay: brute margin top-50 on the capped
+    // slice (the q_bitext_margin CTEs) intersected with the auto-banded
+    // SRP candidate set (the q_bitext_margin_ann CTEs, chooser included,
+    // over the SAME capped slice) — counts and integer-bp recall
+    "q_bitext_srp_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 5000),
+        |rb AS (SELECT coalesce((SELECT min(d) FROM (VALUES (1),(2),(4),(8),(16),(32)) t(d)
+        |         WHERE pow(2, d) >= (SELECT count(*) FROM e) / 16.0), 32) AS r),
+        |bpair AS (SELECT x.vec_id AS qa, y.vec_id AS qb,
+        |           CAST(floor(list_dot_product(x.v, y.v)
+        |             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |             * 1000000000 + 0.5) AS BIGINT) AS c
+        |         FROM e x JOIN e y ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+        |br AS (SELECT qa, qb, c,
+        |        row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS ra,
+        |        row_number() OVER (PARTITION BY qb ORDER BY c DESC, qa) AS rb2
+        |      FROM bpair),
+        |bsa AS (SELECT qa, sum(c) AS s FROM br WHERE ra <= 4 GROUP BY qa),
+        |bsb AS (SELECT qb, sum(c) AS s FROM br WHERE rb2 <= 4 GROUP BY qb),
+        |brute AS (SELECT br.qa, br.qb
+        |  FROM br JOIN bsa ON br.qa = bsa.qa JOIN bsb ON br.qb = bsb.qb
+        |  WHERE br.ra <= 4 AND br.c > 0 AND bsa.s + bsb.s > 0
+        |  ORDER BY CAST((br.c * 8 * 1000000) // (bsa.s + bsb.s) AS BIGINT) DESC, br.qa, br.qb
+        |  LIMIT 50),
+        |planes AS (
+        |  SELECT j, list(CASE WHEN substring(md5('srp_' || j || '_' || d), 1, 1) >= '8'
+        |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS p
+        |  FROM generate_series(0, 63) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
+        |  GROUP BY j),
+        |bits AS (
+        |  SELECT e.vec_id, pl.j, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
+        |  FROM e CROSS JOIN planes pl),
+        |bands AS (
+        |  SELECT vec_id, j // (SELECT r FROM rb) AS band_id,
+        |         sum(b * (CAST(1 AS BIGINT) << (j % (SELECT r FROM rb)))) AS band_val
+        |  FROM bits GROUP BY vec_id, j // (SELECT r FROM rb)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+        |SELECT (SELECT count(*) FROM brute) AS n_brute,
+        |  (SELECT count(*) FROM cand) AS n_cand,
+        |  (SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) AS n_hit,
+        |  CAST(((SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) * 10000)
+        |    // (SELECT count(*) FROM brute) AS BIGINT) AS recall_bp""".stripMargin,
     // replays Similarity.vectorHealth: x−x ≠ 0 non-finite classification,
     // norms excluded for non-finite vectors, floor(x·1e6+0.5) micros
     "q_vector_health" ->

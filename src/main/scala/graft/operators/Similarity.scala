@@ -365,6 +365,64 @@ object Similarity {
     * makes corpus-scale bitext mining affordable (the CCMatrix
     * FAISS-candidates shape), and the reason the brute stage stays the
     * gated baseline while this is the scale path. */
+  /** Analytic SRP band chooser — the sibling of [[Dedup]]'s MinHash
+    * banding chooser, automating the knob [[bitextPairsSrp]]'s doc
+    * names: under the random-sign model a band of r = k/bands bits has
+    * 2^r distinct values, so expected per-side bucket occupancy is
+    * n / 2^r; holding it at `targetOccupancy` (and with it the
+    * pairs-per-row of the banded join) needs 2^r ≥ n / targetOccupancy
+    * — r grows with log₂(corpus). Returns the BAND COUNT for the
+    * SMALLEST divisor-of-k width (≤ 62) meeting the bound: smallest
+    * admissible width = most bands = highest recall that still meets
+    * the occupancy target. A corpus too large for any divisor gets the
+    * widest width — the signature budget k is then the binding
+    * constraint (raise k). The predicate is pow(2,r) ≥ n/occ in IEEE
+    * doubles, NOT a log₂ comparison, so the DuckDB oracle replays the
+    * choice bit-exactly (both sides of a boundary corpus agree). */
+  def srpBandsFor(k: Int, n: Long, targetOccupancy: Double = 16.0): Int = {
+    require(k >= 1 && targetOccupancy > 0)
+    val widths = (1 to math.min(k, 62)).filter(k % _ == 0)
+    val quota = math.max(n, 1L).toDouble / targetOccupancy
+    val r = widths.find(w => math.pow(2.0, w) >= quota).getOrElse(widths.last)
+    k / r
+  }
+
+  /** [[bitextPairsSrp]] with the band count CHOSEN from the corpus
+    * size ([[srpBandsFor]]): one count() of the corpus — O(n) with no
+    * shuffle wider than a scalar — buys the occupancy-held banding
+    * that keeps the candidate join's volume near-linear as corpora
+    * grow, instead of the superlinear fill a FIXED band width shows
+    * (the measured 3.5× at 10× rows in BENCH_SF1 flattens once the
+    * width deepens at sf1's corpus). */
+  def bitextPairsSrpAuto(corpus: DataFrame, k: Int = 64,
+                         targetOccupancy: Double = 16.0): DataFrame =
+    bitextPairsSrp(corpus, k, srpBandsFor(k, corpus.count(), targetOccupancy))
+
+  /** The rollout gate for the SRP bitext candidate stage — the
+    * [[Dedup.lshRecall]] analog, turning the documented "recall < 1 vs
+    * brute" trade into a RECORDED number: on a corpus-capped slice
+    * (the brute side is quadratic — that is exactly why this is an
+    * offline gate, not a pipeline stage), mine the brute margin stage's
+    * top pairs, then count how many survive as SRP band-collision
+    * candidates under the auto-chosen banding. One row:
+    * (n_brute, n_cand, n_hit, recall_bp) — recall in integer basis
+    * points, exact-replayable by the oracle. */
+  def bitextSrpRecall(corpus: DataFrame, k: Int = 4, top: Int = 50,
+                      kBits: Int = 64,
+                      targetOccupancy: Double = 16.0): DataFrame = {
+    val brute = marginMining(bitextPairs(corpus), k)
+      .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(top)
+      .select(col("qa"), col("qb"))
+    val cand = bitextPairsSrpAuto(corpus, kBits, targetOccupancy)
+      .select(col("qa"), col("qb")) // already DISTINCT by construction
+    brute.join(cand.withColumn("__in", lit(1L)), Seq("qa", "qb"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("__in"), lit(0L))).as("n_hit"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_brute"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 10000 DIV n_brute").as("recall_bp"))
+  }
+
   def bitextPairsSrp(corpus: DataFrame, k: Int = 64, bands: Int = 8): DataFrame =
     srpBanded(corpus, k, bands) match {
       case None =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * the incremental corpus-monitor contract: a nightly run builds its
   * wave's sketch cells (HLL registers, bitmap block words, CMS
   * counters) and APPENDS them to a kvbin table; any later run re-reads
-  * every persisted wave and folds cells with the sketch's merge law
+  * the persisted waves and folds cells with the sketch's merge law
   * (max for HLL, bit_or for bitmaps, sum for CMS), so the estimate
   * stages ([[Sketches.hllEstimate]], [[Sketches.hllOverlapEstimates]],
   * [[Sketches.bitmapEstimate]], [[Sketches.cmsHeavyHittersFromSketch]])
@@ -26,10 +26,53 @@ import org.apache.spark.sql.functions._
   * group), and pricing NDV / overlap / distinct over the full history
   * reads only those cells. Appends commit via the connector's atomic
   * `_index` swap, so a reader (or the streaming tail) racing a wave's
-  * commit sees whole generations only. */
+  * commit sees whole generations only.
+  *
+  * A LIFETIME of nightly waves accumulates |waves|·|G|·m cells with no
+  * natural bound — [[compactWaves]] is the fold-to-baseline remedy:
+  * all waves ≤ a cut are merged into ONE baseline wave with the
+  * sketch's own law (monoid ⇒ every downstream estimate is provably
+  * unchanged), folded wave ids stay refusable forever through the
+  * reserved `!waves` registry rows, and the rewrite commits as a
+  * preserve_meta kvbin generation — the compaction shape the streaming
+  * watchdog adopts when drained and refuses when not. */
 object SketchStore {
 
   private def fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+
+  /** Reserved key prefix for the wave REGISTRY — rows
+    * `!waves/<wave>/000000000000 -> 0|1` recording every wave id ever
+    * persisted (1 = live, 0 = folded into a baseline). '!' (0x21)
+    * sorts before every legal wave character, so registry rows occupy
+    * the table's head and a registry read is one range-pruned scan of
+    * the first region(s). Written by [[compactWaves]] (whose rewrite
+    * destroys the append-era invariant that each wave heads its own
+    * region); ordinary appends don't need it — their generation's
+    * region min keys carry the wave prefix. */
+  private[graft] val WavesRegistry = "!waves"
+
+  /** Every wave id the table has ever persisted: the region-index min
+    * keys' prefixes (each APPENDED wave heads at least one region of
+    * its own generation) unioned with the `!waves` registry (which
+    * preserves ids through a [[compactWaves]] rewrite). One driver-side
+    * index read plus — only when a registry exists — one range-pruned
+    * scan of the registry rows (|waves| tiny records, never the cells). */
+  private def everPersisted(s: SparkSession, table: String): Set[String] = {
+    val conf = s.sessionState.newHadoopConf()
+    val fromIndex = scala.util.Try(
+        graft.sources.kvbin.KVBin.readIndex(table, conf)).toOption
+      .getOrElse(Nil)
+      .map { case (_, mn, _, _) =>
+        new String(mn, "UTF-8").takeWhile(_ != '/') }.toSet
+    val fromRegistry =
+      if (!fromIndex.contains(WavesRegistry)) Set.empty[String]
+      else s.read.format(fmt).option("path", table).load()
+        .filter(col("key") >= lit(s"$WavesRegistry/".getBytes("UTF-8")) &&
+          col("key") < lit((WavesRegistry + "0").getBytes("UTF-8")))
+        .select(element_at(split(decode(col("key"), "UTF-8"), "/"), 2))
+        .collect().map(_.getString(0)).toSet
+    (fromIndex - WavesRegistry) ++ fromRegistry
+  }
 
   /** Persist one wave's sketch cells (g, slot, v: long) as one kvbin
     * generation. Key = `<wave>/<g>/<slot as %012d>` (text — `g` and
@@ -42,20 +85,14 @@ object SketchStore {
     * `mode` "overwrite" starts the table, "append" adds a wave. */
   def writeWave(cells: DataFrame, table: String, wave: String,
                 mode: String): Unit = {
-    require(!wave.contains("/") && wave.nonEmpty,
-      s"wave id must be non-empty and '/'-free, got '$wave'")
+    require(!wave.contains("/") && wave.nonEmpty && !wave.startsWith("!"),
+      s"wave id must be non-empty, '/'-free and not start with the " +
+      s"reserved '!' namespace, got '$wave'")
     // a RE-appended wave id double-counts under the sum law (and
-    // silently no-ops under max/or — same cells twice): the region
-    // index's min keys carry the wave prefix, so the check is one
-    // driver-side index read, no region opens
+    // silently no-ops under max/or — same cells twice): refuse ids the
+    // table has EVER persisted, live or compacted away
     if (mode == "append") {
-      val conf = org.apache.spark.sql.SparkSession.active
-        .sessionState.newHadoopConf()
-      val existing = scala.util.Try(
-          graft.sources.kvbin.KVBin.readIndex(table, conf)).toOption
-        .getOrElse(Nil)
-        .map { case (_, mn, _, _) =>
-          new String(mn, "UTF-8").takeWhile(_ != '/') }.toSet
+      val existing = everPersisted(cells.sparkSession, table)
       require(!existing.contains(wave),
         s"SketchStore: wave '$wave' already persisted in $table — " +
         "appending it again would double-count sum-merged cells. Use a " +
@@ -89,19 +126,83 @@ object SketchStore {
       .option("api_version", "V1").mode(mode).save()
   }
 
-  /** Read EVERY persisted wave and fold cells across waves with
-    * `merge` (max / bit_or / sum — the sketch's own law). Output
-    * (g, slot, v): the shape [[writeWave]] took, feeding the estimate
-    * stages unchanged. One kvbin scan of |waves|·|G|·m cell rows — the
-    * corpus itself is never touched. */
-  def readMerged(s: SparkSession, table: String,
-                 merge: Column => Column): DataFrame =
+  /** Persisted cells as (wave, g, slot, v), registry rows excluded —
+    * the shared parse of [[readMerged]] and [[compactWaves]]. */
+  private def cellsOf(s: SparkSession, table: String): DataFrame =
     s.read.format(fmt).option("path", table).load()
       .select(split(decode(col("key"), "UTF-8"), "/").as("parts"),
         col("cell"))
-      .select(element_at(col("parts"), 2).as("g"),
+      .select(element_at(col("parts"), 1).as("wave"),
+        element_at(col("parts"), 2).as("g"),
         element_at(col("parts"), 3).cast("long").as("slot"),
         col("cell").as("v"))
+      .filter(col("wave") =!= WavesRegistry)
+
+  /** Read EVERY persisted wave and fold cells across waves with
+    * `merge` (max / bit_or / sum — the sketch's own law). Output
+    * (g, slot, v): the shape [[writeWave]] took, feeding the estimate
+    * stages unchanged. One kvbin scan of the persisted cell rows — the
+    * corpus itself is never touched. */
+  def readMerged(s: SparkSession, table: String,
+                 merge: Column => Column): DataFrame =
+    cellsOf(s, table)
       .groupBy(col("g"), col("slot"))
       .agg(merge(col("v")).as("v"))
+
+  /** Fold every wave with id ≤ `throughWave` (string order — date-shaped
+    * ids sort correctly) into ONE baseline wave `into`, merging cells
+    * with the sketch's own law; waves above the cut carry over
+    * unchanged. Because the law is a commutative monoid over (g, slot)
+    * cells, fold(all) = fold(fold(≤cut), rest) — every [[readMerged]]
+    * estimate is EXACTLY unchanged (spec-proved for max / bit_or /
+    * sum), so a nightly monitor can compact a year of waves into one
+    * baseline and keep appending.
+    *
+    * Folded wave ids remain REFUSABLE forever: the rewrite records
+    * every id it has ever seen in the `!waves` registry (0 = folded,
+    * 1 = live), and [[writeWave]]'s double-count check reads the
+    * registry alongside the index. The rewrite commits as ONE
+    * preserve_meta kvbin generation — table_id and stats survive,
+    * `#compacted_through` is stamped, so a streaming tail of the
+    * sketch table adopts the rewrite when drained and refuses when
+    * not, exactly like any other kvbin compaction. */
+  def compactWaves(s: SparkSession, table: String, throughWave: String,
+                   merge: Column => Column, into: String): Unit = {
+    require(!into.contains("/") && into.nonEmpty && !into.startsWith("!"),
+      s"baseline wave id must be non-empty, '/'-free and not start " +
+      s"with '!', got '$into'")
+    val ever = everPersisted(s, table)
+    require(!ever.contains(into),
+      s"SketchStore: baseline wave id '$into' was already persisted in " +
+      s"$table — pick a fresh id (waves present: ${ever.toSeq.sorted.mkString(", ")})")
+    val cells = cellsOf(s, table)
+    // the wave census is bounded by |waves| (driver-side, like the
+    // append check) — the CELLS never leave executors
+    val waves = cells.select(col("wave")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val folded = waves.filter(_ <= throughWave)
+    if (folded.isEmpty) return // nothing below the cut: a no-op
+    val baseline = cells.filter(col("wave") <= lit(throughWave))
+      .groupBy(col("g"), col("slot")).agg(merge(col("v")).as("v"))
+      .select(lit(into).as("wave"), col("g"), col("slot"), col("v"))
+    val kept = cells.filter(col("wave") > lit(throughWave))
+    // registry: every id ever seen — previously-registered ones (their
+    // data may already be gone), the ids folded now (0), the kept and
+    // baseline ids (1)
+    import s.implicits._
+    val live = (waves.filter(_ > throughWave) :+ into).toSet
+    val registry = (ever ++ waves + into).toSeq.sorted
+      .map(w => (WavesRegistry, w, 0L, if (live(w)) 1L else 0L))
+      .toDF("wave", "g", "slot", "v")
+    val rows = registry.unionByName(baseline).unionByName(kept)
+      .select(
+        encode(concat(col("wave"), lit("/"), col("g"), lit("/"),
+          format_string("%012d", col("slot"))), "UTF-8").as("key"),
+        unhex(lpad(hex(col("v")), 16, "0")).as("value"),
+        col("v").cast("long").as("cell"))
+    rows.write.format(fmt).option("path", table)
+      .option("stats", "cell:v_be64@0").option("ranges", "4")
+      .option("preserve_meta", "true")
+      .mode("overwrite").save()
+  }
 }

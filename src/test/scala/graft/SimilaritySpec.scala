@@ -659,6 +659,77 @@ class SimilaritySpec extends SparkTestBase {
     assert(restricted === viaAnn)
   }
 
+  test("srpBandsFor: occupancy bound held at every size any width can meet; minimal width = most bands") {
+    // explicit pins across the knee points (k = 64, occupancy 16):
+    // 2^8 = 256 covers n ≤ 4096, then r = 16 to n ≤ 2^20, then r = 32
+    assert(Similarity.srpBandsFor(64, 500L) === 8)
+    assert(Similarity.srpBandsFor(64, 2000L) === 8)
+    assert(Similarity.srpBandsFor(64, 4096L) === 8)  // boundary: 2^8 == 4096/16
+    assert(Similarity.srpBandsFor(64, 4097L) === 4)  // knee: width deepens to 16
+    assert(Similarity.srpBandsFor(64, 20000L) === 4)
+    assert(Similarity.srpBandsFor(64, 1L << 20) === 4) // 2^16 == 2^20/16
+    assert(Similarity.srpBandsFor(64, (1L << 20) + 1) === 2) // r = 32
+    assert(Similarity.srpBandsFor(64, Long.MaxValue) === 2)  // widest fallback
+    // the analytic occupancy bound n / 2^r ≤ occ holds whenever ANY
+    // admissible width can meet it (beyond that the k budget binds and
+    // the chooser returns the widest width)
+    for (e <- 0 to 40) {
+      val n = 1L << e
+      val r = 64 / Similarity.srpBandsFor(64, n)
+      if (math.pow(2.0, 32) >= n / 16.0)
+        assert(n.toDouble / math.pow(2.0, r) <= 16.0, s"n=$n r=$r")
+      // minimality: the next-narrower divisor width would violate the
+      // bound — the chooser never gives up recall it doesn't have to
+      val narrower = (1 until r).filter(64 % _ == 0).lastOption
+      narrower.foreach { rn =>
+        assert(math.pow(2.0, rn) < n / 16.0, s"n=$n r=$r narrower=$rn admissible")
+      }
+    }
+  }
+
+  test("auto-banded bitext: candidates are a subset of the fixed-width set and shrink past the knee; gated SFs unchanged") {
+    // at the gated corpus sizes (≤ 4096) the chooser reproduces the
+    // fixed 8-band default — the oracle results are knee-invariant
+    val e = emb
+    val auto = Similarity.bitextPairsSrpAuto(e)
+      .as[(Long, Long, Long)].collect().toSet
+    val fixed = Similarity.bitextPairsSrp(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto === fixed, "below the knee the chooser must be the default banding")
+    // past the knee (n > 4096) the chooser picks r = 16: every r=16
+    // band is the concatenation of two adjacent r=8 bands, so a
+    // collision requires BOTH halves to collide — the deeper candidate
+    // set is a STRICT subset of the fixed-width one on any corpus with
+    // partial collisions, and per-row volume drops instead of filling
+    val big = (0 until 5000).map { i =>
+      (i.toLong, Seq.tabulate(8) { d =>
+        (((i * 1103515245L + d * 12345L) % 1000L) / 500.0 - 1.0).toFloat })
+    }.toDF("id", "vec")
+    val deepCand = Similarity.bitextPairsSrpAuto(big)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
+    val fixedCand = Similarity.bitextPairsSrp(big)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
+    assert(deepCand.subsetOf(fixedCand),
+      "an r=16 collision implies both constituent r=8 collisions")
+    assert(deepCand.size < fixedCand.size,
+      s"deeper bands must shrink candidates: ${deepCand.size} vs ${fixedCand.size}")
+  }
+
+  test("bitextSrpRecall: hits are exactly the brute-top pairs surviving as SRP candidates") {
+    val e = emb.filter($"id" < 200)
+    val row = Similarity.bitextSrpRecall(e).head()
+    val brute = Similarity.marginMining(Similarity.bitextPairs(e), 4)
+      .orderBy($"margin_q".desc, $"qa", $"qb").limit(50)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
+    val cand = Similarity.bitextPairsSrpAuto(e).select($"qa", $"qb")
+      .as[(Long, Long)].collect().toSet
+    assert(row.getLong(0) === brute.size.toLong)
+    assert(row.getLong(1) === cand.size.toLong)
+    assert(row.getLong(2) === (brute & cand).size.toLong)
+    assert(row.getLong(3) ===
+      (brute & cand).size.toLong * 10000L / brute.size.toLong)
+  }
+
   test("persisted IVF codebook roundtrips BIT-exactly: search results identical") {
     import graft.operators.SketchStore
     val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")

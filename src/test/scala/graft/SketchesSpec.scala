@@ -542,6 +542,69 @@ class SketchesSpec extends SparkTestBase {
     assert(chain(e).exists(_.contains("'/'-free")), chain(e).mkString(" | "))
   }
 
+  test("SketchStore.compactWaves: estimates EXACTLY unchanged under all three laws; folded ids stay refusable; appends continue") {
+    import graft.operators.SketchStore
+    def wave(seed: Int): org.apache.spark.sql.DataFrame =
+      (0 until 40).map { i =>
+        (s"g${i % 3}", (i % 7).toLong,
+          math.abs((i * 2654435761L + seed * 97L) % 100000L))
+      }.toDF("g", "slot", "v")
+    val laws: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      Seq(("max", c => max(c)), ("bit_or", c => bit_or(c)), ("sum", c => sum(c)))
+    for ((name, law) <- laws) {
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft-cw-$name-t").toString
+      Seq("w1" -> "overwrite", "w2" -> "append", "w3" -> "append",
+        "w4" -> "append").zipWithIndex.foreach { case ((w, mode), i) =>
+        SketchStore.writeWave(wave(i + 1), tbl, w, mode)
+      }
+      val before = SketchStore.readMerged(spark, tbl, law)
+        .as[(String, Long, Long)].collect().toSet
+      // fold w1+w2 into a baseline: monoid ⇒ the merged view is EXACTLY
+      // the pre-compaction one, for every law
+      SketchStore.compactWaves(spark, tbl, "w2", law, "base")
+      val after = SketchStore.readMerged(spark, tbl, law)
+        .as[(String, Long, Long)].collect().toSet
+      assert(after === before, s"law $name: estimates moved under compaction")
+      // folded, kept and baseline ids all refuse a re-append forever
+      for (dup <- Seq("w1", "w2", "w3", "base")) {
+        val e = intercept[IllegalArgumentException] {
+          SketchStore.writeWave(wave(9), tbl, dup, "append")
+        }
+        assert(e.getMessage.contains("already persisted"), s"$name/$dup")
+      }
+      // the monitor keeps going: a fresh wave appends and folds in
+      SketchStore.writeWave(wave(5), tbl, "w9", "append")
+      val withNew = SketchStore.readMerged(spark, tbl, law)
+        .as[(String, Long, Long)].collect().toSet
+      if (name == "sum") // max/or may coincide; additive counts must move
+        assert(withNew !== before, "sum law must see the new wave")
+      // a SECOND compaction folds baseline + everything else; estimates
+      // still identical, every historical id still refusable
+      SketchStore.compactWaves(spark, tbl, "w9", law, "base2")
+      val after2 = SketchStore.readMerged(spark, tbl, law)
+        .as[(String, Long, Long)].collect().toSet
+      assert(after2 === withNew, s"law $name: second compaction moved estimates")
+      for (dup <- Seq("w1", "w4", "w9", "base")) {
+        val e = intercept[IllegalArgumentException] {
+          SketchStore.writeWave(wave(9), tbl, dup, "append")
+        }
+        assert(e.getMessage.contains("already persisted"), s"$name/$dup round 2")
+      }
+      // a cut below every wave is a clean no-op
+      SketchStore.compactWaves(spark, tbl, "0", law, "zz")
+      assert(SketchStore.readMerged(spark, tbl, law)
+        .as[(String, Long, Long)].collect().toSet === after2)
+    }
+    // the '!' namespace is reserved for the registry
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.writeWave(wave(1),
+        java.nio.file.Files.createTempDirectory("graft-cw-r-t").toString,
+        "!waves", "overwrite")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("SketchStore: an EMPTY wave is a no-op generation, not a failure") {
     // the nightly-run reality: a wave with no new data must commit
     // cleanly (empty generation) and leave the merged state unchanged —
