@@ -907,6 +907,15 @@ object SparkEntry {
     "q_blocklist_phrases" -> ((s, dir) =>
       TextAnalysis.blocklistPhraseStats(docs(s, dir), "text", "doc_id",
         blocklistPhrases).orderBy(col("p"))),
+    // the million-phrase ESCAPE as its own gated entry: the phrase list
+    // arrives as a TABLE and the anchor join carries NO broadcast hint
+    // (plan-pinned) — Catalyst sizes it from stats, so a list too big
+    // for the driver shuffles instead of being forced through it. Same
+    // verified-match chain, same oracle as q_blocklist
+    "q_blocklist_table" -> ((s, dir) =>
+      TextAnalysis.blocklistHitsTable(docs(s, dir), "text", "doc_id",
+        s.createDataset(blocklistPhrases)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("p")).orderBy(col("doc_id"))),
     // dedicated math-function gate (the §2b row previously only "rode"
     // other queries): exact integer ops summed as BIGINT, and the one
     // genuinely floating function (ln) 9-dp-rounded per row then
@@ -1964,6 +1973,29 @@ object SparkEntry {
         .select(col("g").as("lang"), col("n_buckets_used"),
           col("sum_rho"), col("est_ndv"), col("exact_ndv"))
         .orderBy(col("lang"))
+    }),
+    // the QUANTILE-register member of the persistence family: the
+    // slot-sample sketch's (hv, v) pair registers ride the long-cell
+    // store as two IEEE-bit planes per slot, waves over even/odd user
+    // halves, and the cross-wave merge re-runs the sketch's own
+    // min-by-(hv, v) fold — so the merged registers are EXACTLY the
+    // one-shot build and the oracle is the plain q_kll_quantile replay
+    "q_kll_persist" -> ((s, dir) => {
+      val ev = Events.read(s, dir)
+      val tbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kllp-")
+      Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+        Sketches.slotSampleCellsPersist(
+          Sketches.slotSampleCells(
+            ev.filter(pmod(col("user_id"), lit(2)) === i)
+              .select(col("event_type").as("g"),
+                col("value").cast("double").as("v"),
+                col("event_id").cast("string").as("id")), 1024),
+          tbl, s"wave$i", mode)
+      }
+      Sketches.slotSampleQuantilesFromCells(
+          Sketches.slotSampleCellsFromStore(s, tbl), Seq(500, 950))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"), col("q_permille"))
     }),
     // the exact-bitmap twin of q_sketch_persist: block words persist
     // per wave (even/odd user halves), OR-merge on re-read, popcount
@@ -5094,6 +5126,12 @@ object SparkEntry {
       """
         |SELECT ph.p, count(DISTINCT m.doc_id) AS n_docs, count(m.p) AS n_hits
         |FROM ph LEFT JOIN m ON ph.p = m.p GROUP BY ph.p ORDER BY ph.p""".stripMargin),
+    // the table-fed route must be INVISIBLE to results: identical plain
+    // replay as q_blocklist — only the plan (no broadcast hint) differs
+    "q_blocklist_table" -> (blocklistMatchCte +
+      """
+        |SELECT doc_id, count(*) AS n_hits, count(DISTINCT p) AS n_phrases
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q_lang_id" ->
       s"""WITH h AS (SELECT lang,
         |  $langHits
@@ -6501,6 +6539,10 @@ object SparkEntry {
     // per-slot minimum (hash, value) row, sample order statistic at the
     // positive-operand ceil rank
     "q_kll_quantile" -> slotSampleOracleSql(""),
+    // persisted-and-merged quantile registers ARE the one-shot build
+    // (min-fold identity through the bit-plane roundtrip) — the oracle
+    // is the identical plain replay
+    "q_kll_persist" -> slotSampleOracleSql(""),
     // the streaming register merge must fold to the identical sample:
     // the batch SQL over the fed slice
     "q_stream_kll_quantile" -> slotSampleOracleSql("WHERE user_id < 50"),

@@ -127,7 +127,15 @@ object SketchStore {
   }
 
   /** Persisted cells as (wave, g, slot, v), registry rows excluded —
-    * the shared parse of [[readMerged]] and [[compactWaves]]. */
+    * the raw per-wave stream behind [[readMerged]] and [[compactWaves]],
+    * public for sketches whose cross-wave merge is NOT a scalar
+    * per-cell monoid (the slot-sample quantile registers fold by
+    * min-over-a-(hash, value) PAIR: such a sketch reads its waves'
+    * cells here, reassembles its composite registers per wave, and
+    * applies its own law — the store stays a generic long-cell log,
+    * composite laws live with their sketch). */
+  def readCells(s: SparkSession, table: String): DataFrame = cellsOf(s, table)
+
   private def cellsOf(s: SparkSession, table: String): DataFrame =
     s.read.format(fmt).option("path", table).load()
       .select(split(decode(col("key"), "UTF-8"), "/").as("parts"),

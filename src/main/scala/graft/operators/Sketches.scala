@@ -761,6 +761,48 @@ object Sketches {
       .select(col("g"), col("slot"), col("mn.hv").as("hv"), col("mn.v").as("v"))
   }
 
+  /** Persist one wave of slot-sample quantile REGISTERS through
+    * [[SketchStore]] — the fourth persisted family. A register's value
+    * is a PAIR (hv, v) ordered lexicographically, which no scalar
+    * per-cell monoid can merge, so each register writes TWO cell
+    * planes — slot·2 carries hv, slot·2+1 the IEEE-754 bits of v (the
+    * codegen'd [[graft.functions.DoubleBits]] bijection — bit-exact,
+    * no decimal roundtrip) — and the cross-wave merge reassembles
+    * pairs per wave and re-runs the sketch's OWN min-by-(hv, v) fold
+    * ([[slotSampleCellsFromStore]]), exactly how shard merges already
+    * work. Wave ids, double-count refusal, atomic generations and
+    * [[SketchStore.compactWaves]]-style lifetimes all ride the store
+    * unchanged. */
+  def slotSampleCellsPersist(cells: DataFrame, table: String, wave: String,
+                             mode: String): Unit =
+    SketchStore.writeWave(
+      cells.select(col("g"), (col("slot") * 2).as("slot"),
+          col("hv").as("v"))
+        .unionByName(cells.select(col("g"), (col("slot") * 2 + 1).as("slot"),
+          graft.functions.DoubleBits.doubleBits(col("v")).as("v"))),
+      table, wave, mode)
+
+  /** Re-read EVERY persisted wave of quantile registers and fold them
+    * with the sketch's own law: per (wave, g, slot) the two planes
+    * reassemble to (hv, v), then min(struct(hv, v)) across waves — the
+    * identical shard-merge fold, so the merged register table is
+    * EXACTLY the one-shot [[slotSampleCells]] over the waves' union
+    * (the persistence identity the gated entry proves). Output feeds
+    * [[slotSampleQuantilesFromCells]] unchanged. */
+  def slotSampleCellsFromStore(s: org.apache.spark.sql.SparkSession,
+                               table: String): DataFrame =
+    SketchStore.readCells(s, table)
+      .select(col("wave"), col("g"), expr("slot DIV 2").as("slot"),
+        (col("slot") % 2).as("plane"), col("v"))
+      .groupBy(col("wave"), col("g"), col("slot"))
+      .agg(max(when(col("plane") === 0, col("v"))).as("hv"),
+        max(when(col("plane") === 1, col("v"))).as("vbits"))
+      .select(col("g"), col("slot"), col("hv"),
+        graft.functions.DoubleBits.bitsDouble(col("vbits")).as("v"))
+      .groupBy(col("g"), col("slot"))
+      .agg(min(struct(col("hv"), col("v"))).as("mn"))
+      .select(col("g"), col("slot"), col("mn.hv").as("hv"), col("mn.v").as("v"))
+
   /** The estimate stage over an explicit register table (g, slot, hv,
     * v): per group the occupied-slot count m and, per requested
     * permille point (one broadcast q-table pass, the

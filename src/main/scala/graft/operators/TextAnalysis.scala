@@ -1235,7 +1235,37 @@ object TextAnalysis {
     val ph0 = phrases.map { p =>
       val ws = p.split(" "); (ws.head, p, ws.length)
     }.toDF("w0", "p", "l")
-    val ph = if (broadcastPhrases) broadcast(ph0) else ph0
+    blocklistMatchCore(docs, textCol, idCol,
+      if (broadcastPhrases) broadcast(ph0) else ph0)
+  }
+
+  /** The million-phrase route as a first-class TABLE operator: phrases
+    * arrive as a DataFrame (column `p`) — never through the driver —
+    * and the identical anchor-and-verify chain runs with NO broadcast
+    * hint, so Catalyst sizes the anchor join from statistics (a small
+    * list still broadcasts on its own merits; a million-phrase table
+    * shuffles, bucket both sides on the first word for co-location —
+    * which is the point of the escape). Duplicates fold in-plan
+    * (DISTINCT) — the driver never sees the list, so the Seq variant's
+    * distinctness require is replaced by construction. Output =
+    * [[blocklistHits]]'s (doc_id, n_hits, n_phrases). */
+  def blocklistHitsTable(docs: DataFrame, textCol: String, idCol: String,
+                         phrases: DataFrame): DataFrame = {
+    val ph0 = phrases.select(col("p").cast("string").as("p")).distinct()
+      .select(element_at(split(col("p"), " "), 1).as("w0"), col("p"),
+        size(split(col("p"), " ")).as("l"))
+    blocklistMatchCore(docs, textCol, idCol, ph0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("p")).as("n_phrases"))
+  }
+
+  /** The anchor-and-verify chain itself, phrase frame (w0, p, l)
+    * supplied by the caller — [[verifiedBlocklistMatches]] passes the
+    * broadcast-hinted driver list, [[blocklistHitsTable]] the unhinted
+    * table. ONE implementation so the routes cannot diverge. */
+  private def blocklistMatchCore(docs: DataFrame, textCol: String,
+                                 idCol: String, ph: DataFrame): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ws"))
     val anchors = base

@@ -181,6 +181,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_blocklist_table: the table-fed phrase route carries NO broadcast hint on the anchor join") {
+    // the million-phrase escape as a gated entry: the Seq route FORCES
+    // broadcast (a driver list is small by construction), the table
+    // route leaves the decision to Catalyst's stats — the analyzed plan
+    // carries hints verbatim, so hint-freedom is directly assertable.
+    // (The optimizer may still CHOOSE broadcast for this small fixture
+    // list — correct; a million-phrase table would exceed the threshold
+    // and shuffle, which is the escape's point.)
+    val hinted = SparkEntry.queries("q_blocklist")(spark, sfSmoke)
+      .queryExecution.analyzed.toString
+    val table = SparkEntry.queries("q_blocklist_table")(spark, sfSmoke)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"), hinted)
+    assert(!table.contains("ResolvedHint"), table)
+    // and the shared core keeps the scale discipline either way: the
+    // per-doc anchor fold + HOF verify, never a cartesian
+    val p = plan("q_blocklist_table")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("filter(anch"), s"HOF window verify missing:\n$p")
+  }
+
   test("blocklist verify join ships one doc copy per doc: anchors fold to an array before the re-join") {
     val p = plan("q_blocklist")
     // the per-doc anchor fold (collect_list keyed by doc_id) must sit

@@ -542,6 +542,43 @@ class SketchesSpec extends SparkTestBase {
     assert(chain(e).exists(_.contains("'/'-free")), chain(e).mkString(" | "))
   }
 
+  test("quantile registers persist as bit planes: merged store IS the one-shot register table, doubles bit-exact") {
+    import graft.operators.{Sketches, SketchStore}
+    // values deliberately hostile to any decimal roundtrip: negatives,
+    // -0.0, subnormals, 1/3 — the IEEE bit planes must carry them all
+    val rows = (0 until 400).map { i =>
+      val v = i % 5 match {
+        case 0 => -123.456e-7 * (i + 1)
+        case 1 => if (i == 1) -0.0 else java.lang.Double.MIN_VALUE * (i + 1)
+        case 2 => 1.0 / 3.0 * i
+        case 3 => -1.0 * i
+        case _ => i * 1e12
+      }
+      (s"g${i % 3}", v, s"id$i")
+    }.toDF("g", "v", "id")
+    val oneShot = Sketches.slotSampleCells(rows, 64)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val tbl = java.nio.file.Files.createTempDirectory("graft-kllp-t").toString
+    Seq(0 -> "overwrite", 1 -> "append").foreach { case (i, mode) =>
+      Sketches.slotSampleCellsPersist(
+        Sketches.slotSampleCells(rows.filter(crc32(col("id")) % 2 === i), 64),
+        tbl, s"w$i", mode)
+    }
+    val merged = Sketches.slotSampleCellsFromStore(spark, tbl)
+      .as[(String, Long, Long, Double)].collect().toSet
+    // EXACT equality: same registers, same hashes, bit-identical doubles
+    assert(merged === oneShot,
+      "persisted-and-merged registers differ from the one-shot build")
+    // and the estimate stage sees no difference either
+    val estA = Sketches.slotSampleQuantilesFromCells(
+        Sketches.slotSampleCellsFromStore(spark, tbl), Seq(250, 500, 950))
+      .orderBy("g", "q_permille").collect().toSeq
+    val estB = Sketches.slotSampleQuantilesFromCells(
+        Sketches.slotSampleCells(rows, 64), Seq(250, 500, 950))
+      .orderBy("g", "q_permille").collect().toSeq
+    assert(estA === estB)
+  }
+
   test("SketchStore.compactWaves: estimates EXACTLY unchanged under all three laws; folded ids stay refusable; appends continue") {
     import graft.operators.SketchStore
     def wave(seed: Int): org.apache.spark.sql.DataFrame =
