@@ -286,16 +286,39 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
   private var routing: Map[String, Int] = Map.empty
 
   /** Cluster meta must be CONSISTENT across stores — a fleet where the
-    * stores disagree on `api_version` is a mis-wired deployment, caught
-    * here at planning time rather than as silent mixed-format rows
-    * (the per-cluster gate of `utils/utils.go:13-26`, applied per store). */
+    * stores disagree on `api_version` or `table_id` is a mis-wired
+    * deployment, caught here at planning time rather than as silent
+    * mixed-format rows (the per-cluster gate of `utils/utils.go:13-26`,
+    * applied per store). The GENERATION bookkeeping, by contrast, may
+    * legitimately STRADDLE a commit (each store refreshes its index
+    * cache on its own next request), and it is monotonic — `generation`
+    * and `compacted_through` only grow, `gen.*` keys only accrue — so
+    * the fleet answer is the keywise freshest view: numeric max for the
+    * counters, union for the per-generation file lists. A straddled
+    * COMPACTION (which rewrites a gen.* value rather than adding one)
+    * can leave one store's stale file list in the union; the streaming
+    * planner's due-set and compacted_through checks turn that into a
+    * loud refusal, never a silent wrong batch. */
   override def clusterMeta(): Map[String, String] = {
     val metas = clients.map(_.clusterMeta())
     val versions = metas.map(_.get("api_version")).distinct
     if (versions.size > 1)
       throw new IllegalStateException(
         s"endpoints disagree on api_version: ${addresses.zip(metas.map(_.get("api_version"))).mkString(", ")}")
-    metas.head
+    val tids = metas.flatMap(_.get("table_id")).distinct
+    if (tids.size > 1)
+      throw new IllegalStateException(
+        s"endpoints disagree on table_id: ${addresses.zip(metas.map(_.get("table_id"))).mkString(", ")}")
+    val merged = scala.collection.mutable.Map.empty[String, String]
+    metas.foreach(_.foreach { case (k, v) =>
+      merged.get(k) match {
+        case Some(old) if k == "generation" || k == "compacted_through" =>
+          if (v.toLong > old.toLong) merged(k) = v
+        case Some(_) => // identical across stores (or stale-straddle: see doc)
+        case None => merged(k) = v
+      }
+    })
+    merged.toMap
   }
 
   override def listRegions(): Seq[RegionInfo] = {

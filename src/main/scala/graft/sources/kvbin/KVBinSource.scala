@@ -623,8 +623,16 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
   override def planInputPartitions(startO: Offset, endO: Offset)
       : Array[InputPartition] = {
     val client = connect()
-    val meta = client.clusterMeta()
+    // regions BEFORE meta: over a socket the two reads are separate
+    // wire calls, and an append landing between them must not make the
+    // epoch path see a region the meta snapshot cannot explain. With
+    // this order the meta snapshot is ≥ the region snapshot, and since
+    // generation bookkeeping only accrues, every listed region has a
+    // gen.* entry; a region committed after BOTH reads has a birth
+    // generation > endO.gen and waits its turn. (The file client reads
+    // both from one cached index snapshot — order is irrelevant there.)
     val regions = client.listRegions()
+    val meta = client.clusterMeta()
     val due: Seq[RegionInfo] = (startO, endO) match {
       case (s: KVBinGenOffset, e: KVBinGenOffset) =>
         val tid = meta.getOrElse("table_id",

@@ -93,7 +93,8 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
       Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
       Option(info.options.get("api_version")),
       Option(info.options.get("preserve_meta")).exists(_.toBoolean),
-      info.queryId(), stats)
+      info.queryId(), stats,
+      Option(info.options.get("defer_sweep")).exists(_.toBoolean))
   }
 }
 
@@ -108,7 +109,8 @@ object KVBinWrite {
 
 class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
                  apiVersion: Option[String], preserveMeta: Boolean,
-                 queryId: String, stats: Seq[(String, String)] = Nil)
+                 queryId: String, stats: Seq[(String, String)] = Nil,
+                 deferSweep: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   // ordered distribution on key → Spark range-partitions the write, so
@@ -122,7 +124,8 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
 
   override def toBatch: BatchWrite =
-    new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId, stats)
+    new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId,
+      stats, deferSweep)
 }
 
 case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
@@ -131,7 +134,8 @@ case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
 
 class KVBinBatchWrite(dir: String, truncate: Boolean,
                       apiVersion: Option[String], preserveMeta: Boolean,
-                      queryId: String, stats: Seq[(String, String)] = Nil)
+                      queryId: String, stats: Seq[(String, String)] = Nil,
+                      deferSweep: Boolean = false)
     extends BatchWrite {
 
   // the session hadoop conf is resolved on the DRIVER at job start and
@@ -285,11 +289,21 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     // the streaming tail polling latestOffset — must see the previous
     // or the new index whole, never a truncated in-place rewrite
     KVBin.writeIndexAtomic(dir, conf.value, lines.mkString("\n"))
-    val live = merged.map(_._1).toSet + KVBin.IndexFile
-    fs.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => KVBinDataWriter.RegionFile.matches(p.getName))
-      .filterNot(p => live.contains(p.getName))
-      .foreach(p => fs.delete(p, false))
+    // defer_sweep leaves the now-unreferenced files on disk for one
+    // commit cycle: a reader (or a streaming micro-batch) PLANNED on
+    // the previous index finishes against files that still exist, and
+    // the NEXT commit's sweep reclaims them as orphans (they match the
+    // naming pattern and no index references them — the exact orphan
+    // contract the crash-recovery spec pins). This is the grace window
+    // a compaction under a RUNNING tail wants; the default immediate
+    // sweep stays right for batch rewrites with no concurrent readers.
+    if (!deferSweep) {
+      val live = merged.map(_._1).toSet + KVBin.IndexFile
+      fs.listStatus(new Path(dir)).map(_.getPath)
+        .filter(p => KVBinDataWriter.RegionFile.matches(p.getName))
+        .filterNot(p => live.contains(p.getName))
+        .foreach(p => fs.delete(p, false))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -422,8 +436,12 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
   * the checksum triple). Single-concurrent-writer contract applies
   * (see [[KVBinWriteBuilder]]). */
 object KVBinCompact {
+  /** `deferSweep = true` is the RUNNING-TAIL mode: the old generation's
+    * files survive this commit (planned readers finish; the next
+    * commit's orphan sweep reclaims them), closing the
+    * plan-then-files-vanish window the adoption contract documents. */
   def compact(s: org.apache.spark.sql.SparkSession, path: String,
-              targetRegions: Int): Unit = {
+              targetRegions: Int, deferSweep: Boolean = false): Unit = {
     require(targetRegions >= 1, "targetRegions must be positive")
     val conf = s.sessionState.newHadoopConf()
     val api = KVBin.readMeta(path, conf).getOrElse("api_version", "V1")
@@ -442,6 +460,7 @@ object KVBinCompact {
       .option("path", path)
       .option("api_version", api)
       .option("preserve_meta", "true")
+      .option("defer_sweep", deferSweep.toString)
       .option("ranges", targetRegions.toString)
       .mode("overwrite").save()
   }

@@ -1149,6 +1149,37 @@ class KVBinSpec extends SparkTestBase {
     assert(e3.getMessage.contains("generation-stamped"), e3.getMessage)
   }
 
+  test("defer_sweep compaction: old generation survives one commit for in-flight readers, invisible to planning, reclaimed next commit") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-ds-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    def kvFiles(): Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".kv")).toSet
+    parquetSrc.limit(40).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "4").mode("overwrite").save()
+    val oldGen = kvFiles()
+    assert(oldGen.size === 4)
+    // a running tail's micro-batch may be EXECUTING against the old
+    // generation when the compaction commits: defer_sweep leaves those
+    // files readable through this commit instead of failing the tasks
+    graft.sources.kvbin.KVBinCompact.compact(spark, dir,
+      targetRegions = 1, deferSweep = true)
+    val afterCompact = kvFiles()
+    assert(oldGen.subsetOf(afterCompact),
+      "deferred sweep must leave the old generation on disk")
+    // ...but planning reads ONLY the new index: no double rows
+    assert(KVBin.readIndex(dir, conf).size === 1)
+    assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 40L)
+    // the NEXT commit reclaims the old generation as orphans (the same
+    // sweep contract the crash-recovery spec pins)
+    parquetSrc.limit(5).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save()
+    val afterNext = kvFiles()
+    assert(oldGen.forall(f => !afterNext.contains(f)),
+      s"orphaned old generation survived the next commit: ${afterNext & oldGen}")
+    assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 45L)
+  }
+
   /** Rewrite `dir/_index` without the generation bookkeeping — the
     * shape every table written BEFORE the `#generation=` stamp landed
     * has on disk; lets the legacy name-set offset path stay testable. */

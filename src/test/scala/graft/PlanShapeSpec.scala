@@ -680,6 +680,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), p)
   }
 
+  test("q_kll_persist: the quantile estimate prices from persisted bit-plane cells alone — no corpus re-scan") {
+    val p = plan("q_kll_persist")
+    // the waves scanned events while WRITING; the returned estimate
+    // plan must reassemble registers from the kvbin cell table only —
+    // a parquet FileScan here means the persistence didn't carry the
+    // (hv, v) pairs and the sketch re-derived them from the corpus
+    assert(!p.contains("FileScan parquet"), s"corpus re-scan in the persisted path:\n$p")
+    assert(p.contains("BatchScan"), p)
+    // the per-wave plane pivot and the cross-wave pair-min are real
+    // partial+final aggregates over cells, never a collect
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_stream_kvbin_verdict: the final verdict joins bucket digests — no cartesian, dst via kvbin scan") {
     val p = plan("q_stream_kvbin_verdict")
     assert(!p.contains("CartesianProduct") &&
