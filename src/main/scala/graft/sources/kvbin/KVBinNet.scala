@@ -25,7 +25,13 @@ import org.apache.hadoop.conf.Configuration
   *             | "CHECKSUM <regionId>"
   *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8
   *   REGIONS  -> int32 n, then n × ([idlen][id][mlen][minKey]
-  *               [xlen][maxKey][nKeys:int64][bytes:int64])
+  *               [xlen][maxKey][nKeys:int64][bytes:int64]
+  *               [nstats:int32, then nstats × (lo:int64, hi:int64)])
+  *               — the stamped per-region stat min/max ride the reply
+  *               (PD ships approximate stats the same way), so a
+  *               wire-planned scan and a socket/fleet TAIL stat-prune
+  *               regions exactly like the file-backed client; a
+  *               stats-less table sends nstats=0 and never skips
   *   SCAN     -> records [klen][key][vlen][value]…, terminated klen=-1
   *   CHECKSUM -> byte found(0|1); if found: int64 crc64_xor,
   *               int64 total_kvs, int64 total_bytes
@@ -83,9 +89,11 @@ class KVBinServer(dir: String, conf: Configuration,
   private val idxLock = new Object
   private var idxFp: (Long, Long) = null
   private var idxCache: (Map[String, String],
-    Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long]) = null
+    Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long],
+    Map[String, Seq[(Long, Long)]]) = null
   private def current(): (Map[String, String],
-      Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long]) =
+      Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long],
+      Map[String, Seq[(Long, Long)]]) =
     idxLock.synchronized {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
       val st = fs.getFileStatus(
@@ -97,7 +105,11 @@ class KVBinServer(dir: String, conf: Configuration,
         // the way PD ships approximate_size — one listStatus per commit
         val lens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
           .map(s0 => s0.getPath.getName -> s0.getLen).toMap
-        idxCache = (all._1, all._2.filter(r => owns(r._1)), lens)
+        // stamped per-region stat ranges ride the REGIONS reply too, so
+        // wire-planned scans and tails stat-prune like the file client
+        val ranges = if (all._1.contains("stats"))
+          KVBin.statRanges(dir, conf) else Map.empty[String, Seq[(Long, Long)]]
+        idxCache = (all._1, all._2.filter(r => owns(r._1)), lens, ranges)
         idxFp = fp
       }
       idxCache
@@ -105,6 +117,7 @@ class KVBinServer(dir: String, conf: Configuration,
   private def index = { val c = current(); (c._1, c._2) }
   private def ownedRegions = current()._2
   private def regionLens: Map[String, Long] = current()._3
+  private def regionRanges: Map[String, Seq[(Long, Long)]] = current()._4
 
   /** Served SCAN / CHECKSUM request counts (spec observables). */
   val scanRequests = new java.util.concurrent.atomic.AtomicLong
@@ -160,6 +173,9 @@ class KVBinServer(dir: String, conf: Configuration,
             writeBytes(out, mx)
             out.writeLong(n)
             out.writeLong(regionLens.getOrElse(id, -1L))
+            val st = regionRanges.getOrElse(id, Nil)
+            out.writeInt(st.size)
+            st.foreach { case (lo, hi) => out.writeLong(lo); out.writeLong(hi) }
           }
         case scan if scan != null && scan.startsWith("SCAN ") =>
           scanRequests.incrementAndGet()
@@ -234,8 +250,11 @@ class SocketRegionClient(address: String) extends RegionClient {
   override def listRegions(): Seq[RegionInfo] =
     dial("REGIONS") { in =>
       (0 until in.readInt()).map { _ =>
-        RegionInfo(new String(readBytes(in), "UTF-8"),
-          readBytes(in), readBytes(in), in.readLong(), in.readLong())
+        val id = new String(readBytes(in), "UTF-8")
+        val mn = readBytes(in); val mx = readBytes(in)
+        val n = in.readLong(); val bytes = in.readLong()
+        val stats = Seq.fill(in.readInt())((in.readLong(), in.readLong()))
+        RegionInfo(id, mn, mx, n, bytes, stats)
       }
     }
 

@@ -258,6 +258,33 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("stat ranges ride the REGIONS wire reply: a socket-planned scan stat-prunes before any SCAN") {
+    import graft.sources.kvbin.KVBinServer
+    val path = graft.operators.Layout.kvbinSkipTable(spark, sfSmoke)
+    val conf = spark.sessionState.newHadoopConf()
+    val server = new KVBinServer(path, conf)
+    try {
+      val total = KVBin.readIndex(path, conf).size
+      val pred = col("price_k").between(100L, 160L) && col("cust") < 200L
+      val wired = spark.read.format(kvbinFmt).option("path", path)
+        .option("endpoints", server.address).load()
+        .filter(pred).select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      val local = KVBin.read(spark, path)
+        .filter(pred).select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      assert(wired === local && wired.nonEmpty,
+        "wire-planned stat filter must return the file-backed rows")
+      // the point: per-region min/max arrived in the REGIONS reply, so
+      // planning pruned regions BEFORE dialing a single SCAN — the wire
+      // carries only surviving regions' bytes
+      assert(server.scanRequests.get() < total.toLong,
+        s"stat pruning did not reach the wire planner: " +
+        s"${server.scanRequests.get()} SCANs of $total regions")
+      assert(server.scanRequests.get() > 0L)
+    } finally server.close()
+  }
+
   test("CHECKSUM verb: server-side fold equals the scan-side digest with ZERO region bytes on the wire") {
     import graft.sources.kvbin.{KVBinChecksum, KVBinServer}
     val data = Seq.tabulate(600)(i => (f"ck_$i%04d".getBytes("UTF-8"),
@@ -1147,6 +1174,45 @@ class KVBinSpec extends SparkTestBase {
     graft.sources.kvbin.KVBinCompact.compact(spark, dir3, targetRegions = 1)
     val e3 = intercept[IllegalStateException](ltail3.latestOffset())
     assert(e3.getMessage.contains("generation-stamped"), e3.getMessage)
+  }
+
+  test("a RUNNING tail adopts a drained defer-sweep compaction and keeps consuming appends") {
+    // the long-lived-monitor shape end-to-end: drain the base
+    // generation LIVE, compact mid-stream (defer_sweep leaves the old
+    // files for any in-flight batch), keep polling across the rewrite
+    // (same epoch → empty batches, no watchdog kill), then an append
+    // arrives as the next micro-batch — exactly once, no re-emission
+    // of the rewritten rows
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-lc-").toString
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir).option("ranges", "3")
+        .mode(mode).save()
+    write(hi = false, "overwrite")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = spark.readStream.format(kvbinFmt).option("path", dir).load()
+      .select(col("key").cast("string").as("key"))
+      .writeStream.format("memory").queryName("kvbin_live_compact")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: the base generation
+      graft.sources.kvbin.KVBinCompact.compact(spark, dir,
+        targetRegions = 1, deferSweep = true)
+      q.processAllAvailable() // post-compaction poll: adopted, empty
+      assert(q.exception.isEmpty,
+        s"tail died on a drained compaction: ${q.exception}")
+      write(hi = true, "append")
+      q.processAllAvailable() // batch 2: the appended generation only
+      assert(q.exception.isEmpty, s"tail died on the post-compaction append: ${q.exception}")
+    } finally q.stop()
+    val got = spark.table("kvbin_live_compact")
+      .select("key").as[String].collect().sorted.toSeq
+    val expected = parquetSrc.select(col("key").cast("string"))
+      .as[String].collect().sorted.toSeq
+    assert(got === expected,
+      "live tail must emit base + appended rows exactly once across the compaction")
+    spark.catalog.dropTempView("kvbin_live_compact")
   }
 
   test("defer_sweep compaction: old generation survives one commit for in-flight readers, invisible to planning, reclaimed next commit") {
