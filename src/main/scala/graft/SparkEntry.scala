@@ -4583,8 +4583,9 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM brute) AS n_brute,
         |  (SELECT count(*) FROM cand) AS n_cand,
         |  (SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) AS n_hit,
-        |  CAST(((SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) * 10000)
-        |    // (SELECT count(*) FROM brute) AS BIGINT) AS recall_bp""".stripMargin,
+        |  CASE WHEN (SELECT count(*) FROM brute) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(((SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) * 10000)
+        |      // (SELECT count(*) FROM brute) AS BIGINT) END AS recall_bp""".stripMargin,
     // replays Similarity.vectorHealth: x−x ≠ 0 non-finite classification,
     // norms excluded for non-finite vectors, floor(x·1e6+0.5) micros
     "q_vector_health" ->

@@ -416,11 +416,15 @@ object Similarity {
     val cand = bitextPairsSrpAuto(corpus, kBits, targetOccupancy)
       .select(col("qa"), col("qb")) // already DISTINCT by construction
     brute.join(cand.withColumn("__in", lit(1L)), Seq("qa", "qb"), "left")
+      // a DEGENERATE slice (no brute pairs at all) must yield (0, n, 0,
+      // 0), not NULLs from a zero-row sum and a NULL DIV — and the
+      // oracle guards its division the same way, so the engines agree
       .agg(count(lit(1)).as("n_brute"),
-        sum(coalesce(col("__in"), lit(0L))).as("n_hit"))
+        coalesce(sum(coalesce(col("__in"), lit(0L))), lit(0L)).as("n_hit"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .select(col("n_brute"), col("n_cand"), col("n_hit"),
-        expr("n_hit * 10000 DIV n_brute").as("recall_bp"))
+        when(col("n_brute") === 0L, lit(0L))
+          .otherwise(expr("n_hit * 10000 DIV n_brute")).as("recall_bp"))
   }
 
   def bitextPairsSrp(corpus: DataFrame, k: Int = 64, bands: Int = 8): DataFrame =

@@ -211,6 +211,10 @@ object SketchStore {
     rows.write.format(fmt).option("path", table)
       .option("stats", "cell:v_be64@0").option("ranges", "4")
       .option("preserve_meta", "true")
+      // a tail's in-flight micro-batch may still be reading the old
+      // generation: leave its files for one commit (the next wave's
+      // append reclaims them as orphans) instead of failing those tasks
+      .option("defer_sweep", "true")
       .mode("overwrite").save()
   }
 }

@@ -774,13 +774,21 @@ object Sketches {
     * [[SketchStore.compactWaves]]-style lifetimes all ride the store
     * unchanged. */
   def slotSampleCellsPersist(cells: DataFrame, table: String, wave: String,
-                             mode: String): Unit =
+                             mode: String): Unit = {
+    // the sketch PRESERVES a NULL group ([[histCells]]' discipline) but
+    // the store's key grammar cannot carry one — encode: "n" = the null
+    // group, "s"+g = a real group (injective, so a real group literally
+    // named "n" never collides); [[slotSampleCellsFromStore]] decodes
+    val gEnc = when(col("g").isNull, lit("n"))
+      .otherwise(concat(lit("s"), col("g").cast("string")))
     SketchStore.writeWave(
-      cells.select(col("g"), (col("slot") * 2).as("slot"),
+      cells.select(gEnc.as("g"), (col("slot") * 2).as("slot"),
           col("hv").as("v"))
-        .unionByName(cells.select(col("g"), (col("slot") * 2 + 1).as("slot"),
+        .unionByName(cells.select(gEnc.as("g"),
+          (col("slot") * 2 + 1).as("slot"),
           graft.functions.DoubleBits.doubleBits(col("v")).as("v"))),
       table, wave, mode)
+  }
 
   /** Re-read EVERY persisted wave of quantile registers and fold them
     * with the sketch's own law: per (wave, g, slot) the two planes
@@ -797,7 +805,11 @@ object Sketches {
       .groupBy(col("wave"), col("g"), col("slot"))
       .agg(max(when(col("plane") === 0, col("v"))).as("hv"),
         max(when(col("plane") === 1, col("v"))).as("vbits"))
-      .select(col("g"), col("slot"), col("hv"),
+      .select(
+        // decode the persist encoding: "n" = NULL group, "s"+g = g
+        when(col("g") === "n", lit(null).cast("string"))
+          .otherwise(expr("substring(g, 2)")).as("g"),
+        col("slot"), col("hv"),
         graft.functions.DoubleBits.bitsDouble(col("vbits")).as("v"))
       .groupBy(col("g"), col("slot"))
       .agg(min(struct(col("hv"), col("v"))).as("mn"))

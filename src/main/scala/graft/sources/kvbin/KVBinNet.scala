@@ -313,11 +313,14 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
     * cache on its own next request), and it is monotonic — `generation`
     * and `compacted_through` only grow, `gen.*` keys only accrue — so
     * the fleet answer is the keywise freshest view: numeric max for the
-    * counters, union for the per-generation file lists. A straddled
-    * COMPACTION (which rewrites a gen.* value rather than adding one)
-    * can leave one store's stale file list in the union; the streaming
-    * planner's due-set and compacted_through checks turn that into a
-    * loud refusal, never a silent wrong batch. */
+    * counters, presence-union for the per-generation file lists (a key
+    * either store carries is taken; a key BOTH carry keeps the first
+    * store's value, which is identical across stores for appends —
+    * gen.N is immutable once written, only a compaction rewrites one).
+    * A straddled COMPACTION can therefore surface one store's stale
+    * file list; the streaming planner's due-set and compacted_through
+    * checks turn that into a loud refusal (retry the poll), never a
+    * silent wrong batch. */
   override def clusterMeta(): Map[String, String] = {
     val metas = clients.map(_.clusterMeta())
     val versions = metas.map(_.get("api_version")).distinct

@@ -655,8 +655,11 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
         if (unstamped.nonEmpty)
           throw new IllegalStateException(
             s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
-            "carry no birth generation on a stamped table — the index was " +
-            "edited outside the writer. Cannot tail safely.")
+            "carry no birth generation on a stamped table — either a " +
+            "compaction raced this poll (its rewrite replaces the " +
+            "per-generation file lists; retry or restart the stream) or " +
+            "the index was edited outside the writer. Cannot plan this " +
+            "batch safely.")
         // the compaction-adoption gate: a preserve_meta rewrite re-tags
         // its output with the fold point g and stamps compacted_through=g.
         // A checkpoint that drained ≥ g skips the rewrite naturally
@@ -686,14 +689,33 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
         // transition batch: a legacy name-set checkpoint (or the initial
         // empty offset) over a stamped table — emit everything born
         // through e.gen except the already-named regions; from here on
-        // the checkpoint is the epoch
+        // the checkpoint is the epoch. The END offset's table identity
+        // must match the table on disk: a WAL-replayed first batch
+        // (crash before commit) against a table that was since plainly
+        // overwritten would otherwise silently deliver the NEW table's
+        // rows under the OLD table's offset — the replacement must fail
+        // here, not one poll later
+        val tid0 = meta.getOrElse("table_id",
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: checkpointed epoch offset, but the " +
+            "table carries no table_id — it was replaced by an unstamped " +
+            "table while the stream was down. Restart from a fresh checkpoint."))
+        if (e.tableId != tid0)
+          throw new IllegalStateException(
+            s"kvbin stream over $dir: checkpointed offset belongs to " +
+            s"table_id ${e.tableId}, the table on disk is $tid0 — the " +
+            "table was overwritten while the stream was down. Restart " +
+            "from a fresh checkpoint to tail the new table.")
         val gens = KVBin.regionGenerations(meta)
         val unstamped = regions.map(_.id).filterNot(gens.contains)
         if (unstamped.nonEmpty)
           throw new IllegalStateException(
             s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
-            "carry no birth generation on a stamped table — the index was " +
-            "edited outside the writer. Cannot tail safely.")
+            "carry no birth generation on a stamped table — either a " +
+            "compaction raced this poll (its rewrite replaces the " +
+            "per-generation file lists; retry or restart the stream) or " +
+            "the index was edited outside the writer. Cannot plan this " +
+            "batch safely.")
         val seen = s.regions.toSet
         val vanishedSeen = seen -- regions.map(_.id)
         if (vanishedSeen.nonEmpty)

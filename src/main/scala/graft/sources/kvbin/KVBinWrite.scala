@@ -89,12 +89,30 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
       Option(info.options.get("preserve_meta")).exists(_.toBoolean)
     val stats = optStats.getOrElse(if (keepsMeta) declared else Nil)
     KVBinStat.validate(stats)
+    // user meta: `meta.<key>` options become `#<key>=<value>` index
+    // header lines, committed ATOMICALLY with the data (the one index
+    // swap) — the hook an idempotent sink needs to stamp its own
+    // progress marker (e.g. `meta.replica_batch`) such that marker and
+    // rows can never disagree. Reserved bookkeeping keys are refused.
+    import scala.jdk.CollectionConverters._
+    val userMeta: Map[String, String] = info.options.asScala.toMap
+      .collect { case (k, v) if k.startsWith("meta.") =>
+        k.stripPrefix("meta.") -> v }
+    userMeta.foreach { case (k, v) =>
+      require(k.matches("[a-z0-9_.-]+") && !k.startsWith("gen.") &&
+        !Set("api_version", "stats", "generation", "table_id",
+          "compacted_through")(k),
+        s"kvbin meta option key '$k' is reserved or not [a-z0-9_.-]+")
+      require(!v.exists(c => c == '\n' || c == '\r' || c == '='),
+        s"kvbin meta option value for '$k' must not contain newline or '='")
+    }
     new KVBinWrite(dir, doTruncate,
       Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
       Option(info.options.get("api_version")),
       Option(info.options.get("preserve_meta")).exists(_.toBoolean),
       info.queryId(), stats,
-      Option(info.options.get("defer_sweep")).exists(_.toBoolean))
+      Option(info.options.get("defer_sweep")).exists(_.toBoolean),
+      userMeta)
   }
 }
 
@@ -110,7 +128,8 @@ object KVBinWrite {
 class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
                  apiVersion: Option[String], preserveMeta: Boolean,
                  queryId: String, stats: Seq[(String, String)] = Nil,
-                 deferSweep: Boolean = false)
+                 deferSweep: Boolean = false,
+                 userMeta: Map[String, String] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   // ordered distribution on key → Spark range-partitions the write, so
@@ -125,7 +144,7 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
 
   override def toBatch: BatchWrite =
     new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId,
-      stats, deferSweep)
+      stats, deferSweep, userMeta)
 }
 
 case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
@@ -135,7 +154,8 @@ case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
 class KVBinBatchWrite(dir: String, truncate: Boolean,
                       apiVersion: Option[String], preserveMeta: Boolean,
                       queryId: String, stats: Seq[(String, String)] = Nil,
-                      deferSweep: Boolean = false)
+                      deferSweep: Boolean = false,
+                      userMeta: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   // the session hadoop conf is resolved on the DRIVER at job start and
@@ -260,10 +280,12 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     val baseMeta =
       if (appending) oldMeta
       else oldMeta.filterNot { case (k, _) => isGenKey(k) }
+    // userMeta last: a sink's progress marker must overwrite the
+    // previous generation's value of the same key on every commit
     val meta = baseMeta + ("api_version" -> version) ++
       (if (stats.nonEmpty)
          Map("stats" -> stats.map { case (n2, sp) => s"$n2:$sp" }.mkString(","))
-       else Map.empty) ++ genMeta
+       else Map.empty) ++ genMeta ++ userMeta
     val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
     val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
       merged.map { case (f, mn, mx, n, lo, hi) =>

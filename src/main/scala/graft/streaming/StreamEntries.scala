@@ -1787,14 +1787,25 @@ object StreamEntries {
       val q = s.readStream.format(fmt).option("path", srcTbl).load()
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          // batchId decides the mode, not a filesystem existence probe:
-          // foreachBatch is at-least-once, so a RETRY of batch 0 must
-          // overwrite again (idempotent) rather than append a duplicate
-          // generation — and a java.io.File probe only works for local
-          // paths anyway
-          val mode = if (batchId == 0L) "overwrite" else "append"
-          batch.write.format(fmt).option("path", dstTbl)
-            .option("api_version", "V1").mode(mode).save()
+          // IDEMPOTENT apply — foreachBatch is at-least-once, so a
+          // retried batch (crash between the kvbin commit and Spark's
+          // commit log) must not append a duplicate generation. The
+          // replica stamps its applied batch id as a `meta.` header in
+          // the SAME atomic index swap as the rows (marker and data can
+          // never disagree); a replay with batchId ≤ the stamp is a
+          // no-op. batchId (not a filesystem probe) also decides the
+          // overwrite-vs-append mode — retry-safe for batch 0 too.
+          val applied = scala.util.Try(graft.sources.kvbin.KVBin.readMeta(
+              dstTbl, batch.sparkSession.sessionState.newHadoopConf()))
+            .toOption.flatMap(_.get("replica_batch")).map(_.toLong)
+            .getOrElse(-1L)
+          if (batchId > applied) {
+            val mode = if (batchId == 0L) "overwrite" else "append"
+            batch.write.format(fmt).option("path", dstTbl)
+              .option("api_version", "V1")
+              .option("meta.replica_batch", batchId.toString)
+              .mode(mode).save()
+          }
         }
         .start()
       drain(q) {

@@ -1215,6 +1215,30 @@ class KVBinSpec extends SparkTestBase {
     spark.catalog.dropTempView("kvbin_live_compact")
   }
 
+  test("meta.* writer options: user header committed atomically with the rows, overwritten per commit, reserved keys refused") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-um-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    parquetSrc.limit(10).write.format(kvbinFmt).option("path", dir)
+      .option("meta.replica_batch", "0").mode("overwrite").save()
+    assert(KVBin.readMeta(dir, conf).get("replica_batch") === Some("0"))
+    // the next commit's value REPLACES the previous one (the progress-
+    // marker contract: marker and rows ride the same index swap)
+    parquetSrc.limit(3).write.format(kvbinFmt).option("path", dir)
+      .option("meta.replica_batch", "1").mode("append").save()
+    val m = KVBin.readMeta(dir, conf)
+    assert(m.get("replica_batch") === Some("1"))
+    assert(m.get("generation") === Some("2"), "generation bookkeeping intact")
+    // reserved bookkeeping keys cannot be forged through the option
+    for (bad <- Seq("generation", "table_id", "gen.3", "stats", "api_version")) {
+      val e = intercept[Exception] {
+        parquetSrc.limit(1).write.format(kvbinFmt).option("path", dir)
+          .option(s"meta.$bad", "forged").mode("append").save()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("reserved"),
+        s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("defer_sweep compaction: old generation survives one commit for in-flight readers, invisible to planning, reclaimed next commit") {
     val dir = java.nio.file.Files.createTempDirectory("kvbin-ds-").toString
     val conf = spark.sessionState.newHadoopConf()

@@ -569,6 +569,23 @@ class SketchesSpec extends SparkTestBase {
     // EXACT equality: same registers, same hashes, bit-identical doubles
     assert(merged === oneShot,
       "persisted-and-merged registers differ from the one-shot build")
+    // a NULL group — which the sketch deliberately PRESERVES — must
+    // survive the persist roundtrip too (the "n"/"s" key encoding), and
+    // a real group literally named "n" must not collide with it
+    val withNull = Seq[(Option[String], Double, String)](
+      (None, 5.0, "a1"), (None, 7.0, "a2"),
+      (Some("n"), 1.0, "b1"), (Some("g"), 2.0, "b2"))
+      .toDF("g", "v", "id")
+    val oneShotN = Sketches.slotSampleCells(withNull, 16)
+      .as[(Option[String], Long, Long, Double)].collect().toSet
+    val tblN = java.nio.file.Files.createTempDirectory("graft-klln-t").toString
+    Sketches.slotSampleCellsPersist(
+      Sketches.slotSampleCells(withNull, 16), tblN, "w0", "overwrite")
+    val mergedN = Sketches.slotSampleCellsFromStore(spark, tblN)
+      .as[(Option[String], Long, Long, Double)].collect().toSet
+    assert(mergedN === oneShotN,
+      "NULL group or the literal 'n' group lost in the persist roundtrip")
+    assert(mergedN.exists(_._1.isEmpty) && mergedN.exists(_._1.contains("n")))
     // and the estimate stage sees no difference either
     val estA = Sketches.slotSampleQuantilesFromCells(
         Sketches.slotSampleCellsFromStore(spark, tbl), Seq(250, 500, 950))
