@@ -17,7 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout: `dir/part-NNNNN.kv` — length-prefixed records
   * `[klen:int32][key][vlen:int32][value]`, sorted by key, each file a
   * contiguous key range; `dir/_index` — `fileName<TAB>minKeyHex<TAB>
-  * maxKeyHex<TAB>count` per file.
+  * maxKeyHex<TAB>count[<TAB>statMin<TAB>statMax ...]` per file, headed
+  * by `#key=value` metadata lines. Reserved headers: `#api_version`
+  * (cluster version gate), `#stats` (declared record statistics),
+  * `#generation` (monotonic commit counter), `#table_id` (identity a
+  * plain overwrite re-mints), `#gen.<g>` (files born in generation g),
+  * `#compacted_through` (the fold point a preserving rewrite stamps) —
+  * together the O(1) streaming-offset and compaction-adoption
+  * bookkeeping. Unknown `#key=value` lines pass through every parser,
+  * and writers may stamp their own via the `meta.<key>` write option.
   *
   * Writes happen on EXECUTORS through the Hadoop FS API (file:// in
   * local mode, HDFS/object stores on a cluster); the driver only
