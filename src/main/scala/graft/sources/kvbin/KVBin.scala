@@ -121,13 +121,14 @@ object KVBin {
     // table starts at generation 1 with every region born in it; the
     // table_id pins the table's identity so a checkpointed epoch offset
     // can detect a wholesale replacement (same role the name set played)
-    val header = Seq(s"#api_version=$apiVersion",
-      "#generation=1",
-      s"#table_id=${java.util.UUID.randomUUID().toString}") ++
-      (if (index.isEmpty) Nil
-       else Seq(s"#gen.1=${index.map(_._1).mkString(",")}")) ++
-      (if (stats.isEmpty) Nil
-       else Seq(s"#stats=${stats.map { case (n, sp) => s"$n:$sp" }.mkString(",")}"))
+    val header = headerLines(Map(
+      "api_version" -> apiVersion,
+      "generation" -> "1",
+      "table_id" -> java.util.UUID.randomUUID().toString) ++
+      (if (index.isEmpty) Map.empty
+       else Map("gen.1" -> index.map(_._1).mkString(","))) ++
+      (if (stats.isEmpty) Map.empty
+       else Map("stats" -> stats.map { case (n, sp) => s"$n:$sp" }.mkString(","))))
     val lines = header ++ index.map { case (f, mn, mx, n, lo, hi) =>
       (Seq(f, hexOf(mn), hexOf(mx), n.toString) ++
         lo.zip(hi).flatMap { case (a, b) => Seq(a.toString, b.toString) })
@@ -241,6 +242,50 @@ object KVBin {
         (a(0), unhex(a(1)), unhex(a(2)), a(3).toLong)
       }
       (meta, entries)
+    } finally in.close()
+  }
+
+  /** Meta map → `#k=v` header lines, SCALAR keys first and the
+    * O(regions) `#gen.<g>` file lists last — the order [[readPollMeta]]
+    * relies on: a streaming tail's poll learns `generation`/`table_id`
+    * from the first few lines without reading the region body of a
+    * million-region index. */
+  def headerLines(meta: Map[String, String]): Seq[String] = {
+    val (genKeys, scalars) = meta.toSeq.partition(_._1.startsWith("gen."))
+    (scalars.sortBy(_._1) ++ genKeys.sortBy(_._1))
+      .map { case (k, v) => s"#$k=$v" }
+  }
+
+  /** SCALAR meta only, reading as few index bytes as possible: header
+    * lines in writer order until the first `#gen.` or non-header line.
+    * The quiet-tail poll path — latestOffset on a stamped table needs
+    * only `api_version`/`generation`/`table_id`/`compacted_through`,
+    * and a 100 TB table's index body (and its per-generation file
+    * lists) is O(regions) the poll must not pay every trigger. An index
+    * written by the pre-ordering era (a `#gen.` line before
+    * `generation`) falls back to the full read — correctness never
+    * depends on the order, only the poll's cost does. */
+  def readPollMeta(dir: String, conf: Configuration): Map[String, String] = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new Path(dir, IndexFile)), "UTF-8"))
+    try {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      var sawGen = false
+      var line = in.readLine()
+      while (line != null && line.startsWith("#") && !sawGen) {
+        if (line.startsWith("#gen.")) sawGen = true
+        else line.stripPrefix("#").split("=", 2) match {
+          case Array(k, v) => out(k) = v
+          case _ =>
+        }
+        line = if (sawGen) null else in.readLine()
+      }
+      val meta =
+        if (sawGen && !out.contains("generation")) readMeta(dir, conf) // legacy order
+        else out.toMap
+      if (meta.contains("api_version")) meta
+      else meta + ("api_version" -> "V1")
     } finally in.close()
   }
 

@@ -21,9 +21,12 @@ import org.apache.hadoop.conf.Configuration
   * connection — connections are cheap on loopback and executor-side
   * scans must not share mutable driver sockets):
   *
-  *   request  := line "META" | "REGIONS" | "SCAN <regionId>"
+  *   request  := line "META" | "POLL" | "REGIONS" | "SCAN <regionId>"
   *             | "CHECKSUM <regionId>"
   *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8
+  *   POLL     -> same framing as META, SCALAR keys only (no `gen.*`
+  *               file lists) — the streaming tail's per-trigger poll
+  *               stays O(1) bytes on the wire at any region count
   *   REGIONS  -> int32 n, then n × ([idlen][id][mlen][minKey]
   *               [xlen][maxKey][nKeys:int64][bytes:int64]
   *               [nstats:int32, then nstats × (lo:int64, hi:int64)])
@@ -164,6 +167,13 @@ class KVBinServer(dir: String, conf: Configuration,
             writeBytes(out, k.getBytes("UTF-8"))
             writeBytes(out, v.getBytes("UTF-8"))
           }
+        case "POLL" =>
+          val meta = index._1.filterNot(_._1.startsWith("gen."))
+          out.writeInt(meta.size)
+          meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            writeBytes(out, k.getBytes("UTF-8"))
+            writeBytes(out, v.getBytes("UTF-8"))
+          }
         case "REGIONS" =>
           val regions = ownedRegions
           out.writeInt(regions.size)
@@ -247,6 +257,16 @@ class SocketRegionClient(address: String) extends RegionClient {
       }.toMap
     }
 
+  /** One POLL round-trip: scalar meta only — the per-trigger poll of a
+    * wire tail moves a handful of key/value pairs regardless of how
+    * many regions (or generations) the table has accumulated. */
+  override def pollMeta(): Map[String, String] =
+    dial("POLL") { in =>
+      (0 until in.readInt()).map { _ =>
+        (new String(readBytes(in), "UTF-8"), new String(readBytes(in), "UTF-8"))
+      }.toMap
+    }
+
   override def listRegions(): Seq[RegionInfo] =
     dial("REGIONS") { in =>
       (0 until in.readInt()).map { _ =>
@@ -321,8 +341,15 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
     * file list; the streaming planner's due-set and compacted_through
     * checks turn that into a loud refusal (retry the poll), never a
     * silent wrong batch. */
-  override def clusterMeta(): Map[String, String] = {
-    val metas = clients.map(_.clusterMeta())
+  override def clusterMeta(): Map[String, String] =
+    mergeMetas(clients.map(_.clusterMeta()))
+
+  /** The fleet poll: one POLL per store (scalars only), merged and
+    * consistency-checked exactly like [[clusterMeta]]. */
+  override def pollMeta(): Map[String, String] =
+    mergeMetas(clients.map(_.pollMeta()))
+
+  private def mergeMetas(metas: Seq[Map[String, String]]): Map[String, String] = {
     val versions = metas.map(_.get("api_version")).distinct
     if (versions.size > 1)
       throw new IllegalStateException(

@@ -560,7 +560,11 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
 
   override def latestOffset(): Offset = {
     val client = connect()
-    val meta = client.clusterMeta()
+    // the POLL path: a quiet tail calls this every trigger, so on
+    // stamped tables it must cost O(1) bytes — scalar headers only
+    // (file client: the first index lines; wire: the POLL verb), never
+    // the O(regions) index body or the gen.* file lists
+    val meta = client.pollMeta()
     val sourceVersion = meta("api_version")
     expectedApiVersion.filter(_ != sourceVersion).foreach { e =>
       throw new IllegalStateException(

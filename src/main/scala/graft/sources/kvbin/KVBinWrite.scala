@@ -287,7 +287,8 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
          Map("stats" -> stats.map { case (n2, sp) => s"$n2:$sp" }.mkString(","))
        else Map.empty) ++ genMeta ++ userMeta
     val merged = (old ++ fresh).sortWith((a, b) => KVBin.compare(a._2, b._2) < 0)
-    val lines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+    // scalar headers first, gen.* file lists last (readPollMeta's order)
+    val lines = KVBin.headerLines(meta) ++
       merged.map { case (f, mn, mx, n, lo, hi) =>
         (Seq(f, KVBin.hexOf(mn), KVBin.hexOf(mx), n.toString) ++
           lo.zip(hi).flatMap { case (a, b) => Seq(a.toString, b.toString) })

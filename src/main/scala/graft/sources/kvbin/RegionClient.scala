@@ -32,6 +32,13 @@ case class RegionInfo(id: String, minKey: Array[Byte], maxKey: Array[Byte],
 trait RegionClient extends Serializable {
   /** Cluster-level metadata; must include `api_version`. */
   def clusterMeta(): Map[String, String]
+  /** SCALAR cluster metadata for the streaming tail's poll — at least
+    * `api_version` and (on stamped tables) `generation`/`table_id`/
+    * `compacted_through`, WITHOUT the O(regions) per-generation file
+    * lists. A quiet tail polls every trigger; this call must stay O(1)
+    * in table size. Defaults to [[clusterMeta]] for clients where meta
+    * is already cheap; file and socket clients override. */
+  def pollMeta(): Map[String, String] = clusterMeta()
   /** All regions, with key bounds for pruning. Driver-side, once per scan. */
   def listRegions(): Seq[RegionInfo]
   /** Key-ordered records of one region. Executor-side. */
@@ -90,6 +97,11 @@ class FileRegionClient(dir: String, conf: SerializableConfiguration)
   @transient private lazy val ranges: Map[String, Seq[(Long, Long)]] =
     if (all._1.contains("stats")) KVBin.statRanges(dir, conf.value) else Map.empty
   override def clusterMeta(): Map[String, String] = all._1
+  /** The poll path never touches the index body (or the gen.* lists):
+    * a fresh client per poll would otherwise pay a full O(regions)
+    * index read per trigger on a quiet tail. */
+  override def pollMeta(): Map[String, String] =
+    KVBin.readPollMeta(dir, conf.value)
   override def listRegions(): Seq[RegionInfo] =
     all._2.map { case (f, mn, mx, n) =>
       RegionInfo(f, mn, mx, n, fileLens.getOrElse(f, -1L),

@@ -1215,6 +1215,52 @@ class KVBinSpec extends SparkTestBase {
     spark.catalog.dropTempView("kvbin_live_compact")
   }
 
+  test("poll path is O(1): scalar headers precede gen.* lists, readPollMeta stops early, POLL verb ships scalars only") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-pm-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    parquetSrc.limit(50).write.format(kvbinFmt).option("path", dir)
+      .option("ranges", "2").mode("overwrite").save()
+    parquetSrc.limit(10).write.format(kvbinFmt).option("path", dir)
+      .mode("append").save()
+    // writer order: every scalar header line comes before every #gen. line
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile))
+    val headers = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().takeWhile(_.startsWith("#")).toList finally in.close()
+    val firstGen = headers.indexWhere(_.startsWith("#gen."))
+    assert(firstGen > 0, headers.mkString("|"))
+    assert(headers.take(firstGen).forall(!_.startsWith("#gen.")))
+    assert(headers.drop(firstGen).forall(_.startsWith("#gen.")),
+      s"scalar header after a gen.* line: ${headers.mkString("|")}")
+    // readPollMeta returns the scalars (and NOT the gen.* lists)
+    val pm = KVBin.readPollMeta(dir, conf)
+    assert(pm.get("generation") === Some("2"))
+    assert(pm.contains("table_id") && pm("api_version") === "V1")
+    assert(!pm.keys.exists(_.startsWith("gen.")))
+    // an index in the LEGACY alphabetical order (gen.* before
+    // generation) falls back to the full read — order is a cost
+    // optimization, never a correctness dependency
+    val full = KVBin.readMeta(dir, conf)
+    val legacyLines = full.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+      KVBin.readIndex(dir, conf).map { case (f, mn, mx, n) =>
+        Seq(f, KVBin.hexOf(mn), KVBin.hexOf(mx), n.toString).mkString("\t") }
+    KVBin.writeIndexAtomic(dir, conf, legacyLines.mkString("\n"))
+    val pmLegacy = KVBin.readPollMeta(dir, conf)
+    assert(pmLegacy.get("generation") === Some("2"),
+      "legacy header order must fall back to the full meta read")
+    // the POLL wire verb: scalars only, gen.* never crosses the wire
+    val server = new KVBinServer(dir, conf)
+    try {
+      val c = new SocketRegionClient(server.address)
+      val wirePoll = c.pollMeta()
+      assert(wirePoll.get("generation") === Some("2"))
+      assert(!wirePoll.keys.exists(_.startsWith("gen.")))
+      assert(c.clusterMeta().keys.exists(_.startsWith("gen.")),
+        "META must still carry the full bookkeeping")
+    } finally server.close()
+  }
+
   test("meta.* writer options: user header committed atomically with the rows, overwritten per commit, reserved keys refused") {
     val dir = java.nio.file.Files.createTempDirectory("kvbin-um-").toString
     val conf = spark.sessionState.newHadoopConf()
