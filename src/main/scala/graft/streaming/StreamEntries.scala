@@ -1763,6 +1763,32 @@ object StreamEntries {
     * consumed by the house connector live. Each appended A-generation
     * costs one micro-batch over ITS rows and one B-append of the same
     * volume; neither table is ever rescanned. */
+  /** The replication sink's IDEMPOTENT batch apply — foreachBatch is
+    * at-least-once, so a retried batch (crash between the kvbin commit
+    * and Spark's commit log) must not append a duplicate generation.
+    * The replica stamps its applied batch id as a `meta.replica_batch`
+    * header in the SAME atomic index swap as the rows (marker and rows
+    * can never disagree); a replay with batchId ≤ the stamp is a no-op.
+    * batchId (not a filesystem probe) also decides the overwrite-vs-
+    * append mode — retry-safe for batch 0 too. Package-visible so the
+    * retry contract is spec-testable without simulating a crash. */
+  private[graft] def applyReplicaBatch(dstTbl: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val applied = scala.util.Try(graft.sources.kvbin.KVBin.readMeta(
+        dstTbl, batch.sparkSession.sessionState.newHadoopConf()))
+      .toOption.flatMap(_.get("replica_batch")).map(_.toLong)
+      .getOrElse(-1L)
+    if (batchId > applied) {
+      val mode = if (batchId == 0L) "overwrite" else "append"
+      batch.write.format(fmt).option("path", dstTbl)
+        .option("api_version", "V1")
+        .option("meta.replica_batch", batchId.toString)
+        .mode(mode).save()
+    }
+  }
+
   def streamKvbinReplicate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
@@ -1787,25 +1813,7 @@ object StreamEntries {
       val q = s.readStream.format(fmt).option("path", srcTbl).load()
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          // IDEMPOTENT apply — foreachBatch is at-least-once, so a
-          // retried batch (crash between the kvbin commit and Spark's
-          // commit log) must not append a duplicate generation. The
-          // replica stamps its applied batch id as a `meta.` header in
-          // the SAME atomic index swap as the rows (marker and data can
-          // never disagree); a replay with batchId ≤ the stamp is a
-          // no-op. batchId (not a filesystem probe) also decides the
-          // overwrite-vs-append mode — retry-safe for batch 0 too.
-          val applied = scala.util.Try(graft.sources.kvbin.KVBin.readMeta(
-              dstTbl, batch.sparkSession.sessionState.newHadoopConf()))
-            .toOption.flatMap(_.get("replica_batch")).map(_.toLong)
-            .getOrElse(-1L)
-          if (batchId > applied) {
-            val mode = if (batchId == 0L) "overwrite" else "append"
-            batch.write.format(fmt).option("path", dstTbl)
-              .option("api_version", "V1")
-              .option("meta.replica_batch", batchId.toString)
-              .mode(mode).save()
-          }
+          StreamEntries.applyReplicaBatch(dstTbl, batch, batchId)
         }
         .start()
       drain(q) {

@@ -19,6 +19,35 @@ class StreamEntriesSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
   private val scale = StreamEntries.sliceScale
 
+  test("replica apply is idempotent: a replayed batch is a no-op, marker and rows ride one commit") {
+    // foreachBatch is at-least-once — a crash between the kvbin commit
+    // and Spark's commit log replays the batch. The replica's
+    // meta.replica_batch stamp (same atomic index swap as the rows)
+    // makes every replay a no-op, for batch 0 and any later batch alike.
+    val dst = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-ridem-")
+    val conf = spark.sessionState.newHadoopConf()
+    def kv(rows: (String, String)*) = rows.toSeq.toDF("key", "value")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+    def count() = spark.read
+      .format(classOf[graft.sources.kvbin.KVBinSource].getName)
+      .option("path", dst).load().count()
+    def meta(k: String) =
+      graft.sources.kvbin.KVBin.readMeta(dst, conf).get(k)
+    StreamEntries.applyReplicaBatch(dst, kv("a" -> "1", "b" -> "2"), 0L)
+    StreamEntries.applyReplicaBatch(dst, kv("c" -> "3"), 1L)
+    assert(count() === 3L && meta("replica_batch") === Some("1"))
+    val gen = meta("generation")
+    // the retry: replaying batch 1 (and batch 0) must change NOTHING
+    StreamEntries.applyReplicaBatch(dst, kv("c" -> "3"), 1L)
+    StreamEntries.applyReplicaBatch(dst, kv("a" -> "1", "b" -> "2"), 0L)
+    assert(count() === 3L, "a replayed batch appended a duplicate generation")
+    assert(meta("generation") === gen && meta("replica_batch") === Some("1"))
+    // and the stream continues past the replay
+    StreamEntries.applyReplicaBatch(dst, kv("d" -> "4"), 2L)
+    assert(count() === 4L && meta("replica_batch") === Some("2"))
+  }
+
   test("stateful entries are provider-invariant: RocksDB state store == default") {
     // the larger-than-heap state provider a production deployment runs:
     // the same entries must produce byte-identical sinks whether state
