@@ -778,7 +778,10 @@ object Sketches {
     // the sketch PRESERVES a NULL group ([[histCells]]' discipline) but
     // the store's key grammar cannot carry one — encode: "n" = the null
     // group, "s"+g = a real group (injective, so a real group literally
-    // named "n" never collides); [[slotSampleCellsFromStore]] decodes
+    // named "n" never collides); [[slotSampleCellsFromStore]] decodes.
+    // The encoding is part of this persisted family's FORMAT from its
+    // introduction (round 12) — no table of unencoded slot-sample waves
+    // exists on any deployment, so the decode needs no version stamp
     val gEnc = when(col("g").isNull, lit("n"))
       .otherwise(concat(lit("s"), col("g").cast("string")))
     SketchStore.writeWave(

@@ -224,6 +224,19 @@ object KVBin {
     * stamp existed report api_version V1. */
   def readAll(dir: String, conf: Configuration)
       : (Map[String, String], Seq[(String, Array[Byte], Array[Byte], Long)]) = {
+    val (m, e, _) = readAllWithRanges(dir, conf)
+    (m, e)
+  }
+
+  /** ONE read of the index file → (metadata, region entries, per-region
+    * stat ranges) — the consistent-snapshot read for consumers that
+    * need all three (the [[KVBinServer]] cache, [[FileRegionClient]]):
+    * a separate [[statRanges]] call would re-open the file, doubling
+    * the I/O and — across an index swap landing between the two reads —
+    * pairing one generation's region rows with another's stat ranges. */
+  def readAllWithRanges(dir: String, conf: Configuration)
+      : (Map[String, String], Seq[(String, Array[Byte], Array[Byte], Long)],
+         Map[String, Seq[(Long, Long)]]) = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(new Path(dir, IndexFile)), "UTF-8"))
@@ -235,13 +248,18 @@ object KVBin {
         .collect { case Array(k, v) => k -> v }.toMap
       val meta = if (meta0.contains("api_version")) meta0
                  else meta0 + ("api_version" -> "V1")
-      val entries = lines.filterNot(_.startsWith("#")).map { line =>
-        // ≥4 fields; stats-bearing indexes append min/max pairs, which
-        // [[statRanges]] parses — plain consumers ignore them
-        val a = line.split("\t")
+      val body = lines.filterNot(_.startsWith("#")).map(_.split("\t"))
+      val entries = body.map { a =>
+        // ≥4 fields; stats-bearing indexes append min/max pairs (parsed
+        // into the ranges map below) — plain consumers ignore them
         (a(0), unhex(a(1)), unhex(a(2)), a(3).toLong)
       }
-      (meta, entries)
+      val ranges = body.map { a =>
+        a(0) -> a.drop(4).grouped(2).collect {
+          case Array(lo, hi) => (lo.toLong, hi.toLong)
+        }.toSeq
+      }.toMap
+      (meta, entries, ranges)
     } finally in.close()
   }
 

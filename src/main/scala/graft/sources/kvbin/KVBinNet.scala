@@ -103,16 +103,17 @@ class KVBinServer(dir: String, conf: Configuration,
         new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile))
       val fp = (st.getLen, st.getModificationTime)
       if (idxFp != fp) {
-        val all = KVBin.readAll(dir, conf)
+        // ONE index read for meta + entries + stat ranges: a second
+        // statRanges read could straddle an index swap and pair one
+        // generation's rows with another's ranges
+        val (meta, entries, ranges) = KVBin.readAllWithRanges(dir, conf)
         // serialized region sizes (file lengths) ride the REGIONS reply
         // the way PD ships approximate_size — one listStatus per commit
         val lens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
           .map(s0 => s0.getPath.getName -> s0.getLen).toMap
-        // stamped per-region stat ranges ride the REGIONS reply too, so
-        // wire-planned scans and tails stat-prune like the file client
-        val ranges = if (all._1.contains("stats"))
-          KVBin.statRanges(dir, conf) else Map.empty[String, Seq[(Long, Long)]]
-        idxCache = (all._1, all._2.filter(r => owns(r._1)), lens, ranges)
+        idxCache = (meta, entries.filter(r => owns(r._1)), lens,
+          if (meta.contains("stats")) ranges
+          else Map.empty[String, Seq[(Long, Long)]])
         idxFp = fp
       }
       idxCache

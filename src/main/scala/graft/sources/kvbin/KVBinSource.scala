@@ -612,6 +612,38 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
     }
   }
 
+  /** Shared stamped-table validation for the epoch and transition plan
+    * paths: the table must carry a table_id matching EVERY checkpointed
+    * epoch offset's, and every listed region must have a birth
+    * generation. Returns the region→generation map. */
+  private def stampedGens(meta: Map[String, String],
+      regions: Seq[RegionInfo],
+      offsetTids: Seq[String]): Map[String, Long] = {
+    val tid = meta.getOrElse("table_id",
+      throw new IllegalStateException(
+        s"kvbin stream over $dir: checkpointed epoch offset, but the " +
+        "table carries no table_id — it was replaced by an unstamped " +
+        "table while the stream was down. Restart from a fresh checkpoint."))
+    offsetTids.find(_ != tid).foreach { o =>
+      throw new IllegalStateException(
+        s"kvbin stream over $dir: checkpointed offset belongs to " +
+        s"table_id $o, the table on disk is $tid — the table was " +
+        "overwritten while the stream was down. Restart from a fresh " +
+        "checkpoint to tail the new table.")
+    }
+    val gens = KVBin.regionGenerations(meta)
+    val unstamped = regions.map(_.id).filterNot(gens.contains)
+    if (unstamped.nonEmpty)
+      throw new IllegalStateException(
+        s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
+        "carry no birth generation on a stamped table — either a " +
+        "compaction raced this poll (its rewrite replaces the " +
+        "per-generation file lists; retry or restart the stream) or " +
+        "the index was edited outside the writer. Cannot plan this " +
+        "batch safely.")
+    gens
+  }
+
   /** Key-range + stat pruning, identical to the batch scan (a region
     * without stamped stat ranges never skips). */
   private def scopePrune(regions: Seq[RegionInfo]): Seq[RegionInfo] =
@@ -639,31 +671,11 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
     val meta = client.clusterMeta()
     val due: Seq[RegionInfo] = (startO, endO) match {
       case (s: KVBinGenOffset, e: KVBinGenOffset) =>
-        val tid = meta.getOrElse("table_id",
-          throw new IllegalStateException(
-            s"kvbin stream over $dir: checkpointed epoch offset, but the " +
-            "table carries no table_id — it was replaced by an unstamped " +
-            "table while the stream was down. Restart from a fresh checkpoint."))
-        if (s.tableId != tid || e.tableId != tid)
-          throw new IllegalStateException(
-            s"kvbin stream over $dir: checkpointed offset belongs to " +
-            s"table_id ${s.tableId}, the table on disk is $tid — the table " +
-            "was overwritten while the stream was down. Restart from a " +
-            "fresh checkpoint to tail the new table.")
+        val gens = stampedGens(meta, regions, Seq(s.tableId, e.tableId))
         if (e.gen < s.gen)
           throw new IllegalStateException(
             s"kvbin stream over $dir: offset generations moved backwards " +
             s"(${s.gen} -> ${e.gen}) — the table was replaced while tailed.")
-        val gens = KVBin.regionGenerations(meta)
-        val unstamped = regions.map(_.id).filterNot(gens.contains)
-        if (unstamped.nonEmpty)
-          throw new IllegalStateException(
-            s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
-            "carry no birth generation on a stamped table — either a " +
-            "compaction raced this poll (its rewrite replaces the " +
-            "per-generation file lists; retry or restart the stream) or " +
-            "the index was edited outside the writer. Cannot plan this " +
-            "batch safely.")
         // the compaction-adoption gate: a preserve_meta rewrite re-tags
         // its output with the fold point g and stamps compacted_through=g.
         // A checkpoint that drained ≥ g skips the rewrite naturally
@@ -699,27 +711,7 @@ class KVBinMicroBatchStream(dir: String, start: Array[Byte],
         // overwritten would otherwise silently deliver the NEW table's
         // rows under the OLD table's offset — the replacement must fail
         // here, not one poll later
-        val tid0 = meta.getOrElse("table_id",
-          throw new IllegalStateException(
-            s"kvbin stream over $dir: checkpointed epoch offset, but the " +
-            "table carries no table_id — it was replaced by an unstamped " +
-            "table while the stream was down. Restart from a fresh checkpoint."))
-        if (e.tableId != tid0)
-          throw new IllegalStateException(
-            s"kvbin stream over $dir: checkpointed offset belongs to " +
-            s"table_id ${e.tableId}, the table on disk is $tid0 — the " +
-            "table was overwritten while the stream was down. Restart " +
-            "from a fresh checkpoint to tail the new table.")
-        val gens = KVBin.regionGenerations(meta)
-        val unstamped = regions.map(_.id).filterNot(gens.contains)
-        if (unstamped.nonEmpty)
-          throw new IllegalStateException(
-            s"kvbin stream over $dir: regions ${unstamped.sorted.mkString(", ")} " +
-            "carry no birth generation on a stamped table — either a " +
-            "compaction raced this poll (its rewrite replaces the " +
-            "per-generation file lists; retry or restart the stream) or " +
-            "the index was edited outside the writer. Cannot plan this " +
-            "batch safely.")
+        val gens = stampedGens(meta, regions, Seq(e.tableId))
         val seen = s.regions.toSet
         val vanishedSeen = seen -- regions.map(_.id)
         if (vanishedSeen.nonEmpty)

@@ -86,7 +86,11 @@ object RegionClient {
   * deserialize only (dir, conf) and stream their one region file. */
 class FileRegionClient(dir: String, conf: SerializableConfiguration)
     extends RegionClient {
-  @transient private lazy val all = KVBin.readAll(dir, conf.value)
+  // ONE index read per client for meta + entries + stat ranges — a
+  // separate statRanges read could straddle an index swap and pair one
+  // generation's rows with another's ranges
+  @transient private lazy val snapshot = KVBin.readAllWithRanges(dir, conf.value)
+  @transient private lazy val all = (snapshot._1, snapshot._2)
   /** Region file lengths, one listStatus (the serialized-size stat a
     * planner consumes; framing included, like PD's approximate_size). */
   @transient private lazy val fileLens: Map[String, Long] = {
@@ -95,7 +99,7 @@ class FileRegionClient(dir: String, conf: SerializableConfiguration)
       .map(st => st.getPath.getName -> st.getLen).toMap
   }
   @transient private lazy val ranges: Map[String, Seq[(Long, Long)]] =
-    if (all._1.contains("stats")) KVBin.statRanges(dir, conf.value) else Map.empty
+    if (snapshot._1.contains("stats")) snapshot._3 else Map.empty
   override def clusterMeta(): Map[String, String] = all._1
   /** The poll path never touches the index body (or the gen.* lists):
     * a fresh client per poll would otherwise pay a full O(regions)

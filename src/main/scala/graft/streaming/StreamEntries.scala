@@ -1768,19 +1768,34 @@ object StreamEntries {
     * and Spark's commit log) must not append a duplicate generation.
     * The replica stamps its applied batch id as a `meta.replica_batch`
     * header in the SAME atomic index swap as the rows (marker and rows
-    * can never disagree); a replay with batchId ≤ the stamp is a no-op.
-    * batchId (not a filesystem probe) also decides the overwrite-vs-
-    * append mode — retry-safe for batch 0 too. Package-visible so the
-    * retry contract is spec-testable without simulating a crash. */
+    * can never disagree).
+    *
+    * Batch 0 ALWAYS overwrites: within one checkpoint lineage Spark
+    * only ever replays the latest uncommitted batch (so a batch-0
+    * replay means batch 1 never ran and the overwrite is the retry),
+    * and across lineages — a stream restarted from a FRESH checkpoint
+    * against an existing replica, which the kvbin watchdogs' "restart
+    * from a fresh checkpoint" remedies make routine — the numbering
+    * restarts at 0 and the overwrite RESYNCS the replica to the new
+    * stream's base snapshot instead of skipping batches 0..N as
+    * phantom replays. Later batches are no-ops at or below the stamp.
+    * Only a MISSING dst maps to "nothing applied"; any other meta-read
+    * failure propagates — swallowing a transient FS error here would
+    * re-append the very duplicate the marker exists to prevent.
+    * Package-visible so the retry contract is spec-testable without
+    * simulating a crash. */
   private[graft] def applyReplicaBatch(dstTbl: String,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long): Unit = {
     val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
-    val applied = scala.util.Try(graft.sources.kvbin.KVBin.readMeta(
-        dstTbl, batch.sparkSession.sessionState.newHadoopConf()))
-      .toOption.flatMap(_.get("replica_batch")).map(_.toLong)
-      .getOrElse(-1L)
-    if (batchId > applied) {
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    // scalar headers only — a replica accumulates one generation per
+    // batch, and this probe runs every trigger: O(1), not O(regions)
+    val applied =
+      try graft.sources.kvbin.KVBin.readPollMeta(dstTbl, conf)
+        .get("replica_batch").map(_.toLong).getOrElse(-1L)
+      catch { case _: java.io.FileNotFoundException => -1L }
+    if (batchId == 0L || batchId > applied) {
       val mode = if (batchId == 0L) "overwrite" else "append"
       batch.write.format(fmt).option("path", dstTbl)
         .option("api_version", "V1")

@@ -38,14 +38,22 @@ class StreamEntriesSpec extends SparkTestBase {
     StreamEntries.applyReplicaBatch(dst, kv("c" -> "3"), 1L)
     assert(count() === 3L && meta("replica_batch") === Some("1"))
     val gen = meta("generation")
-    // the retry: replaying batch 1 (and batch 0) must change NOTHING
+    // the retry: within one lineage Spark replays only the LATEST
+    // uncommitted batch — it must change NOTHING
     StreamEntries.applyReplicaBatch(dst, kv("c" -> "3"), 1L)
-    StreamEntries.applyReplicaBatch(dst, kv("a" -> "1", "b" -> "2"), 0L)
     assert(count() === 3L, "a replayed batch appended a duplicate generation")
     assert(meta("generation") === gen && meta("replica_batch") === Some("1"))
     // and the stream continues past the replay
     StreamEntries.applyReplicaBatch(dst, kv("d" -> "4"), 2L)
     assert(count() === 4L && meta("replica_batch") === Some("2"))
+    // a FRESH checkpoint lineage (the watchdogs' standard remedy)
+    // restarts numbering at 0: batch 0 must RESYNC the replica to the
+    // new stream's base snapshot, never skip as a phantom replay
+    StreamEntries.applyReplicaBatch(dst, kv("x" -> "9"), 0L)
+    assert(count() === 1L && meta("replica_batch") === Some("0"),
+      "fresh-lineage batch 0 must overwrite-resync the replica")
+    StreamEntries.applyReplicaBatch(dst, kv("y" -> "8"), 1L)
+    assert(count() === 2L && meta("replica_batch") === Some("1"))
   }
 
   test("stateful entries are provider-invariant: RocksDB state store == default") {
