@@ -69,7 +69,9 @@ object KVBinSource {
     try {
       val conf = org.apache.spark.sql.SparkSession.active
         .sessionState.newHadoopConf()
-      KVBin.statDefs(KVBin.readMeta(dir, conf))
+      // scalar headers suffice ("stats" precedes the gen.* lists) —
+      // schema inference must not pay an O(regions) index read
+      KVBin.statDefs(KVBin.readPollMeta(dir, conf))
     } catch {
       case _: java.io.FileNotFoundException => Nil
       case _: java.net.URISyntaxException => Nil
