@@ -48,10 +48,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class KVBinSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KVBinSource.schemaFor(options.get("path"))
+    KVBinSource.schemaOf(KVBinSource.statDefsFor(
+      Option(options.get("path")), Option(options.get("endpoints"))))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new KVBinTable(properties.get("path"))
+    new KVBinTable(properties.get("path"),
+      Option(properties.get("endpoints")))
 }
 
 object KVBinSource {
@@ -77,6 +79,34 @@ object KVBinSource {
       case _: java.net.URISyntaxException => Nil
     }
 
+  /** Declared stats resolved through whichever side the options name:
+    * valid `endpoints` → ONE POLL round-trip to the cluster (the
+    * `#stats` key rides the scalar meta), so a client that knows only
+    * `host:port` plans, scans and tails with the full virtual-column
+    * schema and NO shared filesystem path; otherwise the local index.
+    * This is what makes `path` optional for wire reads — the wire
+    * carries everything planning needs (META/POLL scalars, REGIONS
+    * bounds + stat ranges, SCAN bytes). Writes still require a path. */
+  def statDefsFor(path: Option[String],
+                  endpoints: Option[String]): Seq[(String, String)] = {
+    val eps = endpoints.map(_.split(",").map(_.trim)
+      .filter(_.matches(".+:\\d+")).toSeq).getOrElse(Seq.empty)
+    if (eps.nonEmpty)
+      try {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active
+            .sessionState.newHadoopConf())
+        KVBin.statDefs(
+          RegionClient.connect(path.orNull, endpoints, conf).pollMeta())
+      } catch {
+        case scala.util.control.NonFatal(_) if path.isDefined =>
+          statDefs(path.get) // unreachable endpoints: the local fallback
+      }
+    else path.map(statDefs).getOrElse(
+      throw new IllegalArgumentException(
+        "kvbin reads need a 'path' or a valid 'endpoints' option"))
+  }
+
   /** (key, value) plus one non-null virtual LONG column per declared
     * stat — the Delta/Iceberg data-skipping surface: filter on a stat
     * column and planning prunes regions from the index min/max before
@@ -89,12 +119,16 @@ object KVBinSource {
   def schemaFor(dir: String): StructType = schemaOf(statDefs(dir))
 }
 
-class KVBinTable(dir: String) extends Table with SupportsRead
+class KVBinTable(dir: String, tableEndpoints: Option[String] = None)
+    extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  // ONE index read per table instance: Spark consults schema() several
-  // times while planning, and each schemaFor(dir) would re-open _index
-  private lazy val statDefs = KVBinSource.statDefs(dir)
-  override def name(): String = s"kvbin:$dir"
+  // ONE meta resolution per table instance: Spark consults schema()
+  // several times while planning, and each probe would re-open _index
+  // (or re-dial POLL)
+  private lazy val statDefs =
+    KVBinSource.statDefsFor(Option(dir), tableEndpoints)
+  override def name(): String =
+    s"kvbin:${Option(dir).orElse(tableEndpoints).getOrElse("?")}"
   override def schema(): StructType = KVBinSource.schemaOf(statDefs)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -116,8 +150,13 @@ class KVBinTable(dir: String) extends Table with SupportsRead
       Option(options.get("end_key_hex")).map(KVBin.unhex))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // the wire surface is read-only (META/POLL/REGIONS/SCAN/CHECKSUM);
+    // writes commit through the filesystem index swap and need a path
+    require(dir != null, "kvbin writes require a 'path' option — the " +
+      "endpoints-only (wire) surface is read/tail/checksum only")
     new KVBinWriteBuilder(dir, info)
+  }
 }
 
 /** The statistics a region-index row can answer WITHOUT opening the

@@ -285,6 +285,63 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("endpoints-only reads: schema, stat pruning and the tail all ride the wire — no path, no shared filesystem") {
+    import graft.sources.kvbin.KVBinServer
+    val path = graft.operators.Layout.kvbinSkipTable(spark, sfSmoke)
+    val conf = spark.sessionState.newHadoopConf()
+    val server = new KVBinServer(path, conf)
+    try {
+      // the client knows ONLY host:port: the stats schema comes from
+      // one POLL (the #stats scalar), bounds + ranges from REGIONS,
+      // bytes from SCAN — planning never opens the index file
+      val t = spark.read.format(kvbinFmt)
+        .option("endpoints", server.address).load()
+      assert(t.columns.toSeq === Seq("key", "value", "price_k", "cust"))
+      val pred = col("price_k").between(100L, 160L) && col("cust") < 200L
+      val viaWire = t.filter(pred).select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      val local = KVBin.read(spark, path).filter(pred)
+        .select(col("key").cast("string")).as[String].collect().sorted.toSeq
+      assert(viaWire === local && viaWire.nonEmpty)
+    } finally server.close()
+    // the TAIL too: an endpoints-only stream drains base + append
+    val dir2 = java.nio.file.Files.createTempDirectory("kvbin-eo2-").toString
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir2).option("ranges", "2")
+        .mode(mode).save()
+    write(hi = false, "overwrite")
+    val server2 = new KVBinServer(dir2, conf)
+    try {
+      // the wire surface is read-only: a path-less write refuses loudly
+      // (plain table so byName resolution passes and OUR gate answers)
+      val e = intercept[Exception] {
+        parquetSrc.limit(1).write.format(kvbinFmt)
+          .option("endpoints", server2.address).mode("append").save()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("path"),
+        s"unexpected: ${e.getMessage}")
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val q = spark.readStream.format(kvbinFmt)
+        .option("endpoints", server2.address).load()
+        .select(col("key").cast("string").as("key"))
+        .writeStream.format("memory").queryName("kvbin_wireonly_tail")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        write(hi = true, "append")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("kvbin_wireonly_tail")
+        .select("key").as[String].collect().sorted.toSeq
+      val expected = parquetSrc.select(col("key").cast("string"))
+        .as[String].collect().sorted.toSeq
+      assert(got === expected, "endpoints-only tail must drain both generations")
+      spark.catalog.dropTempView("kvbin_wireonly_tail")
+    } finally server2.close()
+  }
+
   test("CHECKSUM verb: server-side fold equals the scan-side digest with ZERO region bytes on the wire") {
     import graft.sources.kvbin.{KVBinChecksum, KVBinServer}
     val data = Seq.tabulate(600)(i => (f"ck_$i%04d".getBytes("UTF-8"),
