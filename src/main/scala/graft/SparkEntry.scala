@@ -582,17 +582,21 @@ object SparkEntry {
     // corpora grow). Oracle replays chooser → planes → bits → bands →
     // candidates → cosine → margin end-to-end
     "q_bitext_margin_ann" -> ((s, dir) =>
-      Similarity.marginMining(Similarity.bitextPairsSrpAuto(emb(s, dir)), 4)
+      Similarity.marginMining(
+          Similarity.bitextPairsSrpAuto(emb(s, dir), srpK), 4)
         .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(50)),
     // the SRP candidate stage's ROLLOUT GATE (the lshRecall analog):
     // on the corpus-capped slice where the brute stage is affordable,
     // how many of the brute margin top-50 survive as band-collision
     // candidates under the auto-chosen banding — the documented
-    // recall-<1-vs-brute trade as a recorded, oracle-gated number
-    // (near-random synthetic embeddings put it in the 16–34% range at
-    // these SFs; clustered real corpora collide far more)
+    // recall-<1-vs-brute trade as a recorded, oracle-gated number —
+    // AND what the multi-probe expansion buys back (all r Hamming-1
+    // bucket flips on side A): near-random synthetic embeddings put
+    // single-probe recall in the 16–34% range at these SFs; the probe
+    // columns record the raised recall and its candidate-volume cost
     "q_bitext_srp_recall" -> ((s, dir) =>
-      Similarity.bitextSrpRecall(emb(s, dir).filter(col("id") < 5000))),
+      Similarity.bitextSrpRecall(emb(s, dir).filter(col("id") < 5000),
+        kBits = srpK)),
     // embedding health gate: per-dim counts of non-finite / zero-norm
     // vectors + the norm envelope in integer micros — the pre-index
     // data contract of the ANN family, one aggregate pass
@@ -3091,6 +3095,22 @@ object SparkEntry {
     * sizes keep all shingles). Mirrored in the DuckDB oracle below. */
   private val jaccardMaxDf = 100
 
+  /** ONE SRP signature budget shared by the bitext entries AND their
+    * oracle CTEs: the rb divisor list below is DERIVED from this k
+    * exactly the way [[graft.operators.Similarity.srpBandsFor]] admits
+    * widths (divisors of k up to 62), so changing the budget cannot
+    * desynchronize engine and oracle band choices. */
+  private val srpK = 64
+  private val srpWidths = (1 to math.min(srpK, 62)).filter(srpK % _ == 0)
+  /** The srpBandsFor replay CTE: smallest admissible divisor-of-k width
+    * with pow(2,r) ≥ n/16 (same IEEE predicate both engines), widest
+    * width as the too-big fallback. `eName` is the corpus CTE to count. */
+  private def srpRbCte(eName: String): String =
+    s"rb AS (SELECT coalesce((SELECT min(d) FROM (VALUES " +
+    srpWidths.map(d => s"($d)").mkString(",") +
+    s") t(d)\n         WHERE pow(2, d) >= (SELECT count(*) FROM $eName) " +
+    s"/ 16.0), ${srpWidths.last}) AS r)"
+
   // Shared DuckDB fragments for the extension oracles. `pruned` mirrors
   // Dedup.jaccardJoin's maxDf semantics: the intersection join runs over
   // df-filtered shingles, sizes over all shingles.
@@ -4505,13 +4525,12 @@ object SparkEntry {
     // smallest divisor-of-64 band width with pow(2,r) ≥ n/16 (same IEEE
     // predicate both engines), widest width as the too-big fallback
     "q_bitext_margin_ann" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |rb AS (SELECT coalesce((SELECT min(d) FROM (VALUES (1),(2),(4),(8),(16),(32)) t(d)
-        |         WHERE pow(2, d) >= (SELECT count(*) FROM e) / 16.0), 32) AS r),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |${srpRbCte("e")},
         |planes AS (
         |  SELECT j, list(CASE WHEN substring(md5('srp_' || j || '_' || d), 1, 1) >= '8'
         |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS p
-        |  FROM generate_series(0, 63) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
+        |  FROM generate_series(0, ${srpK - 1}) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
         |  GROUP BY j),
         |bits AS (
         |  SELECT e.vec_id, pl.j, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
@@ -4542,12 +4561,15 @@ object SparkEntry {
     // the SRP rollout gate's replay: brute margin top-50 on the capped
     // slice (the q_bitext_margin CTEs) intersected with the auto-banded
     // SRP candidate set (the q_bitext_margin_ann CTEs, chooser included,
-    // over the SAME capped slice) — counts and integer-bp recall
+    // over the SAME capped slice) — counts and integer-bp recall for
+    // BOTH the single-probe set and the multi-probe expansion (each
+    // side-A band value also visits its r Hamming-1 bucket flips:
+    // f = 0 keeps the value, f = 1..r XORs bit f-1 — the identical
+    // probe construction as Similarity.crossCandidates)
     "q_bitext_srp_recall" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings WHERE vec_id < 5000),
-        |rb AS (SELECT coalesce((SELECT min(d) FROM (VALUES (1),(2),(4),(8),(16),(32)) t(d)
-        |         WHERE pow(2, d) >= (SELECT count(*) FROM e) / 16.0), 32) AS r),
+        |${srpRbCte("e")},
         |bpair AS (SELECT x.vec_id AS qa, y.vec_id AS qb,
         |           CAST(floor(list_dot_product(x.v, y.v)
         |             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
@@ -4567,7 +4589,7 @@ object SparkEntry {
         |planes AS (
         |  SELECT j, list(CASE WHEN substring(md5('srp_' || j || '_' || d), 1, 1) >= '8'
         |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY d) AS p
-        |  FROM generate_series(0, 63) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
+        |  FROM generate_series(0, ${srpK - 1}) t1(j) CROSS JOIN generate_series(0, 63) t2(d)
         |  GROUP BY j),
         |bits AS (
         |  SELECT e.vec_id, pl.j, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
@@ -4579,13 +4601,29 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+        |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |probe AS (
+        |  SELECT band_id,
+        |         CASE WHEN f = 0 THEN band_val
+        |              ELSE xor(band_val, CAST(1 AS BIGINT) << (f - 1)) END AS band_val,
+        |         vec_id
+        |  FROM bands CROSS JOIN (SELECT unnest(generate_series(0, ${srpWidths.last})) AS f) t
+        |  WHERE vec_id % 2 = 0 AND f <= (SELECT r FROM rb)),
+        |candm AS (
+        |  SELECT DISTINCT p.vec_id AS qa, b.vec_id AS qb
+        |  FROM probe p JOIN bands b ON p.band_id = b.band_id AND p.band_val = b.band_val
+        |    AND b.vec_id % 2 = 1)
         |SELECT (SELECT count(*) FROM brute) AS n_brute,
         |  (SELECT count(*) FROM cand) AS n_cand,
         |  (SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) AS n_hit,
         |  CASE WHEN (SELECT count(*) FROM brute) = 0 THEN CAST(0 AS BIGINT)
         |    ELSE CAST(((SELECT count(*) FROM brute b JOIN cand c ON b.qa = c.qa AND b.qb = c.qb) * 10000)
-        |      // (SELECT count(*) FROM brute) AS BIGINT) END AS recall_bp""".stripMargin,
+        |      // (SELECT count(*) FROM brute) AS BIGINT) END AS recall_bp,
+        |  (SELECT count(*) FROM candm) AS n_cand_mp,
+        |  (SELECT count(*) FROM brute b JOIN candm c ON b.qa = c.qa AND b.qb = c.qb) AS n_hit_mp,
+        |  CASE WHEN (SELECT count(*) FROM brute) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(((SELECT count(*) FROM brute b JOIN candm c ON b.qa = c.qa AND b.qb = c.qb) * 10000)
+        |      // (SELECT count(*) FROM brute) AS BIGINT) END AS recall_mp_bp""".stripMargin,
     // replays Similarity.vectorHealth: x−x ≠ 0 non-finite classification,
     // norms excluded for non-finite vectors, floor(x·1e6+0.5) micros
     "q_vector_health" ->

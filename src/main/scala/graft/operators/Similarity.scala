@@ -395,8 +395,10 @@ object Similarity {
     * (the measured 3.5× at 10× rows in BENCH_SF1 flattens once the
     * width deepens at sf1's corpus). */
   def bitextPairsSrpAuto(corpus: DataFrame, k: Int = 64,
-                         targetOccupancy: Double = 16.0): DataFrame =
-    bitextPairsSrp(corpus, k, srpBandsFor(k, corpus.count(), targetOccupancy))
+                         targetOccupancy: Double = 16.0,
+                         probes: Int = 0): DataFrame =
+    bitextPairsSrp(corpus, k,
+      srpBandsFor(k, corpus.count(), targetOccupancy), probes)
 
   /** The rollout gate for the SRP bitext candidate stage — the
     * [[Dedup.lshRecall]] analog, turning the documented "recall < 1 vs
@@ -404,41 +406,60 @@ object Similarity {
     * (the brute side is quadratic — that is exactly why this is an
     * offline gate, not a pipeline stage), mine the brute margin stage's
     * top pairs, then count how many survive as SRP band-collision
-    * candidates under the auto-chosen banding. One row:
-    * (n_brute, n_cand, n_hit, recall_bp) — recall in integer basis
-    * points, exact-replayable by the oracle. */
+    * candidates under the auto-chosen banding — and, since r13, what
+    * the MULTI-PROBE expansion ([[crossCandidates]], all r Hamming-1
+    * bucket flips on side A) buys back. One row: (n_brute, n_cand,
+    * n_hit, recall_bp, n_cand_mp, n_hit_mp, recall_mp_bp) — recall in
+    * integer basis points, exact-replayable by the oracle, the
+    * candidate-volume COST of the probe expansion recorded right next
+    * to the recall it buys (n_cand_mp vs n_cand). The single- and
+    * multi-probe sets derive from ONE banded signature frame — the k
+    * dot products per vector are computed once, not per probe arm. */
   def bitextSrpRecall(corpus: DataFrame, k: Int = 4, top: Int = 50,
                       kBits: Int = 64,
                       targetOccupancy: Double = 16.0): DataFrame = {
+    // brute (quadratic on the capped slice) and each candidate set feed
+    // TWO+ aggregates below — materialize once, ≤ top rows / candidate
+    // rows, never recompute the cross or the banded join per consumer
     val brute = marginMining(bitextPairs(corpus), k)
       .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(top)
       .select(col("qa"), col("qb"))
-    val cand = bitextPairsSrpAuto(corpus, kBits, targetOccupancy)
-      .select(col("qa"), col("qb")) // already DISTINCT by construction
-    brute.join(cand.withColumn("__in", lit(1L)), Seq("qa", "qb"), "left")
-      // a DEGENERATE slice (no brute pairs at all) must yield (0, n, 0,
-      // 0), not NULLs from a zero-row sum and a NULL DIV — and the
-      // oracle guards its division the same way, so the engines agree
-      .agg(count(lit(1)).as("n_brute"),
-        coalesce(sum(coalesce(col("__in"), lit(0L))), lit(0L)).as("n_hit"))
+      .localCheckpoint()
+    val bands = srpBandsFor(kBits, corpus.count(), targetOccupancy)
+    val banded = srpBanded(corpus, kBits, bands)
+    def candSet(probes: Int): DataFrame = banded match {
+      case None => corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qa"), lit(0L).as("qb"))
+      case Some(b) => crossCandidates(b, kBits / bands, probes).localCheckpoint()
+    }
+    val cand = candSet(0)
+    val candMp = candSet(Int.MaxValue) // clamped to r: all Hamming-1 flips
+    def hits(c: DataFrame, nm: String): DataFrame =
+      brute.join(c.withColumn("__in", lit(1L)), Seq("qa", "qb"), "left")
+        // a DEGENERATE slice (no brute pairs) must yield 0, not a NULL
+        // from a zero-row sum — the oracle guards the same way
+        .agg(coalesce(sum(coalesce(col("__in"), lit(0L))), lit(0L)).as(nm))
+    brute.agg(count(lit(1)).as("n_brute"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits(cand, "n_hit"))
+      .crossJoin(candMp.agg(count(lit(1)).as("n_cand_mp")))
+      .crossJoin(hits(candMp, "n_hit_mp"))
       .select(col("n_brute"), col("n_cand"), col("n_hit"),
         when(col("n_brute") === 0L, lit(0L))
-          .otherwise(expr("n_hit * 10000 DIV n_brute")).as("recall_bp"))
+          .otherwise(expr("n_hit * 10000 DIV n_brute")).as("recall_bp"),
+        col("n_cand_mp"), col("n_hit_mp"),
+        when(col("n_brute") === 0L, lit(0L))
+          .otherwise(expr("n_hit_mp * 10000 DIV n_brute")).as("recall_mp_bp"))
   }
 
-  def bitextPairsSrp(corpus: DataFrame, k: Int = 64, bands: Int = 8): DataFrame =
+  def bitextPairsSrp(corpus: DataFrame, k: Int = 64, bands: Int = 8,
+                     probes: Int = 0): DataFrame =
     srpBanded(corpus, k, bands) match {
       case None =>
         corpus.sparkSession.emptyDataFrame
           .select(lit(0L).as("qa"), lit(0L).as("qb"), lit(0L).as("c"))
       case Some(banded) =>
-        val a = banded.filter(col("id") % 2 === 0)
-          .select(col("band_id"), col("band_val"), col("id").as("qa"))
-        val b = banded.filter(col("id") % 2 =!= 0)
-          .select(col("band_id"), col("band_val"), col("id").as("qb"))
-        val cand = a.join(b, Seq("band_id", "band_val"))
-          .select(col("qa"), col("qb")).distinct()
+        val cand = crossCandidates(banded, k / bands, probes)
         val v = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
         cand
           .join(v.select(col("id").as("qa"), col("vec").as("va"),
@@ -449,6 +470,36 @@ object Similarity {
             floor(dot(col("va"), col("vb")) / (col("na") * col("nb"))
               * lit(1e9d) + lit(0.5d)).cast("long").as("c"))
     }
+
+  /** The DISTINCT cross-side (even × odd) band-collision candidate
+    * pairs of a banded SRP frame, with MULTI-PROBE expansion — the
+    * recall-raising mechanism the [[bitextSrpRecall]] gate licenses:
+    * `probes` > 0 ALSO visits, for each of side A's band values, the
+    * buckets at Hamming distance 1 in the band's lowest `probes` bits
+    * (clamped to the band width r). A sign bit flips when the query
+    * sits near a hyperplane, so the Hamming-1 neighborhood recovers
+    * most near-boundary misses — the classic multi-probe LSH trade:
+    * candidate volume grows at most ×(probes+1) (side A explodes to
+    * probes+1 probe values per band; side B is untouched, the join
+    * stays a banded equi-join), recall rises toward the OR-amplified
+    * ceiling. probes = 0 is exactly the single-probe set, and every
+    * probe list CONTAINS the unflipped value, so the single-probe
+    * candidate set is a SUBSET of any multi-probe set (SimilaritySpec
+    * pins it). */
+  private def crossCandidates(banded: DataFrame, r: Int,
+                              probes: Int): DataFrame = {
+    val p = math.min(math.max(probes, 0), r)
+    val bv = col("band_val")
+    val probeVals = array(bv +: (0 until p).map(j =>
+      bv.bitwiseXOR(lit(1L << j))): _*)
+    val a = banded.filter(col("id") % 2 === 0)
+      .select(col("band_id"), explode(probeVals).as("band_val"),
+        col("id").as("qa"))
+    val b = banded.filter(col("id") % 2 =!= 0)
+      .select(col("band_id"), col("band_val"), col("id").as("qb"))
+    a.join(b, Seq("band_id", "band_val"))
+      .select(col("qa"), col("qb")).distinct()
+  }
 
   /** Full-precision verification of an (id_a, id_b) candidate-pair
     * frame: join both sides' vectors + precomputed norms, emit

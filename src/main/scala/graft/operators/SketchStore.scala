@@ -104,10 +104,13 @@ object SketchStore {
     // Null g / null slot must trip the SAME loud gate — a null would
     // otherwise make the when() condition null, fall to otherwise(), and
     // hand the kvbin writer a silently-null key
-    val gate = when(gStr.isNull || col("slot").isNull ||
+    // v too: a null register value would otherwise sail through (hex(
+    // null) → null value column) and surface only inside the executor-
+    // side kvbin writer, or as a silent null plane in DoubleBits reads
+    val gate = when(gStr.isNull || col("slot").isNull || col("v").isNull ||
         gStr.contains("/") || col("slot") < 0,
       raise_error(concat(lit("SketchStore: g must be non-null and " +
-        "'/'-free, slot non-null and non-negative, got g="),
+        "'/'-free, slot non-null and non-negative, v non-null, got g="),
         coalesce(gStr, lit("NULL"))))).otherwise(lit(""))
     // once the table declares the `cell` stat, V2 byName resolution
     // demands the virtual column in the input too — the writer ignores

@@ -181,11 +181,16 @@ object KVBin {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         renamed = true
-        prevMtime.foreach { p =>
+        // best-effort: the commit is DURABLE once the rename lands. A
+        // throw here would propagate out of commit() and make Spark call
+        // abort() — deleting region files the committed index references
+        // — so a failed bump must degrade to the pre-bump cache-staleness
+        // behavior, never to a post-commit abort.
+        try prevMtime.foreach { p =>
           if (java.nio.file.Files.getLastModifiedTime(idx).toMillis <= p)
             java.nio.file.Files.setLastModifiedTime(idx,
               java.nio.file.attribute.FileTime.fromMillis(p + 1))
-        }
+        } catch { case _: java.io.IOException => () }
       } finally if (!renamed) java.nio.file.Files.deleteIfExists(tmp)
     } else {
       // cluster filesystems: FileContext rename with OVERWRITE is the
@@ -207,10 +212,16 @@ object KVBin {
         fs.delete(new Path(dir, s".$IndexFile.crc"), false)
         fc.rename(tmp, idx, Options.Rename.OVERWRITE)
         renamed = true
-        prevMtime.foreach { p =>
+        // best-effort for the same reason as the local branch: the index
+        // swap above IS the commit; failing commit() now would trigger
+        // abort()'s region-file cleanup under a live index. Note some
+        // FileSystem impls (object-store connectors) make setTimes a
+        // no-op — there the (len, mtime) fingerprint window stays open
+        // and caches fall back to mtime-granularity staleness.
+        try prevMtime.foreach { p =>
           if (fs.getFileStatus(idx).getModificationTime <= p)
             fs.setTimes(idx, p + 1, -1)
-        }
+        } catch { case _: java.io.IOException => () }
       } finally if (!renamed) fc.delete(tmp, false)
     }
   }

@@ -86,9 +86,16 @@ class KVBinServer(dir: String, conf: Configuration,
   // full N-region table scan must not cost N index reads). The atomic
   // _index swap (writeIndexAtomic) guarantees a re-read never sees a
   // half-written sidecar, and the SAME swap enforces strictly-increasing
-  // index mtimes, so two commits landing within the filesystem's mtime
-  // granularity with equal byte length can never leave this fingerprint
-  // stale — a wire-tailed stream always sees the newest commit.
+  // index mtimes on local and HDFS filesystems (where setTimes is
+  // honored), so there two equal-length commits inside the mtime
+  // granularity can never leave this fingerprint stale — a wire-tailed
+  // stream sees the newest commit. On filesystems whose setTimes is a
+  // no-op (several object-store connectors) the bump is best-effort and
+  // the window narrows to same-length swaps inside one mtime tick; a
+  // server over such a store should sit behind a fronting local/HDFS
+  // copy, or the fingerprint would need the #generation header (one
+  // header read per request — rejected: it re-opens the index on the
+  // cache's own hot path).
   private val idxLock = new Object
   private var idxFp: (Long, Long) = null
   private var idxCache: (Map[String, String],

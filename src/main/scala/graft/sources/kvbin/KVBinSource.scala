@@ -99,8 +99,17 @@ object KVBinSource {
         KVBin.statDefs(
           RegionClient.connect(path.orNull, endpoints, conf).pollMeta())
       } catch {
-        case scala.util.control.NonFatal(_) if path.isDefined =>
-          statDefs(path.get) // unreachable endpoints: the local fallback
+        // connection-class failures ONLY (an IOException covers refused
+        // dials, resets and timeouts): a semantic error from a reachable
+        // server must propagate, and the fallback is LOUD — a local
+        // index describing a different table than the endpoints would
+        // otherwise mask a misconfigured cluster until scan time
+        case e: java.io.IOException if path.isDefined =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"kvbin: endpoints ${endpoints.get} unreachable for schema " +
+            s"planning (${e.getMessage}); falling back to the local " +
+            s"index at ${path.get} — verify both point at the SAME table")
+          statDefs(path.get)
       }
     else path.map(statDefs).getOrElse(
       throw new IllegalArgumentException(

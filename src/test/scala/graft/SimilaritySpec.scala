@@ -715,7 +715,7 @@ class SimilaritySpec extends SparkTestBase {
       s"deeper bands must shrink candidates: ${deepCand.size} vs ${fixedCand.size}")
   }
 
-  test("bitextSrpRecall: hits are exactly the brute-top pairs surviving as SRP candidates") {
+  test("bitextSrpRecall: hits are exactly the brute-top pairs surviving as SRP candidates, single- and multi-probe") {
     val e = emb.filter($"id" < 200)
     val row = Similarity.bitextSrpRecall(e).head()
     val brute = Similarity.marginMining(Similarity.bitextPairs(e), 4)
@@ -723,11 +723,45 @@ class SimilaritySpec extends SparkTestBase {
       .select($"qa", $"qb").as[(Long, Long)].collect().toSet
     val cand = Similarity.bitextPairsSrpAuto(e).select($"qa", $"qb")
       .as[(Long, Long)].collect().toSet
+    val candMp = Similarity.bitextPairsSrpAuto(e, probes = Int.MaxValue)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
     assert(row.getLong(0) === brute.size.toLong)
     assert(row.getLong(1) === cand.size.toLong)
     assert(row.getLong(2) === (brute & cand).size.toLong)
     assert(row.getLong(3) ===
       (brute & cand).size.toLong * 10000L / brute.size.toLong)
+    assert(row.getLong(4) === candMp.size.toLong)
+    assert(row.getLong(5) === (brute & candMp).size.toLong)
+    assert(row.getLong(6) ===
+      (brute & candMp).size.toLong * 10000L / brute.size.toLong)
+  }
+
+  test("multi-probe SRP: candidates are a SUPERSET of the single-probe set at every probe depth, and monotone in probes") {
+    val e = emb
+    val p0 = Similarity.bitextPairsSrpAuto(e, probes = 0)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
+    val p1 = Similarity.bitextPairsSrpAuto(e, probes = 1)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
+    val pAll = Similarity.bitextPairsSrpAuto(e, probes = Int.MaxValue)
+      .select($"qa", $"qb").as[(Long, Long)].collect().toSet
+    // every probe list CONTAINS the unflipped value (f = 0), so probing
+    // can only ADD candidates — the gate's recall_mp can never undercut
+    // the single-probe recall
+    assert(p0.subsetOf(p1), "probes=1 must contain the single-probe set")
+    assert(p1.subsetOf(pAll), "deeper probing must contain shallower")
+    // and on the fixture it genuinely adds pairs (the mechanism is live,
+    // not a no-op): near-boundary sign flips exist in any real corpus
+    assert(pAll.size > p0.size,
+      s"multi-probe added nothing: ${pAll.size} vs ${p0.size}")
+    // scored output agrees with the brute cosine on every added pair —
+    // probing only widens the candidate set, never re-scores
+    val brute = Similarity.bitextPairs(e)
+      .as[(Long, Long, Long)].collect()
+      .map { case (qa, qb, c) => ((qa, qb), c) }.toMap
+    Similarity.bitextPairsSrpAuto(e, probes = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().foreach { case (qa, qb, c) =>
+        assert(brute.get((qa, qb)).contains(c), s"($qa,$qb)")
+      }
   }
 
   test("persisted IVF codebook roundtrips BIT-exactly: search results identical") {
