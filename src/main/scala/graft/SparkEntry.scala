@@ -246,6 +246,19 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // the OCCUPANCY-ADAPTIVE near-dup (lshParamsFor: band depth chosen
+    // from BOTH τ and the corpus count, the srpBandsFor discipline for
+    // MinHash — fixed-width banding measured 4.0× runtime at 10× rows
+    // because sub-threshold collisions fill buckets superlinearly).
+    // md5 signatures so the oracle replays the CANDIDATE stage too:
+    // chooser, signatures, band keys, bucket join — equality holds at
+    // any corpus size by construction, not because fixture pairs sit
+    // far above threshold. Output = rounded exact Jaccard ≥ τ over the
+    // chosen banding's candidates
+    "q_dedup_minhash_auto" -> ((s, dir) =>
+      Dedup.minhashNearDupMd5Auto(docs(s, dir), "text", "doc_id", mhTau,
+          3, mhK, targetOccupancy = mhOcc)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // the MinHash ESTIMATOR itself, hash-gated: for every exact pair
     // j >= 0.5, the k=32 md5-signature agreement fraction — the
     // accuracy contract behind every LSH recall claim, checked
@@ -289,13 +302,17 @@ object SparkEntry {
     // source names. Join cost bounded by C(sources, 2) per shingle
     "q_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), "text", "source")),
-    // LSH banding rollout gate: recall/precision (integer ppm) of the
-    // (k=32, bands=16) banded md5-signature candidates against the
-    // exact df-capped Jaccard truth at j >= 0.5 — the number that
-    // licenses replacing the exact join with banding at 100× scale
+    // LSH banding rollout gate, routed through the OCCUPANCY-ADAPTIVE
+    // chooser (lshParamsFor: admissibility b·n·(τ/2)^r ≤ 16, inflection
+    // nearest τ among admissible divisor pairs of k=32): recall and
+    // precision (integer ppm) of the chooser's banding against the
+    // exact df-capped Jaccard truth at j >= 0.5 — the recorded number
+    // now tracks what the ADAPTIVE banding ships at this corpus size.
+    // The oracle replays the chooser (rch CTE), so the recorded trade
+    // is hash-gated at every SF, not just the SFs someone measured
     "q_lsh_recall" -> ((s, dir) =>
-      Dedup.lshRecall(docs(s, dir), "text", "doc_id", 0.5, 3, 32, 16,
-        maxDf = jaccardMaxDf)),
+      Dedup.lshRecallAuto(docs(s, dir), "text", "doc_id", mhTau, 3, mhK,
+        maxDf = jaccardMaxDf, targetOccupancy = mhOcc)),
     // near-dup clusters: connected components over the verified pair
     // graph; cluster_id = min reachable doc_id (the canonical survivor)
     "q_dedup_clusters" -> ((s, dir) =>
@@ -3102,6 +3119,25 @@ object SparkEntry {
     * desynchronize engine and oracle band choices. */
   private val srpK = 64
   private val srpWidths = (1 to math.min(srpK, 62)).filter(srpK % _ == 0)
+
+  /** ONE MinHash signature budget + banding target shared by the
+    * adaptive-banding entries and their oracle CTEs (the srpK
+    * discipline for the MinHash family). */
+  private val mhK = 32
+  private val mhTau = 0.5
+  private val mhOcc = 16.0
+  /** The [[graft.operators.Dedup.lshParamsFor]] replay CTEs (divs,
+    * rch): divisor pairs of k, admissibility b·n·(τ/2)^r ≤ occ,
+    * inflection nearest τ with ties toward more bands (b DESC),
+    * deepest-banding fallback — the identical IEEE predicates, so the
+    * chooser cannot drift between engines. */
+  private def lshRchCte: String =
+    s"divs AS (SELECT d AS r, $mhK // d AS b FROM (VALUES " +
+    (1 to mhK).filter(mhK % _ == 0).map(d => s"($d)").mkString(",") +
+    s""") t(d)),
+       |rch AS (SELECT coalesce((SELECT r FROM divs
+       |  WHERE b * (SELECT count(*) FROM documents) * pow(${mhTau / 2.0}, r) <= $mhOcc
+       |  ORDER BY abs(pow(1.0/b, 1.0/r) - $mhTau) ASC, b DESC LIMIT 1), $mhK) AS r)""".stripMargin
   /** The srpBandsFor replay CTE: smallest admissible divisor-of-k width
     * with pow(2,r) ≥ n/16 (same IEEE predicate both engines), widest
     * width as the too-big fallback. `eName` is the corpus CTE to count. */
@@ -3997,16 +4033,20 @@ object SparkEntry {
         |  CAST(n_shared * 1000000 // (sa.n + sb.n - n_shared) AS BIGINT) AS jaccard_ppm
         |FROM inter JOIN sz sa ON src_a = sa.src JOIN sz sb ON src_b = sb.src
         |ORDER BY jaccard_ppm DESC, src_a, src_b""".stripMargin,
-    // replays lshRecall: same salted md5 signatures, band key = the r=2
-    // components string-joined, banded self-join candidates vs the
-    // exact pruned-Jaccard truth; integer-ppm recall/precision
+    // replays lshRecallAuto: same salted md5 signatures, band width r
+    // from the REPLAYED chooser (rch CTE — lshParamsFor's admissibility
+    // and inflection predicates in the same IEEE doubles), band key =
+    // the r components string-joined, banded self-join candidates vs
+    // the exact pruned-Jaccard truth; integer-ppm recall/precision
     "q_lsh_recall" -> (shingleCtePruned +
       s""", msig AS (SELECT doc_id, i,
         |            min(${duckHash60("'mh' || i || '_' || t")}) AS m
-        |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i)
+        |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, ${mhK - 1})) AS i)
         |          GROUP BY doc_id, i),
-        |band AS (SELECT doc_id, i // 2 AS band_id, string_agg(m, '_' ORDER BY i) AS bk
-        |         FROM msig GROUP BY doc_id, i // 2),
+        |$lshRchCte,
+        |band AS (SELECT doc_id, i // (SELECT r FROM rch) AS band_id,
+        |           string_agg(m, '_' ORDER BY i) AS bk
+        |         FROM msig GROUP BY doc_id, i // (SELECT r FROM rch)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM band a JOIN band b ON a.band_id = b.band_id AND a.bk = b.bk
         |           AND a.doc_id < b.doc_id),
@@ -4184,6 +4224,26 @@ object SparkEntry {
     // the LSH path must recover every pair the exact join finds at this
     // threshold — same oracle; LSH only prunes candidates
     "q_dedup_minhash" -> (shingleCte + jaccardSelect),
+    // replays minhashNearDupMd5Auto END-TO-END: the replayed chooser
+    // (rch), the salted md5 signatures, band keys, the banded self-join
+    // candidate set, and the exact rounded Jaccard ≥ τ restricted to
+    // those candidates — a boundary pair the chosen banding misses is
+    // missed identically by both engines
+    "q_dedup_minhash_auto" -> (shingleCte +
+      s""", msig AS (SELECT doc_id, i,
+        |            min(${duckHash60("'mh' || i || '_' || t")}) AS m
+        |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, ${mhK - 1})) AS i)
+        |          GROUP BY doc_id, i),
+        |$lshRchCte,
+        |band AS (SELECT doc_id, i // (SELECT r FROM rch) AS band_id,
+        |           string_agg(m, '_' ORDER BY i) AS bk
+        |         FROM msig GROUP BY doc_id, i // (SELECT r FROM rch)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM band a JOIN band b ON a.band_id = b.band_id AND a.bk = b.bk
+        |           AND a.doc_id < b.doc_id)
+        |SELECT j.doc_a, j.doc_b, j.jaccard
+        |FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        |WHERE j.jaccard >= $mhTau ORDER BY j.doc_a, j.doc_b""".stripMargin),
     // SimHash bit-vote signatures over the md5-derived 60-bit token hash
     // (substr(md5,1,15) parsed base-16 — exactly Dedup.md5Hash60)
     "q_simhash" -> (simhashSigCte +

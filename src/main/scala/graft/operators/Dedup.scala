@@ -661,6 +661,120 @@ object Dedup {
     (best._1, best._2)
   }
 
+  /** Occupancy-adaptive banding chooser — [[lshParams]] with the corpus
+    * size in the loop (the [[graft.operators.Similarity.srpBandsFor]]
+    * discipline brought to MinHash): at FIXED band depth the candidate
+    * volume of the banded self-join grows superlinearly with the corpus
+    * (every sub-threshold pair collides with probability ≈ b·s₀^r, and
+    * there are ~n²/2 of them — BENCH_SF1 measured 4.0× runtime at 10×
+    * rows for the fixed (64,32) banding), so ADMISSIBILITY here bounds
+    * the expected background collisions per document:
+    * b · n · s₀^r ≤ targetOccupancy, with s₀ = τ/2 the
+    * "clearly-below-threshold" reference similarity. Among admissible
+    * divisor pairs of k the S-curve inflection (1/b)^(1/r) nearest τ
+    * wins, ties toward MORE bands (recall-favoring, as in
+    * [[lshParams]]); a corpus too large for ANY divisor gets the
+    * deepest banding (b = 1, r = k) — the signature budget k is then
+    * the binding constraint (raise k). Pure IEEE-double predicates
+    * (pow/abs, no logs), so the DuckDB oracle replays the choice
+    * bit-exactly. The recall this trades away at each depth is exactly
+    * what [[lshRecall]] records — chooser and gate ship together. */
+  def lshParamsFor(k: Int, tau: Double, n: Long,
+                   targetOccupancy: Double = 16.0): (Int, Int) = {
+    require(k > 0, "k must be positive")
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0, 1)")
+    require(targetOccupancy > 0.0, "targetOccupancy must be positive")
+    val s0 = tau / 2.0
+    val pairs = (1 to k).filter(k % _ == 0).map(r => (k / r, r))
+    val admissible = pairs.filter { case (b, r) =>
+      b.toDouble * math.max(n, 1L).toDouble * math.pow(s0, r) <=
+        targetOccupancy
+    }
+    val pool = if (admissible.nonEmpty) admissible else Seq((1, k))
+    pool.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - tau), -b)
+    }
+  }
+
+  /** [[minhashNearDup]] with the banding CHOSEN from the corpus size
+    * ([[lshParamsFor]]): one count() of the corpus — a scalar-wide
+    * pass — buys the occupancy-held banding that keeps the candidate
+    * self-join near-linear as corpora grow instead of the measured 4×
+    * at 10× rows of a fixed width. Production (xxhash64) signature
+    * path; the md5 twin [[minhashNearDupMd5Auto]] is the oracle-gated
+    * form, and [[lshRecall]] (routed through the same chooser) records
+    * the recall each chosen depth trades away. */
+  def minhashNearDupAuto(docs: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, n: Int = 3, k: Int = 64,
+                         targetOccupancy: Double = 16.0): DataFrame = {
+    val (bands, _) = lshParamsFor(k, threshold, docs.count(), targetOccupancy)
+    minhashNearDup(docs, textCol, idCol, threshold, n, k, bands)
+  }
+
+  /** The md5-signature banded candidate pairs ([[lshRecall]]'s
+    * candidate stage, factored): band key = the r components joined as
+    * a string (both engines print longs identically), candidates from
+    * the banded self-join, DISTINCT, never all-pairs. */
+  private def md5BandedCandidates(docs: DataFrame, textCol: String,
+                                  idCol: String, n: Int, k: Int,
+                                  bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatureMd5(docs, textCol, idCol, n, k)
+    val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws("_", (0 until r).map(i => col(s"m${b * r + i}")): _*)): _*)))
+      .toDF("doc_id", "band_id", "bk")
+      .localCheckpoint()
+    banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_b")),
+        Seq("band_id", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** The ORACLE-GATED adaptive near-dup: md5-signature candidates
+    * (exactly replayable in DuckDB, unlike the xxhash production
+    * signatures) banded by [[lshParamsFor]], then the SAME exact
+    * shingle-Jaccard verification as [[minhashNearDup]]. Because the
+    * oracle replays the CANDIDATE stage too — chooser, signatures,
+    * band keys, bucket join — equality holds at every corpus size by
+    * construction, not because the fixture's pairs happen to sit far
+    * above threshold: a boundary pair the chosen banding misses is
+    * missed identically by both engines. */
+  def minhashNearDupMd5Auto(docs: DataFrame, textCol: String, idCol: String,
+                            threshold: Double, n: Int = 3, k: Int = 32,
+                            targetOccupancy: Double = 16.0): DataFrame = {
+    val (bands, _) = lshParamsFor(k, threshold, docs.count(), targetOccupancy)
+    val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands)
+    val tok = hashedShingleIndex(docs, textCol, idCol, n)
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    // threshold the ROUNDED jaccard (the family's 6-dp output form):
+    // the oracle filters its rounded jac CTE the same way, so a
+    // boundary pair cannot pass one engine and fail the other
+    jaccardFromCounts(inter, sz, 0.0)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[lshRecall]] with the banding CHOSEN by [[lshParamsFor]] — the
+    * rollout gate and the chooser it licenses, wired together: the
+    * recorded recall/precision now tracks what the ADAPTIVE banding
+    * actually ships at this corpus size, not a fixed width's number. */
+  def lshRecallAuto(docs: DataFrame, textCol: String, idCol: String,
+                    threshold: Double, n: Int = 3, k: Int = 32,
+                    maxDf: Int = Int.MaxValue,
+                    targetOccupancy: Double = 16.0): DataFrame = {
+    val (bands, _) = lshParamsFor(k, threshold, docs.count(), targetOccupancy)
+    lshRecall(docs, textCol, idCol, threshold, n, k, bands, maxDf)
+  }
+
   /** LSH banding-parameter rollout gate — the dedup-family analog of
     * [[graft.operators.Similarity.recallAtK]]: against the EXACT
     * df-capped Jaccard truth set (pairs with rounded j >= `threshold`),
@@ -682,24 +796,12 @@ object Dedup {
                 threshold: Double, n: Int = 3, k: Int = 32,
                 bands: Int = 16, maxDf: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val truth = jaccardJoin(docs, textCol, idCol, 0.0, n, maxDf)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("j"))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val sig = minhashSignatureMd5(docs, textCol, idCol, n, k)
-    val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          concat_ws("_", (0 until r).map(i => col(s"m${b * r + i}")): _*)): _*)))
-      .toDF("doc_id", "band_id", "bk")
-      .localCheckpoint()
-    val cand = banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_b")),
-        Seq("band_id", "bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands)
       .localCheckpoint()
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))

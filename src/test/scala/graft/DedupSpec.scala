@@ -277,6 +277,52 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.lshParams(32, 0.25) === ((16, 2)))
   }
 
+  test("lshParamsFor: occupancy bound held, depth grows with corpus, ties toward bands, deepest fallback") {
+    // k=32, tau=0.5 (s0=0.25, occ=16): the knee points — 500 docs admit
+    // r=4 (8·500·0.25⁴ = 15.6 ≤ 16), 5000 need r=8, huge corpora r=16
+    assert(Dedup.lshParamsFor(32, 0.5, 500L) === ((8, 4)))
+    assert(Dedup.lshParamsFor(32, 0.5, 5000L) === ((4, 8)))
+    assert(Dedup.lshParamsFor(32, 0.5, 50000L) === ((4, 8)))
+    assert(Dedup.lshParamsFor(32, 0.5, 5000000L) === ((2, 16)))
+    // the admissibility predicate genuinely holds at every returned pair
+    for (e <- 0 to 40; n = 1L << e) {
+      val (b, r) = Dedup.lshParamsFor(32, 0.5, n)
+      assert(b * r === 32)
+      if (b > 1) // non-fallback: the bound must hold
+        assert(b * n.toDouble * math.pow(0.25, r) <= 16.0, s"n=$n ($b,$r)")
+      // depth never DECREASES with corpus growth
+      val (_, r2) = Dedup.lshParamsFor(32, 0.5, n * 2)
+      assert(r2 >= r, s"depth shrank: n=$n r=$r -> r=$r2")
+    }
+    // an impossible occupancy forces the deepest banding (k binds)
+    assert(Dedup.lshParamsFor(32, 0.5, Long.MaxValue, 0.001) === ((1, 32)))
+    // a tiny corpus reduces to the pure-threshold chooser: everything
+    // is admissible, so the inflection-nearest pair wins as in lshParams
+    assert(Dedup.lshParamsFor(32, 0.5, 1L) === ((Dedup.lshParams(32, 0.5))))
+  }
+
+  test("minhashNearDupMd5Auto: pairs are exact-Jaccard-verified members of the chosen banding's candidates") {
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val auto = Dedup.minhashNearDupMd5Auto(d, "text", "doc_id", 0.5, 3, 32)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every emitted pair is a true exact-Jaccard pair with the SAME
+    // rounded score — candidates only prune, never re-score
+    val exact = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val exactMap = exact.map { case (a, b, j) => ((a, b), j) }.toMap
+    auto.foreach { case (a, b, j) =>
+      assert(exactMap.get((a, b)).contains(j), s"($a,$b,$j)")
+    }
+    assert(auto.nonEmpty && auto.size <= exact.size)
+    // and lshRecallAuto records exactly this trade: its hit count is
+    // the auto pair count when truth uses the same threshold family
+    val row = Dedup.lshRecallAuto(d, "text", "doc_id", 0.5, 3, 32).head()
+    assert(row.getAs[Long]("n_true") === exact.size.toLong)
+  }
+
   test("groupKFold: co-cluster docs share a fold; folds in range; partition exact") {
     val pairs = Dedup.jaccardJoin(corpus, "text", "doc_id", 0.5, 3)
       .select(col("doc_a"), col("doc_b"))
