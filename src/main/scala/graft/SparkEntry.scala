@@ -534,17 +534,32 @@ object SparkEntry {
     "q_topic_balance" -> ((s, dir) =>
       Similarity.topicBalance(emb(s, dir), 5, 2, 20)
         .orderBy(col("cluster_id"), col("rn"))),
-    // ANN rollout gate: recall@3 of the IVF probe against the exact
-    // brute-force top-3, per query, as an exact integer ppm — the eval
-    // composes both operators it grades and costs |queries|·k beyond
-    // them
+    // ANN rollout gate, nprobe CHOSEN from the recall target (nprobeFor:
+    // smallest depth whose measured recall on the capped slice meets
+    // 90% — the last manual IVF knob, now derived the way srpBandsFor /
+    // lshParamsFor derive theirs, except empirically because IVF recall
+    // has no corpus-free analytic form): recall@3 of the chosen probe
+    // against the exact brute-force top-3, per query, exact integer
+    // ppm. The oracle replays the CURVE and the chooser, so the chosen
+    // depth cannot drift between engines
     "q_ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("id") < 10)
+      val np = Similarity.nprobeFor(e, q, 3, annTargetPpm)
       Similarity.recallAtK(
           Similarity.bruteForceTopK(q, e, 3),
-          Similarity.ivfTopK(e, q, 3, 2), 3)
+          Similarity.ivfTopK(e, q, 3, np), 3)
         .orderBy(col("query_id"))
+    }),
+    // the recall/nprobe CURVE itself, recorded and hash-gated: one row
+    // per probe depth 1..C with exact-integer hit counts and ppm recall
+    // against brute-force truth on the capped slice — the measurement
+    // nprobeFor chooses from, and the artifact a 100 TB rollout reads
+    // before picking its probe budget
+    "q_ann_nprobe_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.nprobeRecallCurve(e, e.filter(col("id") < 10), 3)
+        .orderBy(col("nprobe"))
     }),
     // the same IVF probe over the UNSUPERVISED deterministic k-means
     // codebook (md5-seeded init, 2 fixed iterations, decimal-exact
@@ -3126,6 +3141,10 @@ object SparkEntry {
   private val mhK = 32
   private val mhTau = 0.5
   private val mhOcc = 16.0
+
+  /** ONE IVF recall target (ppm) shared by the q_ann_recall entry and
+    * its oracle's replayed chooser. */
+  private val annTargetPpm = 900000L
   /** The [[graft.operators.Dedup.lshParamsFor]] replay CTEs (divs,
     * rch): divisor pairs of k, admissibility b·n·(τ/2)^r ≤ occ,
     * inflection nearest τ with ties toward more bands (b DESC),
@@ -4441,53 +4460,32 @@ object SparkEntry {
     // the persisted-index run is BIT-EXACT (codebook cells roundtrip
     // as IEEE-754 long bits), so its gate replays q_ann_ivf verbatim
     "q_ann_ivf_persist" -> annIvfOracleSql,
-        // replays q_ann_recall: the exact top-3 CTE (q_cosine_topk) LEFT
-    // JOINed against the full IVF replay (q_ann_ivf), hit counts and
-    // the ppm recall as exact integers
-    "q_ann_recall" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    round(list_dot_product(q.v, c.v) /
-        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
-        |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.vec_id <> c.vec_id),
-        |exact_rk AS (SELECT query_id, vec_id FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
-        |  WHERE rank <= 3),
-        |px AS (SELECT vec_id, label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
-        |cm AS (SELECT label AS cluster_id, pos,
-        |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
-        |       FROM px GROUP BY label, pos),
-        |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
-        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
-        |           round(list_dot_product(e.v, c.cvec)
-        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |         FROM e CROSS JOIN cent c),
-        |asg AS (SELECT vec_id, v, cluster_id FROM (
-        |          SELECT *, row_number() OVER (PARTITION BY vec_id
-        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-        |      FROM e WHERE vec_id < 10),
-        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
-        |          round(list_dot_product(q.qv, c.cvec)
-        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
-        |        FROM q CROSS JOIN cent c),
-        |pr AS (SELECT query_id, qv, qn, cluster_id FROM (
-        |         SELECT *, row_number() OVER (PARTITION BY query_id
-        |           ORDER BY csim DESC, cluster_id) AS r FROM pr0) WHERE r <= 2),
-        |sc AS (SELECT p.query_id, a.vec_id,
-        |         round(list_dot_product(p.qv, a.v)
-        |           / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
-        |       FROM pr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
-        |ivf_rk AS (SELECT query_id, vec_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
-        |  WHERE rank <= 3)
+    // replays q_ann_recall THROUGH the replayed chooser: the shared
+    // curve CTEs (annNprobeCurveCte — exact top-3, label codebook,
+    // assignment, per-pair probe ranks, the per-depth top-3, the
+    // hit-count curve), then npch picks the smallest depth meeting the
+    // target exactly as Similarity.nprobeFor does, and the final
+    // per-query recall reads the curve's own per-depth top-3 at that
+    // depth — chooser and result can never desynchronize
+    "q_ann_recall" -> (annNprobeCurveCte +
+      s""",
+        |npch AS (SELECT coalesce(
+        |    (SELECT min(nprobe) FROM curve
+        |     WHERE n_hit * 1000000 >= $annTargetPpm * n_total),
+        |    (SELECT max(nprobe) FROM curve)) AS np)
         |SELECT ex.query_id,
         |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // 3 AS recall_ppm
-        |FROM exact_rk ex LEFT JOIN ivf_rk iv
+        |FROM exact_rk ex LEFT JOIN (
+        |    SELECT query_id, vec_id FROM ivfk WHERE np = (SELECT np FROM npch)) iv
         |  ON ex.query_id = iv.query_id AND ex.vec_id = iv.vec_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // replays nprobeRecallCurve: the shared curve CTEs, emitted as the
+    // recorded (nprobe, n_hit, n_total, recall_ppm) artifact
+    "q_ann_nprobe_curve" -> (annNprobeCurveCte +
+      """
+        |SELECT nprobe, n_hit, n_total, n_hit * 1000000 // n_total AS recall_ppm
+        |FROM curve ORDER BY nprobe""".stripMargin),
     // replays Similarity.kmeansCodebook + the IVF probe end-to-end:
     // seeds = 5 smallest (md5(id), id) vectors; two unrolled
     // assignment/update rounds (9-dp cosine, cluster_id tie-break,
@@ -7323,6 +7321,65 @@ object SparkEntry {
         |             ORDER BY sim DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin
+
+  /** The shared curve CTEs behind q_ann_recall and q_ann_nprobe_curve:
+    * exact brute top-3 on the capped query slice, the label codebook +
+    * assignment of annIvfOracleSql, every (query, vec) scored pair
+    * tagged with its probe rank (the query's rank of the vec's unique
+    * cluster), the per-depth top-3 (ivfk), and the per-depth hit-count
+    * curve — the bit-exact replay of Similarity.nprobeRecallCurve.
+    * Ends at `curve(nprobe, n_hit, n_total)`. */
+  private lazy val annNprobeCurveCte: String =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+        |  FROM (SELECT * FROM e WHERE vec_id < 10) q JOIN e c ON q.vec_id <> c.vec_id),
+        |exact_rk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
+        |  WHERE rank <= 3),
+        |px AS (SELECT vec_id, label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS pos FROM e),
+        |cm AS (SELECT label AS cluster_id, pos,
+        |         CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS m
+        |       FROM px GROUP BY label, pos),
+        |cent AS (SELECT cluster_id, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cluster_id),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cluster_id,
+        |           round(list_dot_product(e.v, c.cvec)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |         FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, v, cluster_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY csim DESC, cluster_id) AS r FROM asg0) WHERE r = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 10),
+        |pr0 AS (SELECT q.query_id, q.qv, q.qn, c.cluster_id,
+        |          round(list_dot_product(q.qv, c.cvec)
+        |            / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS csim
+        |        FROM q CROSS JOIN cent c),
+        |prr AS (SELECT query_id, qv, qn, cluster_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY csim DESC, cluster_id) AS pr
+        |        FROM pr0),
+        |scall AS (SELECT p.query_id, a.vec_id, p.pr,
+        |            round(list_dot_product(p.qv, a.v)
+        |              / (p.qn * sqrt(list_dot_product(a.v, a.v))), 9) AS sim
+        |          FROM prr p JOIN asg a ON p.cluster_id = a.cluster_id AND p.query_id <> a.vec_id),
+        |nps AS (SELECT np FROM (SELECT unnest(generate_series(1, 4096)) AS np)
+        |        WHERE np <= (SELECT count(*) FROM cent)),
+        |ivfk AS (SELECT np, query_id, vec_id FROM (
+        |           SELECT n.np, s.query_id, s.vec_id,
+        |             row_number() OVER (PARTITION BY n.np, s.query_id
+        |               ORDER BY s.sim DESC, s.vec_id) AS rank
+        |           FROM nps n JOIN scall s ON s.pr <= n.np)
+        |         WHERE rank <= 3),
+        |curve AS (SELECT n.np AS nprobe,
+        |            CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |            CAST(count(*) AS BIGINT) AS n_total
+        |          FROM nps n CROSS JOIN exact_rk ex
+        |          LEFT JOIN ivfk iv ON iv.np = n.np
+        |            AND ex.query_id = iv.query_id AND ex.vec_id = iv.vec_id
+        |          GROUP BY n.np)""".stripMargin
 
   /** The ONE replay of the CMS heavy-hitter estimate (d=4 × w=1024,
     * per-doc-distinct trigram shingles), shared by q_heavy_hitters and

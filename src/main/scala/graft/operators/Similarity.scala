@@ -199,6 +199,82 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The recall/nprobe CURVE of the IVF probe — the measurement behind
+    * [[nprobeFor]]'s empirical chooser (the srpBandsFor discipline for
+    * the IVF family's last manual knob, applied where no analytic form
+    * exists: recall at a given nprobe depends on how the corpus
+    * clusters, so it is MEASURED on a capped query slice rather than
+    * modeled). One row per nprobe 1..C: (nprobe, n_hit, n_total,
+    * recall_ppm) against the exact brute-force top-k on the same
+    * slice. Cost discipline: the brute side is |queries|·corpus — the
+    * caller caps the query slice exactly as the other offline gates do
+    * — and the probe side computes ONE scored pair list tagged with
+    * each pair's probe rank, then ranks it once per nprobe (a C-way
+    * explode of an already-k-bounded frame, never C separate probe
+    * jobs over the corpus). Exact integer ppm, oracle-replayable. */
+  def nprobeRecallCurve(corpus: DataFrame, queries: DataFrame, k: Int,
+                        labelCol: String = "label"): DataFrame =
+    nprobeRecallCurveWithCodebook(corpus, queries, k,
+      labelCodebook(corpus, labelCol))
+
+  def nprobeRecallCurveWithCodebook(corpus: DataFrame, queries: DataFrame,
+                                    k: Int, codebook: DataFrame): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val assigned = rankedCentroidSims(corpus, codebook)
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster_id"), col("cv"), col("cn"))
+    // keep EVERY probe rank: a (query, vec) pair's probe rank pr is the
+    // query's rank of the vec's (unique) cluster, so the pair is in the
+    // nprobe-probe candidate set exactly when pr ≤ nprobe
+    val probes = rankedCentroidSims(queries, codebook)
+      .select(col("vec_id").as("query_id"), col("cv").as("qv"),
+        col("cn").as("qn"), col("cluster_id"), col("r").as("pr"))
+    val scall = assigned
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("pr"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
+    val c = codebook.count() // bounded: the codebook is model state
+    val spark = corpus.sparkSession
+    val nps = spark.range(1, c + 1).select(col("id").as("nprobe"))
+    val ranked = scall.join(broadcast(nps), col("pr") <= col("nprobe"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("vec_id"),
+        lit(1L).as("__hit"))
+    nps.crossJoin(exact)
+      .join(ranked, Seq("nprobe", "query_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hit"),
+        count(lit(1)).as("n_total"))
+      .select(col("nprobe"), col("n_hit"), col("n_total"),
+        expr("n_hit * 1000000 DIV n_total").as("recall_ppm"))
+  }
+
+  /** The nprobe CHOOSER: smallest nprobe whose measured recall on the
+    * capped slice meets `targetRecallPpm`; the full probe count C when
+    * no depth reaches it (degrading to exact search — the honest
+    * fallback). Driver-side decision over the C-row curve — the same
+    * derive-then-gate shape as [[srpBandsFor]]/[[Dedup.lshParamsFor]],
+    * except the derivation is the gate's own measurement because IVF
+    * recall has no corpus-free analytic form. floor(n_hit·1e6/n_total)
+    * ≥ T is equivalent to n_hit·1e6 ≥ T·n_total for integer T, so the
+    * oracle's replay of the threshold cannot straddle a rounding
+    * boundary. */
+  def nprobeFor(corpus: DataFrame, queries: DataFrame, k: Int,
+                targetRecallPpm: Long,
+                labelCol: String = "label"): Int = {
+    val rows = nprobeRecallCurve(corpus, queries, k, labelCol)
+      .select(col("nprobe"), col("recall_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(rows.nonEmpty, "nprobeFor: empty curve (no clusters?)")
+    rows.filter(_._2 >= targetRecallPpm).map(_._1).minOption
+      .getOrElse(rows.map(_._1).max).toInt
+  }
+
   /** Scalar (int8) quantization of an embedding column: one global
     * (min, max) pair per dimension (a tiny broadcast aggregate), values
     * mapped affinely to 0..255. 4× memory reduction per vector — at

@@ -764,6 +764,27 @@ class SimilaritySpec extends SparkTestBase {
       }
   }
 
+  test("nprobe curve + chooser: recall monotone in depth, full depth exact, chooser = smallest depth meeting target") {
+    val e = emb
+    val q = e.filter($"id" < 10)
+    val curve = Similarity.nprobeRecallCurve(e, q, 3)
+      .orderBy($"nprobe").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(curve.nonEmpty)
+    // more probes only ADD candidates, and a true top-k member present
+    // among candidates always survives the subset top-k (its (sim, id)
+    // order key is top-3 among ALL vectors) — so recall is monotone
+    assert(curve.map(_._4).sliding(2).forall(w => w.size < 2 || w(0) <= w(1)),
+      curve.toString)
+    // probing every cluster degrades to exact search
+    assert(curve.last._4 === 1000000L)
+    // the chooser is exactly "smallest depth meeting the target"
+    val np = Similarity.nprobeFor(e, q, 3, 900000L)
+    assert(curve.filter(_._4 >= 900000L).map(_._1).min === np.toLong)
+    // an unreachable target degrades to the full probe count, loudly
+    // exact rather than silently approximate
+    assert(Similarity.nprobeFor(e, q, 3, 1000001L) === curve.last._1.toInt)
+  }
+
   test("persisted IVF codebook roundtrips BIT-exactly: search results identical") {
     import graft.operators.SketchStore
     val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
