@@ -22,8 +22,12 @@ import org.apache.hadoop.conf.Configuration
   * scans must not share mutable driver sockets):
   *
   *   request  := line "META" | "POLL" | "REGIONS" | "SCAN <regionId>"
-  *             | "CHECKSUM <regionId>"
-  *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8
+  *             | "CHECKSUM <regionId>" | "PUT <file>" | "COMMIT"
+  *             | "ABORT"
+  *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8;
+  *               a store with NO index yet answers n=0 (the write-
+  *               target contract, mirroring statDefs's missing-index
+  *               → Nil)
   *   POLL     -> same framing as META, SCALAR keys only (no `gen.*`
   *               file lists) — the streaming tail's per-trigger poll
   *               stays O(1) bytes on the wire at any region count
@@ -38,6 +42,29 @@ import org.apache.hadoop.conf.Configuration
   *   SCAN     -> records [klen][key][vlen][value]…, terminated klen=-1
   *   CHECKSUM -> byte found(0|1); if found: int64 crc64_xor,
   *               int64 total_kvs, int64 total_bytes
+  *
+  * Write verbs (r13 — the endpoints-only replication surface; the
+  * record framing of PUT is the SCAN framing reversed, which is itself
+  * the region-file layout, so the server spools bytes without parsing):
+  *
+  *   PUT      <- records [klen][key][vlen][value]…, klen=-1 terminator
+  *            -> byte 1 ack after the attempt file is closed; a client
+  *               that dies mid-stream (no terminator) costs only the
+  *               partial file, deleted server-side. File names must
+  *               match the connector's own attempt pattern.
+  *   COMMIT   <- byte truncate, [apiVersion ("" = none)],
+  *               byte preserveMeta, byte deferSweep,
+  *               int32 nStats × ([name][spec]),
+  *               int32 nMeta × ([key][value]),
+  *               [plannedGeneration ("" = none)], [plannedTableId],
+  *               int32 nFresh × ([file][minKey][maxKey][count:int64]
+  *                 [nStat:int32 × (lo:int64, hi:int64)])
+  *            -> byte 1, or byte 0 + [error message] — the server runs
+  *               the IDENTICAL KVBinCommit logic as the filesystem
+  *               path (one definition of commit), guarded by the
+  *               client's planning-time (generation, table_id) pair
+  *   ABORT    <- int32 n × [file]   -> byte 1 (committed-task attempt
+  *               files of an aborted job, reclaimed by name)
   *
   * The int32/bytes framing is exactly the region-file record layout
   * ([[KVBin]]), so a SCAN response is the region file streamed with a
@@ -130,9 +157,20 @@ class KVBinServer(dir: String, conf: Configuration,
   private def regionLens: Map[String, Long] = current()._3
   private def regionRanges: Map[String, Seq[(Long, Long)]] = current()._4
 
-  /** Served SCAN / CHECKSUM request counts (spec observables). */
+  /** Served SCAN / CHECKSUM / PUT / COMMIT request counts (spec
+    * observables — a wire replication spec proves rows moved as PUT
+    * frames and landed through COMMITs, never through a shared path). */
   val scanRequests = new java.util.concurrent.atomic.AtomicLong
   val checksumRequests = new java.util.concurrent.atomic.AtomicLong
+  val putRequests = new java.util.concurrent.atomic.AtomicLong
+  val commitRequests = new java.util.concurrent.atomic.AtomicLong
+
+  // COMMITs serialize server-side: writeIndexAtomic makes each swap
+  // atomic, but two interleaved commits would both read-modify-write
+  // the index (the exact hazard the single-concurrent-writer contract
+  // names); the lock turns same-store racing commits into a clean
+  // second-loses-via-guard instead of undefined interleaving
+  private val commitLock = new Object
 
   /** The `endpoints` value clients dial. */
   val address: String =
@@ -158,25 +196,46 @@ class KVBinServer(dir: String, conf: Configuration,
   acceptor.setDaemon(true)
   acceptor.start()
 
+  // byte-wise line read: the PUT/COMMIT/ABORT verbs carry framed
+  // payloads AFTER the request line, so a buffering reader (the old
+  // BufferedReader) that read ahead past the newline would steal the
+  // first payload bytes. Verbs are ASCII; one read per byte is noise
+  // next to the payloads.
+  private def readRequestLine(in: DataInputStream): String = {
+    val sb = new java.lang.StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+    sb.toString
+  }
+
+  // META/POLL on a store with NO index yet answer empty metadata — the
+  // write-target contract (statDefs maps a missing index to Nil the
+  // same way), which is what lets a wire writer plan a fresh table's
+  // schema before its first COMMIT creates the index. Data verbs
+  // (REGIONS/SCAN/CHECKSUM) stay strict: reading a table that does not
+  // exist is an error, not an empty result.
+  private def metaOrEmpty: Map[String, String] =
+    try index._1
+    catch { case _: java.io.FileNotFoundException => Map.empty }
+
   private def serve(sock: Socket): Unit = {
     try {
+      // bounded reads: a client that dies mid-PUT must fail this serve
+      // thread (and reclaim the partial file), not pin it forever
+      sock.setSoTimeout(60000)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
-      val req = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8")).readLine()
-      // the reader above may buffer ahead, but every request type ends
-      // the inbound half of the conversation at the newline, so nothing
-      // after the line is ever needed
+      val req = readRequestLine(in)
       req match {
         case "META" =>
-          val meta = index._1
+          val meta = metaOrEmpty
           out.writeInt(meta.size)
           meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
             writeBytes(out, k.getBytes("UTF-8"))
             writeBytes(out, v.getBytes("UTF-8"))
           }
         case "POLL" =>
-          val meta = index._1.filterNot(_._1.startsWith("gen."))
+          val meta = metaOrEmpty.filterNot(_._1.startsWith("gen."))
           out.writeInt(meta.size)
           meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
             writeBytes(out, k.getBytes("UTF-8"))
@@ -221,6 +280,119 @@ class KVBinServer(dir: String, conf: Configuration,
             out.writeByte(1)
             out.writeLong(crc); out.writeLong(kvs); out.writeLong(bytes)
           } else out.writeByte(0)
+        case put if put.startsWith("PUT ") =>
+          putRequests.incrementAndGet()
+          val nm = put.stripPrefix("PUT ")
+          if (KVBinDataWriter.RegionFile.matches(nm)) {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(dir), conf)
+            val p = new org.apache.hadoop.fs.Path(dir, nm)
+            val o = new DataOutputStream(new java.io.BufferedOutputStream(
+              fs.create(p, true), 1 << 16))
+            var done = false
+            try {
+              // spool frames verbatim — the framing IS the file layout
+              val buf = new Array[Byte](1 << 16)
+              def copy(len: Int): Unit = {
+                var left = len
+                while (left > 0) {
+                  val got = in.read(buf, 0, math.min(left, buf.length))
+                  if (got < 0) throw new java.io.EOFException(
+                    s"PUT $nm truncated mid-record")
+                  o.write(buf, 0, got); left -= got
+                }
+              }
+              var klen = in.readInt()
+              while (klen >= 0) {
+                o.writeInt(klen); copy(klen)
+                val vlen = in.readInt()
+                o.writeInt(vlen); copy(vlen)
+                klen = in.readInt()
+              }
+              o.close()
+              done = true
+              out.writeByte(1)
+            } finally if (!done) {
+              // no terminator arrived (client died / task aborted):
+              // the partial attempt file is reclaimed HERE — the wire
+              // analog of DataWriter.abort's delete
+              try o.close() catch { case _: java.io.IOException => () }
+              fs.delete(p, false)
+            }
+          } else out.writeByte(0) // foreign name: refuse, write nothing
+        case "COMMIT" =>
+          commitRequests.incrementAndGet()
+          val truncate = in.readByte() == 1
+          val apiVersion = Option(new String(readBytes(in), "UTF-8"))
+            .filter(_.nonEmpty)
+          val preserveMeta = in.readByte() == 1
+          val deferSweep = in.readByte() == 1
+          val stats = (0 until in.readInt()).map { _ =>
+            (new String(readBytes(in), "UTF-8"),
+              new String(readBytes(in), "UTF-8"))
+          }
+          val userMeta = (0 until in.readInt()).map { _ =>
+            (new String(readBytes(in), "UTF-8"),
+              new String(readBytes(in), "UTF-8"))
+          }.toMap
+          val plannedGen = Option(new String(readBytes(in), "UTF-8"))
+            .filter(_.nonEmpty)
+          val plannedTid = Option(new String(readBytes(in), "UTF-8"))
+            .filter(_.nonEmpty)
+          val fresh = (0 until in.readInt()).map { _ =>
+            val f = new String(readBytes(in), "UTF-8")
+            val mn = readBytes(in); val mx = readBytes(in)
+            val n = in.readLong()
+            val pairs = Seq.fill(in.readInt())((in.readLong(), in.readLong()))
+            KVBinCommit.Fresh(f, mn, mx, n, pairs.map(_._1), pairs.map(_._2))
+          }
+          try {
+            // the commit itself is the filesystem path's commit — ONE
+            // definition (KVBinCommit); only the concurrent-writer guard
+            // differs: the client's planning-time LOGICAL version
+            // (generation, table_id) against this store's current meta
+            commitLock.synchronized {
+              KVBinCommit.commit(dir, conf, truncate, apiVersion,
+                preserveMeta, stats, deferSweep, userMeta, fresh,
+                preSwapCheck = () => if (!truncate) {
+                  val cur =
+                    try KVBin.readPollMeta(dir, conf)
+                    catch { case _: java.io.FileNotFoundException =>
+                      Map.empty[String, String] }
+                  (plannedGen, plannedTid) match {
+                    case (Some(g), Some(t)) =>
+                      require(cur.get("generation").contains(g) &&
+                          cur.get("table_id").contains(t),
+                        s"kvbin wire append at $dir: the table's " +
+                        s"(generation, table_id) moved from ($g, $t) " +
+                        s"since this write was planned — a concurrent " +
+                        s"writer committed or the table was replaced; " +
+                        s"re-plan the append")
+                    case _ =>
+                      require(cur.isEmpty,
+                        s"kvbin wire append at $dir: a table appeared " +
+                        s"since this write planned against an empty " +
+                        s"target — re-plan the append")
+                  }
+                })
+            }
+            out.writeByte(1)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              out.writeByte(0)
+              writeBytes(out,
+                Option(e.getMessage).getOrElse(e.toString).getBytes("UTF-8"))
+          }
+        case "ABORT" =>
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(dir), conf)
+          (0 until in.readInt()).foreach { _ =>
+            val nm = new String(readBytes(in), "UTF-8")
+            // same naming discipline as the sweep: only our own pattern
+            if (KVBinDataWriter.RegionFile.matches(nm))
+              fs.delete(new org.apache.hadoop.fs.Path(dir, nm), false)
+          }
+          out.writeByte(1)
         case _ => // unknown request: close without a frame
       }
       out.flush()
@@ -243,16 +415,23 @@ class KVBinServer(dir: String, conf: Configuration,
 class SocketRegionClient(address: String) extends RegionClient {
   import KVBinNet._
 
-  private def dial[T](request: String)(read: DataInputStream => T): T = {
+  private def dial[T](request: String,
+                      body: DataOutputStream => Unit = _ => ())
+                     (read: DataInputStream => T): T = {
     val Array(host, port) = address.split(":", 2)
     val sock = new Socket()
     // bounded waits: a wedged or dead server must FAIL the task (so
-    // Spark retries it) rather than hang it forever with no timeout
+    // Spark retries it) rather than hang it forever with no timeout.
+    // No connection retry HERE by design: a refused dial fails the
+    // Spark task and task retry re-dials — retrying inside the client
+    // would stack two retry loops and hide a down store from the
+    // scheduler's failure accounting.
     sock.connect(new java.net.InetSocketAddress(host, port.toInt), 10000)
     sock.setSoTimeout(60000)
     try {
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
       out.write((request + "\n").getBytes("UTF-8"))
+      body(out)
       out.flush()
       read(new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16)))
     } finally sock.close()
@@ -312,6 +491,58 @@ class SocketRegionClient(address: String) extends RegionClient {
         throw new IllegalArgumentException(
           s"region $regionId not served by $address")
       (in.readLong(), in.readLong(), in.readLong())
+    }
+
+  /** Ships the COMMIT frame (see the protocol doc) and raises the
+    * server's refusal verbatim — the guard message names the remedy,
+    * and swallowing it here would turn a refused commit into a
+    * silently-missing generation. */
+  def commitWrite(truncate: Boolean, apiVersion: Option[String],
+                  preserveMeta: Boolean, stats: Seq[(String, String)],
+                  deferSweep: Boolean, userMeta: Map[String, String],
+                  plannedBase: Option[(String, String)],
+                  fresh: Seq[KVBinCommit.Fresh]): Unit =
+    dial("COMMIT", out => {
+      out.writeByte(if (truncate) 1 else 0)
+      writeBytes(out, apiVersion.getOrElse("").getBytes("UTF-8"))
+      out.writeByte(if (preserveMeta) 1 else 0)
+      out.writeByte(if (deferSweep) 1 else 0)
+      out.writeInt(stats.size)
+      stats.foreach { case (n, sp) =>
+        writeBytes(out, n.getBytes("UTF-8"))
+        writeBytes(out, sp.getBytes("UTF-8"))
+      }
+      out.writeInt(userMeta.size)
+      userMeta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        writeBytes(out, k.getBytes("UTF-8"))
+        writeBytes(out, v.getBytes("UTF-8"))
+      }
+      writeBytes(out, plannedBase.map(_._1).getOrElse("").getBytes("UTF-8"))
+      writeBytes(out, plannedBase.map(_._2).getOrElse("").getBytes("UTF-8"))
+      out.writeInt(fresh.size)
+      fresh.foreach { f =>
+        writeBytes(out, f.file.getBytes("UTF-8"))
+        writeBytes(out, f.min)
+        writeBytes(out, f.max)
+        out.writeLong(f.n)
+        out.writeInt(f.lo.size)
+        f.lo.zip(f.hi).foreach { case (a, b) =>
+          out.writeLong(a); out.writeLong(b)
+        }
+      }
+    }) { in =>
+      if (in.readByte() != 1)
+        throw new IllegalStateException(new String(readBytes(in), "UTF-8"))
+    }
+
+  /** Reclaims named attempt files of an aborted wire write job. */
+  def abortWrite(files: Seq[String]): Unit =
+    dial("ABORT", out => {
+      out.writeInt(files.size)
+      files.foreach(f => writeBytes(out, f.getBytes("UTF-8")))
+    }) { in =>
+      if (in.readByte() != 1)
+        throw new IllegalStateException(s"kvbin wire ABORT refused by $address")
     }
 }
 

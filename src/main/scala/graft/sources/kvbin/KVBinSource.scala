@@ -160,11 +160,13 @@ class KVBinTable(dir: String, tableEndpoints: Option[String] = None)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    // the wire surface is read-only (META/POLL/REGIONS/SCAN/CHECKSUM);
-    // writes commit through the filesystem index swap and need a path
-    require(dir != null, "kvbin writes require a 'path' option — the " +
-      "endpoints-only (wire) surface is read/tail/checksum only")
-    new KVBinWriteBuilder(dir, info)
+    // a path commits through the filesystem index swap (endpoints, if
+    // also present, serve the READ side); endpoints alone route the
+    // write over the wire — PUT attempt frames + ONE framed COMMIT the
+    // server lands through the identical KVBinCommit logic (r13)
+    require(dir != null || tableEndpoints.isDefined,
+      "kvbin writes need a 'path' or an 'endpoints' option")
+    new KVBinWriteBuilder(dir, info, if (dir == null) tableEndpoints else None)
   }
 }
 

@@ -57,7 +57,8 @@ import org.apache.spark.util.SerializableConfiguration
   * externally (a real deployment puts a metastore or a lock service in
   * front — the reference's TiKV placement driver plays exactly that
   * role for region metadata). */
-class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
+class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
+                        endpoints: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -66,7 +67,11 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
 
   override def build(): Write = {
     val s = info.schema()
-    val declared = KVBinSource.statDefs(dir)
+    // declared stats come from whichever side addresses the table: the
+    // filesystem index when a path exists, ONE POLL when endpoints-only
+    val declared =
+      if (dir != null) KVBinSource.statDefs(dir)
+      else KVBinSource.statDefsFor(None, endpoints)
     require(s.length >= 2 &&
         s.fields.take(2).map(f => (f.name, f.dataType.typeName)).toSeq ==
           Seq(("key", "binary"), ("value", "binary")),
@@ -106,13 +111,28 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo)
       require(!v.exists(c => c == '\n' || c == '\r' || c == '='),
         s"kvbin meta option value for '$k' must not contain newline or '='")
     }
-    new KVBinWrite(dir, doTruncate,
-      Option(info.options.get("ranges")).map(_.toInt).getOrElse(0),
-      Option(info.options.get("api_version")),
-      Option(info.options.get("preserve_meta")).exists(_.toBoolean),
-      info.queryId(), stats,
-      Option(info.options.get("defer_sweep")).exists(_.toBoolean),
-      userMeta)
+    val ranges = Option(info.options.get("ranges")).map(_.toInt).getOrElse(0)
+    val deferSweep = Option(info.options.get("defer_sweep")).exists(_.toBoolean)
+    val preserve = Option(info.options.get("preserve_meta")).exists(_.toBoolean)
+    val api = Option(info.options.get("api_version"))
+    if (dir != null)
+      new KVBinWrite(dir, doTruncate, ranges, api, preserve,
+        info.queryId(), stats, deferSweep, userMeta)
+    else {
+      // endpoints-only write: ONE store serving the whole table (a
+      // write proxy / leader). A fleet write would need key-range
+      // routing to owners plus a cross-store commit — refuse with the
+      // remedy named rather than land all regions on one fleet member
+      val eps = endpoints.toSeq.flatMap(_.split(",")).map(_.trim)
+        .filter(_.matches(".+:\\d+"))
+      require(eps.size == 1,
+        s"kvbin endpoints-only writes address exactly ONE store " +
+        s"(got ${eps.size}: ${eps.mkString(", ")}) — write through the " +
+        s"single store that owns the whole table, or give the " +
+        s"destination a filesystem path")
+      new KVBinWireWrite(eps.head, doTruncate, ranges, api, preserve,
+        info.queryId(), stats, deferSweep, userMeta)
+    }
   }
 }
 
@@ -186,19 +206,59 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
       stats.map(_._2))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
     val fresh = messages.collect {
       case KVBinCommitMessage(f, mn, mx, n, lo, hi) if n > 0 =>
-        (f, KVBin.unhex(mn), KVBin.unhex(mx), n, lo, hi)
+        KVBinCommit.Fresh(f, KVBin.unhex(mn), KVBin.unhex(mx), n, lo, hi)
     }.toSeq
+    KVBinCommit.commit(dir, conf.value, truncate, apiVersion, preserveMeta,
+      stats, deferSweep, userMeta, fresh,
+      preSwapCheck = () =>
+        if (!truncate && indexFingerprint() != baseFingerprint)
+          throw new IllegalStateException(
+            s"kvbin append commit at $dir: _index changed since this write " +
+            s"was planned — a concurrent writer committed, and swapping now " +
+            s"would drop its regions from the index and sweep their files. " +
+            s"Serialize writers to this table (single concurrent writer " +
+            s"contract) and re-run the append."))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
+    messages.collect { case m: KVBinCommitMessage =>
+      fs.delete(new Path(dir, m.file), false)
+    }
+  }
+}
+
+/** The commit algorithm itself — index merge, meta/version/stats gates,
+  * generation stamping, the atomic `_index` swap, the sweep — factored
+  * out of [[KVBinBatchWrite]] so the WIRE write path (the server's
+  * COMMIT verb, [[KVBinServer]]) executes the IDENTICAL logic against
+  * its local directory: one definition of "what a kvbin commit means",
+  * whether the fresh region files arrived through the Hadoop FS API or
+  * as PUT frames over a socket. `preSwapCheck` runs immediately before
+  * the index swap — each path supplies its own concurrent-writer guard
+  * (filesystem: the planning-time (len, mtime) fingerprint; wire: the
+  * planning-time (generation, table_id) pair the client shipped). */
+object KVBinCommit {
+  case class Fresh(file: String, min: Array[Byte], max: Array[Byte],
+                   n: Long, lo: Seq[Long], hi: Seq[Long])
+
+  def commit(dir: String, conf: org.apache.hadoop.conf.Configuration,
+             truncate: Boolean, apiVersion: Option[String],
+             preserveMeta: Boolean, stats: Seq[(String, String)],
+             deferSweep: Boolean, userMeta: Map[String, String],
+             freshIn: Seq[Fresh], preSwapCheck: () => Unit): Unit = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val fresh = freshIn.map(f => (f.file, f.min, f.max, f.n, f.lo, f.hi))
     val idxPath = new Path(dir, KVBin.IndexFile)
     val appending = !truncate && fs.exists(idxPath)
     // old entries keep their stamped stat ranges through the merge
     val oldRanges: Map[String, Seq[(Long, Long)]] =
-      if (appending && stats.nonEmpty) KVBin.statRanges(dir, conf.value)
+      if (appending && stats.nonEmpty) KVBin.statRanges(dir, conf)
       else Map.empty
     val old: Seq[(String, Array[Byte], Array[Byte], Long, Seq[Long], Seq[Long])] =
-      if (appending) KVBin.readIndex(dir, conf.value).map { case (f, mn, mx, n) =>
+      if (appending) KVBin.readIndex(dir, conf).map { case (f, mn, mx, n) =>
         val r = oldRanges.getOrElse(f, Nil)
         (f, mn, mx, n, r.map(_._1), r.map(_._2))
       } else Seq.empty
@@ -212,7 +272,7 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     val keepOldMeta = appending ||
       (preserveMeta && fs.exists(idxPath))
     val oldMeta: Map[String, String] =
-      if (keepOldMeta) KVBin.readMeta(dir, conf.value) else Map.empty
+      if (keepOldMeta) KVBin.readMeta(dir, conf) else Map.empty
     val version = (apiVersion, oldMeta.get("api_version")) match {
       case (Some(w), Some(e)) if appending =>
         require(w == e, s"kvbin append with api_version=$w onto a $e table " +
@@ -301,17 +361,11 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     // The sweep touches ONLY this writer's own naming pattern — a
     // foreign file in the directory (_SUCCESS marker, sidecar) is not
     // ours to delete
-    if (!truncate && indexFingerprint() != baseFingerprint)
-      throw new IllegalStateException(
-        s"kvbin append commit at $dir: _index changed since this write " +
-        s"was planned — a concurrent writer committed, and swapping now " +
-        s"would drop its regions from the index and sweep their files. " +
-        s"Serialize writers to this table (single concurrent writer " +
-        s"contract) and re-run the append.")
+    preSwapCheck()
     // atomic swap (tmp + rename-overwrite): a racing reader — including
     // the streaming tail polling latestOffset — must see the previous
     // or the new index whole, never a truncated in-place rewrite
-    KVBin.writeIndexAtomic(dir, conf.value, lines.mkString("\n"))
+    KVBin.writeIndexAtomic(dir, conf, lines.mkString("\n"))
     // defer_sweep leaves the now-unreferenced files on disk for one
     // commit cycle: a reader (or a streaming micro-batch) PLANNED on
     // the previous index finishes against files that still exist, and
@@ -326,13 +380,6 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
         .filter(p => KVBinDataWriter.RegionFile.matches(p.getName))
         .filterNot(p => live.contains(p.getName))
         .foreach(p => fs.delete(p, false))
-    }
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new java.net.URI(dir), conf.value)
-    messages.collect { case m: KVBinCommitMessage =>
-      fs.delete(new Path(dir, m.file), false)
     }
   }
 }
@@ -440,6 +487,171 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
       fs.delete(new Path(dir, name), false)
     }
   }
+
+  override def close(): Unit = ()
+}
+
+/** The ENDPOINTS-ONLY write — the wire twin of [[KVBinWrite]], closing
+  * the read/write asymmetry the r12 surface had (reads, tails and
+  * checksums worked with no filesystem path; replication still needed
+  * one to the destination). Executor tasks stream their sorted region
+  * frames to the store as PUT requests (the record framing IS the
+  * region-file layout, so the server spools bytes to the attempt file
+  * without parsing); the driver's commit() ships the fresh-region
+  * manifest plus every commit option as ONE framed COMMIT request, and
+  * the server executes [[KVBinCommit]] — the IDENTICAL merge / gate /
+  * stamp / atomic-swap / sweep logic the filesystem path runs — against
+  * its local directory. abort() names the attempt files to reclaim.
+  *
+  * Concurrent-writer guard over the wire: (len, mtime) of a remote
+  * _index is invisible, so the client captures the LOGICAL version —
+  * the (generation, table_id) pair from one POLL — at write-planning
+  * time, and the server refuses the commit if its current pair differs
+  * (a rival committed, or the table was replaced). Unstamped legacy
+  * tables have no pair; appends to them over the wire are refused
+  * rather than guarded weakly — stamp the table (any committed write
+  * stamps it) or replicate through a filesystem path.
+  *
+  * Single-store scope: PUT/COMMIT address ONE server owning the whole
+  * table (a write proxy / leader, the role PD's region leader plays for
+  * raw_put). Multi-endpoint fleet writes would need routing appends by
+  * key range to owners plus a cross-store commit — refused loudly at
+  * the builder with this remedy named. */
+class KVBinWireWrite(address: String, truncate: Boolean, ranges: Int,
+                     apiVersion: Option[String], preserveMeta: Boolean,
+                     queryId: String, stats: Seq[(String, String)],
+                     deferSweep: Boolean, userMeta: Map[String, String])
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(keyAsc))
+  override def requiredOrdering(): Array[SortOrder] = Array(keyAsc)
+  override def requiredNumPartitions(): Int = ranges
+  private def keyAsc: SortOrder =
+    Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
+  override def toBatch: BatchWrite =
+    new KVBinWireBatchWrite(address, truncate, apiVersion, preserveMeta,
+      queryId, stats, deferSweep, userMeta)
+}
+
+class KVBinWireBatchWrite(address: String, truncate: Boolean,
+                          apiVersion: Option[String], preserveMeta: Boolean,
+                          queryId: String, stats: Seq[(String, String)],
+                          deferSweep: Boolean, userMeta: Map[String, String])
+    extends BatchWrite {
+
+  // the LOGICAL base version this job plans against — one POLL at write
+  // planning, compared server-side at commit (see class doc). None =
+  // the table does not exist yet (a fresh target: nothing to guard).
+  private val plannedBase: Option[(String, String)] =
+    if (truncate) None
+    else {
+      val meta = new SocketRegionClient(address).pollMeta()
+      (meta.get("generation"), meta.get("table_id")) match {
+        case (Some(g), Some(t)) => Some((g, t))
+        case _ if meta.isEmpty => None // fresh target
+        case _ => throw new IllegalArgumentException(
+          s"kvbin wire append to $address: the table is UNSTAMPED (no " +
+          s"generation/table_id meta) so the commit has no logical " +
+          s"version to guard against concurrent writers — commit any " +
+          s"write to stamp it, or append through a filesystem path")
+      }
+    }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KVBinWireWriterFactory(address,
+      KVBinDataWriter.jobTag(queryId), stats.map(_._2))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect {
+      case KVBinCommitMessage(f, mn, mx, n, lo, hi) if n > 0 =>
+        KVBinCommit.Fresh(f, KVBin.unhex(mn), KVBin.unhex(mx), n, lo, hi)
+    }.toSeq
+    new SocketRegionClient(address).commitWrite(truncate, apiVersion,
+      preserveMeta, stats, deferSweep, userMeta, plannedBase, fresh)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    new SocketRegionClient(address).abortWrite(
+      messages.collect { case m: KVBinCommitMessage => m.file }.toSeq)
+}
+
+class KVBinWireWriterFactory(address: String, jobTag: String,
+                             statSpecs: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KVBinWireDataWriter(address, jobTag, partitionId, taskId, statSpecs)
+}
+
+/** Streams one sorted partition to the store as a PUT request — the
+  * socket twin of [[KVBinDataWriter]]: same attempt-unique name, same
+  * lazily-opened output (an empty partition dials nothing), same
+  * order-violation check, same client-side min/max/count/stat tracking
+  * (the commit manifest is the CLIENT's summary either way; the server
+  * only spools bytes). A task failure closes the socket without the
+  * terminator frame, and the server deletes the partial file — the
+  * wire analog of abort()'s attempt-file delete. */
+class KVBinWireDataWriter(address: String, jobTag: String,
+                          partitionId: Int, taskId: Long,
+                          statSpecs: Seq[String])
+    extends DataWriter[InternalRow] {
+
+  private val name = f"part-$partitionId%05d-$jobTag-$taskId.kv"
+  private var sock: java.net.Socket = _
+  private var out: DataOutputStream = _
+  private var in: java.io.DataInputStream = _
+  private var minK: Array[Byte] = _
+  private var prevK: Array[Byte] = _
+  private var n = 0L
+  private val sLo = Array.fill(statSpecs.size)(Long.MaxValue)
+  private val sHi = Array.fill(statSpecs.size)(Long.MinValue)
+
+  override def write(row: InternalRow): Unit = {
+    val k = row.getBinary(0)
+    val v = row.getBinary(1)
+    if (out == null) {
+      val Array(host, port) = address.split(":", 2)
+      sock = new java.net.Socket()
+      sock.connect(new java.net.InetSocketAddress(host, port.toInt), 10000)
+      sock.setSoTimeout(60000)
+      out = new DataOutputStream(new BufferedOutputStream(
+        sock.getOutputStream, 1 << 16))
+      in = new java.io.DataInputStream(sock.getInputStream)
+      out.write(s"PUT $name\n".getBytes("UTF-8"))
+      minK = k
+    }
+    require(prevK == null || KVBin.compare(prevK, k) <= 0,
+      s"kvbin wire write received out-of-order key in partition $partitionId")
+    out.writeInt(k.length); out.write(k)
+    out.writeInt(v.length); out.write(v)
+    var i = 0
+    while (i < statSpecs.size) {
+      val x = KVBinStat.eval(statSpecs(i), k, v)
+      if (x < sLo(i)) sLo(i) = x
+      if (x > sHi(i)) sHi(i) = x
+      i += 1
+    }
+    prevK = k
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) {
+      out.writeInt(-1) // terminator: the server closes + acks the file
+      out.flush()
+      val ack = in.readByte()
+      sock.close()
+      require(ack == 1, s"kvbin wire PUT of $name refused by $address")
+    }
+    KVBinCommitMessage(name,
+      if (minK == null) "" else KVBin.hexOf(minK),
+      if (prevK == null) "" else KVBin.hexOf(prevK), n,
+      sLo.toSeq, sHi.toSeq)
+  }
+
+  override def abort(): Unit =
+    // no terminator: the server's PUT loop hits EOF and deletes the
+    // partial attempt file — nothing to reclaim client-side
+    if (sock != null) sock.close()
 
   override def close(): Unit = ()
 }

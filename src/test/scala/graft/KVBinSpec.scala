@@ -314,14 +314,8 @@ class KVBinSpec extends SparkTestBase {
     write(hi = false, "overwrite")
     val server2 = new KVBinServer(dir2, conf)
     try {
-      // the wire surface is read-only: a path-less write refuses loudly
-      // (plain table so byName resolution passes and OUR gate answers)
-      val e = intercept[Exception] {
-        parquetSrc.limit(1).write.format(kvbinFmt)
-          .option("endpoints", server2.address).mode("append").save()
-      }
-      assert(e.getMessage != null && e.getMessage.contains("path"),
-        s"unexpected: ${e.getMessage}")
+      // (until r13 this pinned the wire surface as read-only; writes
+      // now ride PUT/COMMIT — covered by the wire-write tests above)
       implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val q = spark.readStream.format(kvbinFmt)
         .option("endpoints", server2.address).load()
@@ -643,6 +637,132 @@ class KVBinSpec extends SparkTestBase {
       case _ => ()
     }
     assert(KVBin.readMeta(dir, spark.sessionState.newHadoopConf())("api_version") === "V2")
+  }
+
+  test("endpoints-only WRITE: rows travel as PUT frames, land through one wire COMMIT, read back checksum-identical") {
+    import graft.sources.kvbin.KVBinServer
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-ww-").toString
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      // write with NO path option: the store's directory is reachable
+      // only through the server
+      parquetSrc.write.format(kvbinFmt)
+        .option("endpoints", server.address)
+        .option("ranges", "4").option("api_version", "V2")
+        .mode("overwrite").save()
+      assert(server.putRequests.get() > 0, "rows must travel as PUT frames")
+      assert(server.commitRequests.get() === 1, "exactly one COMMIT")
+      // read back over the SAME wire — full loop with no shared path
+      val back = spark.read.format(kvbinFmt)
+        .option("endpoints", server.address).option("api_version", "V2").load()
+      val a = Checksum.of(parquetSrc).as[(Long, Long, Long)].head()
+      val b = Checksum.of(back).as[(Long, Long, Long)].head()
+      assert(a === b)
+      assert(a._2 > 0)
+      // the server-side commit ran the IDENTICAL KVBinCommit logic:
+      // region invariants and generation stamping are all there
+      val conf = spark.sessionState.newHadoopConf()
+      val idx = KVBin.readIndex(dir, conf)
+      assert(idx.size === 4)
+      idx.sliding(2).foreach {
+        case Seq(x, y) => assert(KVBin.compare(x._3, y._2) < 0)
+        case _ => ()
+      }
+      val meta = KVBin.readMeta(dir, conf)
+      assert(meta("api_version") === "V2")
+      assert(meta("generation") === "1" && meta.contains("table_id"))
+    } finally server.close()
+  }
+
+  test("wire APPEND bumps the generation; a stale planned (generation, table_id) is refused naming the remedy") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-wa-").toString
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      val (w1, w2) = parquetSrc.collect().toSeq.splitAt(100)
+      def frame(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+          .toDF("key", "value")
+      frame(w1).write.format(kvbinFmt).option("endpoints", server.address)
+        .option("ranges", "2").mode("overwrite").save()
+      val cli = new SocketRegionClient(server.address)
+      val base = cli.pollMeta()
+      assert(base("generation") === "1")
+      frame(w2).write.format(kvbinFmt).option("endpoints", server.address)
+        .option("ranges", "2").mode("append").save()
+      val after = cli.pollMeta()
+      assert(after("generation") === "2")
+      assert(after("table_id") === base("table_id"))
+      // a commit planned against the PRE-append version must refuse:
+      // the table moved underneath it (the wire concurrent-writer guard)
+      val stale = intercept[IllegalStateException] {
+        cli.commitWrite(truncate = false, apiVersion = None,
+          preserveMeta = false, stats = Nil, deferSweep = false,
+          userMeta = Map.empty,
+          plannedBase = Some((base("generation"), base("table_id"))),
+          fresh = Nil)
+      }
+      assert(stale.getMessage.contains("re-plan"), stale.getMessage)
+      // content survived both waves intact
+      val back = spark.read.format(kvbinFmt)
+        .option("endpoints", server.address).load()
+      assert(back.count() === parquetSrc.count())
+    } finally server.close()
+  }
+
+  test("wire PUT without a terminator reclaims the partial file; ABORT deletes named attempts; foreign names refused") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-wp-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val server = new KVBinServer(dir, conf)
+    try {
+      // a client that dies mid-stream: frames but no terminator
+      val Array(host, port) = server.address.split(":", 2)
+      val sock = new java.net.Socket(host, port.toInt)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      out.write("PUT part-00000-deadbeef-1.kv\n".getBytes("UTF-8"))
+      out.writeInt(3); out.write("abc".getBytes("UTF-8"))
+      out.writeInt(1); out.write("x".getBytes("UTF-8"))
+      out.flush()
+      sock.close() // no terminator
+      // the serve thread reclaims on EOF — poll briefly for the delete
+      val f = new java.io.File(dir, "part-00000-deadbeef-1.kv")
+      val deadline = System.nanoTime() + 5000000000L
+      while (f.exists() && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(!f.exists(), "partial attempt file must be reclaimed")
+      // ABORT deletes named attempt files…
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+      val keep = new org.apache.hadoop.fs.Path(dir, "part-00001-deadbeef-2.kv")
+      fs.create(keep, true).close()
+      new SocketRegionClient(server.address)
+        .abortWrite(Seq("part-00001-deadbeef-2.kv", "_index"))
+      assert(!fs.exists(keep))
+      // …but NEVER a name outside the connector's own pattern (_index
+      // was in the list above and must have been ignored — prove it by
+      // writing one and aborting it again)
+      val idx = new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile)
+      fs.create(idx, true).close()
+      new SocketRegionClient(server.address).abortWrite(Seq("_index"))
+      assert(fs.exists(idx), "_index is not an attempt file")
+    } finally server.close()
+  }
+
+  test("endpoints-only writes refuse a multi-endpoint fleet, naming the single-store remedy") {
+    import graft.sources.kvbin.KVBinServer
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-wm-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    // two live stores: schema planning succeeds over the fleet, the
+    // WRITE builder is what must refuse
+    val s1 = new KVBinServer(dir, conf)
+    val s2 = new KVBinServer(dir, conf)
+    try {
+      val e = intercept[Exception] {
+        parquetSrc.write.format(kvbinFmt)
+          .option("endpoints", s"${s1.address},${s2.address}")
+          .mode("overwrite").save()
+      }
+      assert(e.getMessage.contains("exactly ONE store"), e.getMessage)
+    } finally { s1.close(); s2.close() }
   }
 
   test("compaction merges regions, keeps content checksum-identical, preserves api_version and range invariants") {

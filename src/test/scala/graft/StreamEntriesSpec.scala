@@ -56,6 +56,43 @@ class StreamEntriesSpec extends SparkTestBase {
     assert(count() === 2L && meta("replica_batch") === Some("1"))
   }
 
+  test("WIRE replica apply is idempotent through PUT/COMMIT: replays no-op, marker rides the store's one swap") {
+    // the r13 endpoints-only sink must honor the identical at-least-once
+    // contract as the filesystem sink — here the marker probe is a POLL
+    // and the apply is PUT frames + one framed COMMIT, with NO path
+    val dst = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-rwire-")
+    val conf = spark.sessionState.newHadoopConf()
+    val srv = new graft.sources.kvbin.KVBinServer(dst, conf)
+    try {
+      val addr = srv.address
+      def kv(rows: (String, String)*) = rows.toSeq.toDF("key", "value")
+        .select(col("key").cast("binary").as("key"),
+          col("value").cast("binary").as("value"))
+      def count() = spark.read
+        .format(classOf[graft.sources.kvbin.KVBinSource].getName)
+        .option("endpoints", addr).load().count()
+      def meta(k: String) =
+        new graft.sources.kvbin.SocketRegionClient(addr).pollMeta().get(k)
+      StreamEntries.applyReplicaBatchWire(addr, kv("a" -> "1", "b" -> "2"), 0L)
+      StreamEntries.applyReplicaBatchWire(addr, kv("c" -> "3"), 1L)
+      assert(count() === 3L && meta("replica_batch") === Some("1"))
+      val gen = meta("generation")
+      val commitsBefore = srv.commitRequests.get()
+      // the retry: nothing changes, and NOT EVEN a COMMIT crosses the
+      // wire — the POLL probe short-circuits the whole apply
+      StreamEntries.applyReplicaBatchWire(addr, kv("c" -> "3"), 1L)
+      assert(count() === 3L, "a replayed batch appended a duplicate generation")
+      assert(meta("generation") === gen && meta("replica_batch") === Some("1"))
+      assert(srv.commitRequests.get() === commitsBefore,
+        "a replayed batch must not even reach COMMIT")
+      StreamEntries.applyReplicaBatchWire(addr, kv("d" -> "4"), 2L)
+      assert(count() === 4L && meta("replica_batch") === Some("2"))
+      // fresh-lineage batch 0 resyncs over the wire too
+      StreamEntries.applyReplicaBatchWire(addr, kv("x" -> "9"), 0L)
+      assert(count() === 1L && meta("replica_batch") === Some("0"))
+    } finally srv.close()
+  }
+
   test("stateful entries are provider-invariant: RocksDB state store == default") {
     // the larger-than-heap state provider a production deployment runs:
     // the same entries must produce byte-identical sinks whether state
