@@ -336,6 +336,51 @@ class KVBinSpec extends SparkTestBase {
     } finally server2.close()
   }
 
+  test("a store death between micro-batches fails the wire tail LOUDLY — no hang, no silent empty batches") {
+    import graft.sources.kvbin.KVBinServer
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-die-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    def write(hi: Boolean, mode: String): Unit =
+      parquetSrc.filter(if (hi) col("key") >= lit("li_0000000500").cast("binary")
+                        else col("key") < lit("li_0000000500").cast("binary"))
+        .write.format(kvbinFmt).option("path", dir).option("ranges", "2")
+        .mode(mode).save()
+    write(hi = false, "overwrite")
+    val server = new KVBinServer(dir, conf)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = spark.readStream.format(kvbinFmt)
+      .option("endpoints", server.address).load()
+      .select(col("key").cast("string").as("key"))
+      .writeStream.format("memory").queryName("kvbin_die_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // base generation drains over the wire
+      assert(spark.table("kvbin_die_tail").count() > 0)
+      // the store dies BETWEEN micro-batches; the next trigger's POLL
+      // dials a dead socket. The contract: the query FAILS promptly
+      // with the connection error surfaced — never a hang (the dial
+      // has a bounded connect timeout) and never a silently-empty
+      // batch that would make a monitor believe the table went quiet
+      server.close()
+      write(hi = true, "append") // data lands; only the wire is dead
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => s"${t.getClass.getName}: ${t.getMessage}")
+        .mkString("\n")
+      assert(chain.toLowerCase.contains("connect"),
+        s"expected a connection-class failure, got:\n$chain")
+      // and nothing from the appended generation leaked into the sink
+      assert(spark.table("kvbin_die_tail")
+        .filter(col("key") >= "li_0000000500").count() === 0L)
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      spark.catalog.dropTempView("kvbin_die_tail")
+      server.close()
+    }
+  }
+
   test("CHECKSUM verb: server-side fold equals the scan-side digest with ZERO region bytes on the wire") {
     import graft.sources.kvbin.{KVBinChecksum, KVBinServer}
     val data = Seq.tabulate(600)(i => (f"ck_$i%04d".getBytes("UTF-8"),

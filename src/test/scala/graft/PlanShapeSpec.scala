@@ -202,6 +202,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("filter(anch"), s"HOF window verify missing:\n$p")
   }
 
+  test("blocklist table route at phrase-table scale: Catalyst CHOOSES a shuffled anchor join; results equal the broadcast route") {
+    // hint-freedom proved in the OTHER direction: q_blocklist_table's
+    // pin shows the route carries no hint and Catalyst broadcasts the
+    // SMALL fixture table — here the phrase table is pushed past the
+    // broadcast threshold so statistics-driven planning must pick a
+    // SHUFFLED anchor join, and the result must equal the
+    // broadcast-chosen run row for row. Fixture-scale via a lowered
+    // threshold: the planner decides on size-vs-threshold either way,
+    // so a 50k-phrase table under 1 KB threshold exercises exactly the
+    // decision a million-phrase table meets under the default 10 MB.
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    // real corpus bigrams guarantee hits; synthetic bulk makes the
+    // table genuinely non-tiny (and never matches)
+    val real = docs.limit(20)
+      .select(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " ").as("ws"))
+      .select(org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.element_at(org.apache.spark.sql.functions.col("ws"), 1),
+        org.apache.spark.sql.functions.element_at(org.apache.spark.sql.functions.col("ws"), 2)).as("p"))
+    val synth = spark.range(50000)
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("zzzsyn"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(" qqq")).as("p"))
+    val phrases = real.union(synth)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    def run(): (Seq[(Long, Long, Long)], String) = {
+      val df = TextAnalysis.blocklistHitsTable(docs, "text", "doc_id", phrases)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      (df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        df.queryExecution.executedPlan.toString)
+    }
+    val (broadRows, broadPlan) = run() // default threshold: broadcast
+    assert(broadPlan.contains("BroadcastHashJoin"), broadPlan)
+    val (shufRows, shufPlan) =
+      try { spark.conf.set(key, "1024"); run() }
+      finally spark.conf.set(key, prev)
+    assert(shufPlan.contains("SortMergeJoin") ||
+      shufPlan.contains("ShuffledHashJoin"),
+      s"expected a shuffled anchor join under the lowered threshold:\n$shufPlan")
+    assert(!shufPlan.contains("CartesianProduct"), shufPlan)
+    // the route is PLAN-INVARIANT: broadcast and shuffle agree exactly
+    assert(shufRows === broadRows && broadRows.nonEmpty)
+  }
+
   test("blocklist verify join ships one doc copy per doc: anchors fold to an array before the re-join") {
     val p = plan("q_blocklist")
     // the per-doc anchor fold (collect_list keyed by doc_id) must sit
