@@ -714,10 +714,22 @@ object Dedup {
   /** The md5-signature banded candidate pairs ([[lshRecall]]'s
     * candidate stage, factored): band key = the r components joined as
     * a string (both engines print longs identically), candidates from
-    * the banded self-join, DISTINCT, never all-pairs. */
+    * the banded self-join, DISTINCT, never all-pairs. MEMOIZED through
+    * the pair cache: the rollout gate ([[lshRecallAuto]]) and the
+    * gated near-dup ([[minhashNearDupMd5Auto]]) run in the same
+    * session over the same corpus with the SAME chooser — the k-salted
+    * md5 signature mass (the family's dominant cost, ~10 s at sf0.1)
+    * is paid once, not per consumer. */
   private def md5BandedCandidates(docs: DataFrame, textCol: String,
                                   idCol: String, n: Int, k: Int,
-                                  bands: Int): DataFrame = {
+                                  bands: Int): DataFrame =
+    cachedPairs(docs, textCol, idCol, n, s"md5band:$k:$bands") { () =>
+      md5BandedCandidatesBuild(docs, textCol, idCol, n, k, bands)
+    }
+
+  private def md5BandedCandidatesBuild(docs: DataFrame, textCol: String,
+                                       idCol: String, n: Int, k: Int,
+                                       bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sig = minhashSignatureMd5(docs, textCol, idCol, n, k)
@@ -802,7 +814,6 @@ object Dedup {
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands)
-      .localCheckpoint()
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))
     val nh = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")

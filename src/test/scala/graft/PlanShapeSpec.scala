@@ -202,6 +202,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("filter(anch"), s"HOF window verify missing:\n$p")
   }
 
+  test("round-13 additions: adaptive-minhash and nprobe-curve plans are equi-join shaped, never cartesian over data") {
+    // q_dedup_minhash_auto: banded self-join + verify re-join are all
+    // hash equi-joins — the chooser changes BAND DEPTH, never the shape
+    val mh = plan("q_dedup_minhash_auto")
+    assert(!mh.contains("CartesianProduct"), mh)
+    assert(!mh.contains("BroadcastNestedLoopJoin"), mh)
+    // q_ann_nprobe_curve: the corpus-side work is ONE cluster equi-join;
+    // the only non-equi joins are against the broadcast C-row depth
+    // frame (the threshold-broadcast idiom — bounded by the codebook,
+    // never by the corpus)
+    val np = plan("q_ann_nprobe_curve")
+    assert(!np.contains("CartesianProduct"), np)
+    assert(np.contains("BroadcastHashJoin"), np)
+  }
+
   test("blocklist table route at phrase-table scale: Catalyst CHOOSES a shuffled anchor join; results equal the broadcast route") {
     // hint-freedom proved in the OTHER direction: q_blocklist_table's
     // pin shows the route carries no hint and Catalyst broadcasts the
