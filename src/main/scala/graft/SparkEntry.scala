@@ -268,15 +268,17 @@ object SparkEntry {
       val pairs = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3, maxDf = jaccardMaxDf)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-      // signatures only for pair PARTICIPANTS (semi-join): the k salted
-      // md5s per shingle are the expensive part, and only ~|pairs| docs
-      // need them — the oracle computes all signatures but uses the
-      // same subset, so results agree
+      // signatures from the FULL-corpus memoized frame, sliced to pair
+      // PARTICIPANTS by a semi-join: a doc's signature is independent
+      // of the rest of the corpus, so the frame the banded-candidate
+      // gates already built (r13 memo) serves this gate's subset too —
+      // one signature build per (corpus, k) across the whole family.
+      // The oracle computes all signatures and uses the same subset,
+      // so results agree either way
       val members = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val sig = Dedup.minhashSignatureMd5(
-        d.join(broadcast(members), Seq("doc_id"), "left_semi"),
-        "text", "doc_id", 3, 32)
+      val sig = Dedup.minhashSignatureMd5(d, "text", "doc_id", 3, 32)
+        .join(broadcast(members), Seq("doc_id"), "left_semi")
       val sa = sig.select(col("doc_id").as("doc_a") +:
         (0 until 32).map(i => col(s"m$i").as(s"a$i")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:

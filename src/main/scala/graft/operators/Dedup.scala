@@ -628,6 +628,37 @@ object Dedup {
     * hash-checked against DuckDB, not just its candidates. */
   def minhashSignatureMd5(docs: DataFrame, textCol: String, idCol: String,
                           n: Int, k: Int): DataFrame = {
+    // MEMOIZED like the shingle index: the k·shingles salted md5s are
+    // the dedup gate family's dominant CPU, and three oracle-gated
+    // consumers build signatures over the SAME corpus in one session
+    // (the banded candidates behind lshRecallAuto/minhashNearDupMd5Auto,
+    // and the estimator gate) — a doc's signature doesn't depend on the
+    // rest of the corpus, so one full-corpus frame serves every
+    // consumer's slice. Same lifetime/opt-out rules as the other memos.
+    if (!cachingEnabled)
+      return buildMd5Signatures(docs, textCol, idCol, n, k)
+    val session = docs.sparkSession
+    val key = ((session, docs.queryExecution.logical.canonicalized,
+      textCol, idCol, n), s"md5sig:$k")
+    pairCache.synchronized {
+      pairCache.filterInPlace { case (((s, _, _, _, _), _), _) => !s.sparkContext.isStopped }
+      pairCache.get(key)
+    } match {
+      case Some(cached) => cached
+      case None =>
+        val built = buildMd5Signatures(docs, textCol, idCol, n, k)
+          .localCheckpoint()
+        pairCache.synchronized {
+          val out = pairCache.getOrElseUpdate(key, built)
+          while (pairCache.size > maxCachedIndexes)
+            pairCache.remove(pairCache.head._1)
+          out
+        }
+    }
+  }
+
+  private def buildMd5Signatures(docs: DataFrame, textCol: String,
+                                 idCol: String, n: Int, k: Int): DataFrame = {
     // repartition by id BEFORE the explode: the k salted md5s per
     // shingle are the dominant CPU and inherit the INPUT's partitioning
     // — a single-file corpus would serialize the whole hash build on
