@@ -373,13 +373,28 @@ object Similarity {
     * end-to-end: the DuckDB oracle replays planes → bits → bands →
     * candidates → verification bit-for-bit. */
   def srpNearDup(corpus: DataFrame, threshold: Double,
-                 k: Int = 64, bands: Int = 8): DataFrame =
+                 k: Int = 64, bands: Int = 8, probes: Int = 0): DataFrame =
     srpBanded(corpus, k, bands) match {
       case None =>
         corpus.sparkSession.emptyDataFrame
           .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0d).as("sim"))
       case Some(banded) =>
-        val cand = banded.select(col("band_id"), col("band_val"), col("id").as("id_a"))
+        // multi-probe on ONE side of the self-join (the same mechanism
+        // as crossCandidates): each probe list contains the unflipped
+        // value, so probes > 0 only ADDS candidates — the recall knob
+        // to turn when a DEEPER banding (a larger corpus's occupancy
+        // choice) would otherwise trade away too much recall. Verified
+        // pairs stay exactly the threshold-passing candidate subset.
+        val p = math.min(math.max(probes, 0), k / bands)
+        val bv = col("band_val")
+        val aSide =
+          if (p == 0) // single-probe: no explode in the default plan
+            banded.select(col("band_id"), bv, col("id").as("id_a"))
+          else banded.select(col("band_id"),
+            explode(array(bv +: (0 until p).map(j =>
+              bv.bitwiseXOR(lit(1L << j))): _*)).as("band_val"),
+            col("id").as("id_a"))
+        val cand = aSide
           .join(banded.select(col("band_id"), col("band_val"), col("id").as("id_b")),
             Seq("band_id", "band_val"))
           .filter(col("id_a") < col("id_b"))

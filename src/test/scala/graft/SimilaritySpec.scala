@@ -736,6 +736,23 @@ class SimilaritySpec extends SparkTestBase {
       (brute & candMp).size.toLong * 10000L / brute.size.toLong)
   }
 
+  test("multi-probe srpNearDup: emitted pairs are a superset of single-probe, all exactly verified") {
+    val e = emb
+    val p0 = Similarity.srpNearDup(e, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pAll = Similarity.srpNearDup(e, 0.5, probes = Int.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // XOR symmetry makes ONE-sided probing cover every Hamming-1 pair
+    // of the self-join regardless of (a, b) orientation, and probe
+    // lists contain the unflipped value — so probing only adds
+    assert(p0.subsetOf(pAll), s"${(p0 -- pAll).take(3)}")
+    // every added pair is still a true threshold-passing pair (the
+    // verify stage is unchanged — probing widens candidates only)
+    val exact = Similarity.cosineNearDup(e, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pAll.subsetOf(exact), s"${(pAll -- exact).take(3)}")
+  }
+
   test("multi-probe SRP: candidates are a SUPERSET of the single-probe set at every probe depth, and monotone in probes") {
     val e = emb
     val p0 = Similarity.bitextPairsSrpAuto(e, probes = 0)
