@@ -236,6 +236,16 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("pr"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9).as("sim"))
     val c = codebook.count() // bounded: the codebook is model state
+    // the DuckDB replay enumerates depths from a CONSTANT series capped
+    // at 4096 (generate_series cannot take a subquery bound) — hold the
+    // same bound here so engine and oracle can never enumerate
+    // different depth lists; a coarse codebook past 4096 clusters is
+    // outside this gate's design point (probe budgets are chosen from
+    // tens of clusters, not thousands)
+    require(c <= 4096,
+      s"nprobeRecallCurve: $c clusters exceeds the replayable depth " +
+      "bound (4096) — coarsen the codebook or raise the bound in BOTH " +
+      "engines")
     val spark = corpus.sparkSession
     val nps = spark.range(1, c + 1).select(col("id").as("nprobe"))
     val ranked = scall.join(broadcast(nps), col("pr") <= col("nprobe"))
@@ -581,11 +591,16 @@ object Similarity {
                               probes: Int): DataFrame = {
     val p = math.min(math.max(probes, 0), r)
     val bv = col("band_val")
-    val probeVals = array(bv +: (0 until p).map(j =>
-      bv.bitwiseXOR(lit(1L << j))): _*)
-    val a = banded.filter(col("id") % 2 === 0)
-      .select(col("band_id"), explode(probeVals).as("band_val"),
-        col("id").as("qa"))
+    val a =
+      if (p == 0) // single-probe (the production default): no Generate
+        // node over n·bands rows on the hot candidate path
+        banded.filter(col("id") % 2 === 0)
+          .select(col("band_id"), bv, col("id").as("qa"))
+      else banded.filter(col("id") % 2 === 0)
+        .select(col("band_id"),
+          explode(array(bv +: (0 until p).map(j =>
+            bv.bitwiseXOR(lit(1L << j))): _*)).as("band_val"),
+          col("id").as("qa"))
     val b = banded.filter(col("id") % 2 =!= 0)
       .select(col("band_id"), col("band_val"), col("id").as("qb"))
     a.join(b, Seq("band_id", "band_val"))

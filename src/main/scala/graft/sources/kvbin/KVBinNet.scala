@@ -282,6 +282,13 @@ class KVBinServer(dir: String, conf: Configuration,
           } else out.writeByte(0)
         case put if put.startsWith("PUT ") =>
           putRequests.incrementAndGet()
+          // a PUT stream's pace is the WRITING TASK's pace — a skewed
+          // upstream or a GC pause can legitimately stall longer than
+          // the request-line deadline (the filesystem writer has no
+          // inter-row deadline at all), so the data phase gets a much
+          // longer per-read budget; the 60 s line deadline still bounds
+          // idle connections that never send a verb
+          sock.setSoTimeout(600000)
           val nm = put.stripPrefix("PUT ")
           if (KVBinDataWriter.RegionFile.matches(nm)) {
             val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -347,6 +354,16 @@ class KVBinServer(dir: String, conf: Configuration,
             KVBinCommit.Fresh(f, mn, mx, n, pairs.map(_._1), pairs.map(_._2))
           }
           try {
+            // the same naming discipline as PUT and ABORT: a fresh-
+            // region entry outside the connector's own attempt pattern
+            // ('_index', a path-traversing name) must never reach the
+            // index — readers would resolve it against the directory
+            // and the sweep would reason over a foreign entry
+            fresh.map(_.file).find(f =>
+                !KVBinDataWriter.RegionFile.matches(f)).foreach(f =>
+              throw new IllegalArgumentException(
+                s"kvbin wire COMMIT names '$f' — not a region attempt " +
+                s"file of this connector's naming pattern"))
             // the commit itself is the filesystem path's commit — ONE
             // definition (KVBinCommit); only the concurrent-writer guard
             // differs: the client's planning-time LOGICAL version
@@ -386,10 +403,20 @@ class KVBinServer(dir: String, conf: Configuration,
         case "ABORT" =>
           val fs = org.apache.hadoop.fs.FileSystem.get(
             new java.net.URI(dir), conf)
+          // files the CURRENT index references are NEVER abortable: a
+          // COMMIT that landed server-side but whose ack was lost (or
+          // that failed after its index swap) makes the client abort —
+          // deleting its files here would corrupt the committed table.
+          // The ambiguous-commit abort then degrades to a no-op and the
+          // committed generation survives, exactly like the filesystem
+          // path where abort() only ever touches UNreferenced attempts.
+          val referenced: Set[String] =
+            try KVBin.readIndex(dir, conf).map(_._1).toSet
+            catch { case _: java.io.FileNotFoundException => Set.empty }
           (0 until in.readInt()).foreach { _ =>
             val nm = new String(readBytes(in), "UTF-8")
             // same naming discipline as the sweep: only our own pattern
-            if (KVBinDataWriter.RegionFile.matches(nm))
+            if (KVBinDataWriter.RegionFile.matches(nm) && !referenced(nm))
               fs.delete(new org.apache.hadoop.fs.Path(dir, nm), false)
           }
           out.writeByte(1)

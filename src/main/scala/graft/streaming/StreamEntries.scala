@@ -1787,17 +1787,32 @@ object StreamEntries {
   private[graft] def applyReplicaBatch(dstTbl: String,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long): Unit = {
-    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
     val conf = batch.sparkSession.sessionState.newHadoopConf()
-    // scalar headers only — a replica accumulates one generation per
-    // batch, and this probe runs every trigger: O(1), not O(regions)
-    val applied =
-      try graft.sources.kvbin.KVBin.readPollMeta(dstTbl, conf)
-        .get("replica_batch").map(_.toLong).getOrElse(-1L)
-      catch { case _: java.io.FileNotFoundException => -1L }
-    if (batchId == 0L || batchId > applied) {
+    applyReplicaBatchCore(batch, batchId,
+      // scalar headers only — a replica accumulates one generation per
+      // batch, and this probe runs every trigger: O(1), not O(regions)
+      probeApplied = () =>
+        try graft.sources.kvbin.KVBin.readPollMeta(dstTbl, conf)
+          .get("replica_batch").map(_.toLong).getOrElse(-1L)
+        catch { case _: java.io.FileNotFoundException => -1L },
+      target = ("path", dstTbl))
+  }
+
+  /** ONE copy of the idempotence contract for both replica sinks
+    * (filesystem and wire): probe the applied marker, then batch 0
+    * ALWAYS overwrites (within one lineage Spark replays only the
+    * latest uncommitted batch; across lineages the overwrite resyncs),
+    * later batches apply only above the stamp, and the
+    * `meta.replica_batch` marker rides the destination's one atomic
+    * index swap so marker and rows can never disagree. */
+  private def applyReplicaBatchCore(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, probeApplied: () => Long,
+      target: (String, String)): Unit = {
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    if (batchId == 0L || batchId > probeApplied()) {
       val mode = if (batchId == 0L) "overwrite" else "append"
-      batch.write.format(fmt).option("path", dstTbl)
+      batch.write.format(fmt).option(target._1, target._2)
         .option("api_version", "V1")
         .option("meta.replica_batch", batchId.toString)
         .mode(mode).save()
@@ -1817,18 +1832,14 @@ object StreamEntries {
     * the fresh-checkpoint resync rationale carry over verbatim. */
   private[graft] def applyReplicaBatchWire(dstAddr: String,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      batchId: Long): Unit = {
-    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
-    val applied = new graft.sources.kvbin.SocketRegionClient(dstAddr)
-      .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L)
-    if (batchId == 0L || batchId > applied) {
-      val mode = if (batchId == 0L) "overwrite" else "append"
-      batch.write.format(fmt).option("endpoints", dstAddr)
-        .option("api_version", "V1")
-        .option("meta.replica_batch", batchId.toString)
-        .mode(mode).save()
-    }
-  }
+      batchId: Long): Unit =
+    applyReplicaBatchCore(batch, batchId,
+      // one O(1) POLL; a fresh destination answers EMPTY meta (the
+      // write-target contract), so "nothing applied" needs no
+      // existence check — any transport failure propagates
+      probeApplied = () => new graft.sources.kvbin.SocketRegionClient(dstAddr)
+        .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L),
+      target = ("endpoints", dstAddr))
 
   /** Since r13 the whole replication loop is ENDPOINTS-ONLY: the tail
     * dials the source store (no path option), every replicated row

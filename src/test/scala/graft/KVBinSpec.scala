@@ -792,6 +792,46 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("ambiguous wire commit: ABORT never deletes files the committed index references; COMMIT refuses foreign names") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-wg-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val server = new KVBinServer(dir, conf)
+    try {
+      parquetSrc.write.format(kvbinFmt).option("endpoints", server.address)
+        .option("ranges", "2").mode("overwrite").save()
+      val committed = KVBin.readIndex(dir, conf).map(_._1)
+      assert(committed.size === 2)
+      // the lost-ack scenario: the COMMIT landed, the client saw a
+      // failure and aborts naming the very files the index now
+      // references — the server must make that abort a NO-OP (the
+      // filesystem path's abort only ever touches UNreferenced
+      // attempts; the wire path must be no weaker)
+      new SocketRegionClient(server.address).abortWrite(committed)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+      committed.foreach(f => assert(
+        fs.exists(new org.apache.hadoop.fs.Path(dir, f)),
+        s"abort deleted committed region $f"))
+      assert(spark.read.format(kvbinFmt).option("endpoints", server.address)
+        .load().count() === parquetSrc.count())
+      // COMMIT applies the same naming discipline as PUT/ABORT: a
+      // fresh-region entry outside the attempt pattern never reaches
+      // the index
+      val e = intercept[IllegalStateException] {
+        new SocketRegionClient(server.address).commitWrite(
+          truncate = false, apiVersion = None, preserveMeta = false,
+          stats = Nil, deferSweep = false, userMeta = Map.empty,
+          plannedBase = Some {
+            val m = new SocketRegionClient(server.address).pollMeta()
+            (m("generation"), m("table_id"))
+          },
+          fresh = Seq(graft.sources.kvbin.KVBinCommit.Fresh(
+            "_index", Array[Byte](1), Array[Byte](2), 1L, Nil, Nil)))
+      }
+      assert(e.getMessage.contains("naming pattern"), e.getMessage)
+    } finally server.close()
+  }
+
   test("endpoints-only writes refuse a multi-endpoint fleet, naming the single-store remedy") {
     import graft.sources.kvbin.KVBinServer
     val dir = java.nio.file.Files.createTempDirectory("kvbin-wm-").toString

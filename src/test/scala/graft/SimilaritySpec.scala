@@ -800,6 +800,19 @@ class SimilaritySpec extends SparkTestBase {
     // an unreachable target degrades to the full probe count, loudly
     // exact rather than silently approximate
     assert(Similarity.nprobeFor(e, q, 3, 1000001L) === curve.last._1.toInt)
+    // the GATE ships ivfTopK at the chosen depth while the chooser
+    // measured the curve's own per-depth ranking — pin that they agree
+    // at the shallowest, chosen and deepest depths, so the measured
+    // recall always describes the implementation that ships
+    for (d <- Seq(1, np, curve.size).distinct) {
+      val viaIvf = Similarity.recallAtK(
+          Similarity.bruteForceTopK(q, e, 3),
+          Similarity.ivfTopK(e, q, 3, d), 3)
+        .agg(org.apache.spark.sql.functions.sum("n_hits"))
+        .head().getLong(0)
+      assert(viaIvf === curve(d - 1)._2,
+        s"curve and ivfTopK disagree at depth $d")
+    }
   }
 
   test("persisted IVF codebook roundtrips BIT-exactly: search results identical") {
