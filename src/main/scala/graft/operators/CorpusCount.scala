@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped memo of corpus row counts keyed by the canonicalized
+  * logical plan — the "chooser stats piggyback" (r13 verdict task 6):
+  * every occupancy-adaptive chooser (MinHash banding, SRP band width,
+  * semantic-dedup auto-k, the ED-Join budget) needs n = |corpus|, and
+  * ~6 entry points each paid one extra count() ACTION per invocation
+  * even though a session's gates run over the same few corpora. One
+  * count per (session, corpus plan) now serves the whole family.
+  *
+  * Same key discipline and lifetime rules as [[Dedup]]'s frame memos
+  * (a file-backed plan canonicalizes to its root path + schema, so an
+  * in-place rewrite within one JVM is NOT detected — callers that
+  * mutate inputs mid-session disable caching or clear after the
+  * rewrite), same session pruning, same bound; [[Dedup.clearCaches]]
+  * clears this memo too. The memo saves scheduler round-trips and
+  * input re-scans, never a shuffle — a count is scalar-wide — so it
+  * is a latency fix, not a correctness-relevant rewrite: the cached
+  * value is exactly what the dropped job would have produced. */
+object CorpusCount {
+  /** Opt-out shared with the frame memos' rationale: stale counts are
+    * only possible via in-place input rewrites the plan key can't see. */
+  @volatile var cachingEnabled: Boolean = true
+
+  private val maxEntries = 32
+  private val cache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  /** `df.count()`, memoized per (session, canonicalized plan). The
+    * count job runs OUTSIDE the lock; a rare concurrent double-count is
+    * benign (both produce the same number, one wins the slot). */
+  def of(df: DataFrame): Long = {
+    if (!cachingEnabled) return df.count()
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
+    cache.synchronized {
+      cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      cache.get(key)
+    } match {
+      case Some(n) => n
+      case None =>
+        val n = df.count()
+        cache.synchronized {
+          val out = cache.getOrElseUpdate(key, n)
+          while (cache.size > maxEntries) cache.remove(cache.head._1)
+          out
+        }
+    }
+  }
+
+  def clear(): Unit = cache.synchronized { cache.clear() }
+}

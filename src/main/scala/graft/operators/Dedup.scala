@@ -149,6 +149,7 @@ object Dedup {
   def clearCaches(): Unit = {
     indexCache.synchronized { indexCache.clear() }
     pairCache.synchronized { pairCache.clear() }
+    CorpusCount.clear()
   }
 
   /** The verified-pair cache, same policy and lifetime rules as
@@ -627,35 +628,19 @@ object Dedup {
     * the estimator itself (matching components / k ≈ Jaccard) can be
     * hash-checked against DuckDB, not just its candidates. */
   def minhashSignatureMd5(docs: DataFrame, textCol: String, idCol: String,
-                          n: Int, k: Int): DataFrame = {
-    // MEMOIZED like the shingle index: the k·shingles salted md5s are
-    // the dedup gate family's dominant CPU, and three oracle-gated
-    // consumers build signatures over the SAME corpus in one session
-    // (the banded candidates behind lshRecallAuto/minhashNearDupMd5Auto,
-    // and the estimator gate) — a doc's signature doesn't depend on the
-    // rest of the corpus, so one full-corpus frame serves every
-    // consumer's slice. Same lifetime/opt-out rules as the other memos.
-    if (!cachingEnabled)
-      return buildMd5Signatures(docs, textCol, idCol, n, k)
-    val session = docs.sparkSession
-    val key = ((session, docs.queryExecution.logical.canonicalized,
-      textCol, idCol, n), s"md5sig:$k")
-    pairCache.synchronized {
-      pairCache.filterInPlace { case (((s, _, _, _, _), _), _) => !s.sparkContext.isStopped }
-      pairCache.get(key)
-    } match {
-      case Some(cached) => cached
-      case None =>
-        val built = buildMd5Signatures(docs, textCol, idCol, n, k)
-          .localCheckpoint()
-        pairCache.synchronized {
-          val out = pairCache.getOrElseUpdate(key, built)
-          while (pairCache.size > maxCachedIndexes)
-            pairCache.remove(pairCache.head._1)
-          out
-        }
+                          n: Int, k: Int): DataFrame =
+    // MEMOIZED like the shingle index (through the ONE shared
+    // [[cachedPairs]] policy — r13 ADVICE: the inline twin of that
+    // helper was two copies of the cache discipline to keep in sync):
+    // the k·shingles salted md5s are the dedup gate family's dominant
+    // CPU, and three oracle-gated consumers build signatures over the
+    // SAME corpus in one session (the banded candidates behind
+    // lshRecallAuto/minhashNearDupMd5Auto, and the estimator gate) — a
+    // doc's signature doesn't depend on the rest of the corpus, so one
+    // full-corpus frame serves every consumer's slice.
+    cachedPairs(docs, textCol, idCol, n, s"md5sig:$k") { () =>
+      buildMd5Signatures(docs, textCol, idCol, n, k)
     }
-  }
 
   private def buildMd5Signatures(docs: DataFrame, textCol: String,
                                  idCol: String, n: Int, k: Int): DataFrame = {
@@ -738,7 +723,8 @@ object Dedup {
   def minhashNearDupAuto(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, n: Int = 3, k: Int = 64,
                          targetOccupancy: Double = 16.0): DataFrame = {
-    val (bands, _) = lshParamsFor(k, threshold, docs.count(), targetOccupancy)
+    val (bands, _) = lshParamsFor(k, threshold, CorpusCount.of(docs),
+      targetOccupancy)
     minhashNearDup(docs, textCol, idCol, threshold, n, k, bands)
   }
 
@@ -789,7 +775,8 @@ object Dedup {
   def minhashNearDupMd5Auto(docs: DataFrame, textCol: String, idCol: String,
                             threshold: Double, n: Int = 3, k: Int = 32,
                             targetOccupancy: Double = 16.0): DataFrame = {
-    val (bands, _) = lshParamsFor(k, threshold, docs.count(), targetOccupancy)
+    val (bands, _) = lshParamsFor(k, threshold, CorpusCount.of(docs),
+      targetOccupancy)
     val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands)
     val tok = hashedShingleIndex(docs, textCol, idCol, n)
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -814,7 +801,8 @@ object Dedup {
                     threshold: Double, n: Int = 3, k: Int = 32,
                     maxDf: Int = Int.MaxValue,
                     targetOccupancy: Double = 16.0): DataFrame = {
-    val (bands, _) = lshParamsFor(k, threshold, docs.count(), targetOccupancy)
+    val (bands, _) = lshParamsFor(k, threshold, CorpusCount.of(docs),
+      targetOccupancy)
     lshRecall(docs, textCol, idCol, threshold, n, k, bands, maxDf)
   }
 
@@ -1357,7 +1345,7 @@ object Dedup {
     // — refuse a super-linear join with the remedy named instead of
     // silently running it. Int.MaxValue disables.
     if (maxCandidatesPerDoc != Int.MaxValue) {
-      val nDocs = math.max(base.count(), 1L)
+      val nDocs = math.max(CorpusCount.of(base), 1L)
       val ml = l.groupBy(col("blk"), col("gram"), col("occ"), col("b"))
         .agg(count(lit(1)).as("ml"))
       val mr = r.groupBy(col("blk_r"), col("gram_r"), col("occ_r"), col("reg"))

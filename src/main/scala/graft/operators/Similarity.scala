@@ -499,7 +499,7 @@ object Similarity {
                          targetOccupancy: Double = 16.0,
                          probes: Int = 0): DataFrame =
     bitextPairsSrp(corpus, k,
-      srpBandsFor(k, corpus.count(), targetOccupancy), probes)
+      srpBandsFor(k, CorpusCount.of(corpus), targetOccupancy), probes)
 
   /** The rollout gate for the SRP bitext candidate stage — the
     * [[Dedup.lshRecall]] analog, turning the documented "recall < 1 vs
@@ -526,7 +526,7 @@ object Similarity {
       .orderBy(col("margin_q").desc, col("qa"), col("qb")).limit(top)
       .select(col("qa"), col("qb"))
       .localCheckpoint()
-    val bands = srpBandsFor(kBits, corpus.count(), targetOccupancy)
+    val bands = srpBandsFor(kBits, CorpusCount.of(corpus), targetOccupancy)
     val banded = srpBanded(corpus, kBits, bands)
     def candSet(probes: Int): DataFrame = banded match {
       case None => corpus.sparkSession.emptyDataFrame
@@ -1075,7 +1075,7 @@ object Similarity {
   def semanticDedupAuto(corpus: DataFrame, iters: Int, threshold: Double,
                         targetOccupancy: Int = 64, minK: Int = 2): DataFrame = {
     require(targetOccupancy > 0)
-    val n = corpus.count()
+    val n = CorpusCount.of(corpus)
     val k = math.max(minK.toLong,
       (n + targetOccupancy - 1) / targetOccupancy).min(Int.MaxValue).toInt
     // route through the TWO-LEVEL codebook: flat assignment at k = n/occ

@@ -75,6 +75,14 @@ import org.apache.hadoop.conf.Configuration
   * region, never the region's bytes (`checksum/checksum.go:87-91`). */
 object KVBinNet {
 
+  /** META/POLL marker key for "this store has no table (no `_index`)
+    * yet": the value is the store's table directory, so a planning-time
+    * refusal can NAME the missing table. Reads gate on it; writes treat
+    * it as the fresh-target contract. Never present in a real index's
+    * meta (the writer refuses reserved keys, and this name is refused
+    * too via the `absent` match below). */
+  val AbsentKey = "absent"
+
   private[kvbin] def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
     out.writeInt(b.length); out.write(b)
   }
@@ -208,15 +216,20 @@ class KVBinServer(dir: String, conf: Configuration,
     sb.toString
   }
 
-  // META/POLL on a store with NO index yet answer empty metadata — the
-  // write-target contract (statDefs maps a missing index to Nil the
-  // same way), which is what lets a wire writer plan a fresh table's
-  // schema before its first COMMIT creates the index. Data verbs
-  // (REGIONS/SCAN/CHECKSUM) stay strict: reading a table that does not
-  // exist is an error, not an empty result.
+  // META/POLL on a store with NO index yet answer ONLY the `absent`
+  // marker (value = this store's table directory) — the write-target
+  // contract keeps working (a wire writer plans a fresh table's schema
+  // before its first COMMIT creates the index; the writer treats the
+  // marker as "fresh target"), while a READ against a mistyped or
+  // missing table now fails loudly at PLANNING time with the table
+  // named, instead of planning a phantom 2-column schema and dying at
+  // read time (r13 ADVICE). Data verbs (REGIONS/SCAN/CHECKSUM) stay
+  // strict: reading a table that does not exist is an error, not an
+  // empty result.
   private def metaOrEmpty: Map[String, String] =
     try index._1
-    catch { case _: java.io.FileNotFoundException => Map.empty }
+    catch { case _: java.io.FileNotFoundException =>
+      Map(KVBinNet.AbsentKey -> dir) }
 
   private def serve(sock: Socket): Unit = {
     try {
@@ -290,7 +303,16 @@ class KVBinServer(dir: String, conf: Configuration,
           // idle connections that never send a verb
           sock.setSoTimeout(600000)
           val nm = put.stripPrefix("PUT ")
-          if (KVBinDataWriter.RegionFile.matches(nm)) {
+          // same defense as ABORT, mirrored (r13 ADVICE): a PUT naming a
+          // file the CURRENT index references would truncate the live
+          // committed region the moment fs.create runs — before any
+          // commit guard could refuse. jobTag uniqueness makes accidental
+          // collision unlikely; the lost-ack rationale documented on
+          // ABORT applies equally here, so refuse with byte 0.
+          val putReferenced: Set[String] =
+            try KVBin.readIndex(dir, conf).map(_._1).toSet
+            catch { case _: java.io.FileNotFoundException => Set.empty }
+          if (KVBinDataWriter.RegionFile.matches(nm) && !putReferenced(nm)) {
             val fs = org.apache.hadoop.fs.FileSystem.get(
               new java.net.URI(dir), conf)
             val p = new org.apache.hadoop.fs.Path(dir, nm)
@@ -313,6 +335,14 @@ class KVBinServer(dir: String, conf: Configuration,
               while (klen >= 0) {
                 o.writeInt(klen); copy(klen)
                 val vlen = in.readInt()
+                // a negative value length is a malformed frame, not a
+                // terminator (only klen carries the -1 sentinel): spooling
+                // it verbatim would corrupt a region the server still
+                // acks, surfacing only at SCAN time on committed data —
+                // throw instead, and the finally-block reclaims the
+                // partial attempt file without acking (r13 ADVICE)
+                if (vlen < 0) throw new java.io.EOFException(
+                  s"PUT $nm malformed frame: negative value length $vlen")
                 o.writeInt(vlen); copy(vlen)
                 klen = in.readInt()
               }
@@ -443,7 +473,8 @@ class SocketRegionClient(address: String) extends RegionClient {
   import KVBinNet._
 
   private def dial[T](request: String,
-                      body: DataOutputStream => Unit = _ => ())
+                      body: DataOutputStream => Unit = _ => (),
+                      readTimeoutMs: Int = 60000)
                      (read: DataInputStream => T): T = {
     val Array(host, port) = address.split(":", 2)
     val sock = new Socket()
@@ -453,8 +484,15 @@ class SocketRegionClient(address: String) extends RegionClient {
     // Spark task and task retry re-dials — retrying inside the client
     // would stack two retry loops and hide a down store from the
     // scheduler's failure accounting.
+    // `readTimeoutMs` is per-VERB (r13 ADVICE): COMMIT/ABORT mirror the
+    // server's asymmetric 600 s PUT data-phase budget — a long-running
+    // server-side commit (large index merge, immediate sweep over many
+    // regions, slow object store) must not make the client throw
+    // SocketTimeoutException over a commit that actually LANDED, turning
+    // a success into an ambiguous failure. Read verbs keep the 60 s
+    // bound: they stream continuously, so silence means a dead server.
     sock.connect(new java.net.InetSocketAddress(host, port.toInt), 10000)
-    sock.setSoTimeout(60000)
+    sock.setSoTimeout(readTimeoutMs)
     try {
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
       out.write((request + "\n").getBytes("UTF-8"))
@@ -557,7 +595,7 @@ class SocketRegionClient(address: String) extends RegionClient {
           out.writeLong(a); out.writeLong(b)
         }
       }
-    }) { in =>
+    }, readTimeoutMs = 600000) { in =>
       if (in.readByte() != 1)
         throw new IllegalStateException(new String(readBytes(in), "UTF-8"))
     }
@@ -567,7 +605,7 @@ class SocketRegionClient(address: String) extends RegionClient {
     dial("ABORT", out => {
       out.writeInt(files.size)
       files.foreach(f => writeBytes(out, f.getBytes("UTF-8")))
-    }) { in =>
+    }, readTimeoutMs = 600000) { in =>
       if (in.readByte() != 1)
         throw new IllegalStateException(s"kvbin wire ABORT refused by $address")
     }
@@ -615,7 +653,16 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
   override def pollMeta(): Map[String, String] =
     mergeMetas(clients.map(_.pollMeta()))
 
-  private def mergeMetas(metas: Seq[Map[String, String]]): Map[String, String] = {
+  private def mergeMetas(metas0: Seq[Map[String, String]]): Map[String, String] = {
+    // `absent` markers merge presence-style but never mask a live table:
+    // when ANY store carries a real index the markers drop (a mixed
+    // fleet then fails the api_version consistency check below, loudly);
+    // when EVERY store is fresh the merged reply keeps the first
+    // store's marker so the read gate fires with a table named.
+    val metas =
+      if (metas0.exists(!_.contains(KVBinNet.AbsentKey)))
+        metas0.map(_ - KVBinNet.AbsentKey)
+      else metas0
     val versions = metas.map(_.get("api_version")).distinct
     if (versions.size > 1)
       throw new IllegalStateException(

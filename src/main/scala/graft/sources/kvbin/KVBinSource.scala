@@ -116,6 +116,15 @@ object KVBinSource {
         "kvbin reads need a 'path' or a valid 'endpoints' option"))
   }
 
+  /** ONE POLL round-trip for an endpoints-only table's scalar meta —
+    * the `absent` marker rides it (see [[KVBinNet.AbsentKey]]), so the
+    * read gate and the stat-column schema come from the same wire call. */
+  def pollMetaFor(endpoints: Option[String]): Map[String, String] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    RegionClient.connect(null, endpoints, conf).pollMeta()
+  }
+
   /** (key, value) plus one non-null virtual LONG column per declared
     * stat — the Delta/Iceberg data-skipping surface: filter on a stat
     * column and planning prunes regions from the index min/max before
@@ -133,9 +142,19 @@ class KVBinTable(dir: String, tableEndpoints: Option[String] = None)
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   // ONE meta resolution per table instance: Spark consults schema()
   // several times while planning, and each probe would re-open _index
-  // (or re-dial POLL)
-  private lazy val statDefs =
-    KVBinSource.statDefsFor(Option(dir), tableEndpoints)
+  // (or re-dial POLL). For endpoints-only tables the full polled meta
+  // is kept too: the `absent` marker in it is what lets newScanBuilder
+  // refuse a READ of a table that does not exist at PLANNING time
+  // (schema() itself must stay permissive — a write to a fresh target
+  // resolves the same table object and must see the 2-column schema).
+  private lazy val polledMeta: Option[Map[String, String]] =
+    if (dir == null && tableEndpoints.isDefined)
+      Some(KVBinSource.pollMetaFor(tableEndpoints))
+    else None
+  private lazy val statDefs = polledMeta match {
+    case Some(m) => KVBin.statDefs(m)
+    case None => KVBinSource.statDefsFor(Option(dir), tableEndpoints)
+  }
   override def name(): String =
     s"kvbin:${Option(dir).orElse(tableEndpoints).getOrElse("?")}"
   override def schema(): StructType = KVBinSource.schemaOf(statDefs)
@@ -143,7 +162,19 @@ class KVBinTable(dir: String, tableEndpoints: Option[String] = None)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the READ gate on the POLL `absent` marker: an endpoints scan of a
+    // mistyped / not-yet-created table fails HERE — at planning, with
+    // the table named — instead of planning a phantom 2-column schema
+    // that only dies at read time. Writes never pass through
+    // newScanBuilder, so the fresh-target contract is untouched.
+    polledMeta.flatMap(_.get(KVBinNet.AbsentKey)).foreach { tbl =>
+      throw new IllegalArgumentException(
+        s"kvbin endpoints read: no table exists at " +
+        s"${tableEndpoints.getOrElse("?")} (the store's directory '$tbl' " +
+        s"has no _index) — check the endpoints; a WRITE to this fresh " +
+        s"target is still allowed")
+    }
     new KVBinScanBuilder(dir,
       Option(options.get("api_version")),
       Option(options.get("endpoints")),
@@ -157,6 +188,7 @@ class KVBinTable(dir: String, tableEndpoints: Option[String] = None)
       // Batch reads may also use them; pushed filters tighten further.
       Option(options.get("start_key_hex")).map(KVBin.unhex),
       Option(options.get("end_key_hex")).map(KVBin.unhex))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

@@ -106,7 +106,7 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
     userMeta.foreach { case (k, v) =>
       require(k.matches("[a-z0-9_.-]+") && !k.startsWith("gen.") &&
         !Set("api_version", "stats", "generation", "table_id",
-          "compacted_through")(k),
+          "compacted_through", KVBinNet.AbsentKey)(k),
         s"kvbin meta option key '$k' is reserved or not [a-z0-9_.-]+")
       require(!v.exists(c => c == '\n' || c == '\r' || c == '='),
         s"kvbin meta option value for '$k' must not contain newline or '='")
@@ -548,7 +548,9 @@ class KVBinWireBatchWrite(address: String, truncate: Boolean,
       val meta = new SocketRegionClient(address).pollMeta()
       (meta.get("generation"), meta.get("table_id")) match {
         case (Some(g), Some(t)) => Some((g, t))
-        case _ if meta.isEmpty => None // fresh target
+        // fresh target: no index yet — the POLL reply is either empty
+        // (pre-marker servers) or carries only the `absent` marker
+        case _ if meta.isEmpty || meta.contains(KVBinNet.AbsentKey) => None
         case _ => throw new IllegalArgumentException(
           s"kvbin wire append to $address: the table is UNSTAMPED (no " +
           s"generation/table_id meta) so the commit has no logical " +

@@ -1578,6 +1578,86 @@ class KVBinSpec extends SparkTestBase {
     assert(spark.read.format(kvbinFmt).option("path", dir).load().count() === 45L)
   }
 
+  test("POLL absent marker: an endpoints read of a missing table fails at PLANNING naming the table; writes keep the fresh-target contract") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-ab-").toString
+    val server = new KVBinServer(dir, spark.sessionState.newHadoopConf())
+    try {
+      // the marker rides POLL (and META) while no _index exists
+      val meta = new SocketRegionClient(server.address).pollMeta()
+      assert(meta.get("absent").contains(dir), meta.toString)
+      // a READ fails at planning — before any job, with the table named
+      // (previously: a phantom 2-column schema that died at read time)
+      val e = intercept[Exception] {
+        spark.read.format(kvbinFmt).option("endpoints", server.address)
+          .load().count()
+      }
+      assert(e.getMessage.contains(dir) &&
+        e.getMessage.contains("no table exists"), e.getMessage)
+      // a WRITE to the same fresh target still plans and lands (the
+      // absent marker means "fresh", not "error", on the write side)…
+      parquetSrc.limit(10).write.format(kvbinFmt)
+        .option("endpoints", server.address).mode("append").save()
+      // …and once the table exists the marker is gone and reads work
+      val back = spark.read.format(kvbinFmt)
+        .option("endpoints", server.address).load()
+      assert(back.count() === 10L)
+      assert(!new SocketRegionClient(server.address).pollMeta()
+        .contains("absent"))
+    } finally server.close()
+  }
+
+  test("PUT hardening: a referenced name is refused before truncation; a negative vlen frame never acks") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-ph-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val server = new KVBinServer(dir, conf)
+    try {
+      parquetSrc.limit(20).write.format(kvbinFmt)
+        .option("endpoints", server.address)
+        .option("ranges", "1").mode("overwrite").save()
+      val committed = KVBin.readIndex(dir, conf).map(_._1)
+      assert(committed.size === 1)
+      val live = committed.head
+      val crcBefore = Checksum.of(spark.read.format(kvbinFmt)
+        .option("endpoints", server.address).load())
+        .as[(Long, Long, Long)].head()
+      def rawPut(name: String)(frames: java.io.DataOutputStream => Unit): Int = {
+        val Array(host, port) = server.address.split(":", 2)
+        val sock = new java.net.Socket(host, port.toInt)
+        try {
+          sock.setSoTimeout(10000)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          out.write(s"PUT $name\n".getBytes("UTF-8"))
+          frames(out)
+          out.flush()
+          sock.getInputStream.read() // ack byte, or -1 on server abort
+        } finally sock.close()
+      }
+      // the lost-ack twin of ABORT's guard: a PUT naming the LIVE
+      // committed region is refused (byte 0) — fs.create(overwrite)
+      // would have truncated it before any commit guard could run
+      val refused = rawPut(live) { out => out.writeInt(-1) }
+      assert(refused === 0, s"PUT of referenced $live must answer byte 0")
+      val crcAfterRefusal = Checksum.of(spark.read.format(kvbinFmt)
+        .option("endpoints", server.address).load())
+        .as[(Long, Long, Long)].head()
+      assert(crcAfterRefusal === crcBefore, "live region was damaged")
+      // a malformed frame (negative vlen, which is NOT a terminator)
+      // kills the serve thread WITHOUT an ack and the partial attempt
+      // file is reclaimed — the corruption can never be committed
+      val ack = rawPut("part-00007-deadbeef-9.kv") { out =>
+        out.writeInt(1); out.write("k".getBytes("UTF-8"))
+        out.writeInt(-5)
+      }
+      assert(ack === -1, s"malformed PUT must not ack, got $ack")
+      val f = new java.io.File(dir, "part-00007-deadbeef-9.kv")
+      val deadline = System.nanoTime() + 5000000000L
+      while (f.exists() && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(!f.exists(), "malformed attempt file must be reclaimed")
+    } finally server.close()
+  }
+
   /** Rewrite `dir/_index` without the generation bookkeeping — the
     * shape every table written BEFORE the `#generation=` stamp landed
     * has on disk; lets the legacy name-set offset path stay testable. */
