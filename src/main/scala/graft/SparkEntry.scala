@@ -259,6 +259,18 @@ object SparkEntry {
       Dedup.minhashNearDupMd5Auto(docs(s, dir), "text", "doc_id", mhTau,
           3, mhK, targetOccupancy = mhOcc)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // the MULTI-PROBE arm of the adaptive near-dup (r14): the chooser
+    // deepens bands as corpora grow, which RAISES the miss rate for
+    // borderline-τ pairs — probe arms re-band the same signature
+    // along coprime-stride permutations (probeStep), buying recall
+    // back at ×(probes+1) candidate volume and unchanged per-bucket
+    // occupancy. The oracle replays the probe arms end-to-end (stride
+    // inverses, permuted band keys, bucket join), so a boundary pair
+    // an arm recovers — or misses — does so identically in both engines
+    "q_dedup_minhash_probe" -> ((s, dir) =>
+      Dedup.minhashNearDupMd5Auto(docs(s, dir), "text", "doc_id", mhTau,
+          3, mhK, targetOccupancy = mhOcc, probes = mhProbes)
+        .orderBy(col("doc_a"), col("doc_b"))),
     // the MinHash ESTIMATOR itself, hash-gated: for every exact pair
     // j >= 0.5, the k=32 md5-signature agreement fraction — the
     // accuracy contract behind every LSH recall claim, checked
@@ -312,9 +324,14 @@ object SparkEntry {
     // now tracks what the ADAPTIVE banding ships at this corpus size.
     // The oracle replays the chooser (rch CTE), so the recorded trade
     // is hash-gated at every SF, not just the SFs someone measured
+    // r14: the gate records BOTH arms off the one memoized signature
+    // frame — the single-probe candidates (what probes=0 production
+    // ships) AND the rotated-band multi-probe expansion, so the
+    // candidate-volume cost of the probes sits next to the recall they
+    // buy back (the bitextSrpRecall discipline for MinHash)
     "q_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecallAuto(docs(s, dir), "text", "doc_id", mhTau, 3, mhK,
-        maxDf = jaccardMaxDf, targetOccupancy = mhOcc)),
+        maxDf = jaccardMaxDf, targetOccupancy = mhOcc, probes = mhProbes)),
     // near-dup clusters: connected components over the verified pair
     // graph; cluster_id = min reachable doc_id (the canonical survivor)
     "q_dedup_clusters" -> ((s, dir) =>
@@ -3149,6 +3166,11 @@ object SparkEntry {
   private val mhK = 32
   private val mhTau = 0.5
   private val mhOcc = 16.0
+  /** ONE multi-probe arm count shared by the MinHash probe entries and
+    * their oracle CTEs (the mhK discipline): each arm re-bands the
+    * signature along a coprime-stride permutation (Dedup.probeStep) —
+    * the oracle embeds each arm's modular-inverse constant. */
+  private val mhProbes = 2
 
   /** ONE IVF recall target (ppm) shared by the q_ann_recall entry and
     * its oracle's replayed chooser. */
@@ -3165,6 +3187,25 @@ object SparkEntry {
        |rch AS (SELECT coalesce((SELECT r FROM divs
        |  WHERE b * (SELECT count(*) FROM documents) * pow(${mhTau / 2.0}, r) <= $mhOcc
        |  ORDER BY abs(pow(1.0/b, 1.0/r) - $mhTau) ASC, b DESC LIMIT 1), $mhK) AS r)""".stripMargin
+
+  /** The multi-probe banded-candidate replay (Dedup's coprime-stride
+    * probe arms in SQL): arm p ∈ [0, mhProbes] groups component i into
+    * band slot (i·inv_p) mod k (inv_p = the embedded modular inverse of
+    * probeStep(p, mhK) — arm 0's step is 1, the standard banding),
+    * band_id = slot // r, band key string_agg'd in slot order — exactly
+    * the concat order the Scala side emits. Yields `candp`. */
+  private def lshCandMpCte: String = {
+    val invs = (0 to mhProbes).map(p =>
+      s"($p, ${graft.operators.Dedup.probeStepInv(p, mhK)})").mkString(", ")
+    s"""bandmp AS (SELECT doc_id, p,
+       |    ((i * sinv) % $mhK) // (SELECT r FROM rch) AS band_id,
+       |    string_agg(m, '_' ORDER BY (i * sinv) % $mhK) AS bk
+       |  FROM msig CROSS JOIN (VALUES $invs) ps(p, sinv)
+       |  GROUP BY doc_id, p, ((i * sinv) % $mhK) // (SELECT r FROM rch)),
+       |candp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bandmp a JOIN bandmp b ON a.p = b.p AND a.band_id = b.band_id
+       |            AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
   /** The srpBandsFor replay CTE: smallest admissible divisor-of-k width
     * with pow(2,r) ≥ n/16 (same IEEE predicate both engines), widest
     * width as the too-big fallback. `eName` is the corpus CTE to count. */
@@ -4077,14 +4118,20 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM band a JOIN band b ON a.band_id = b.band_id AND a.bk = b.bk
         |           AND a.doc_id < b.doc_id),
+        |$lshCandMpCte,
         |tp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
         |nt AS (SELECT count(*) AS n_true FROM tp),
         |nc AS (SELECT count(*) AS n_cand FROM cand),
-        |nh AS (SELECT count(*) AS n_hit FROM cand SEMI JOIN tp USING (doc_a, doc_b))
+        |nh AS (SELECT count(*) AS n_hit FROM cand SEMI JOIN tp USING (doc_a, doc_b)),
+        |ncp AS (SELECT count(*) AS n_cand_mp FROM candp),
+        |nhp AS (SELECT count(*) AS n_hit_mp FROM candp SEMI JOIN tp USING (doc_a, doc_b))
         |SELECT n_true, n_cand, n_hit,
         |  CASE WHEN n_true > 0 THEN CAST(n_hit * 1000000 // n_true AS BIGINT) END AS recall_ppm,
-        |  CASE WHEN n_cand > 0 THEN CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_ppm
-        |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin),
+        |  CASE WHEN n_cand > 0 THEN CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_ppm,
+        |  n_cand_mp, n_hit_mp,
+        |  CASE WHEN n_true > 0 THEN CAST(n_hit_mp * 1000000 // n_true AS BIGINT) END AS recall_mp_ppm,
+        |  CASE WHEN n_cand_mp > 0 THEN CAST(n_hit_mp * 1000000 // n_cand_mp AS BIGINT) END AS precision_mp_ppm
+        |FROM nt CROSS JOIN nc CROSS JOIN nh CROSS JOIN ncp CROSS JOIN nhp""".stripMargin),
     // replays deltaJaccardJoin: same shingle construction, tok split
     // new/old on doc_id % 10, corpus-side df cap, sizes from ALL shingles
     "q_dedup_delta" ->
@@ -4270,6 +4317,21 @@ object SparkEntry {
         |           AND a.doc_id < b.doc_id)
         |SELECT j.doc_a, j.doc_b, j.jaccard
         |FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        |WHERE j.jaccard >= $mhTau ORDER BY j.doc_a, j.doc_b""".stripMargin),
+    // replays minhashNearDupMd5Auto WITH the probe arms: the same
+    // chooser and signatures, the stride-permuted multi-probe band
+    // keys (lshCandMpCte embeds the arms' modular inverses), the
+    // banded bucket join, and the exact rounded
+    // Jaccard ≥ τ restricted to the expanded candidate set
+    "q_dedup_minhash_probe" -> (shingleCte +
+      s""", msig AS (SELECT doc_id, i,
+        |            min(${duckHash60("'mh' || i || '_' || t")}) AS m
+        |          FROM tok CROSS JOIN (SELECT unnest(generate_series(0, ${mhK - 1})) AS i)
+        |          GROUP BY doc_id, i),
+        |$lshRchCte,
+        |$lshCandMpCte
+        |SELECT j.doc_a, j.doc_b, j.jaccard
+        |FROM jac j JOIN candp c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         |WHERE j.jaccard >= $mhTau ORDER BY j.doc_a, j.doc_b""".stripMargin),
     // SimHash bit-vote signatures over the md5-derived 60-bit token hash
     // (substr(md5,1,15) parsed base-16 — exactly Dedup.md5Hash60)

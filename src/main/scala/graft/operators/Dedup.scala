@@ -190,16 +190,67 @@ object Dedup {
     * (e.g. a fully duplicated corpus) costs shuffle rows that AQE's
     * skew handling splits, never one task's memory. */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
-    candidatesOnIndex(hashedShingleIndex(docs, textCol, idCol, n), k, bands)
+                        n: Int = 3, k: Int = 64, bands: Int = 16,
+                        probes: Int = 0): DataFrame =
+    candidatesOnIndex(hashedShingleIndex(docs, textCol, idCol, n), k, bands,
+      probes)
 
-  private def candidatesOnIndex(tok: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** Multi-probe band PERMUTATION step for arm `arm` (arm 0 = 1, the
+    * identity): the arm-th positive integer coprime to k, so
+    * i ↦ (i·step) mod k is a bijection of the component indices and
+    * each arm re-bands the SAME k-component signature along a
+    * different arithmetic-progression grouping. Probe bands draw their
+    * r components from ACROSS the standard bands, so the extra OR
+    * clauses decorrelate from the standard ones (a rotation-style
+    * probe was measured useless: it shares r−1 of r components with a
+    * standard band, so a pair that missed every standard band almost
+    * always misses the rotation too). THE one definition both the
+    * xxhash production path and the oracle-replayed md5 path use. */
+  private[graft] def probeStep(arm: Int, k: Int): Int =
+    Iterator.from(1).filter(s => BigInt(s).gcd(BigInt(k)) == 1)
+      .drop(arm).next()
+
+  /** Modular inverse of [[probeStep]](arm, k) mod k — the constant the
+    * DuckDB replay embeds to map component i back to its band slot
+    * ((i·inv) mod k = the slot whose (slot·step) mod k = i). k = 1 is
+    * the degenerate single-component signature (slot always 0). */
+  private[graft] def probeStepInv(arm: Int, k: Int): Int =
+    if (k == 1) 0
+    else {
+      val s = probeStep(arm, k) % k
+      (1 until k).find(x => x * s % k == 1).getOrElse(
+        throw new IllegalStateException(s"no inverse of $s mod $k"))
+    }
+
+  private def candidatesOnIndex(tok: DataFrame, k: Int, bands: Int,
+                                probes: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(probes >= 0, "probes must be >= 0")
     val r = k / bands
     val sig = signaturesOnIndex(tok, k)
-    val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+    // multi-probe = EXTRA BANDS AT HELD OCCUPANCY (the MinHash analog
+    // of Similarity.crossCandidates' Hamming-1 expansion, r13 verdict
+    // task 3): each probe arm re-bands the SAME k-component signature
+    // at the same depth r along a different coprime-stride permutation
+    // (probeStep) — another bands-wide OR layer with identical
+    // per-band collision probability s^r but near-independent
+    // membership, so recall rises toward 1-(1-s^r)^(bands·(probes+1))
+    // while per-bucket occupancy (and so pairs-per-row of the
+    // self-join) is unchanged. The adaptive chooser DEEPENS bands as
+    // corpora grow, which raises the miss rate for borderline-τ pairs
+    // — probes is the recall knob that buys it back at a ×(probes+1)
+    // candidate-volume cost. probes=0 is exactly the historical
+    // single-banding plan (no extra columns).
+    val arms: Seq[Column] = (0 to probes).flatMap { arm =>
+      if (arm == 0)
+        (0 until bands).map(b => xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
+      else {
+        val step = probeStep(arm, k)
+        (0 until bands).map(b => xxhash64(lit(arm * bands + b),
+          array((0 until r).map(j => col("sig")((b * r + j) * step % k)): _*)))
+      }
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(arms: _*)))
       .toDF("doc_id", "band_id", "band_hash")
       .localCheckpoint()
     banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
@@ -221,9 +272,9 @@ object Dedup {
     * of the inner join — correct, its Jaccard is 0. */
   def minhashNearDup(docs: DataFrame, textCol: String, idCol: String,
                      threshold: Double, n: Int = 3, k: Int = 64,
-                     bands: Int = 16): DataFrame = {
+                     bands: Int = 16, probes: Int = 0): DataFrame = {
     val tok = hashedShingleIndex(docs, textCol, idCol, n)
-    val cand = candidatesOnIndex(tok, k, bands)
+    val cand = candidatesOnIndex(tok, k, bands, probes)
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
@@ -722,10 +773,11 @@ object Dedup {
     * the recall each chosen depth trades away. */
   def minhashNearDupAuto(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, n: Int = 3, k: Int = 64,
-                         targetOccupancy: Double = 16.0): DataFrame = {
+                         targetOccupancy: Double = 16.0,
+                         probes: Int = 0): DataFrame = {
     val (bands, _) = lshParamsFor(k, threshold, CorpusCount.of(docs),
       targetOccupancy)
-    minhashNearDup(docs, textCol, idCol, threshold, n, k, bands)
+    minhashNearDup(docs, textCol, idCol, threshold, n, k, bands, probes)
   }
 
   /** The md5-signature banded candidate pairs ([[lshRecall]]'s
@@ -739,20 +791,32 @@ object Dedup {
     * is paid once, not per consumer. */
   private def md5BandedCandidates(docs: DataFrame, textCol: String,
                                   idCol: String, n: Int, k: Int,
-                                  bands: Int): DataFrame =
-    cachedPairs(docs, textCol, idCol, n, s"md5band:$k:$bands") { () =>
-      md5BandedCandidatesBuild(docs, textCol, idCol, n, k, bands)
+                                  bands: Int, probes: Int = 0): DataFrame =
+    cachedPairs(docs, textCol, idCol, n, s"md5band:$k:$bands:$probes") { () =>
+      md5BandedCandidatesBuild(docs, textCol, idCol, n, k, bands, probes)
     }
 
   private def md5BandedCandidatesBuild(docs: DataFrame, textCol: String,
                                        idCol: String, n: Int, k: Int,
-                                       bands: Int): DataFrame = {
+                                       bands: Int, probes: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(probes >= 0, "probes must be >= 0")
     val r = k / bands
     val sig = minhashSignatureMd5(docs, textCol, idCol, n, k)
-    val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          concat_ws("_", (0 until r).map(i => col(s"m${b * r + i}")): _*)): _*)))
+    // probe arms = coprime-stride re-bandings of the one memoized
+    // signature frame (see candidatesOnIndex's doc): arm 0 is the
+    // standard banding (step 1), arm p groups components along the
+    // stride-probeStep(p, k) progression. Band key = the r components
+    // joined as a string in slot order — the DuckDB twin embeds each
+    // arm's modular-inverse constant (probeStepInv) and string_aggs in
+    // the same (i·inv) mod k slot order, so the candidate stage stays
+    // exactly replayable at every probe count.
+    val arms: Seq[Column] = (0 to probes).flatMap { arm =>
+      val step = probeStep(arm, k)
+      (0 until bands).map(b =>
+        concat_ws("_", (0 until r).map(j => col(s"m${(b * r + j) * step % k}")): _*))
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(arms: _*)))
       .toDF("doc_id", "band_id", "bk")
       .localCheckpoint()
     banded.select(col("band_id"), col("bk"), col("doc_id").as("doc_a"))
@@ -774,10 +838,11 @@ object Dedup {
     * missed identically by both engines. */
   def minhashNearDupMd5Auto(docs: DataFrame, textCol: String, idCol: String,
                             threshold: Double, n: Int = 3, k: Int = 32,
-                            targetOccupancy: Double = 16.0): DataFrame = {
+                            targetOccupancy: Double = 16.0,
+                            probes: Int = 0): DataFrame = {
     val (bands, _) = lshParamsFor(k, threshold, CorpusCount.of(docs),
       targetOccupancy)
-    val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands)
+    val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands, probes)
     val tok = hashedShingleIndex(docs, textCol, idCol, n)
     val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
@@ -800,18 +865,22 @@ object Dedup {
   def lshRecallAuto(docs: DataFrame, textCol: String, idCol: String,
                     threshold: Double, n: Int = 3, k: Int = 32,
                     maxDf: Int = Int.MaxValue,
-                    targetOccupancy: Double = 16.0): DataFrame = {
+                    targetOccupancy: Double = 16.0,
+                    probes: Int = 2): DataFrame = {
     val (bands, _) = lshParamsFor(k, threshold, CorpusCount.of(docs),
       targetOccupancy)
-    lshRecall(docs, textCol, idCol, threshold, n, k, bands, maxDf)
+    lshRecall(docs, textCol, idCol, threshold, n, k, bands, maxDf, probes)
   }
 
   /** LSH banding-parameter rollout gate — the dedup-family analog of
     * [[graft.operators.Similarity.recallAtK]]: against the EXACT
     * df-capped Jaccard truth set (pairs with rounded j >= `threshold`),
     * measure what the (k, bands) banding of the md5 MinHash signatures
-    * recovers and at what candidate volume. Output is ONE row —
-    * (n_true, n_cand, n_hit, recall_ppm, precision_ppm), integer ppm so
+    * recovers and at what candidate volume — and, since r14, what the
+    * MULTI-PROBE rotated-band expansion buys back (the SRP side's
+    * bitextSrpRecall discipline brought to MinHash). Output is ONE row —
+    * (n_true, n_cand, n_hit, recall_ppm, precision_ppm, n_cand_mp,
+    * n_hit_mp, recall_mp_ppm, precision_mp_ppm), integer ppm so
     * the gate is corpus-size-independent — the number you check before
     * switching a 100 TB dedup run from exact-join truth to banded
     * candidates (too few bands silently drops near-dups; too many
@@ -825,24 +894,38 @@ object Dedup {
     * operators themselves do. */
   def lshRecall(docs: DataFrame, textCol: String, idCol: String,
                 threshold: Double, n: Int = 3, k: Int = 32,
-                bands: Int = 16, maxDf: Int = Int.MaxValue): DataFrame = {
+                bands: Int = 16, maxDf: Int = Int.MaxValue,
+                probes: Int = 2): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val truth = jaccardJoin(docs, textCol, idCol, 0.0, n, maxDf)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("j"))
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"))
+    // BOTH arms off the one memoized signature frame, like
+    // bitextSrpRecall: the single-probe candidate set (what a probes=0
+    // production run ships) and the multi-probe expansion — the
+    // candidate-volume COST of the probe arms (n_cand_mp vs n_cand)
+    // recorded right next to the recall they buy back.
     val cand = md5BandedCandidates(docs, textCol, idCol, n, k, bands)
-    val nt = truth.agg(count(lit(1)).as("n_true"))
-    val nc = cand.agg(count(lit(1)).as("n_cand"))
-    val nh = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+    val candMp = md5BandedCandidates(docs, textCol, idCol, n, k, bands, probes)
+    def counts(c: DataFrame, cN: String, hN: String): DataFrame =
+      c.agg(count(lit(1)).as(cN)).crossJoin(
+        c.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as(hN)))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(counts(cand, "n_cand", "n_hit")))
+      .crossJoin(broadcast(counts(candMp, "n_cand_mp", "n_hit_mp")))
       .select(col("n_true"), col("n_cand"), col("n_hit"),
         expr("CASE WHEN n_true > 0 THEN CAST(n_hit * 1000000 div n_true AS BIGINT) END")
           .as("recall_ppm"),
         expr("CASE WHEN n_cand > 0 THEN CAST(n_hit * 1000000 div n_cand AS BIGINT) END")
-          .as("precision_ppm"))
+          .as("precision_ppm"),
+        col("n_cand_mp"), col("n_hit_mp"),
+        expr("CASE WHEN n_true > 0 THEN CAST(n_hit_mp * 1000000 div n_true AS BIGINT) END")
+          .as("recall_mp_ppm"),
+        expr("CASE WHEN n_cand_mp > 0 THEN CAST(n_hit_mp * 1000000 div n_cand_mp AS BIGINT) END")
+          .as("precision_mp_ppm"))
   }
 
   /** Cross-source overlap matrix — the corpus-governance artifact that

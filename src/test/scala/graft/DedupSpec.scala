@@ -323,6 +323,56 @@ class DedupSpec extends SparkTestBase {
     assert(row.getAs[Long]("n_true") === exact.size.toLong)
   }
 
+  test("minhash multi-probe: probe candidates are a superset; verified pairs stay the exact threshold-passing subset; recall never drops") {
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the xxhash production path: probes only ADD candidates (arm 0 IS
+    // the standard banding) — superset at the candidate stage…
+    val base = Dedup.minhashCandidates(d, "text", "doc_id", 3, 32, 8)
+      .as[(Long, Long)].collect().toSet
+    val probed = Dedup.minhashCandidates(d, "text", "doc_id", 3, 32, 8,
+        probes = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(base.subsetOf(probed),
+      s"missing from probe set: ${(base -- probed).take(3)}")
+    // …and therefore at the verified-pair stage, where every emitted
+    // pair still carries the exact rounded Jaccard (the md5 oracle path)
+    val autoPairs = Dedup.minhashNearDupMd5Auto(d, "text", "doc_id",
+        0.5, 3, 32)
+      .as[(Long, Long, Double)].collect().toSet
+    val probePairs = Dedup.minhashNearDupMd5Auto(d, "text", "doc_id",
+        0.5, 3, 32, probes = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(autoPairs.subsetOf(probePairs))
+    val exact = Dedup.jaccardJoin(d, "text", "doc_id", 0.0, 3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
+      .filter(col("j") >= 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(probePairs.subsetOf(exact),
+      "a probe arm emitted a pair the exact join does not verify")
+    // the recall gate's two arms agree with the two candidate sets:
+    // mp recall >= single-probe recall, mp volume >= single-probe volume
+    val row = Dedup.lshRecallAuto(d, "text", "doc_id", 0.5, 3, 32,
+      probes = 2).head()
+    assert(row.getAs[Long]("recall_mp_ppm") >= row.getAs[Long]("recall_ppm"))
+    assert(row.getAs[Long]("n_cand_mp") >= row.getAs[Long]("n_cand"))
+    assert(row.getAs[Long]("n_hit_mp") >= row.getAs[Long]("n_hit"))
+  }
+
+  test("probeStep/probeStepInv: coprime strides, arm 0 = identity, inverses exact for every arm and k") {
+    assert(Dedup.probeStep(0, 32) === 1) // identity: arm 0 IS the standard banding
+    assert(Dedup.probeStep(1, 32) === 3)
+    assert(Dedup.probeStep(2, 32) === 5)
+    assert(Dedup.probeStep(1, 6) === 5) // skips non-coprime 2,3,4
+    for (arm <- 0 to 3; k <- Seq(2, 6, 16, 32, 64)) {
+      val s = Dedup.probeStep(arm, k)
+      assert(BigInt(s).gcd(BigInt(k)) == BigInt(1), s"step $s not coprime to $k")
+      val inv = Dedup.probeStepInv(arm, k)
+      assert(s * inv % k === 1 % k, s"inv($s) mod $k = $inv")
+      // the permutation is a bijection of component indices
+      assert((0 until k).map(j => j * s % k).toSet.size === k)
+    }
+  }
+
   test("groupKFold: co-cluster docs share a fold; folds in range; partition exact") {
     val pairs = Dedup.jaccardJoin(corpus, "text", "doc_id", 0.5, 3)
       .select(col("doc_a"), col("doc_b"))
@@ -806,15 +856,24 @@ class DedupSpec extends SparkTestBase {
     // coarse banding: ONE band of all 32 components — only identical
     // signatures collide, so the moderate pair is invisible and recall
     // is exactly half the truth set
-    val coarse = Dedup.lshRecall(docs, "text", "doc_id", 0.1, 3, 32, 1)
-      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
-    assert(coarse === ((2L, 1L, 1L, Some(500000L), Some(1000000L))))
+    val coarse = Dedup.lshRecall(docs, "text", "doc_id", 0.1, 3, 32, 1).head()
+    assert((coarse.getAs[Long]("n_true"), coarse.getAs[Long]("n_cand"),
+      coarse.getAs[Long]("n_hit"), coarse.getAs[Long]("recall_ppm"),
+      coarse.getAs[Long]("precision_ppm")) ===
+      ((2L, 1L, 1L, 500000L, 1000000L)))
+    // …and at ONE band of all 32 components every probe arm's single
+    // band also holds all components (permuted), so the mp arm matches
+    // exactly the identical pair too — no phantom recall from probes
+    assert(coarse.getAs[Long]("n_hit_mp") === 1L &&
+      coarse.getAs[Long]("recall_mp_ppm") === 500000L)
     // fine banding recalls at least the identical pair and never emits
-    // more hits than candidates or truth
-    val fine = Dedup.lshRecall(docs, "text", "doc_id", 0.1, 3, 32, 16)
-      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
-    assert(fine._1 === 2L && fine._3 >= 1L &&
-      fine._3 <= fine._2 && fine._3 <= fine._1 &&
-      fine._4.exists(_ >= 500000L))
+    // more hits than candidates or truth; the mp arm dominates the base
+    val fine = Dedup.lshRecall(docs, "text", "doc_id", 0.1, 3, 32, 16).head()
+    val (nt, nc, nh) = (fine.getAs[Long]("n_true"), fine.getAs[Long]("n_cand"),
+      fine.getAs[Long]("n_hit"))
+    assert(nt === 2L && nh >= 1L && nh <= nc && nh <= nt &&
+      fine.getAs[Long]("recall_ppm") >= 500000L)
+    assert(fine.getAs[Long]("n_hit_mp") >= nh &&
+      fine.getAs[Long]("n_cand_mp") >= nc)
   }
 }
