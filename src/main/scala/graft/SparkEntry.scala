@@ -2603,16 +2603,18 @@ object SparkEntry {
     // q-gram prefix filtering (rarest-first positional grams, per-role
     // prefixes of qτ+1, length-bucketed join key) at the 5%-edit
     // dedup operating point — the oracle is the UNPRUNED all-pairs
-    // brute force, so the gate itself proves prefix-filtered == plain
-    // candidate budget 8000/doc, raised from the 5000 default after the
-    // r13 full sf1 run: the measured growth is ~1.4× candidates/doc at
-    // 10× corpus (~4k/doc at sf0.1 → 5.5k/doc at sf1) — SUBLINEAR in n,
-    // nothing like the ∝n quadratic signature the guard exists to
-    // catch — so the fixed default merely sat too close to the
-    // operating point; the guard stays armed at the new budget
+    // brute force, so the gate itself proves prefix-filtered == plain.
+    // NO hand-set candidate budget (r14, closing the r13 seam where
+    // 5000/doc was raised to 8000 after the sf1 trip): the guard's
+    // default bound is now DERIVED — volume ≤ 16 × the corpus's
+    // positional-gram mass, i.e. verification may cost at most a
+    // constant factor of re-reading the corpus. Measured ratios on
+    // this fixture: 0.34 (sf0.01) → 2.8 (sf0.1) → 12.1 (sf1) — all
+    // pass the same default, and a corpus that outgrows it has
+    // genuinely quadratic structure the guard SHOULD refuse
     "q_edit_neardup_prefix" -> ((s, dir) =>
       Dedup.editNearDupPrefix(docs(s, dir), "text", "doc_id", "lang",
-          maxDistPermille = 50, maxCandidatesPerDoc = 8000)
+          maxDistPermille = 50)
         .orderBy(col("doc_a"), col("doc_b"))),
     // incremental view maintenance: dst's per-bucket (count, bytes)
     // summary derived from src's summary + the diff changelog — cost

@@ -1354,7 +1354,8 @@ object Dedup {
                         blockCol: String, maxDistPermille: Int = 100,
                         maxAbsDist: Int = 64, q: Int = 2,
                         bucketWidth: Int = 32,
-                        maxCandidatesPerDoc: Int = 5000): DataFrame = {
+                        maxCandidatesPerDoc: Int = -1,
+                        maxVerifyExpansion: Int = 16): DataFrame = {
     require(q >= 1, "q must be >= 1")
     val p = maxDistPermille
     val cap = maxAbsDist
@@ -1427,8 +1428,28 @@ object Dedup {
     // two small aggregations of the already-materialized prefix frame
     // — refuse a super-linear join with the remedy named instead of
     // silently running it. Int.MaxValue disables.
+    //
+    // The DEFAULT bound is DERIVED from the corpus, not a per-doc
+    // constant (r13: the 5000/doc default was hand-raised to 8000
+    // after the sf1 guard trip, and would have tripped again at the
+    // next scale jump): the verify stage costs ~O(len) per candidate
+    // (the counting filter discharges most before the banded DP), and
+    // the corpus's positional-gram mass is ~Σ len, so capping volume
+    // at maxVerifyExpansion × gramMass caps verification at a CONSTANT
+    // FACTOR of re-reading the corpus — a scale-free linearity
+    // yardstick that grows with the data. Measured on the fixture
+    // corpus (q=2, permille=50): volume/gramMass = 0.34 at 500 docs,
+    // 2.8 at 5k, 12.1 at 50k — the default 16 passes all three with
+    // no knob, and a corpus whose ratio keeps growing past it has
+    // genuinely quadratic near-dup structure the exact path should
+    // refuse, not absorb. maxCandidatesPerDoc ≥ 0 is the manual
+    // per-doc override (the old semantics).
     if (maxCandidatesPerDoc != Int.MaxValue) {
-      val nDocs = math.max(CorpusCount.of(base), 1L)
+      val stats = base.agg(count(lit(1)),
+        coalesce(sum(when(col("len") >= q, col("len") - lit(q - 1))
+          .otherwise(0L)), lit(0L)).cast("long")).head()
+      val nDocs = math.max(stats.getLong(0), 1L)
+      val gramMass = math.max(stats.getLong(1), 1L)
       val ml = l.groupBy(col("blk"), col("gram"), col("occ"), col("b"))
         .agg(count(lit(1)).as("ml"))
       val mr = r.groupBy(col("blk_r"), col("gram_r"), col("occ_r"), col("reg"))
@@ -1438,14 +1459,24 @@ object Dedup {
           col("b") === col("reg"))
         .agg(coalesce(sum(col("ml") * col("mr")), lit(0L)).cast("long"))
         .head().getLong(0)
-      if (volume > maxCandidatesPerDoc.toLong * nDocs)
+      val bound =
+        if (maxCandidatesPerDoc >= 0) maxCandidatesPerDoc.toLong * nDocs
+        else maxVerifyExpansion.toLong * gramMass
+      if (volume > bound)
         throw new IllegalStateException(
-          s"editNearDupPrefix: candidate volume $volume exceeds " +
-          s"$maxCandidatesPerDoc/doc over $nDocs docs — the corpus's q-gram " +
-          s"diversity is too small for prefix filtering to stay linear " +
-          s"(small-alphabet/templated text). Use editNearDup(contentBand = " +
+          s"editNearDupPrefix: candidate volume $volume exceeds the " +
+          (if (maxCandidatesPerDoc >= 0)
+             s"manual budget $maxCandidatesPerDoc/doc over $nDocs docs"
+           else
+             s"derived verify-cost bound $bound (= $maxVerifyExpansion × " +
+             s"$gramMass corpus grams; measured ratio " +
+             f"${volume.toDouble / gramMass}%.1f)") +
+          s" — the corpus's q-gram diversity is too small for prefix " +
+          s"filtering to stay linear (small-alphabet/templated text, or " +
+          s"dense true-duplicate clusters). Use editNearDup(contentBand = " +
           s"true) for this corpus, tighten maxDistPermille, raise q, or " +
-          s"raise maxCandidatesPerDoc explicitly to accept the cost.")
+          s"raise maxVerifyExpansion/maxCandidatesPerDoc explicitly to " +
+          s"accept the cost.")
     }
     // pair-level length gate uses the true pair τ (longer side's len);
     // orientation is (len, id) shorter-first like editNearDup, so every

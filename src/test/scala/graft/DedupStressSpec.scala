@@ -244,11 +244,33 @@ class DedupStressSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("candidate volume"))
     assert(e.getMessage.contains("contentBand"))
+    // the DEFAULT bound is the derived verify-cost one (r14): the
+    // refusal names the measured ratio, not a hand-set per-doc budget
+    assert(e.getMessage.contains("derived verify-cost bound"), e.getMessage)
     // the banded path runs it (these docs ARE all near-dups; simhash
     // agrees on every chunk, blocking keeps it one dense true cluster)
     val banded = Dedup.editNearDup(docs, "text", "doc_id", "lang",
       contentBand = true, maxBucketOccupancy = Int.MaxValue)
     assert(banded.count() > 0L)
+  }
+
+  test("prefix-path derived budget: real text passes with NO knob; the manual per-doc override still arms the old bound") {
+    // the flagship entry's exact shape — the derived verify-cost bound
+    // (volume ≤ 16 × gram mass) must admit the documents corpus at
+    // every fixture SF without a hand-set budget (the r13 seam: a
+    // per-doc constant needed raising at each scale jump)
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val derived = Dedup.editNearDupPrefix(d, "text", "doc_id", "lang",
+      maxDistPermille = 50)
+    assert(derived.count() >= 0L) // ran unguarded — no refusal
+    // the manual override keeps its old semantics: a 1-candidate/doc
+    // budget must trip, and the refusal names the MANUAL budget
+    val e = intercept[IllegalStateException] {
+      Dedup.editNearDupPrefix(d, "text", "doc_id", "lang",
+        maxDistPermille = 50, maxCandidatesPerDoc = 1).count()
+    }
+    assert(e.getMessage.contains("manual budget 1/doc"), e.getMessage)
   }
 
   test("exact-mode occupancy guard refuses a quadratic (block, length-bucket) bucket") {
