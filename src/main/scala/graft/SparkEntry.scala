@@ -2984,6 +2984,37 @@ object SparkEntry {
         .mode("overwrite").save()
       Checksum.of(graft.sources.kvbin.KVBin.read(s, tmp))
     }),
+    // SHARDED fleet wire write (r14): the src snapshot lands on a
+    // TWO-STORE fleet destination with NO filesystem path — each store
+    // owns a key range (OWNS), executor tasks split their sorted runs
+    // at the boundary and PUT each segment to its owner, the driver's
+    // prepare-then-commit stamps ONE table identity across both
+    // shards' indexes — then the fleet READ path unions the shards
+    // back, checksum-identical to the source. The reference's whole
+    // purpose is cluster-to-cluster parity (cmd/main.go:17-18); this
+    // is the replica that actually SPREADS across a cluster, not a
+    // single write proxy. `both_stores_served` pins the routing (each
+    // store saw PUT frames) inside the oracle-checked result.
+    "q_kvbin_fleet_write" -> ((s, dir) => {
+      val conf = s.sessionState.newHadoopConf()
+      val dirA = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfw-a-")
+      val dirB = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfw-b-")
+      val split = "li_0000000512".getBytes("UTF-8")
+      val a = new graft.sources.kvbin.KVBinServer(dirA, conf,
+        ownsRange = Some((Array.emptyByteArray, split)))
+      val b = new graft.sources.kvbin.KVBinServer(dirB, conf,
+        ownsRange = Some((split, Array.emptyByteArray)))
+      val eps = s"${a.address},${b.address}"
+      KVSnapshot.src(s, dir).write
+        .format(classOf[graft.sources.kvbin.KVBinSource].getName)
+        .option("endpoints", eps).option("api_version", "V1")
+        .mode("overwrite").save()
+      val served = a.putRequests.get() > 0 && b.putRequests.get() > 0
+      Checksum.of(s.read
+          .format(classOf[graft.sources.kvbin.KVBinSource].getName)
+          .option("endpoints", eps).option("api_version", "V1").load())
+        .withColumn("both_stores_served", lit(served))
+    }),
     // region-merge compaction (TiKV region-merge analog): the 32-region
     // generation rewritten to 4 sorted ranges through the DSv2 write,
     // index-swap visibility, old regions swept — content gated by the
@@ -6472,6 +6503,14 @@ object SparkEntry {
     "q_kvbin_write_roundtrip" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
       """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
         |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes
+        |FROM sgn""".stripMargin),
+    // sharding across a two-store fleet is pure topology: the union of
+    // the shards must carry q_checksum's digest verbatim, and both
+    // stores must have served PUT frames (the routing pin)
+    "q_kvbin_fleet_write" -> (cte + "," + crc64TabCte + ",\n" + crcRows("sgn", "src") + "\n" +
+      """SELECT COALESCE(bit_xor(crc), 0) AS crc64_xor, count(*) AS total_kvs,
+        |  CAST(COALESCE(sum(length(k) + length(v)), 0) AS BIGINT) AS total_bytes,
+        |  CAST(1 AS BOOLEAN) AS both_stores_served
         |FROM sgn""".stripMargin),
     // compaction must be invisible to content: the roundtrip checksum
     // triple plus the pinned target region count

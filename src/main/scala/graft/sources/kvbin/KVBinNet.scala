@@ -21,9 +21,12 @@ import org.apache.hadoop.conf.Configuration
   * connection — connections are cheap on loopback and executor-side
   * scans must not share mutable driver sockets):
   *
-  *   request  := line "META" | "POLL" | "REGIONS" | "SCAN <regionId>"
-  *             | "CHECKSUM <regionId>" | "PUT <file>" | "COMMIT"
-  *             | "ABORT"
+  *   request  := line "META" | "POLL" | "OWNS" | "REGIONS"
+  *             | "SCAN <regionId>" | "CHECKSUM <regionId>"
+  *             | "PUT <file>" | "COMMIT" | "ABORT"
+  *   OWNS     -> byte scoped(0|1); if 1: [minKey][maxKey] — the store's
+  *               owned WRITE key range ([min, max), empty = unbounded
+  *               side), the routing contract of sharded fleet writes
   *   META     -> int32 n, then n × ([klen][key][vlen][value]) UTF-8;
   *               a store with NO index yet answers n=0 (the write-
   *               target contract, mirroring statDefs's missing-index
@@ -57,6 +60,8 @@ import org.apache.hadoop.conf.Configuration
   *               int32 nStats × ([name][spec]),
   *               int32 nMeta × ([key][value]),
   *               [plannedGeneration ("" = none)], [plannedTableId],
+  *               [assignedTableId ("" = none; fresh tables only —
+  *                 a fleet driver stamps one identity across stores)],
   *               int32 nFresh × ([file][minKey][maxKey][count:int64]
   *                 [nStat:int32 × (lo:int64, hi:int64)])
   *            -> byte 1, or byte 0 + [error message] — the server runs
@@ -109,8 +114,28 @@ object KVBinNet {
   * observable that lets a spec PROVE a pushed checksum never moved
   * region bytes over the wire (0 SCANs, N CHECKSUMs). */
 class KVBinServer(dir: String, conf: Configuration,
-                  owns: String => Boolean = _ => true) extends AutoCloseable {
+                  owns: String => Boolean = _ => true,
+                  ownsRange: Option[(Array[Byte], Array[Byte])] = None)
+    extends AutoCloseable {
   import KVBinNet._
+
+  // `ownsRange` is the WRITE-side ownership contract (r14 sharded
+  // fleet writes): a store in a fleet DESTINATION owns a key range
+  // [min, max) of the shared key space (empty bytes = unbounded side)
+  // — the role PD's region placement plays for raw_put. It is
+  // advertised over the OWNS verb (the fleet write builder plans its
+  // routing table from it) and ENFORCED at COMMIT time: a scoped
+  // store refuses a fresh-region manifest whose [min, max] strays
+  // outside its range, so a buggy client-side router can never land
+  // foreign keys in this store's index (the PUT spool stays a blind
+  // byte copy — validation happens against the client's manifest,
+  // which the commit trusts for bounds exactly like the filesystem
+  // path does). Read-side region scoping stays `owns` (by region id,
+  // the shared-directory fleet-READ shape).
+  ownsRange.foreach { case (lo, hi) =>
+    require(lo.isEmpty || hi.isEmpty || KVBin.compare(lo, hi) < 0,
+      "kvbin server ownsRange: min must precede max")
+  }
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   private val closed = new AtomicBoolean(false)
@@ -254,6 +279,16 @@ class KVBinServer(dir: String, conf: Configuration,
             writeBytes(out, k.getBytes("UTF-8"))
             writeBytes(out, v.getBytes("UTF-8"))
           }
+        case "OWNS" =>
+          // the write-ownership probe: scoped stores answer their key
+          // range (empty bytes = unbounded side), unscoped answer 0 —
+          // the fleet write builder requires every destination store
+          // to be scoped, so it can route PUT streams by key
+          ownsRange match {
+            case Some((lo, hi)) =>
+              out.writeByte(1); writeBytes(out, lo); writeBytes(out, hi)
+            case None => out.writeByte(0)
+          }
         case "REGIONS" =>
           val regions = ownedRegions
           out.writeInt(regions.size)
@@ -376,6 +411,12 @@ class KVBinServer(dir: String, conf: Configuration,
             .filter(_.nonEmpty)
           val plannedTid = Option(new String(readBytes(in), "UTF-8"))
             .filter(_.nonEmpty)
+          // r14: the DRIVER may assign the fresh table's table_id — a
+          // fleet write commits per store, and the stores of one fleet
+          // table must share ONE identity or the fleet read's
+          // consistency gate (mergeMetas) would refuse its own table
+          val assignedTid = Option(new String(readBytes(in), "UTF-8"))
+            .filter(_.nonEmpty)
           val fresh = (0 until in.readInt()).map { _ =>
             val f = new String(readBytes(in), "UTF-8")
             val mn = readBytes(in); val mx = readBytes(in)
@@ -384,6 +425,22 @@ class KVBinServer(dir: String, conf: Configuration,
             KVBinCommit.Fresh(f, mn, mx, n, pairs.map(_._1), pairs.map(_._2))
           }
           try {
+            // scoped-store bound check: the fresh manifest's key ranges
+            // must lie inside this store's owned range — the commit-time
+            // enforcement of the OWNS contract (a mis-routed PUT's file
+            // never reaches an index; the next sweep reclaims it)
+            ownsRange.foreach { case (lo, hi) =>
+              fresh.filter(_.n > 0).foreach { f =>
+                val below = lo.nonEmpty && KVBin.compare(f.min, lo) < 0
+                val above = hi.nonEmpty && KVBin.compare(f.max, hi) >= 0
+                if (below || above)
+                  throw new IllegalArgumentException(
+                    s"kvbin wire COMMIT at $dir: region ${f.file} spans " +
+                    s"[${KVBin.hexOf(f.min)}, ${KVBin.hexOf(f.max)}] outside " +
+                    s"this store's owned range [${KVBin.hexOf(lo)}, " +
+                    s"${KVBin.hexOf(hi)}) — route keys to their owner store")
+              }
+            }
             // the same naming discipline as PUT and ABORT: a fresh-
             // region entry outside the connector's own attempt pattern
             // ('_index', a path-traversing name) must never reach the
@@ -401,6 +458,7 @@ class KVBinServer(dir: String, conf: Configuration,
             commitLock.synchronized {
               KVBinCommit.commit(dir, conf, truncate, apiVersion,
                 preserveMeta, stats, deferSweep, userMeta, fresh,
+                assignedTableId = assignedTid,
                 preSwapCheck = () => if (!truncate) {
                   val cur =
                     try KVBin.readPollMeta(dir, conf)
@@ -558,15 +616,26 @@ class SocketRegionClient(address: String) extends RegionClient {
       (in.readLong(), in.readLong(), in.readLong())
     }
 
+  /** This store's owned write key range ([min, max), empty = unbounded
+    * side), or None for an unscoped single store — the OWNS probe the
+    * fleet write builder routes by. */
+  def owns(): Option[(Array[Byte], Array[Byte])] =
+    dial("OWNS") { in =>
+      if (in.readByte() == 1) Some((readBytes(in), readBytes(in))) else None
+    }
+
   /** Ships the COMMIT frame (see the protocol doc) and raises the
     * server's refusal verbatim — the guard message names the remedy,
     * and swallowing it here would turn a refused commit into a
-    * silently-missing generation. */
+    * silently-missing generation. `assignedTableId` (fresh tables
+    * only) lets a fleet driver stamp ONE identity across its stores'
+    * per-store commits. */
   def commitWrite(truncate: Boolean, apiVersion: Option[String],
                   preserveMeta: Boolean, stats: Seq[(String, String)],
                   deferSweep: Boolean, userMeta: Map[String, String],
                   plannedBase: Option[(String, String)],
-                  fresh: Seq[KVBinCommit.Fresh]): Unit =
+                  fresh: Seq[KVBinCommit.Fresh],
+                  assignedTableId: Option[String] = None): Unit =
     dial("COMMIT", out => {
       out.writeByte(if (truncate) 1 else 0)
       writeBytes(out, apiVersion.getOrElse("").getBytes("UTF-8"))
@@ -584,6 +653,7 @@ class SocketRegionClient(address: String) extends RegionClient {
       }
       writeBytes(out, plannedBase.map(_._1).getOrElse("").getBytes("UTF-8"))
       writeBytes(out, plannedBase.map(_._2).getOrElse("").getBytes("UTF-8"))
+      writeBytes(out, assignedTableId.getOrElse("").getBytes("UTF-8"))
       out.writeInt(fresh.size)
       fresh.foreach { f =>
         writeBytes(out, f.file.getBytes("UTF-8"))
@@ -676,6 +746,15 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
       merged.get(k) match {
         case Some(old) if k == "generation" || k == "compacted_through" =>
           if (v.toLong > old.toLong) merged(k) = v
+        case Some(old) if k.startsWith("gen.") && old != v =>
+          // a SHARDED fleet (r14 fleet writes: per-store directories,
+          // one shared table identity) legitimately carries DIFFERENT
+          // per-generation file lists per store — generation N's
+          // regions are the UNION across stores, so merge the
+          // comma-split sets (sorted for determinism). A shared-dir
+          // read fleet never reaches here (identical lists).
+          merged(k) = (old.split(",").toSet ++ v.split(",").toSet)
+            .toSeq.sorted.mkString(",")
         case Some(_) => // identical across stores (or stale-straddle: see doc)
         case None => merged(k) = v
       }

@@ -119,20 +119,84 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
       new KVBinWrite(dir, doTruncate, ranges, api, preserve,
         info.queryId(), stats, deferSweep, userMeta)
     else {
-      // endpoints-only write: ONE store serving the whole table (a
-      // write proxy / leader). A fleet write would need key-range
-      // routing to owners plus a cross-store commit — refuse with the
-      // remedy named rather than land all regions on one fleet member
       val eps = endpoints.toSeq.flatMap(_.split(",")).map(_.trim)
         .filter(_.matches(".+:\\d+"))
-      require(eps.size == 1,
-        s"kvbin endpoints-only writes address exactly ONE store " +
-        s"(got ${eps.size}: ${eps.mkString(", ")}) — write through the " +
-        s"single store that owns the whole table, or give the " +
-        s"destination a filesystem path")
-      new KVBinWireWrite(eps.head, doTruncate, ranges, api, preserve,
-        info.queryId(), stats, deferSweep, userMeta)
+      require(eps.nonEmpty, "kvbin endpoints-only writes need at least " +
+        "one valid host:port endpoint")
+      if (eps.size == 1)
+        // ONE store serving the whole table (a write proxy / leader)
+        new KVBinWireWrite(eps.head, doTruncate, ranges, api, preserve,
+          info.queryId(), stats, deferSweep, userMeta)
+      else {
+        // SHARDED fleet write (r14): every destination store must
+        // advertise an owned key range (OWNS) — PUT streams route to
+        // owners by key, commits land per store under one shared table
+        // identity. An unscoped fleet member leaves routing undefined;
+        // refuse with the remedy named.
+        val owned = eps.map(e => e -> new SocketRegionClient(e).owns())
+        val unscoped = owned.collect { case (e, None) => e }
+        require(unscoped.isEmpty,
+          s"kvbin fleet writes route PUT streams by key range, but " +
+          s"store(s) ${unscoped.mkString(", ")} advertise no owned range " +
+          s"(OWNS) — scope every destination store (KVBinServer " +
+          s"ownsRange), or write through ONE store that owns the whole " +
+          s"table, or give the destination a filesystem path")
+        val stores = KVBinFleet.validateStores(owned.collect {
+          case (e, Some((lo, hi))) => KVBinFleet.Store(e, lo, hi) })
+        new KVBinFleetWireWrite(stores, doTruncate, ranges, api, preserve,
+          info.queryId(), stats, deferSweep, userMeta)
+      }
     }
+  }
+}
+
+/** Fleet-write plumbing shared by the builder, batch write and data
+  * writers: the ordered, disjoint store table and the key→owner
+  * routing over it. */
+object KVBinFleet {
+  /** One destination store and its owned key range [lo, hi)
+    * (empty bytes = unbounded side). */
+  case class Store(address: String, lo: Array[Byte], hi: Array[Byte])
+
+  /** Sort stores by range start (unbounded-low first) and refuse
+    * overlaps — two stores claiming one key would make routing (and
+    * so the fleet's content) nondeterministic. Gaps are LEGAL at
+    * validation (a fleet may intentionally own a subset of the key
+    * space); a ROW landing in a gap refuses loudly at write time. */
+  def validateStores(stores: Seq[Store]): IndexedSeq[Store] = {
+    val sorted = stores.sortWith { (a, b) =>
+      if (a.lo.isEmpty) true
+      else if (b.lo.isEmpty) false
+      else KVBin.compare(a.lo, b.lo) < 0
+    }.toIndexedSeq
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        val ok = a.hi.nonEmpty && b.lo.nonEmpty &&
+          KVBin.compare(a.hi, b.lo) <= 0
+        require(ok,
+          s"kvbin fleet stores overlap: ${a.address} owns " +
+          s"[${KVBin.hexOf(a.lo)}, ${if (a.hi.isEmpty) "∞" else KVBin.hexOf(a.hi)}) and " +
+          s"${b.address} owns [${if (b.lo.isEmpty) "-∞" else KVBin.hexOf(b.lo)}, " +
+          s"${if (b.hi.isEmpty) "∞" else KVBin.hexOf(b.hi)}) — ranges must be disjoint")
+      case _ => ()
+    }
+    sorted
+  }
+
+  /** Owner index of `key` in the sorted store table starting the scan
+    * at `from` (rows arrive key-sorted, so the cursor only advances);
+    * throws naming the key when it falls in a coverage gap. */
+  def ownerFrom(stores: IndexedSeq[Store], from: Int, key: Array[Byte]): Int = {
+    var i = from
+    while (i < stores.size && stores(i).hi.nonEmpty &&
+           KVBin.compare(key, stores(i).hi) >= 0) i += 1
+    if (i >= stores.size ||
+        (stores(i).lo.nonEmpty && KVBin.compare(key, stores(i).lo) < 0))
+      throw new IllegalArgumentException(
+        s"kvbin fleet write: no destination store owns key " +
+        s"${KVBin.hexOf(key)} — the fleet's owned ranges leave a gap; " +
+        s"re-scope the stores to cover the written key space")
+    i
   }
 }
 
@@ -248,7 +312,13 @@ object KVBinCommit {
              truncate: Boolean, apiVersion: Option[String],
              preserveMeta: Boolean, stats: Seq[(String, String)],
              deferSweep: Boolean, userMeta: Map[String, String],
-             freshIn: Seq[Fresh], preSwapCheck: () => Unit): Unit = {
+             freshIn: Seq[Fresh], preSwapCheck: () => Unit,
+             assignedTableId: Option[String] = None): Unit = {
+    // a driver-assigned table_id (fleet writes: one identity across the
+    // stores' per-store commits) must survive the KVBinGenOffset JSON
+    // roundtrip, same shape rule that offset enforces
+    assignedTableId.foreach(t => require(t.matches("[0-9a-fA-F-]+"),
+      s"kvbin assigned table_id must be hex-dash shaped, got '$t'"))
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val fresh = freshIn.map(f => (f.file, f.min, f.max, f.n, f.lo, f.hi))
     val idxPath = new Path(dir, KVBin.IndexFile)
@@ -331,7 +401,8 @@ object KVBinCommit {
            else Map.empty)
       } else {
         Map("generation" -> "1",
-            "table_id" -> java.util.UUID.randomUUID().toString) ++
+            "table_id" -> assignedTableId.getOrElse(
+              java.util.UUID.randomUUID().toString)) ++
           (if (freshFiles.nonEmpty) Map("gen.1" -> freshFiles.mkString(","))
            else Map.empty)
       }
@@ -654,6 +725,270 @@ class KVBinWireDataWriter(address: String, jobTag: String,
     // no terminator: the server's PUT loop hits EOF and deletes the
     // partial attempt file — nothing to reclaim client-side
     if (sock != null) sock.close()
+
+  override def close(): Unit = ()
+}
+
+/** SHARDED fleet wire write (r14) — the multi-store twin of
+  * [[KVBinWireWrite]], closing the r13 seam where a replica could only
+  * land on ONE store: the reference's whole purpose is
+  * cluster-to-cluster parity (`cmd/main.go:17-18`), and a TiKV-shaped
+  * destination spreads regions across store nodes by key range (PD's
+  * placement). Spark still plans ONE global range-partition + sort
+  * (RequiresDistributionAndOrdering), so each task's rows are a
+  * contiguous sorted run; the task-side writer walks that run and
+  * splits it at store boundaries — the owner cursor only advances, so
+  * a task opens at most (stores it touches) sequential PUT streams,
+  * each itself a contiguous sorted range (a legal region by
+  * construction). Every store's commit runs the IDENTICAL
+  * [[KVBinCommit]] logic against its own directory, under ONE
+  * driver-assigned table identity, so the fleet READ path
+  * ([[MultiSocketRegionClient]]) sees one coherent table.
+  *
+  * COMMIT ATOMICITY — two phases, honest about the window:
+  *  - Spark itself guarantees no commit is attempted until every task
+  *    succeeded, so a store death during the DATA phase (the
+  *    partial-failure spec's case) advances no generation anywhere:
+  *    tasks fail, the job aborts, acked attempt files are reclaimed by
+  *    ABORT and index-less stores stay index-less.
+  *  - commit() then runs a PREPARE pass (re-poll every store: liveness
+  *    + the planned (generation, table_id) guard) before issuing ANY
+  *    per-store COMMIT, and only then commits store-by-store (each
+  *    store re-checks its planned base atomically under its own commit
+  *    lock). A store dying BETWEEN phase-2 commits is the classic 2PC
+  *    ambiguity — the failure names exactly which stores committed and
+  *    which did not, and the remedy (the committed stores' guard will
+  *    refuse a blind retry: re-plan the append; truncate re-runs are
+  *    idempotent). A coordinator log would close even that window —
+  *    the metastore's job in a real deployment, as the class doc of
+  *    [[KVBinWriteBuilder]] already assigns it. */
+class KVBinFleetWireWrite(stores: IndexedSeq[KVBinFleet.Store],
+                          truncate: Boolean, ranges: Int,
+                          apiVersion: Option[String], preserveMeta: Boolean,
+                          queryId: String, stats: Seq[(String, String)],
+                          deferSweep: Boolean, userMeta: Map[String, String])
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(keyAsc))
+  override def requiredOrdering(): Array[SortOrder] = Array(keyAsc)
+  override def requiredNumPartitions(): Int = ranges
+  private def keyAsc: SortOrder =
+    Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
+  override def toBatch: BatchWrite =
+    new KVBinFleetWireBatchWrite(stores, truncate, apiVersion, preserveMeta,
+      queryId, stats, deferSweep, userMeta)
+}
+
+/** One task's fleet manifest: the acked (storeIdx, segment manifest)
+  * pairs, in key order. */
+case class KVBinFleetCommitMessage(segments: Seq[(Int, KVBinCommitMessage)])
+    extends WriterCommitMessage
+
+class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
+                               truncate: Boolean, apiVersion: Option[String],
+                               preserveMeta: Boolean, queryId: String,
+                               stats: Seq[(String, String)],
+                               deferSweep: Boolean,
+                               userMeta: Map[String, String])
+    extends BatchWrite {
+
+  // per-store planned logical base, same contract as the single-store
+  // wire write (None = fresh target); captured at write planning
+  private val plannedBases: IndexedSeq[Option[(String, String)]] =
+    stores.map { st =>
+      if (truncate) None
+      else {
+        val meta = new SocketRegionClient(st.address).pollMeta()
+        (meta.get("generation"), meta.get("table_id")) match {
+          case (Some(g), Some(t)) => Some((g, t))
+          case _ if meta.isEmpty || meta.contains(KVBinNet.AbsentKey) => None
+          case _ => throw new IllegalArgumentException(
+            s"kvbin fleet append to ${st.address}: the store's table is " +
+            s"UNSTAMPED (no generation/table_id meta) — commit any write " +
+            s"to stamp it, or replicate through a filesystem path")
+        }
+      }
+    }
+
+  // ONE table identity across the fleet: appends must already agree on
+  // it (a disagreeing fleet is a mis-wired destination — the read
+  // side's consistency gate would refuse it too); fresh stores are
+  // stamped with the existing identity, a fully fresh fleet mints one
+  private val assignedTid: Option[String] = {
+    val existing = plannedBases.flatten.map(_._2).distinct
+    require(existing.size <= 1,
+      s"kvbin fleet write: destination stores carry DIFFERENT table_ids " +
+      s"(${existing.mkString(", ")}) — they are not one table; fix the " +
+      s"endpoints or truncate the fleet")
+    existing.headOption.orElse(Some(java.util.UUID.randomUUID().toString))
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KVBinFleetWireWriterFactory(stores,
+      KVBinDataWriter.jobTag(queryId), stats.map(_._2))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val perStore: Map[Int, Seq[KVBinCommit.Fresh]] = messages.toSeq
+      .collect { case m: KVBinFleetCommitMessage => m.segments }
+      .flatten
+      .collect { case (i, KVBinCommitMessage(f, mn, mx, n, lo, hi)) if n > 0 =>
+        (i, KVBinCommit.Fresh(f, KVBin.unhex(mn), KVBin.unhex(mx), n, lo, hi)) }
+      .groupMap(_._1)(_._2)
+    // PREPARE: every store reachable and (appends) still at its planned
+    // base — no COMMIT is issued anywhere until the whole fleet passes,
+    // so a store found dead here costs zero committed generations
+    stores.zipWithIndex.foreach { case (st, i) =>
+      val meta = new SocketRegionClient(st.address).pollMeta()
+      plannedBases(i).foreach { case (g, t) =>
+        require(meta.get("generation").contains(g) &&
+            meta.get("table_id").contains(t),
+          s"kvbin fleet prepare at ${st.address}: the store's " +
+          s"(generation, table_id) moved from ($g, $t) since this write " +
+          s"was planned — a concurrent writer committed; re-plan the append")
+      }
+    }
+    // COMMIT store-by-store. A store with no fresh segments still
+    // commits on truncate/fresh targets (stamping the shared identity,
+    // so an empty shard is a readable member of the table, not a
+    // planning error); zero-row appends skip (nothing to publish).
+    val committed = scala.collection.mutable.Buffer.empty[String]
+    stores.zipWithIndex.foreach { case (st, i) =>
+      val freshHere = perStore.getOrElse(i, Nil)
+      if (freshHere.nonEmpty || truncate || plannedBases(i).isEmpty) {
+        try new SocketRegionClient(st.address).commitWrite(truncate,
+          apiVersion, preserveMeta, stats, deferSweep, userMeta,
+          plannedBases(i), freshHere, assignedTid)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalStateException(
+              s"kvbin fleet commit PARTIAL: store(s) " +
+              s"[${committed.mkString(", ")}] committed their shard but " +
+              s"${st.address} failed — the fleet's generations now " +
+              s"disagree. Remedy: for a truncate, re-run the write (it " +
+              s"replaces every shard); for an append, the committed " +
+              s"stores' concurrent-writer guard will refuse a blind " +
+              s"retry — re-plan against the fleet's CURRENT state. " +
+              s"Cause: ${e.getMessage}", e)
+        }
+        committed += st.address
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.collect { case m: KVBinFleetCommitMessage => m.segments }
+      .flatten.groupMap(_._1)(_._2.file)
+      .foreach { case (i, files) =>
+        // best-effort per store: the abort often RUNS because a store
+        // died — its attempt files die unreachable, and failing the
+        // abort would mask the original error
+        try new SocketRegionClient(stores(i).address).abortWrite(files)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+}
+
+class KVBinFleetWireWriterFactory(stores: IndexedSeq[KVBinFleet.Store],
+                                  jobTag: String, statSpecs: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KVBinFleetWireDataWriter(stores, jobTag, partitionId, taskId, statSpecs)
+}
+
+/** Streams one sorted partition to its OWNER STORES as sequential PUT
+  * requests: rows arrive key-sorted (the declared ordering), the owner
+  * cursor only advances, and each boundary crossing closes the current
+  * segment (terminator + ack) and opens the next store's — so one task
+  * emits at most one attempt file per store it touches, each file a
+  * contiguous sorted range inside its store's owned range. Segment
+  * names carry a per-task segment counter (`…-<task>-<seg>.kv`), still
+  * inside the connector's naming pattern and unique fleet-wide. A task
+  * failure aborts the OPEN segment by socket close (the server
+  * reclaims the partial file) and reclaims already-ACKED segments by
+  * name via ABORT — nothing a failed task wrote can survive it. */
+class KVBinFleetWireDataWriter(stores: IndexedSeq[KVBinFleet.Store],
+                               jobTag: String, partitionId: Int, taskId: Long,
+                               statSpecs: Seq[String])
+    extends DataWriter[InternalRow] {
+
+  private var storeIdx = 0
+  private var seg = 0
+  private var sock: java.net.Socket = _
+  private var out: DataOutputStream = _
+  private var in: java.io.DataInputStream = _
+  private var name: String = _
+  private var minK: Array[Byte] = _
+  private var prevK: Array[Byte] = _
+  private var n = 0L
+  private var sLo: Array[Long] = _
+  private var sHi: Array[Long] = _
+  private val acked =
+    scala.collection.mutable.Buffer.empty[(Int, KVBinCommitMessage)]
+
+  private def openSegment(owner: Int, firstKey: Array[Byte]): Unit = {
+    storeIdx = owner
+    name = f"part-$partitionId%05d-$jobTag-$taskId-$seg.kv"
+    val Array(host, port) = stores(owner).address.split(":", 2)
+    sock = new java.net.Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port.toInt), 10000)
+    sock.setSoTimeout(60000)
+    out = new DataOutputStream(new BufferedOutputStream(
+      sock.getOutputStream, 1 << 16))
+    in = new java.io.DataInputStream(sock.getInputStream)
+    out.write(s"PUT $name\n".getBytes("UTF-8"))
+    minK = firstKey
+    n = 0L
+    sLo = Array.fill(statSpecs.size)(Long.MaxValue)
+    sHi = Array.fill(statSpecs.size)(Long.MinValue)
+  }
+
+  private def closeSegment(): Unit = if (out != null) {
+    out.writeInt(-1)
+    out.flush()
+    val ack = in.readByte()
+    sock.close()
+    require(ack == 1,
+      s"kvbin fleet PUT of $name refused by ${stores(storeIdx).address}")
+    acked += ((storeIdx, KVBinCommitMessage(name, KVBin.hexOf(minK),
+      KVBin.hexOf(prevK), n, sLo.toSeq, sHi.toSeq)))
+    seg += 1
+    out = null; in = null; sock = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val k = row.getBinary(0)
+    val v = row.getBinary(1)
+    require(prevK == null || KVBin.compare(prevK, k) <= 0,
+      s"kvbin fleet write received out-of-order key in partition $partitionId")
+    val owner = KVBinFleet.ownerFrom(stores, storeIdx, k)
+    if (out != null && owner != storeIdx) closeSegment()
+    if (out == null) openSegment(owner, k)
+    out.writeInt(k.length); out.write(k)
+    out.writeInt(v.length); out.write(v)
+    var i = 0
+    while (i < statSpecs.size) {
+      val x = KVBinStat.eval(statSpecs(i), k, v)
+      if (x < sLo(i)) sLo(i) = x
+      if (x > sHi(i)) sHi(i) = x
+      i += 1
+    }
+    prevK = k
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeSegment()
+    KVBinFleetCommitMessage(acked.toSeq)
+  }
+
+  override def abort(): Unit = {
+    // open segment: no terminator — the server's PUT loop hits EOF and
+    // deletes the partial file; acked segments: reclaim by name
+    if (sock != null) sock.close()
+    acked.groupMap(_._1)(_._2.file).foreach { case (i, files) =>
+      try new SocketRegionClient(stores(i).address).abortWrite(files.toSeq)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   override def close(): Unit = ()
 }

@@ -832,12 +832,13 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
-  test("endpoints-only writes refuse a multi-endpoint fleet, naming the single-store remedy") {
+  test("endpoints-only writes refuse an UNSCOPED multi-endpoint fleet, naming the ownsRange remedy") {
     import graft.sources.kvbin.KVBinServer
     val dir = java.nio.file.Files.createTempDirectory("kvbin-wm-").toString
     val conf = spark.sessionState.newHadoopConf()
-    // two live stores: schema planning succeeds over the fleet, the
-    // WRITE builder is what must refuse
+    // two live stores WITHOUT owned ranges: routing is undefined, the
+    // WRITE builder must refuse naming the scoping remedy (r14: a
+    // SCOPED fleet is a legal destination — see the fleet-write specs)
     val s1 = new KVBinServer(dir, conf)
     val s2 = new KVBinServer(dir, conf)
     try {
@@ -846,8 +847,148 @@ class KVBinSpec extends SparkTestBase {
           .option("endpoints", s"${s1.address},${s2.address}")
           .mode("overwrite").save()
       }
-      assert(e.getMessage.contains("exactly ONE store"), e.getMessage)
+      assert(e.getMessage.contains("no owned range"), e.getMessage)
+      assert(e.getMessage.contains("ownsRange"), e.getMessage)
     } finally { s1.close(); s2.close() }
+  }
+
+  test("fleet write: PUT streams route by key range, per-store commits share one table identity, fleet read is checksum-identical") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-fwa-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-fwb-").toString
+    val split = "li_0000000300".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    try {
+      val eps = s"${a.address},${b.address}"
+      parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+        .option("ranges", "4").option("api_version", "V1")
+        .mode("overwrite").save()
+      assert(a.putRequests.get() > 0 && b.putRequests.get() > 0,
+        "both stores must receive PUT streams")
+      assert(a.commitRequests.get() === 1 && b.commitRequests.get() === 1)
+      // routing: every region of A sits strictly below the split,
+      // every region of B at or above it
+      val idxA = KVBin.readIndex(dirA, conf)
+      val idxB = KVBin.readIndex(dirB, conf)
+      assert(idxA.nonEmpty && idxB.nonEmpty)
+      idxA.foreach { case (f, _, mx, _) =>
+        assert(KVBin.compare(mx, split) < 0, s"A region $f leaks past split") }
+      idxB.foreach { case (f, mn, _, _) =>
+        assert(KVBin.compare(mn, split) >= 0, s"B region $f below split") }
+      // one shared identity, generation 1 on both shards
+      val mA = KVBin.readMeta(dirA, conf)
+      val mB = KVBin.readMeta(dirB, conf)
+      assert(mA("table_id") === mB("table_id"))
+      assert(mA("generation") === "1" && mB("generation") === "1")
+      // the fleet READ path serves the union, checksum-identical to src
+      val back = spark.read.format(kvbinFmt).option("endpoints", eps)
+        .option("api_version", "V1").load()
+      val want = Checksum.of(parquetSrc).as[(Long, Long, Long)].head()
+      val got = Checksum.of(back).as[(Long, Long, Long)].head()
+      assert(got === want)
+      // a fleet APPEND routes too and bumps BOTH shards' generations
+      parquetSrc.limit(0).unionAll(parquetSrc).write.format(kvbinFmt)
+        .option("endpoints", eps).mode("append").save()
+      assert(new SocketRegionClient(a.address).pollMeta()("generation") === "2")
+      assert(new SocketRegionClient(b.address).pollMeta()("generation") === "2")
+      val doubled = Checksum.of(
+        spark.read.format(kvbinFmt).option("endpoints", eps).load())
+        .as[(Long, Long, Long)].head()
+      assert(doubled._2 === 2 * want._2)
+    } finally { a.close(); b.close() }
+  }
+
+  test("fleet write partial failure: a store dead mid-batch advances NO generation anywhere; attempt files reclaimed") {
+    import graft.sources.kvbin.KVBinServer
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-ffa-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-ffb-").toString
+    val split = "li_0000000300".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    val eps = s"${a.address},${b.address}"
+    // kill B AFTER the builder plans (OWNS answered) but BEFORE any
+    // data lands there: the write job must FAIL, and neither store may
+    // advance a generation or keep attempt files
+    val planned = parquetSrc.write.format(kvbinFmt)
+      .option("endpoints", eps).option("ranges", "2").mode("overwrite")
+    b.close()
+    try {
+      intercept[Exception] { planned.save() }
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dirA), conf)
+      // store A: no _index was ever committed (no generation advanced)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dirA, KVBin.IndexFile)),
+        "store A committed a generation despite the fleet failure")
+      // and any acked attempt files on A were reclaimed by ABORT —
+      // poll briefly (serve threads run async)
+      val deadline = System.nanoTime() + 10000000000L
+      def kvFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dirA))
+        .map(_.getPath.getName).filter(_.endsWith(".kv"))
+      while (kvFiles().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(kvFiles().isEmpty,
+        s"attempt files survived the abort: ${kvFiles().mkString(", ")}")
+    } finally a.close()
+  }
+
+  test("fleet write hardening: scoped COMMIT refuses out-of-range manifests; routing gaps refuse loudly; overlapping fleets refuse at planning") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient, KVBinCommit}
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-fh-").toString
+    val lo = "b".getBytes("UTF-8"); val hi = "m".getBytes("UTF-8")
+    val s1 = new KVBinServer(dir, conf, ownsRange = Some((lo, hi)))
+    try {
+      // a manifest straying outside [b, m) is refused server-side even
+      // though the client framed a legal COMMIT — the commit-time
+      // enforcement of the OWNS contract
+      val e = intercept[IllegalStateException] {
+        new SocketRegionClient(s1.address).commitWrite(
+          truncate = true, apiVersion = None, preserveMeta = false,
+          stats = Nil, deferSweep = false, userMeta = Map.empty,
+          plannedBase = None,
+          fresh = Seq(KVBinCommit.Fresh("part-00000-deadbeef-1.kv",
+            "a0".getBytes("UTF-8"), "z9".getBytes("UTF-8"), 5L, Nil, Nil)))
+      }
+      assert(e.getMessage.contains("outside") &&
+        e.getMessage.contains("owned range"), e.getMessage)
+      // a fleet whose ranges leave a gap refuses a row IN the gap,
+      // naming the key — never silently dropping it
+      val dir2 = java.nio.file.Files.createTempDirectory("kvbin-fh2-").toString
+      val s2 = new KVBinServer(dir2, conf,
+        ownsRange = Some(("x".getBytes("UTF-8"), Array.emptyByteArray)))
+      try {
+        val gap = intercept[Exception] {
+          Seq(("q-in-the-gap", "v")).toDF("key", "value")
+            .select(col("key").cast("binary").as("key"),
+              col("value").cast("binary").as("value"))
+            .write.format(kvbinFmt)
+            .option("endpoints", s"${s1.address},${s2.address}")
+            .mode("overwrite").save()
+        }
+        def anyMsg(t: Throwable): String =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+        assert(anyMsg(gap).contains("leave a gap"), anyMsg(gap).take(400))
+      } finally s2.close()
+      // overlapping ranges are a planning-time refusal
+      val dir3 = java.nio.file.Files.createTempDirectory("kvbin-fh3-").toString
+      val s3 = new KVBinServer(dir3, conf,
+        ownsRange = Some(("c".getBytes("UTF-8"), "z".getBytes("UTF-8"))))
+      try {
+        val ov = intercept[Exception] {
+          parquetSrc.limit(1).write.format(kvbinFmt)
+            .option("endpoints", s"${s1.address},${s3.address}")
+            .mode("overwrite").save()
+        }
+        assert(ov.getMessage.contains("overlap"), ov.getMessage)
+      } finally s3.close()
+    } finally s1.close()
   }
 
   test("compaction merges regions, keeps content checksum-identical, preserves api_version and range invariants") {
