@@ -13,13 +13,26 @@ import org.apache.spark.sql.SparkSession
   *    populated by the warmup (sf0.001-keyed, never hit again) are
   *    dropped before measurement so their checkpoint blocks don't sit
   *    in the heap as dead weight;
-  *  - TWO measured passes, reporting each query's MINIMUM: the round-3
-  *    driver run recorded 2-6× inflations on the cheapest scan+agg
-  *    queries that an idle-machine rerun of the identical commit could
-  *    not reproduce (see BENCH_ROOTCAUSE.md) — per-query min over two
-  *    passes is the standard steady-state estimator that shields short
-  *    queries from transient co-tenant load without hiding real
-  *    regressions (a genuinely slow plan is slow in both passes);
+  *  - a COLD pass first (r14): the memo caches (shingle index,
+  *    verified pairs, corpus counts) make min-of-two measure the
+  *    memo-HIT path — `q_dedup_minhash_auto` is 12.3 s cold vs 0.63 s
+  *    warm at sf0.1 — so a cross-round diff of warm numbers conflates
+  *    plan changes with cache warmth. The cold pass clears the graft
+  *    memo caches before EVERY query and reports per-query
+  *    `queries_cold`: the do-the-work-once number a single-stage
+  *    pipeline pays. Source setup (materialized KV snapshots, live
+  *    loopback servers) stays warm in BOTH arms — it models clusters
+  *    that already hold the data, not query work;
+  *  - then TWO measured warm passes, reporting each query's MINIMUM
+  *    in `queries`: the round-3 driver run recorded 2-6× inflations on
+  *    the cheapest scan+agg queries that an idle-machine rerun of the
+  *    identical commit could not reproduce (see BENCH_ROOTCAUSE.md) —
+  *    per-query min over two passes is the standard steady-state
+  *    estimator that shields short queries from transient co-tenant
+  *    load without hiding real regressions (a genuinely slow plan is
+  *    slow in both passes). `queries` keeps the warm min so the
+  *    headline stays comparable to every prior round's record;
+  *    regression adjudication should diff cold-vs-cold from r14 on;
   *  - failures are NOT swallowed into a near-zero time: a failed query
   *    records `-1` in `queries`, is listed in `errors`, and the process
   *    exits nonzero.
@@ -72,8 +85,9 @@ object Bench {
     graft.operators.Dedup.clearCaches()
 
     var errors = List.empty[(String, String)]
-    def pass(): Seq[(String, Double)] =
+    def pass(coldCaches: Boolean): Seq[(String, Double)] =
       selected.map { case (name, fn) =>
+        if (coldCaches) graft.operators.Dedup.clearCaches()
         val t0 = System.nanoTime()
         try {
           run(fn, sfDir)
@@ -84,18 +98,29 @@ object Bench {
             name -> -1.0
         }
       }
-    val (p1, p2) = (pass(), pass())
-    // min of the two passes; a failure in either pass stays a failure
+    // SPARK_GRAFT_SKIP_COLD=1 drops the cold arm (local tuning loops
+    // where only the warm plan is under the knife)
+    val skipCold = sys.env.get("SPARK_GRAFT_SKIP_COLD").contains("1")
+    val cold = if (skipCold) Seq.empty else pass(coldCaches = true)
+    // the cold arm left only the LAST query's memo entries — drop them
+    // so warm pass 1 rebuilds every query's designed steady state
+    graft.operators.Dedup.clearCaches()
+    val (p1, p2) = (pass(coldCaches = false), pass(coldCaches = false))
+    // min of the two warm passes; a failure in either pass stays a failure
     val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
     val errJson = errors.distinctBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
+    val coldJson = if (skipCold) "" else s""","total_cold":$totalCold,"queries_cold":$qsCold"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$coldJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only a 2000-char tail of this line, so ~200 of
     // the per-query times vanished from round-9's record — persist the
@@ -115,7 +140,8 @@ object Bench {
     // TAIL, losing the total that follows the map (every round's
     // BENCH_r*.json has parsed:null) — repeat the headline numbers on a
     // second short line so any tail capture carries them
-    println(s"""BENCH_TOTAL {"n":${results.size},"total":$total,"n_errors":${errors.distinctBy(_._1).size},"sf":"$sfDir"}""")
+    val coldTail = if (skipCold) "" else s""","total_cold":$totalCold"""
+    println(s"""BENCH_TOTAL {"n":${results.size},"total":$total$coldTail,"n_errors":${errors.distinctBy(_._1).size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
