@@ -264,6 +264,82 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shufRows === broadRows && broadRows.nonEmpty)
   }
 
+  test("blocklist table route at TRUE phrase-table scale: the fixture exceeds the DEFAULT broadcast threshold, Catalyst shuffles unaided, equality pinned vs a forced broadcast") {
+    // the lowered-threshold test above proves the DECISION; this one
+    // proves it at genuine scale: a 1.2M-phrase parquet fixture AND a
+    // padded docs fixture whose on-disk sizes (Catalyst's file-source
+    // sizeInBytes) BOTH exceed the DEFAULT 10 MB
+    // autoBroadcastJoinThreshold — with either side small, broadcasting
+    // it is the RIGHT plan (and Catalyst takes it, as the corpus tables
+    // at every test SF demonstrate); only when both sides are genuinely
+    // large must statistics-driven planning pick a shuffled anchor join
+    // with NO conf lowering — the plan a million-phrase toxicity list
+    // meets against a production corpus. tools/gen_phrase_fixture.py
+    // writes the same fixtures; the spec self-heals with identical
+    // content (md5-derived hex, deterministic) so sbt test never
+    // depends on having run the script.
+    import org.apache.spark.sql.functions._
+    def onDisk(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(path))
+    }
+    val fixture = "target/fixtures/phrases_large.parquet"
+    if (!new java.io.File(fixture).exists()) {
+      val h = md5(concat(lit("graftphrase"), col("id").cast("string")).cast("binary"))
+      spark.range(1200000)
+        .select(concat_ws(" ", substring(h, 1, 16), substring(h, 17, 16)).as("p"))
+        .repartition(4).write.mode("overwrite").parquet(fixture)
+    }
+    // docs: the sf0.1 corpus with each text padded by 128 high-entropy
+    // hex words (deterministic in doc_id) — same real leading bigrams
+    // (hits preserved), on-disk size pushed past the threshold the way
+    // a real corpus shard dwarfs it
+    val docsFixture = "target/fixtures/docs_large.parquet"
+    if (!new java.io.File(docsFixture).exists()) {
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          array_join(transform(sequence(lit(1), lit(128)), i =>
+            md5(concat(lit("graftpad"), col("doc_id").cast("string"),
+              lit("_"), i.cast("string")).cast("binary"))), " ")).as("text"))
+        .repartition(4).write.mode("overwrite").parquet(docsFixture)
+    }
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    assert(threshold.takeWhile(_.isDigit) == "10485760" || threshold == "10MB",
+      s"spec assumes the DEFAULT broadcast threshold, session has: $threshold")
+    assert(onDisk(fixture) > 10485760L,
+      s"phrase fixture must exceed the default threshold: ${onDisk(fixture)} bytes")
+    assert(onDisk(docsFixture) > 10485760L,
+      s"docs fixture must exceed the default threshold: ${onDisk(docsFixture)} bytes")
+    val docs = spark.read.parquet(docsFixture)
+    // hex phrases never match text; real corpus bigrams guarantee hits
+    val real = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").limit(20)
+      .select(split(col("text"), " ").as("ws"))
+      .select(concat_ws(" ", element_at(col("ws"), 1),
+        element_at(col("ws"), 2)).as("p"))
+    val phrases = spark.read.parquet(fixture).union(real)
+    def run(ph: org.apache.spark.sql.DataFrame): (Seq[(Long, Long, Long)], String) = {
+      val df = graft.operators.TextAnalysis
+        .blocklistHitsTable(docs, "text", "doc_id", ph)
+        .orderBy(col("doc_id"))
+      (df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        df.queryExecution.executedPlan.toString)
+    }
+    val (shufRows, shufPlan) = run(phrases)
+    assert(shufPlan.contains("SortMergeJoin") || shufPlan.contains("ShuffledHashJoin"),
+      s"expected a statistics-chosen shuffled anchor join at default threshold:\n$shufPlan")
+    assert(!shufPlan.contains("CartesianProduct"), shufPlan)
+    // the shuffled anchor join must actually exchange BOTH sides on the
+    // anchor word — partition sizing is the shuffle layer's job here,
+    // not a broadcast's
+    assert(shufPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2, shufPlan)
+    // equality pinned against the hint-forced broadcast of the SAME list
+    val (broadRows, broadPlan) = run(broadcast(phrases))
+    assert(broadPlan.contains("BroadcastHashJoin"), broadPlan)
+    assert(shufRows === broadRows && shufRows.nonEmpty)
+  }
+
   test("blocklist verify join ships one doc copy per doc: anchors fold to an array before the re-join") {
     val p = plan("q_blocklist")
     // the per-doc anchor fold (collect_list keyed by doc_id) must sit
