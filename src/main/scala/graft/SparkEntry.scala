@@ -174,6 +174,7 @@ object SparkEntry {
     // as generations of a second table; the replica's batch read must
     // equal the source slice row for row
     "q_stream_kvbin_replicate" -> ((s, dir) => StreamEntries.streamKvbinReplicate(s, dir)),
+    "q_stream_kvbin_fleet_replicate" -> ((s, dir) => StreamEntries.streamKvbinFleetReplicate(s, dir)),
     // streaming histogram-quantile sketch: counters sum across batches
     // in the state store; sink counters rank through the identical
     // batch estimate stage
@@ -5953,6 +5954,12 @@ object SparkEntry {
     // the replica equals the source slice — same rows the tail emitted,
     // landed as B's generations and read back through the batch scan
     "q_stream_kvbin_replicate" -> (cte +
+      """SELECT k AS key, v AS value FROM src
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
+    // sharding the replica across a two-store fleet is pure topology:
+    // the fleet union must carry the same source slice verbatim
+    "q_stream_kvbin_fleet_replicate" -> (cte +
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),

@@ -115,9 +115,21 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
     val deferSweep = Option(info.options.get("defer_sweep")).exists(_.toBoolean)
     val preserve = Option(info.options.get("preserve_meta")).exists(_.toBoolean)
     val api = Option(info.options.get("api_version"))
+    // `assign_table_id`: a CALLER-assigned table identity for the fresh
+    // table a truncate (or first write) creates — the hook that lets
+    // INDEPENDENT per-store writes land as ONE table (the streaming
+    // fleet replica overwrites each store's shard separately; without a
+    // shared identity each store would mint its own table_id and the
+    // fleet read's consistency gate would refuse the union). Appends
+    // ignore it (the existing identity is kept — KVBinCommit's rule);
+    // the fleet batch write prefers the fleet's existing identity and
+    // refuses a conflicting assignment.
+    val assignTid = Option(info.options.get("assign_table_id"))
+    assignTid.foreach(t => require(t.matches("[0-9a-fA-F-]+"),
+      s"kvbin assign_table_id must be hex-dash shaped, got '$t'"))
     if (dir != null)
       new KVBinWrite(dir, doTruncate, ranges, api, preserve,
-        info.queryId(), stats, deferSweep, userMeta)
+        info.queryId(), stats, deferSweep, userMeta, assignTid)
     else {
       val eps = endpoints.toSeq.flatMap(_.split(",")).map(_.trim)
         .filter(_.matches(".+:\\d+"))
@@ -126,7 +138,7 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
       if (eps.size == 1)
         // ONE store serving the whole table (a write proxy / leader)
         new KVBinWireWrite(eps.head, doTruncate, ranges, api, preserve,
-          info.queryId(), stats, deferSweep, userMeta)
+          info.queryId(), stats, deferSweep, userMeta, assignTid)
       else {
         // SHARDED fleet write (r14): every destination store must
         // advertise an owned key range (OWNS) — PUT streams route to
@@ -144,7 +156,7 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
         val stores = KVBinFleet.validateStores(owned.collect {
           case (e, Some((lo, hi))) => KVBinFleet.Store(e, lo, hi) })
         new KVBinFleetWireWrite(stores, doTruncate, ranges, api, preserve,
-          info.queryId(), stats, deferSweep, userMeta)
+          info.queryId(), stats, deferSweep, userMeta, assignTid)
       }
     }
   }
@@ -213,7 +225,8 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
                  apiVersion: Option[String], preserveMeta: Boolean,
                  queryId: String, stats: Seq[(String, String)] = Nil,
                  deferSweep: Boolean = false,
-                 userMeta: Map[String, String] = Map.empty)
+                 userMeta: Map[String, String] = Map.empty,
+                 assignTid: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // ordered distribution on key → Spark range-partitions the write, so
@@ -228,7 +241,7 @@ class KVBinWrite(dir: String, truncate: Boolean, ranges: Int,
 
   override def toBatch: BatchWrite =
     new KVBinBatchWrite(dir, truncate, apiVersion, preserveMeta, queryId,
-      stats, deferSweep, userMeta)
+      stats, deferSweep, userMeta, assignTid)
 }
 
 case class KVBinCommitMessage(file: String, minHex: String, maxHex: String,
@@ -239,7 +252,8 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
                       apiVersion: Option[String], preserveMeta: Boolean,
                       queryId: String, stats: Seq[(String, String)] = Nil,
                       deferSweep: Boolean = false,
-                      userMeta: Map[String, String] = Map.empty)
+                      userMeta: Map[String, String] = Map.empty,
+                      assignTid: Option[String] = None)
     extends BatchWrite {
 
   // the session hadoop conf is resolved on the DRIVER at job start and
@@ -276,6 +290,7 @@ class KVBinBatchWrite(dir: String, truncate: Boolean,
     }.toSeq
     KVBinCommit.commit(dir, conf.value, truncate, apiVersion, preserveMeta,
       stats, deferSweep, userMeta, fresh,
+      assignedTableId = assignTid,
       preSwapCheck = () =>
         if (!truncate && indexFingerprint() != baseFingerprint)
           throw new IllegalStateException(
@@ -591,7 +606,8 @@ class KVBinDataWriter(dir: String, conf: SerializableConfiguration,
 class KVBinWireWrite(address: String, truncate: Boolean, ranges: Int,
                      apiVersion: Option[String], preserveMeta: Boolean,
                      queryId: String, stats: Seq[(String, String)],
-                     deferSweep: Boolean, userMeta: Map[String, String])
+                     deferSweep: Boolean, userMeta: Map[String, String],
+                     assignTid: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution(): Distribution =
     Distributions.ordered(Array(keyAsc))
@@ -601,13 +617,14 @@ class KVBinWireWrite(address: String, truncate: Boolean, ranges: Int,
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
   override def toBatch: BatchWrite =
     new KVBinWireBatchWrite(address, truncate, apiVersion, preserveMeta,
-      queryId, stats, deferSweep, userMeta)
+      queryId, stats, deferSweep, userMeta, assignTid)
 }
 
 class KVBinWireBatchWrite(address: String, truncate: Boolean,
                           apiVersion: Option[String], preserveMeta: Boolean,
                           queryId: String, stats: Seq[(String, String)],
-                          deferSweep: Boolean, userMeta: Map[String, String])
+                          deferSweep: Boolean, userMeta: Map[String, String],
+                          assignTid: Option[String] = None)
     extends BatchWrite {
 
   // the LOGICAL base version this job plans against — one POLL at write
@@ -640,7 +657,8 @@ class KVBinWireBatchWrite(address: String, truncate: Boolean,
         KVBinCommit.Fresh(f, KVBin.unhex(mn), KVBin.unhex(mx), n, lo, hi)
     }.toSeq
     new SocketRegionClient(address).commitWrite(truncate, apiVersion,
-      preserveMeta, stats, deferSweep, userMeta, plannedBase, fresh)
+      preserveMeta, stats, deferSweep, userMeta, plannedBase, fresh,
+      assignTid)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -766,7 +784,8 @@ class KVBinFleetWireWrite(stores: IndexedSeq[KVBinFleet.Store],
                           truncate: Boolean, ranges: Int,
                           apiVersion: Option[String], preserveMeta: Boolean,
                           queryId: String, stats: Seq[(String, String)],
-                          deferSweep: Boolean, userMeta: Map[String, String])
+                          deferSweep: Boolean, userMeta: Map[String, String],
+                          assignTid: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution(): Distribution =
     Distributions.ordered(Array(keyAsc))
@@ -776,7 +795,7 @@ class KVBinFleetWireWrite(stores: IndexedSeq[KVBinFleet.Store],
     Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING)
   override def toBatch: BatchWrite =
     new KVBinFleetWireBatchWrite(stores, truncate, apiVersion, preserveMeta,
-      queryId, stats, deferSweep, userMeta)
+      queryId, stats, deferSweep, userMeta, assignTid)
 }
 
 /** One task's fleet manifest: the acked (storeIdx, segment manifest)
@@ -789,7 +808,8 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
                                preserveMeta: Boolean, queryId: String,
                                stats: Seq[(String, String)],
                                deferSweep: Boolean,
-                               userMeta: Map[String, String])
+                               userMeta: Map[String, String],
+                               assignTid: Option[String] = None)
     extends BatchWrite {
 
   // per-store planned logical base, same contract as the single-store
@@ -813,14 +833,24 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
   // ONE table identity across the fleet: appends must already agree on
   // it (a disagreeing fleet is a mis-wired destination — the read
   // side's consistency gate would refuse it too); fresh stores are
-  // stamped with the existing identity, a fully fresh fleet mints one
+  // stamped with the existing identity, a fully fresh fleet takes the
+  // caller's `assign_table_id` (the streaming replica's cross-batch
+  // identity) or mints one. A caller assignment CONFLICTING with a
+  // live fleet identity is a mis-wired destination, refused.
   private val assignedTid: Option[String] = {
     val existing = plannedBases.flatten.map(_._2).distinct
     require(existing.size <= 1,
       s"kvbin fleet write: destination stores carry DIFFERENT table_ids " +
       s"(${existing.mkString(", ")}) — they are not one table; fix the " +
       s"endpoints or truncate the fleet")
-    existing.headOption.orElse(Some(java.util.UUID.randomUUID().toString))
+    require(truncate || assignTid.isEmpty || existing.isEmpty ||
+        assignTid.contains(existing.head),
+      s"kvbin fleet append with assign_table_id=${assignTid.get} onto a " +
+      s"fleet whose table_id is ${existing.head} — not the same table; " +
+      s"fix the endpoints or truncate the fleet")
+    existing.headOption.filter(_ => !truncate)
+      .orElse(assignTid)
+      .orElse(Some(java.util.UUID.randomUUID().toString))
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

@@ -1808,13 +1808,15 @@ object StreamEntries {
   private def applyReplicaBatchCore(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long, probeApplied: () => Long,
-      target: (String, String)): Unit = {
+      target: (String, String),
+      extraOptions: Map[String, String] = Map.empty): Unit = {
     val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
     if (batchId == 0L || batchId > probeApplied()) {
       val mode = if (batchId == 0L) "overwrite" else "append"
       batch.write.format(fmt).option(target._1, target._2)
         .option("api_version", "V1")
         .option("meta.replica_batch", batchId.toString)
+        .options(extraOptions)
         .mode(mode).save()
     }
   }
@@ -1840,6 +1842,70 @@ object StreamEntries {
       probeApplied = () => new graft.sources.kvbin.SocketRegionClient(dstAddr)
         .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L),
       target = ("endpoints", dstAddr))
+
+  /** The SHARDED-fleet twin of [[applyReplicaBatchWire]] (r14): the
+    * destination is a fleet of range-scoped stores, and each store's
+    * shard applies as its OWN single-store wire write with its OWN
+    * `replica_batch` marker riding its OWN atomic index swap —
+    * exactly-once PER STORE with NO cross-store barrier, because the
+    * routing already makes the shards disjoint. A crash between
+    * per-store applies is therefore harmless where the batch fleet
+    * write's 2PC window is not: on replay, stores whose marker already
+    * carries the batch skip it (their probe answers >= batchId), the
+    * rest catch up — the replica CONVERGES instead of needing a
+    * coordinator log. The price of that convergence is per-store
+    * ROUTING in the sink (each shard is a plan-side range filter the
+    * connector pushes down) and a COVERAGE contract: the fleet's owned
+    * ranges must tile the whole key space contiguously — a gap would
+    * silently drop replicated rows, so it refuses at setup, per batch
+    * (ownership is re-probed each batch: a re-scoped fleet is caught at
+    * the next trigger, not never).
+    *
+    * `tableId` is the cross-store identity every per-store overwrite
+    * stamps (`assign_table_id`): without it each store's batch-0
+    * overwrite would mint its own table_id and the fleet READ gate
+    * would refuse the union as a mis-wired deployment. Appends keep the
+    * existing identity (KVBinCommit's rule), so one id minted per
+    * stream lineage is exactly right — batch 0's resync re-stamps it. */
+  private[graft] def applyReplicaBatchFleetWire(dstAddrs: Seq[String],
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, tableId: String): Unit = {
+    import graft.sources.kvbin._
+    val owned = dstAddrs.map(e => e -> new SocketRegionClient(e).owns())
+    val unscoped = owned.collect { case (e, None) => e }
+    require(unscoped.isEmpty,
+      s"kvbin fleet replication routes each batch by key range, but " +
+      s"store(s) ${unscoped.mkString(", ")} advertise no owned range " +
+      s"(OWNS) — scope every destination store, or replicate through " +
+      s"ONE store that owns the whole table")
+    val stores = KVBinFleet.validateStores(owned.collect {
+      case (e, Some((lo, hi))) => KVBinFleet.Store(e, lo, hi) })
+    val tiles = stores.head.lo.isEmpty && stores.last.hi.isEmpty &&
+      stores.sliding(2).forall {
+        case Seq(a, b) => a.hi.nonEmpty && b.lo.nonEmpty &&
+          java.util.Arrays.equals(a.hi, b.lo)
+        case _ => true
+      }
+    require(tiles,
+      s"kvbin fleet replication needs the stores' owned ranges to tile " +
+      s"the WHOLE key space contiguously (${stores.map(s0 =>
+        s"${s0.address}[${if (s0.lo.isEmpty) "-∞" else graft.sources.kvbin.KVBin.hexOf(s0.lo)}, " +
+        s"${if (s0.hi.isEmpty) "∞" else graft.sources.kvbin.KVBin.hexOf(s0.hi)})").mkString(", ")}) " +
+      s"— a coverage gap would silently drop replicated rows")
+    stores.foreach { st =>
+      val shard = {
+        var f = batch
+        if (st.lo.nonEmpty) f = f.filter(col("key") >= lit(st.lo))
+        if (st.hi.nonEmpty) f = f.filter(col("key") < lit(st.hi))
+        f
+      }
+      applyReplicaBatchCore(shard, batchId,
+        probeApplied = () => new SocketRegionClient(st.address)
+          .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L),
+        target = ("endpoints", st.address),
+        extraOptions = Map("assign_table_id" -> tableId))
+    }
+  }
 
   /** Since r13 the whole replication loop is ENDPOINTS-ONLY: the tail
     * dials the source store (no path option), every replicated row
@@ -1890,6 +1956,67 @@ object StreamEntries {
       }
     }
     s.read.format(fmt).option("endpoints", dstSrv.address).load()
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+      .orderBy(col("key"))
+  }
+
+  /** [[streamKvbinReplicate]] with a SHARDED fleet destination — the
+    * r14 close of "a replica that can only land on one store is half a
+    * replica": two range-scoped destination stores (the PD-placement
+    * shape), every batch routed to owners by key and applied per store
+    * with per-store idempotence markers ([[applyReplicaBatchFleetWire]]
+    * — exactly-once per store, no cross-store barrier), one stream-
+    * lineage table identity stamped across the shards, and the final
+    * read the FLEET union (the MultiSocketRegionClient path, whose
+    * consistency gate would refuse shards that were not one table).
+    * The shard split sits INSIDE the first wave, so batch 0 exercises
+    * the both-stores route and the append wave exercises the
+    * empty-shard marker advance on the low store. */
+  def streamKvbinFleetReplicate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val srcTbl = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfr-src-")
+    val dstA = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfr-a-")
+    val dstB = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfr-b-")
+    val conf = s.sessionState.newHadoopConf()
+    val srcSrv = new graft.sources.kvbin.KVBinServer(srcTbl, conf)
+    val split = f"li_${500L * sliceScale}%010d".getBytes("UTF-8")
+    val aSrv = new graft.sources.kvbin.KVBinServer(dstA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val bSrv = new graft.sources.kvbin.KVBinServer(dstB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    val fleet = Seq(aSrv.address, bSrv.address)
+    val tableId = java.util.UUID.randomUUID().toString
+    val rows = memoFeed(s"kvscan:$dir") {
+      KVSnapshot.srcStr(s, dir)
+        .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+        .as[(String, String)].collect()
+    }
+    val mid = f"li_${1000L * sliceScale}%010d"
+    def writeWave(wave: Seq[(String, String)], mode: String): Unit =
+      wave.toSeq.toDF("key", "value")
+        .select(col("key").cast("binary").as("key"),
+          col("value").cast("binary").as("value"))
+        .write.format(fmt).option("endpoints", srcSrv.address)
+        .option("api_version", "V1").mode(mode).save()
+    val (w1, w2) = rows.toSeq.partition(_._1 < mid)
+    writeWave(w1, "overwrite")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withStatePartitions(s, 1, noData = false) {
+      val q = s.readStream.format(fmt).option("endpoints", srcSrv.address)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          StreamEntries.applyReplicaBatchFleetWire(fleet, batch, batchId, tableId)
+        }
+        .start()
+      drain(q) {
+        q.processAllAvailable() // replicate the base generation
+        writeWave(w2, "append") // the appended generation follows
+      }
+    }
+    s.read.format(fmt).option("endpoints", fleet.mkString(",")).load()
       .select(col("key").cast("string").as("key"),
         col("value").cast("string").as("value"))
       .orderBy(col("key"))

@@ -991,6 +991,80 @@ class KVBinSpec extends SparkTestBase {
     } finally s1.close()
   }
 
+  test("streaming fleet replica: per-store markers make replay exactly-once per store; a crash between per-store applies CONVERGES; empty shards still advance their marker") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    import graft.streaming.StreamEntries
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-sfa-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-sfb-").toString
+    val split = "m".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    try {
+      val fleet = Seq(a.address, b.address)
+      val eps = fleet.mkString(",")
+      val tid = java.util.UUID.randomUUID().toString
+      def kv(rows: (String, String)*) = rows.toSeq.toDF("key", "value")
+        .select(col("key").cast("binary").as("key"),
+          col("value").cast("binary").as("value"))
+      def markerOf(addr: String) = new SocketRegionClient(addr)
+        .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L)
+      def fleetRows() = spark.read.format(kvbinFmt).option("endpoints", eps)
+        .load().select(col("key").cast("string"), col("value").cast("string"))
+        .as[(String, String)].collect().toSeq.sorted
+      // batch 0 spans both shards: per-store overwrites stamp the ONE
+      // lineage identity and marker 0 on each store's own index swap
+      val batch0 = kv("apple" -> "1", "zebra" -> "1")
+      StreamEntries.applyReplicaBatchFleetWire(fleet, batch0, 0L, tid)
+      assert(markerOf(a.address) === 0L && markerOf(b.address) === 0L)
+      assert(KVBin.readMeta(dirA, conf)("table_id") === tid)
+      assert(KVBin.readMeta(dirB, conf)("table_id") === tid)
+      assert(fleetRows() === Seq("apple" -> "1", "zebra" -> "1"))
+      // crash BETWEEN per-store applies of batch 1: manufacture the
+      // exact partial state (A stamped, B not) by landing A's shard
+      // through the same single-store write the sink issues
+      val batch1 = kv("berry" -> "2", "zulu" -> "2")
+      batch1.filter(col("key") < lit(split)).write.format(kvbinFmt)
+        .option("endpoints", a.address).option("api_version", "V1")
+        .option("meta.replica_batch", "1").mode("append").save()
+      assert(markerOf(a.address) === 1L && markerOf(b.address) === 0L)
+      val (putsA, commitsA) = (a.putRequests.get(), a.commitRequests.get())
+      // the replay of batch 1 (what a restarted stream does): A's own
+      // marker says applied -> SKIPPED (no PUT, no COMMIT reaches A);
+      // B catches up — the replica converges with no cross-store
+      // barrier and no duplicated rows on A
+      StreamEntries.applyReplicaBatchFleetWire(fleet, batch1, 1L, tid)
+      assert(a.putRequests.get() === putsA && a.commitRequests.get() === commitsA,
+        "the replay must not re-apply batch 1 to the already-stamped store")
+      assert(markerOf(a.address) === 1L && markerOf(b.address) === 1L)
+      assert(fleetRows() === Seq("apple" -> "1", "berry" -> "2",
+        "zebra" -> "1", "zulu" -> "2"))
+      // batch 2 lands ONLY in B's range: A's zero-row append still
+      // advances A's marker (one commit, no PUT), so a later replay of
+      // batch 2 skips A instead of probing forever
+      val batch2 = kv("zither" -> "3")
+      StreamEntries.applyReplicaBatchFleetWire(fleet, batch2, 2L, tid)
+      assert(a.putRequests.get() === putsA && a.commitRequests.get() === commitsA + 1)
+      assert(markerOf(a.address) === 2L && markerOf(b.address) === 2L)
+      assert(fleetRows().size === 5)
+      // a fleet whose owned ranges leave a GAP refuses the whole batch
+      // loudly — a gap row would otherwise be dropped silently, which
+      // a replica can never do
+      val dirC = java.nio.file.Files.createTempDirectory("kvbin-sfc-").toString
+      val c = new KVBinServer(dirC, conf,
+        ownsRange = Some(("x".getBytes("UTF-8"), Array.emptyByteArray)))
+      try {
+        val gap = intercept[IllegalArgumentException] {
+          StreamEntries.applyReplicaBatchFleetWire(
+            Seq(a.address, c.address), batch0, 0L, tid)
+        }
+        assert(gap.getMessage.contains("tile"), gap.getMessage)
+      } finally c.close()
+    } finally { a.close(); b.close() }
+  }
+
   test("compaction merges regions, keeps content checksum-identical, preserves api_version and range invariants") {
     val dir = java.nio.file.Files.createTempDirectory("kvbin-c-").toString
     parquetSrc.write.format(kvbinFmt)
