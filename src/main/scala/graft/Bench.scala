@@ -13,18 +13,8 @@ import org.apache.spark.sql.SparkSession
   *    populated by the warmup (sf0.001-keyed, never hit again) are
   *    dropped before measurement so their checkpoint blocks don't sit
   *    in the heap as dead weight;
-  *  - a COLD pass first (r14): the memo caches (shingle index,
-  *    verified pairs, corpus counts) make min-of-two measure the
-  *    memo-HIT path — `q_dedup_minhash_auto` is 12.3 s cold vs 0.63 s
-  *    warm at sf0.1 — so a cross-round diff of warm numbers conflates
-  *    plan changes with cache warmth. The cold pass clears the graft
-  *    memo caches before EVERY query and reports per-query
-  *    `queries_cold`: the do-the-work-once number a single-stage
-  *    pipeline pays. Source setup (materialized KV snapshots, live
-  *    loopback servers) stays warm in BOTH arms — it models clusters
-  *    that already hold the data, not query work;
-  *  - then TWO measured warm passes, reporting each query's MINIMUM
-  *    in `queries`: the round-3 driver run recorded 2-6× inflations on
+  *  - TWO measured warm passes, reporting each query's MINIMUM in
+  *    `queries`: the round-3 driver run recorded 2-6× inflations on
   *    the cheapest scan+agg queries that an idle-machine rerun of the
   *    identical commit could not reproduce (see BENCH_ROOTCAUSE.md) —
   *    per-query min over two passes is the standard steady-state
@@ -32,13 +22,41 @@ import org.apache.spark.sql.SparkSession
   *    load without hiding real regressions (a genuinely slow plan is
   *    slow in both passes). `queries` keeps the warm min so the
   *    headline stays comparable to every prior round's record;
-  *    regression adjudication should diff cold-vs-cold from r14 on;
+  *  - a COLD arm (r14), SCOPED to the memo-backed queries (r15): the
+  *    memo caches (shingle index, verified pairs, corpus counts) make
+  *    min-of-two measure the memo-HIT path — `q_dedup_minhash_auto` is
+  *    12.3 s cold vs 0.63 s warm at sf0.1 — so a cross-round diff of
+  *    warm numbers conflates plan changes with cache warmth. The cold
+  *    arm clears the graft memo caches before EVERY query and reports
+  *    per-query `queries_cold`: the do-the-work-once number a
+  *    single-stage pipeline pays. r14 ran the cold arm over ALL
+  *    queries and blew the driver's 60-minute budget (rc=124, no
+  *    record at all); for the ~260 queries that never consult a memo
+  *    cold ≡ warm and the arm was pure duplicated work. r15 detects
+  *    memo-backed queries automatically — warm pass 1 diffs
+  *    [[graft.operators.MemoStats.touches]] around each query — and
+  *    runs the cold arm only over those, AFTER the warm passes (the
+  *    headline contract completes first; cold numbers then carry the
+  *    least JIT noise). Source setup (materialized KV snapshots, live
+  *    loopback servers) stays warm in BOTH arms — it models clusters
+  *    that already hold the data, not query work;
+  *  - DEGRADES GRACEFULLY (r15): a wall-clock budget
+  *    (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 3000 s) is checked
+  *    before each cold-arm query; on exhaustion the remaining cold
+  *    entries are skipped and listed in `cold_skipped` — the warm
+  *    headline is never sacrificed. Every completed query immediately
+  *    rewrites `target/bench_last.json` and a `BENCH_TOTAL` partial
+  *    line (`"partial":true`) is printed every 25 queries, so even a
+  *    SIGKILL mid-run leaves a parsable record (r14 left nothing);
   *  - failures are NOT swallowed into a near-zero time: a failed query
   *    records `-1` in `queries`, is listed in `errors`, and the process
   *    exits nonzero.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toDouble
+    def elapsedSec = (System.nanoTime() - wall0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,64 +102,112 @@ object Bench {
     // benchmark SF's entries, pass 2 measures the designed steady state)
     graft.operators.Dedup.clearCaches()
 
+    // --- incremental record-keeping: a kill at ANY point after this
+    // leaves target/bench_last.json with every completed measurement
     var errors = List.empty[(String, String)]
-    def pass(coldCaches: Boolean): Seq[(String, Double)] =
-      selected.map { case (name, fn) =>
-        if (coldCaches) graft.operators.Dedup.clearCaches()
-        val t0 = System.nanoTime()
-        try {
-          run(fn, sfDir)
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors ::= (name -> e.toString.take(200))
-            name -> -1.0
-        }
+    val warmTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var coldSkipped = List.empty[String]
+    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
+    def currentLine(partial: Boolean): String = {
+      val qs = warmTimes.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val qsCold = coldTimes.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val errJson = errors.distinctBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val total = warmTimes.valuesIterator.filter(_ >= 0).sum
+      val totalCold = coldTimes.valuesIterator.filter(_ >= 0).sum
+      val skippedJson = coldSkipped.reverse.map(jstr).mkString("[", ",", "]")
+      val partialJson = if (partial) ""","partial":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$qsCold,"cold_skipped":$skippedJson,"errors":$errJson$partialJson,"sf":"$sfDir"}"""
+    }
+    // best-effort: results also land on stdout, so an unwritable
+    // target/ (read-only CWD, container FS) must not fail the bench
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+    def flush(partial: Boolean): Unit =
+      try {
+        Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(outPath, currentLine(partial).getBytes("UTF-8"))
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"graft bench: could not persist per-query map: $e")
       }
-    // SPARK_GRAFT_SKIP_COLD=1 drops the cold arm (local tuning loops
+    var sinceTick = 0
+    def tick(arm: String): Unit = {
+      flush(partial = true)
+      sinceTick += 1
+      if (sinceTick >= 25) {
+        sinceTick = 0
+        val total = warmTimes.valuesIterator.filter(_ >= 0).sum
+        val totalCold = coldTimes.valuesIterator.filter(_ >= 0).sum
+        println(s"""BENCH_TOTAL {"partial":true,"arm":"$arm","n":${warmTimes.size},"total":$total,"n_cold":${coldTimes.size},"total_cold":$totalCold,"sf":"$sfDir"}""")
+      }
+    }
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors ::= (name -> e.toString.take(200)); -1.0
+      }
+    }
+
+    // Warm pass 1 doubles as the memo-backed detector: any query whose
+    // run consults a frame/count memo (hit OR build) gets a cold-arm
+    // entry — for every other query cold ≡ warm by construction.
+    val memoBacked = scala.collection.mutable.LinkedHashSet.empty[String]
+    val p1 = selected.map { case (name, fn) =>
+      val touches0 = graft.operators.MemoStats.touches.get()
+      val t = timeOne(name, fn)
+      if (graft.operators.MemoStats.touches.get() != touches0) memoBacked += name
+      warmTimes(name) = t
+      tick("warm1")
+      name -> t
+    }
+    val p2 = selected.map { case (name, fn) =>
+      val t = timeOne(name, fn)
+      val prev = warmTimes(name)
+      warmTimes(name) = if (t < 0 || prev < 0) -1.0 else math.min(prev, t)
+      tick("warm2")
+      name -> t
+    }
+    val _ = (p1, p2)
+
+    // Cold arm last, memo-backed queries only, under the wall budget
+    // (SPARK_GRAFT_SKIP_COLD=1 drops it entirely — local tuning loops
     // where only the warm plan is under the knife)
     val skipCold = sys.env.get("SPARK_GRAFT_SKIP_COLD").contains("1")
-    val cold = if (skipCold) Seq.empty else pass(coldCaches = true)
-    // the cold arm left only the LAST query's memo entries — drop them
-    // so warm pass 1 rebuilds every query's designed steady state
-    graft.operators.Dedup.clearCaches()
-    val (p1, p2) = (pass(coldCaches = false), pass(coldCaches = false))
-    // min of the two warm passes; a failure in either pass stays a failure
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    if (!skipCold) {
+      selected.filter { case (n, _) => memoBacked.contains(n) }.foreach {
+        case (name, fn) =>
+          if (elapsedSec > budgetSec) coldSkipped ::= name
+          else {
+            graft.operators.Dedup.clearCaches()
+            coldTimes(name) = timeOne(name, fn)
+            tick("cold")
+          }
+      }
+      if (coldSkipped.nonEmpty)
+        System.err.println(s"graft bench: wall budget ($budgetSec s) exhausted, " +
+          s"skipped ${coldSkipped.size} cold-arm queries")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
-    val errJson = errors.distinctBy(_._1).map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
-    val coldJson = if (skipCold) "" else s""","total_cold":$totalCold,"queries_cold":$qsCold"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$coldJson,"errors":$errJson,"sf":"$sfDir"}"""
+
+    val line = currentLine(partial = false)
     println(line)
     // the driver keeps only a 2000-char tail of this line, so ~200 of
     // the per-query times vanished from round-9's record — persist the
     // FULL map to a file too (kept out of the tail-captured stdout)
-    // best-effort: results are already on stdout, so an unwritable
-    // target/ (read-only CWD, container FS) must not fail the bench
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"graft bench: could not persist per-query map: $e")
-    }
+    flush(partial = false)
     // the driver's capture truncates the giant per-query line from the
     // TAIL, losing the total that follows the map (every round's
     // BENCH_r*.json has parsed:null) — repeat the headline numbers on a
     // second short line so any tail capture carries them
-    val coldTail = if (skipCold) "" else s""","total_cold":$totalCold"""
-    println(s"""BENCH_TOTAL {"n":${results.size},"total":$total$coldTail,"n_errors":${errors.distinctBy(_._1).size},"sf":"$sfDir"}""")
+    val total = warmTimes.valuesIterator.filter(_ >= 0).sum
+    val totalCold = coldTimes.valuesIterator.filter(_ >= 0).sum
+    println(s"""BENCH_TOTAL {"n":${warmTimes.size},"total":$total,"n_cold":${coldTimes.size},"total_cold":$totalCold,"cold_skipped":${coldSkipped.size},"n_errors":${errors.distinctBy(_._1).size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

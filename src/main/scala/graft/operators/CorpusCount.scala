@@ -34,6 +34,7 @@ object CorpusCount {
     * benign (both produce the same number, one wins the slot). */
   def of(df: DataFrame): Long = {
     if (!cachingEnabled) return df.count()
+    MemoStats.touch()
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
     cache.synchronized {
       cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }

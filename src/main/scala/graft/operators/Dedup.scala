@@ -98,6 +98,7 @@ object Dedup {
   def hashedShingleIndex(docs: DataFrame, textCol: String, idCol: String,
                          n: Int): DataFrame = {
     if (!cachingEnabled) return buildShingleIndex(docs, textCol, idCol, n)
+    MemoStats.touch()
     val session = docs.sparkSession
     val key = (session, docs.queryExecution.logical.canonicalized, textCol, idCol, n)
     indexCache.synchronized {
@@ -331,6 +332,7 @@ object Dedup {
                           n: Int, tag: String)
                          (build: () => DataFrame): DataFrame = {
     if (!cachingEnabled) return build()
+    MemoStats.touch()
     val session = docs.sparkSession
     val key = ((session, docs.queryExecution.logical.canonicalized, textCol, idCol, n),
       tag)
