@@ -193,6 +193,12 @@ class KVBinServer(dir: String, conf: Configuration,
   /** Served SCAN / CHECKSUM / PUT / COMMIT request counts (spec
     * observables — a wire replication spec proves rows moved as PUT
     * frames and landed through COMMITs, never through a shared path). */
+  /** Failure injection for crash-consistency specs: while set, every
+    * COMMIT is refused (as if the store died between a fleet's
+    * per-store COMMIT phases) — the spool, index and meta stay
+    * untouched, exactly the torn-write state a real mid-2PC crash
+    * leaves. Production code never sets it. */
+  val refuseCommits = new AtomicBoolean(false)
   val scanRequests = new java.util.concurrent.atomic.AtomicLong
   val checksumRequests = new java.util.concurrent.atomic.AtomicLong
   val putRequests = new java.util.concurrent.atomic.AtomicLong
@@ -425,6 +431,9 @@ class KVBinServer(dir: String, conf: Configuration,
             KVBinCommit.Fresh(f, mn, mx, n, pairs.map(_._1), pairs.map(_._2))
           }
           try {
+            if (refuseCommits.get)
+              throw new IllegalStateException(
+                s"injected commit refusal at $dir (refuseCommits)")
             // scoped-store bound check: the fresh manifest's key ranges
             // must lie inside this store's owned range — the commit-time
             // enforcement of the OWNS contract (a mis-routed PUT's file
@@ -705,16 +714,31 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
     * applied per store). The GENERATION bookkeeping, by contrast, may
     * legitimately STRADDLE a commit (each store refreshes its index
     * cache on its own next request), and it is monotonic — `generation`
-    * and `compacted_through` only grow, `gen.*` keys only accrue — so
-    * the fleet answer is the keywise freshest view: numeric max for the
-    * counters, presence-union for the per-generation file lists (a key
-    * either store carries is taken; a key BOTH carry keeps the first
-    * store's value, which is identical across stores for appends —
-    * gen.N is immutable once written, only a compaction rewrites one).
-    * A straddled COMPACTION can therefore surface one store's stale
-    * file list; the streaming planner's due-set and compacted_through
-    * checks turn that into a loud refusal (retry the poll), never a
-    * silent wrong batch. */
+    * and `compacted_through` only grow, `gen.*` keys only accrue.
+    * The merged `generation` is the fleet WATERMARK: the MINIMUM
+    * across stores — every generation ≤ it is fully committed on
+    * every member, so a gen-offset stream that drains through it can
+    * never skip a lagging store's later commit (merging by MAX did
+    * exactly that: a store whose counter trailed the merged watermark
+    * had its subsequent commits born at generations ≤ the already-
+    * drained offset, silently never emitted — the r14 advisory's
+    * fleet-divergence hazard). Each store's counter is monotonic, so
+    * the min is monotonic and the stream's backwards-watchdog never
+    * false-fires; a mid-commit straddle just holds the watermark one
+    * poll (the batch comes up empty, the next poll advances), and the
+    * fleet WRITE side keeps the counters in lockstep (every
+    * data-carrying fleet append bumps every member — KVBinCommit's
+    * force_gen_bump) so the min never lags at rest.
+    * `compacted_through` stays numeric MAX (the conservative side for
+    * its consumer: the stream REFUSES when any store compacted past
+    * the checkpoint), and the per-generation file lists merge by
+    * presence-union (a key either store carries is taken; a key BOTH
+    * carry on a SHARDED fleet holds different shards — union the
+    * comma-split sets; a shared-dir read fleet carries identical
+    * lists and the union is a no-op). A straddled COMPACTION can
+    * therefore surface one store's stale file list; the streaming
+    * planner's due-set and compacted_through checks turn that into a
+    * loud refusal (retry the poll), never a silent wrong batch. */
   override def clusterMeta(): Map[String, String] =
     mergeMetas(clients.map(_.clusterMeta()))
 
@@ -744,7 +768,11 @@ class MultiSocketRegionClient(addresses: Seq[String]) extends RegionClient {
     val merged = scala.collection.mutable.Map.empty[String, String]
     metas.foreach(_.foreach { case (k, v) =>
       merged.get(k) match {
-        case Some(old) if k == "generation" || k == "compacted_through" =>
+        case Some(old) if k == "generation" =>
+          // fleet watermark: the MIN across stores (see class doc) —
+          // max here silently skipped a lagging store's later commits
+          if (v.toLong < old.toLong) merged(k) = v
+        case Some(old) if k == "compacted_through" =>
           if (v.toLong > old.toLong) merged(k) = v
         case Some(old) if k.startsWith("gen.") && old != v =>
           // a SHARDED fleet (r14 fleet writes: per-store directories,

@@ -106,11 +106,21 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
     userMeta.foreach { case (k, v) =>
       require(k.matches("[a-z0-9_.-]+") && !k.startsWith("gen.") &&
         !Set("api_version", "stats", "generation", "table_id",
-          "compacted_through", KVBinNet.AbsentKey)(k),
+          "compacted_through", "fleet_job", KVBinNet.AbsentKey,
+          KVBinCommit.ForceGenBumpKey)(k),
         s"kvbin meta option key '$k' is reserved or not [a-z0-9_.-]+")
       require(!v.exists(c => c == '\n' || c == '\r' || c == '='),
         s"kvbin meta option value for '$k' must not contain newline or '='")
     }
+    // `force_gen_bump`: commit a generation bump even with zero fresh
+    // regions (append path) — the per-store lockstep a fleet-shaped
+    // deployment needs so its members' counters never diverge (the
+    // fleet read/stream generation watermark is the MIN across stores).
+    // Carried in-band through userMeta and stripped by KVBinCommit.
+    val forceBump: Map[String, String] =
+      if (Option(info.options.get("force_gen_bump")).exists(_.toBoolean))
+        Map(KVBinCommit.ForceGenBumpKey -> "true")
+      else Map.empty
     val ranges = Option(info.options.get("ranges")).map(_.toInt).getOrElse(0)
     val deferSweep = Option(info.options.get("defer_sweep")).exists(_.toBoolean)
     val preserve = Option(info.options.get("preserve_meta")).exists(_.toBoolean)
@@ -129,7 +139,7 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
       s"kvbin assign_table_id must be hex-dash shaped, got '$t'"))
     if (dir != null)
       new KVBinWrite(dir, doTruncate, ranges, api, preserve,
-        info.queryId(), stats, deferSweep, userMeta, assignTid)
+        info.queryId(), stats, deferSweep, userMeta ++ forceBump, assignTid)
     else {
       val eps = endpoints.toSeq.flatMap(_.split(",")).map(_.trim)
         .filter(_.matches(".+:\\d+"))
@@ -138,7 +148,7 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
       if (eps.size == 1)
         // ONE store serving the whole table (a write proxy / leader)
         new KVBinWireWrite(eps.head, doTruncate, ranges, api, preserve,
-          info.queryId(), stats, deferSweep, userMeta, assignTid)
+          info.queryId(), stats, deferSweep, userMeta ++ forceBump, assignTid)
       else {
         // SHARDED fleet write (r14): every destination store must
         // advertise an owned key range (OWNS) — PUT streams route to
@@ -155,8 +165,20 @@ class KVBinWriteBuilder(dir: String, info: LogicalWriteInfo,
           s"table, or give the destination a filesystem path")
         val stores = KVBinFleet.validateStores(owned.collect {
           case (e, Some((lo, hi))) => KVBinFleet.Store(e, lo, hi) })
+        // `commit_key`: the logical identity of this fleet write,
+        // stamped per store as `fleet_job` by each per-store COMMIT —
+        // the convergence hook for the 2PC window (a crash between
+        // per-store COMMITs): RE-RUNNING the same logical write (same
+        // commit_key, same data) ADOPTS the stores already stamped with
+        // it and commits the rest. Defaults to this execution's jobTag,
+        // under which every run is a distinct write (no adoption).
+        val commitKey = Option(info.options.get("commit_key"))
+          .getOrElse(KVBinDataWriter.jobTag(info.queryId()))
+        require(commitKey.matches("[a-z0-9_.-]+"),
+          s"kvbin commit_key must be [a-z0-9_.-]+, got '$commitKey'")
         new KVBinFleetWireWrite(stores, doTruncate, ranges, api, preserve,
-          info.queryId(), stats, deferSweep, userMeta, assignTid)
+          info.queryId(), stats, deferSweep,
+          userMeta ++ forceBump + ("fleet_job" -> commitKey), assignTid)
       }
     }
   }
@@ -323,12 +345,25 @@ object KVBinCommit {
   case class Fresh(file: String, min: Array[Byte], max: Array[Byte],
                    n: Long, lo: Seq[Long], hi: Seq[Long])
 
+  /** In-band carrier for the force-generation-bump flag: rides the
+    * existing userMeta plumbing (constructors, the wire COMMIT frame)
+    * and is STRIPPED here before the meta header is built — it never
+    * lands in an index. A fleet keeps its stores' generation counters
+    * in LOCKSTEP (the fleet read/stream watermark is the minimum
+    * across stores — see MultiSocketRegionClient.mergeMetas), so a
+    * fleet append must bump a member store's counter even when no
+    * fresh segment routed to it; a plain single-store zero-row append
+    * keeps its never-bumps semantics. */
+  val ForceGenBumpKey = "__force_gen_bump"
+
   def commit(dir: String, conf: org.apache.hadoop.conf.Configuration,
              truncate: Boolean, apiVersion: Option[String],
              preserveMeta: Boolean, stats: Seq[(String, String)],
-             deferSweep: Boolean, userMeta: Map[String, String],
+             deferSweep: Boolean, userMetaIn: Map[String, String],
              freshIn: Seq[Fresh], preSwapCheck: () => Unit,
              assignedTableId: Option[String] = None): Unit = {
+    val forceGenBump = userMetaIn.get(ForceGenBumpKey).exists(_.toBoolean)
+    val userMeta = userMetaIn - ForceGenBumpKey
     // a driver-assigned table_id (fleet writes: one identity across the
     // stores' per-store commits) must survive the KVBinGenOffset JSON
     // roundtrip, same shape rule that offset enforces
@@ -404,10 +439,15 @@ object KVBinCommit {
       k == "generation" || k == "compacted_through" || k.startsWith("gen.")
     val genMeta: Map[String, String] =
       if (appending) oldMeta.get("generation") match {
-        case Some(g0) if freshFiles.nonEmpty =>
+        case Some(g0) if freshFiles.nonEmpty || forceGenBump =>
           val g = g0.toLong + 1
-          Map("generation" -> g.toString,
-              s"gen.$g" -> freshFiles.mkString(","))
+          Map("generation" -> g.toString) ++
+            // no empty gen.N list: a forced bump with no fresh segments
+            // (a fleet member store a data-carrying fleet append routed
+            // nothing to) advances the counter only — readers tolerate
+            // a generation without a file list (its due set is empty)
+            (if (freshFiles.nonEmpty) Map(s"gen.$g" -> freshFiles.mkString(","))
+             else Map.empty)
         case _ => Map.empty // zero-row append, or legacy table stays legacy
       } else if (preserveMeta && oldMeta.contains("generation")) {
         val g = oldMeta("generation")
@@ -812,18 +852,35 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
                                assignTid: Option[String] = None)
     extends BatchWrite {
 
-  // per-store planned logical base, same contract as the single-store
-  // wire write (None = fresh target); captured at write planning
+  // the logical identity of this write, stamped per store as
+  // `fleet_job` by every per-store COMMIT (the builder always sets it;
+  // a caller-supplied `commit_key` makes re-runs of one logical write
+  // share it — the 2PC-window convergence hook)
+  private val commitKey: String = userMeta("fleet_job")
+
+  // one poll per store at write planning, serving three decisions:
+  // the planned logical base (the concurrent-writer guard, same
+  // contract as the single-store wire write; None = fresh target),
+  // ADOPTION (a store whose latest commit already carries this write's
+  // commit_key committed in a previous attempt — skip it, its shard is
+  // in), and the fleet-shape gates below
+  private val plannedMetas: IndexedSeq[Map[String, String]] =
+    if (truncate) stores.map(_ => Map.empty[String, String])
+    else stores.map(st => new SocketRegionClient(st.address).pollMeta())
+
+  private val adopted: IndexedSeq[Boolean] =
+    plannedMetas.map(m => !truncate && m.get("fleet_job").contains(commitKey))
+
   private val plannedBases: IndexedSeq[Option[(String, String)]] =
-    stores.map { st =>
+    stores.indices.map { i =>
       if (truncate) None
       else {
-        val meta = new SocketRegionClient(st.address).pollMeta()
+        val meta = plannedMetas(i)
         (meta.get("generation"), meta.get("table_id")) match {
           case (Some(g), Some(t)) => Some((g, t))
           case _ if meta.isEmpty || meta.contains(KVBinNet.AbsentKey) => None
           case _ => throw new IllegalArgumentException(
-            s"kvbin fleet append to ${st.address}: the store's table is " +
+            s"kvbin fleet append to ${stores(i).address}: the store's table is " +
             s"UNSTAMPED (no generation/table_id meta) — commit any write " +
             s"to stamp it, or replicate through a filesystem path")
         }
@@ -832,11 +889,12 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
 
   // ONE table identity across the fleet: appends must already agree on
   // it (a disagreeing fleet is a mis-wired destination — the read
-  // side's consistency gate would refuse it too); fresh stores are
-  // stamped with the existing identity, a fully fresh fleet takes the
-  // caller's `assign_table_id` (the streaming replica's cross-batch
-  // identity) or mints one. A caller assignment CONFLICTING with a
-  // live fleet identity is a mis-wired destination, refused.
+  // side's consistency gate would refuse it too); a fully fresh fleet
+  // (and every truncate, whose plannedBases are all None by
+  // construction) takes the caller's `assign_table_id` (the streaming
+  // replica's cross-batch identity) or mints one. A caller assignment
+  // CONFLICTING with a live fleet identity is a mis-wired destination,
+  // refused.
   private val assignedTid: Option[String] = {
     val existing = plannedBases.flatten.map(_._2).distinct
     require(existing.size <= 1,
@@ -848,9 +906,50 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
       s"kvbin fleet append with assign_table_id=${assignTid.get} onto a " +
       s"fleet whose table_id is ${existing.head} — not the same table; " +
       s"fix the endpoints or truncate the fleet")
-    existing.headOption.filter(_ => !truncate)
-      .orElse(assignTid)
+    existing.headOption.orElse(assignTid)
       .orElse(Some(java.util.UUID.randomUUID().toString))
+  }
+
+  // GENERATION LOCKSTEP gates: the fleet read/stream watermark is the
+  // MIN generation across stores (mergeMetas), which is only live when
+  // the members' counters move together — every data-carrying fleet
+  // append bumps EVERY store (force_gen_bump on the members that
+  // received no segments). An append therefore requires the live,
+  // non-adopted stores to agree on one generation; adopted stores sit
+  // exactly one ahead (the torn write that this retry converges). A
+  // fleet mixing FRESH and stamped stores (a member added mid-life)
+  // can never reach equality by appending — refuse with the remedy.
+  if (!truncate) {
+    val liveGens = stores.indices.collect {
+      case i if !adopted(i) && plannedBases(i).nonEmpty =>
+        (stores(i).address, plannedBases(i).get._1.toLong)
+    }
+    val adoptedGens = stores.indices.collect {
+      case i if adopted(i) => (stores(i).address, plannedBases(i).get._1.toLong)
+    }
+    if (liveGens.nonEmpty && (liveGens.size + adoptedGens.size) < stores.size)
+      throw new IllegalStateException(
+        s"kvbin fleet append: store(s) ${stores.indices.collect {
+          case i if plannedBases(i).isEmpty => stores(i).address
+        }.mkString(", ")} are FRESH while the rest of the fleet is live — " +
+        s"a member joining mid-life cannot reach generation lockstep by " +
+        s"appending; truncate the fleet (a full rewrite stamps every " +
+        s"member at generation 1) or rebuild the new member by replication")
+    if (liveGens.map(_._2).distinct.size > 1)
+      throw new IllegalStateException(
+        s"kvbin fleet append: destination stores' generations DIVERGE " +
+        s"(${liveGens.map { case (a, g) => s"$a=$g" }.mkString(", ")}) — a " +
+        s"previous fleet write was torn between per-store COMMITs, or the " +
+        s"fleet was assembled from uneven stores. Re-run the torn write " +
+        s"with its commit_key to converge it, or truncate the fleet")
+    adoptedGens.foreach { case (a, g) =>
+      val base = liveGens.headOption.map(_._2)
+      require(base.forall(_ + 1 == g),
+        s"kvbin fleet append: store $a already carries commit_key " +
+        s"$commitKey at generation $g but the rest of the fleet is at " +
+        s"${base.getOrElse(-1L)} — not the single-torn-write shape this " +
+        s"retry can converge; truncate the fleet to rebuild")
+    }
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -866,10 +965,13 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
       .groupMap(_._1)(_._2)
     // PREPARE: every store reachable and (appends) still at its planned
     // base — no COMMIT is issued anywhere until the whole fleet passes,
-    // so a store found dead here costs zero committed generations
+    // so a store found dead here costs zero committed generations.
+    // Adopted stores (their latest commit already carries this write's
+    // commit_key — a previous attempt's COMMIT landed) are only probed
+    // for liveness: their base legitimately moved past the others'.
     stores.zipWithIndex.foreach { case (st, i) =>
       val meta = new SocketRegionClient(st.address).pollMeta()
-      plannedBases(i).foreach { case (g, t) =>
+      if (!adopted(i)) plannedBases(i).foreach { case (g, t) =>
         require(meta.get("generation").contains(g) &&
             meta.get("table_id").contains(t),
           s"kvbin fleet prepare at ${st.address}: the store's " +
@@ -877,16 +979,35 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
           s"was planned — a concurrent writer committed; re-plan the append")
       }
     }
-    // COMMIT store-by-store. A store with no fresh segments still
-    // commits on truncate/fresh targets (stamping the shared identity,
-    // so an empty shard is a readable member of the table, not a
-    // planning error); zero-row appends skip (nothing to publish).
+    // COMMIT store-by-store, in LOCKSTEP: a data-carrying append (any
+    // store received segments) commits EVERY non-adopted store — the
+    // members that received nothing bump their generation only
+    // (force_gen_bump), keeping the fleet's counters equal so the
+    // fleet stream's min-generation watermark advances. A fleet-wide
+    // zero-row append commits nothing (all counters unchanged —
+    // equality holds either way, matching the single-store
+    // zero-row-never-bumps rule). Truncates and fresh targets always
+    // commit (stamping the shared identity, so an empty shard is a
+    // readable member of the table, not a planning error). Adopted
+    // stores skip their COMMIT — their shard landed in the previous
+    // attempt; this attempt's re-PUT segments to them are reclaimed
+    // by name (the ABORT verb ignores index-referenced files, so a
+    // previously COMMITTED segment of the same name is never touched).
+    val anyFresh = perStore.valuesIterator.exists(_.nonEmpty)
     val committed = scala.collection.mutable.Buffer.empty[String]
     stores.zipWithIndex.foreach { case (st, i) =>
       val freshHere = perStore.getOrElse(i, Nil)
-      if (freshHere.nonEmpty || truncate || plannedBases(i).isEmpty) {
+      if (adopted(i)) {
+        try new SocketRegionClient(st.address)
+          .abortWrite(freshHere.map(_.file))
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else if (anyFresh || truncate || plannedBases(i).isEmpty) {
+        val bump =
+          if (freshHere.isEmpty && !truncate && plannedBases(i).nonEmpty)
+            Map(KVBinCommit.ForceGenBumpKey -> "true")
+          else Map.empty[String, String]
         try new SocketRegionClient(st.address).commitWrite(truncate,
-          apiVersion, preserveMeta, stats, deferSweep, userMeta,
+          apiVersion, preserveMeta, stats, deferSweep, userMeta ++ bump,
           plannedBases(i), freshHere, assignedTid)
         catch {
           case scala.util.control.NonFatal(e) =>
@@ -894,11 +1015,11 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
               s"kvbin fleet commit PARTIAL: store(s) " +
               s"[${committed.mkString(", ")}] committed their shard but " +
               s"${st.address} failed — the fleet's generations now " +
-              s"disagree. Remedy: for a truncate, re-run the write (it " +
-              s"replaces every shard); for an append, the committed " +
-              s"stores' concurrent-writer guard will refuse a blind " +
-              s"retry — re-plan against the fleet's CURRENT state. " +
-              s"Cause: ${e.getMessage}", e)
+              s"disagree. Remedy: RE-RUN this write with the same " +
+              s"commit_key ($commitKey) and the same data — the " +
+              s"committed stores are adopted by their fleet_job stamp " +
+              s"and the rest commit, converging the fleet; or truncate " +
+              s"the fleet. Cause: ${e.getMessage}", e)
         }
         committed += st.address
       }

@@ -1903,7 +1903,13 @@ object StreamEntries {
         probeApplied = () => new SocketRegionClient(st.address)
           .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L),
         target = ("endpoints", st.address),
-        extraOptions = Map("assign_table_id" -> tableId))
+        // force_gen_bump keeps the fleet's generation counters in
+        // LOCKSTEP across skewed batches (an empty shard still bumps):
+        // a gen-offset tail over the replicated fleet advances by its
+        // members' MIN generation (mergeMetas watermark), which stalls
+        // forever if a store that never receives rows never bumps
+        extraOptions = Map("assign_table_id" -> tableId,
+          "force_gen_bump" -> "true"))
     }
   }
 

@@ -1873,6 +1873,133 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("sharded fleet: SKEWED appends keep generation lockstep and the gen-offset tail never misses a lagging store's commits") {
+    // the r14 advisory's fleet-divergence hazard: appends that route to
+    // ONE store used to bump only that store's counter, and the merged
+    // (then max-based) watermark made the OTHER store's later commits
+    // land at birth generations below the already-drained offset —
+    // silently never emitted. Now a data-carrying fleet append bumps
+    // EVERY member (force_gen_bump) and the merged watermark is the
+    // MIN, so each skewed wave below must reach the tail.
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-skw-a-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-skw-b-").toString
+    val split = "li_0000000300".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    try {
+      val eps = s"${a.address},${b.address}"
+      def gen(addr: String) =
+        new SocketRegionClient(addr).pollMeta()("generation")
+      def kv(rows: (String, String)*) = rows.toSeq.toDF("k", "v")
+        .select(col("k").cast("binary").as("key"),
+          col("v").cast("binary").as("value"))
+      kv("li_0000000100" -> "a1", "li_0000000900" -> "b1")
+        .write.format(kvbinFmt).option("endpoints", eps)
+        .option("api_version", "V1").mode("overwrite").save()
+      assert(gen(a.address) === "1" && gen(b.address) === "1")
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val q = spark.readStream.format(kvbinFmt).option("endpoints", eps)
+        .load().select(col("key").cast("string").as("key"))
+        .writeStream.format("memory").queryName("kvbin_skew_tail")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // wave 1: A's range only — B still bumps (forced, no file list)
+        kv("li_0000000101" -> "a2").write.format(kvbinFmt)
+          .option("endpoints", eps).mode("append").save()
+        assert(gen(a.address) === "2" && gen(b.address) === "2",
+          "a skewed fleet append must bump EVERY member's generation")
+        q.processAllAvailable()
+        // wave 2: B's range only — the lagging-store scenario the old
+        // max-watermark silently dropped
+        kv("li_0000000901" -> "b2").write.format(kvbinFmt)
+          .option("endpoints", eps).mode("append").save()
+        assert(gen(a.address) === "3" && gen(b.address) === "3")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("kvbin_skew_tail")
+        .select("key").as[String].collect().sorted.toSeq
+      assert(got === Seq("li_0000000100", "li_0000000101",
+        "li_0000000900", "li_0000000901"),
+        s"tail missed a skewed wave: got $got")
+      spark.catalog.dropTempView("kvbin_skew_tail")
+    } finally { a.close(); b.close() }
+  }
+
+  test("fleet 2PC convergence: a store refusing its COMMIT leaves a torn fleet that a re-run with the same commit_key converges") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-2pc-a-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-2pc-b-").toString
+    val split = "li_0000000300".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    try {
+      val eps = s"${a.address},${b.address}"
+      def gen(addr: String) =
+        new SocketRegionClient(addr).pollMeta()("generation").toLong
+      parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+        .option("ranges", "2").option("api_version", "V1")
+        .mode("overwrite").save()
+      val want = Checksum.of(parquetSrc).as[(Long, Long, Long)].head()
+      // attempt 1: B refuses its COMMIT after A committed — the fleet
+      // is torn exactly between the two per-store COMMIT phases
+      b.refuseCommits.set(true)
+      val torn = intercept[Exception] {
+        parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+          .option("commit_key", "retry-k1").mode("append").save()
+      }
+      def messages(e: Throwable): Seq[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage)).toSeq
+      assert(messages(torn).exists(_.contains("commit_key")),
+        s"the partial-commit failure must name the convergence remedy: $torn")
+      assert(gen(a.address) === 2L && gen(b.address) === 1L,
+        "expected the torn state: A committed, B did not")
+      // a DIFFERENT logical write onto the torn fleet refuses loudly
+      val refused = intercept[Exception] {
+        parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+          .mode("append").save()
+      }
+      assert(messages(refused).exists(_.contains("DIVERGE")),
+        s"a torn fleet must refuse unrelated appends: $refused")
+      // the retry: same commit_key, same data — A is ADOPTED by its
+      // fleet_job stamp (no second COMMIT lands there), B commits
+      b.refuseCommits.set(false)
+      val commitsOnA = a.commitRequests.get()
+      parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+        .option("commit_key", "retry-k1").mode("append").save()
+      assert(a.commitRequests.get() === commitsOnA,
+        "the adopted store must not receive a second COMMIT")
+      assert(gen(a.address) === 2L && gen(b.address) === 2L,
+        "the retry must converge the fleet's generations")
+      val got = Checksum.of(spark.read.format(kvbinFmt)
+        .option("endpoints", eps).load()).as[(Long, Long, Long)].head()
+      assert(got._2 === 2 * want._2,
+        "converged fleet must hold base + exactly one appended copy")
+      // the adopted store's re-PUT attempt files were reclaimed: every
+      // .kv file on A is index-referenced (poll: serve threads async)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dirA), conf)
+      def stray() = {
+        val referenced = KVBin.readIndex(dirA, conf).map(_._1).toSet
+        fs.listStatus(new org.apache.hadoop.fs.Path(dirA))
+          .map(_.getPath.getName)
+          .filter(f => f.endsWith(".kv") && !referenced(f)).toSeq
+      }
+      val deadline = System.nanoTime() + 10000000000L
+      while (stray().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(stray().isEmpty,
+        s"adopted store kept unreferenced attempt files: ${stray()}")
+    } finally { a.close(); b.close() }
+  }
+
   /** Rewrite `dir/_index` without the generation bookkeeping — the
     * shape every table written BEFORE the `#generation=` stamp landed
     * has on disk; lets the legacy name-set offset path stay testable. */
