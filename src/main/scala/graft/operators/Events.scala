@@ -672,9 +672,14 @@ object Events {
       .filter(col(keyCol) === groupA || col(keyCol) === groupB)
       .select(col(keyCol).as("g"),
         expr(s"CAST(floor($valCol * 100D) AS BIGINT)").as("b"))
-    val cells = binned.groupBy(col("b")).agg(
+    // the cum window's frame is |distinct cent bins| — value-range-
+    // bounded by construction; the guard enforces the contract (2^22
+    // bins ≈ a 42k-unit value span) so a wild valCol fails loudly
+    // instead of single-tasking a corpus-sized frame
+    val cells = BoundedFrame.enforce(binned.groupBy(col("b")).agg(
       sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
-      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb")),
+      1L << 22, "ksDrift cent bins")
     val w = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cells
@@ -732,9 +737,14 @@ object Events {
     val d = u.select(
       expr("(coalesce(te, t1) - t0) div 86400000000").as("dur"),
       when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))
-    val pts = d.groupBy(col("dur")).agg(
+    // the two cum windows run over |distinct whole-day durations| —
+    // bounded by the corpus SPAN in days, not its size; the guard
+    // (1e6 days ≈ 2.7 millennia) enforces that day-granularity
+    // contract against a refactor to finer buckets
+    val pts = BoundedFrame.enforce(d.groupBy(col("dur")).agg(
       sum(col("ev")).as("n_event"),
-      (count(lit(1)) - sum(col("ev"))).as("n_cens"))
+      (count(lit(1)) - sum(col("ev"))).as("n_cens")),
+      1000000L, "kmSurvival day points")
     val wDesc = Window.orderBy(col("dur").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAsc = Window.orderBy(col("dur"))

@@ -812,14 +812,15 @@ object TextAnalysis {
     val vocabBy = tok.groupBy(col("t")).agg(min(col("slice")).as("slice"))
       .groupBy(col("slice")).agg(count(lit(1)).as("n_new"))
     // spine = 0..slices-1 so empty slices still emit a row; the
-    // cumulative window runs over `slices` rows — driver-trivial
+    // cumulative window runs over `slices` rows (require-capped at
+    // 256) — BoundedFrame.enforce makes the cap executable in-plan
     val spine = docsBy.sparkSession.range(slices.toLong)
       .select(col("id").cast("int").as("slice"))
     val w = Window.orderBy(col("slice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(docsBy, Seq("slice"), "left_outer")
+    BoundedFrame.enforce(spine.join(docsBy, Seq("slice"), "left_outer")
       .join(occBy, Seq("slice"), "left_outer")
-      .join(vocabBy, Seq("slice"), "left_outer")
+      .join(vocabBy, Seq("slice"), "left_outer"), 256L, "vocabGrowth slices")
       .select(col("slice"),
         coalesce(col("n_docs"), lit(0L)).as("nd"),
         coalesce(col("n_tok"), lit(0L)).as("nt"),
@@ -1105,8 +1106,42 @@ object TextAnalysis {
       .select(col("doc_id"),
         (col("s1") - coalesce(col("s2"), col("s1"))).as("margin"),
         (col("actual") === col("pred")).cast("long").as("correct"))
-    val bw = Window.orderBy(col("margin"), col("doc_id"))
-    j.withColumn("bucket", ntile(buckets).over(bw))
+    // global NTILE without the single-task window (`Window.orderBy`
+    // with no partition funnels the whole scored test split through
+    // one task): range-repartition on the order key, sort within
+    // partitions, and number rows with zipWithIndex — partition
+    // prefix sums, the same distributed running-counter shape as the
+    // scan-dump counter (Scan.scala). RangePartitioner's partitions
+    // are range-disjoint and ascending, so (partition, in-partition
+    // position) IS the total (margin, doc_id) order regardless of
+    // where its sampled boundaries fall. The checkpoint pins the
+    // frame so the size job and the rank pass read one
+    // materialization instead of re-scoring the classifier twice.
+    val ordered = j.repartitionByRange(col("margin"), col("doc_id"))
+      .sortWithinPartitions(col("margin"), col("doc_id"))
+      .localCheckpoint()
+    val n = ordered.count()
+    val sess = docs.sparkSession
+    val rankedSchema = ordered.schema
+      .add("rk", org.apache.spark.sql.types.LongType)
+    val ranked = sess.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      rankedSchema)
+    // exact NTILE(b) from the 1-based rank: the first (n mod b)
+    // buckets take ceil(n/b) rows, the rest floor(n/b) — matching the
+    // oracle's ntile bucket-for-bucket so the hash gate still applies
+    val q = n / buckets
+    val rem = n % buckets
+    val cut = rem * (q + 1)
+    // integer DIV keeps the bucket arithmetic exact at any rank (no
+    // double rounding); q=0 (fewer rows than buckets) never reaches
+    // the otherwise branch — every rank is <= cut — but the max guard
+    // keeps the expression total
+    val bucket = expr(s"CAST(IF(rk <= $cut, (rk - 1) DIV ${q + 1} + 1, " +
+      s"$rem + (rk - $cut - 1) DIV ${math.max(q, 1L)} + 1) AS INT)")
+    ranked
+      .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"),
         min(col("margin")).as("mn"), max(col("margin")).as("mx"))
