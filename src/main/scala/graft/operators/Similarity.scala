@@ -1121,30 +1121,100 @@ object Similarity {
 
   /** Train the m per-subspace codebooks and assign every corpus vector
     * its m codes — the build half shared by [[pqTopK]] (exhaustive ADC)
-    * and [[ivfPqTopK]] (IVF-pruned ADC). */
+    * and [[ivfPqTopK]] (IVF-pruned ADC).
+    *
+    * All m books train in ONE iteration loop over a tagged long-form
+    * frame (mi, id, subvector) rather than m independent
+    * [[kmeansCodebook]] runs: the m per-subspace trainings are
+    * embarrassingly independent, and running them sequentially cost
+    * m·(1 seed collect + iters·(assign + means collect)) driver
+    * round-trips — the PQ pair measured ~70–90 Spark JOBS per query
+    * with only ~0.1 core-seconds of parallel work per job, i.e. the
+    * plan was scheduler-latency-bound and amplified every ambient
+    * jitter (the r14 "ANN-PQ residual" was exactly this noise).
+    * Batched, the loop is 1 seed collect + iters collects + one code
+    * assignment TOTAL, and each job carries m× the work — fewer,
+    * fatter barriers, the shape a 1000-executor cluster needs anyway.
+    *
+    * Bit-identical to the per-subspace runs by construction: the seed
+    * draw `(md5(id), id) limit k` selects the SAME ids for every
+    * subspace (the order does not depend on the vector), assignment is
+    * the family kernel (9-dp cosine, cluster_id tie-break) per
+    * (mi, id), and means replay [[meanByCluster]]'s DECIMAL(27,15)
+    * component sums per (mi, cluster) — grouping by the extra mi tag
+    * changes which rows share a group, not any group's arithmetic. */
   private def pqBooksAndCodes(corpus: DataFrame, m: Int, subDim: Int,
                               kSub: Int, iters: Int): (Seq[DataFrame], DataFrame) = {
     require(m >= 1 && subDim >= 1 && kSub >= 1, "pq shape must be positive")
-    val subCorpus = (0 until m).map { mi =>
-      corpus.select(col("id"), slice(col("vec"), mi * subDim + 1, subDim).as("vec"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tagged = corpus.select(col("id"), posexplode(array((0 until m).map(mi =>
+        slice(col("vec"), mi * subDim + 1, subDim)): _*)))
+      .select(col("id"), col("pos").as("mi"), col("col").as("vec"))
+    // seeds for ALL books from one top-k + one bounded fetch: the seed
+    // draw orders by (md5(id), id) — independent of the vector, so
+    // every subspace seeds from the SAME k ids (what lets the books
+    // share one draw); slices cast to double exactly like
+    // kmeansCodebook's seed read
+    val seedIds = corpus
+      .select(md5(col("id").cast("string")).as("__h"), col("id"))
+      .orderBy(col("__h"), col("id")).limit(kSub)
+      .select(col("id")).collect().map(_.get(0))
+    val seedRank: Map[Any, Long] =
+      seedIds.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    val seedSlices = tagged
+      .filter(col("id").isin(seedIds: _*))
+      .select(col("mi"), col("id"),
+        col("vec").cast("array<double>").as("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), seedRank(r.get(1)), r.getSeq[Double](2)))
+    var cent: Map[Int, Seq[(Long, Seq[Double])]] = seedSlices
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+    def centDf(): DataFrame = cent.toSeq
+      .flatMap { case (mi, cs) => cs.map { case (cid, v) => (mi, cid, v) } }
+      .toDF("mi", "cluster_id", "cvec")
+      .withColumn("cvn", norm(col("cvec")))
+    def assign(): DataFrame = tagged
+      .select(col("mi"), col("id"), col("vec"), norm(col("vec")).as("vn"))
+      .join(broadcast(centDf()), Seq("mi"))
+      .select(col("mi"), col("id"), col("vec"), col("cluster_id"),
+        round(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn")), 9)
+          .as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("mi"), col("id"))
+          .orderBy(col("csim").desc, col("cluster_id"))))
+      .filter(col("r") === 1)
+    for (_ <- 1 to iters) {
+      // meanByCluster's arithmetic with the mi tag in the group key
+      val means = assign()
+        .select(col("mi"), col("cluster_id").as("g"), posexplode(col("vec")))
+        .groupBy(col("mi"), col("g"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("centroid"))
+        .groupBy(col("mi"), col("g"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("pm"))
+        .select(col("mi"), col("g"),
+          transform(col("pm"), x => x.getField("centroid")).as("cvec"))
+        .as[(Int, Long, Seq[Double])].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      cent = cent.map { case (mi, cs) =>
+        mi -> cs.map { case (cid, prev) =>
+          (cid, means.getOrElse(mi, Map.empty[Long, Seq[Double]])
+            .getOrElse(cid, prev)) }
+      }
     }
-    val books = subCorpus.map(sc => kmeansCodebook(sc, kSub, iters))
-    // per-subspace codes: the family assignment kernel (9-dp cosine,
-    // cluster_id tie-break) against the subspace codebook
-    def codesOf(mi: Int): DataFrame = {
-      val cent = books(mi).withColumn("cvn", norm(col("cvec")))
-      subCorpus(mi)
-        .select(col("id"), col("vec"), norm(col("vec")).as("vn"))
-        .join(broadcast(cent))
-        .select(col("id"), col("cluster_id"),
-          round(dot(col("vec"), col("cvec")) / (col("vn") * col("cvn")), 9)
-            .as("csim"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cluster_id"))))
-        .filter(col("r") === 1)
-        .select(col("id"), col("cluster_id").as(s"code$mi"))
-    }
-    (books, (0 until m).map(codesOf).reduce(_.join(_, "id")))
+    val books = (0 until m).map(mi => cent(mi).toDF("cluster_id", "cvec"))
+    // one batched code assignment for all m subspaces, pivoted to the
+    // (id, code0..code{m-1}) shape the ADC joins consume
+    val codeAggs = (0 until m).map(mi =>
+      max(when(col("mi") === mi, col("cluster_id"))).as(s"code$mi"))
+    val allCodes = assign()
+      .select(col("mi"), col("id"), col("cluster_id"))
+      .groupBy(col("id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+    (books, allCodes)
   }
 
   /** ADC lookup tables: per (query, subspace, code) the subspace dot
