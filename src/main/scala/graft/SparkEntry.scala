@@ -780,11 +780,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
     // sparse idf-weighted shingle cosine JOIN over raw text — the
     // no-embedding similarity path: inverted-index candidates (pairs
-    // sharing >=1 shingle), integer weights (milli-unit idf), df cap
-    // mirrored in the oracle
+    // sharing >=1 shingle), integer weights (milli-unit idf). The df
+    // cap is DERIVED from a candidate budget (32 pairs/doc) so the
+    // pair volume scales linearly with the corpus; the oracle replays
+    // the derivation from the df histogram
     "q_sparse_cosine" -> ((s, dir) =>
-      Similarity.tfidfCosineJoin(docs(s, dir), "text", "doc_id",
-          minCos = 0.5, maxDf = Some(100), shingleN = 3)
+      Similarity.tfidfCosineJoinBudgeted(docs(s, dir), "text", "doc_id",
+          minCos = 0.5, pairsPerDoc = 32, shingleN = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
     // hybrid retrieval: query-by-document BM25 (integer milli-unit
     // scores, multi-query shared corpus pass) fused with dense cosine
@@ -5024,7 +5026,11 @@ object SparkEntry {
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     // sparse idf-weighted shingle cosine: same shingle construction as
     // the dedup CTEs, milli-unit integer idf weights, int64 dots/norms,
-    // double only in the final sqrt/divide. df cap mirrored (<= 100).
+    // double only in the final sqrt/divide. The df cap derivation is
+    // REPLAYED from the df histogram: largest df (>= 2, <= 1e5 probe
+    // ceiling) whose cumulative C(df,2) candidate cost fits the
+    // 32-pairs-per-doc budget — integer arithmetic end-to-end, so both
+    // engines derive the identical cap.
     "q_sparse_cosine" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -5032,8 +5038,14 @@ object SparkEntry {
         |         i -> array_to_string(w[i:i+2], ' '))) AS s FROM toks),
         |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
         |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
-        |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t HAVING count(*) <= 100),
+        |dfc0 AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
         |n AS (SELECT count(*) AS n FROM documents),
+        |dist AS (SELECT df, count(*) * df * (df - 1) // 2 AS cost
+        |         FROM dfc0 WHERE df BETWEEN 2 AND 100000 GROUP BY df),
+        |cum AS (SELECT df, sum(cost) OVER (ORDER BY df) AS c FROM dist),
+        |cap AS (SELECT greatest(coalesce(max(CASE WHEN c <= 32 * n.n THEN df END), 2), 2) AS cap
+        |        FROM cum CROSS JOIN n),
+        |dfc AS (SELECT t, df FROM dfc0 CROSS JOIN cap WHERE df <= cap),
         |wt AS (SELECT doc_id, t,
         |         c * CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w
         |       FROM tf JOIN dfc USING (t) CROSS JOIN n),

@@ -1156,6 +1156,36 @@ object Dedup {
                   contentBand: Boolean = false, bandBits: Int = 64,
                   tokenHash: Column => Column = xxhash64(_),
                   maxBucketOccupancy: Int = 10000): DataFrame = {
+    val budget = greatest(col("len_a"), col("len_b")) * maxDistPermille
+    editNearDupCandidates(docs, textCol, idCol, blockCol, bucketWidth,
+      maxDistPermille, maxAbsDist, contentBand, bandBits, tokenHash,
+      maxBucketOccupancy)
+      // banded DP: the threshold variant fills only the 2k+1 diagonal
+      // band (O(k*n), not O(n^2)) and returns -1 past the cap — on
+      // ~300-char docs that is ~5x fewer cells, and the verify stage is
+      // where all the time goes once blocking has done its job. The cap
+      // makes the contract dist <= min(budget, maxAbsDist); callers
+      // with very long documents and a permille budget above the cap
+      // must raise maxAbsDist explicitly.
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxAbsDist))
+      .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
+      // emitted pairs stay id-ordered regardless of the length
+      // orientation the join used
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
+  }
+
+  /** [[editNearDup]]'s CANDIDATE stage — blocking, counting-filter,
+    * band-agreement dedup — without the DP verify: the seam the sf1
+    * ritual's pair telemetry counts (candidate growth is this family's
+    * superlinear term, so the ritual records it per round). */
+  private[graft] def editNearDupCandidates(
+      docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, bucketWidth: Int = 32,
+      maxDistPermille: Int = 100, maxAbsDist: Int = 64,
+      contentBand: Boolean = false, bandBits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_),
+      maxBucketOccupancy: Int = 10000): DataFrame = {
     // Occupancy guard for the exact (band-off) default: a (block,
     // length-bucket) join bucket of occupancy m materializes ~m²/2
     // candidate pairs, so a naive caller scaling the corpus 100× would
@@ -1257,21 +1287,7 @@ object Dedup {
     // agreement — collapse before the DP so each pair pays one verify.
     // Band off ⇒ one constant chunk per doc ⇒ no duplicates possible,
     // and the dedup's full-row (texts included) shuffle is skipped.
-    val deduped = if (contentBand) cand.dropDuplicates("id_a", "id_b") else cand
-    deduped
-      // banded DP: the threshold variant fills only the 2k+1 diagonal
-      // band (O(k*n), not O(n^2)) and returns -1 past the cap — on
-      // ~300-char docs that is ~5x fewer cells, and the verify stage is
-      // where all the time goes once blocking has done its job. The cap
-      // makes the contract dist <= min(budget, maxAbsDist); callers
-      // with very long documents and a permille budget above the cap
-      // must raise maxAbsDist explicitly.
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxAbsDist))
-      .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
-      // emitted pairs stay id-ordered regardless of the length
-      // orientation the join used
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
+    if (contentBand) cand.dropDuplicates("id_a", "id_b") else cand
   }
 
   /** Probe characters for the edit-distance counting filter — frequent

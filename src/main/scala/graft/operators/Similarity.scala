@@ -817,12 +817,71 @@ object Similarity {
   def tfidfCosineJoin(docs: DataFrame, textCol: String, idCol: String,
                       minCos: Double, maxDf: Option[Int] = None,
                       shingleN: Int = 1): DataFrame = {
+    val tf = tfOf(docs, textCol, idCol, shingleN)
+    val dfc = dfOf(tf)
+    tfidfCosineCore(docs, tf, maxDf.fold(dfc)(cap => dfc.filter(col("df") <= cap)),
+      minCos)
+  }
+
+  /** [[tfidfCosineJoin]] with the df cap DERIVED from a candidate
+    * budget instead of hand-set — the chooser discipline the ED-Join
+    * blocklist budget set (each kept token with document frequency d
+    * contributes C(d,2) inverted-index candidate pairs, so a FIXED cap
+    * lets the pair volume grow superlinearly as the corpus grows: the
+    * r14 sf1 ritual measured 4.1× work at 10× rows). The cap is the
+    * largest df whose cumulative pair cost Σ_{d ≤ cap} m_d·C(d,2)
+    * stays within `pairsPerDoc·n` — candidate volume then scales
+    * LINEARLY with the corpus by construction. Deterministic from the
+    * corpus alone (integer arithmetic over the df histogram), so the
+    * DuckDB oracle replays the derivation. Floor 2: a df-1 token
+    * yields no pairs, so any functioning cap admits at least the
+    * rare-pair tokens — if even those exceed the budget the operator
+    * still runs at the floor (the budget is a scaling contract, not a
+    * hard admission gate). */
+  def tfidfCosineJoinBudgeted(docs: DataFrame, textCol: String, idCol: String,
+                              minCos: Double, pairsPerDoc: Int = 32,
+                              shingleN: Int = 1): DataFrame = {
+    require(pairsPerDoc >= 1, "pairsPerDoc must be positive")
+    // one corpus tokenization feeds chooser, weights and norms alike
+    val tf = tfOf(docs, textCol, idCol, shingleN).localCheckpoint()
+    val dfc = dfOf(tf)
+    val cap = dfCapFor(dfc, pairsPerDoc.toLong * CorpusCount.of(docs))
+    tfidfCosineCore(docs, tf, dfc.filter(col("df") <= cap), minCos)
+  }
+
+  /** The budget→cap solve over the df histogram: largest df whose
+    * cumulative C(d,2) candidate cost fits `budget`. The histogram is
+    * bounded driver state — at most `probeCeiling` distinct df values
+    * (tokens hotter than the ceiling could only be admitted by a
+    * budget that already dwarfs any practical candidate volume). */
+  private[graft] def dfCapFor(dfc: DataFrame, budget: Long,
+                              probeCeiling: Long = 100000L): Int = {
+    val dist = dfc.filter(col("df") <= probeCeiling && col("df") >= 2)
+      .groupBy(col("df"))
+      .agg(expr("count(*) * df * (df - 1) DIV 2").as("cost"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    var cap = 2L
+    dist.foreach { case (df, cost) =>
+      cum += cost
+      if (cum <= budget) cap = df
+    }
+    math.max(cap, 2L).toInt
+  }
+
+  private def tfOf(docs: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int): DataFrame = {
     val terms = if (shingleN <= 1) split(col(textCol), " ")
       else Dedup.shingles(col(textCol), shingleN)
-    val tok = docs.select(col(idCol).as("doc_id"), explode(terms).as("t"))
-    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-    val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val dfKept = maxDf.fold(dfc)(cap => dfc.filter(col("df") <= cap))
+    docs.select(col(idCol).as("doc_id"), explode(terms).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+  }
+
+  private def dfOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+
+  private def tfidfCosineCore(docs: DataFrame, tf: DataFrame,
+                              dfKept: DataFrame, minCos: Double): DataFrame = {
     val n = docs.select(count(lit(1)).as("n"))
     val weights = tf.join(dfKept, Seq("t")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("t"),

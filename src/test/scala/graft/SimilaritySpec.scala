@@ -455,6 +455,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(capped.isEmpty)
   }
 
+  test("budgeted df cap: derived from the histogram, equals the explicit-cap join, scales with the budget") {
+    // 6 docs sharing one hot token (df=6, C=15 pairs) plus rare pair
+    // tokens (df=2, 1 pair each): a tight budget admits only the rare
+    // tokens, a loose one admits the hot token too
+    val docs = (1L to 6L).map(i =>
+      (i, s"hot rare${(i + 1) / 2} tail$i")).toDF("doc_id", "text")
+    val dfc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct().groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // budgets: 3 pairs -> cap 2 (3 rare-token pairs cost 3; hot costs 15)
+    assert(Similarity.dfCapFor(dfc, 3L) === 2)
+    // 18 pairs -> cap 6 (3 + 15 fits)
+    assert(Similarity.dfCapFor(dfc, 18L) === 6)
+    // below even the rare tokens: floor 2 (the budget is a scaling
+    // contract, not an admission gate)
+    assert(Similarity.dfCapFor(dfc, 0L) === 2)
+    // the budgeted join IS the explicit-cap join at the derived cap
+    val a = Similarity.tfidfCosineJoinBudgeted(docs, "text", "doc_id",
+      minCos = 0.0, pairsPerDoc = 1, shingleN = 1)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val b = Similarity.tfidfCosineJoin(docs, "text", "doc_id",
+      minCos = 0.0, maxDf = Some(Similarity.dfCapFor(dfc, 6L)), shingleN = 1)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("semanticDedup census: keep-first drops within clusters, cross-cluster pairs survive") {
     // two tight direction groups far apart → k=2 k-means separates them;
     // ids chosen so each group holds one duplicate pair
