@@ -27,17 +27,35 @@ object CorpusCount {
   private val maxEntries = 32
   private val cache = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[(String, String)]), Long]
 
-  /** `df.count()`, memoized per (session, canonicalized plan). The
-    * count job runs OUTSIDE the lock; a rare concurrent double-count is
-    * benign (both produce the same number, one wins the slot). */
+  /** LIVE epochs of every endpoints-backed kvbin table in the plan:
+    * a wire table canonicalizes identically across appends (no
+    * path/mtime in the plan), so the memo key carries each one's
+    * (table_id, generation) — one O(1) POLL per table per lookup,
+    * still far cheaper than the count job the memo saves. Path-backed
+    * plans keep the documented in-place-rewrite caveat. */
+  private def kvbinEpochs(df: DataFrame): Seq[(String, String)] =
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: graft.sources.kvbin.KVBinTable => t.liveEpoch
+          case _ => None
+        }
+    }.flatten
+
+  /** `df.count()`, memoized per (session, canonicalized plan, live
+    * kvbin epochs). The count job runs OUTSIDE the lock; a rare
+    * concurrent double-count is benign (both produce the same number,
+    * one wins the slot). */
   def of(df: DataFrame): Long = {
     if (!cachingEnabled) return df.count()
     MemoStats.touch()
-    val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
+      kvbinEpochs(df))
     cache.synchronized {
-      cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       cache.get(key)
     } match {
       case Some(n) => n

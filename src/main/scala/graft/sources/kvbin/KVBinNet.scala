@@ -160,10 +160,10 @@ class KVBinServer(dir: String, conf: Configuration,
   private var idxFp: (Long, Long) = null
   private var idxCache: (Map[String, String],
     Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long],
-    Map[String, Seq[(Long, Long)]]) = null
+    Map[String, Seq[(Long, Long)]], Set[String]) = null
   private def current(): (Map[String, String],
       Seq[(String, Array[Byte], Array[Byte], Long)], Map[String, Long],
-      Map[String, Seq[(Long, Long)]]) =
+      Map[String, Seq[(Long, Long)]], Set[String]) =
     idxLock.synchronized {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
       val st = fs.getFileStatus(
@@ -180,7 +180,12 @@ class KVBinServer(dir: String, conf: Configuration,
           .map(s0 => s0.getPath.getName -> s0.getLen).toMap
         idxCache = (meta, entries.filter(r => owns(r._1)), lens,
           if (meta.contains("stats")) ranges
-          else Map.empty[String, Seq[(Long, Long)]])
+          else Map.empty[String, Seq[(Long, Long)]],
+          // ALL referenced names, UNFILTERED by the read-scope `owns`:
+          // the PUT truncation guard must protect regions this server
+          // does not serve too (a shared-dir fleet sibling's region is
+          // just as live)
+          entries.map(_._1).toSet)
         idxFp = fp
       }
       idxCache
@@ -189,6 +194,7 @@ class KVBinServer(dir: String, conf: Configuration,
   private def ownedRegions = current()._2
   private def regionLens: Map[String, Long] = current()._3
   private def regionRanges: Map[String, Seq[(Long, Long)]] = current()._4
+  private def referencedNames: Set[String] = current()._5
 
   /** Served SCAN / CHECKSUM / PUT / COMMIT request counts (spec
     * observables — a wire replication spec proves rows moved as PUT
@@ -285,6 +291,15 @@ class KVBinServer(dir: String, conf: Configuration,
             writeBytes(out, k.getBytes("UTF-8"))
             writeBytes(out, v.getBytes("UTF-8"))
           }
+          // the OWNS answer rides the same reply (after the map, so a
+          // caller reading only the map is untouched): the fleet
+          // replication sink probes marker AND ownership every batch —
+          // one dial instead of two per store per micro-batch
+          ownsRange match {
+            case Some((lo, hi)) =>
+              out.writeByte(1); writeBytes(out, lo); writeBytes(out, hi)
+            case None => out.writeByte(0)
+          }
         case "OWNS" =>
           // the write-ownership probe: scoped stores answer their key
           // range (empty bytes = unbounded side), unscoped answer 0 —
@@ -349,9 +364,13 @@ class KVBinServer(dir: String, conf: Configuration,
           // committed region the moment fs.create runs — before any
           // commit guard could refuse. jobTag uniqueness makes accidental
           // collision unlikely; the lost-ack rationale documented on
-          // ABORT applies equally here, so refuse with byte 0.
+          // ABORT applies equally here, so refuse with byte 0. Served
+          // from the fingerprint-guarded index cache (one getFileStatus
+          // per PUT, not an O(regions) index read — fleet writes issue
+          // one PUT per store-boundary segment per task); the (len,
+          // mtime) revalidation keeps it exactly as fresh as a re-read.
           val putReferenced: Set[String] =
-            try KVBin.readIndex(dir, conf).map(_._1).toSet
+            try referencedNames
             catch { case _: java.io.FileNotFoundException => Set.empty }
           if (KVBinDataWriter.RegionFile.matches(nm) && !putReferenced(nm)) {
             val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -584,6 +603,19 @@ class SocketRegionClient(address: String) extends RegionClient {
       (0 until in.readInt()).map { _ =>
         (new String(readBytes(in), "UTF-8"), new String(readBytes(in), "UTF-8"))
       }.toMap
+    }
+
+  /** POLL's full reply: scalar meta AND the store's owned write range
+    * in one round-trip — the fleet replication sink's per-batch probe
+    * (marker + ownership) at one dial per store instead of two. */
+  def pollMetaAndOwns(): (Map[String, String], Option[(Array[Byte], Array[Byte])]) =
+    dial("POLL") { in =>
+      val meta = (0 until in.readInt()).map { _ =>
+        (new String(readBytes(in), "UTF-8"), new String(readBytes(in), "UTF-8"))
+      }.toMap
+      val owns =
+        if (in.readByte() == 1) Some((readBytes(in), readBytes(in))) else None
+      (meta, owns)
     }
 
   override def listRegions(): Seq[RegionInfo] =

@@ -157,6 +157,17 @@ class KVBinTable(dir: String, tableEndpoints: Option[String] = None)
   }
   override def name(): String =
     s"kvbin:${Option(dir).orElse(tableEndpoints).getOrElse("?")}"
+  /** LIVE (table_id, generation) of an endpoints-backed table — memo
+    * keys (CorpusCount) include it because a wire table's canonicalized
+    * plan carries no path/mtime signal at all: appends over the wire
+    * would otherwise serve stale memoized counts within a session.
+    * One O(1) POLL per call; None for path-backed tables (their plans
+    * carry the path, and the in-place-rewrite caveat is documented). */
+  private[graft] def liveEpoch: Option[(String, String)] =
+    if (dir == null && tableEndpoints.isDefined) {
+      val m = KVBinSource.pollMetaFor(tableEndpoints)
+      Some((m.getOrElse("table_id", ""), m.getOrElse("generation", "")))
+    } else None
   override def schema(): StructType = KVBinSource.schemaOf(statDefs)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -1882,7 +1882,15 @@ object StreamEntries {
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long, tableId: String): Unit = {
     import graft.sources.kvbin._
-    val owned = dstAddrs.map(e => e -> new SocketRegionClient(e).owns())
+    // ONE dial per store per batch: POLL's reply carries the applied-
+    // batch marker AND the owned range, so the ownership re-probe (a
+    // re-scoped fleet is still caught at the next trigger, per batch)
+    // stops costing a second OWNS round-trip
+    val polled = dstAddrs.map(e =>
+      e -> new SocketRegionClient(e).pollMetaAndOwns())
+    val markers = polled.map { case (e, (meta, _)) =>
+      e -> meta.get("replica_batch").map(_.toLong).getOrElse(-1L) }.toMap
+    val owned = polled.map { case (e, (_, owns)) => e -> owns }
     val unscoped = owned.collect { case (e, None) => e }
     require(unscoped.isEmpty,
       s"kvbin fleet replication routes each batch by key range, but " +
@@ -1910,9 +1918,12 @@ object StreamEntries {
         if (st.hi.nonEmpty) f = f.filter(col("key") < lit(st.hi))
         f
       }
+      // the marker probe reuses this batch's POLL reply: between the
+      // poll and the apply nothing else writes (the sink is the single
+      // writer), and a crashed attempt's committed marker was already
+      // visible to this batch's fresh poll
       applyReplicaBatchCore(shard, batchId,
-        probeApplied = () => new SocketRegionClient(st.address)
-          .pollMeta().get("replica_batch").map(_.toLong).getOrElse(-1L),
+        probeApplied = () => markers(st.address),
         target = ("endpoints", st.address),
         // force_gen_bump keeps the fleet's generation counters in
         // LOCKSTEP across skewed batches (an empty shard still bumps):
