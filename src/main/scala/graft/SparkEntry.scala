@@ -160,6 +160,12 @@ object SparkEntry {
     // files _index never references
     "q_stream_kvbin_sink" -> ((s, dir) => StreamEntries.streamKvbinSink(s, dir)),
     "q_stream_kvbin_scan" -> ((s, dir) => StreamEntries.streamKvbinScan(s, dir)),
+    // gen-offset tail of a SHARDED two-store fleet under SKEWED waves
+    // (wave 3 routes only to one store): live because fleet appends
+    // keep generations in lockstep and the fleet watermark is the MIN
+    // across stores — the r15 advisory's silently-skipped-commit
+    // scenario as a gated entry
+    "q_stream_kvbin_fleet_scan" -> ((s, dir) => StreamEntries.streamKvbinFleetScan(s, dir)),
     // continuous compare over the connector end-to-end: the kvbin tail
     // folds per-bucket crc64/kvs/bytes in the state store (|buckets|
     // triples, not rows), the mid-drain append arrives as its own
@@ -5960,6 +5966,12 @@ object SparkEntry {
     // append) tailed as micro-batches must drain to exactly the src
     // slice — the same rows the batch scan of the final table reads
     "q_stream_kvbin_scan" -> (cte +
+      """SELECT k AS key, v AS value FROM src
+        |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
+        |ORDER BY key""".stripMargin),
+    // the sharded-fleet tail drains the SAME slice: the three skewed
+    // waves union back to the full range
+    "q_stream_kvbin_fleet_scan" -> (cte +
       """SELECT k AS key, v AS value FROM src
         |WHERE k >= 'li_0000000001' AND k < 'li_0000002000'
         |ORDER BY key""".stripMargin),

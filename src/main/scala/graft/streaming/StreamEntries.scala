@@ -1722,6 +1722,59 @@ object StreamEntries {
     * from the base generation re-read). */
   @volatile private[graft] var lastKvbinScanBatches: Seq[(Long, Long)] = Nil
 
+  /** Gen-offset tail of a SHARDED two-store fleet — the r15 advisory's
+    * scenario as a first-class gated entry: waves of fleet writes land
+    * with SKEW (wave 2 straddles both stores, wave 3 routes ONLY to
+    * store B), and the tail must emit every wave exactly once. This is
+    * live only because fleet appends keep the members' generation
+    * counters in LOCKSTEP (a data-carrying append bumps the store that
+    * received nothing — force_gen_bump) and the fleet offset watermark
+    * is the MIN generation across stores (mergeMetas): under the old
+    * max-watermark, wave 3's regions were born at a generation ≤ the
+    * already-drained offset and silently never emitted. Oracle: the
+    * full src slice — the union of the waves. */
+  def streamKvbinFleetScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.kvbin.KVBinSource].getName
+    val conf = s.sessionState.newHadoopConf()
+    val dirA = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfs-a-")
+    val dirB = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-kvfs-b-")
+    val split = f"li_${1000L * sliceScale}%010d".getBytes("UTF-8")
+    val a = new graft.sources.kvbin.KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new graft.sources.kvbin.KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    val eps = s"${a.address},${b.address}"
+    val rows = KVSnapshot.srcStr(s, dir)
+      .filter(col("k") >= "li_0000000001" && col("k") < keyUpper)
+    def writeWave(w: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      w.select(col("k").cast("binary").as("key"),
+          col("v").cast("binary").as("value"))
+        .write.format(fmt).option("endpoints", eps)
+        .option("api_version", "V1").mode(mode).save()
+    val q1 = f"li_${500L * sliceScale}%010d"
+    val q3 = f"li_${1500L * sliceScale}%010d"
+    writeWave(rows.filter(col("k") < q1), "overwrite")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val name = fresh("graft_stream_kvbin_fleet_scan")
+    withStatePartitions(s, 1, noData = false) {
+      val q = s.readStream.format(fmt).option("endpoints", eps).load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      drain(q) {
+        q.processAllAvailable() // batch 1: wave 1 (store A's range only)
+        writeWave(rows.filter(col("k") >= q1 && col("k") < q3), "append")
+        q.processAllAvailable() // batch 2: the straddling wave
+        // wave 3 routes ONLY to store B — the lagging-store commit the
+        // max-watermark offsets silently skipped before r15
+        writeWave(rows.filter(col("k") >= q3), "append")
+      }
+    }
+    takeTable(s, name).orderBy(col("key"))
+  }
+
   /** The SCOPED tail — the `start_key_hex`/`end_key_hex` reader
     * options gated end-to-end: Spark's V2 pushdown rule never visits
     * micro-batch relations (a readStream .filter leaves every batch
