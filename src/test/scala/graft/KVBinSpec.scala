@@ -1930,6 +1930,47 @@ class KVBinSpec extends SparkTestBase {
     } finally { a.close(); b.close() }
   }
 
+  test("fleet append refuses a FRESH member mixed into a live fleet, naming the rebuild remedy") {
+    // a member joining mid-life would be stamped at generation 1 while
+    // the rest sit higher — lockstep equality (and with it the min
+    // watermark's liveness) could never be reached by appending
+    import graft.sources.kvbin.KVBinServer
+    val conf = spark.sessionState.newHadoopConf()
+    val m1 = "li_0000000300".getBytes("UTF-8")
+    val m2 = "li_0000000600".getBytes("UTF-8")
+    val a = new KVBinServer(
+      java.nio.file.Files.createTempDirectory("kvbin-fm-a-").toString, conf,
+      ownsRange = Some((Array.emptyByteArray, m1)))
+    val b = new KVBinServer(
+      java.nio.file.Files.createTempDirectory("kvbin-fm-b-").toString, conf,
+      ownsRange = Some((m1, m2)))
+    val c = new KVBinServer(
+      java.nio.file.Files.createTempDirectory("kvbin-fm-c-").toString, conf,
+      ownsRange = Some((m2, Array.emptyByteArray)))
+    try {
+      val low = parquetSrc.filter(col("key") < lit(m2))
+      low.write.format(kvbinFmt).option("endpoints", s"${a.address},${b.address}")
+        .option("api_version", "V1").mode("overwrite").save()
+      val refused = intercept[Exception] {
+        low.write.format(kvbinFmt)
+          .option("endpoints", s"${a.address},${b.address},${c.address}")
+          .mode("append").save()
+      }
+      def messages(e: Throwable): Seq[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage)).toSeq
+      // two gates can fire, both loud: table RESOLUTION's consistency
+      // check sees the fresh member answer no api_version (the absent
+      // marker dropped because live stores carry an index), or — were a
+      // path to reach write planning — the fleet gate's explicit
+      // fresh-member refusal naming the rebuild remedy
+      assert(messages(refused).exists(m =>
+        m.contains("endpoints disagree on api_version") ||
+          (m.contains("FRESH") && m.contains("truncate the fleet"))),
+        s"expected a loud mixed-fleet refusal: $refused")
+    } finally { a.close(); b.close(); c.close() }
+  }
+
   test("fleet 2PC convergence: a store refusing its COMMIT leaves a torn fleet that a re-run with the same commit_key converges") {
     import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
     val conf = spark.sessionState.newHadoopConf()

@@ -124,6 +124,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("ExistingRDD"), p)
   }
 
+  test("q_nb_calibration: the global ntile is rank-based — no window operator in the final plan") {
+    // the calibration buckets come from range-repartition + zipWithIndex
+    // prefix ranks (r15); an unpartitioned ntile window here would be
+    // the one-task funnel the r14 verdict flagged
+    val p = plan("q_nb_calibration")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_sparse_cosine: index self-join is an equi-join; only the scalar doc count nest-loops") {
     val p = plan("q_sparse_cosine")
     assert(!p.contains("CartesianProduct"), p)
