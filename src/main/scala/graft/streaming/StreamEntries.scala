@@ -239,33 +239,34 @@ object StreamEntries {
   def streamSessions(s: SparkSession, dir: String,
                      gapUs: Long = 1800000000L): DataFrame = {
     import s.implicits._
-    val evts = memoFeed(s"sessions:$dir") {
-      Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[StreamingSessions.Evt].collect().toSeq
-    }
-    val maxTs = evts.map(_.ts.getTime).max
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
+      .select(col("user_id"), col("ts"), col("value"))
+    // the sentinel instants derive from max(ts) — a 1-row aggregate,
+    // the only driver-side value the feed needs (the slice itself
+    // flows through a FILE stream, never a collect)
+    val maxTs = evts.agg(max(col("ts"))).head().getTimestamp(0).getTime
     def sentinel(offsetMs: Long) =
-      StreamingSessions.Evt(-1L, new Timestamp(maxTs + offsetMs), 0.0)
+      Seq((-1L, new Timestamp(maxTs + offsetMs), 0.0))
+        .toDF("user_id", "ts", "value")
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_sessions")
     withStatePartitions(s, 1) {
-      val mem = MemoryStream[StreamingSessions.Evt]
+      val (feed, writeWave) = fileFeed(s, "graft-sessions-feed-", evts)
+      // the first sentinel rides the data batch: every real event is
+      // processed under the pre-batch watermark (in-batch gap
+      // closure unchanged), the sentinel advances the watermark at
+      // END of that batch, and the second sentinel's batch fires the
+      // event-time timeouts — two state commits, not three
+      // (timeouts evaluate against the PREVIOUS batch's watermark,
+      // so a next batch is still required to close open sessions)
+      writeWave(evts.unionByName(sentinel(86400000L)))
       val sessions = StreamingSessions(
-        mem.toDS().withWatermark("ts", "1 second"), gapUs)
+        feed.as[StreamingSessions.Evt].withWatermark("ts", "1 second"), gapUs)
       val q = sessions.toDF().writeStream.format("memory").queryName(name)
         .outputMode(StreamingSessions.outputMode).start()
       drain(q) {
-        // the first sentinel rides the data batch: every real event is
-        // processed under the pre-batch watermark (in-batch gap
-        // closure unchanged), the sentinel advances the watermark at
-        // END of that batch, and the second sentinel's batch fires the
-        // event-time timeouts — two state commits, not three
-        // (timeouts evaluate against the PREVIOUS batch's watermark,
-        // so a next batch is still required to close open sessions)
-        mem.addData(evts :+ sentinel(86400000L))
         q.processAllAvailable()
-        mem.addData(Seq(sentinel(2 * 86400000L)))
+        writeWave(sentinel(2 * 86400000L))
       }
     }
     takeTable(s, name)
@@ -329,13 +330,10 @@ object StreamEntries {
   def streamLateDrop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val splitUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, mid-fixture
-    val evts = memoFeed(s"latedrop:$dir") {
-      Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
-        .select(col("ts"), col("event_type"), col("ts_us"))
-        .as[(Timestamp, String, Long)].collect().toSeq
-    }
-    val onTime = evts.filter(_._3 >= splitUs)
-    val late = evts.filter(_._3 < splitUs)
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
+      .select(col("ts"), col("event_type"), col("ts_us"))
+    val onTime = evts.filter(col("ts_us") >= splitUs)
+    val late = evts.filter(col("ts_us") < splitUs)
     // sentinels are explicit UTC instants, NOT Timestamp.valueOf:
     // valueOf parses in the JVM default timezone while the day windows
     // align to UTC — east of UTC the first sentinel's UTC-day window
@@ -344,12 +342,18 @@ object StreamEntries {
     // oracle. Instant.parse keeps the "neither sentinel's window ever
     // closes" invariant timezone-independent.
     def tick(iso: String) =
-      (Timestamp.from(java.time.Instant.parse(iso)), "~tick", 0L)
+      Seq((Timestamp.from(java.time.Instant.parse(iso)), "~tick", 0L))
+        .toDF("ts", "event_type", "ts_us")
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_latedrop")
     withStatePartitions(s, 1) {
-      val mem = MemoryStream[(Timestamp, String, Long)]
-      val agg = mem.toDF.toDF("ts", "event_type", "ts_us")
+      val (feed, writeWave) = fileFeed(s, "graft-latedrop-feed-", evts)
+      // batch 1: the on-time slice plus the first sentinel — the real
+      // events aggregate under the pre-batch watermark (0), then the
+      // sentinel advances the watermark at END of batch, closing and
+      // emitting every real window in this batch's commit
+      writeWave(onTime.unionByName(tick("2024-03-01T00:00:00Z")))
+      val agg = feed
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -358,18 +362,13 @@ object StreamEntries {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        // batch 1: the on-time slice plus the first sentinel — the real
-        // events aggregate under the pre-batch watermark (0), then the
-        // sentinel advances the watermark at END of batch, closing and
-        // emitting every real window in this batch's commit
-        mem.addData(onTime :+ tick("2024-03-01T00:00:00Z"))
         q.processAllAvailable()
         // batch 2: the late half arrives entirely below the watermark —
         // dropped, closed windows stay closed — and the LATER tick
         // advances the watermark again, proving no resurrected window
         // rides a subsequent advance (sentinel windows never close:
         // each tick's own day-window end stays above the watermark)
-        mem.addData(late :+ tick("2024-03-02T00:00:00Z"))
+        writeWave(late.unionByName(tick("2024-03-02T00:00:00Z")))
       }
     }
     takeTable(s, name).orderBy(col("day_us"), col("event_type"))
