@@ -384,23 +384,20 @@ object StreamEntries {
   def streamAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val splitUs = 1705363200000000L // same mid-fixture instant as late-drop
-    val evts = memoFeed(s"asof:$dir") {
-      Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-        .as[StreamAsof.Evt].collect().toSeq
-    }
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_asof")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[StreamAsof.Evt]
-      val q = StreamAsof(mem.toDS(), "click", "purchase").toDF()
+      val (feed, writeWave) = fileFeed(s, "graft-asof-feed-", evts)
+      writeWave(evts.filter(col("ts_us") < splitUs))
+      val q = StreamAsof(feed.as[StreamAsof.Evt], "click", "purchase").toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode(StreamAsof.outputMode).start()
       drain(q) {
-        mem.addData(evts.filter(_.ts_us < splitUs))
         q.processAllAvailable()
-        mem.addData(evts.filter(_.ts_us >= splitUs))
+        writeWave(evts.filter(col("ts_us") >= splitUs))
       }
     }
     takeTable(s, name)
@@ -420,28 +417,24 @@ object StreamEntries {
     * oracle is the plain batch join over the same slice. */
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val evts = memoFeed(s"ssj:$dir") {
-      Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
-        .select(col("event_id"), col("user_id"), col("value"))
-        .as[(Long, Long, Double)].collect().toSeq
-    }
+    val evts = Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
+      .select(col("event_id"), col("user_id"), col("value"))
     val dim = s.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_ssj")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, Long, Double)]
-      val joined = mem.toDF.toDF("event_id", "user_id", "value")
+      val (feed, writeWave) = fileFeed(s, "graft-ssj-feed-", evts)
+      writeWave(evts.filter(col("event_id") % 2 === 0))
+      val joined = feed
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("c_nationkey"),
           col("c_mktsegment"), col("value"))
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(evts.filter(_._1 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(evts.filter(col("event_id") % 2 === 1))
       }
     }
     takeTable(s, name).orderBy(col("event_id"))
