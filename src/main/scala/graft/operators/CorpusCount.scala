@@ -52,8 +52,16 @@ object CorpusCount {
   def of(df: DataFrame): Long = {
     if (!cachingEnabled) return df.count()
     MemoStats.touch()
+    // a briefly unreachable store must DEGRADE the memo (uncached
+    // count — the count job itself will retry/fail with the query's
+    // own semantics), not fail the query from inside key computation:
+    // the epoch POLL is a cache-freshness probe, not part of the
+    // query's contract (r15 advice)
+    val epochs =
+      try kvbinEpochs(df)
+      catch { case scala.util.control.NonFatal(_) => return df.count() }
     val key = (df.sparkSession, df.queryExecution.logical.canonicalized,
-      kvbinEpochs(df))
+      epochs)
     cache.synchronized {
       cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       cache.get(key)

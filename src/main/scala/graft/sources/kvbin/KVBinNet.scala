@@ -365,13 +365,24 @@ class KVBinServer(dir: String, conf: Configuration,
           // commit guard could refuse. jobTag uniqueness makes accidental
           // collision unlikely; the lost-ack rationale documented on
           // ABORT applies equally here, so refuse with byte 0. Served
-          // from the fingerprint-guarded index cache (one getFileStatus
-          // per PUT, not an O(regions) index read — fleet writes issue
-          // one PUT per store-boundary segment per task); the (len,
-          // mtime) revalidation keeps it exactly as fresh as a re-read.
+          // from the fingerprint-guarded index cache first, BUT an
+          // absent name forces one FRESH index read before the
+          // destructive fs.create: the (len, mtime) fingerprint has a
+          // stale window on filesystems whose setTimes is a no-op (an
+          // index swap preserving byte length within one mtime tick —
+          // e.g. a compaction — would otherwise serve a set missing a
+          // just-committed region, r15 advice). A PUT spools a whole
+          // segment, so the extra index read on its miss path is
+          // noise; META/REGIONS/SCAN stay on the cache's hot path.
           val putReferenced: Set[String] =
-            try referencedNames
-            catch { case _: java.io.FileNotFoundException => Set.empty }
+            try {
+              val cached = referencedNames
+              if (cached(nm)) cached
+              else {
+                idxLock.synchronized { idxFp = null }
+                referencedNames
+              }
+            } catch { case _: java.io.FileNotFoundException => Set.empty }
           if (KVBinDataWriter.RegionFile.matches(nm) && !putReferenced(nm)) {
             val fs = org.apache.hadoop.fs.FileSystem.get(
               new java.net.URI(dir), conf)

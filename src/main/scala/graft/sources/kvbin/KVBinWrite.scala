@@ -906,6 +906,9 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
       s"kvbin fleet append with assign_table_id=${assignTid.get} onto a " +
       s"fleet whose table_id is ${existing.head} — not the same table; " +
       s"fix the endpoints or truncate the fleet")
+    // under truncate `existing` is empty BY CONSTRUCTION (plannedMetas
+    // are not polled), so a truncate's identity source is always the
+    // caller's assignTid or a minted UUID — the full-rewrite semantics
     existing.headOption.orElse(assignTid)
       .orElse(Some(java.util.UUID.randomUUID().toString))
   }
@@ -927,11 +930,18 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
     val adoptedGens = stores.indices.collect {
       case i if adopted(i) => (stores(i).address, plannedBases(i).get._1.toLong)
     }
-    if (liveGens.nonEmpty && (liveGens.size + adoptedGens.size) < stores.size)
+    // a FRESH member beside ANY stamped member (live OR adopted) can
+    // never reach generation lockstep by appending: gating on live
+    // members alone let a torn 2-store write whose lagging member was
+    // wiped before the commit_key retry commit the fresh store at
+    // generation 1 beside the adopted store at g+1 — a silent
+    // permanent divergence (r15 advice)
+    if ((liveGens.nonEmpty || adoptedGens.nonEmpty) &&
+        (liveGens.size + adoptedGens.size) < stores.size)
       throw new IllegalStateException(
         s"kvbin fleet append: store(s) ${stores.indices.collect {
           case i if plannedBases(i).isEmpty => stores(i).address
-        }.mkString(", ")} are FRESH while the rest of the fleet is live — " +
+        }.mkString(", ")} are FRESH while the rest of the fleet is stamped — " +
         s"a member joining mid-life cannot reach generation lockstep by " +
         s"appending; truncate the fleet (a full rewrite stamps every " +
         s"member at generation 1) or rebuild the new member by replication")
@@ -956,6 +966,23 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
     new KVBinFleetWireWriterFactory(stores,
       KVBinDataWriter.jobTag(queryId), stats.map(_._2))
 
+  // Layout-independent shape fingerprint of one store's shard in this
+  // write: row count + key span, both derived from the DATA (not the
+  // task layout), so a legitimate same-data retry always reproduces
+  // it. Stamped as `fleet_fp` by every per-store COMMIT and REQUIRED
+  // to match on adoption: adoption is keyed on commit_key alone, so a
+  // re-run reusing a commit_key with DIFFERENT data would otherwise
+  // keep the adopted store's OLD shard beside the rest of the fleet's
+  // NEW data — converged generations over diverged content, invisible
+  // to the read-side gates (r15 advice).
+  private def shardFp(fresh: Seq[KVBinCommit.Fresh]): String =
+    if (fresh.isEmpty) "0" else {
+      val rows = fresh.map(_.n).sum
+      val mn = fresh.map(f => KVBin.hexOf(f.min)).min
+      val mx = fresh.map(f => KVBin.hexOf(f.max)).max
+      s"$rows:$mn:$mx"
+    }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val perStore: Map[Int, Seq[KVBinCommit.Fresh]] = messages.toSeq
       .collect { case m: KVBinFleetCommitMessage => m.segments }
@@ -977,6 +1004,27 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
           s"kvbin fleet prepare at ${st.address}: the store's " +
           s"(generation, table_id) moved from ($g, $t) since this write " +
           s"was planned — a concurrent writer committed; re-plan the append")
+      }
+    }
+    // ADOPTION content gate, BEFORE any per-store COMMIT is issued
+    // (so a mismatch costs zero committed generations): the adopted
+    // store's stamped fleet_fp must match the fingerprint of the data
+    // THIS attempt routed to it. A stamp-less adoption (store
+    // committed by a pre-fingerprint build) has nothing to compare —
+    // allowed, matching the prior behavior.
+    stores.indices.foreach { i =>
+      if (adopted(i)) {
+        val fp = shardFp(perStore.getOrElse(i, Nil))
+        plannedMetas(i).get("fleet_fp").foreach { stamped =>
+          require(stamped == fp,
+            s"kvbin fleet adoption at ${stores(i).address}: the store " +
+            s"already carries commit_key $commitKey but its committed " +
+            s"shard's fingerprint ($stamped) differs from this attempt's " +
+            s"data for it ($fp) — the commit_key was reused with " +
+            s"DIFFERENT data, and adopting would silently keep the old " +
+            s"shard beside the fleet's new data. Use a fresh commit_key, " +
+            s"or truncate the fleet to rewrite it")
+        }
       }
     }
     // COMMIT store-by-store, in LOCKSTEP: a data-carrying append (any
@@ -1007,7 +1055,8 @@ class KVBinFleetWireBatchWrite(stores: IndexedSeq[KVBinFleet.Store],
             Map(KVBinCommit.ForceGenBumpKey -> "true")
           else Map.empty[String, String]
         try new SocketRegionClient(st.address).commitWrite(truncate,
-          apiVersion, preserveMeta, stats, deferSweep, userMeta ++ bump,
+          apiVersion, preserveMeta, stats, deferSweep,
+          userMeta ++ bump + ("fleet_fp" -> shardFp(freshHere)),
           plannedBases(i), freshHere, assignedTid)
         catch {
           case scala.util.control.NonFatal(e) =>

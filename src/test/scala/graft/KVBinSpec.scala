@@ -1873,6 +1873,62 @@ class KVBinSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("PUT guard survives a same-length same-mtime index swap (stale-cache window): absent name forces a fresh index read") {
+    // the r15 advisory's residual window: the guard served referenced
+    // names from the (len, mtime)-fingerprinted cache, so an index
+    // rewrite preserving byte length within one mtime tick (a
+    // compaction swap on a coarse-mtime filesystem) served a stale set
+    // and let a PUT truncate a just-committed region. Now a cache MISS
+    // on the PUT name triggers one fresh index read before fs.create.
+    import graft.sources.kvbin.KVBinServer
+    val dir = java.nio.file.Files.createTempDirectory("kvbin-stale-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val server = new KVBinServer(dir, conf)
+    try {
+      parquetSrc.limit(20).write.format(kvbinFmt)
+        .option("endpoints", server.address)
+        .option("ranges", "1").mode("overwrite").save()
+      // populate the server's index cache (any cached verb)
+      spark.read.format(kvbinFmt).option("endpoints", server.address)
+        .load().count()
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+      val idxPath = new org.apache.hadoop.fs.Path(dir, KVBin.IndexFile)
+      val mtime0 = fs.getFileStatus(idxPath).getModificationTime
+      val oldName = KVBin.readIndex(dir, conf).map(_._1).head
+      // same-length rename: flip the character before ".kv" (keeps the
+      // RegionFile shape so the PUT reaches the guard, not the
+      // foreign-name refusal)
+      val i = oldName.lastIndexOf(".kv") - 1
+      val newName = oldName.updated(i, if (oldName(i) == '0') '1' else '0')
+      assert(newName.length === oldName.length && newName != oldName)
+      fs.rename(new org.apache.hadoop.fs.Path(dir, oldName),
+        new org.apache.hadoop.fs.Path(dir, newName))
+      val in = fs.open(idxPath)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      KVBin.writeIndexAtomic(dir, conf, content.replace(oldName, newName))
+      // pin the swapped index to the ORIGINAL (len, mtime) fingerprint
+      fs.setTimes(idxPath, mtime0, -1)
+      assert(fs.getFileStatus(idxPath).getLen === content.length.toLong &&
+          fs.getFileStatus(idxPath).getModificationTime === mtime0,
+        "setup must reproduce an identical fingerprint")
+      // PUT naming the NEW region: absent from the (stale) cached set —
+      // the fresh-read fallback must find it referenced and refuse
+      val Array(host, port) = server.address.split(":", 2)
+      val sock = new java.net.Socket(host, port.toInt)
+      val ack = try {
+        sock.setSoTimeout(10000)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        out.write(s"PUT $newName\n".getBytes("UTF-8"))
+        out.writeInt(-1); out.flush()
+        sock.getInputStream.read()
+      } finally sock.close()
+      assert(ack === 0, s"PUT of the just-committed $newName must be refused")
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, newName))
+          .getLen > 0, "the committed region must not have been truncated")
+    } finally server.close()
+  }
+
   test("sharded fleet: SKEWED appends keep generation lockstep and the gen-offset tail never misses a lagging store's commits") {
     // the r14 advisory's fleet-divergence hazard: appends that route to
     // ONE store used to bump only that store's counter, and the merged
@@ -2039,6 +2095,125 @@ class KVBinSpec extends SparkTestBase {
       assert(stray().isEmpty,
         s"adopted store kept unreferenced attempt files: ${stray()}")
     } finally { a.close(); b.close() }
+  }
+
+  test("fleet adoption refuses a commit_key reused with DIFFERENT data (content fingerprint gate)") {
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-fp-a-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-fp-b-").toString
+    val split = "li_0000000300".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    try {
+      val eps = s"${a.address},${b.address}"
+      def gen(addr: String) =
+        new SocketRegionClient(addr).pollMeta()("generation").toLong
+      parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+        .option("ranges", "2").option("api_version", "V1")
+        .mode("overwrite").save()
+      // tear: A commits the k1 append, B refuses
+      b.refuseCommits.set(true)
+      intercept[Exception] {
+        parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+          .option("commit_key", "fp-k1").mode("append").save()
+      }
+      assert(gen(a.address) === 2L && gen(b.address) === 1L)
+      b.refuseCommits.set(false)
+      // the buggy retry: SAME commit_key, DIFFERENT data — A's stamped
+      // shard fingerprint cannot match, and the refusal must land
+      // BEFORE any store commits (B stays at generation 1)
+      def messages(e: Throwable): Seq[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage)).toSeq
+      val refused = intercept[Exception] {
+        parquetSrc.limit(10).write.format(kvbinFmt)
+          .option("endpoints", eps)
+          .option("commit_key", "fp-k1").mode("append").save()
+      }
+      assert(messages(refused).exists(m =>
+          m.contains("fingerprint") && m.contains("DIFFERENT data")),
+        s"expected the adoption fingerprint refusal: $refused")
+      assert(gen(a.address) === 2L && gen(b.address) === 1L,
+        "a refused adoption must commit NOTHING anywhere")
+      // the honest retry (same data) still converges
+      parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+        .option("commit_key", "fp-k1").mode("append").save()
+      assert(gen(a.address) === 2L && gen(b.address) === 2L)
+    } finally { a.close(); b.close() }
+  }
+
+  test("fleet append refuses a FRESH member beside an ADOPTED store even with no live member") {
+    // the r15 advisory's vacuous-gate hazard: a torn 2-store write
+    // whose lagging member was wiped and replaced before the
+    // commit_key retry leaves a fleet that is all adopted + fresh —
+    // the old live-members-only gate passed it, committing the fresh
+    // store at generation 1 beside the adopted store at 2 (permanent
+    // silent divergence). The gate must fire on ANY stamped member.
+    import graft.sources.kvbin.{KVBinServer, SocketRegionClient}
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = java.nio.file.Files.createTempDirectory("kvbin-vac-a-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("kvbin-vac-b-").toString
+    val dirB2 = java.nio.file.Files.createTempDirectory("kvbin-vac-b2-").toString
+    val split = "li_0000000300".getBytes("UTF-8")
+    val a = new KVBinServer(dirA, conf,
+      ownsRange = Some((Array.emptyByteArray, split)))
+    val b = new KVBinServer(dirB, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    // b2: the wiped replacement — same owned range, empty store
+    val b2 = new KVBinServer(dirB2, conf,
+      ownsRange = Some((split, Array.emptyByteArray)))
+    try {
+      val eps = s"${a.address},${b.address}"
+      parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+        .option("ranges", "2").option("api_version", "V1")
+        .mode("overwrite").save()
+      b.refuseCommits.set(true)
+      intercept[Exception] {
+        parquetSrc.write.format(kvbinFmt).option("endpoints", eps)
+          .option("commit_key", "vac-k1").mode("append").save()
+      }
+      def messages(e: Throwable): Seq[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage)).toSeq
+      // retry against A (adopted, gen 2, stamped vac-k1) + B2 (fresh):
+      // no live member at all — must still refuse. On the public path
+      // the api_version equality probe fires first (a truly fresh
+      // store carries no version), which is an acceptable refusal too;
+      // either way nothing may commit.
+      val refused = intercept[Exception] {
+        parquetSrc.write.format(kvbinFmt)
+          .option("endpoints", s"${a.address},${b2.address}")
+          .option("commit_key", "vac-k1").mode("append").save()
+      }
+      assert(messages(refused).exists(m =>
+          (m.contains("FRESH") && m.contains("stamped")) ||
+          m.contains("disagree on api_version")),
+        s"expected the mixed-fleet refusal with zero live members: $refused")
+      val b2gen = new SocketRegionClient(b2.address).pollMeta()
+      assert(!b2gen.contains("generation"),
+        "the fresh replacement must not have been committed")
+      // the generation-lockstep gate itself (defense in depth behind
+      // the version probe): planning directly against adopted + fresh
+      // with zero live members must refuse naming the FRESH member —
+      // the pre-fix gate required a live member and passed vacuously
+      val direct = intercept[IllegalStateException] {
+        new graft.sources.kvbin.KVBinFleetWireBatchWrite(
+          IndexedSeq(
+            graft.sources.kvbin.KVBinFleet.Store(a.address,
+              Array.emptyByteArray, split),
+            graft.sources.kvbin.KVBinFleet.Store(b2.address,
+              split, Array.emptyByteArray)),
+          truncate = false, apiVersion = Some("V1"), preserveMeta = false,
+          queryId = "vac-direct", stats = Nil, deferSweep = false,
+          userMeta = Map("fleet_job" -> "vac-k1"))
+      }
+      assert(direct.getMessage.contains("FRESH") &&
+          direct.getMessage.contains("stamped"),
+        s"expected the lockstep gate's own refusal: ${direct.getMessage}")
+    } finally { a.close(); b.close(); b2.close() }
   }
 
   /** Rewrite `dir/_index` without the generation bookkeeping — the
