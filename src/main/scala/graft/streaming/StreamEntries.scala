@@ -3,7 +3,6 @@ package graft.streaming
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,14 +16,15 @@ import graft.sources.KVSnapshot
   * `diff` (`diff/diff.go:18-63`) and checksum (`checksum/checksum.go:25-29`)
   * paths.
   *
-  * Each entry drives the REAL Structured Streaming machinery (MemoryStream
-  * micro-batches, watermarks, state store, event-time timeouts) over a
+  * Each entry drives the REAL Structured Streaming machinery
+  * (micro-batches, watermarks, state store, event-time timeouts) over a
   * bounded, deterministic slice of the fixtures, then returns the sink
-  * table so `Verify` can hash it like any batch query. The driver-side
-  * collect that feeds MemoryStream is test plumbing — the operators
-  * themselves hold O(state) memory and shuffle by group key exactly as
-  * they would against a real source at scale; only the feed is local.
-  */
+  * table so `Verify` can hash it like any batch query. Every feed flows
+  * through [[fileFeed]] — distributed parquet waves tailed by
+  * `readStream`, the production file-drop-zone shape — so no corpus
+  * slice ever rides the driver (the r14-r16 conversion off
+  * driver-collect → MemoryStream plumbing); the only driver-side feed
+  * values are 1-row aggregates (split points, sentinel instants). */
 object StreamEntries {
 
   private val nameCounter = new AtomicInteger()
@@ -50,19 +50,25 @@ object StreamEntries {
   private def drain(q: StreamingQuery)(feed: => Unit): Unit =
     try { feed; q.processAllAvailable() } finally q.stop()
 
-  /** Memo for the driver-side feed slices. Each slice is a deterministic
-    * function of (fixture dir, sliceScale) over immutable fixture files
-    * and is bounded by construction (O(thousands) of rows — the same
-    * O(slice) contract the collects already carry), so repeat calls can
-    * skip the parquet read + collect: Bench's min-of-two protocol then
-    * times the streaming machinery (start, micro-batches, state commits,
-    * stop) on the warm pass instead of re-collecting an identical feed.
-    * The memo holds feeds only — never query state or sink tables. */
+  /** Memo for the feed slices. Each slice is a deterministic function
+    * of (fixture dir, sliceScale) over immutable fixture files and is
+    * bounded by construction (O(thousands) of pre-aggregated rows), so
+    * repeat calls can skip the derivation job: Bench's min-of-two
+    * protocol then times the streaming machinery (start, micro-batches,
+    * state commits, stop) on the warm pass instead of re-deriving an
+    * identical feed. Since r16 the memo holds localCheckpoint'd FRAMES
+    * (executor blocks), not driver arrays — the feeds flow wave-by-wave
+    * through [[fileFeed]] parquet writes, never through a collect — so
+    * entries are keyed by session too (a frame dies with its session)
+    * and entries of stopped sessions are pruned on every lookup. The
+    * memo holds feeds only — never query state or sink tables. */
   private val feedMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def memoFeed[T <: AnyRef](key: String)(compute: => T): T =
-    feedMemo.computeIfAbsent(s"$key@$sliceScale",
+    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession), AnyRef]()
+  private def memoFeed[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T = {
+    feedMemo.keySet.removeIf(_._2.sparkContext.isStopped)
+    feedMemo.computeIfAbsent((s"$key@$sliceScale", s),
       _ => compute).asInstanceOf[T]
+  }
 
   /** FILE-backed stream feed — the 100 TB-honest replacement for the
     * driver-collect → MemoryStream shape on the entries whose feed is
@@ -550,34 +556,33 @@ object StreamEntries {
     * split the corpus; the final Complete-mode emission must equal the
     * batch sketch over the union, which is what the oracle computes. */
   def streamCms(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // the feed is pre-combined DISTRIBUTED (per-item counts — ~10× fewer
-    // rows than raw occurrences through the driver); the weighted sketch
-    // folds sum(weight) so the grid is identical to feeding occurrences.
-    // This is also the 100 TB shape: map-side combine ships counts.
-    val items = memoFeed(s"cms:$dir") {
+    // the feed is pre-combined and stays DISTRIBUTED end to end
+    // (per-item counts — ~10× fewer rows than raw occurrences); the
+    // weighted sketch folds sum(weight) so the grid is identical to
+    // feeding occurrences. This is also the 100 TB shape: map-side
+    // combine ships counts, and the waves reach the stream as parquet
+    // file drops, never through the driver.
+    val items = memoFeed(s, s"cms:$dir") {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           explode(graft.operators.Dedup.shingles(col("text"), 3)).as("item"))
         .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)].collect()
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_cms")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long)]
+      val (feed, writeWave) = fileFeed(s, "graft-cms-feed-", items)
+      // two batches split by item hash: distinct items land in either
+      // batch, their bucket cells overlap, so the complete-mode grid
+      // provably folds ACROSS the batch boundary
+      writeWave(items.filter(pmod(xxhash64(col("item")), lit(2)) === 0))
       val sketch = graft.operators.Sketches.cmsSketchWeighted(
-        mem.toDS().toDF("item", "cnt"), col("item"), col("cnt"), d = 4, w = 1024)
+        feed, col("item"), col("cnt"), d = 4, w = 1024)
       val q = sketch.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        // two batches split by item hash: distinct items land in either
-        // batch, their bucket cells overlap, so the complete-mode grid
-        // provably folds ACROSS the batch boundary
-        (0 until 2).foreach { b =>
-          mem.addData(items.filter(t => math.floorMod(t._1.hashCode, 2) == b).toSeq)
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(items.filter(pmod(xxhash64(col("item")), lit(2)) === 1))
       }
     }
     takeTable(s, name)
@@ -596,28 +601,28 @@ object StreamEntries {
     * is pre-combined per-token counts (map-side-combine shape), so the
     * driver ships vocab-sized data, not the corpus. */
   def streamTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = memoFeed(s"topk:$dir") {
+    val toks = memoFeed(s, s"topk:$dir") {
       s.read.parquet(s"$dir/documents.parquet")
         .select(explode(split(col("text"), " ")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)].collect()
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // per-token halves ⌊c/2⌋ / ⌈c/2⌉, derived distributed
+    val lo = toks.select(col("t"), expr("cnt DIV 2").as("c"))
+      .filter(col("c") > 0)
+    val hi = toks.select(col("t"), (col("cnt") - expr("cnt DIV 2")).as("c"))
     val name = fresh("graft_stream_topk")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long)]
-      val agg = mem.toDS().toDF("t", "c")
+      val (feed, writeWave) = fileFeed(s, "graft-topk-feed-", lo)
+      writeWave(lo)
+      val agg = feed
         .groupBy(col("t")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("t")).limit(20)
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        val halves = toks.map { case (t, c) => (t, c / 2, c - c / 2) }
-        mem.addData(halves.collect { case (t, lo, _) if lo > 0 => (t, lo) }.toSeq)
         q.processAllAvailable()
-        mem.addData(halves.map { case (t, _, hi) => (t, hi) }.toSeq)
-        q.processAllAvailable()
+        writeWave(hi)
       }
     }
     takeTable(s, name).select(col("t"), col("n"))
@@ -686,27 +691,31 @@ object StreamEntries {
     import s.implicits._
     val outer = joinType != "inner"
     val fullOuter = joinType == "full_outer"
-    val (views, clicks) = memoFeed(s"ijoin:$dir") {
-      val e = Events.read(s, dir)
+    val e = memoFeed(s, s"ijoin:$dir") {
+      Events.read(s, dir)
         .filter(col("user_id") < lit(20L * sliceScale) &&
           col("event_type").isin("view", "click"))
         .select(col("user_id"), col("ts"), col("event_type"))
-        .as[(Long, Timestamp, String)].collect().toSeq
-      (e.filter(_._3 == "view").map(r => (r._1, r._2)),
-        e.filter(_._3 == "click").map(r => (r._1, r._2)))
+        .localCheckpoint()
     }
-    val allTs = (views ++ clicks).map(_._2.getTime)
-    val midMs = (allTs.min + allTs.max) / 2
-    def half(rows: Seq[(Long, Timestamp)], first: Boolean) =
-      rows.filter(r => (r._2.getTime <= midMs) == first)
-    def tick(off: Long) = (-1L, new Timestamp(allTs.max + off))
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val viewsF = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val clicksF = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    // the event-time bounds are the only driver-side values the feed
+    // needs (the sentinel-instant idiom — a 1-row aggregate; the slices
+    // themselves flow through FILE streams)
+    val mm = e.agg(min(col("ts")), max(col("ts"))).head()
+    val midMs = (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+    val midTs = new Timestamp(midMs)
+    def tickDf(u: String, t: String, off: Long) =
+      Seq((-1L, new Timestamp(mm.getTimestamp(1).getTime + off))).toDF(u, t)
     val name = fresh(if (outer) s"graft_stream_${joinType}_ijoin" else "graft_stream_ijoin")
     withStatePartitions(s, 1) {
-      val vMem = MemoryStream[(Long, Timestamp)]
-      val cMem = MemoryStream[(Long, Timestamp)]
-      val v = vMem.toDF.toDF("v_user", "v_ts").withWatermark("v_ts", "1 minute")
-      val c = cMem.toDF.toDF("c_user", "c_ts").withWatermark("c_ts", "1 minute")
+      val (vStream, vWrite) = fileFeed(s, "graft-ijoin-v-", viewsF)
+      val (cStream, cWrite) = fileFeed(s, "graft-ijoin-c-", clicksF)
+      val v = vStream.withWatermark("v_ts", "1 minute")
+      val c = cStream.withWatermark("c_ts", "1 minute")
       val joined = v.join(c,
         col("v_user") === col("c_user") &&
           col("c_ts") >= col("v_ts") &&
@@ -722,23 +731,25 @@ object StreamEntries {
       drain(q) {
         // batch 1: first event-time half per side — its matches emit,
         // its rows land in join state under watermark 0
-        vMem.addData(half(views, first = true))
-        cMem.addData(half(clicks, first = true))
+        vWrite(viewsF.filter(col("v_ts") <= lit(midTs)))
+        cWrite(clicksF.filter(col("c_ts") <= lit(midTs)))
         q.processAllAvailable()
         // batch 2: second half + ticks — cross-boundary pairs (a
         // batch-2 click against a batch-1 view in state) prove the
         // state join; the ticks then advance both watermarks a day
         // past the data so the post-batch cleanup evicts expired rows
-        vMem.addData(half(views, first = false) :+ tick(86400000L))
-        cMem.addData(half(clicks, first = false) :+ tick(86400000L))
+        vWrite(viewsF.filter(col("v_ts") > lit(midTs))
+          .unionByName(tickDf("v_user", "v_ts", 86400000L)))
+        cWrite(clicksF.filter(col("c_ts") > lit(midTs))
+          .unionByName(tickDf("c_user", "c_ts", 86400000L)))
         if (outer) {
           q.processAllAvailable()
           // batch 3: the post-horizon batch — runs with the advanced
           // watermark, so every unmatched row past its horizon flushes
           // as a null row HERE and not before (StreamEntriesSpec pins
           // the timing)
-          vMem.addData(Seq(tick(86400000L * 2)))
-          cMem.addData(Seq(tick(86400000L * 2)))
+          vWrite(tickDf("v_user", "v_ts", 86400000L * 2))
+          cWrite(tickDf("c_user", "c_ts", 86400000L * 2))
         }
       }
     }
@@ -762,19 +773,23 @@ object StreamEntries {
     * n_events AND score provably sum across the boundary. Oracle: the
     * batch q_decayed_counts SQL. */
   def streamDecay(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cells = memoFeed(s"decay:$dir") {
+    val cells = memoFeed(s, s"decay:$dir") {
       Events.read(s, dir)
         .groupBy(col("event_type"), expr("ts_ns DIV 86400000000000").as("day"))
         .agg(count(lit(1)).as("cnt"))
-        .as[(String, Long, Long)].collect()
+        .localCheckpoint()
     }
-    val refDay = cells.map(_._2).max
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the reference day is the one driver-side scalar the weight needs
+    val refDay = cells.agg(max(col("day"))).head().getLong(0)
+    val lo = cells.select(col("event_type"), col("day"),
+      expr("cnt DIV 2").as("cnt")).filter(col("cnt") > 0)
+    val hi = cells.select(col("event_type"), col("day"),
+      (col("cnt") - expr("cnt DIV 2")).as("cnt"))
     val name = fresh("graft_stream_decay")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Long)]
-      val agg = mem.toDS().toDF("event_type", "day", "cnt")
+      val (feed, writeWave) = fileFeed(s, "graft-decay-feed-", lo)
+      writeWave(lo)
+      val agg = feed
         .withColumn("w", expr(
           s"shiftleft(CAST(1 AS BIGINT), CAST(20 - least($refDay - day, CAST(20 AS BIGINT)) AS INT))"))
         .groupBy(col("event_type"))
@@ -783,11 +798,8 @@ object StreamEntries {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        val halves = cells.map { case (t, d, c) => (t, d, c / 2, c - c / 2) }
-        mem.addData(halves.collect { case (t, d, lo, _) if lo > 0 => (t, d, lo) }.toSeq)
         q.processAllAvailable()
-        mem.addData(halves.map { case (t, d, _, hi) => (t, d, hi) }.toSeq)
-        q.processAllAvailable()
+        writeWave(hi)
       }
     }
     takeTable(s, name)
@@ -805,26 +817,23 @@ object StreamEntries {
     * single batch contains a full sum). Oracle: the batch
     * q_linear_trend SQL on the same slice. */
   def streamTrend(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pts = memoFeed(s"trend:$dir") {
+    val pts = memoFeed(s, s"trend:$dir") {
       Events.trendPoints(
         Events.read(s, dir).filter(col("user_id") < lit(100L * sliceScale)),
         "event_type", "value", 1704067200L)
-        .as[(String, Long, Long)].collect()
+        .toDF("g", "x", "yq")
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_trend")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Long)]
-      val agg = Events.trendFromPoints(mem.toDS().toDF("g", "x", "yq"),
-        "event_type")
+      val (feed, writeWave) = fileFeed(s, "graft-trend-feed-", pts)
+      writeWave(pts.filter(col("x") % 2 === 0))
+      val agg = Events.trendFromPoints(feed, "event_type")
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        mem.addData(pts.filter(_._2 % 2 == 0).toSeq)
         q.processAllAvailable()
-        mem.addData(pts.filter(_._2 % 2 != 0).toSeq)
-        q.processAllAvailable()
+        writeWave(pts.filter(col("x") % 2 =!= 0))
       }
     }
     takeTable(s, name)
@@ -845,23 +854,21 @@ object StreamEntries {
     * incrementally beyond regression's five sums. Oracle: the batch
     * q_pca_components SQL. */
   def streamPca(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val feats = memoFeed(s"pca:$dir") {
+    val feats = memoFeed(s, s"pca:$dir") {
       graft.operators.Pca.docFeatures(s.read.parquet(s"$dir/documents.parquet"))
-        .as[(Long, Seq[Long])].collect()
+        .toDF("id", "q")
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_pca")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, Seq[Long])]
-      val agg = graft.operators.Pca.gram(mem.toDS().toDF("id", "q"), 6)
+      val (feed, writeWave) = fileFeed(s, "graft-pca-feed-", feats)
+      writeWave(feats.filter(col("id") % 2 === 0))
+      val agg = graft.operators.Pca.gram(feed, 6)
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        mem.addData(feats.filter(_._1 % 2 == 0).toSeq)
         q.processAllAvailable()
-        mem.addData(feats.filter(_._1 % 2 != 0).toSeq)
-        q.processAllAvailable()
+        writeWave(feats.filter(col("id") % 2 =!= 0))
       }
     }
     graft.operators.Pca.componentsFromGram(takeTable(s, name))
@@ -879,27 +886,23 @@ object StreamEntries {
     * 2 events move t1/te of users whose state batch 1 created. Oracle:
     * the batch q_survival SQL on the user slice. */
   def streamSurvival(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rows = memoFeed(s"survival:$dir") {
+    val rows = memoFeed(s, s"survival:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(100L * sliceScale))
         .select(col("user_id"), col("ts_us"), col("value"))
-        .as[(Long, Long, Double)].collect()
+        .localCheckpoint()
     }
-    val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mm = rows.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
     val name = fresh("graft_stream_survival")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, Long, Double)]
-      val spans = Events.userSpans(
-        mem.toDS().toDF("user_id", "ts_us", "value"),
-        col("value") > 150.0)
+      val (feed, writeWave) = fileFeed(s, "graft-survival-feed-", rows)
+      writeWave(rows.filter(col("ts_us") <= mid))
+      val spans = Events.userSpans(feed, col("value") > 150.0)
       val q = spans.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        mem.addData(rows.filter(_._2 <= mid).toSeq)
         q.processAllAvailable()
-        mem.addData(rows.filter(_._2 > mid).toSeq)
-        q.processAllAvailable()
+        writeWave(rows.filter(col("ts_us") > mid))
       }
     }
     Events.kmFromSpans(takeTable(s, name)
@@ -932,25 +935,26 @@ object StreamEntries {
     * never diverge in derivation while riding the same memoFeed key. */
   private def drainedHllRegisters(s: SparkSession, dir: String,
                                   prefix: String): DataFrame = {
-    import s.implicits._
-    val halves = memoFeed(s"hll:$dir") {
+    val halves = memoFeed(s, s"hll:$dir") {
       (0 until 2).map { b =>
         graft.operators.Sketches.hllRegisters(
             hllToks(s, dir).filter(abs(xxhash64(col("t"))) % 2 === b),
             col("t"), col("lang"))
-          .as[(String, Long, Int)].collect().toSeq
+          .toDF("g", "bucket", "mj")
+          .localCheckpoint()
       }
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh(prefix)
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Int)]
-      val agg = mem.toDS().toDF("g", "bucket", "mj")
+      val (feed, writeWave) = fileFeed(s, "graft-hll-feed-", halves.head)
+      writeWave(halves.head)
+      val agg = feed
         .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        halves.foreach { h => mem.addData(h); q.processAllAvailable() }
+        q.processAllAvailable()
+        writeWave(halves(1))
       }
     }
     takeTable(s, name).select(col("g"), col("bucket"), col("mj"))
@@ -994,7 +998,7 @@ object StreamEntries {
     * Oracle: the batch q_blocklist_phrases SQL. */
   def streamBlocklist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cells = memoFeed(s"blocklist:$dir") {
+    val cells = memoFeed(s, s"blocklist:$dir") {
       // doc slice bound (memoFeed's bounded-feed contract): hit volume
       // is corpus-linear, so cap the fed docs like every sibling entry
       // — a no-op at the gated SFs (≤5000 docs), a constant slice at
@@ -1004,24 +1008,22 @@ object StreamEntries {
             .filter(col("doc_id") < lit(5000L * sliceScale)),
           "text", "doc_id", graft.SparkEntry.blocklistPhrases)
         .groupBy(col("p"), col("doc_id")).agg(count(lit(1)).as("hits"))
-        .as[(String, Long, Long)].collect()
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_blocklist")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Long)]
+      val (feed, writeWave) = fileFeed(s, "graft-blocklist-feed-", cells)
+      writeWave(cells.filter(col("doc_id") % 2 === 0))
       // (p, doc) cells are unique, so the streaming count(1) IS the
       // distinct-doc count and the sums fold exactly across batches
-      val agg = mem.toDS().toDF("p", "doc_id", "hits")
+      val agg = feed
         .groupBy(col("p"))
         .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_hits"))
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        mem.addData(cells.filter(_._2 % 2 == 0).toSeq)
         q.processAllAvailable()
-        mem.addData(cells.filter(_._2 % 2 != 0).toSeq)
-        q.processAllAvailable()
+        writeWave(cells.filter(col("doc_id") % 2 =!= 0))
       }
     }
     graft.SparkEntry.blocklistPhrases.toDF("p")
@@ -1041,24 +1043,24 @@ object StreamEntries {
     * and the cross-batch OR in the store is actually exercised; the
     * oracle is the plain count(DISTINCT) over the slice. */
   def streamBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val halves = memoFeed(s"bitmap:$dir") {
-      val rows = Events.read(s, dir)
+    val rows = memoFeed(s, s"bitmap:$dir") {
+      Events.read(s, dir)
         .filter(col("user_id") < lit(50L * sliceScale))
-        .select(col("event_type"), col("user_id"), col("event_id"))
-        .as[(String, Long, Long)].collect().toSeq
-      (0 until 2).map(b => rows.filter(_._3 % 2 == b))
+        .select(col("event_type").as("g"), col("user_id").as("id"),
+          col("event_id").as("eid"))
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_bitmap")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Long)]
+      val (feed, writeWave) = fileFeed(s, "graft-bitmap-feed-", rows)
+      writeWave(rows.filter(col("eid") % 2 === 0))
       val words = graft.operators.Sketches.bitmapWords(
-        mem.toDS().toDF("g", "id", "eid"), col("g"), col("id"))
+        feed, col("g"), col("id"))
       val q = words.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        halves.foreach { h => mem.addData(h); q.processAllAvailable() }
+        q.processAllAvailable()
+        writeWave(rows.filter(col("eid") % 2 =!= 0))
       }
     }
     graft.operators.Sketches.bitmapEstimate(
@@ -1079,25 +1081,23 @@ object StreamEntries {
     * k−1 buffered ids + a flag: O(cells·k), stream-length-independent. */
   def streamKAnon(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = memoFeed(s"kanon:$dir") {
+    val rows = memoFeed(s, s"kanon:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(20L * sliceScale))
-        .select(col("event_type"), expr("ts_us DIV 86400000000"), col("event_id"))
-        .as[(String, Long, Long)].collect().toSeq
+        .select(col("event_type").as("cell"),
+          expr("ts_us DIV 86400000000").as("sub"), col("event_id").as("id"))
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_kanon")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Long, Long)]
-      val gated = StreamKAnon(
-        mem.toDS().map(r => StreamKAnon.Record(r._1, r._2, r._3)), 4)
+      val (feed, writeWave) = fileFeed(s, "graft-kanon-feed-", rows)
+      writeWave(rows.filter(col("id") % 2 === 0))
+      val gated = StreamKAnon(feed.as[StreamKAnon.Record], 4)
       val q = gated.toDF("event_type", "day", "event_id")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        val (even, odd) = rows.partition(_._3 % 2 == 0)
-        mem.addData(even)
         q.processAllAvailable()
-        mem.addData(odd) // crossings hit live buffered state
+        writeWave(rows.filter(col("id") % 2 =!= 0)) // crossings hit live buffered state
       }
     }
     takeTable(s, name)
@@ -1115,25 +1115,22 @@ object StreamEntries {
     * The sink dir and checkpoint are per-call temp dirs cleaned at JVM
     * exit through the shared hook. */
   def streamFileSink(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val evts = memoFeed(s"fsink:$dir") {
+    val evts = memoFeed(s, s"fsink:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
         .select(col("event_id"), col("event_type"), col("value"))
-        .as[(Long, String, Double)].collect().toSeq
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-fsink-")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, String, Double)]
-      val q = mem.toDF.toDF("event_id", "event_type", "value")
+      val (feed, writeWave) = fileFeed(s, "graft-fsink-feed-", evts)
+      writeWave(evts.filter(col("event_id") % 2 === 0))
+      val q = feed
         .writeStream.format("parquet")
         .option("path", out)
         .outputMode("append").start() // checkpoint comes from the wrapper conf
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(evts.filter(_._1 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(evts.filter(col("event_id") % 2 =!= 0))
       }
     }
     s.read.parquet(out)
@@ -1218,28 +1215,26 @@ object StreamEntries {
     val model = TextAnalysis.NbModel(m0.wordCounts.localCheckpoint(),
       m0.classTotals.localCheckpoint(), m0.vocab.localCheckpoint())
     // bounded feed slice (test split only), scale-widened for bench
-    val feed = memoFeed(s"nbc:$dir") {
+    val feed = memoFeed(s, s"nbc:$dir") {
       docsDf.filter(col("doc_id") % 5 === 0 &&
           col("doc_id") < lit(5000L * sliceScale))
         .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().toSeq
+        .localCheckpoint()
     }
     val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-nbc-")
       .toString
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text").writeStream
+      val (stream, writeWave) = fileFeed(s, "graft-nbc-feed-", feed)
+      writeWave(feed.filter(expr("(doc_id DIV 5) % 2") === 0))
+      val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           TextAnalysis.nbScore(batch, "text", "doc_id", model)
             .write.mode("append").parquet(out)
         }
         .start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(feed.filter(d => (d._1 / 5) % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(feed.filter(expr("(doc_id DIV 5) % 2") === 1))
       }
     }
     s.read.parquet(out).orderBy(col("doc_id"))
@@ -1262,18 +1257,18 @@ object StreamEntries {
     val docsDf = s.read.parquet(s"$dir/documents.parquet")
     val evalDf = docsDf.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val feed = memoFeed(s"dcg:$dir") {
+    val feed = memoFeed(s, s"dcg:$dir") {
       docsDf.filter(col("doc_id") % 10 =!= 0 &&
           col("doc_id") < lit(5000L * sliceScale))
         .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().toSeq
+        .localCheckpoint()
     }
     val out = graft.sources.FixtureStore.tempDirDeletedAtExit("graft-dcg-")
       .toString
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text").writeStream
+      val (stream, writeWave) = fileFeed(s, "graft-dcg-feed-", feed)
+      writeWave(feed.filter(col("doc_id") % 2 === 0))
+      val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val flagged = graft.operators.Dedup
             .decontaminate(batch, evalDf, "text", "doc_id", 0.5)
@@ -1284,10 +1279,8 @@ object StreamEntries {
         }
         .start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(feed.filter(_._1 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(feed.filter(col("doc_id") % 2 =!= 0))
       }
     }
     s.read.parquet(out).orderBy(col("doc_id"))
@@ -1314,10 +1307,10 @@ object StreamEntries {
   def streamLshFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val feed = memoFeed(s"lshf:$dir") {
+    val feed = memoFeed(s, s"lshf:$dir") {
       // the sibling doc-fed entries' bounded-slice convention: inactive
-      // at the gated SFs (doc_id ≤ 4999) but caps the driver-side feed
-      // at larger dirs, and widens under SPARK_GRAFT_STREAM_SCALE
+      // at the gated SFs (doc_id ≤ 4999) but caps the fed slice at
+      // larger dirs, and widens under SPARK_GRAFT_STREAM_SCALE
       val d = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < lit(5000L * sliceScale))
         .select(col("doc_id"), col("text"))
@@ -1327,14 +1320,16 @@ object StreamEntries {
           explode(array((0 until 16).map(b =>
             concat_ws("_", lit(b), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
             .as("bucket"))
-        .as[(Long, String)].collect().toSeq
+        .localCheckpoint()
     }
-    val mid = feed.map(_._1).max / 2
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mid = feed.agg(max(col("doc_id"))).head().getLong(0) / 2
     val name = fresh("graft_stream_lsh")
     withStatePartitions(s, 4, noData = false) {
-      val mem = MemoryStream[(Long, String)]
-      val hits = mem.toDS()
+      val (stream, writeWave) = fileFeed(s, "graft-lshf-feed-", feed)
+      writeWave(feed.filter(col("doc_id") <= mid))
+      val hits = stream
+        .select(col("doc_id").as("_1"), col("bucket").as("_2"))
+        .as[(Long, String)]
         .groupByKey(_._2)
         .flatMapGroupsWithState[Long, (Long, Long)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1352,10 +1347,8 @@ object StreamEntries {
       val q = hits.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        mem.addData(feed.filter(_._1 <= mid))
         q.processAllAvailable()
-        mem.addData(feed.filter(_._1 > mid))
-        q.processAllAvailable()
+        writeWave(feed.filter(col("doc_id") > mid))
       }
     }
     takeTable(s, name)
@@ -1384,18 +1377,21 @@ object StreamEntries {
   def streamScd2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val feed = memoFeed(s"scd2:$dir") {
+    val feed = memoFeed(s, s"scd2:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
         .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
-        .as[(Long, String, Long, Long)].collect().toSeq
+        .localCheckpoint()
     }
-    val ts = feed.map(_._3)
-    val tmid = ts.min + (ts.max - ts.min) / 2
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mm = feed.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tmid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
     val name = fresh("graft_stream_scd2")
     withStatePartitions(s, 4, noData = false) {
-      val mem = MemoryStream[(Long, String, Long, Long)]
-      val closed = mem.toDS()
+      val (stream, writeWave) = fileFeed(s, "graft-scd2-feed-", feed)
+      writeWave(feed.filter(col("ts_us") <= tmid))
+      val closed = stream
+        .select(col("user_id").as("_1"), col("event_type").as("_2"),
+          col("ts_us").as("_3"), col("event_id").as("_4"))
+        .as[(Long, String, Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState[ScdRun, (Long, Option[String], Long, Long, Long)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1428,10 +1424,8 @@ object StreamEntries {
       val q = closed.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        mem.addData(feed.filter(_._3 <= tmid))
         q.processAllAvailable()
-        mem.addData(feed.filter(_._3 > tmid))
-        q.processAllAvailable()
+        writeWave(feed.filter(col("ts_us") > tmid))
       }
     }
     takeTable(s, name)
@@ -1455,7 +1449,7 @@ object StreamEntries {
   def streamFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val feed = memoFeed(s"fnl:$dir") {
+    val feed = memoFeed(s, s"fnl:$dir") {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < lit(5000L * sliceScale))
       val t = col("text")
@@ -1464,20 +1458,25 @@ object StreamEntries {
           (TextAnalysis.qualityPpm(t) >= 500000L).cast("long").as("f2"),
           (TextAnalysis.repetitionRatio(t) <= 0.2d).cast("long").as("f3"),
           md5(t.cast("binary")).as("fp"))
-        .as[(Long, Long, Long, Long, String)].collect().toSeq
+        .localCheckpoint()
     }
     // split the id-range at a duplicate group's keeper, so the group's
     // keeper lands in batch 1 and its dup(s) in batch 2 — the dedup
     // state provably crosses the micro-batch boundary whenever the
     // corpus has any duplicate at all (fallback: midpoint)
-    val dupLos = feed.groupBy(_._5).values.toSeq
-      .filter(_.size > 1).map(_.map(_._1).min)
-    val mid = if (dupLos.nonEmpty) dupLos.min else feed.map(_._1).max / 2
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dupLo = feed.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"))
+      .filter(col("n") > 1).agg(min(col("lo"))).head()
+    val mid = if (!dupLo.isNullAt(0)) dupLo.getLong(0)
+      else feed.agg(max(col("doc_id"))).head().getLong(0) / 2
     val name = fresh("graft_stream_funnel")
     withStatePartitions(s, 4, noData = false) {
-      val mem = MemoryStream[(Long, Long, Long, Long, String)]
-      val flags = mem.toDS()
+      val (stream, writeWave) = fileFeed(s, "graft-fnl-feed-", feed)
+      writeWave(feed.filter(col("doc_id") <= mid))
+      val flags = stream
+        .select(col("doc_id").as("_1"), col("f1").as("_2"), col("f2").as("_3"),
+          col("f3").as("_4"), col("fp").as("_5"))
+        .as[(Long, Long, Long, Long, String)]
         .groupByKey(_._5)
         .flatMapGroupsWithState[Boolean, (Long, Long, Long, Long)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1496,10 +1495,8 @@ object StreamEntries {
       val q = flags.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        mem.addData(feed.filter(_._1 <= mid))
         q.processAllAvailable()
-        mem.addData(feed.filter(_._1 > mid))
-        q.processAllAvailable()
+        writeWave(feed.filter(col("doc_id") > mid))
       }
     }
     TextAnalysis.funnelFromFlags(takeTable(s, name))
@@ -1518,26 +1515,23 @@ object StreamEntries {
     * across both batches, so the result provably sums across the
     * boundary; oracle = the batch profiler over the fed slice. */
   def streamSkewProfile(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val feed = memoFeed(s"ssp:$dir") {
+    val feed = memoFeed(s, s"ssp:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
         .select(col("event_id"), col("event_type"))
-        .as[(Long, String)].collect().toSeq
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_skew")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, String)]
-      val counts = mem.toDF().toDF("event_id", "event_type")
+      val (stream, writeWave) = fileFeed(s, "graft-ssp-feed-", feed)
+      writeWave(feed.filter(col("event_id") % 2 === 0))
+      val counts = stream
         .groupBy(coalesce(col("event_type"), lit("<null>")).as("key"))
         .agg(count(lit(1)).as("cnt"))
       val q = counts.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(feed.filter(_._1 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(feed.filter(col("event_id") % 2 =!= 0))
       }
     }
     graft.operators.Skew.profileFromCounts(takeTable(s, name), 10, 32)
@@ -1555,16 +1549,16 @@ object StreamEntries {
     * exact. Output: one row (n_batches, n_rows, n_error, sum_value). */
   def streamObserved(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feed = memoFeed(s"obs:$dir") {
+    val feed = memoFeed(s, s"obs:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
         .select(col("event_id"), col("event_type"), col("value"))
-        .as[(Long, String, Double)].collect().toSeq
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_obs")
     val progressRows = withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(Long, String, Double)]
-      val observed = mem.toDF().toDF("event_id", "event_type", "value")
+      val (stream, writeWave) = fileFeed(s, "graft-obs-feed-", feed)
+      writeWave(feed.filter(col("event_id") % 2 === 0))
+      val observed = stream
         .observe("graft_counters",
           count(lit(1)).as("n_rows"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
@@ -1573,10 +1567,8 @@ object StreamEntries {
       val q = observed.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(feed.filter(_._1 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(feed.filter(col("event_id") % 2 =!= 0))
       }
       q.recentProgress.toSeq
         .flatMap(p => Option(p.observedMetrics.get("graft_counters")))
@@ -2178,27 +2170,24 @@ object StreamEntries {
     * is the batch sketch SQL over the whole slice. */
   def streamHistQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = memoFeed(s"histq:$dir") {
+    val rows = memoFeed(s, s"histq:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
-        .select(col("event_type"), col("value"), col("event_id"))
-        .as[(String, Double, Long)].collect().toSeq
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("event_id").as("id"))
+        .localCheckpoint()
     }
-    val statsDf = graft.operators.Sketches.histStats(
-      rows.map(r => (r._1, r._2)).toDF("g", "v"))
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val statsDf = graft.operators.Sketches.histStats(rows.select(col("g"), col("v")))
     val name = fresh("graft_stream_histq")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Double, Long)]
+      val (stream, writeWave) = fileFeed(s, "graft-histq-feed-", rows)
+      writeWave(rows.filter(col("id") % 2 === 0))
       val cells = graft.operators.Sketches.histCells(
-        mem.toDF.toDF("g", "v", "id").select(col("g"), col("v")),
-        statsDf, 1024)
+        stream.select(col("g"), col("v")), statsDf, 1024)
       val q = cells.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(rows.filter(_._3 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(rows.filter(col("id") % 2 =!= 0))
       }
     }
     graft.operators.Sketches.histQuantilesFromCells(
@@ -2219,33 +2208,31 @@ object StreamEntries {
     * column. Oracle = the batch PSI SQL over the same split. */
   def streamPsiDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = memoFeed(s"psid:$dir") {
+    val rows = memoFeed(s, s"psid:$dir") {
       // live slice = a bounded user band (widened by sliceScale like
-      // every feed); the reference below is never collected
+      // every feed); the reference below stays batch-side
       Events.read(s, dir).filter(col("user_id") >= lit(50L) &&
           col("user_id") < lit(50L + 50L * sliceScale))
-        .select(col("event_type"), col("value"), col("event_id"))
-        .as[(String, Double, Long)].collect().toSeq
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("event_id").as("id"))
+        .localCheckpoint()
     }
     val refBase = Events.read(s, dir).filter(col("user_id") < lit(50L))
       .select(col("event_type").as("g"), col("value").cast("double").as("v"))
     val statsDf = graft.operators.Sketches.histStats(
       refBase.filter(col("v").isNotNull))
     val refCells = graft.operators.Sketches.psiCells(refBase, statsDf, 16)
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_psid")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Double, Long)]
+      val (stream, writeWave) = fileFeed(s, "graft-psid-feed-", rows)
+      writeWave(rows.filter(col("id") % 2 === 0))
       val cells = graft.operators.Sketches.psiCells(
-        mem.toDF.toDF("g", "v", "id").select(col("g"), col("v")),
-        statsDf, 16)
+        stream.select(col("g"), col("v")), statsDf, 16)
       val q = cells.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(rows.filter(_._3 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(rows.filter(col("id") % 2 =!= 0))
       }
     }
     graft.operators.Sketches.psiFromCells(refCells, takeTable(s, name), 16)
@@ -2268,26 +2255,24 @@ object StreamEntries {
     * = the batch SQL over the fed slice. */
   def streamSlotQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = memoFeed(s"sampq:$dir") {
+    val rows = memoFeed(s, s"sampq:$dir") {
       Events.read(s, dir).filter(col("user_id") < lit(50L * sliceScale))
-        .select(col("event_type"), col("value"), col("event_id"))
-        .as[(String, Double, Long)].collect().toSeq
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("event_id").as("id0"))
+        .localCheckpoint()
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val name = fresh("graft_stream_sampq")
     withStatePartitions(s, 1, noData = false) {
-      val mem = MemoryStream[(String, Double, Long)]
+      val (stream, writeWave) = fileFeed(s, "graft-sampq-feed-", rows)
+      writeWave(rows.filter(col("id0") % 2 === 0))
       val cells = graft.operators.Sketches.slotSampleCells(
-        mem.toDF.toDF("g", "v", "id0")
-          .select(col("g"), col("v"), col("id0").cast("string").as("id")),
+        stream.select(col("g"), col("v"), col("id0").cast("string").as("id")),
         1024)
       val q = cells.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       drain(q) {
-        (0 until 2).foreach { b =>
-          mem.addData(rows.filter(_._3 % 2 == b))
-          q.processAllAvailable()
-        }
+        q.processAllAvailable()
+        writeWave(rows.filter(col("id0") % 2 =!= 0))
       }
     }
     graft.operators.Sketches.slotSampleQuantilesFromCells(
