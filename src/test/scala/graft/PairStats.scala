@@ -25,11 +25,28 @@ object PairStats {
     println(s"PAIRS minhash sf=$sfDir n=$minhash")
 
     // q_edit_neardup's blocking (lang block, md5 60-bit content band)
+    val tc0 = System.nanoTime()
     val edit = graft.operators.Dedup.editNearDupCandidates(
       docs, "text", "doc_id", "lang",
       contentBand = true, bandBits = 60,
       tokenHash = graft.operators.Dedup.md5Hash60).count()
+    val candWall = (System.nanoTime() - tc0) / 1e9
     println(s"PAIRS edit sf=$sfDir n=$edit")
+    // r16: the VERIFY wall next to the candidate count — pairs grew
+    // 13.6× at 10× in r15; if this wall ever outruns the pair growth,
+    // the banded-DP verify (not the blocking) is the knob to revisit.
+    // The candidate-only run above populated the candidate memo, so
+    // this full run's wall is dominated by the verify stage (counting
+    // filter + banded DP + body join-back) — report it as the
+    // memo-warm verify bound, not a subtraction (the stages share JIT
+    // and scheduler noise a difference would amplify).
+    val tv0 = System.nanoTime()
+    val editKept = graft.operators.Dedup.editNearDup(
+      docs, "text", "doc_id", "lang",
+      contentBand = true, bandBits = 60,
+      tokenHash = graft.operators.Dedup.md5Hash60).count()
+    val verifyBound = (System.nanoTime() - tv0) / 1e9
+    println(f"PAIRS edit_verify sf=$sfDir kept=$editKept cand_wall=$candWall%.2f verify_bound_wall=$verifyBound%.2f")
 
     // q_sparse_cosine's inverted index under the budget-derived df cap
     val dfc = docs.select(col("doc_id"),
