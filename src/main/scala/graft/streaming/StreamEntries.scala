@@ -86,7 +86,14 @@ object StreamEntries {
       : (DataFrame, DataFrame => Unit) = {
     val dir = graft.sources.FixtureStore.tempDirDeletedAtExit(prefix)
     val stream = s.readStream.schema(prototype.schema).parquet(dir)
-    (stream, (wave: DataFrame) => wave.write.mode("append").parquet(dir))
+    // the bounded feed slices inherit the session's 32 shuffle
+    // partitions, so an uncoalesced wave writes 32 near-empty parquet
+    // files that the file source then lists, footers and all, EVERY
+    // micro-batch — measured ~0.5-1 s of pure small-file overhead per
+    // entry at sf0.1. coalesce (no shuffle) to a handful of files:
+    // still parallel enough for the r15-scale snapshot feeds, and a
+    // production drop-zone writes few large files per wave too.
+    (stream, (wave: DataFrame) => wave.coalesce(4).write.mode("append").parquet(dir))
   }
 
   /** Resolve the memory-sink table into a DataFrame, then drop its temp
