@@ -669,7 +669,7 @@ object Dedup {
     * is the faster in-engine path (hash quality is equivalent — both are
     * uniform — but xxhash64 has no DuckDB twin). */
   def md5Hash60(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5Hash60(t)
 
   /** Oracle-replayable MinHash signature: component i is the minimum
     * over the document's shingles of the salted 60-bit md5 hash
@@ -707,7 +707,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("t"))
     val mins = (0 until k).map(i =>
-      min(md5Hash60(concat(lit(s"mh${i}_"), col("t")))).as(s"m$i"))
+      min(graft.functions.Md5Hash60.md5Hash60(col("t"), s"mh${i}_")).as(s"m$i"))
     tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
