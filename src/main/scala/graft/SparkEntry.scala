@@ -2604,9 +2604,15 @@ object SparkEntry {
     // budget. The md5-derived 60-bit band hash keeps the content band
     // oracle-replayable; the oracle mirrors the band, the (len, id)
     // pair orientation, and the derived bucket radius exactly
+    // localCheckpoint BEFORE the oracle ordering: the orderBy's range
+    // partitioner samples its child, re-running the whole DP verify a
+    // second time (two identical ~5 s task-time stages at sf0.1);
+    // materializing the small verified-pair frame once makes the
+    // sampling read checkpoint blocks instead (OPTIMIZATION_r16.md)
     "q_edit_neardup" -> ((s, dir) =>
       Dedup.editNearDup(docs(s, dir), "text", "doc_id", "lang",
           contentBand = true, bandBits = 60, tokenHash = Dedup.md5Hash60)
+        .localCheckpoint()
         .orderBy(col("doc_a"), col("doc_b"))),
     // the EXACT-recall scale path for the same contract family: ED-Join
     // q-gram prefix filtering (rarest-first positional grams, per-role
@@ -2622,8 +2628,10 @@ object SparkEntry {
     // pass the same default, and a corpus that outgrows it has
     // genuinely quadratic structure the guard SHOULD refuse
     "q_edit_neardup_prefix" -> ((s, dir) =>
+      // same orderBy-sampling double-execution fix as q_edit_neardup
       Dedup.editNearDupPrefix(docs(s, dir), "text", "doc_id", "lang",
           maxDistPermille = 50)
+        .localCheckpoint()
         .orderBy(col("doc_a"), col("doc_b"))),
     // incremental view maintenance: dst's per-bucket (count, bytes)
     // summary derived from src's summary + the diff changelog — cost

@@ -123,7 +123,14 @@ object Dedup {
 
   private def buildShingleIndex(docs: DataFrame, textCol: String, idCol: String,
                                 n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+    // repartition by id BEFORE the explode (the buildMd5Signatures
+    // lesson): the shingle explode + hash inherit the INPUT's
+    // partitioning — a single-file corpus serializes the index build
+    // on one scan task otherwise. Explicit partition count: AQE's
+    // byte-driven coalescing would merge the ~1 MB doc-row exchange
+    // back to one partition, blind to the explode's work amplification
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("t"))
       .localCheckpoint()
 
@@ -701,9 +708,13 @@ object Dedup {
     // shingle are the dominant CPU and inherit the INPUT's partitioning
     // — a single-file corpus would serialize the whole hash build on
     // one scan task (measured 10.8 s → the shuffle of raw doc rows is
-    // noise next to k×shingles hashes). At cluster scale the input is
-    // already wide and the exchange coalesces away under AQE.
-    val tok = docs.repartition(col(idCol))
+    // noise next to k×shingles hashes). Explicit partition count (r16):
+    // AQE's byte-driven coalescing saw the ~1 MB doc-row exchange and
+    // merged it back toward one partition, blind to the k×shingles
+    // work amplification behind the explode (REPARTITION_BY_NUM is
+    // exempt from coalescing).
+    val tok = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("t"))
     val mins = (0 until k).map(i =>
@@ -1167,7 +1178,11 @@ object Dedup {
       // makes the contract dist <= min(budget, maxAbsDist); callers
       // with very long documents and a permille budget above the cap
       // must raise maxAbsDist explicitly.
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxAbsDist))
+      // EvalOnce: without the barrier the filter is folded into the
+      // join condition with `dist` re-expanded — the DP then runs up to
+      // 3× per candidate (OPTIMIZATION_r16.md, guide §4.4)
+      .withColumn("dist", graft.functions.EvalOnce.evalOnce(
+        levenshtein(col("t_a"), col("t_b"), maxAbsDist)))
       .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
       // emitted pairs stay id-ordered regardless of the length
       // orientation the join used
@@ -1393,7 +1408,16 @@ object Dedup {
     // Materialized ONCE — the frame feeds both the df aggregation and
     // the df-ranked prefix selection (recomputing it was exactly the
     // simhash df-cap regression of round 5).
+    // repartition by id BEFORE the explode (the buildMd5Signatures
+    // lesson): the gram explode + per-gram aggregation inherit the
+    // INPUT's partitioning, and a single-file corpus would serialize
+    // the whole gram build on one scan task (measured 2.1 s of a 7.5 s
+    // wall at sf0.1). The partition count is EXPLICIT because AQE's
+    // byte-driven coalescing sees ~1 MB of doc rows and would merge
+    // the exchange back to one partition, blind to the ~len× work
+    // amplification behind the explode (REPARTITION_BY_NUM is exempt).
     val gramRows = base.filter(col("len") >= q)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("blk"), col("id"), col("len"), col("t"),
         explode(sequence(lit(1), col("len") - lit(q - 1))).as("gpos"))
       .withColumn("gram", expr(s"substring(t, gpos, $q)"))
@@ -1463,11 +1487,16 @@ object Dedup {
     // refuse, not absorb. maxCandidatesPerDoc ≥ 0 is the manual
     // per-doc override (the old semantics).
     if (maxCandidatesPerDoc != Int.MaxValue) {
-      val stats = base.agg(count(lit(1)),
-        coalesce(sum(when(col("len") >= q, col("len") - lit(q - 1))
-          .otherwise(0L)), lit(0L)).cast("long")).head()
-      val nDocs = math.max(stats.getLong(0), 1L)
-      val gramMass = math.max(stats.getLong(1), 1L)
+      // gramRows holds exactly one row per positional gram — its count
+      // IS Σ max(len−q+1, 0), so the corpus gram mass comes off the
+      // already-checkpointed frame instead of a second corpus scan
+      // (one fewer driver action on the critical path); the doc count
+      // is only needed under the manual per-doc override
+      val gramMass = math.max(gramRows.count(), 1L)
+      val nDocs =
+        if (maxCandidatesPerDoc >= 0)
+          math.max(base.agg(count(lit(1))).head().getLong(0), 1L)
+        else 1L
       val ml = l.groupBy(col("blk"), col("gram"), col("occ"), col("b"))
         .agg(count(lit(1)).as("ml"))
       val mr = r.groupBy(col("blk_r"), col("gram_r"), col("occ_r"), col("reg"))
@@ -1535,7 +1564,11 @@ object Dedup {
     pairs
       .filter(graft.functions.AbsDiffSum.absDiffSum(col("pc_a"), col("pc_b")) * 500
         <= budget)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), cap))
+      // EvalOnce: same §4.4 barrier as editNearDup's verify — without
+      // it the banded DP lands in the join condition 2× plus the
+      // projection (measured 40 s of 60 s task time at sf0.1)
+      .withColumn("dist", graft.functions.EvalOnce.evalOnce(
+        levenshtein(col("t_a"), col("t_b"), cap)))
       .filter(col("dist") >= 0 && col("dist") * 1000 <= budget)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))

@@ -405,12 +405,21 @@ class PlanShapeSpec extends SparkTestBase {
     // the degree orientation is pointless if the join nest-loops; edit
     // near-dup: the join key must carry the length bucket (blk alone
     // would meet every document of a language with every other)
-    for (q <- Seq("q_triangles", "q_edit_neardup")) {
-      val p = plan(q)
+    // the q_edit_neardup ENTRY now checkpoints the verified pairs before
+    // the oracle orderBy (r16: the range partitioner's sampling pass was
+    // re-running the whole DP verify), so the entry-level plan is a
+    // checkpoint scan + sort; pin the OPERATOR's plan — the one the
+    // checkpoint job actually executes
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val pe = graft.operators.Dedup.editNearDup(docs, "text", "doc_id", "lang",
+        contentBand = true, bandBits = 60,
+        tokenHash = graft.operators.Dedup.md5Hash60)
+      .queryExecution.executedPlan.toString
+    for ((q, p) <- Seq("q_triangles" -> plan("q_triangles"),
+                       "q_edit_neardup" -> pe)) {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
     }
-    val pe = plan("q_edit_neardup")
     val joinLine = pe.linesIterator.filter(_.contains("HashJoin"))
       .find(l => l.contains("blk")).getOrElse("")
     assert(joinLine.contains("reg") || joinLine.contains("b#"),
