@@ -33,30 +33,46 @@ object Md5Hash60 {
   }
 
   def hash(prefix: Array[Byte], t: UTF8String): Long =
-    hash(prefix, t.getBytes)
+    hashRaw(prefix, t.getBytes) >>> 4
 
-  def hash(prefix: Array[Byte], t: Array[Byte]): Long = {
+  def hash(prefix: Array[Byte], t: Array[Byte]): Long =
+    hashRaw(prefix, t) >>> 4
+
+  def hashRaw(prefix: Array[Byte], t: UTF8String): Long =
+    hashRaw(prefix, t.getBytes)
+
+  /** First 8 digest bytes, big-endian: `>>> (64 − 4·digits)` of this is
+    * the first-`digits`-hex-chars base-16 value for any digits ≤ 15. */
+  def hashRaw(prefix: Array[Byte], t: Array[Byte]): Long = {
     val md = digest.get()
     md.reset()
     if (prefix.length != 0) md.update(prefix)
     md.update(t)
     val d = md.digest()
-    // first 15 hex digits base-16 == first 8 bytes big-endian >>> 4
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v >>> 4
+    v
   }
 
   /** Column form: 60-bit md5 hash of `saltPrefix ‖ t`. */
   def md5Hash60(t: Column, saltPrefix: String = ""): Column =
     Bridge.column(Md5Hash60Expr(Bridge.expression(t),
       saltPrefix.getBytes("UTF-8")))
+
+  /** Column form of the general hex-prefix hash:
+    * `conv(substring(md5(t), 1, digits), 16, 10) :: long`, digits ≤ 15
+    * (the winnowing 8-digit / dsir 6-digit / slice 2-digit twins). */
+  def md5HashHex(t: Column, digits: Int): Column =
+    Bridge.column(Md5Hash60Expr(Bridge.expression(t), Array.empty, digits))
 }
 
-/** `md5_hash60(t)` with a static byte-prefix salt — codegen'd. */
-case class Md5Hash60Expr(child: Expression, prefix: Array[Byte])
+/** `md5_hash60(t)` with a static byte-prefix salt and hex-prefix width
+  * (default 15 digits = 60 bits) — codegen'd. */
+case class Md5Hash60Expr(child: Expression, prefix: Array[Byte],
+                         digits: Int = 15)
     extends UnaryExpression {
+  require(digits >= 1 && digits <= 15, "digits must be in [1, 15]")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "md5_hash60"
@@ -68,14 +84,17 @@ case class Md5Hash60Expr(child: Expression, prefix: Array[Byte])
       s"md5_hash60 requires STRING or BINARY input, " +
         s"got ${child.dataType.catalogString}")
 
+  private def shift: Int = 64 - 4 * digits
+
   override def nullSafeEval(v: Any): Any = v match {
-    case s: UTF8String => Md5Hash60.hash(prefix, s)
-    case b: Array[Byte] => Md5Hash60.hash(prefix, b)
+    case s: UTF8String => Md5Hash60.hashRaw(prefix, s) >>> shift
+    case b: Array[Byte] => Md5Hash60.hashRaw(prefix, b) >>> shift
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("md5prefix", prefix, "byte[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60.hash($ref, $c)")
+    defineCodeGen(ctx, ev,
+      c => s"(graft.functions.Md5Hash60.hashRaw($ref, $c) >>> $shift)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash60Expr =
@@ -85,9 +104,10 @@ case class Md5Hash60Expr(child: Expression, prefix: Array[Byte])
   // compare by content so canonicalized plans (memo keys, plan-shape
   // tests) treat equal salts as equal expressions
   override def equals(other: Any): Boolean = other match {
-    case Md5Hash60Expr(c, p) => c == child && java.util.Arrays.equals(p, prefix)
+    case Md5Hash60Expr(c, p, d) =>
+      c == child && java.util.Arrays.equals(p, prefix) && d == digits
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(prefix)
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(prefix)) + digits
 }

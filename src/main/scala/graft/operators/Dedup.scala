@@ -1581,7 +1581,12 @@ object Dedup {
     * define their outputs over full windows only). */
   private def positionalGrams(docs: DataFrame, textCol: String,
                               idCol: String, n: Int): DataFrame = {
+    // explicit repartition before the positional explode (the
+    // buildShingleIndex lesson): a single-file corpus serializes the
+    // gram build on one scan task, and AQE's byte-driven coalescing
+    // would undo a plain repartition(col) on the ~1 MB of doc rows
     val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .where(size(col("w")) >= n)
     toks
@@ -1612,8 +1617,11 @@ object Dedup {
     val grams = positionalGrams(docs, textCol, idCol, n)
     val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, winW - 1)
     grams
+      // single-pass kernel for the 32-bit hex-prefix hash (the
+      // Md5Hash60Expr chain-elimination, at 8 digits): bit-identical to
+      // conv(substring(md5(gram),1,8),16,10), pinned by Md5Hash60Spec
       .select(col("doc_id"), col("i"),
-        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Hash60.md5HashHex(col("gram"), 8).as("h"))
       .select(col("doc_id"),
         min(struct(col("h"), (-col("i")).as("ni"))).over(win).as("mn"),
         count(lit(1)).over(win).as("cnt"))
@@ -1633,7 +1641,10 @@ object Dedup {
   def winnowNearDup(docs: DataFrame, textCol: String, idCol: String,
                     n: Int = 3, winW: Int = 4, maxDf: Int = 100,
                     minShared: Long = 2, minPermille: Long = 300): DataFrame = {
-    val fp = winnowFingerprints(docs, textCol, idCol, n, winW)
+    // materialize the fingerprint set once: three consumers below (set
+    // sizes, the df cap, the candidate self-join) would each re-run the
+    // gram + window derivation (StageProbe: two concurrent gram builds)
+    val fp = winnowFingerprints(docs, textCol, idCol, n, winW).localCheckpoint()
     val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val kept = fp.join(
       fp.groupBy("h").agg(count(lit(1)).as("df"))

@@ -151,6 +151,12 @@ object TextAnalysis {
     * sum_logprob); higher sum/n = more corpus-plausible word order. */
   def knBigramLogProb(docs: DataFrame, textCol: String,
                       idCol: String): DataFrame = {
+    // NO pre-explode repartition here (r16 negative A/B, recorded in
+    // OPTIMIZATION_r16.md): the bigram frame is evaluated ~7× in this
+    // plan (marginals + final join sides), so widening the scan to 32
+    // tasks multiplied per-task fixed costs across every evaluation —
+    // measured 2.0 → 2.4 s at sf0.1, the split/explode itself being too
+    // cheap to amortize the fan-out (unlike the md5/window gram builds)
     val withW = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -758,7 +764,9 @@ object TextAnalysis {
     val tok = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         explode(split(col(textCol), " ")).as("t"))
       .withColumn("bkt",
-        conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % buckets)
+        // single-pass 6-hex-digit md5 kernel (= the conv(substring(md5))
+        // chain, pinned bit-identical by Md5Hash60Spec)
+        graft.functions.Md5Hash60.md5HashHex(col("t"), 6) % buckets)
     // raw and target bucket counts fold in ONE conditional aggregation
     // (the corpus streams through tokenization once for the whole model
     // build), and the corpus totals re-aggregate the ≤`buckets`-row
@@ -801,8 +809,7 @@ object TextAnalysis {
     require(slices >= 1 && slices <= 256, "need 1 <= slices <= 256")
     val sliced = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .withColumn("__h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-          .cast("long"))
+        graft.functions.Md5Hash60.md5HashHex(col("doc_id").cast("string"), 2))
       .withColumn("slice", expr(s"CAST((__h * $slices) div 256 AS INT)"))
       .drop("__h")
     val tok = sliced.select(col("slice"), col("doc_id"),
